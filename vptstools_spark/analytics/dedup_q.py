@@ -1,0 +1,158 @@
+"""Deduplication queries: exact, n-gram Jaccard, MinHash+LSH, SimHash,
+embedding-cosine — each verified against a DuckDB oracle built from the same
+deterministic md5 hash family.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vptstools_spark.io import table
+from vptstools_spark.operators.dedup import (
+    exact_dedup_stats,
+    jaccard_pairs,
+    lsh_candidates,
+    minhash_signatures,
+    shingles,
+    simhash16,
+)
+from vptstools_spark.operators.similarity import cosine_pairs
+
+NUM_HASHES = 8
+ROWS_PER_BAND = 2
+
+
+def q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    return exact_dedup_stats(table(spark, sf, "documents"))
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    sh = shingles(table(spark, sf, "documents"), k=3)
+    return jaccard_pairs(sh, threshold=0.8)
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    sh = shingles(table(spark, sf, "documents"), k=3)
+    sigs = minhash_signatures(sh, NUM_HASHES)
+    return lsh_candidates(sigs, NUM_HASHES, ROWS_PER_BAND)
+
+
+def q_dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    d = table(spark, sf, "documents").filter(F.col("doc_id") < 100)
+    return simhash16(d)
+
+
+def q_dedup_embedding(spark: SparkSession, sf: str) -> DataFrame:
+    return cosine_pairs(table(spark, sf, "embeddings"), threshold=0.45)
+
+
+_SHINGLE_SQL = """
+        words AS (
+            SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        ),
+        sh AS (
+            SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+            FROM words, UNNEST(range(1, len(w) - 1)) AS t(i)
+            WHERE len(w) >= 3
+        )
+"""
+
+
+def _minhash_sql() -> str:
+    mins = ", ".join(
+        f"MIN(md5('{i}#' || shingle)) AS h{i}" for i in range(NUM_HASHES)
+    )
+    n_bands = NUM_HASHES // ROWS_PER_BAND
+    band_rows = " UNION ALL ".join(
+        "SELECT id, {b} AS band_id, md5(h{i} || h{j}) AS bh FROM mh".format(
+            b=b, i=b * ROWS_PER_BAND, j=b * ROWS_PER_BAND + 1
+        )
+        for b in range(n_bands)
+    )
+    return f"""
+        WITH {_SHINGLE_SQL},
+        mh AS (SELECT doc_id AS id, {mins} FROM sh GROUP BY doc_id),
+        bands AS ({band_rows})
+        SELECT a.id AS doc_a, b.id AS doc_b, COUNT(*) AS n_shared_bands
+        FROM bands a
+        JOIN bands b ON a.band_id = b.band_id AND a.bh = b.bh AND a.id < b.id
+        GROUP BY 1, 2
+    """
+
+
+def _simhash_sql() -> str:
+    dims = ",\n               ".join(
+        f"SUM(strpos('0123456789abcdef', substr(hw, {d + 1}, 1)) - 8.5) AS d{d}"
+        for d in range(16)
+    )
+    bits = ", ".join(
+        f"CASE WHEN d{d} > 0 THEN '1' ELSE '0' END" for d in range(16)
+    )
+    return f"""
+        WITH tok AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS w
+            FROM documents WHERE doc_id < 100
+        ),
+        h AS (SELECT doc_id, md5(w) AS hw FROM tok),
+        dims AS (
+            SELECT doc_id,
+               {dims}
+            FROM h GROUP BY doc_id
+        )
+        SELECT doc_id AS id, concat({bits}) AS simhash16 FROM dims
+    """
+
+
+QUERIES = {
+    "dedup_exact": q_dedup_exact,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_embedding": q_dedup_embedding,
+}
+
+ORACLES = {
+    "dedup_exact": """
+        WITH h AS (SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents),
+        g AS (SELECT fp, MIN(doc_id) AS canonical_id, COUNT(*) AS n_copies
+              FROM h GROUP BY fp)
+        SELECT COUNT(*) AS n_groups,
+               CAST(SUM(n_copies) AS BIGINT) AS n_docs,
+               CAST(SUM(n_copies - 1) AS BIGINT) AS n_duplicates
+        FROM g
+    """,
+    "dedup_ngram_jaccard": f"""
+        WITH {_SHINGLE_SQL},
+        sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b,
+               ROUND(CAST(c AS DOUBLE) / (x.n + y.n - c), 4) AS jaccard
+        FROM pairs
+        JOIN sz x ON x.doc_id = doc_a
+        JOIN sz y ON y.doc_id = doc_b
+        WHERE CAST(c AS DOUBLE) / (x.n + y.n - c) >= 0.8
+    """,
+    "dedup_minhash_lsh": _minhash_sql(),
+    "dedup_simhash": _simhash_sql(),
+    "dedup_embedding": """
+        WITH e AS (
+            SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+                   CAST(unnest(embedding) AS DOUBLE) AS v
+            FROM embeddings
+        ),
+        nrm AS (SELECT vec_id, sqrt(SUM(v * v)) AS n FROM e GROUP BY vec_id),
+        dots AS (
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, SUM(a.v * b.v) AS d
+            FROM e a JOIN e b ON a.i = b.i AND a.vec_id < b.vec_id
+            GROUP BY 1, 2
+        )
+        SELECT vec_a, vec_b, ROUND(d / (x.n * y.n), 4) AS cosine
+        FROM dots JOIN nrm x ON x.vec_id = vec_a JOIN nrm y ON y.vec_id = vec_b
+        WHERE ROUND(d / (x.n * y.n), 4) >= 0.45
+    """,
+}

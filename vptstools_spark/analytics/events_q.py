@@ -1,0 +1,101 @@
+"""Event-stream analytics: calendar windows, sessionization, semi-structured
+extraction — the batch forms of the engine's streaming surface (SURVEY §2.8).
+The same expressions run under Structured Streaming (readStream + watermark);
+see streaming/incremental.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from vptstools_spark.io import table
+
+#: session gap in microseconds (30 min)
+SESSION_GAP_US = 30 * 60 * 1_000_000
+
+
+def q_events_hourly(spark: SparkSession, sf: str) -> DataFrame:
+    """Tumbling calendar window (the reference's daily/monthly partitions are
+    this with coarser granularity, SURVEY §2.5)."""
+    e = table(spark, sf, "events")
+    return (
+        e.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd'T'HH:mm:ss").alias("hour_ts"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+def q_events_sessionize(spark: SparkSession, sf: str) -> DataFrame:
+    """Gap-based sessionization via lag window (30-min inactivity gap):
+    sessions-per-user. Batch twin of applyInPandasWithState sessionization."""
+    e = table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    new_sess = F.when(gap_us.isNull() | (gap_us > SESSION_GAP_US), 1).otherwise(0)
+    return (
+        e.withColumn("new_sess", new_sess)
+        .groupBy("user_id")
+        .agg(
+            F.sum("new_sess").cast("long").alias("n_sessions"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+def q_events_json_extract(spark: SparkSession, sf: str) -> DataFrame:
+    """Semi-structured extraction from the JSON props column."""
+    e = table(spark, sf, "events")
+    k = F.regexp_extract(F.col("props"), r'"k": (\d+)', 1).cast("long")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.round(F.avg(k), 4).alias("avg_k"),
+            F.max(k).alias("max_k"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+QUERIES = {
+    "events_hourly": q_events_hourly,
+    "events_sessionize": q_events_sessionize,
+    "events_json_extract": q_events_json_extract,
+}
+
+ORACLES = {
+    "events_hourly": """
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%dT%H:%M:%S') AS hour_ts,
+               event_type,
+               COUNT(*) AS n_events,
+               ROUND(SUM(value), 2) AS total_value
+        FROM events
+        GROUP BY 1, 2
+    """,
+    "events_sessionize": """
+        WITH g AS (
+            SELECT user_id,
+                   CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w IS NULL
+                          OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        )
+        SELECT user_id,
+               CAST(SUM(new_sess) AS BIGINT) AS n_sessions,
+               COUNT(*) AS n_events
+        FROM g GROUP BY user_id
+    """,
+    "events_json_extract": """
+        SELECT event_type,
+               ROUND(AVG(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)), 4) AS avg_k,
+               MAX(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)) AS max_k,
+               COUNT(*) AS n_events
+        FROM events GROUP BY event_type
+    """,
+}

@@ -1,0 +1,313 @@
+"""Relational operator coverage: aggregations, joins (inner/semi/anti/outer/
+broadcast), rollup, windows, set ops, top-k — the general relational surface
+(SURVEY §2.3-2.6, §7.5) over the harness TPC-H-ish tables.
+
+Every query aliases computed columns identically to its oracle and rounds
+floating aggregates so the value-hash is FP-order-insensitive.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vptstools_spark.io import table
+
+
+def q_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary: the canonical partial→final hash
+    aggregation (SURVEY §2.3 A2 — Catalyst emits map-side combine)."""
+    l = table(spark, sf, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q_top_unshipped(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q3-style: 3-way join + agg + deterministic top-10."""
+    c = table(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = table(spark, sf, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    l = table(spark, sf, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+def q_region_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q5-style: 6-way join with two broadcastable dims; Catalyst
+    broadcast-joins region/nation/supplier automatically under AQE."""
+    c = table(spark, sf, "customer")
+    o = table(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    l = table(spark, sf, "lineitem")
+    s = table(spark, sf, "supplier")
+    n = table(spark, sf, "nation")
+    r = table(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(s, (F.col("l_suppkey") == F.col("s_suppkey")) & (F.col("c_nationkey") == F.col("s_nationkey")))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+def q_semi_join_urgent(spark: SparkSession, sf: str) -> DataFrame:
+    """Left-semi join (SURVEY §2.4): BUILDING customers with ≥1 urgent order."""
+    c = table(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = table(spark, sf, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return c.join(
+        o, F.col("c_custkey") == F.col("o_custkey"), "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+def q_anti_join_no_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """Left-anti join (SURVEY §2.4, transfer-service existence check shape)."""
+    c = table(spark, sf, "customer")
+    o = table(spark, sf, "orders")
+    return c.join(
+        o, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    ).select("c_custkey", "c_mktsegment")
+
+
+def q_outer_join_spend(spark: SparkSession, sf: str) -> DataFrame:
+    """Left outer join + agg preserving customers with zero orders."""
+    c = table(spark, sf, "customer").filter(F.col("c_custkey") <= 200)
+    o = table(spark, sf, "orders")
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("total_spend"),
+        )
+    )
+
+
+def q_rollup_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """ROLLUP (year, priority) — generalization of the reference's day→month
+    key-truncation rollup A4 (src/vptstools/bin/vph5_to_vpts.py:204-211)."""
+    o = table(spark, sf, "orders").withColumn(
+        "order_year", F.year("o_orderdate").cast("string")
+    )
+    return (
+        o.rollup("order_year", "o_orderpriority")
+        .agg(F.count("*").alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("total_price"))
+        .select(
+            F.coalesce(F.col("order_year"), F.lit("ALL")).alias("order_year"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "total_price",
+        )
+    )
+
+
+def q_window_top_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """Ranking window: top-3 orders per customer (deterministic tie-break)."""
+    from pyspark.sql import Window
+
+    o = table(spark, sf, "orders").filter(F.col("o_custkey") <= 100)
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("price"),
+            "rnk",
+        )
+    )
+
+
+def q_distinct_parts(spark: SparkSession, sf: str) -> DataFrame:
+    """COUNT(DISTINCT) per group (SURVEY §2.3 A5)."""
+    l = table(spark, sf, "lineitem").filter(F.col("l_suppkey") <= 20)
+    return l.groupBy("l_suppkey").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.count("*").alias("n_items"),
+    )
+
+
+def q_repeat_customers(spark: SparkSession, sf: str) -> DataFrame:
+    """Set op: INTERSECT of 1995 and 1996 customer sets (SURVEY §2.6)."""
+    o = table(spark, sf, "orders")
+    c95 = o.filter(F.year("o_orderdate") == 1995).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    c96 = o.filter(F.year("o_orderdate") == 1996).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return c95.intersect(c96)
+
+
+def q_brand_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """Fact⨝dim with explicit broadcast of the dimension (scale pattern:
+    `part` stays < broadcast threshold even at 100× — no fact shuffle)."""
+    l = table(spark, sf, "lineitem")
+    p = table(spark, sf, "part").filter(F.col("p_size") <= 10)
+    return (
+        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+QUERIES = {
+    "pricing_summary": q_pricing_summary,
+    "top_unshipped": q_top_unshipped,
+    "region_revenue": q_region_revenue,
+    "semi_join_urgent": q_semi_join_urgent,
+    "anti_join_no_orders": q_anti_join_no_orders,
+    "outer_join_spend": q_outer_join_spend,
+    "rollup_orders": q_rollup_orders,
+    "window_top_orders": q_window_top_orders,
+    "distinct_parts": q_distinct_parts,
+    "repeat_customers": q_repeat_customers,
+    "brand_revenue": q_brand_revenue,
+}
+
+ORACLES = {
+    "pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               ROUND(SUM(l_quantity), 2) AS sum_qty,
+               ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+               ROUND(AVG(l_quantity), 4) AS avg_qty,
+               ROUND(AVG(l_extendedprice), 4) AS avg_price,
+               ROUND(AVG(l_discount), 6) AS avg_disc,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "top_unshipped": """
+        SELECT l_orderkey,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+               o_orderpriority
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-01-01'
+          AND l_shipdate > TIMESTAMP '1998-01-01'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, l_orderkey
+        LIMIT 10
+    """,
+    "region_revenue": """
+        SELECT n_name,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM customer, orders, lineitem, supplier, nation, region
+        WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+          AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+          AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+          AND r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1995-01-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+        GROUP BY n_name
+    """,
+    "semi_join_urgent": """
+        SELECT c_custkey, c_name FROM customer c
+        WHERE c_mktsegment = 'BUILDING'
+          AND EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+    """,
+    "anti_join_no_orders": """
+        SELECT c_custkey, c_mktsegment FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    "outer_join_spend": """
+        SELECT c_custkey,
+               COUNT(o_orderkey) AS n_orders,
+               ROUND(COALESCE(SUM(o_totalprice), 0), 2) AS total_spend
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        WHERE c_custkey <= 200
+        GROUP BY c_custkey
+    """,
+    "rollup_orders": """
+        SELECT COALESCE(CAST(year(o_orderdate) AS VARCHAR), 'ALL') AS order_year,
+               COALESCE(o_orderpriority, 'ALL') AS priority,
+               COUNT(*) AS n_orders,
+               ROUND(SUM(o_totalprice), 2) AS total_price
+        FROM orders
+        GROUP BY ROLLUP(year(o_orderdate), o_orderpriority)
+    """,
+    "window_top_orders": """
+        SELECT o_custkey, o_orderkey, price, rnk FROM (
+            SELECT o_custkey, o_orderkey, ROUND(o_totalprice, 2) AS price,
+                   ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                      ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+            FROM orders WHERE o_custkey <= 100
+        ) WHERE rnk <= 3
+    """,
+    "distinct_parts": """
+        SELECT l_suppkey,
+               COUNT(DISTINCT l_partkey) AS n_parts,
+               COUNT(*) AS n_items
+        FROM lineitem WHERE l_suppkey <= 20
+        GROUP BY l_suppkey
+    """,
+    "repeat_customers": """
+        SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1995
+        INTERSECT
+        SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1996
+    """,
+    "brand_revenue": """
+        SELECT p_brand,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               COUNT(*) AS n_items
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_size <= 10
+        GROUP BY p_brand
+    """,
+}

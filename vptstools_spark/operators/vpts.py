@@ -1,0 +1,195 @@
+"""Core VPTS conversion engine — profile long table → VPTS CSV table.
+
+Reference lifecycle (src/vptstools/vpts.py:180-294): vp() converts one file,
+vpts() many (multiprocessing.Pool + concat + re-sort), vpts_to_csv() sinks.
+Spark shape: one declarative plan — scan → parse → versioned projection →
+global orderBy (the only wide stage) → sink. The multi-file parallelism the
+reference hand-builds with a process pool is Spark task scheduling.
+
+All rendering is Catalyst expressions (whole-stage codegen); no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vptstools_spark.functions.scalars import (
+    bool_to_bool_str,
+    check_source_file,
+    datetime_to_proper8601,
+    int_to_nodata,
+    round6,
+    source_file_is_valid,
+)
+from vptstools_spark.schemas import (
+    STATE_NODATA,
+    STATE_UNDETECT,
+    VptsCsvSpec,
+    get_vpts_version,
+)
+
+
+def _render_measurement(col: str, spec: VptsCsvSpec) -> Column:
+    """Tri-state cell → serialized string (reference: src/vptstools/vpts.py:125-127,
+    sentinel renderings at vpts_csv.py:243-251): nodata → "" and undetect →
+    "NaN" for v1.0; real values via double/long → string cast."""
+    state = F.col(f"{col}__state")
+    return (
+        F.when(state == STATE_NODATA, F.lit(spec.nodata))
+        .when(state == STATE_UNDETECT, F.lit(spec.undetect))
+        .otherwise(F.col(col).cast("string"))
+    )
+
+
+def to_vpts_table(profile_df: DataFrame, vpts_csv_version: str = "v1.0") -> DataFrame:
+    """Versioned mapping projection P1 (reference: src/vptstools/vpts_csv.py:258-295).
+
+    Input: typed long-format profile DataFrame (schemas.profile_long_schema).
+    Output: the 26 normative columns, all string-rendered, in normative order,
+    globally sorted by the version's sort rule.
+    """
+    spec = get_vpts_version(vpts_csv_version)
+    cols: dict[str, Column] = {
+        "radar": F.col("radar"),
+        "datetime": datetime_to_proper8601(F.col("ts")),
+        "height": F.col("height").cast("string"),
+        "gap": bool_to_bool_str(F.col("gap")),
+        "rcs": F.col("rcs").cast("string"),
+        "sd_vvp_threshold": F.col("sd_vvp_threshold").cast("string"),
+        "vcp": int_to_nodata(F.col("vcp"), list(spec.vcp_nodata_values), spec.nodata),
+        "radar_latitude": round6(F.col("radar_latitude")).cast("string"),
+        "radar_longitude": round6(F.col("radar_longitude")).cast("string"),
+        "radar_height": F.col("radar_height").cast("string"),
+        "radar_wavelength": round6(F.col("radar_wavelength")).cast("string"),
+        "source_file": check_source_file(F.col("source_file"), spec.source_file_regex),
+    }
+    for m in spec.measurement_columns:
+        cols[m] = _render_measurement(m, spec)
+    projected = profile_df.select(
+        *[cols[name].alias(name) for name in spec.columns]
+    )
+    return sort_vpts(projected, spec)
+
+
+def sort_vpts(df: DataFrame, spec: VptsCsvSpec) -> DataFrame:
+    """Typed multi-key global sort O1 (reference: src/vptstools/vpts.py:130-134,
+    spec at vpts_csv.py:254-256): compare `height` numerically even though it
+    is serialized as string; total order incl. tie-breaker source_file.
+
+    Spark executes this as a range-partitioned global sort — the plan's only
+    wide stage; AQE sizes the range partitions at runtime.
+    """
+    keys = [
+        F.col(name).cast("int") if typ == "int" else F.col(name)
+        for name, typ in spec.sort
+    ]
+    return df.orderBy(*keys)
+
+
+def vp(
+    spark: SparkSession,
+    file_path: str,
+    vpts_csv_version: str = "v1.0",
+    source_file: str | None = None,
+) -> DataFrame:
+    """Convert one ODIM HDF5 VP file (reference: src/vptstools/vpts.py:180-215)."""
+    from vptstools_spark.sources.odim import read_vp_files
+
+    profiles = read_vp_files(spark, file_path, source_file=source_file, on_error="fail")
+    return to_vpts_table(profiles, vpts_csv_version)
+
+
+def vpts(
+    spark: SparkSession,
+    file_paths: str | list[str],
+    vpts_csv_version: str = "v1.0",
+) -> DataFrame:
+    """Convert many VP files into one globally sorted VPTS DataFrame
+    (reference: src/vptstools/vpts.py:223-275).
+
+    The reference's Pool.map + pd.concat + re-sort collapses into a single
+    multi-file scan + one global orderBy; duplicates on (radar, datetime,
+    height) are preserved, disambiguated by source_file
+    (reference: tests/test_vpts.py:84-91).
+    """
+    from vptstools_spark.sources.odim import read_vp_files
+
+    profiles = read_vp_files(spark, file_paths, on_error="warn")
+    return to_vpts_table(profiles, vpts_csv_version)
+
+
+def vpts_to_csv(df: DataFrame, path: str, single_file: bool = True, gzip: bool = False) -> None:
+    """CSV sink K1/K2 (reference: src/vptstools/vpts.py:278-294,
+    bin/vph5_to_vpts.py:241-245).
+
+    ``single_file=True`` reproduces the reference's one-file-per-target
+    contract via coalesce(1) + rename; for cluster-scale multi-file output
+    pass False and partition upstream.
+    """
+    import glob
+    import os
+    import shutil
+
+    writer = df
+    if single_file:
+        writer = df.coalesce(1)
+    tmp = path + "._spark_tmp"
+    opts = {"header": "true", "emptyValue": "", "nullValue": ""}
+    w = writer.write.mode("overwrite")
+    for k, v in opts.items():
+        w = w.option(k, v)
+    if gzip:
+        w = w.option("compression", "gzip")
+    w.csv(tmp)
+    if single_file:
+        part = glob.glob(os.path.join(tmp, "part-*"))[0]
+        os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+        shutil.move(part, path)
+        shutil.rmtree(tmp)
+    else:
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        shutil.move(tmp, path)
+
+
+def validate_vpts(df: DataFrame, vpts_csv_version: str = "v1.0") -> DataFrame:
+    """Schema-conformance check K5 re-expressed as Spark constraints
+    (reference delegates to frictionless, src/vptstools/vpts.py:297-317).
+
+    Returns a DataFrame of (rule, n_violations); empty ⇒ valid. Runs as one
+    aggregate over the data — no driver-side collect.
+    """
+    spec = get_vpts_version(vpts_csv_version)
+    checks: list[tuple[str, Column]] = [
+        ("columns_present", F.lit(0) if set(spec.columns) <= set(df.columns) else F.lit(1)),
+        ("radar_not_null", (F.col("radar").isNull() | (F.col("radar") == "")).cast("int")),
+        (
+            "datetime_iso8601",
+            (~F.col("datetime").rlike(r"^\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}Z$")).cast("int"),
+        ),
+        ("height_int", F.col("height").cast("int").isNull().cast("int")),
+        (
+            "gap_bool",
+            (~(F.col("gap").isin("TRUE", "FALSE") | F.col("gap").isNull())).cast("int"),
+        ),
+        (
+            # NULL source_file counts as a violation: check_source_file nulls
+            # traversal-unsafe paths, so they must surface here
+            "source_file_safe",
+            (
+                F.col("source_file").isNull()
+                | ~source_file_is_valid(F.col("source_file"), spec.source_file_regex)
+            ).cast("int"),
+        ),
+    ]
+    agg = df.agg(
+        *[F.sum(expr).alias(name) for name, expr in checks]
+    )
+    long = agg.selectExpr(
+        "stack({n}, {pairs}) as (rule, n_violations)".format(
+            n=len(checks),
+            pairs=", ".join(f"'{name}', `{name}`" for name, _ in checks),
+        )
+    )
+    return long.filter(F.col("n_violations") > 0)
