@@ -1,0 +1,43 @@
+"""Similarity operators: known-geometry vectors."""
+
+from vptstools_spark.operators.similarity import (
+    anchor_buckets,
+    cosine_pairs,
+    knn_bruteforce,
+)
+
+VECS = [
+    (0, [1.0, 0.0, 0.0, 0.0]),
+    (1, [0.9, 0.1, 0.0, 0.0]),   # close to 0
+    (2, [0.0, 1.0, 0.0, 0.0]),   # orthogonal to 0
+    (3, [-1.0, 0.0, 0.0, 0.0]),  # opposite of 0
+    (4, [0.5, 0.5, 0.5, 0.5]),
+]
+
+
+def _emb(spark):
+    return spark.createDataFrame(VECS, "vec_id long, embedding array<float>")
+
+
+def test_knn_ranks_by_cosine(spark):
+    emb = _emb(spark)
+    out = knn_bruteforce(emb, emb.filter("vec_id = 0"), k=4).collect()
+    order = [r["n_id"] for r in sorted(out, key=lambda r: r["rnk"])]
+    assert order == [1, 4, 2, 3]  # cos: 0.9939, 0.5, 0.0, -1.0
+    cos = {r["n_id"]: r["cosine"] for r in out}
+    assert cos[2] == 0.0 and cos[3] == -1.0
+
+
+def test_cosine_pairs_threshold(spark):
+    pairs = {(r["vec_a"], r["vec_b"]) for r in cosine_pairs(_emb(spark), threshold=0.9).collect()}
+    assert pairs == {(0, 1)}
+
+
+def test_anchor_buckets(spark):
+    emb = _emb(spark)
+    buckets = {r["id"]: r["bucket"] for r in
+               anchor_buckets(emb, [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]]).collect()}
+    assert buckets[0] == "10"   # positive on anchor0, zero (not >0) on anchor1
+    assert buckets[2] == "01"
+    assert buckets[3] == "00"
+    assert buckets[4] == "11"
