@@ -62,10 +62,64 @@ def q_events_json_extract(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_events_running(spark: SparkSession, sf: str) -> DataFrame:
+    """Running-sum window frame per user — deterministic accumulation order,
+    so the doubles are bit-identical to the oracle's."""
+    e = table(spark, sf, "events").filter(F.col("user_id") < 30)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(w), 2).alias("running_value"),
+    )
+
+
+def q_events_lag_delta(spark: SparkSession, sf: str) -> DataFrame:
+    """lag() analytic: per-user value delta between consecutive events."""
+    e = table(spark, sf, "events").filter(F.col("user_id") < 30)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value") - F.lag("value").over(w), 2).alias("delta"),
+    )
+
+
+def q_events_asof_purchase_click(spark: SparkSession, sf: str) -> DataFrame:
+    """Backward as-of join (operators/asof.py): each purchase gets the user's
+    most recent prior-or-simultaneous click value. Oracle: DuckDB's native
+    ASOF LEFT JOIN."""
+    from vptstools_spark.operators.asof import asof_join_backward
+
+    e = table(spark, sf, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("cvalue"))
+    )
+    joined = asof_join_backward(purchases, clicks, on="user_id", payload_cols=["cvalue"])
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.round("value", 2).alias("purchase_value"),
+        F.round("cvalue_right", 2).alias("prior_click_value"),
+    )
+
+
 QUERIES = {
     "events_hourly": q_events_hourly,
     "events_sessionize": q_events_sessionize,
     "events_json_extract": q_events_json_extract,
+    "events_running": q_events_running,
+    "events_lag_delta": q_events_lag_delta,
+    "events_asof_join": q_events_asof_purchase_click,
 }
 
 ORACLES = {
@@ -97,5 +151,33 @@ ORACLES = {
                MAX(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)) AS max_k,
                COUNT(*) AS n_events
         FROM events GROUP BY event_type
+    """,
+    "events_running": """
+        SELECT event_id, user_id,
+               ROUND(SUM(value) OVER (PARTITION BY user_id
+                                      ORDER BY epoch_us(ts), event_id
+                                      ROWS UNBOUNDED PRECEDING), 2) AS running_value
+        FROM events WHERE user_id < 30
+    """,
+    "events_lag_delta": """
+        SELECT event_id, user_id,
+               ROUND(value - LAG(value) OVER (PARTITION BY user_id
+                                              ORDER BY epoch_us(ts), event_id), 2) AS delta
+        FROM events WHERE user_id < 30
+    """,
+    "events_asof_join": """
+        WITH purchases AS (
+            SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase'
+        ),
+        clicks AS (
+            SELECT user_id, ts, MAX(value) AS cvalue
+            FROM events WHERE event_type = 'click'
+            GROUP BY user_id, ts
+        )
+        SELECT p.event_id, p.user_id,
+               ROUND(p.value, 2) AS purchase_value,
+               ROUND(c.cvalue, 2) AS prior_click_value
+        FROM purchases p
+        ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.ts
     """,
 }

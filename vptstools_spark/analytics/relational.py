@@ -199,6 +199,67 @@ def q_brand_revenue(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_cube_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """CUBE over (year, status): all four grouping combinations."""
+    o = table(spark, sf, "orders").withColumn(
+        "order_year", F.year("o_orderdate").cast("string")
+    )
+    return (
+        o.cube("order_year", "o_orderstatus")
+        .agg(F.count("*").alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("total_price"))
+        .select(
+            F.coalesce(F.col("order_year"), F.lit("ALL")).alias("order_year"),
+            F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("status"),
+            "n_orders",
+            "total_price",
+        )
+    )
+
+
+def q_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
+    """Explicit GROUPING SETS ((region), (nation), ()) over the dim chain."""
+    table(spark, sf, "nation").createOrReplaceTempView("nation_v")
+    table(spark, sf, "region").createOrReplaceTempView("region_v")
+    table(spark, sf, "customer").createOrReplaceTempView("customer_v")
+    return spark.sql(
+        """
+        SELECT COALESCE(r_name, 'ALL') AS region,
+               COALESCE(n_name, 'ALL') AS nation,
+               COUNT(*) AS n_customers,
+               ROUND(SUM(c_acctbal), 2) AS total_balance
+        FROM customer_v
+        JOIN nation_v ON c_nationkey = n_nationkey
+        JOIN region_v ON n_regionkey = r_regionkey
+        GROUP BY GROUPING SETS ((r_name), (n_name), ())
+        """
+    )
+
+
+def q_orders_first_last(spark: SparkSession, sf: str) -> DataFrame:
+    """min_by/max_by ordered-aggregate: first and last order price per
+    customer by orderkey."""
+    o = table(spark, sf, "orders").filter(F.col("o_custkey") <= 300)
+    return o.groupBy("o_custkey").agg(
+        F.round(F.min_by("o_totalprice", "o_orderkey"), 2).alias("first_price"),
+        F.round(F.max_by("o_totalprice", "o_orderkey"), 2).alias("last_price"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+def q_part_type_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """String manipulation + aggregation: first token of p_type as category."""
+    p = table(spark, sf, "part")
+    return (
+        p.withColumn("category", F.split("p_type", " ").getItem(0))
+        .groupBy("category")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.round(F.avg("p_retailprice"), 4).alias("avg_price"),
+            F.max("p_size").alias("max_size"),
+        )
+    )
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "top_unshipped": q_top_unshipped,
@@ -211,6 +272,10 @@ QUERIES = {
     "distinct_parts": q_distinct_parts,
     "repeat_customers": q_repeat_customers,
     "brand_revenue": q_brand_revenue,
+    "cube_orders": q_cube_orders,
+    "grouping_sets_dims": q_grouping_sets,
+    "orders_first_last": q_orders_first_last,
+    "part_type_stats": q_part_type_stats,
 }
 
 ORACLES = {
@@ -309,5 +374,38 @@ ORACLES = {
         FROM lineitem JOIN part ON l_partkey = p_partkey
         WHERE p_size <= 10
         GROUP BY p_brand
+    """,
+    "cube_orders": """
+        SELECT COALESCE(CAST(year(o_orderdate) AS VARCHAR), 'ALL') AS order_year,
+               COALESCE(o_orderstatus, 'ALL') AS status,
+               COUNT(*) AS n_orders,
+               ROUND(SUM(o_totalprice), 2) AS total_price
+        FROM orders
+        GROUP BY CUBE (year(o_orderdate), o_orderstatus)
+    """,
+    "grouping_sets_dims": """
+        SELECT COALESCE(r_name, 'ALL') AS region,
+               COALESCE(n_name, 'ALL') AS nation,
+               COUNT(*) AS n_customers,
+               ROUND(SUM(c_acctbal), 2) AS total_balance
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY GROUPING SETS ((r_name), (n_name), ())
+    """,
+    "orders_first_last": """
+        SELECT o_custkey,
+               ROUND(arg_min(o_totalprice, o_orderkey), 2) AS first_price,
+               ROUND(arg_max(o_totalprice, o_orderkey), 2) AS last_price,
+               COUNT(*) AS n_orders
+        FROM orders WHERE o_custkey <= 300
+        GROUP BY o_custkey
+    """,
+    "part_type_stats": """
+        SELECT string_split(p_type, ' ')[1] AS category,
+               COUNT(*) AS n_parts,
+               ROUND(AVG(p_retailprice), 4) AS avg_price,
+               MAX(p_size) AS max_size
+        FROM part GROUP BY 1
     """,
 }
