@@ -28,13 +28,18 @@ HEADLINE = [
     "brand_revenue",
     "window_top_orders",
     "rollup_orders",
+    "cube_orders",
+    "quantiles_price",
     "events_sessionize",
+    "events_asof_join",
     "inv_coverage",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_embedding",
     "knn_bruteforce",
+    "ann_buckets",
     "text_quality",
+    "text_langid",
 ]
 
 

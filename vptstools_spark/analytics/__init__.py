@@ -14,11 +14,12 @@ from vptstools_spark.analytics import (
     inventory_q,
     relational,
     similarity_q,
+    stats_q,
     text_q,
     vpts_q,
 )
 
-_MODULES = [relational, events_q, inventory_q, text_q, dedup_q, similarity_q, vpts_q]
+_MODULES = [relational, events_q, inventory_q, text_q, dedup_q, similarity_q, stats_q, vpts_q]
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1,0 +1,141 @@
+"""Statistical / reshaping queries: exact percentiles, correlation, pivot
+(conditional aggregation), time-series resample, ranking, salted aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from vptstools_spark.io import table
+from vptstools_spark.plans.skew import salted_agg
+
+EVENT_TYPES = ("click", "view", "purchase", "signup", "error")
+
+
+def q_quantiles_price(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact linear-interpolated percentiles per group (percentile ↔
+    quantile_cont — same interpolation rule in both engines)."""
+    o = table(spark, sf, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90"),
+        F.round(F.percentile("o_totalprice", F.lit(0.99)), 4).alias("p99"),
+        F.count("*").alias("n"),
+    )
+
+
+def q_corr_discount(spark: SparkSession, sf: str) -> DataFrame:
+    """Pearson correlation + sample covariance per group."""
+    l = table(spark, sf, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_discount", "l_extendedprice"), 6).alias("corr_disc_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("covar_qty_price"),
+        F.count("*").alias("n"),
+    )
+
+
+def q_events_pivot(spark: SparkSession, sf: str) -> DataFrame:
+    """Pivot via conditional aggregation: per-user counts of each event type
+    (the reshaping primitive for feature tables)."""
+    e = table(spark, sf, "events").filter(F.col("user_id") < 50)
+    aggs = [
+        F.count(F.when(F.col("event_type") == t, 1)).alias(f"n_{t}")
+        for t in EVENT_TYPES
+    ]
+    return e.groupBy("user_id").agg(*aggs, F.count("*").alias("n_total"))
+
+
+def q_orders_monthly(spark: SparkSession, sf: str) -> DataFrame:
+    """Calendar resample: monthly order counts + revenue time series."""
+    o = table(spark, sf, "orders")
+    return (
+        o.groupBy(F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias("month"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+def q_supplier_rank(spark: SparkSession, sf: str) -> DataFrame:
+    """rank() over a global ordering (deterministic tie-break by key)."""
+    s = table(spark, sf, "supplier")
+    w = Window.orderBy(F.col("s_acctbal").desc(), F.col("s_suppkey"))
+    return s.select(
+        "s_suppkey",
+        "s_nationkey",
+        F.round("s_acctbal", 2).alias("acctbal"),
+        F.rank().over(w).alias("balance_rank"),
+    ).filter(F.col("balance_rank") <= 25)
+
+
+def q_salted_coverage(spark: SparkSession, sf: str) -> DataFrame:
+    """Salted two-phase aggregation over a 5-hot-key distribution — must be
+    indistinguishable from a plain GROUP BY (the oracle IS the plain form)."""
+    e = table(spark, sf, "events")
+    return salted_agg(
+        e,
+        keys=["event_type"],
+        aggs={
+            "n_events": ("event_id", "count"),
+            "max_value": ("value", "max"),
+        },
+        salt_buckets=16,
+    ).select("event_type", "n_events", F.round("max_value", 4).alias("max_value"))
+
+
+QUERIES = {
+    "quantiles_price": q_quantiles_price,
+    "corr_discount": q_corr_discount,
+    "events_pivot": q_events_pivot,
+    "orders_monthly": q_orders_monthly,
+    "supplier_rank": q_supplier_rank,
+    "salted_coverage": q_salted_coverage,
+}
+
+ORACLES = {
+    "quantiles_price": """
+        SELECT o_orderpriority,
+               ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+               ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+               ROUND(quantile_cont(o_totalprice, 0.99), 4) AS p99,
+               COUNT(*) AS n
+        FROM orders GROUP BY o_orderpriority
+    """,
+    "corr_discount": """
+        SELECT l_returnflag,
+               ROUND(corr(l_discount, l_extendedprice), 6) AS corr_disc_price,
+               ROUND(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qty_price,
+               COUNT(*) AS n
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "events_pivot": """
+        SELECT user_id,
+               COUNT(*) FILTER (WHERE event_type = 'click') AS n_click,
+               COUNT(*) FILTER (WHERE event_type = 'view') AS n_view,
+               COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+               COUNT(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+               COUNT(*) FILTER (WHERE event_type = 'error') AS n_error,
+               COUNT(*) AS n_total
+        FROM events WHERE user_id < 50
+        GROUP BY user_id
+    """,
+    "orders_monthly": """
+        SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+               COUNT(*) AS n_orders,
+               ROUND(SUM(o_totalprice), 2) AS revenue
+        FROM orders GROUP BY 1
+    """,
+    "supplier_rank": """
+        SELECT s_suppkey, s_nationkey, ROUND(s_acctbal, 2) AS acctbal,
+               RANK() OVER (ORDER BY s_acctbal DESC, s_suppkey) AS balance_rank
+        FROM supplier
+        QUALIFY balance_rank <= 25
+    """,
+    "salted_coverage": """
+        SELECT event_type, COUNT(*) AS n_events,
+               ROUND(MAX(value), 4) AS max_value
+        FROM events GROUP BY event_type
+    """,
+}
