@@ -15,11 +15,22 @@ from vptstools_spark.analytics import (
     relational,
     similarity_q,
     stats_q,
+    subqueries_q,
     text_q,
     vpts_q,
 )
 
-_MODULES = [relational, events_q, inventory_q, text_q, dedup_q, similarity_q, stats_q, vpts_q]
+_MODULES = [
+    relational,
+    subqueries_q,
+    events_q,
+    inventory_q,
+    text_q,
+    dedup_q,
+    similarity_q,
+    stats_q,
+    vpts_q,
+]
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

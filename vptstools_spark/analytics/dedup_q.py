@@ -17,6 +17,7 @@ from vptstools_spark.operators.dedup import (
     shingles,
     simhash16,
 )
+from vptstools_spark.operators.graph import connected_components
 from vptstools_spark.operators.similarity import cosine_pairs_blocked
 
 NUM_HASHES = 8
@@ -47,6 +48,19 @@ def q_dedup_embedding(spark: SparkSession, sf: str) -> DataFrame:
     return cosine_pairs_blocked(table(spark, sf, "embeddings"), threshold=0.45)
 
 
+def q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """LSH candidate pairs → canonical duplicate clusters: distributed
+    connected components (min-label propagation, `operators/graph.py`).
+    cluster_id = min doc_id in the component."""
+    sh = shingles(table(spark, sf, "documents"), k=3)
+    sigs = minhash_signatures(sh, NUM_HASHES)
+    pairs = lsh_candidates(sigs, NUM_HASHES, ROWS_PER_BAND)
+    cc = connected_components(pairs, src="doc_a", dst="doc_b")
+    return cc.select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+
+
 _SHINGLE_SQL = """
         words AS (
             SELECT doc_id, string_split(text, ' ') AS w FROM documents
@@ -59,7 +73,9 @@ _SHINGLE_SQL = """
 """
 
 
-def _minhash_sql() -> str:
+def _bands_cte_body() -> str:
+    """Shared WITH-body: shingle → minhash → LSH bands (oracle mirror of
+    `minhash_signatures` + `lsh_candidates`)."""
     mins = ", ".join(
         "MIN(substr(md5('0#' || shingle), {start}, 4)) AS h{i}".format(
             start=i * 4 + 1, i=i
@@ -73,14 +89,43 @@ def _minhash_sql() -> str:
         )
         for b in range(n_bands)
     )
-    return f"""
-        WITH {_SHINGLE_SQL},
+    return f"""{_SHINGLE_SQL},
         mh AS (SELECT doc_id AS id, {mins} FROM sh GROUP BY doc_id),
-        bands AS ({band_rows})
+        bands AS ({band_rows})"""
+
+
+def _minhash_sql() -> str:
+    return f"""
+        WITH {_bands_cte_body()}
         SELECT a.id AS doc_a, b.id AS doc_b, COUNT(*) AS n_shared_bands
         FROM bands a
         JOIN bands b ON a.band_id = b.band_id AND a.bh = b.bh AND a.id < b.id
         GROUP BY 1, 2
+    """
+
+
+def _clusters_sql() -> str:
+    """Transitive closure of the LSH pair graph via recursive CTE; per node
+    the minimum reachable id = the Spark side's min-label component."""
+    return f"""
+        WITH RECURSIVE {_bands_cte_body()},
+        pairs AS (
+            SELECT a.id AS doc_a, b.id AS doc_b
+            FROM bands a
+            JOIN bands b ON a.band_id = b.band_id AND a.bh = b.bh AND a.id < b.id
+            GROUP BY 1, 2
+        ),
+        edges AS (
+            SELECT doc_a AS u, doc_b AS v FROM pairs
+            UNION
+            SELECT doc_b AS u, doc_a AS v FROM pairs
+        ),
+        reach(node, lab) AS (
+            SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+            UNION
+            SELECT e.v, r.lab FROM reach r JOIN edges e ON e.u = r.node
+        )
+        SELECT node AS doc_id, MIN(lab) AS cluster_id FROM reach GROUP BY node
     """
 
 
@@ -113,6 +158,7 @@ QUERIES = {
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
     "dedup_embedding": q_dedup_embedding,
+    "dedup_clusters": q_dedup_clusters,
 }
 
 ORACLES = {
@@ -141,6 +187,7 @@ ORACLES = {
         WHERE CAST(c AS DOUBLE) / (x.n + y.n - c) >= 0.8
     """,
     "dedup_minhash_lsh": _minhash_sql(),
+    "dedup_clusters": _clusters_sql(),
     "dedup_simhash": _simhash_sql(),
     "dedup_embedding": """
         WITH e AS (

@@ -69,6 +69,50 @@ def q_mm_binary_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_text_repetition(spark: SparkSession, sf: str) -> DataFrame:
+    """Repetition scoring — a core pre-training quality signal: per-doc word
+    count, distinct-word ratio, and top-word mass. Explode → two-level
+    aggregation; both aggregations combine map-side, and the (doc_id, word)
+    exchange is the only shuffle."""
+    d = table(spark, sf, "documents").filter(F.col("doc_id") < 300)
+    wc = (
+        d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("c"))
+    )
+    return (
+        wc.groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_words"),
+            F.count("*").alias("n_distinct"),
+            F.max("c").alias("top_c"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "n_distinct",
+            F.round(F.col("n_distinct") / F.col("n_words"), 4).alias("distinct_ratio"),
+            F.round(F.col("top_c") / F.col("n_words"), 4).alias("top_word_ratio"),
+        )
+    )
+
+
+def q_text_normalize(spark: SparkSession, sf: str) -> DataFrame:
+    """Unicode-light text canonicalization (lowercase, strip non-alnum,
+    collapse whitespace) and its effect on dedup: distinct normalized
+    fingerprints per source. Pure JVM expressions — no Python in the path."""
+    d = table(spark, sf, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""), " +", " "
+        )
+    )
+    return d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct(F.md5(norm)).alias("n_distinct_norm"),
+    )
+
+
 def _langid_sql() -> str:
     counts = ",\n               ".join(
         f"len(list_filter(string_split(text, ' '), w -> w = '{marker}')) AS c_{lang}"
@@ -99,6 +143,8 @@ QUERIES = {
     "text_quality": q_text_quality,
     "text_langid": q_text_langid,
     "text_fingerprint": q_text_fingerprint,
+    "text_repetition": q_text_repetition,
+    "text_normalize": q_text_normalize,
     "mm_binary_stats": q_mm_binary_stats,
 }
 
@@ -130,6 +176,25 @@ ORACLES = {
         SELECT source,
                COUNT(DISTINCT md5(lower(trim(text)))) AS n_unique,
                COUNT(*) AS n_docs
+        FROM documents GROUP BY source
+    """,
+    "text_repetition": """
+        WITH tok AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS w
+            FROM documents WHERE doc_id < 300
+        ),
+        wc AS (SELECT doc_id, w, COUNT(*) AS c FROM tok GROUP BY 1, 2)
+        SELECT doc_id,
+               CAST(SUM(c) AS BIGINT) AS n_words,
+               COUNT(*) AS n_distinct,
+               ROUND(CAST(COUNT(*) AS DOUBLE) / SUM(c), 4) AS distinct_ratio,
+               ROUND(CAST(MAX(c) AS DOUBLE) / SUM(c), 4) AS top_word_ratio
+        FROM wc GROUP BY doc_id
+    """,
+    "text_normalize": """
+        SELECT source, COUNT(*) AS n_docs,
+               COUNT(DISTINCT md5(trim(regexp_replace(regexp_replace(
+                   lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')))) AS n_distinct_norm
         FROM documents GROUP BY source
     """,
     "mm_binary_stats": """
