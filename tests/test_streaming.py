@@ -72,3 +72,62 @@ def test_windowed_event_counts_batch_parity(spark):
 
 def test_stream_is_streaming(spark, landing):
     assert stream_profiles(spark, landing).isStreaming
+
+
+def _write_events(spark, path, rows):
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long, value double")
+    df.write.mode("append").parquet(path)
+
+
+def test_stateful_sessionize(spark, tmp_path):
+    """applyInPandasWithState sessionization: gap-split emission and
+    event-time-timeout emission, state carried across availableNow runs."""
+    from vptstools_spark.streaming.incremental import sessionize_stateful
+
+    src = str(tmp_path / "ev")
+    ckpt = str(tmp_path / "ck")
+
+    def t(h, m):
+        return datetime.datetime(2024, 1, 1, h, m)
+
+    def run(name):
+        stream = spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, value double"
+        ).parquet(src)
+        rows = []
+
+        def sink(batch_df, _bid):
+            rows.extend(batch_df.collect())
+
+        q = (
+            sessionize_stateful(stream, gap_seconds=1800, watermark="1 hour")
+            .writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {
+            (r.user_id, r.session_start, r.session_end): (r.n_events, r.total_value)
+            for r in rows
+        }
+
+    _write_events(spark, src, [(1, t(10, 0), 1, 1.0), (2, t(10, 5), 1, 2.0), (3, t(10, 1), 2, 5.0)])
+    out1 = run("sess1")
+    assert out1 == {}  # nothing closed yet — all sessions open in state
+
+    # a post-gap event for user 1 closes their first session immediately
+    # (gap-split); the advanced watermark (14:00 - 1h) then times out user
+    # 2's idle session (timeout 10:31) in the trailing no-data microbatch
+    _write_events(spark, src, [(4, t(14, 0), 1, 7.0)])
+    out2 = run("sess2")
+    assert out2[(1, t(10, 0), t(10, 5))] == (2, 3.0)
+    assert out2[(2, t(10, 1), t(10, 1))] == (1, 5.0)
+    assert len(out2) == 2  # user 1's 14:00 session still open
+
+    # next run: watermark reaches 17:00 → user 1's second session times out;
+    # nothing already emitted is emitted again
+    _write_events(spark, src, [(5, t(18, 0), 9, 1.0)])
+    out3 = run("sess3")
+    assert out3 == {(1, t(14, 0), t(14, 0)): (1, 7.0)}

@@ -105,6 +105,107 @@ def windowed_event_counts(
     )
 
 
+def sessionize_stateful(
+    events_stream: DataFrame,
+    gap_seconds: int = 1800,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Custom stateful operator: per-user session aggregation with an
+    inactivity-gap close, via ``applyInPandasWithState`` (engine extension —
+    the reference has no stateful operators, SURVEY §2.8).
+
+    State per user: (session_start, session_end, n_events, total_value) as
+    epoch-millis/longs — kept primitive so state (de)serialization stays
+    trivially Arrow-compatible. A session closes when the event-time
+    watermark passes last_event + gap (EventTimeTimeout); the closed session
+    is emitted exactly once, in append mode.
+
+    Scale: state is hash-partitioned by user_id across executors; per-key
+    state is O(1) (four scalars), so state size grows with *active* keys
+    only, and the watermark bounds how long an idle key can occupy state.
+    """
+    import pandas as pd  # noqa: PLC0415 — executor-side import
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("session_start", TimestampType()),
+            StructField("session_end", TimestampType()),
+            StructField("n_events", LongType()),
+            StructField("total_value", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("start_ms", LongType()),
+            StructField("end_ms", LongType()),
+            StructField("n_events", LongType()),
+            StructField("total_value", DoubleType()),
+        ]
+    )
+    gap_ms = gap_seconds * 1000
+
+    def emit(user_id, sessions):
+        return pd.DataFrame(
+            {
+                "user_id": [user_id] * len(sessions),
+                "session_start": [pd.Timestamp(s[0], unit="ms") for s in sessions],
+                "session_end": [pd.Timestamp(s[1], unit="ms") for s in sessions],
+                "n_events": [s[2] for s in sessions],
+                "total_value": [s[3] for s in sessions],
+            }
+        )
+
+    def fn(key, pdfs, state):
+        (user_id,) = key
+        if state.hasTimedOut:
+            closed = tuple(state.get)
+            state.remove()
+            yield emit(user_id, [closed])
+            return
+        # gather this batch's events for the key, time-ordered
+        frames = [pdf for pdf in pdfs if len(pdf)]
+        closed: list[tuple] = []
+        cur = tuple(state.get) if state.exists else None
+        if frames:
+            batch = pd.concat(frames)
+            # normalize to ns first — pandas 2 may hand us datetime64[us]
+            ts_ms = (
+                batch["ts"].astype("datetime64[ns]").astype("int64") // 1_000_000
+            ).to_numpy()
+            order = ts_ms.argsort(kind="stable")
+            vals = batch["value"].to_numpy()
+            for i in order:
+                t, v = int(ts_ms[i]), float(vals[i])
+                if cur is None:
+                    cur = (t, t, 1, v)
+                elif t - cur[1] > gap_ms:
+                    closed.append(cur)  # gap elapsed → previous session is over
+                    cur = (t, t, 1, v)
+                else:
+                    cur = (min(cur[0], t), max(cur[1], t), cur[2] + 1, cur[3] + v)
+        if cur is not None:
+            state.update(cur)
+            state.setTimeoutTimestamp(cur[1] + gap_ms)
+        yield emit(user_id, closed)
+
+    return (
+        events_stream.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "append", GroupStateTimeout.EventTimeTimeout
+        )
+    )
+
+
 def run_available_now(
     df: DataFrame,
     sink_format: str,
