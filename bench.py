@@ -33,13 +33,18 @@ HEADLINE = [
     "events_sessionize",
     "events_asof_join",
     "inv_coverage",
+    "exists_late_shipment",
+    "small_qty_revenue",
+    "moving_avg_range",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
+    "dedup_clusters",
     "dedup_embedding",
     "knn_bruteforce",
     "ann_buckets",
     "text_quality",
     "text_langid",
+    "text_repetition",
 ]
 
 
