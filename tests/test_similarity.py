@@ -41,3 +41,27 @@ def test_anchor_buckets(spark):
     assert buckets[2] == "01"
     assert buckets[3] == "00"
     assert buckets[4] == "11"
+
+
+def test_knn_ivf_matches_bruteforce_in_probed_cells(spark):
+    from vptstools_spark.operators.similarity import knn_ivf
+
+    emb = _emb(spark)
+    # Anchors = vec 0 and vec 2 directions: cells split {0,1,3} vs {2,4}
+    # (vec 4 ties 0.5/0.5 — sort_array desc breaks ties by j, picks cell 1).
+    anchors = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]]
+    out = knn_ivf(emb, emb.filter("vec_id = 0"), anchors, k=4, nprobe=2).collect()
+    # nprobe=2 probes both cells -> identical to brute force here
+    order = [r["n_id"] for r in sorted(out, key=lambda r: r["rnk"])]
+    assert order == [1, 4, 2, 3]
+
+
+def test_knn_ivf_nprobe1_prunes_far_cells(spark):
+    from vptstools_spark.operators.similarity import knn_ivf
+
+    emb = _emb(spark)
+    anchors = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]]
+    out = knn_ivf(emb, emb.filter("vec_id = 0"), anchors, k=4, nprobe=1).collect()
+    ids = {r["n_id"] for r in out}
+    # Query 0 probes only its home cell; candidates limited to that cell.
+    assert 1 in ids and 2 not in ids

@@ -260,8 +260,123 @@ def q_part_type_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_order_count_dist(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q13-style: left outer join + two-level aggregation — the
+    distribution of per-customer order counts (customers with zero orders
+    land in the c_count=0 bucket via the outer join)."""
+    c = table(spark, sf, "customer")
+    o = table(spark, sf, "orders")
+    per_cust = (
+        c.join(o, F.col("o_custkey") == F.col("c_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("n_cust"))
+
+
+def q_large_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q18-style: HAVING over a grouped fact, joined back to its
+    dimensions — orders whose total quantity exceeds 300, top-50 by price.
+    The big groupBy pre-aggregates lineitem before any join (map-side
+    combine); orders/customer join after the 10x row reduction."""
+    l = table(spark, sf, "lineitem")
+    o = table(spark, sf, "orders")
+    c = table(spark, sf, "customer")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 300)
+    )
+    return (
+        big.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            F.round("o_totalprice", 2).alias("totalprice"),
+            "sum_qty",
+        )
+        .orderBy(F.col("totalprice").desc(), F.col("o_orderkey"))
+        .limit(50)
+    )
+
+
+def q_disjunctive_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q19-style: OR-of-ANDs join predicate — Catalyst extracts the
+    common `l_partkey = p_partkey` conjunct as the equi-join key and keeps
+    the disjunction as a residual filter, so this stays a hash join, not a
+    cartesian product."""
+    l = table(spark, sf, "lineitem")
+    p = table(spark, sf, "part")
+    branch = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#14")
+            & F.col("p_size").between(1, 35)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return (
+        l.join(p, (F.col("l_partkey") == F.col("p_partkey")) & branch)
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def q_nation_trade(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q7-style: bidirectional nation-pair trade volume — 5-way join
+    (two broadcast nation dims aliased apart) with a year projection."""
+    l = table(spark, sf, "lineitem")
+    o = table(spark, sf, "orders")
+    c = table(spark, sf, "customer")
+    s = table(spark, sf, "supplier")
+    n = table(spark, sf, "nation")
+    n1 = n.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (F.col("supp_nation") == "NATION_9") & (F.col("cust_nation") == "NATION_6")
+    rev = (F.col("supp_nation") == "NATION_6") & (F.col("cust_nation") == "NATION_9")
+    return (
+        l.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nk") == F.col("s_nationkey"))
+        .join(F.broadcast(n2), F.col("c_nk") == F.col("c_nationkey"))
+        .filter(pair | rev)
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("o_orderdate").alias("l_year")
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
+    "order_count_dist": q_order_count_dist,
+    "large_orders": q_large_orders,
+    "disjunctive_revenue": q_disjunctive_revenue,
+    "nation_trade": q_nation_trade,
     "top_unshipped": q_top_unshipped,
     "region_revenue": q_region_revenue,
     "semi_join_urgent": q_semi_join_urgent,
@@ -292,6 +407,58 @@ ORACLES = {
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         GROUP BY l_returnflag, l_linestatus
+    """,
+    "order_count_dist": """
+        WITH per_cust AS (
+            SELECT c_custkey, COUNT(o_orderkey) AS c_count
+            FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+            GROUP BY c_custkey
+        )
+        SELECT c_count, COUNT(*) AS n_cust FROM per_cust GROUP BY c_count
+    """,
+    "large_orders": """
+        WITH big AS (
+            SELECT l_orderkey, ROUND(SUM(l_quantity), 2) AS sum_qty
+            FROM lineitem GROUP BY l_orderkey
+            HAVING ROUND(SUM(l_quantity), 2) > 300
+        )
+        SELECT c_custkey, o_orderkey,
+               strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+               ROUND(o_totalprice, 2) AS totalprice, sum_qty
+        FROM big
+        JOIN orders ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        ORDER BY totalprice DESC, o_orderkey
+        LIMIT 50
+    """,
+    "disjunctive_revenue": """
+        SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               COUNT(*) AS n_items
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 1 AND 11)
+           OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+               AND l_quantity BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#14' AND p_size BETWEEN 1 AND 35
+               AND l_quantity BETWEEN 20 AND 30)
+    """,
+    "nation_trade": """
+        SELECT supp_nation, cust_nation, l_year,
+               ROUND(SUM(volume), 2) AS revenue
+        FROM (
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   year(o_orderdate) AS l_year,
+                   l_extendedprice * (1 - l_discount) AS volume
+            FROM lineitem
+            JOIN orders ON o_orderkey = l_orderkey
+            JOIN customer ON c_custkey = o_custkey
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN nation n1 ON n1.n_nationkey = s_nationkey
+            JOIN nation n2 ON n2.n_nationkey = c_nationkey
+            WHERE (n1.n_name = 'NATION_9' AND n2.n_name = 'NATION_6')
+               OR (n1.n_name = 'NATION_6' AND n2.n_name = 'NATION_9')
+        )
+        GROUP BY supp_nation, cust_nation, l_year
     """,
     "top_unshipped": """
         SELECT l_orderkey,

@@ -8,7 +8,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from vptstools_spark.io import table
-from vptstools_spark.operators.similarity import anchor_buckets, knn_bruteforce
+from vptstools_spark.operators.similarity import anchor_buckets, knn_bruteforce, knn_ivf
 
 N_QUERIES = 5
 K = 5
@@ -34,9 +34,25 @@ def q_ann_buckets(spark: SparkSession, sf: str) -> DataFrame:
     return buckets.groupBy("bucket").agg(F.count("*").alias("n_vectors"))
 
 
+def _anchors(spark: SparkSession, sf: str) -> list[list[float]]:
+    emb = table(spark, sf, "embeddings")
+    rows = emb.filter(F.col("vec_id") < N_ANCHORS).orderBy("vec_id").collect()
+    return [[float(x) for x in r["embedding"]] for r in rows]
+
+
+def q_ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF-style ANN: nearest-centroid cell per corpus vector, queries probe
+    their 2 nearest cells, exact cosine inside the probed subset — the
+    equi-join-on-cell scale path next to `knn_bruteforce`'s cross product."""
+    emb = table(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    return knn_ivf(emb, queries, _anchors(spark, sf), k=K, nprobe=2)
+
+
 QUERIES = {
     "knn_bruteforce": q_knn_bruteforce,
     "ann_buckets": q_ann_buckets,
+    "ann_ivf": q_ann_ivf,
 }
 
 ORACLES = {
@@ -81,5 +97,53 @@ ORACLES = {
             FROM dots GROUP BY vec_id
         )
         SELECT bucket, COUNT(*) AS n_vectors FROM b GROUP BY bucket
+    """,
+    "ann_ivf": f"""
+        WITH e AS (
+            SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+                   CAST(unnest(embedding) AS DOUBLE) AS v
+            FROM embeddings
+        ),
+        nrm AS (SELECT vec_id, sqrt(SUM(v * v)) AS n FROM e GROUP BY vec_id),
+        cdots AS (
+            SELECT e.vec_id, c.vec_id AS j, SUM(e.v * c.v) AS d
+            FROM e JOIN e c ON e.i = c.i AND c.vec_id < {N_ANCHORS}
+            GROUP BY 1, 2
+        ),
+        ccos AS (
+            SELECT cdots.vec_id, j, d / (a.n * b.n) AS c
+            FROM cdots JOIN nrm a ON a.vec_id = cdots.vec_id
+                       JOIN nrm b ON b.vec_id = j
+        ),
+        ranked AS (
+            SELECT vec_id, j,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY c DESC, j DESC) AS rn
+            FROM ccos
+        ),
+        cell AS (SELECT vec_id, j AS cell FROM ranked WHERE rn = 1),
+        probe AS (SELECT vec_id AS q_id, j AS cell FROM ranked
+                  WHERE rn <= 2 AND vec_id < {N_QUERIES}),
+        cand AS (
+            SELECT p.q_id, cl.vec_id AS n_id
+            FROM probe p JOIN cell cl ON cl.cell = p.cell
+            WHERE cl.vec_id <> p.q_id
+        ),
+        dots AS (
+            SELECT q_id, n_id, SUM(a.v * b.v) AS d
+            FROM cand JOIN e a ON a.vec_id = q_id
+                      JOIN e b ON b.vec_id = n_id AND a.i = b.i
+            GROUP BY 1, 2
+        ),
+        cos AS (
+            SELECT q_id, n_id, d / (x.n * y.n) AS c
+            FROM dots JOIN nrm x ON x.vec_id = q_id JOIN nrm y ON y.vec_id = n_id
+        ),
+        r AS (
+            SELECT q_id, n_id, ROUND(c, 4) AS cosine,
+                   ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY c DESC, n_id) AS rnk
+            FROM cos
+        )
+        SELECT q_id, n_id, cosine, rnk FROM r WHERE rnk <= {K}
     """,
 }

@@ -207,3 +207,85 @@ def anchor_buckets(
         lit_vec = F.array(*[F.lit(float(x)) for x in anchor])
         bits.append(F.when(dot(v, lit_vec) > 0, F.lit("1")).otherwise(F.lit("0")))
     return vectors.select(F.col(id_col).alias("id"), F.concat(*bits).alias("bucket"))
+
+
+def ivf_cells(
+    vectors: DataFrame,
+    anchors: list[list[float]],
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse quantization: assign each vector to its `nprobe` nearest
+    anchor cells by cosine (argmax over plan-literal centroids).
+
+    Returns (id, _vec, _norm, cells: array<int>) — `cells[0]` is the home
+    cell for indexing; queries probe `nprobe` cells. Like `anchor_buckets`
+    this is a narrow map (centroids are broadcast literals); the inverted
+    index is just a repartition on the cell id. At real scale centroids come
+    from a sampled k-means (Spark ML) instead of the first-K rows — the
+    operator only cares that they are fixed vectors.
+    """
+    import math
+
+    v = with_norm(vectors, vec_col)
+    scored = []
+    for j, anchor in enumerate(anchors):
+        lit_vec = F.array(*[F.lit(float(x)) for x in anchor])
+        a_norm = math.sqrt(sum(float(x) * float(x) for x in anchor))
+        cos_j = dot(F.col("_vec"), lit_vec) / (F.col("_norm") * F.lit(a_norm))
+        scored.append(F.struct(cos_j.alias("c"), F.lit(j).alias("j")))
+    top = F.slice(F.sort_array(F.array(*scored), asc=False), 1, nprobe)
+    return v.select(
+        F.col(id_col).alias("id"),
+        "_vec",
+        "_norm",
+        F.transform(top, lambda s: s["j"]).alias("cells"),
+    )
+
+
+def knn_ivf(
+    vectors: DataFrame,
+    queries: DataFrame,
+    anchors: list[list[float]],
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via IVF: index side keeps its home cell, query side
+    probes its `nprobe` nearest cells, exact cosine within the probed subset.
+
+    The corpus⋈query equi-join on the cell id replaces brute force's full
+    cross product — candidate count drops by ~n_cells/nprobe. Returns
+    (q_id, n_id, cosine, rnk) like `knn_bruteforce` (recall < 1 by design:
+    neighbors whose home cell is outside the probe set are missed).
+    """
+    from pyspark.sql import Window
+
+    idx = ivf_cells(vectors, anchors, nprobe=1, id_col=id_col, vec_col=vec_col).select(
+        F.col("id").alias("n_id"),
+        F.col("_vec").alias("n_vec"),
+        F.col("_norm").alias("n_norm"),
+        F.col("cells")[0].alias("cell"),
+    )
+    probe = (
+        ivf_cells(queries, anchors, nprobe=nprobe, id_col=id_col, vec_col=vec_col)
+        .select(
+            F.col("id").alias("q_id"),
+            F.col("_vec").alias("q_vec"),
+            F.col("_norm").alias("q_norm"),
+            F.explode("cells").alias("cell"),
+        )
+    )
+    pairs = idx.join(F.broadcast(probe), "cell").filter(
+        F.col("q_id") != F.col("n_id")
+    )
+    cos = dot(F.col("q_vec"), F.col("n_vec")) / (F.col("q_norm") * F.col("n_norm"))
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id"))
+    return (
+        pairs.withColumn("cos", cos)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("q_id", "n_id", F.round("cos", 4).alias("cosine"), "rnk")
+    )
