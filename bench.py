@@ -35,6 +35,10 @@ HEADLINE = [
     "inv_coverage",
     "exists_late_shipment",
     "small_qty_revenue",
+    "order_count_dist",
+    "large_orders",
+    "disjunctive_revenue",
+    "nation_trade",
     "moving_avg_range",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
@@ -42,6 +46,7 @@ HEADLINE = [
     "dedup_embedding",
     "knn_bruteforce",
     "ann_buckets",
+    "ann_ivf",
     "text_quality",
     "text_langid",
     "text_repetition",

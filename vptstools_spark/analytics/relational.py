@@ -345,20 +345,29 @@ def q_nation_trade(spark: SparkSession, sf: str) -> DataFrame:
     c = table(spark, sf, "customer")
     s = table(spark, sf, "supplier")
     n = table(spark, sf, "nation")
-    n1 = n.select(
+    # Restrict both dims to the two nations of interest BEFORE the join:
+    # the pair|rev residual below implies it, but Catalyst won't derive the
+    # per-table IN-list from the cross-table disjunction — without this every
+    # supplier/customer row survives until the post-join filter.
+    pick = F.col("n_name").isin("NATION_6", "NATION_9")
+    n1 = n.filter(pick).select(
         F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
     )
-    n2 = n.select(
+    n2 = n.filter(pick).select(
         F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
     )
     pair = (F.col("supp_nation") == "NATION_9") & (F.col("cust_nation") == "NATION_6")
     rev = (F.col("supp_nation") == "NATION_6") & (F.col("cust_nation") == "NATION_9")
+    s2 = s.join(F.broadcast(n1), F.col("s_nk") == F.col("s_nationkey")).select(
+        "s_suppkey", "supp_nation"
+    )
+    c2 = c.join(F.broadcast(n2), F.col("c_nk") == F.col("c_nationkey")).select(
+        "c_custkey", "cust_nation"
+    )
     return (
-        l.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(c, F.col("c_custkey") == F.col("o_custkey"))
-        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
-        .join(F.broadcast(n1), F.col("s_nk") == F.col("s_nationkey"))
-        .join(F.broadcast(n2), F.col("c_nk") == F.col("c_nationkey"))
+        l.join(F.broadcast(s2), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c2, F.col("c_custkey") == F.col("o_custkey"))
         .filter(pair | rev)
         .groupBy(
             "supp_nation", "cust_nation", F.year("o_orderdate").alias("l_year")
