@@ -192,6 +192,151 @@ def q_ntile_deciles(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_cheapest_supplier(spark: SparkSession, sf: str) -> DataFrame:
+    """Correlated scalar MIN + join-back (TPC-H Q2 shape): for each part, the
+    supplier quoting the minimum unit price. The correlated
+    `price = (SELECT MIN ...)` becomes a per-key aggregate joined back on
+    (key, value); ties broken by MIN(suppkey) so the result is deterministic.
+    Both sides shuffle once on l_partkey — co-partitioned, no broadcast of
+    the fact."""
+    l = table(spark, sf, "lineitem")
+    unit = l.select(
+        "l_partkey",
+        "l_suppkey",
+        (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price"),
+    )
+    min_p = unit.groupBy(F.col("l_partkey").alias("mp_partkey")).agg(
+        F.min("unit_price").alias("min_price")
+    )
+    return (
+        unit.join(
+            min_p,
+            (F.col("l_partkey") == F.col("mp_partkey"))
+            & (F.col("unit_price") == F.col("min_price")),
+        )
+        .groupBy(F.col("l_partkey").alias("partkey"), F.col("min_price"))
+        .agg(F.min("l_suppkey").alias("suppkey"))
+        # no display rounding: price/qty lands on exact decimal midpoints where
+        # Spark (HALF_UP on shortest repr) and the oracle (binary value) split;
+        # the raw IEEE quotient is bit-identical across engines.
+        .select("partkey", "suppkey", F.col("min_price").alias("min_unit_price"))
+    )
+
+
+def q_important_parts(spark: SparkSession, sf: str) -> DataFrame:
+    """HAVING against an uncorrelated scalar subquery (TPC-H Q11 shape):
+    parts whose lineitem value exceeds 1.5x the average part value. The
+    scalar average is a 1-row re-aggregation of the same grouped result,
+    broadcast cross-joined — the fact is scanned once, not twice."""
+    l = table(spark, sf, "lineitem")
+    val = l.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("value")
+    )
+    total = val.agg(F.avg("value").alias("avg_value"))
+    return (
+        val.crossJoin(F.broadcast(total))
+        .filter(F.col("value") > 1.5 * F.col("avg_value"))
+        .select("l_partkey", F.round("value", 2).alias("part_value"))
+    )
+
+
+def q_top_supplier(spark: SparkSession, sf: str) -> DataFrame:
+    """Aggregate-of-aggregate selection (TPC-H Q15 shape): the supplier(s)
+    with maximum 1996 revenue. `WHERE total = (SELECT MAX(total) ...)` over
+    the revenue view becomes a 1-row broadcast of the max joined against the
+    same cached aggregate — no second scan of lineitem."""
+    l = table(spark, sf, "lineitem")
+    s = table(spark, sf, "supplier")
+    rev = (
+        l.filter(
+            (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "total_revenue"
+            )
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("mx"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .select("s_suppkey", "s_name", F.round("total_revenue", 2).alias("total_revenue"))
+    )
+
+
+def q_supplier_cnt(spark: SparkSession, sf: str) -> DataFrame:
+    """NOT IN + COUNT(DISTINCT) (TPC-H Q16 shape): distinct suppliers per
+    (brand, size) over square sizes, excluding blacklisted suppliers
+    (negative balance stands in for the comment filter). NOT IN over a
+    non-null key column is a left-anti join on the tiny blacklist —
+    broadcast, no shuffle added beyond the final distinct-agg."""
+    l = table(spark, sf, "lineitem")
+    p = table(spark, sf, "part")
+    bad = (
+        table(spark, sf, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    psel = p.filter(
+        (F.col("p_brand") != "Brand#1")
+        & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49)
+    ).select("p_partkey", "p_brand", "p_size")
+    return (
+        l.join(F.broadcast(psel), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def q_lone_late_supplier(spark: SparkSession, sf: str) -> DataFrame:
+    """Double-correlated EXISTS + NOT EXISTS self-join (TPC-H Q21 shape):
+    suppliers whose line was late (>60 days after order date) on a finished
+    multi-supplier order where *no other* supplier was late. EXISTS → semi
+    join on (orderkey, suppkey≠), NOT EXISTS → anti join on the same shape
+    restricted to late lines; both decorrelate to one shuffle on orderkey."""
+    o = table(spark, sf, "orders").filter(F.col("o_orderstatus") == "F")
+    l = table(spark, sf, "lineitem")
+    s = table(spark, sf, "supplier")
+    li = l.join(
+        o.select("o_orderkey", "o_orderdate"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    late = li.filter(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    ).select("l_orderkey", "l_suppkey")
+    pairs = l.select(
+        F.col("l_orderkey").alias("p_orderkey"), F.col("l_suppkey").alias("p_suppkey")
+    ).distinct()
+    late_pairs = late.distinct().select(
+        F.col("l_orderkey").alias("lp_orderkey"), F.col("l_suppkey").alias("lp_suppkey")
+    )
+    lone = (
+        late.join(
+            pairs,
+            (F.col("p_orderkey") == F.col("l_orderkey"))
+            & (F.col("p_suppkey") != F.col("l_suppkey")),
+            "left_semi",
+        )
+        .join(
+            late_pairs,
+            (F.col("lp_orderkey") == F.col("l_orderkey"))
+            & (F.col("lp_suppkey") != F.col("l_suppkey")),
+            "left_anti",
+        )
+    )
+    return (
+        lone.join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )
+
+
 QUERIES = {
     "exists_late_shipment": q_exists_late_shipment,
     "not_exists_idle_rich": q_not_exists_idle_rich,
@@ -203,9 +348,82 @@ QUERIES = {
     "unpivot_part_stats": q_unpivot_part_stats,
     "moving_avg_range": q_moving_avg_range,
     "ntile_deciles": q_ntile_deciles,
+    "cheapest_supplier": q_cheapest_supplier,
+    "important_parts": q_important_parts,
+    "top_supplier": q_top_supplier,
+    "supplier_cnt": q_supplier_cnt,
+    "lone_late_supplier": q_lone_late_supplier,
 }
 
 ORACLES = {
+    "cheapest_supplier": """
+        WITH unit AS (
+            SELECT l_partkey, l_suppkey,
+                   l_extendedprice / l_quantity AS unit_price
+            FROM lineitem
+        )
+        SELECT u.l_partkey AS partkey, MIN(u.l_suppkey) AS suppkey,
+               u.unit_price AS min_unit_price
+        FROM unit u
+        WHERE u.unit_price = (SELECT MIN(u2.unit_price) FROM unit u2
+                              WHERE u2.l_partkey = u.l_partkey)
+        GROUP BY u.l_partkey, u.unit_price
+    """,
+    "important_parts": """
+        WITH val AS (
+            SELECT l_partkey,
+                   SUM(l_extendedprice * (1 - l_discount)) AS value
+            FROM lineitem GROUP BY l_partkey
+        )
+        SELECT l_partkey, ROUND(value, 2) AS part_value
+        FROM val
+        WHERE value > 1.5 * (SELECT AVG(value) FROM val)
+    """,
+    "top_supplier": """
+        WITH rev AS (
+            SELECT l_suppkey,
+                   SUM(l_extendedprice * (1 - l_discount)) AS total_revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+            GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, ROUND(total_revenue, 2) AS total_revenue
+        FROM supplier JOIN rev ON s_suppkey = l_suppkey
+        WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+    """,
+    "supplier_cnt": """
+        SELECT p_brand, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_brand <> 'Brand#1'
+          AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+          AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                WHERE s_acctbal < 0)
+        GROUP BY p_brand, p_size
+    """,
+    "lone_late_supplier": """
+        WITH li AS (
+            SELECT l.l_orderkey, l.l_suppkey, l.l_shipdate, o.o_orderdate
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            WHERE o.o_orderstatus = 'F'
+        ),
+        late AS (
+            SELECT l_orderkey, l_suppkey FROM li
+            WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+        )
+        SELECT s_name, COUNT(*) AS numwait
+        FROM late l1 JOIN supplier ON s_suppkey = l1.l_suppkey
+        WHERE EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM late l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey)
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name
+        LIMIT 20
+    """,
     "exists_late_shipment": """
         SELECT o_orderpriority, COUNT(*) AS n_orders
         FROM orders o
