@@ -131,3 +131,91 @@ def test_stateful_sessionize(spark, tmp_path):
     _write_events(spark, src, [(5, t(18, 0), 9, 1.0)])
     out3 = run("sess3")
     assert out3 == {(1, t(14, 0), t(14, 0)): (1, 7.0)}
+
+
+def test_dedup_stream_drops_repeats(spark, tmp_path):
+    from vptstools_spark.streaming.incremental import dedup_stream
+
+    src = str(tmp_path / "dup_ev")
+    ckpt = str(tmp_path / "dup_ck")
+    t0 = datetime.datetime(2024, 1, 1, 10, 0)
+    _write_events(spark, src, [(1, t0, 1, 1.0), (2, t0, 2, 2.0)])
+    _write_events(spark, src, [(1, t0, 1, 1.0), (3, t0, 3, 3.0)])  # replay of id 1
+
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, value double"
+    ).parquet(src)
+    rows = []
+    q = (
+        dedup_stream(stream, keys=["event_id"], watermark="1 hour")
+        .writeStream.foreachBatch(lambda b, _i: rows.extend(b.collect()))
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert sorted(r.event_id for r in rows) == [1, 2, 3]
+
+
+def test_enrich_stream_static_join(spark, tmp_path):
+    from vptstools_spark.streaming.incremental import enrich_stream
+
+    src = str(tmp_path / "en_ev")
+    ckpt = str(tmp_path / "en_ck")
+    t0 = datetime.datetime(2024, 1, 1, 10, 0)
+    _write_events(spark, src, [(1, t0, 7, 1.0), (2, t0, 8, 2.0), (3, t0, 99, 3.0)])
+    dim = spark.createDataFrame(
+        [(7, "gold"), (8, "silver")], "user_id long, segment string"
+    )
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, value double"
+    ).parquet(src)
+    enriched = enrich_stream(stream, dim, on="user_id")
+    assert enriched.isStreaming
+    rows = []
+    q = (
+        enriched.writeStream.foreachBatch(lambda b, _i: rows.extend(b.collect()))
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    seg = {r.event_id: r.segment for r in rows}
+    assert seg == {1: "gold", 2: "silver", 3: None}  # left join keeps unmatched
+
+
+def test_interval_join_streams(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from vptstools_spark.streaming.incremental import interval_join_streams
+
+    clicks = str(tmp_path / "clicks")
+    convs = str(tmp_path / "convs")
+    ckpt = str(tmp_path / "ij_ck")
+
+    def t(h, m):
+        return datetime.datetime(2024, 1, 1, h, m)
+
+    _write_events(spark, clicks, [(10, t(10, 0), 1, 0.0), (11, t(10, 0), 2, 0.0)])
+    # user 1 converts within the hour; user 2 converts 3h later (outside)
+    _write_events(spark, convs, [(20, t(10, 30), 1, 9.0), (21, t(13, 0), 2, 9.0)])
+
+    schema = "event_id long, ts timestamp, user_id long, value double"
+    l = spark.readStream.schema(schema).parquet(clicks)
+    r = spark.readStream.schema(schema).parquet(convs)
+    joined = interval_join_streams(l, r, key="user_id", max_delay="1 hour").select(
+        F.col("l.event_id").alias("click_id"),
+        F.col("r.event_id").alias("conv_id"),
+    )
+    rows = []
+    q = (
+        joined.writeStream.foreachBatch(lambda b, _i: rows.extend(b.collect()))
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert [(r.click_id, r.conv_id) for r in rows] == [(10, 20)]

@@ -113,6 +113,83 @@ def q_text_normalize(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_vocab_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus vocabulary build — the first step of any tokenizer/LM-data
+    pipeline: term frequency + document frequency per word, top-100 by
+    count. Explode → one (word) exchange with map-side partial aggs; the
+    global top-k is a TakeOrdered over the (tiny) vocabulary, not a sort of
+    the corpus."""
+    d = table(spark, sf, "documents")
+    words = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("w"))
+    return (
+        words.groupBy("w")
+        .agg(
+            F.count("*").alias("tf"),
+            F.countDistinct("doc_id").alias("df"),
+        )
+        .orderBy(F.col("tf").desc(), "w")
+        .limit(100)
+    )
+
+
+def q_tfidf_top(spark: SparkSession, sf: str) -> DataFrame:
+    """TF-IDF per (doc, word) with the top-3 scoring words per document.
+    The corpus-level document-frequency table is small (vocabulary-sized)
+    and broadcast back onto the per-doc term counts; N is a 1-row scalar
+    broadcast. Ranking is a window partitioned by doc_id — no global sort."""
+    from pyspark.sql import Window
+
+    d = table(spark, sf, "documents").filter(F.col("doc_id") < 50)
+    corpus = table(spark, sf, "documents")
+    tf = (
+        d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_tbl = (
+        corpus.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.countDistinct("doc_id").alias("df"))
+    )
+    n_docs = corpus.agg(F.count("*").alias("n_docs"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("w")
+    )
+    return (
+        tf.join(F.broadcast(df_tbl), "w")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 4),
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "w", "tf", "df", "tfidf", "rnk")
+    )
+
+
+def q_bigram_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """N-gram LM counts: top-50 bigrams across the corpus. Adjacent-pair
+    generation is a pure JVM array transform (no Python, no self-join);
+    1-indexed element_at matches the oracle's list semantics."""
+    d = table(spark, sf, "documents")
+    bigrams = d.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(split(text, ' ')) - 1),"
+                " i -> concat(element_at(split(text, ' '), i), ' ',"
+                "             element_at(split(text, ' '), i + 1)))"
+            )
+        ).alias("bigram")
+    )
+    return (
+        bigrams.groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "bigram")
+        .limit(50)
+    )
+
+
 def _langid_sql() -> str:
     counts = ",\n               ".join(
         f"len(list_filter(string_split(text, ' '), w -> w = '{marker}')) AS c_{lang}"
@@ -146,9 +223,58 @@ QUERIES = {
     "text_repetition": q_text_repetition,
     "text_normalize": q_text_normalize,
     "mm_binary_stats": q_mm_binary_stats,
+    "vocab_topk": q_vocab_topk,
+    "tfidf_top": q_tfidf_top,
+    "bigram_counts": q_bigram_counts,
 }
 
 ORACLES = {
+    "vocab_topk": """
+        WITH words AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS w
+            FROM documents
+        )
+        SELECT w, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+        FROM words GROUP BY w
+        ORDER BY tf DESC, w
+        LIMIT 100
+    """,
+    "tfidf_top": """
+        WITH words AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS w
+            FROM documents
+        ),
+        tf AS (
+            SELECT doc_id, w, COUNT(*) AS tf FROM words
+            WHERE doc_id < 50 GROUP BY doc_id, w
+        ),
+        dfr AS (SELECT w, COUNT(DISTINCT doc_id) AS df FROM words GROUP BY w),
+        n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        scored AS (
+            SELECT tf.doc_id, tf.w, tf.tf, dfr.df,
+                   ROUND(tf.tf * ln(n.n_docs / dfr.df), 4) AS tfidf
+            FROM tf JOIN dfr ON tf.w = dfr.w CROSS JOIN n
+        ),
+        ranked AS (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                         ORDER BY tfidf DESC, w) AS rnk
+            FROM scored
+        )
+        SELECT doc_id, w, tf, df, tfidf, rnk FROM ranked WHERE rnk <= 3
+    """,
+    "bigram_counts": """
+        WITH grams AS (
+            SELECT unnest(list_transform(
+                       generate_series(1, len(string_split(text, ' ')) - 1),
+                       i -> string_split(text, ' ')[i] || ' ' ||
+                            string_split(text, ' ')[i + 1])) AS bigram
+            FROM documents
+        )
+        SELECT bigram, COUNT(*) AS n
+        FROM grams GROUP BY bigram
+        ORDER BY n DESC, bigram
+        LIMIT 50
+    """,
     "text_tokens": """
         SELECT lang,
                COUNT(*) AS n_docs,

@@ -206,6 +206,56 @@ def sessionize_stateful(
     )
 
 
+def dedup_stream(
+    events_stream: DataFrame,
+    keys: list[str] | None = None,
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming ingest deduplication with bounded state:
+    `dropDuplicatesWithinWatermark` keeps one row per key and evicts key
+    state once the watermark passes its event time — the streaming form of
+    the transfer service's already-uploaded anti-join (SURVEY §2.8 "dedup on
+    ingest"). State is hash-partitioned by key; size tracks keys *inside the
+    watermark horizon*, not history."""
+    return events_stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        keys or ["event_id"]
+    )
+
+
+def enrich_stream(events_stream: DataFrame, dim: DataFrame, on: str) -> DataFrame:
+    """Stream-static broadcast join: each micro-batch joins against the
+    (re-resolved) static dimension — dimension updates between triggers are
+    picked up, and the static side never holds streaming state. The explicit
+    broadcast keeps the fact stream shuffle-free at any scale."""
+    return events_stream.join(F.broadcast(dim), on, "left")
+
+
+def interval_join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    max_delay: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join bounded by an event-time interval:
+    right.ts in [left.ts, left.ts + max_delay]. Watermarks on BOTH inputs
+    plus the interval condition let the engine evict join state — without
+    the time bound, each side would buffer forever. Equi-key + range is the
+    canonical click→conversion attribution shape."""
+    l = left.withWatermark(left_ts, watermark).alias("l")
+    r = right.withWatermark(right_ts, watermark).alias("r")
+    lts, rts = F.col(f"l.{left_ts}"), F.col(f"r.{right_ts}")
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (rts >= lts)
+        & (rts <= lts + F.expr(f"INTERVAL {max_delay}"))
+    )
+    return l.join(r, cond, "inner")
+
+
 def run_available_now(
     df: DataFrame,
     sink_format: str,
