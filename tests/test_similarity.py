@@ -65,3 +65,29 @@ def test_knn_ivf_nprobe1_prunes_far_cells(spark):
     ids = {r["n_id"] for r in out}
     # Query 0 probes only its home cell; candidates limited to that cell.
     assert 1 in ids and 2 not in ids
+
+
+def test_kmeans_fit_separates_clusters(spark):
+    from vptstools_spark.operators.similarity import ivf_cells, kmeans_fit
+
+    # two tight clusters on orthogonal axes; ids chosen so the deterministic
+    # init (two lowest ids) starts with one point from each cluster
+    pts = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0, 0.0]),
+        (3, [0.1, 0.9, 0.0, 0.0]),
+        (4, [0.95, 0.05, 0.0, 0.0]),
+        (5, [0.05, 0.95, 0.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(pts, "vec_id long, embedding array<float>")
+    cents = kmeans_fit(emb, k=2, iters=2)
+    assert len(cents) == 2 and all(len(c) == 4 for c in cents)
+    # cluster-0 centroid dominated by axis 0, cluster-1 by axis 1
+    assert cents[0][0] > cents[0][1] and cents[1][1] > cents[1][0]
+    cells = {
+        r["id"]: r["cells"][0] for r in ivf_cells(emb, cents, nprobe=1).collect()
+    }
+    assert cells[0] == cells[2] == cells[4]
+    assert cells[1] == cells[3] == cells[5]
+    assert cells[0] != cells[1]

@@ -113,6 +113,76 @@ def q_events_asof_purchase_click(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_events_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """Ordered funnel (view → click → purchase): users reaching each stage,
+    where each stage must occur at-or-after the previous stage's first hit.
+    Each stage is a per-user MIN pre-aggregated *before* its join — three
+    small keyed joins instead of a per-user sequence scan; all three stage
+    tables shuffle on user_id once and AQE coalesces."""
+    e = table(spark, sf, "events")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") >= F.col("v_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c_ts"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") >= F.col("c_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    return (
+        v.agg(F.count("*").alias("n_view"))
+        .crossJoin(c.agg(F.count("*").alias("n_click_after_view")))
+        .crossJoin(p.agg(F.count("*").alias("n_purchase_after_click")))
+    )
+
+
+def q_events_resample_locf(spark: SparkSession, sf: str) -> DataFrame:
+    """Daily resample with last-observation-carried-forward: a calendar
+    spine (sequence+explode — generated, never shuffled) cross-joined with
+    the user dim, left-joined to per-day aggregates, gaps filled by
+    last(ignorenulls) over an ordered window. The canonical time-series
+    gap-fill; one exchange on user_id covers the join and the window."""
+    e = table(spark, sf, "events").filter(F.col("user_id") < 10)
+    daily = e.groupBy(
+        "user_id", F.to_date("ts").alias("day")
+    ).agg(F.round(F.avg("value"), 4).alias("day_val"))
+    users = daily.select("user_id").distinct()
+    spine = users.crossJoin(
+        spark.range(1)
+        .select(
+            F.explode(
+                F.sequence(
+                    F.to_date(F.lit("2024-01-01")),
+                    F.to_date(F.lit("2024-01-30")),
+                )
+            ).alias("day")
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(daily, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            F.date_format("day", "yyyy-MM-dd").alias("day_str"),
+            F.last("day_val", ignorenulls=True).over(w).alias("filled_val"),
+        )
+    )
+
+
 QUERIES = {
     "events_hourly": q_events_hourly,
     "events_sessionize": q_events_sessionize,
@@ -120,9 +190,56 @@ QUERIES = {
     "events_running": q_events_running,
     "events_lag_delta": q_events_lag_delta,
     "events_asof_join": q_events_asof_purchase_click,
+    "events_funnel": q_events_funnel,
+    "events_resample_locf": q_events_resample_locf,
 }
 
 ORACLES = {
+    "events_funnel": """
+        WITH v AS (
+            SELECT user_id, MIN(ts) AS v_ts FROM events
+            WHERE event_type = 'view' GROUP BY user_id
+        ),
+        c AS (
+            SELECT e.user_id, MIN(e.ts) AS c_ts
+            FROM events e JOIN v ON e.user_id = v.user_id
+            WHERE e.event_type = 'click' AND e.ts >= v.v_ts
+            GROUP BY e.user_id
+        ),
+        p AS (
+            SELECT e.user_id, MIN(e.ts) AS p_ts
+            FROM events e JOIN c ON e.user_id = c.user_id
+            WHERE e.event_type = 'purchase' AND e.ts >= c.c_ts
+            GROUP BY e.user_id
+        )
+        SELECT (SELECT COUNT(*) FROM v) AS n_view,
+               (SELECT COUNT(*) FROM c) AS n_click_after_view,
+               (SELECT COUNT(*) FROM p) AS n_purchase_after_click
+    """,
+    "events_resample_locf": """
+        WITH daily AS (
+            SELECT user_id, CAST(ts AS DATE) AS day,
+                   ROUND(AVG(value), 4) AS day_val
+            FROM events WHERE user_id < 10
+            GROUP BY user_id, CAST(ts AS DATE)
+        ),
+        spine AS (
+            SELECT u.user_id, d.day
+            FROM (SELECT DISTINCT user_id FROM daily) u
+            CROSS JOIN (SELECT unnest(generate_series(DATE '2024-01-01',
+                                                      DATE '2024-01-30',
+                                                      INTERVAL 1 DAY))::DATE
+                        AS day) d
+        )
+        SELECT s.user_id,
+               strftime(s.day, '%Y-%m-%d') AS day_str,
+               LAST_VALUE(daily.day_val IGNORE NULLS) OVER (
+                   PARTITION BY s.user_id ORDER BY s.day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS filled_val
+        FROM spine s
+        LEFT JOIN daily ON s.user_id = daily.user_id AND s.day = daily.day
+    """,
     "events_hourly": """
         SELECT strftime(date_trunc('hour', ts), '%Y-%m-%dT%H:%M:%S') AS hour_ts,
                event_type,

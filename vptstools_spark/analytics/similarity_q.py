@@ -8,7 +8,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from vptstools_spark.io import table
-from vptstools_spark.operators.similarity import anchor_buckets, knn_bruteforce, knn_ivf
+from vptstools_spark.operators.similarity import (
+    anchor_buckets,
+    ivf_cells,
+    kmeans_fit,
+    knn_bruteforce,
+    knn_ivf,
+)
 
 N_QUERIES = 5
 K = 5
@@ -49,10 +55,27 @@ def q_ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
     return knn_ivf(emb, queries, _anchors(spark, sf), k=K, nprobe=2)
 
 
+def q_ann_kmeans_cells(spark: SparkSession, sf: str) -> DataFrame:
+    """Trained IVF index build: spherical k-means (k=8, 2 Lloyd rounds) over
+    the corpus, then the cell histogram of the resulting inverted index.
+    Iterative — not SQL-expressible, so the driver records a rows-only
+    check; the operator itself is unit-tested on known geometry
+    (tests/test_similarity.py::test_kmeans_fit_separates_clusters)."""
+    emb = table(spark, sf, "embeddings")
+    cents = kmeans_fit(emb, k=8, iters=2)
+    cells = ivf_cells(emb, cents, nprobe=1)
+    return (
+        cells.select(F.col("cells")[0].alias("cell"))
+        .groupBy("cell")
+        .agg(F.count("*").alias("n_vectors"))
+    )
+
+
 QUERIES = {
     "knn_bruteforce": q_knn_bruteforce,
     "ann_buckets": q_ann_buckets,
     "ann_ivf": q_ann_ivf,
+    "ann_kmeans_cells": q_ann_kmeans_cells,
 }
 
 ORACLES = {

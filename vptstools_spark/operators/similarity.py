@@ -289,3 +289,43 @@ def knn_ivf(
         .filter(F.col("rnk") <= k)
         .select("q_id", "n_id", F.round("cos", 4).alias("cosine"), "rnk")
     )
+
+
+def kmeans_fit(
+    vectors: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Spherical k-means (Lloyd) for IVF centroid training.
+
+    Deterministic init: the k lowest-id vectors (same convention as the
+    anchor helpers). Per iteration, assignment is a narrow map over
+    plan-literal centroids (`ivf_cells`) and the update is one aggregation:
+    posexplode coordinates → avg per (cell, pos) → collect k*dim scalars.
+    Only the MODEL (k x dim floats) ever reaches the driver; the data stays
+    distributed, so the loop is iteration-count x one-shuffle regardless of
+    corpus size. Empty cells keep their previous centroid.
+    """
+    init = vectors.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
+    centroids = [[float(x) for x in r[vec_col]] for r in init]
+    for _ in range(iters):
+        assigned = ivf_cells(vectors, centroids, nprobe=1, id_col=id_col, vec_col=vec_col)
+        rows = (
+            assigned.select(
+                F.col("cells")[0].alias("cell"),
+                F.posexplode("_vec").alias("pos", "x"),
+            )
+            .groupBy("cell", "pos")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        means: dict[int, dict[int, float]] = {}
+        for r in rows:
+            means.setdefault(r["cell"], {})[r["pos"]] = r["m"]
+        centroids = [
+            [means[j][p] for p in range(len(centroids[j]))] if j in means else centroids[j]
+            for j in range(k)
+        ]
+    return centroids
