@@ -1,0 +1,110 @@
+"""Property-based tests (hypothesis): operator semantics checked against
+naive in-Python references on randomized small inputs — the generative
+layer on top of the known-geometry unit tests (SURVEY §5 model)."""
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from vptstools_spark.operators.asof import asof_join_backward
+from vptstools_spark.operators.graph import connected_components
+
+PROP_SETTINGS = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+KEY = st.integers(0, 3)
+TS = st.integers(0, 30)
+
+
+@PROP_SETTINGS
+@given(
+    left=st.lists(st.tuples(KEY, TS), max_size=12),
+    right=st.dictionaries(st.tuples(KEY, TS), st.integers(-9, 9), max_size=12),
+)
+def test_asof_backward_matches_naive(spark, left, right):
+    ldf = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(left)] or [],
+        "k long, ts long, lid long",
+    )
+    rdf = spark.createDataFrame(
+        [(k, t, float(v)) for (k, t), v in right.items()] or [],
+        "k long, ts long, v double",
+    )
+    out = {
+        r["lid"]: r["v_right"]
+        for r in asof_join_backward(ldf, rdf, on="k", payload_cols=["v"]).collect()
+    }
+    for i, (k, t) in enumerate(left):
+        cands = [(t2, v) for (k2, t2), v in right.items() if k2 == k and t2 <= t]
+        want = float(max(cands)[1]) if cands else None
+        assert out[i] == want, (i, k, t, out[i], want)
+
+
+def _uf_components(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    return {n: find(n) for n in parent}
+
+
+@PROP_SETTINGS
+@given(edges=st.lists(st.tuples(st.integers(0, 15), st.integers(0, 15)), max_size=20))
+def test_connected_components_match_union_find(spark, edges):
+    if not edges:
+        return
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["component"] for r in connected_components(e).collect()}
+    assert got == _uf_components(edges)
+
+
+@PROP_SETTINGS
+@given(
+    vals=st.lists(
+        st.floats(-1e6, 1e6, allow_nan=False, allow_infinity=False, width=32),
+        max_size=8,
+    )
+)
+def test_tristate_csv_roundtrip(spark, tmp_path_factory, vals):
+    """Tri-state invariant under the CSV contract: a NULL u with nodata state
+    renders '', with undetect state renders 'NaN', and real values survive a
+    write+string-preserving-reread byte-for-byte."""
+    import glob
+
+    from tests.conftest import make_profile_record
+    from vptstools_spark.operators.pipeline import read_daily_csv_string_preserving
+    from vptstools_spark.operators.vpts import to_vpts_table, vpts_to_csv
+    from vptstools_spark.schemas import STATE_NODATA, STATE_UNDETECT, STATE_VALUE
+    from vptstools_spark.sources.odim import profiles_from_records
+
+    recs = [
+        make_profile_record(height=200 * i, u=float(v), u_state=STATE_VALUE)
+        for i, v in enumerate(vals)
+    ]
+    recs.append(
+        make_profile_record(height=200 * len(recs), u=None, u_state=STATE_NODATA)
+    )
+    recs.append(
+        make_profile_record(height=200 * len(recs), u=None, u_state=STATE_UNDETECT)
+    )
+    df = to_vpts_table(profiles_from_records(spark, recs))
+    out = str(tmp_path_factory.mktemp("prop_csv") / "out.csv")
+    vpts_to_csv(df, out)
+    reread = read_daily_csv_string_preserving(spark, out)
+    u_by_height = {int(r["height"]): r["u"] for r in reread.collect()}
+    for i, v in enumerate(vals):
+        assert u_by_height[200 * i] == repr(float(v))
+    assert u_by_height[200 * len(vals)] == ""
+    assert u_by_height[200 * len(vals) + 200] == "NaN"

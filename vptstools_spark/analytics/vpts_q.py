@@ -44,7 +44,7 @@ def q_vpts_tristate_render(spark: SparkSession, sf: str) -> DataFrame:
         F.col("radar"),
         datetime_to_proper8601(F.col("ts")).alias("datetime"),
         F.col("height").cast("string").alias("height"),
-        _render_measurement("u", spec).alias("u_cell"),
+        _render_measurement("u", spec, "double").alias("u_cell"),
         bool_to_bool_str(F.col("gap")).alias("gap"),
         int_to_nodata(F.col("vcp"), list(spec.vcp_nodata_values), spec.nodata).alias("vcp"),
     )

@@ -6,11 +6,18 @@ Spark shape: one declarative plan â€” scan â†’ parse â†’ versioned projection â†
 global orderBy (the only wide stage) â†’ sink. The multi-file parallelism the
 reference hand-builds with a process pool is Spark task scheduling.
 
-All rendering is Catalyst expressions (whole-stage codegen); no Python UDFs.
+All rendering is Catalyst expressions (whole-stage codegen) except the
+doubleâ†’string serialization of measurement values, which must be bit-exact
+with CPython `repr` (reference renders via numpy `.tolist()` â†’ pandas
+`to_csv`, vpts.py:58-63): Java's `Double.toString` differs in scientific-
+notation thresholds (`5.0E-4` vs `0.0005`) and exponent form (`E-5` vs
+`e-05`), so that one column type goes through an Arrow-vectorized repr UDF
+â€” an export-boundary cost, not an analytic-path one.
 """
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -30,15 +37,30 @@ from vptstools_spark.schemas import (
 )
 
 
-def _render_measurement(col: str, spec: VptsCsvSpec) -> Column:
+def _py_double_repr() -> Column:
+    """Arrow-batched CPython-repr serializer for doubles (see module doc)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _repr(s: pd.Series) -> pd.Series:
+        return s.map(lambda v: None if pd.isna(v) else repr(float(v)))
+
+    return _repr
+
+
+def _render_measurement(col: str, spec: VptsCsvSpec, dtype: str) -> Column:
     """Tri-state cell â†’ serialized string (reference: src/vptstools/vpts.py:125-127,
     sentinel renderings at vpts_csv.py:243-251): nodata â†’ "" and undetect â†’
-    "NaN" for v1.0; real values via double/long â†’ string cast."""
+    "NaN" for v1.0; real doubles via CPython-repr parity, integers via cast."""
     state = F.col(f"{col}__state")
+    if dtype == "double":
+        rendered = _py_double_repr()(F.col(col))
+    else:
+        rendered = F.col(col).cast("string")
     return (
         F.when(state == STATE_NODATA, F.lit(spec.nodata))
         .when(state == STATE_UNDETECT, F.lit(spec.undetect))
-        .otherwise(F.col(col).cast("string"))
+        .otherwise(rendered)
     )
 
 
@@ -65,7 +87,8 @@ def to_vpts_table(profile_df: DataFrame, vpts_csv_version: str = "v1.0") -> Data
         "source_file": check_source_file(F.col("source_file"), spec.source_file_regex),
     }
     for m in spec.measurement_columns:
-        cols[m] = _render_measurement(m, spec)
+        dtype = profile_df.schema[m].dataType.simpleString()
+        cols[m] = _render_measurement(m, spec, dtype)
     projected = profile_df.select(
         *[cols[name].alias(name) for name in spec.columns]
     )
