@@ -71,14 +71,46 @@ def q_ann_kmeans_cells(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_embedding_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Vector-column profiling with higher-order array functions — size,
+    L2 norm, max |x|, mean element — entirely JVM-side (transform /
+    aggregate fold, deterministic summation order, no Python in the path)."""
+    emb = table(spark, sf, "embeddings").filter(F.col("vec_id") < 100)
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    sq = F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x)
+    s = F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x)
+    mx = F.array_max(F.transform(v, F.abs))
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.sqrt(sq), 4).alias("l2_norm"),
+        F.round(mx, 4).alias("max_abs"),
+        F.round(s / F.size("embedding"), 6).alias("mean_elem"),
+    )
+
+
 QUERIES = {
     "knn_bruteforce": q_knn_bruteforce,
+    "embedding_stats": q_embedding_stats,
     "ann_buckets": q_ann_buckets,
     "ann_ivf": q_ann_ivf,
     "ann_kmeans_cells": q_ann_kmeans_cells,
 }
 
 ORACLES = {
+    "embedding_stats": """
+        WITH e AS (
+            SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+                   CAST(unnest(embedding) AS DOUBLE) AS v
+            FROM embeddings WHERE vec_id < 100
+        )
+        SELECT vec_id,
+               CAST(COUNT(*) AS INT) AS dim,
+               ROUND(sqrt(SUM(v * v)), 4) AS l2_norm,
+               ROUND(MAX(abs(v)), 4) AS max_abs,
+               ROUND(SUM(v) / COUNT(*), 6) AS mean_elem
+        FROM e GROUP BY vec_id
+    """,
     "knn_bruteforce": f"""
         WITH e AS (
             SELECT vec_id, generate_subscripts(embedding, 1) AS i,

@@ -85,8 +85,38 @@ def q_salted_coverage(spark: SparkSession, sf: str) -> DataFrame:
     ).select("event_type", "n_events", F.round("max_value", 4).alias("max_value"))
 
 
+def q_regr_price_qty(spark: SparkSession, sf: str) -> DataFrame:
+    """Built-in least-squares aggregates per group: slope/intercept/R² of
+    extendedprice on quantity — single-pass moment computation, partial+final
+    like any hash aggregate."""
+    l = table(spark, sf, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.round(F.regr_slope("l_extendedprice", "l_quantity"), 4).alias("slope"),
+        F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 4).alias("intercept"),
+        F.round(F.regr_r2("l_extendedprice", "l_quantity"), 6).alias("r2"),
+        F.count("*").alias("n"),
+    )
+
+
+def q_moments_quantity(spark: SparkSession, sf: str) -> DataFrame:
+    """Higher central moments per group: population skewness and excess
+    kurtosis (Spark's definitions). The oracle derives the identical
+    definitions from raw moments — engines disagree on the *default*
+    skewness/kurtosis flavor (sample vs population), so the query pins the
+    population form explicitly."""
+    l = table(spark, sf, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.round(F.avg("l_quantity"), 4).alias("mean_qty"),
+        F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+        F.round(F.skewness("l_quantity"), 4).alias("skew_qty"),
+        F.round(F.kurtosis("l_quantity"), 4).alias("kurt_qty"),
+    )
+
+
 QUERIES = {
     "quantiles_price": q_quantiles_price,
+    "regr_price_qty": q_regr_price_qty,
+    "moments_quantity": q_moments_quantity,
     "corr_discount": q_corr_discount,
     "events_pivot": q_events_pivot,
     "orders_monthly": q_orders_monthly,
@@ -95,6 +125,33 @@ QUERIES = {
 }
 
 ORACLES = {
+    "regr_price_qty": """
+        SELECT l_returnflag,
+               ROUND(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+               ROUND(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+               ROUND(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+               COUNT(*) AS n
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "moments_quantity": """
+        WITH m AS (
+            SELECT l_returnflag,
+                   AVG(l_quantity) AS mu,
+                   STDDEV_SAMP(l_quantity) AS sd,
+                   AVG(l_quantity * l_quantity) AS r2,
+                   AVG(l_quantity * l_quantity * l_quantity) AS r3,
+                   AVG(l_quantity * l_quantity * l_quantity * l_quantity) AS r4
+            FROM lineitem GROUP BY l_returnflag
+        )
+        SELECT l_returnflag,
+               ROUND(mu, 4) AS mean_qty,
+               ROUND(sd, 4) AS sd_qty,
+               ROUND((r3 - 3 * mu * r2 + 2 * mu * mu * mu)
+                     / POWER(r2 - mu * mu, 1.5), 4) AS skew_qty,
+               ROUND((r4 - 4 * mu * r3 + 6 * mu * mu * r2 - 3 * POWER(mu, 4))
+                     / POWER(r2 - mu * mu, 2) - 3, 4) AS kurt_qty
+        FROM m
+    """,
     "quantiles_price": """
         SELECT o_orderpriority,
                ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50,

@@ -190,6 +190,32 @@ def q_bigram_counts(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_fuzzy_part_match(spark: SparkSession, sf: str) -> DataFrame:
+    """Blocked fuzzy self-match: near-identical part names (levenshtein ≤ 3)
+    within a p_size block. The blocking key turns the quadratic all-pairs
+    edit-distance scan into per-block equi-join candidates — same
+    candidate-restriction idea as LSH banding, with a JVM levenshtein as the
+    verifier. Key inequality halves the pairs and removes self-matches."""
+    p = table(spark, sf, "part").select("p_partkey", "p_name", "p_size")
+    a = p.select(
+        F.col("p_size").alias("size"),
+        F.col("p_partkey").alias("pk_a"),
+        F.col("p_name").alias("name_a"),
+    )
+    b = p.select(
+        F.col("p_size").alias("size"),
+        F.col("p_partkey").alias("pk_b"),
+        F.col("p_name").alias("name_b"),
+    )
+    return (
+        a.join(b, "size")
+        .filter(F.col("pk_a") < F.col("pk_b"))
+        .filter(F.levenshtein("name_a", "name_b") <= 3)
+        .groupBy("size")
+        .agg(F.count("*").alias("n_pairs"))
+    )
+
+
 def _langid_sql() -> str:
     counts = ",\n               ".join(
         f"len(list_filter(string_split(text, ' '), w -> w = '{marker}')) AS c_{lang}"
@@ -226,6 +252,7 @@ QUERIES = {
     "vocab_topk": q_vocab_topk,
     "tfidf_top": q_tfidf_top,
     "bigram_counts": q_bigram_counts,
+    "fuzzy_part_match": q_fuzzy_part_match,
 }
 
 ORACLES = {
@@ -261,6 +288,13 @@ ORACLES = {
             FROM scored
         )
         SELECT doc_id, w, tf, df, tfidf, rnk FROM ranked WHERE rnk <= 3
+    """,
+    "fuzzy_part_match": """
+        SELECT a.p_size AS size, COUNT(*) AS n_pairs
+        FROM part a JOIN part b
+          ON a.p_size = b.p_size AND a.p_partkey < b.p_partkey
+        WHERE levenshtein(a.p_name, b.p_name) <= 3
+        GROUP BY a.p_size
     """,
     "bigram_counts": """
         WITH grams AS (
