@@ -39,3 +39,21 @@ def test_fake_decode_deterministic():
     assert _fake_decode(b"abcdef", 3) == _fake_decode(b"abcdef", 3)
     assert _fake_decode(None, 3) is None
     assert _fake_decode(b"", 3) == [0.0, 0.0, 0.0]
+
+
+def test_sample_frames_shape_and_determinism(spark):
+    from vptstools_spark.operators.multimodal import sample_frames
+
+    rows = [(1, bytes(range(16))), (2, b"abc"), (3, None)]
+    df = spark.createDataFrame(rows, "id long, blob binary")
+    out = sample_frames(df, n_frames=4).collect()
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r["id"], {})[r["frame_idx"]] = bytes(r["frame"])
+    # 16 bytes / 4 frames -> contiguous 4-byte windows
+    assert by_id[1] == {0: bytes([0, 1, 2, 3]), 1: bytes([4, 5, 6, 7]),
+                        2: bytes([8, 9, 10, 11]), 3: bytes([12, 13, 14, 15])}
+    # short blob: span=1, offsets clamp into range; still 4 frames
+    assert len(by_id[2]) == 4
+    # NULL blob contributes no rows
+    assert 3 not in by_id

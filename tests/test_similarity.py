@@ -91,3 +91,19 @@ def test_kmeans_fit_separates_clusters(spark):
     assert cells[0] == cells[2] == cells[4]
     assert cells[1] == cells[3] == cells[5]
     assert cells[0] != cells[1]
+
+
+def test_scalar_quantize_known_codes(spark):
+    from vptstools_spark.operators.similarity import dim_minmax, scalar_quantize
+
+    emb = spark.createDataFrame(
+        [(0, [0.0, -1.0]), (1, [0.5, 0.0]), (2, [1.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    mins, maxs = dim_minmax(emb)
+    assert mins == [0.0, -1.0] and maxs == [1.0, 1.0]
+    codes = {r["id"]: r["codes"] for r in scalar_quantize(emb, mins, maxs).collect()}
+    # x=min -> 0; x=max -> 255; midpoint -> floor(0.5*255)=127
+    assert codes[0] == [0, 0]
+    assert codes[1] == [127, 127]
+    assert codes[2] == [255, 255]

@@ -89,15 +89,61 @@ def q_embedding_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_embedding_quantize(spark: SparkSession, sf: str) -> DataFrame:
+    """8-bit scalar-quantization error profile per dimension: min/max model,
+    code = floor((x-mn)/(mx-mn)*255), reconstruction at the bin midpoint,
+    mean |error|. One posexplode + a broadcast of the dim-sized stats table
+    back onto the coordinates — the quantizer's quality dashboard."""
+    emb = table(spark, sf, "embeddings")
+    e = emb.select(
+        "vec_id",
+        F.posexplode(
+            F.transform(F.col("embedding"), lambda x: x.cast("double"))
+        ).alias("pos", "x"),
+    )
+    stats = e.groupBy("pos").agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+    code = F.floor((F.col("x") - F.col("mn")) / (F.col("mx") - F.col("mn")) * 255)
+    recon = F.col("mn") + (code + 0.5) * (F.col("mx") - F.col("mn")) / 256
+    return (
+        e.join(F.broadcast(stats), "pos")
+        .groupBy("pos")
+        .agg(
+            F.round(F.min("mn"), 4).alias("dim_min"),
+            F.round(F.max("mx"), 4).alias("dim_max"),
+            F.round(F.avg(F.abs(F.col("x") - recon)), 6).alias("mean_abs_err"),
+        )
+    )
+
+
 QUERIES = {
     "knn_bruteforce": q_knn_bruteforce,
     "embedding_stats": q_embedding_stats,
+    "embedding_quantize": q_embedding_quantize,
     "ann_buckets": q_ann_buckets,
     "ann_ivf": q_ann_ivf,
     "ann_kmeans_cells": q_ann_kmeans_cells,
 }
 
 ORACLES = {
+    "embedding_quantize": """
+        WITH e AS (
+            SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+                   CAST(unnest(embedding) AS DOUBLE) AS x
+            FROM embeddings
+        ),
+        s AS (SELECT pos, MIN(x) AS mn, MAX(x) AS mx FROM e GROUP BY pos),
+        j AS (
+            SELECT e.pos, e.x, s.mn, s.mx,
+                   FLOOR((e.x - s.mn) / (s.mx - s.mn) * 255) AS code
+            FROM e JOIN s ON e.pos = s.pos
+        )
+        SELECT pos,
+               ROUND(MIN(mn), 4) AS dim_min,
+               ROUND(MAX(mx), 4) AS dim_max,
+               ROUND(AVG(ABS(x - (mn + (code + 0.5) * (mx - mn) / 256))), 6)
+                   AS mean_abs_err
+        FROM j GROUP BY pos
+    """,
     "embedding_stats": """
         WITH e AS (
             SELECT vec_id, generate_subscripts(embedding, 1) AS i,

@@ -97,3 +97,43 @@ def _fake_decode(blob: bytes | None, dim: int) -> list[float] | None:
         chunk = blob[d * step : (d + 1) * step] or blob[-step:]
         out.append(sum(chunk) / len(chunk))
     return out
+
+
+#: output schema of frame sampling: one row per sampled frame
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame", T.BinaryType(), True),
+    ]
+)
+
+
+def sample_frames(
+    df: DataFrame, n_frames: int = 4, id_col: str = "id", blob_col: str = "blob"
+) -> DataFrame:
+    """Evenly-spaced frame sampling over video-style payloads: 1 blob row →
+    `n_frames` frame rows (the explode shape of real frame extraction).
+
+    Arrow-batched ``mapInPandas`` so a real implementation can hand the whole
+    batch to a vectorized demuxer (pyav/ffmpeg); the stub slices the blob
+    into byte windows at evenly-spaced offsets — deterministic, so the
+    downstream contract (schema, row multiplicity, ordering) is testable.
+    Frames inherit the input's partitioning; no shuffle is introduced.
+    """
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for i, blob in zip(pdf[id_col], pdf[blob_col]):
+                if blob is None:
+                    continue
+                span = max(len(blob) // n_frames, 1)
+                for f in range(n_frames):
+                    off = min(f * span, max(len(blob) - span, 0))
+                    ids.append(int(i))
+                    idxs.append(f)
+                    frames.append(bytes(blob[off : off + span]))
+            yield pd.DataFrame({"id": ids, "frame_idx": idxs, "frame": frames})
+
+    return df.select(id_col, blob_col).mapInPandas(run, schema=FRAME_SCHEMA)

@@ -329,3 +329,46 @@ def kmeans_fit(
             for j in range(k)
         ]
     return centroids
+
+
+def dim_minmax(
+    vectors: DataFrame, vec_col: str = "embedding"
+) -> tuple[list[float], list[float]]:
+    """Per-dimension [min, max] of a vector column — the quantizer's model.
+    One posexplode + aggregate; only dim-many scalars reach the driver."""
+    rows = (
+        vectors.select(F.posexplode(as_double(F.col(vec_col))).alias("pos", "x"))
+        .groupBy("pos")
+        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+        .orderBy("pos")
+        .collect()
+    )
+    return [r["mn"] for r in rows], [r["mx"] for r in rows]
+
+
+def scalar_quantize(
+    vectors: DataFrame,
+    mins: list[float],
+    maxs: list[float],
+    bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-dimension scalar quantization to `bits`-bit integer codes — the
+    memory-compression component of an IVF-PQ-style index (float32 → uint8
+    is a 4x shrink; candidate scoring runs on codes, exact re-ranking on the
+    float tail). The [min,max] model rides in the plan as array literals, so
+    encoding is a narrow JVM map (transform with index) — no shuffle, no
+    Python."""
+    levels = (1 << bits) - 1
+    mn_arr = F.array(*[F.lit(float(m)) for m in mins])
+    span_arr = F.array(
+        *[F.lit(float(mx - mn) if mx > mn else 1.0) for mn, mx in zip(mins, maxs)]
+    )
+    codes = F.transform(
+        as_double(F.col(vec_col)),
+        lambda x, i: F.floor(
+            (x - F.get(mn_arr, i)) / F.get(span_arr, i) * levels
+        ).cast("int"),
+    )
+    return vectors.select(F.col(id_col).alias("id"), codes.alias("codes"))
