@@ -152,8 +152,37 @@ def _simhash_sql() -> str:
     """
 
 
+def q_dedup_canonical(spark: SparkSession, sf: str) -> DataFrame:
+    """Survivor selection — the final stage of the dedup pipeline: per
+    exact-duplicate group (normalized fingerprint), keep the longest doc
+    (ties → lowest doc_id), and report kept/removed counts per source of
+    the survivor. `max_by` over a struct gives single-pass argmax semantics
+    with deterministic tie-breaking; one shuffle on the fingerprint."""
+    from vptstools_spark.operators.text import fingerprint
+
+    d = table(spark, sf, "documents")
+    ranked = d.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        fingerprint(F.col("text")).alias("fp"),
+    )
+    survivors = ranked.groupBy("fp").agg(
+        F.count("*").alias("n_copies"),
+        F.max_by(
+            "source",
+            F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("neg_id")),
+        ).alias("source"),
+    )
+    return survivors.groupBy("source").agg(
+        F.count("*").alias("n_kept"),
+        F.sum(F.col("n_copies") - 1).cast("long").alias("n_removed"),
+    )
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
+    "dedup_canonical": q_dedup_canonical,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
@@ -162,6 +191,26 @@ QUERIES = {
 }
 
 ORACLES = {
+    "dedup_canonical": """
+        WITH h AS (
+            SELECT doc_id, source, n_chars,
+                   md5(lower(trim(text))) AS fp
+            FROM documents
+        ),
+        s AS (
+            SELECT fp, source, n_copies FROM (
+                SELECT fp, source,
+                       COUNT(*) OVER (PARTITION BY fp) AS n_copies,
+                       ROW_NUMBER() OVER (PARTITION BY fp
+                                          ORDER BY n_chars DESC, doc_id) AS rn
+                FROM h
+            ) WHERE rn = 1
+        )
+        SELECT source,
+               COUNT(*) AS n_kept,
+               CAST(SUM(n_copies - 1) AS BIGINT) AS n_removed
+        FROM s GROUP BY source
+    """,
     "dedup_exact": """
         WITH h AS (SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents),
         g AS (SELECT fp, MIN(doc_id) AS canonical_id, COUNT(*) AS n_copies
