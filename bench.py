@@ -39,6 +39,8 @@ HEADLINE = [
     "large_orders",
     "disjunctive_revenue",
     "nation_trade",
+    "cheapest_supplier",
+    "lone_late_supplier",
     "moving_avg_range",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
@@ -47,9 +49,14 @@ HEADLINE = [
     "knn_bruteforce",
     "ann_buckets",
     "ann_ivf",
+    "embedding_quantize",
     "text_quality",
     "text_langid",
     "text_repetition",
+    "vocab_topk",
+    "tfidf_top",
+    "bigram_counts",
+    "fuzzy_part_match",
 ]
 
 

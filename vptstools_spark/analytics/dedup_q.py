@@ -8,7 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from vptstools_spark.io import table
+from vptstools_spark.io import fan_out, table
 from vptstools_spark.operators.dedup import (
     exact_dedup_stats,
     jaccard_pairs,
@@ -29,12 +29,12 @@ def q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
-    sh = shingles(table(spark, sf, "documents"), k=3)
+    sh = shingles(fan_out(table(spark, sf, "documents")), k=3)
     return jaccard_pairs(sh, threshold=0.8)
 
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
-    sh = shingles(table(spark, sf, "documents"), k=3)
+    sh = shingles(fan_out(table(spark, sf, "documents")), k=3)
     sigs = minhash_signatures(sh, NUM_HASHES)
     return lsh_candidates(sigs, NUM_HASHES, ROWS_PER_BAND)
 
@@ -52,7 +52,7 @@ def q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     """LSH candidate pairs → canonical duplicate clusters: distributed
     connected components (min-label propagation, `operators/graph.py`).
     cluster_id = min doc_id in the component."""
-    sh = shingles(table(spark, sf, "documents"), k=3)
+    sh = shingles(fan_out(table(spark, sf, "documents")), k=3)
     sigs = minhash_signatures(sh, NUM_HASHES)
     pairs = lsh_candidates(sigs, NUM_HASHES, ROWS_PER_BAND)
     cc = connected_components(pairs, src="doc_a", dst="doc_b")

@@ -173,12 +173,13 @@ def q_bigram_counts(spark: SparkSession, sf: str) -> DataFrame:
     generation is a pure JVM array transform (no Python, no self-join);
     1-indexed element_at matches the oracle's list semantics."""
     d = table(spark, sf, "documents")
-    bigrams = d.select(
+    # split once per row; the pair transform then indexes the materialized
+    # array instead of re-tokenizing three times inside one expression
+    bigrams = d.select(F.split(F.col("text"), " ").alias("a")).select(
         F.explode(
             F.expr(
-                "transform(sequence(1, size(split(text, ' ')) - 1),"
-                " i -> concat(element_at(split(text, ' '), i), ' ',"
-                "             element_at(split(text, ' '), i + 1)))"
+                "transform(sequence(1, size(a) - 1),"
+                " i -> concat(element_at(a, i), ' ', element_at(a, i + 1)))"
             )
         ).alias("bigram")
     )
@@ -207,10 +208,20 @@ def q_fuzzy_part_match(spark: SparkSession, sf: str) -> DataFrame:
         F.col("p_partkey").alias("pk_b"),
         F.col("p_name").alias("name_b"),
     )
+    # fan the quadratic verify stage out across cores: the part scan is a
+    # single input split, and a broadcast join would keep the whole O(n²/B)
+    # candidate evaluation on that one task — repartition on the block key
+    # so each block's pair enumeration is its own task
     return (
-        a.join(b, "size")
+        a.repartition(32, "size")
+        .join(b, "size")
         .filter(F.col("pk_a") < F.col("pk_b"))
-        .filter(F.levenshtein("name_a", "name_b") <= 3)
+        # length gap > 3 can't be within distance 3 — cheap reject before the
+        # DP; the 3-arg bounded levenshtein then early-exits rows over budget
+        .filter(
+            F.abs(F.length("name_a") - F.length("name_b")) <= 3
+        )
+        .filter(F.levenshtein("name_a", "name_b", 3) >= 0)
         .groupBy("size")
         .agg(F.count("*").alias("n_pairs"))
     )

@@ -37,3 +37,19 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
+
+
+def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Ensure enough partitions for an expensive narrow stage downstream.
+
+    Single-row-group parquet files scan as ONE task, serializing any
+    Arrow-UDF / quadratic map work that follows. When the plan has fewer
+    partitions than cores, round-robin repartition up to the default
+    parallelism; when the input already splits (any real at-scale dataset),
+    this is a no-op — so the shuffle cost exists only in exactly the regime
+    where it's trivial (small inputs).
+    """
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
