@@ -7,7 +7,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from vptstools_spark.io import table
+from vptstools_spark.io import fan_out, table
 from vptstools_spark.operators.similarity import (
     anchor_buckets,
     ivf_cells,
@@ -52,7 +52,7 @@ def q_ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
     equi-join-on-cell scale path next to `knn_bruteforce`'s cross product."""
     emb = table(spark, sf, "embeddings")
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
-    return knn_ivf(emb, queries, _anchors(spark, sf), k=K, nprobe=2)
+    return knn_ivf(fan_out(emb), queries, _anchors(spark, sf), k=K, nprobe=2)
 
 
 def q_ann_kmeans_cells(spark: SparkSession, sf: str) -> DataFrame:
@@ -61,7 +61,7 @@ def q_ann_kmeans_cells(spark: SparkSession, sf: str) -> DataFrame:
     Iterative — not SQL-expressible, so the driver records a rows-only
     check; the operator itself is unit-tested on known geometry
     (tests/test_similarity.py::test_kmeans_fit_separates_clusters)."""
-    emb = table(spark, sf, "embeddings")
+    emb = fan_out(table(spark, sf, "embeddings"))
     cents = kmeans_fit(emb, k=8, iters=2)
     cells = ivf_cells(emb, cents, nprobe=1)
     return (
@@ -94,7 +94,7 @@ def q_embedding_quantize(spark: SparkSession, sf: str) -> DataFrame:
     code = floor((x-mn)/(mx-mn)*255), reconstruction at the bin midpoint,
     mean |error|. One posexplode + a broadcast of the dim-sized stats table
     back onto the coordinates — the quantizer's quality dashboard."""
-    emb = table(spark, sf, "embeddings")
+    emb = fan_out(table(spark, sf, "embeddings"))
     e = emb.select(
         "vec_id",
         F.posexplode(
