@@ -183,8 +183,25 @@ def q_events_resample_locf(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_events_json_schema(spark: SparkSession, sf: str) -> DataFrame:
+    """Schema'd semi-structured parsing: `from_json` with an explicit struct
+    schema (vs. the regexp extraction in `events_json_extract`) — the JSON
+    tokenizer runs JVM-side once, fields project as typed columns."""
+    e = table(spark, sf, "events")
+    parsed = e.withColumn("p", F.from_json("props", "k INT"))
+    return (
+        parsed.filter(F.col("p.k") > 50)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_high"),
+            F.sum("p.k").cast("long").alias("sum_k"),
+        )
+    )
+
+
 QUERIES = {
     "events_hourly": q_events_hourly,
+    "events_json_schema": q_events_json_schema,
     "events_sessionize": q_events_sessionize,
     "events_json_extract": q_events_json_extract,
     "events_running": q_events_running,
@@ -195,6 +212,16 @@ QUERIES = {
 }
 
 ORACLES = {
+    "events_json_schema": """
+        SELECT event_type,
+               COUNT(*) AS n_high,
+               CAST(SUM(k) AS BIGINT) AS sum_k
+        FROM (SELECT event_type,
+                     CAST(json_extract_string(props, '$.k') AS INT) AS k
+              FROM events)
+        WHERE k > 50
+        GROUP BY event_type
+    """,
     "events_funnel": """
         WITH v AS (
             SELECT user_id, MIN(ts) AS v_ts FROM events

@@ -380,8 +380,33 @@ def q_nation_trade(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_nation_customer_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG shape): per nation, the first five
+    customer names by key, comma-joined. collect_list is order-nondeterministic
+    under parallelism, so the aggregate collects (key, name) structs and the
+    ordering is imposed by sort_array BEFORE slicing — deterministic at any
+    partitioning."""
+    c = table(spark, sf, "customer")
+    n = table(spark, sf, "nation")
+    top5 = F.transform(
+        F.slice(
+            F.sort_array(F.collect_list(F.struct("c_custkey", "c_name"))), 1, 5
+        ),
+        lambda s: s["c_name"],
+    )
+    return (
+        c.join(F.broadcast(n), F.col("n_nationkey") == F.col("c_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.concat_ws(",", top5).alias("sample_names"),
+        )
+    )
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
+    "nation_customer_sample": q_nation_customer_sample,
     "order_count_dist": q_order_count_dist,
     "large_orders": q_large_orders,
     "disjunctive_revenue": q_disjunctive_revenue,
@@ -416,6 +441,19 @@ ORACLES = {
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         GROUP BY l_returnflag, l_linestatus
+    """,
+    "nation_customer_sample": """
+        WITH ranked AS (
+            SELECT n_name, c_name, c_custkey,
+                   ROW_NUMBER() OVER (PARTITION BY n_name
+                                      ORDER BY c_custkey) AS rn,
+                   COUNT(*) OVER (PARTITION BY n_name) AS n_customers
+            FROM customer JOIN nation ON n_nationkey = c_nationkey
+        )
+        SELECT n_name, MIN(n_customers) AS n_customers,
+               string_agg(CASE WHEN rn <= 5 THEN c_name END, ','
+                          ORDER BY c_custkey) AS sample_names
+        FROM ranked GROUP BY n_name
     """,
     "order_count_dist": """
         WITH per_cust AS (

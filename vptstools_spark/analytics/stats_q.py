@@ -113,10 +113,25 @@ def q_moments_quantity(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_orders_pctrank(spark: SparkSession, sf: str) -> DataFrame:
+    """Relative-standing analytics: percent_rank + cume_dist of each order's
+    total within its priority class (bounded to 50 customers so the result
+    set stays comparison-sized). One hash exchange on the partition key."""
+    o = table(spark, sf, "orders").filter(F.col("o_custkey") < 50)
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
 QUERIES = {
     "quantiles_price": q_quantiles_price,
     "regr_price_qty": q_regr_price_qty,
     "moments_quantity": q_moments_quantity,
+    "orders_pctrank": q_orders_pctrank,
     "corr_discount": q_corr_discount,
     "events_pivot": q_events_pivot,
     "orders_monthly": q_orders_monthly,
@@ -125,6 +140,14 @@ QUERIES = {
 }
 
 ORACLES = {
+    "orders_pctrank": """
+        SELECT o_orderkey, o_orderpriority,
+               ROUND(PERCENT_RANK() OVER (PARTITION BY o_orderpriority
+                     ORDER BY o_totalprice, o_orderkey), 6) AS pct_rank,
+               ROUND(CUME_DIST() OVER (PARTITION BY o_orderpriority
+                     ORDER BY o_totalprice, o_orderkey), 6) AS cume
+        FROM orders WHERE o_custkey < 50
+    """,
     "regr_price_qty": """
         SELECT l_returnflag,
                ROUND(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
