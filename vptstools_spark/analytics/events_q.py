@@ -183,6 +183,23 @@ def q_events_resample_locf(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_events_session_window(spark: SparkSession, sf: str) -> DataFrame:
+    """Native session windows (`F.session_window`, 30-min gap) — the built-in
+    form of the lag-based sessionization in `events_sessionize`, and the same
+    operator Structured Streaming uses for streaming sessions. The oracle
+    derives sessions with the portable lag/cumsum SQL — native operator vs
+    first-principles semantics."""
+    e = table(spark, sf, "events")
+    sess = e.groupBy("user_id", F.session_window("ts", "30 minutes")).agg(
+        F.count("*").alias("n_events")
+    )
+    return sess.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_sessions"),
+        F.max("n_events").alias("max_session_events"),
+        F.sum("n_events").alias("n_events"),
+    )
+
+
 def q_events_json_schema(spark: SparkSession, sf: str) -> DataFrame:
     """Schema'd semi-structured parsing: `from_json` with an explicit struct
     schema (vs. the regexp extraction in `events_json_extract`) — the JSON
@@ -202,6 +219,7 @@ def q_events_json_schema(spark: SparkSession, sf: str) -> DataFrame:
 QUERIES = {
     "events_hourly": q_events_hourly,
     "events_json_schema": q_events_json_schema,
+    "events_session_window": q_events_session_window,
     "events_sessionize": q_events_sessionize,
     "events_json_extract": q_events_json_extract,
     "events_running": q_events_running,
@@ -212,6 +230,31 @@ QUERIES = {
 }
 
 ORACLES = {
+    "events_session_window": """
+        WITH marked AS (
+            SELECT user_id, ts,
+                   CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                             > INTERVAL 30 MINUTE
+                        OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM events
+        ),
+        sess AS (
+            SELECT user_id,
+                   SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+            FROM marked
+        ),
+        per_sess AS (
+            SELECT user_id, sid, COUNT(*) AS n_events
+            FROM sess GROUP BY user_id, sid
+        )
+        SELECT user_id,
+               COUNT(*) AS n_sessions,
+               MAX(n_events) AS max_session_events,
+               CAST(SUM(n_events) AS BIGINT) AS n_events
+        FROM per_sess GROUP BY user_id
+    """,
     "events_json_schema": """
         SELECT event_type,
                COUNT(*) AS n_high,
