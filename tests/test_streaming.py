@@ -219,3 +219,51 @@ def test_interval_join_streams(spark, tmp_path):
     )
     q.awaitTermination(120)
     assert [(r.click_id, r.conv_id) for r in rows] == [(10, 20)]
+
+
+def test_incremental_rollup_matches_batch_recompute(spark, tmp_path):
+    """Materialized-rollup maintenance: two availableNow runs must leave the
+    same table a one-shot batch aggregation over all data would produce,
+    including a same-day update arriving in the second run."""
+    from pyspark.sql import functions as F
+
+    from vptstools_spark.streaming.incremental import incremental_rollup_sink
+
+    src = str(tmp_path / "roll_ev")
+    out = str(tmp_path / "roll_out")
+    ckpt = str(tmp_path / "roll_ck")
+
+    def t(d, h):
+        return datetime.datetime(2024, 1, d, h, 0)
+
+    def run():
+        stream = spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, value double"
+        ).parquet(src)
+        q = incremental_rollup_sink(stream, out, ckpt)
+        q.awaitTermination(120)
+
+    def write(rows):
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string, value double",
+        ).write.mode("append").parquet(src)
+
+    write([(1, t(1, 9), 1, "click", 1.0), (2, t(1, 10), 2, "view", 2.0),
+           (3, t(2, 9), 1, "click", 4.0)])
+    run()
+    write([(4, t(2, 18), 3, "click", 8.0),   # same-day late addition
+           (5, t(3, 9), 1, "view", 16.0)])   # new day
+    run()
+
+    got = {
+        (str(r["p_day"]), r["event_type"]): (r["n_events"], r["total_value"])
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        ("2024-01-01", "click"): (1, 1.0),
+        ("2024-01-01", "view"): (1, 2.0),
+        ("2024-01-02", "click"): (2, 12.0),
+        ("2024-01-03", "view"): (1, 16.0),
+    }
+    assert got == want

@@ -256,6 +256,77 @@ def interval_join_streams(
     return l.join(r, cond, "inner")
 
 
+def incremental_rollup_sink(
+    events_stream: DataFrame,
+    output_path: str,
+    checkpoint: str,
+    ts_col: str = "ts",
+) -> StreamingQuery:
+    """Incrementally-maintained aggregate table (materialized-view pattern):
+    per (day, event_type) counts/sums kept in a day-partitioned parquet.
+
+    Each availableNow micro-batch re-aggregates ONLY the days present in the
+    batch and dynamic-partition-overwrites those day partitions with
+    previous-contents + delta (read-modify-write at day granularity). A
+    merge is NOT naturally idempotent — replaying a batch would
+    double-count — so every written row carries the writing batch_id and a
+    replay skips days whose stored batch_id already reached it (the
+    standard foreachBatch exactly-once recipe). Late events only touch
+    their own day — recompute granularity is one partition, never the table.
+    """
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        delta = (
+            batch_df.withColumn("p_day", F.to_date(F.col(ts_col)))
+            .groupBy("p_day", "event_type")
+            .agg(F.count("*").alias("n_events"), F.sum("value").alias("total_value"))
+        )
+        days = [r["p_day"] for r in delta.select("p_day").distinct().collect()]
+        try:
+            prev = spark.read.parquet(output_path).filter(F.col("p_day").isin(days))
+            applied = {
+                r["p_day"]: r["bid"]
+                for r in prev.groupBy("p_day").agg(F.max("_batch_id").alias("bid")).collect()
+            }
+        except Exception:  # first batch: no table yet
+            prev, applied = None, {}
+        todo = [d for d in days if applied.get(d, -1) < batch_id]
+        if not todo:
+            return  # full replay of an already-applied batch
+        delta = delta.filter(F.col("p_day").isin(todo))
+        if prev is not None:
+            merged = (
+                prev.filter(F.col("p_day").isin(todo))
+                .drop("_batch_id")
+                .unionByName(delta)
+                .groupBy("p_day", "event_type")
+                .agg(
+                    F.sum("n_events").alias("n_events"),
+                    F.sum("total_value").alias("total_value"),
+                )
+            )
+        else:
+            merged = delta
+        (
+            merged.withColumn("_batch_id", F.lit(batch_id))
+            .repartition("p_day")
+            .write.mode("overwrite")
+            .partitionBy("p_day")
+            .parquet(output_path)
+        )
+
+    return (
+        events_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def run_available_now(
     df: DataFrame,
     sink_format: str,
