@@ -48,12 +48,22 @@ def inventory_path_features(file: Column) -> dict[str, Column]:
 
 def daily_group_cols(file: Column) -> list[Column]:
     """The radar-day grouping key derived from a full S3 key
-    (reference: src/vptstools/s3.py:177-225):
-    (source, file_type, radar_code, year, month, day) — path segments 1..6."""
+    (reference: src/vptstools/s3.py:51-71, 177-225): source and file_type
+    come from the path segments, but radar_code/year/month/day come from the
+    FILENAME grammar — a misfiled object (directory date ≠ filename date)
+    groups under its filename date, exactly as `OdimFilePath.from_inventory`
+    does (proven by the golden coverage fixture, tests/test_golden.py)."""
     parts = F.split(file, "/")
-    return [F.element_at(parts, i + 1).alias(name) for i, name in enumerate(
-        ["source", "file_type", "radar_code", "year", "month", "day"]
-    )]
+    name = F.element_at(parts, -1)
+    parsed = parse_odim_filename(name)
+    return [
+        F.element_at(parts, 1).alias("source"),
+        F.element_at(parts, 2).alias("file_type"),
+        parsed["radar_code"].alias("radar_code"),
+        parsed["year"].alias("year"),
+        parsed["month"].alias("month"),
+        parsed["day"].alias("day"),
+    ]
 
 
 def directory_col(*cols: Column) -> Column:
@@ -104,7 +114,7 @@ def with_parsed_inventory(df: DataFrame, file_col: str = "file") -> DataFrame:
     named: dict[str, Column] = {c: F.col(c) for c in df.columns}
     for name, expr in inventory_path_features(file).items():
         named.setdefault(name, expr)
-    parts = F.split(file, "/")
-    for i, name in enumerate(["source", "file_type", "radar_code", "year", "month", "day"]):
-        named.setdefault(name, F.element_at(parts, i + 1))
+    group_names = ["source", "file_type", "radar_code", "year", "month", "day"]
+    for name, col in zip(group_names, daily_group_cols(file)):
+        named.setdefault(name, col)
     return df.select(*[expr.alias(name) for name, expr in named.items()])
