@@ -86,3 +86,39 @@ def test_inventory_path_features(spark):
     assert row.source == "baltrad"
     assert row.suffix == "h5"
     assert row.filename == "nosta_vp_20230311T231500Z_0xb.h5"
+
+
+def test_parse_odim_filename_reference_cases(spark):
+    """The reference's own parse_file_name parametrize table
+    (tests/test_s3.py:30-105): short time form (T2100Z), uppercase radar
+    codes, hex/extra suffixes, version suffixes."""
+    from vptstools_spark.functions.paths import parse_odim_filename
+
+    cases = [
+        ("baltrad/hdf5/fivan/2016/10/25/fivan_vp_20161025T2100Z_0x7_147742969449.h5",
+         ("fivan", "vp", "2016", "10", "25", "21", "00")),
+        ("baltrad/hdf5/fiuta/2021/11/14/fiuta_vp_20211114T214500Z_0xb.h5",
+         ("fiuta", "vp", "2021", "11", "14", "21", "45")),
+        ("baltrad/hdf5/seang/2017/01/20/seang_vp_20170120T2115Z_0xf3fc7b_148494821853.h5",
+         ("seang", "vp", "2017", "01", "20", "21", "15")),
+        ("baltrad/hdf5/searl/2016/12/31/searl_vp_20161231T2030Z_0x5_148321870475.h5",
+         ("searl", "vp", "2016", "12", "31", "20", "30")),
+        ("baltrad/hdf5/plrze/2020/10/27/plrze_vp_20201027T172000Z_0x9.h5",
+         ("plrze", "vp", "2020", "10", "27", "17", "20")),
+        ("uva/hdf5/2008/02/15/NLDBL_vp_20080215T0000_NL50_v0-3-20.h5",
+         ("nldbl", "vp", "2008", "02", "15", "00", "00")),
+    ]
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(p,) for p, _ in cases], "path string")
+    parsed = parse_odim_filename(F.col("path"))
+    got = df.select(
+        "path",
+        *[parsed[k].alias(k)
+          for k in ["radar_code", "data_type", "year", "month", "day", "hour", "minute"]],
+    ).collect()
+    by_path = {r["path"]: (r["radar_code"], r["data_type"], r["year"],
+                           r["month"], r["day"], r["hour"], r["minute"])
+               for r in got}
+    for path, want in cases:
+        assert by_path[path] == want, path
