@@ -65,3 +65,39 @@ def test_golden_coverage_from_inventory(spark):
         d, c = line.rsplit(",", 1)
         want.add((d, int(c)))
     assert got == want
+
+
+def test_golden_handle_manifest_subset_and_none(spark):
+    """The reference's TestHandleManifest e2e expectations
+    (tests/test_s3.py:505-533): full coverage always; days-to-create only
+    the directories with files modified inside the window; empty (but
+    typed) when nothing qualifies."""
+    import datetime
+
+    from vptstools_spark.operators.inventory import handle_manifest
+
+    manifest = os.path.join(GOLDEN_DIR, "dummy_manifest.json")
+    full_cov = {
+        ("baltrad/hdf5/fiuta/2021/04/23", 1),
+        ("baltrad/hdf5/fiuta/2021/04/24", 1),
+        ("baltrad/hdf5/nosta/2023/03/11", 4),
+        ("baltrad/hdf5/nosta/2023/03/12", 1),
+        ("ecog-04003/hdf5/plpoz/2016/09/23", 2),
+    }
+
+    cov, days = handle_manifest(
+        spark, manifest, modified_days_ago=5, now=datetime.datetime(2023, 2, 1)
+    )
+    assert {(r["directory"], r["file_count"]) for r in cov.collect()} == full_cov
+    assert {(r["directory"], r["file_count"]) for r in days.collect()} == {
+        ("baltrad/hdf5/fiuta/2021/04/24", 1),
+        ("baltrad/hdf5/nosta/2023/03/11", 4),
+        ("ecog-04003/hdf5/plpoz/2016/09/23", 2),
+    }
+
+    cov2, days2 = handle_manifest(
+        spark, manifest, modified_days_ago=1, now=datetime.datetime(2023, 3, 1)
+    )
+    assert {(r["directory"], r["file_count"]) for r in cov2.collect()} == full_cov
+    assert days2.count() == 0
+    assert set(days2.columns) == {"directory", "file_count"} == set(cov2.columns)

@@ -87,3 +87,38 @@ def select_affected_files(files_df: DataFrame, days_df: DataFrame, on: list[str]
     radars), so no shuffle of the big side."""
     on = on or GROUP_COLS
     return files_df.join(F.broadcast(days_df.select(*on).distinct()), on=on, how="left_semi")
+
+
+def list_manifest_file_keys(manifest_path: str) -> list[str]:
+    """S4: S3-inventory manifest JSON → inventory subfile keys
+    (reference: src/vptstools/s3.py:318-335). The manifest is a tiny
+    driver-side file; the heavy lifting is the CSV scan it points to."""
+    import json
+
+    with open(manifest_path) as fh:
+        return [f["key"] for f in json.load(fh)["files"]]
+
+
+def handle_manifest(
+    spark: SparkSession,
+    manifest_path: str,
+    modified_days_ago: int = 2,
+    now=None,
+    key_to_path=None,
+):
+    """Manifest → (full coverage, days to recreate) — the reference's
+    `handle_manifest` e2e contract (src/vptstools/s3.py:386-443): coverage
+    aggregates the WHOLE inventory; days_to_create_vpts group-counts only
+    the files modified inside the lookback window.
+
+    ``key_to_path`` maps a manifest key to a readable path (production: an
+    s3:// URL; tests: the fixture directory) — same dependency-injection
+    seam as operators/transfer.py.
+    """
+    import os
+
+    root = os.path.dirname(manifest_path)
+    resolve = key_to_path or (lambda k: os.path.join(root, os.path.basename(k)))
+    paths = [resolve(k) for k in list_manifest_file_keys(manifest_path)]
+    parsed = parse_inventory(read_inventory(spark, paths))
+    return coverage(parsed), days_to_create_vpts(parsed, modified_days_ago, now)
