@@ -75,11 +75,18 @@ def main() -> None:
             except Exception:
                 pass
 
+    # best-of-2 per query: the first execution of a plan at this sf includes
+    # JVM JIT + codegen compilation; the second is the steady-state number a
+    # long-running cluster would see. Local GC pauses add ±2x noise on
+    # sub-second queries otherwise.
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.perf_counter()
-        queries[name](spark, sf_dir).count()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            queries[name](spark, sf_dir).count()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     print(
         json.dumps(

@@ -32,7 +32,10 @@ def get_spark(app_name: str = "vptstools_spark", shuffle_partitions: int | None 
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local mode: the driver JVM is also the executor — size it for the
+        # 32-thread container (cache + shuffle + Arrow buffers), not the
+        # cluster-driver default
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
         # harness events.parquet stores TIMESTAMP(NANOS): read as long,
