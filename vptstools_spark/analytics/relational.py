@@ -404,9 +404,35 @@ def q_nation_customer_sample(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_latest_order(spark: SparkSession, sf: str) -> DataFrame:
+    """CDC keep-latest (upsert compaction): each customer's most recent order
+    — row_number()=1 over (key, recency desc) with a deterministic
+    tie-break. The standard pattern for compacting a change stream to
+    current state; one exchange on the key, filter inside the window stage
+    (Spark pushes rn=1 into a TopK-per-partition via WindowGroupLimit)."""
+    o = table(spark, sf, "orders")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("last_orderdate"),
+            "o_orderstatus",
+            F.round("o_totalprice", 2).alias("last_price"),
+        )
+    )
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "nation_customer_sample": q_nation_customer_sample,
+    "latest_order": q_latest_order,
     "order_count_dist": q_order_count_dist,
     "large_orders": q_large_orders,
     "disjunctive_revenue": q_disjunctive_revenue,
@@ -441,6 +467,17 @@ ORACLES = {
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         GROUP BY l_returnflag, l_linestatus
+    """,
+    "latest_order": """
+        SELECT o_custkey, o_orderkey,
+               strftime(o_orderdate, '%Y-%m-%d') AS last_orderdate,
+               o_orderstatus,
+               ROUND(o_totalprice, 2) AS last_price
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey
+                      ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+            FROM orders
+        ) WHERE rn = 1
     """,
     "nation_customer_sample": """
         WITH ranked AS (
