@@ -4,7 +4,7 @@ scoring, language ID, fingerprinting, binary-column metadata.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from vptstools_spark.io import table
@@ -227,7 +227,9 @@ def q_fuzzy_part_match(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _langid_sql() -> str:
+def _langid_case_parts() -> tuple[str, str]:
+    """(marker-count column list, argmax CASE) — the SQL mirror of
+    `predict_language`, shared by the langid and pipeline-funnel oracles."""
     counts = ",\n               ".join(
         f"len(list_filter(string_split(text, ' '), w -> w = '{marker}')) AS c_{lang}"
         for lang, marker in LANG_MARKERS
@@ -243,6 +245,11 @@ def _langid_sql() -> str:
             conds.append(f"c_{lang} {op} c_{other}")
         branches.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
     case = "CASE " + " ".join(branches) + f" ELSE '{langs[-1]}' END"
+    return counts, case
+
+
+def _langid_sql() -> str:
+    counts, case = _langid_case_parts()
     return f"""
         WITH c AS (
             SELECT doc_id, {counts}
@@ -250,6 +257,80 @@ def _langid_sql() -> str:
         )
         SELECT doc_id, {case} AS pred_lang FROM c
     """
+
+
+def _pipeline_filter_sql() -> str:
+    counts, case = _langid_case_parts()
+    return f"""
+        WITH c AS (
+            SELECT doc_id, source, n_chars, text, {counts}
+            FROM documents
+        ),
+        staged AS (
+            SELECT doc_id, source, n_chars,
+                   {case} AS pred_lang,
+                   md5(lower(trim(text))) AS fp
+            FROM c
+        ),
+        quality AS (
+            SELECT * FROM staged WHERE pred_lang = 'en' AND n_chars >= 100
+        ),
+        surv AS (
+            SELECT source FROM (
+                SELECT source, ROW_NUMBER() OVER (PARTITION BY fp
+                                                  ORDER BY doc_id) AS rn
+                FROM quality
+            ) WHERE rn = 1
+        )
+        SELECT t.source,
+               t.n_total, t.n_lang, t.n_quality,
+               COALESCE(f.n_final, 0) AS n_final
+        FROM (
+            SELECT source, COUNT(*) AS n_total,
+                   COUNT(*) FILTER (pred_lang = 'en') AS n_lang,
+                   COUNT(*) FILTER (pred_lang = 'en' AND n_chars >= 100)
+                       AS n_quality
+            FROM staged GROUP BY source
+        ) t
+        LEFT JOIN (SELECT source, COUNT(*) AS n_final
+                   FROM surv GROUP BY source) f
+          ON t.source = f.source
+    """
+
+
+def q_pipeline_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """Training-data cleaning funnel — the composite pipeline every
+    pretraining corpus goes through, as ONE declarative plan: language
+    filter → length/quality filter → exact-dedup keep-first, with per-source
+    survivor counts at each stage. Stage predicates are conditional
+    aggregates over a single scan; only the dedup stage adds a shuffle
+    (window on the fingerprint)."""
+    from vptstools_spark.operators.text import fingerprint, predict_language
+
+    d = table(spark, sf, "documents")
+    staged = d.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        predict_language(F.col("text")).alias("pred_lang"),
+        fingerprint(F.col("text")).alias("fp"),
+    )
+    ok_lang = F.col("pred_lang") == "en"
+    ok_quality = ok_lang & (F.col("n_chars") >= 100)
+    totals = staged.groupBy("source").agg(
+        F.count("*").alias("n_total"),
+        F.count_if(ok_lang).alias("n_lang"),
+        F.count_if(ok_quality).alias("n_quality"),
+    )
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    final = (
+        staged.filter(ok_quality)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .groupBy("source")
+        .agg(F.count("*").alias("n_final"))
+    )
+    return totals.join(final, "source", "left").na.fill(0, ["n_final"])
 
 
 QUERIES = {
@@ -264,9 +345,11 @@ QUERIES = {
     "tfidf_top": q_tfidf_top,
     "bigram_counts": q_bigram_counts,
     "fuzzy_part_match": q_fuzzy_part_match,
+    "pipeline_filter": q_pipeline_filter,
 }
 
 ORACLES = {
+    "pipeline_filter": _pipeline_filter_sql(),
     "vocab_topk": """
         WITH words AS (
             SELECT doc_id, unnest(string_split(text, ' ')) AS w
