@@ -57,6 +57,8 @@ HEADLINE = [
     "tfidf_top",
     "bigram_counts",
     "fuzzy_part_match",
+    "pipeline_filter",
+    "latest_order",
 ]
 
 

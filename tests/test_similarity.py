@@ -107,3 +107,19 @@ def test_scalar_quantize_known_codes(spark):
     assert codes[0] == [0, 0]
     assert codes[1] == [127, 127]
     assert codes[2] == [255, 255]
+
+
+def test_knn_ivf_rerank_recovers_ivf_topk(spark):
+    from vptstools_spark.operators.similarity import knn_ivf, knn_ivf_rerank
+
+    emb = _emb(spark)
+    anchors = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]]
+    q = emb.filter("vec_id = 0")
+    base = {(r["q_id"], r["rnk"]): r["n_id"]
+            for r in knn_ivf(emb, q, anchors, k=3, nprobe=2).collect()}
+    rr = {(r["q_id"], r["rnk"]): r["n_id"]
+          for r in knn_ivf_rerank(emb, q, anchors, k=3, nprobe=2, rerank=10).collect()}
+    assert rr == base  # rerank >= candidate count -> identical result
+    # tight shortlist still returns k ordered neighbors
+    tight = knn_ivf_rerank(emb, q, anchors, k=2, nprobe=2, rerank=2).collect()
+    assert [r["n_id"] for r in sorted(tight, key=lambda r: r["rnk"])] == [1, 4]

@@ -14,6 +14,7 @@ from vptstools_spark.operators.similarity import (
     kmeans_fit,
     knn_bruteforce,
     knn_ivf,
+    knn_ivf_rerank,
 )
 
 N_QUERIES = 5
@@ -53,6 +54,18 @@ def q_ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
     emb = table(spark, sf, "embeddings")
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
     return knn_ivf(fan_out(emb), queries, _anchors(spark, sf), k=K, nprobe=2)
+
+
+def q_ann_ivf_rerank(spark: SparkSession, sf: str) -> DataFrame:
+    """Full approximate-search composition: IVF cell join → coarse top-1000
+    shortlist → exact re-rank. Shortlist width exceeds any probed cell here,
+    so the result must equal `ann_ivf` — which is exactly what the shared
+    oracle asserts; shrinking `rerank` is the scale knob."""
+    emb = table(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    return knn_ivf_rerank(
+        fan_out(emb), queries, _anchors(spark, sf), k=K, nprobe=2, rerank=1000
+    )
 
 
 def q_ann_kmeans_cells(spark: SparkSession, sf: str) -> DataFrame:
@@ -121,6 +134,7 @@ QUERIES = {
     "embedding_quantize": q_embedding_quantize,
     "ann_buckets": q_ann_buckets,
     "ann_ivf": q_ann_ivf,
+    "ann_ivf_rerank": q_ann_ivf_rerank,
     "ann_kmeans_cells": q_ann_kmeans_cells,
 }
 
@@ -248,3 +262,7 @@ ORACLES = {
         SELECT q_id, n_id, cosine, rnk FROM r WHERE rnk <= {K}
     """,
 }
+
+# the re-rank composition with a full-width shortlist is defined to equal
+# knn_ivf — assert that equality against the same SQL
+ORACLES["ann_ivf_rerank"] = ORACLES["ann_ivf"]

@@ -372,3 +372,60 @@ def scalar_quantize(
         ).cast("int"),
     )
     return vectors.select(F.col(id_col).alias("id"), codes.alias("codes"))
+
+
+def knn_ivf_rerank(
+    vectors: DataFrame,
+    queries: DataFrame,
+    anchors: list[list[float]],
+    k: int = 5,
+    nprobe: int = 2,
+    rerank: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF + coarse-score shortlist + exact re-rank — the full approximate
+    search composition (IVF-PQ shape: at production scale the shortlist
+    scoring runs on `scalar_quantize` codes; here it runs on the same float
+    vectors, which keeps the plan identical while the container has no BLAS
+    batching for uint8).
+
+    Plan: cell equi-join (as `knn_ivf`) → per-query top-`rerank` shortlist
+    by cosine (WindowGroupLimit, no full sort) → exact top-`k` within the
+    shortlist. Returns (q_id, n_id, cosine, rnk). With `rerank >= |probed
+    candidates|` this equals `knn_ivf` exactly; smaller `rerank` models the
+    memory-bound regime where only the shortlist's float vectors are read.
+    """
+    from pyspark.sql import Window
+
+    shortlist_w = Window.partitionBy("q_id").orderBy(
+        F.col("cos").desc(), F.col("n_id")
+    )
+    idx = ivf_cells(vectors, anchors, nprobe=1, id_col=id_col, vec_col=vec_col).select(
+        F.col("id").alias("n_id"),
+        F.col("_vec").alias("n_vec"),
+        F.col("_norm").alias("n_norm"),
+        F.col("cells")[0].alias("cell"),
+    )
+    probe = (
+        ivf_cells(queries, anchors, nprobe=nprobe, id_col=id_col, vec_col=vec_col)
+        .select(
+            F.col("id").alias("q_id"),
+            F.col("_vec").alias("q_vec"),
+            F.col("_norm").alias("q_norm"),
+            F.explode("cells").alias("cell"),
+        )
+    )
+    cos = dot(F.col("q_vec"), F.col("n_vec")) / (F.col("q_norm") * F.col("n_norm"))
+    short = (
+        idx.join(F.broadcast(probe), "cell")
+        .filter(F.col("q_id") != F.col("n_id"))
+        .withColumn("cos", cos)
+        .withColumn("srnk", F.row_number().over(shortlist_w))
+        .filter(F.col("srnk") <= rerank)
+    )
+    return (
+        short.withColumn("rnk", F.row_number().over(shortlist_w))
+        .filter(F.col("rnk") <= k)
+        .select("q_id", "n_id", F.round("cos", 4).alias("cosine"), "rnk")
+    )
