@@ -429,10 +429,33 @@ def q_latest_order(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_lost_order_months(spark: SparkSession, sf: str) -> DataFrame:
+    """EXCEPT ALL (bag difference): per-customer order months of 1995 minus
+    those of 1996, multiplicity preserved — a customer ordering twice in a
+    1995 month and once in that month of 1996 keeps ONE surplus row.
+    Distinct EXCEPT would lose the count; exceptAll shuffles both sides
+    once on the full row."""
+    o = table(spark, sf, "orders")
+
+    def months(year: int) -> DataFrame:
+        return (
+            o.filter(F.year("o_orderdate") == year)
+            .select("o_custkey", F.month("o_orderdate").alias("m"))
+        )
+
+    return (
+        months(1995)
+        .exceptAll(months(1996))
+        .groupBy("m")
+        .agg(F.count("*").alias("n_surplus"))
+    )
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "nation_customer_sample": q_nation_customer_sample,
     "latest_order": q_latest_order,
+    "lost_order_months": q_lost_order_months,
     "order_count_dist": q_order_count_dist,
     "large_orders": q_large_orders,
     "disjunctive_revenue": q_disjunctive_revenue,
@@ -467,6 +490,14 @@ ORACLES = {
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         GROUP BY l_returnflag, l_linestatus
+    """,
+    "lost_order_months": """
+        WITH a AS (SELECT o_custkey, month(o_orderdate) AS m FROM orders
+                   WHERE year(o_orderdate) = 1995),
+             b AS (SELECT o_custkey, month(o_orderdate) AS m FROM orders
+                   WHERE year(o_orderdate) = 1996),
+             d AS (SELECT * FROM a EXCEPT ALL SELECT * FROM b)
+        SELECT m, COUNT(*) AS n_surplus FROM d GROUP BY m
     """,
     "latest_order": """
         SELECT o_custkey, o_orderkey,
