@@ -1,5 +1,6 @@
 """Connected components (operators/graph.py): correctness + convergence."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from vptstools_spark.operators.graph import cluster_sizes, connected_components
@@ -41,8 +42,26 @@ def test_cluster_sizes(spark):
 
 
 def test_max_iter_bounds_work(spark):
-    # max_iter=1 on a path must still return every node exactly once
+    # max_iter=1 on a path must still return every node exactly once, but the
+    # unconverged exit is signalled — silent partial labels are wrong clusters
     df = spark.createDataFrame([(i, i + 1) for i in range(4)], "src long, dst long")
-    out = connected_components(df, max_iter=1)
-    assert out.count() == 5
-    assert out.select(F.countDistinct("node")).first()[0] == 5
+    with pytest.warns(RuntimeWarning, match="did not converge"):
+        out = connected_components(df, max_iter=1)
+        assert out.count() == 5
+        assert out.select(F.countDistinct("node")).first()[0] == 5
+
+
+def test_max_iter_strict_raises(spark):
+    df = spark.createDataFrame([(i, i + 1) for i in range(4)], "src long, dst long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(df, max_iter=1, strict=True)
+
+
+def test_converged_run_emits_no_warning(spark):
+    import warnings
+
+    df = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)
+        out = connected_components(df, max_iter=10)
+        assert out.filter(F.col("component") != 1).count() == 0

@@ -52,7 +52,12 @@ def daily_group_cols(file: Column) -> list[Column]:
     come from the path segments, but radar_code/year/month/day come from the
     FILENAME grammar — a misfiled object (directory date ≠ filename date)
     groups under its filename date, exactly as `OdimFilePath.from_inventory`
-    does (proven by the golden coverage fixture, tests/test_golden.py)."""
+    does (proven by the golden coverage fixture, tests/test_golden.py).
+
+    A filename that does not match the grammar parses to empty-string keys;
+    `operators.inventory.parse_inventory` routes those rows (error / drop /
+    keep) so malformed names never silently pool into one coverage group —
+    the reference raises ValueError on the same input (s3.py:74-99)."""
     parts = F.split(file, "/")
     name = F.element_at(parts, -1)
     parsed = parse_odim_filename(name)

@@ -50,6 +50,20 @@ def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     where it's trivial (small inputs).
     """
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    if _plan_num_partitions(df) >= target:
         return df
     return df.repartition(target)
+
+
+def _plan_num_partitions(df: DataFrame) -> int:
+    """Partition count of the physical plan, read JVM-side.
+
+    ``df.rdd.getNumPartitions()`` builds the whole Python-RDD conversion
+    (plan → JVM RDD → Python serializer wrapper) on every call; asking the
+    executed plan directly skips the Python wrapper and launches no job.
+    Internal API — falls back to the public route if it ever moves.
+    """
+    try:
+        return int(df._jdf.queryExecution().executedPlan().execute().getNumPartitions())
+    except Exception:
+        return df.rdd.getNumPartitions()

@@ -24,6 +24,7 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 25,
+    strict: bool = False,
 ) -> DataFrame:
     """Resolve connected components of an undirected graph.
 
@@ -31,11 +32,17 @@ def connected_components(
     ----------
     edges : DataFrame with two integral id columns (``src``, ``dst``).
     max_iter : safety bound; propagation stops at the first fixpoint.
+    strict : when True, raise if ``max_iter`` is exhausted before the
+        fixpoint; when False, emit a ``RuntimeWarning`` and return the
+        partial labels. Unconverged labels are WRONG clusters (a long chain
+        longer than ``max_iter`` hops has not finished merging) — never
+        consume them silently.
 
     Returns (node: long, component: long) where ``component`` is the minimum
     node id reachable from ``node``. Isolated nodes (no edges) are not
     emitted — callers union them back if singleton clusters matter.
     """
+    import warnings
     e = edges.select(
         F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
     )
@@ -74,6 +81,15 @@ def connected_components(
         labels = merged.select("node", "label")
         if changed == 0:
             break
+    else:
+        msg = (
+            f"connected_components did not converge within max_iter={max_iter} "
+            f"({changed} labels still changing); returned components are "
+            "incomplete merges — raise max_iter (rounds needed ≈ graph diameter)"
+        )
+        if strict:
+            raise RuntimeError(msg)
+        warnings.warn(msg, RuntimeWarning, stacklevel=2)
     return labels.select("node", F.col("label").alias("component"))
 
 

@@ -252,6 +252,7 @@ def knn_ivf(
     nprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """Approximate top-k via IVF: index side keeps its home cell, query side
     probes its `nprobe` nearest cells, exact cosine within the probed subset.
@@ -260,6 +261,11 @@ def knn_ivf(
     cross product — candidate count drops by ~n_cells/nprobe. Returns
     (q_id, n_id, cosine, rnk) like `knn_bruteforce` (recall < 1 by design:
     neighbors whose home cell is outside the probe set are missed).
+
+    `broadcast_queries=True` ships the (nprobe×-exploded) query side to every
+    executor — right for interactive query sets, an OOM for a large offline
+    batch of queries; pass False there and the join falls back to a shuffle
+    hash join on the cell id.
     """
     from pyspark.sql import Window
 
@@ -278,9 +284,9 @@ def knn_ivf(
             F.explode("cells").alias("cell"),
         )
     )
-    pairs = idx.join(F.broadcast(probe), "cell").filter(
-        F.col("q_id") != F.col("n_id")
-    )
+    pairs = idx.join(
+        F.broadcast(probe) if broadcast_queries else probe, "cell"
+    ).filter(F.col("q_id") != F.col("n_id"))
     cos = dot(F.col("q_vec"), F.col("n_vec")) / (F.col("q_norm") * F.col("n_norm"))
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id"))
     return (
@@ -383,6 +389,7 @@ def knn_ivf_rerank(
     rerank: int = 20,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """IVF + coarse-score shortlist + exact re-rank — the full approximate
     search composition (IVF-PQ shape: at production scale the shortlist
@@ -418,7 +425,7 @@ def knn_ivf_rerank(
     )
     cos = dot(F.col("q_vec"), F.col("n_vec")) / (F.col("q_norm") * F.col("n_norm"))
     short = (
-        idx.join(F.broadcast(probe), "cell")
+        idx.join(F.broadcast(probe) if broadcast_queries else probe, "cell")
         .filter(F.col("q_id") != F.col("n_id"))
         .withColumn("cos", cos)
         .withColumn("srnk", F.row_number().over(shortlist_w))

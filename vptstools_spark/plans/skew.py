@@ -13,11 +13,29 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _row_salt(df: DataFrame, salt_buckets: int, salt_col: str | None = None) -> Column:
+    """Deterministic per-row salt in [0, salt_buckets).
+
+    `F.rand()` is non-deterministic: on shuffle-fetch failure or speculative
+    re-execution a recomputed map task assigns DIFFERENT salts than the
+    outputs some reducers already consumed, duplicating or dropping rows —
+    the classic nondeterministic-repartition hazard, in exactly the at-scale
+    regime these helpers target. A content hash recomputes identically on
+    retry. Caveat: rows that are bit-identical across ALL columns land in the
+    same bucket, so salting cannot spread exact full-row duplicates — pass
+    `salt_col` naming a unique id column when the hot key's rows are
+    duplicates of each other.
+    """
+    src = [F.col(salt_col)] if salt_col else [F.col(c) for c in df.columns]
+    return F.pmod(F.xxhash64(*src), F.lit(salt_buckets)).cast("int")
+
+
 def salted_agg(
     df: DataFrame,
     keys: list[str],
     aggs: dict[str, tuple[str, str]],
     salt_buckets: int = 16,
+    salt_col: str | None = None,
 ) -> DataFrame:
     """Two-phase salted aggregation.
 
@@ -28,7 +46,7 @@ def salted_agg(
     |keys| × salt_buckets rows).
     """
     merge_fn = {"count": "sum", "sum": "sum", "min": "min", "max": "max"}
-    salted = df.withColumn("__salt", (F.rand(seed=7) * salt_buckets).cast("int"))
+    salted = df.withColumn("__salt", _row_salt(df, salt_buckets, salt_col))
     phase1 = salted.groupBy(*keys, "__salt").agg(
         *[
             (F.count("*") if fn == "count" else getattr(F, fn)(col)).alias(out)
@@ -50,6 +68,7 @@ def salted_join(
     on: str,
     salt_buckets: int = 16,
     how: str = "inner",
+    salt_col: str | None = None,
 ) -> DataFrame:
     """Skew-join for the regime AQE can't fix: one hot key dominates the
     SKEWED side and `other` is too big to broadcast whole but small enough
@@ -61,8 +80,7 @@ def salted_join(
     Semantics identical to `skewed.join(other, on, how)` for inner/left
     joins (each skewed row matches exactly its original matches once).
     """
-    salt = (F.rand(seed=42) * salt_buckets).cast("int")
-    s = skewed.withColumn("__salt", salt)
+    s = skewed.withColumn("__salt", _row_salt(skewed, salt_buckets, salt_col))
     o = other.withColumn(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))
     )

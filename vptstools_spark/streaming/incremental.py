@@ -25,6 +25,16 @@ from pyspark.sql.streaming import StreamingQuery
 from vptstools_spark.schemas import profile_long_schema
 
 
+def _hadoop_path_exists(spark: SparkSession, path: str) -> bool:
+    """True iff `path` exists on whatever Hadoop filesystem backs it
+    (local, HDFS, s3a, ...). Distinguishes "table not created yet" from
+    transient read failures, which must propagate."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(jpath))
+
+
 def stream_profiles(
     spark: SparkSession,
     input_path: str,
@@ -286,13 +296,18 @@ def incremental_rollup_sink(
             .agg(F.count("*").alias("n_events"), F.sum("value").alias("total_value"))
         )
         days = [r["p_day"] for r in delta.select("p_day").distinct().collect()]
-        try:
+        # Existence is checked explicitly (Hadoop FS, so it works on any
+        # supported store) instead of catching a broad exception from the
+        # read: a transient listing/permission/corruption error must FAIL the
+        # batch, not masquerade as "first batch" and silently overwrite the
+        # touched day partitions with delta-only aggregates.
+        if _hadoop_path_exists(spark, output_path):
             prev = spark.read.parquet(output_path).filter(F.col("p_day").isin(days))
             applied = {
                 r["p_day"]: r["bid"]
                 for r in prev.groupBy("p_day").agg(F.max("_batch_id").alias("bid")).collect()
             }
-        except Exception:  # first batch: no table yet
+        else:  # first batch: no table yet
             prev, applied = None, {}
         todo = [d for d in days if applied.get(d, -1) < batch_id]
         if not todo:
@@ -311,9 +326,16 @@ def incremental_rollup_sink(
             )
         else:
             merged = delta
+        # Materialize the merge BEFORE the overwrite: `merged` reads the same
+        # path it is about to rewrite. Rename-based committers make that safe
+        # on local/HDFS, but direct-commit object-store committers can start
+        # replacing files while the read is still listing them —
+        # localCheckpoint severs the read-modify-write cycle either way.
+        merged = merged.withColumn("_batch_id", F.lit(batch_id)).localCheckpoint(
+            eager=True
+        )
         (
-            merged.withColumn("_batch_id", F.lit(batch_id))
-            .repartition("p_day")
+            merged.repartition("p_day")
             .write.mode("overwrite")
             .partitionBy("p_day")
             .parquet(output_path)
