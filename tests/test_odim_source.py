@@ -58,5 +58,10 @@ def test_parse_source_identifiers():
     assert got["WMO"] == "06477"
 
 
-def test_parse_odim_bytes_requires_h5py():
-    pytest.importorskip("h5py", reason="only meaningful where h5py exists")
+def test_parse_odim_bytes_runs_without_h5py():
+    # the pure-Python HDF5 fallback (sources/hdf5.py) makes the byte path
+    # available even where h5py is absent — real-file coverage lives in
+    # tests/test_hdf5_e2e.py
+    import vptstools_spark.sources.hdf5 as h5mod
+
+    assert hasattr(h5mod, "H5File")

@@ -11,9 +11,11 @@ via files.maxPartitionBytes, which solves the small-file problem at 100 TB
 scale) → Arrow-batched ``mapInPandas`` parse, one input file-row → N typed
 long-format rows (the engine's one real UDTF, SURVEY §2.9).
 
-h5py is not available in this container: the h5py call sites are
-import-gated; the decode semantics (gain/offset → dtype cast → sentinel
-compare, reference vpts.py:48-66) are pure functions tested without HDF5.
+The HDF5 byte layer prefers h5py when installed and otherwise uses the
+bundled pure-Python reader (sources/hdf5.py — public HDF5 format spec, no
+native deps), so the real ``.h5`` → VPTS path runs in any container; the
+decode semantics (gain/offset → dtype cast → sentinel compare, reference
+vpts.py:48-66) are pure functions tested independently of either backend.
 """
 
 from __future__ import annotations
@@ -81,22 +83,44 @@ def _parse_source_identifiers(source: str) -> dict[str, str]:
     return dict(item.split(":", 1) for item in source.split(",") if ":" in item)
 
 
+class _H5Handle:
+    """Context-manager wrapper so h5py.File and the pure reader share a
+    ``with`` shape (the pure reader holds no OS resources to release)."""
+
+    def __init__(self, h5):
+        self._h5 = h5
+
+    def __enter__(self):
+        return self._h5
+
+    def __exit__(self, *exc):
+        return False
+
+
+def _open_h5(content: bytes):
+    """Open ODIM bytes with h5py when present, else the bundled pure-Python
+    reader. Both expose the subset used here: ``[path]``, ``.attrs``,
+    ``.keys()``, ``in``, ``dataset[()]``, ``dataset.dtype``."""
+    try:
+        import h5py  # noqa: PLC0415 — executor-side optional dependency
+
+        return h5py.File(io.BytesIO(content), "r")
+    except ImportError:
+        from vptstools_spark.sources.hdf5 import H5File  # noqa: PLC0415
+
+        return _H5Handle(H5File(content))
+
+
 def parse_odim_bytes(name: str, content: bytes, source_file: str | None = None) -> list[dict]:
     """Parse one ODIM HDF5 VP file (as bytes) into long-format row dicts.
 
     Mirrors reference BirdProfile.from_odim + to_vp explode
     (src/vptstools/vpts.py:138-177) but emits typed cells + state flags
-    instead of an all-string frame. Requires h5py at runtime.
+    instead of an all-string frame. Uses h5py when installed; otherwise the
+    bundled pure-Python HDF5 reader (sources/hdf5.py) — same subset API, so
+    the byte path runs everywhere.
     """
-    try:
-        import h5py  # noqa: PLC0415 — executor-side optional dependency
-    except ImportError as exc:  # pragma: no cover - depends on environment
-        raise ImportError(
-            "h5py is required to parse ODIM HDF5 files; install it on the "
-            "executors or use profiles_from_records() for pre-decoded input"
-        ) from exc
-
-    with h5py.File(io.BytesIO(content), "r") as hdf5:
+    with _open_h5(content) as hdf5:
         for group in ("what", "where", "how"):
             if group not in hdf5:
                 raise InvalidSourceODIM(f"No {group} group in ODIM file {name}")
