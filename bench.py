@@ -43,6 +43,7 @@ HEADLINE = [
     "lone_late_supplier",
     "moving_avg_range",
     "dedup_ngram_jaccard",
+    "dedup_lsh_verified",
     "dedup_minhash_lsh",
     "dedup_clusters",
     "dedup_embedding",
@@ -90,6 +91,20 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
 
+    # tier 2: single-pass FULL sweep at sf0.01 — regression tracking for the
+    # ~50 queries outside the headline set (round-over-round comparability,
+    # not absolute throughput; one run each keeps the sweep under a minute)
+    sweep_dir = os.environ.get("SPARK_GRAFT_SWEEP_DIR", "/root/testdata/sf0.01")
+    sweep: dict[str, float] = {}
+    if os.path.isdir(sweep_dir):
+        for name, fn in queries.items():
+            t0 = time.perf_counter()
+            try:
+                fn(spark, sweep_dir).count()
+                sweep[name] = round(time.perf_counter() - t0, 3)
+            except Exception:
+                sweep[name] = -1.0  # visible failure marker, never silent
+
     print(
         json.dumps(
             {
@@ -98,6 +113,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "full_sweep_sf": 0.01,
+                "full_sweep_total": round(sum(t for t in sweep.values() if t > 0), 3),
+                "full_sweep": sweep,
             }
         )
     )

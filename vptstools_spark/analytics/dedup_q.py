@@ -12,6 +12,7 @@ from vptstools_spark.io import fan_out, table
 from vptstools_spark.operators.dedup import (
     exact_dedup_stats,
     jaccard_pairs,
+    jaccard_verify,
     lsh_candidates,
     minhash_signatures,
     shingles,
@@ -37,6 +38,18 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     sh = shingles(fan_out(table(spark, sf, "documents")), k=3)
     sigs = minhash_signatures(sh, NUM_HASHES)
     return lsh_candidates(sigs, NUM_HASHES, ROWS_PER_BAND)
+
+
+def q_dedup_lsh_verified(spark: SparkSession, sf: str) -> DataFrame:
+    """The corpus-scale near-dup default: MinHash-LSH candidate generation →
+    exact Jaccard verification on the candidate pairs ONLY. The quadratic
+    verify cost of `dedup_ngram_jaccard` shrinks to the LSH candidate count;
+    recall is bounded by banding (pairs missed by every band are missed
+    here — the measured scale/recall trade)."""
+    sh = shingles(fan_out(table(spark, sf, "documents")), k=3)
+    sigs = minhash_signatures(sh, NUM_HASHES)
+    cands = lsh_candidates(sigs, NUM_HASHES, ROWS_PER_BAND)
+    return jaccard_verify(sh, cands, threshold=0.8)
 
 
 def q_dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
@@ -185,6 +198,7 @@ QUERIES = {
     "dedup_canonical": q_dedup_canonical,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_lsh_verified": q_dedup_lsh_verified,
     "dedup_simhash": q_dedup_simhash,
     "dedup_embedding": q_dedup_embedding,
     "dedup_clusters": q_dedup_clusters,
@@ -236,6 +250,29 @@ ORACLES = {
         WHERE CAST(c AS DOUBLE) / (x.n + y.n - c) >= 0.8
     """,
     "dedup_minhash_lsh": _minhash_sql(),
+    "dedup_lsh_verified": f"""
+        WITH {_bands_cte_body()},
+        cand AS (
+            SELECT a.id AS doc_a, b.id AS doc_b
+            FROM bands a
+            JOIN bands b ON a.band_id = b.band_id AND a.bh = b.bh AND a.id < b.id
+            GROUP BY 1, 2
+        ),
+        sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        common AS (
+            SELECT c.doc_a, c.doc_b, COUNT(*) AS c
+            FROM cand c
+            JOIN sh a ON a.doc_id = c.doc_a
+            JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+            GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b,
+               ROUND(CAST(c AS DOUBLE) / (x.n + y.n - c), 4) AS jaccard
+        FROM common
+        JOIN sz x ON x.doc_id = doc_a
+        JOIN sz y ON y.doc_id = doc_b
+        WHERE CAST(c AS DOUBLE) / (x.n + y.n - c) >= 0.8
+    """,
     "dedup_clusters": _clusters_sql(),
     "dedup_simhash": _simhash_sql(),
     "dedup_embedding": """

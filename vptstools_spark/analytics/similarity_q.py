@@ -71,8 +71,9 @@ def q_ann_ivf_rerank(spark: SparkSession, sf: str) -> DataFrame:
 def q_ann_kmeans_cells(spark: SparkSession, sf: str) -> DataFrame:
     """Trained IVF index build: spherical k-means (k=8, 2 Lloyd rounds) over
     the corpus, then the cell histogram of the resulting inverted index.
-    Iterative — not SQL-expressible, so the driver records a rows-only
-    check; the operator itself is unit-tested on known geometry
+    Deterministic (fixed first-k init + fixed round count), so it has a full
+    value oracle: the Lloyd rounds unrolled as chained SQL CTEs; the
+    operator is also unit-tested on known geometry
     (tests/test_similarity.py::test_kmeans_fit_separates_clusters)."""
     emb = fan_out(table(spark, sf, "embeddings"))
     cents = kmeans_fit(emb, k=8, iters=2)
@@ -266,3 +267,75 @@ ORACLES = {
 # the re-rank composition with a full-width shortlist is defined to equal
 # knn_ivf — assert that equality against the same SQL
 ORACLES["ann_ivf_rerank"] = ORACLES["ann_ivf"]
+
+# Lloyd's algorithm with FIXED init (first k vectors by vec_id) and a fixed
+# round count is a deterministic function of the data, so even "iterative
+# k-means" has a value oracle: each round is one assignment (argmax cosine,
+# ties to the larger cell id — sort_array on (c, j) structs sorts both
+# fields descending) + one per-dimension AVG, chained as CTEs. Empty cells
+# keep their previous centroid (COALESCE against the prior round).
+_KM_K = 8
+
+
+def _km_assign(e: str, cents: str, out: str) -> str:
+    """One Lloyd assignment round as SQL text: vectors `e` × centroids
+    `cents` (j, i, cv) → `{out}` (vec_id, j) by argmax cosine."""
+    return f"""
+        {out}_cn AS (SELECT j, sqrt(SUM(cv * cv)) AS cn FROM {cents} GROUP BY j),
+        {out}_d AS (
+            SELECT e.vec_id, c.j, SUM(e.v * c.cv) AS d
+            FROM {e} e JOIN {cents} c ON e.i = c.i
+            GROUP BY 1, 2
+        ),
+        {out}_r AS (
+            SELECT d.vec_id, d.j,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY d.vec_id
+                       ORDER BY d.d / (n.n * cn.cn) DESC, d.j DESC
+                   ) AS rn
+            FROM {out}_d d
+            JOIN nrm n ON n.vec_id = d.vec_id
+            JOIN {out}_cn cn ON cn.j = d.j
+        ),
+        {out} AS (SELECT vec_id, j FROM {out}_r WHERE rn = 1)
+    """
+
+
+def _km_update(e: str, assign: str, prev: str, out: str) -> str:
+    """One Lloyd update round as SQL text: per-(cell, dim) mean of assigned
+    vectors; cells with no members keep the `prev` centroid."""
+    return f"""
+        {out}_m AS (
+            SELECT a.j, e.i, AVG(e.v) AS cv
+            FROM {assign} a JOIN {e} e ON e.vec_id = a.vec_id
+            GROUP BY 1, 2
+        ),
+        {out} AS (
+            SELECT p.j, p.i, COALESCE(m.cv, p.cv) AS cv
+            FROM {prev} p LEFT JOIN {out}_m m ON m.j = p.j AND m.i = p.i
+        )
+    """
+
+
+ORACLES["ann_kmeans_cells"] = f"""
+    WITH e AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+               CAST(unnest(embedding) AS DOUBLE) AS v
+        FROM embeddings
+    ),
+    nrm AS (SELECT vec_id, sqrt(SUM(v * v)) AS n FROM e GROUP BY vec_id),
+    init_ids AS (
+        SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS j
+        FROM (SELECT DISTINCT vec_id FROM e ORDER BY vec_id LIMIT {_KM_K})
+    ),
+    c0 AS (
+        SELECT init_ids.j, e.i, e.v AS cv
+        FROM init_ids JOIN e ON e.vec_id = init_ids.vec_id
+    ),
+    {_km_assign('e', 'c0', 'a1')},
+    {_km_update('e', 'a1', 'c0', 'c1')},
+    {_km_assign('e', 'c1', 'a2')},
+    {_km_update('e', 'a2', 'c1', 'c2')},
+    {_km_assign('e', 'c2', 'a3')}
+    SELECT j AS cell, COUNT(*) AS n_vectors FROM a3 GROUP BY j
+"""

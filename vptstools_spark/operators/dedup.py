@@ -183,6 +183,56 @@ def lsh_candidates(sigs: DataFrame, num_hashes: int = 8, rows_per_band: int = 2)
     )
 
 
+def jaccard_verify(sh: DataFrame, pairs: DataFrame, threshold: float = 0.8) -> DataFrame:
+    """Exact Jaccard on a CANDIDATE pair list — the verify stage of the
+    LSH→verify composition (module docstring; the corpus-scale default).
+
+    Candidates are a tiny fraction of all pairs, so the quadratic shingle
+    self-join of `jaccard_pairs` collapses to: semi-join shingles down to
+    docs that appear in any candidate pair (broadcast — the candidate id
+    set is small by construction), then an equi-join on shingle hash
+    RESTRICTED to candidate pairs. Cost scales with candidate count, not
+    corpus size².
+    """
+    from pyspark import StorageLevel
+
+    p = pairs.select("doc_a", "doc_b")
+    ids = (
+        p.select(F.col("doc_a").alias("id"))
+        .unionByName(p.select(F.col("doc_b").alias("id")))
+        .distinct()
+    )
+    hashed = (
+        sh.select("id", F.xxhash64("shingle").alias("sh"))
+        .join(F.broadcast(ids), "id", "left_semi")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    sizes = hashed.groupBy("id").agg(F.count("*").alias("n"))
+    # restricted common-shingle count: expand each pair by doc_a's shingles,
+    # then an explicit equi-join on (doc_b, shingle-hash) keeps only the
+    # shingles both docs share — no post-join filter, the pair restriction
+    # IS the join key
+    a = hashed.withColumnsRenamed({"id": "doc_a"})
+    b = hashed.withColumnsRenamed({"id": "doc_b"})
+    common = (
+        p.join(a, "doc_a")
+        .join(b, ["doc_b", "sh"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("c"))
+    )
+    jac = (
+        common.join(F.broadcast(sizes.withColumnsRenamed({"id": "doc_a", "n": "na"})), "doc_a")
+        .join(F.broadcast(sizes.withColumnsRenamed({"id": "doc_b", "n": "nb"})), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("c").cast("double") / (F.col("na") + F.col("nb") - F.col("c")),
+        )
+    )
+    return jac.filter(F.col("jaccard") >= threshold).select(
+        "doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard")
+    )
+
+
 def simhash16(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """16-dimensional SimHash over md5 hex digits of tokens (with term
     frequency): dimension d sums (hexdigit_d(md5(token)) − 7.5) over all
