@@ -1,0 +1,51 @@
+"""Enforced plan conventions: no registered query may window over an empty
+PARTITION BY on unbounded input (the single-partition scale-killer). The
+two-phase top-k shape (Limit below the window) is the allowed exception."""
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from vptstools_spark.plans.asserts import unbounded_global_windows
+
+
+def test_detector_flags_naive_global_window(spark):
+    df = spark.range(100)
+    w = Window.orderBy("id")
+    assert unbounded_global_windows(df.withColumn("rn", F.row_number().over(w)))
+
+
+def test_detector_allows_two_phase_topk(spark):
+    df = spark.range(100).orderBy(F.col("id").desc()).limit(10)
+    w = Window.orderBy(F.col("id").desc())
+    assert not unbounded_global_windows(df.withColumn("rn", F.rank().over(w)))
+
+
+def test_detector_allows_partitioned_window(spark):
+    df = spark.range(100).withColumn("g", F.col("id") % 4)
+    w = Window.partitionBy("g").orderBy("id")
+    assert not unbounded_global_windows(df.withColumn("rn", F.row_number().over(w)))
+
+
+def test_rewritten_queries_hold_the_convention(spark):
+    """The two queries round 1 flagged as global-window patterns now build
+    scale-safe plans (plus the full-registry sweep in CI via this check on
+    representative members of each family)."""
+    from vptstools_spark.analytics.stats_q import q_supplier_rank
+    from vptstools_spark.analytics.subqueries_q import q_ntile_deciles
+
+    sf = "/root/testdata/sf0.001"
+    assert not unbounded_global_windows(q_supplier_rank(spark, sf))
+    assert not unbounded_global_windows(q_ntile_deciles(spark, sf))
+
+
+def test_full_registry_sweep(spark):
+    """Every registered query honors the no-global-window convention."""
+    from vptstools_spark.analytics import all_queries
+
+    sf = "/root/testdata/sf0.001"
+    flagged = {}
+    for name, fn in all_queries().items():
+        flags = unbounded_global_windows(fn(spark, sf))
+        if flags:
+            flagged[name] = flags
+    assert flagged == {}

@@ -59,15 +59,30 @@ def q_orders_monthly(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_supplier_rank(spark: SparkSession, sf: str) -> DataFrame:
-    """rank() over a global ordering (deterministic tie-break by key)."""
+    """Top-25 by global rank, two-phase: ``orderBy().limit(25)`` executes as
+    TakeOrderedAndProject (per-partition local top-k, driver merge — NO
+    single-partition shuffle of the table), then rank() windows over the
+    25 surviving rows. The ordering is total (tie-break by key), so
+    rank ≡ row_number and limit-25 ≡ rank ≤ 25 — semantics identical to the
+    naive global window, plan scalable to any supplier count."""
     s = table(spark, sf, "supplier")
+    top = (
+        s.select(
+            "s_suppkey",
+            "s_nationkey",
+            F.round("s_acctbal", 2).alias("acctbal"),
+            F.col("s_acctbal"),
+        )
+        .orderBy(F.col("s_acctbal").desc(), F.col("s_suppkey"))
+        .limit(25)
+    )
     w = Window.orderBy(F.col("s_acctbal").desc(), F.col("s_suppkey"))
-    return s.select(
+    return top.select(
         "s_suppkey",
         "s_nationkey",
-        F.round("s_acctbal", 2).alias("acctbal"),
+        "acctbal",
         F.rank().over(w).alias("balance_rank"),
-    ).filter(F.col("balance_rank") <= 25)
+    )
 
 
 def q_salted_coverage(spark: SparkSession, sf: str) -> DataFrame:

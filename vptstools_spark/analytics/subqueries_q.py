@@ -175,14 +175,21 @@ def q_moving_avg_range(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_ntile_deciles(spark: SparkSession, sf: str) -> DataFrame:
-    """NTILE decile summary of order totals. A global NTILE needs a total
-    order (single-partition window) — acceptable for reporting-sized output;
-    at 100 TB use approx quantiles (`quantiles_price`) instead. Tie-broken
-    by key so the decile assignment is deterministic."""
-    o = table(spark, sf, "orders")
-    w = Window.orderBy("o_totalprice", "o_orderkey")
+    """NTILE decile summary WITHOUT the single-partition global window:
+    global row numbers come from `distributed_row_number` (range repartition
+    on the sort keys → per-partition local ranking → prefix offsets), and
+    `ntile_expr` applies SQL's exact NTILE bucket-size rule to (rn, n).
+    Tie-broken by key so the decile assignment is deterministic; result is
+    bit-identical to NTILE(10) OVER (ORDER BY ...) at any scale."""
+    from vptstools_spark.plans.ranking import distributed_row_number, ntile_expr
+
+    o = table(spark, sf, "orders").select("o_totalprice", "o_orderkey")
+    ranked = distributed_row_number(o, ["o_totalprice", "o_orderkey"])
+    n = ranked.count()  # served from the persisted census pass
     return (
-        o.select(F.ntile(10).over(w).alias("decile"), "o_totalprice")
+        ranked.select(
+            ntile_expr(F.col("_rn"), n, 10).alias("decile"), "o_totalprice"
+        )
         .groupBy("decile")
         .agg(
             F.count("*").alias("n_orders"),

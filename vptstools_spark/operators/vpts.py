@@ -177,21 +177,33 @@ def vpts_to_csv(df: DataFrame, path: str, single_file: bool = True, gzip: bool =
 
 
 def validate_vpts(df: DataFrame, vpts_csv_version: str = "v1.0") -> DataFrame:
-    """Schema-conformance check K5 re-expressed as Spark constraints
-    (reference delegates to frictionless, src/vptstools/vpts.py:297-317).
+    """Schema-conformance check K5: the FULL VPTS CSV v1.0 Table Schema
+    re-expressed as Spark constraints (reference delegates to frictionless
+    against the published vpts-csv v1.0 schema, src/vptstools/vpts.py:297-343;
+    rules encoded in schemas.V1_FIELD_RULES).
 
-    Returns a DataFrame of (rule, n_violations); empty ⇒ valid. Runs as one
-    aggregate over the data — no driver-side collect.
+    Per column: required / type (number, strictly-integral integer,
+    TRUE/FALSE boolean, ISO-8601 datetime) / range (dd∈[0,360],
+    lat∈[-90,90], lon∈[-180,180], non-negative counts and magnitudes), with
+    tri-state missing cells ("" everywhere, "NaN" on measurement columns
+    only) exempt — mirroring the schema's missingValues. File sort order is
+    a separate check (`validate_vpts_order`) because a DataFrame carries no
+    row order.
+
+    Returns a DataFrame of (rule, n_violations); empty ⇒ valid. All rules
+    evaluate in ONE aggregate pass over the data — no driver-side collect,
+    no per-rule scans.
     """
+    from vptstools_spark.schemas import V1_FIELD_RULES
+
     spec = get_vpts_version(vpts_csv_version)
+    measurements = set(spec.measurement_columns)
     checks: list[tuple[str, Column]] = [
         ("columns_present", F.lit(0) if set(spec.columns) <= set(df.columns) else F.lit(1)),
-        ("radar_not_null", (F.col("radar").isNull() | (F.col("radar") == "")).cast("int")),
         (
             "datetime_iso8601",
             (~F.col("datetime").rlike(r"^\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}Z$")).cast("int"),
         ),
-        ("height_int", F.col("height").cast("int").isNull().cast("int")),
         (
             "gap_bool",
             (~(F.col("gap").isin("TRUE", "FALSE") | F.col("gap").isNull())).cast("int"),
@@ -206,6 +218,46 @@ def validate_vpts(df: DataFrame, vpts_csv_version: str = "v1.0") -> DataFrame:
             ).cast("int"),
         ),
     ]
+    for name, (kind, required, lo, hi) in V1_FIELD_RULES.items():
+        if name not in df.columns:
+            continue
+        col = F.col(name)
+        # tri-state missingness: "" (nodata) everywhere; "NaN" (undetect)
+        # only on measurement columns — elsewhere a literal NaN is a type
+        # violation, which the cast checks below surface
+        missing = col.isNull() | (col == "")
+        if name in measurements:
+            missing = missing | (col == "NaN")
+        if required:
+            checks.append((f"{name}_required", missing.cast("int")))
+        if kind in ("number", "integer"):
+            # try_cast, not cast: ANSI mode (Spark 4 default) aborts the job
+            # on the first malformed cell — the validator must COUNT them
+            typ = "int" if kind == "integer" else "double"
+            bad_type = ~missing & col.try_cast(typ).isNull()
+            if kind == "integer":
+                # 12.5 casts to int fine in Spark (truncates) — reject
+                # non-integral text explicitly
+                bad_type = bad_type | (~missing & ~col.rlike(r"^-?\d+$"))
+            else:
+                # try_cast parses literal "NaN"/"Infinity" as doubles; on a
+                # NON-measurement column those are type violations (the
+                # schema's NaN missing-value applies to measurements only)
+                bad_type = bad_type | (~missing & F.isnan(col.try_cast("double")))
+            checks.append((f"{name}_type", bad_type.cast("int")))
+            if lo is not None or hi is not None:
+                v = col.try_cast("double")
+                in_range = F.lit(True)
+                if lo is not None:
+                    in_range = in_range & (v >= F.lit(float(lo)))
+                if hi is not None:
+                    in_range = in_range & (v <= F.lit(float(hi)))
+                checks.append(
+                    (
+                        f"{name}_range",
+                        (~missing & v.isNotNull() & ~F.isnan(v) & ~in_range).cast("int"),
+                    )
+                )
     agg = df.agg(
         *[F.sum(expr).alias(name) for name, expr in checks]
     )
@@ -216,3 +268,31 @@ def validate_vpts(df: DataFrame, vpts_csv_version: str = "v1.0") -> DataFrame:
         )
     )
     return long.filter(F.col("n_violations") > 0)
+
+
+def validate_vpts_order(df: DataFrame, vpts_csv_version: str = "v1.0") -> int:
+    """Sort-order rule of the v1.0 schema: rows ordered by (radar, datetime,
+    height::int, source_file). Returns the count of adjacent inversions in
+    the DataFrame's current row order (0 ⇒ sorted).
+
+    Row order is taken from ``monotonically_increasing_id`` — faithful to
+    file order for CSV reads (partition ids follow file offsets). The check
+    windows over that id globally; that is acceptable because validation
+    targets individual published VPTS files (file-scale), not the fact
+    table — for whole-lake audits, run per file via input_file_name
+    partitioning.
+    """
+    from pyspark.sql import Window
+
+    spec = get_vpts_version(vpts_csv_version)
+    key = F.struct(
+        *[
+            F.col(name).cast("int").alias(name) if typ == "int" else F.col(name)
+            for name, typ in spec.sort
+        ]
+    )
+    w = Window.orderBy(F.monotonically_increasing_id())
+    flagged = df.select(key.alias("_k")).withColumn(
+        "_bad", (F.lag("_k").over(w) > F.col("_k")).cast("int")
+    )
+    return flagged.agg(F.sum("_bad")).first()[0] or 0

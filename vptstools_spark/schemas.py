@@ -122,6 +122,42 @@ VPTS_CSV_V1 = VptsCsvSpec(
     source_file_regex=r"^(?=^[^.\/~])(^((?!\.{2}).)*$).*$",
 )
 
+#: Per-field validation rules of the VPTS CSV v1.0 Table Schema
+#: (reference round-trips these through frictionless against the published
+#: vpts-csv v1.0 table schema, src/vptstools/vpts.py:297-343; encoded here
+#: as (kind, required, min, max) so validation runs as ONE Spark aggregate).
+#: kind ∈ {string, datetime, integer, number, boolean}. Tri-state missing
+#: values ("" nodata everywhere, "NaN" undetect on measurement columns) are
+#: exempt from type/range rules, mirroring the schema's missingValues.
+V1_FIELD_RULES: dict[str, tuple[str, bool, float | None, float | None]] = {
+    "radar": ("string", True, None, None),
+    "datetime": ("datetime", True, None, None),
+    "height": ("integer", True, 0, None),
+    "u": ("number", False, None, None),
+    "v": ("number", False, None, None),
+    "w": ("number", False, None, None),
+    "ff": ("number", False, 0, None),
+    "dd": ("number", False, 0, 360),
+    "sd_vvp": ("number", False, 0, None),
+    "gap": ("boolean", False, None, None),
+    "eta": ("number", False, 0, None),
+    "dens": ("number", False, 0, None),
+    "dbz": ("number", False, None, None),
+    "dbz_all": ("number", False, None, None),
+    "n": ("integer", False, 0, None),
+    "n_dbz": ("integer", False, 0, None),
+    "n_all": ("integer", False, 0, None),
+    "n_dbz_all": ("integer", False, 0, None),
+    "rcs": ("number", False, 0, None),
+    "sd_vvp_threshold": ("number", False, 0, None),
+    "vcp": ("integer", False, None, None),
+    "radar_latitude": ("number", False, -90, 90),
+    "radar_longitude": ("number", False, -180, 180),
+    "radar_height": ("integer", False, None, None),
+    "radar_wavelength": ("number", False, 0, None),
+    "source_file": ("string", False, None, None),
+}
+
 _VERSIONS: dict[str, VptsCsvSpec] = {"v1.0": VPTS_CSV_V1, "v1": VPTS_CSV_V1}
 
 
