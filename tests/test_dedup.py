@@ -3,8 +3,10 @@
 from pyspark.sql import functions as F
 
 from vptstools_spark.operators.dedup import (
+    duplicate_spans,
     exact_dedup_stats,
     jaccard_pairs,
+    jaccard_verify,
     lsh_candidates,
     minhash_signatures,
     shingles,
@@ -66,3 +68,39 @@ def test_simhash_deterministic_and_near(spark):
     ham01 = sum(a != b for a, b in zip(sigs[0], sigs[1]))
     ham02 = sum(a != b for a, b in zip(sigs[0], sigs[2]))
     assert ham01 <= ham02  # near-dup at least as close as unrelated doc
+
+
+def test_duplicate_spans_counts(spark):
+    # k=4 over doc 0's 6 windows: doc 1 shares windows 1-5 (diverges at
+    # "...dog"→"...cat"), doc 3 shares windows 2-6 (its window 1 carries the
+    # cased "The"), so 6 spans have df>1 across docs {0,1,3}; doc 4 is
+    # shorter than k and contributes nothing
+    row = duplicate_spans(_docs(spark), k=4).collect()[0]
+    assert row["n_dup_spans"] == 6
+    assert row["n_affected_docs"] == 3
+    # distinct: doc0 6, doc1 adds its cat-window, doc3 adds its The-window,
+    # doc2 adds 3 from its 6 tokens
+    assert row["n_distinct_spans"] == 11
+
+
+def test_duplicate_spans_short_docs_are_empty(spark):
+    df = spark.createDataFrame([(0, "a b c"), (1, "a b c")], "doc_id long, text string")
+    row = duplicate_spans(df, k=8).collect()[0]
+    assert (row["n_distinct_spans"], row["n_dup_spans"], row["n_affected_docs"]) == (0, 0, 0)
+
+
+def test_jaccard_verify_matches_exact_on_candidates(spark):
+    sh = shingles(_docs(spark), k=3)
+    sigs = minhash_signatures(sh, 8)
+    cands = lsh_candidates(sigs, 8, 2)
+    verified = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in jaccard_verify(sh, cands, threshold=0.0).collect()
+    }
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in jaccard_pairs(sh, threshold=0.0).collect()
+    }
+    # every verified candidate's jaccard equals the exact pairwise value
+    for pair, j in verified.items():
+        assert exact[pair] == j

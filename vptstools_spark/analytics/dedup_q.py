@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 
 from vptstools_spark.io import fan_out, table
 from vptstools_spark.operators.dedup import (
+    duplicate_spans,
     exact_dedup_stats,
     jaccard_pairs,
     jaccard_verify,
@@ -55,6 +56,12 @@ def q_dedup_lsh_verified(spark: SparkSession, sf: str) -> DataFrame:
 def q_dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     d = table(spark, sf, "documents").filter(F.col("doc_id") < 100)
     return simhash16(d)
+
+
+def q_dedup_spans(spark: SparkSession, sf: str) -> DataFrame:
+    """Substring-granularity duplication census: exact duplicate 8-token
+    spans across documents (rolling window → md5 → one groupBy)."""
+    return duplicate_spans(fan_out(table(spark, sf, "documents")), k=8)
 
 
 def q_dedup_embedding(spark: SparkSession, sf: str) -> DataFrame:
@@ -200,6 +207,7 @@ QUERIES = {
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_lsh_verified": q_dedup_lsh_verified,
     "dedup_simhash": q_dedup_simhash,
+    "dedup_spans": q_dedup_spans,
     "dedup_embedding": q_dedup_embedding,
     "dedup_clusters": q_dedup_clusters,
 }
@@ -275,6 +283,21 @@ ORACLES = {
     """,
     "dedup_clusters": _clusters_sql(),
     "dedup_simhash": _simhash_sql(),
+    "dedup_spans": """
+        WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        spans AS (
+            SELECT DISTINCT doc_id,
+                   md5(array_to_string(w[i:i+7], ' ')) AS span
+            FROM w, UNNEST(range(1, len(w) - 8 + 2)) AS t(i)
+            WHERE len(w) >= 8
+        ),
+        span_df AS (SELECT span, COUNT(*) AS n_docs FROM spans GROUP BY span),
+        dup AS (SELECT span FROM span_df WHERE n_docs > 1)
+        SELECT (SELECT COUNT(*) FROM span_df) AS n_distinct_spans,
+               (SELECT COUNT(*) FROM dup) AS n_dup_spans,
+               (SELECT COUNT(DISTINCT doc_id)
+                FROM spans JOIN dup USING (span)) AS n_affected_docs
+    """,
     "dedup_embedding": """
         WITH e AS (
             SELECT vec_id, generate_subscripts(embedding, 1) AS i,

@@ -11,7 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from vptstools_spark.functions.paths import parse_odim_filename
-from vptstools_spark.io import table
+from vptstools_spark.io import fan_out, table
 from vptstools_spark.operators.inventory import (
     coverage,
     monthly_rollup,
@@ -26,7 +26,9 @@ def synth_inventory(spark: SparkSession, sf: str) -> DataFrame:
     user_id, hive-like key `{source}/hdf5/{radar}/{yyyy}/{mm}/{dd}/{name}.h5`
     (path grammar: reference src/vptstools/s3.py:100-153). 'error' events
     become non-h5 noise keys that the h5-suffix filter must drop."""
-    e = table(spark, sf, "events")
+    # the driver parquet is a single row group → one scan task; the regex
+    # parse downstream is the expensive narrow stage fan_out exists for
+    e = fan_out(table(spark, sf, "events").select("user_id", "event_type", "ts"))
     radar = F.concat(
         F.lit("bej"),
         F.expr(f"substr('{_ALPHA}', CAST(user_id % 26 AS INT) + 1, 1)"),

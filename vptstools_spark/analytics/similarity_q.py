@@ -85,6 +85,34 @@ def q_ann_kmeans_cells(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_ann_recall(spark: SparkSession, sf: str) -> DataFrame:
+    """Recall@k of the IVF approximate path against the exact brute-force
+    top-k — the quality dial every ANN deployment must measure next to its
+    speedup. Both sides are the engine's own operators; the join on
+    (q_id, n_id) counts agreements per query. Scale shape: the exact side
+    runs on a SAMPLE of queries in production — recall estimation never
+    needs the full corpus."""
+    emb = table(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    bf = knn_bruteforce(emb, queries, k=K).select("q_id", "n_id")
+    ivf = knn_ivf(fan_out(emb), queries, _anchors(spark, sf), k=K, nprobe=2).select(
+        "q_id", "n_id"
+    )
+    hits = bf.join(ivf, ["q_id", "n_id"]).groupBy("q_id").agg(
+        F.count("*").alias("n_hits")
+    )
+    return (
+        bf.select("q_id")
+        .distinct()
+        .join(hits, "q_id", "left")
+        .select(
+            "q_id",
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            F.round(F.coalesce("n_hits", F.lit(0)) / F.lit(K), 4).alias("recall"),
+        )
+    )
+
+
 def q_embedding_stats(spark: SparkSession, sf: str) -> DataFrame:
     """Vector-column profiling with higher-order array functions — size,
     L2 norm, max |x|, mean element — entirely JVM-side (transform /
@@ -137,6 +165,7 @@ QUERIES = {
     "ann_ivf": q_ann_ivf,
     "ann_ivf_rerank": q_ann_ivf_rerank,
     "ann_kmeans_cells": q_ann_kmeans_cells,
+    "ann_recall": q_ann_recall,
 }
 
 ORACLES = {
@@ -316,6 +345,22 @@ def _km_update(e: str, assign: str, prev: str, out: str) -> str:
         )
     """
 
+
+# recall@k: both operator oracles composed as parenthesized subqueries
+ORACLES["ann_recall"] = f"""
+    WITH bf AS ({{bf}}),
+    ivf AS ({{ivf}}),
+    m AS (
+        SELECT b.q_id, COUNT(*) AS n_hits
+        FROM bf b JOIN ivf i ON b.q_id = i.q_id AND b.n_id = i.n_id
+        GROUP BY 1
+    )
+    SELECT q.q_id,
+           COALESCE(m.n_hits, 0) AS n_hits,
+           ROUND(COALESCE(m.n_hits, 0) / {K}, 4) AS recall
+    FROM (SELECT DISTINCT q_id FROM bf) q
+    LEFT JOIN m USING (q_id)
+""".format(bf=ORACLES["knn_bruteforce"], ivf=ORACLES["ann_ivf"])
 
 ORACLES["ann_kmeans_cells"] = f"""
     WITH e AS (

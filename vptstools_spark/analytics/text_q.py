@@ -333,10 +333,43 @@ def q_pipeline_filter(spark: SparkSession, sf: str) -> DataFrame:
     return totals.join(final, "source", "left").na.fill(0, ["n_final"])
 
 
+def q_langid_confusion(spark: SparkSession, sf: str) -> DataFrame:
+    """Language-ID confusion matrix: labeled `lang` vs the n-gram-marker
+    prediction, over the whole corpus — the QA view of the langid stage
+    (per-cell counts expose which language pairs the heuristic conflates).
+    One narrow map + one groupBy on a 25-cell key space."""
+    from vptstools_spark.operators.text import predict_language
+
+    d = table(spark, sf, "documents")
+    return (
+        d.select("lang", predict_language(F.col("text")).alias("pred_lang"))
+        .groupBy("lang", "pred_lang")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+def q_text_length_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-language length profile: doc count, mean chars, exact median and
+    p90 token counts — the length-filter calibration view of a cleaning
+    pipeline (percentile ↔ quantile_cont share the interpolation rule)."""
+    from vptstools_spark.operators.text import token_count
+
+    d = table(spark, sf, "documents")
+    t = d.select("lang", "n_chars", token_count(F.col("text")).alias("n_tok"))
+    return t.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.round(F.percentile("n_tok", F.lit(0.5)), 4).alias("p50_tokens"),
+        F.round(F.percentile("n_tok", F.lit(0.9)), 4).alias("p90_tokens"),
+    )
+
+
 QUERIES = {
     "text_tokens": q_text_tokens,
     "text_quality": q_text_quality,
     "text_langid": q_text_langid,
+    "langid_confusion": q_langid_confusion,
+    "text_length_stats": q_text_length_stats,
     "text_fingerprint": q_text_fingerprint,
     "text_repetition": q_text_repetition,
     "text_normalize": q_text_normalize,
@@ -348,8 +381,31 @@ QUERIES = {
     "pipeline_filter": q_pipeline_filter,
 }
 
+def _langid_confusion_sql() -> str:
+    counts, case = _langid_case_parts()
+    return f"""
+        WITH c AS (
+            SELECT doc_id, lang, {counts}
+            FROM documents
+        )
+        SELECT lang, {case} AS pred_lang, COUNT(*) AS n_docs
+        FROM c GROUP BY lang, pred_lang
+    """
+
+
 ORACLES = {
     "pipeline_filter": _pipeline_filter_sql(),
+    "langid_confusion": _langid_confusion_sql(),
+    "text_length_stats": """
+        SELECT lang,
+               COUNT(*) AS n_docs,
+               ROUND(AVG(n_chars), 4) AS avg_chars,
+               ROUND(quantile_cont(len(string_split(text, ' ')), 0.5), 4)
+                   AS p50_tokens,
+               ROUND(quantile_cont(len(string_split(text, ' ')), 0.9), 4)
+                   AS p90_tokens
+        FROM documents GROUP BY lang
+    """,
     "vocab_topk": """
         WITH words AS (
             SELECT doc_id, unnest(string_split(text, ' ')) AS w

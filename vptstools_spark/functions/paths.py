@@ -23,15 +23,31 @@ def parse_odim_filename(name: Column) -> dict[str, Column]:
     """Extract (radar_code, data_type, year, month, day, hour, minute) from an
     ODIM h5 filename; empty string on mismatch (reference raises ValueError,
     src/vptstools/s3.py:74-99 — at scale we keep the row and let callers
-    filter on ``radar_code != ''``)."""
+    filter on ``radar_code != ''``).
+
+    One `regexp_replace` packs all 7 capture groups into a tab-joined string
+    (7× cheaper than seven `regexp_extract` calls, each of which re-runs the
+    full backtracking regex per row — this parse sits on every inventory
+    scan). A filename cannot contain a tab, so tab-presence doubles as the
+    match flag; the shared `split` is eliminated as a common subexpression
+    in codegen."""
+    packed = F.regexp_replace(
+        name, ODIM_FILENAME_REGEX, "$1\t$2\t$3\t$4\t$5\t$6\t$7"
+    )
+    parts = F.split(packed, "\t")
+    ok = F.size(parts) == 7
+
+    def field(i: int) -> Column:
+        return F.when(ok, F.element_at(parts, i)).otherwise(F.lit(""))
+
     return {
-        "radar_code": F.lower(F.regexp_extract(name, ODIM_FILENAME_REGEX, 1)),
-        "data_type": F.regexp_extract(name, ODIM_FILENAME_REGEX, 2),
-        "year": F.regexp_extract(name, ODIM_FILENAME_REGEX, 3),
-        "month": F.regexp_extract(name, ODIM_FILENAME_REGEX, 4),
-        "day": F.regexp_extract(name, ODIM_FILENAME_REGEX, 5),
-        "hour": F.regexp_extract(name, ODIM_FILENAME_REGEX, 6),
-        "minute": F.regexp_extract(name, ODIM_FILENAME_REGEX, 7),
+        "radar_code": F.lower(field(1)),
+        "data_type": field(2),
+        "year": field(3),
+        "month": field(4),
+        "day": field(5),
+        "hour": field(6),
+        "minute": field(7),
     }
 
 

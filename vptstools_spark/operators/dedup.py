@@ -183,6 +183,49 @@ def lsh_candidates(sigs: DataFrame, num_hashes: int = 8, rows_per_band: int = 2)
     )
 
 
+def duplicate_spans(
+    df: DataFrame, k: int = 8, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact duplicate k-token span census across documents — the
+    substring-granularity dedup signal (the ExactSubstr idea from
+    "Deduplicating Training Data Makes Language Models Better", Lee et al.
+    2022, at fixed window size): a span repeated across documents marks
+    boilerplate/contamination even when whole documents differ.
+
+    Plan: rolling k-token windows per document (one `transform` over a
+    `sequence`, all JVM-side), md5 per span, per-document distinct, then one
+    groupBy on the span hash. Returns one row:
+    (n_distinct_spans, n_dup_spans, n_affected_docs). Shuffle volume is the
+    span table — linear in corpus token count, never quadratic.
+    """
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    spans = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - k + 1),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, k))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    per_doc = df.select(
+        F.col(id_col).alias("id"), F.explode(F.array_distinct(spans)).alias("span")
+    )
+    span_df = per_doc.groupBy("span").agg(F.count("*").alias("n_docs"))
+    dup = span_df.filter(F.col("n_docs") > 1).select("span")
+    affected = per_doc.join(dup, "span", "left_semi")
+    return (
+        span_df.agg(
+            F.count("*").alias("n_distinct_spans"),
+            F.coalesce(
+                F.sum((F.col("n_docs") > 1).cast("long")), F.lit(0)
+            ).alias("n_dup_spans"),
+        )
+        .crossJoin(
+            affected.agg(F.count_distinct("id").alias("n_affected_docs"))
+        )
+    )
+
+
 def jaccard_verify(sh: DataFrame, pairs: DataFrame, threshold: float = 0.8) -> DataFrame:
     """Exact Jaccard on a CANDIDATE pair list — the verify stage of the
     LSH→verify composition (module docstring; the corpus-scale default).
