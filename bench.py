@@ -60,6 +60,11 @@ HEADLINE = [
     "fuzzy_part_match",
     "pipeline_filter",
     "latest_order",
+    "pack_sequences",
+    "decontam_ngrams",
+    "dedup_semantic",
+    "text_perplexity",
+    "pii_scrub",
 ]
 
 

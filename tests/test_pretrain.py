@@ -1,0 +1,137 @@
+"""Crafted-input tests for the pretraining-corpus operators
+(operators/pretrain.py): sequence packing, PII scan/redaction, and
+bigram-LM scoring — plus the anchor-bucket semantic-dedup composition.
+
+The corpus-level queries are value-checked against DuckDB oracles
+(analytics/pretrain_q.py via tools/check_correctness.py); these tests pin
+the operator semantics on inputs the synthetic corpus can't produce —
+actual PII strings, exact bin boundaries, hand-computed NLL.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from vptstools_spark.operators.pretrain import (
+    bigram_nll,
+    doc_bigrams,
+    pack_bins,
+    pii_counts,
+    redact_pii,
+)
+
+
+@pytest.fixture(scope="module")
+def pii_df(spark):
+    rows = [
+        (0, "contact me at alice.smith+work@example.co.uk for details"),
+        (1, "server at 10.0.255.7 rebooted and 192.168.1.1 is the gateway"),
+        (2, "call 555-867-5309 or 555 123 4567 today"),
+        (3, "no pii here just words and word2 tokens"),
+        (4, "mixed: bob@test.io from 127.0.0.1 dialed 800-555-1212"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_pii_counts_per_class(pii_df):
+    c = pii_counts(F.col("text"))
+    got = {
+        r["doc_id"]: (r["e"], r["i"], r["p"])
+        for r in pii_df.select(
+            "doc_id",
+            c["email"].alias("e"),
+            c["ipv4"].alias("i"),
+            c["phone"].alias("p"),
+        ).collect()
+    }
+    assert got[0] == (1, 0, 0)
+    assert got[1] == (0, 2, 0)
+    assert got[2] == (0, 0, 2)  # both dash and space separators
+    assert got[3] == (0, 0, 0)
+    assert got[4] == (1, 1, 1)
+
+
+def test_redact_replaces_every_match(pii_df):
+    red = {
+        r["doc_id"]: r["red"]
+        for r in pii_df.select("doc_id", redact_pii(F.col("text")).alias("red")).collect()
+    }
+    assert red[0] == "contact me at [EMAIL] for details"
+    assert red[1] == "server at [IPV4] rebooted and [IPV4] is the gateway"
+    assert red[2] == "call [PHONE] or [PHONE] today"
+    assert red[3] == "no pii here just words and word2 tokens"
+    assert red[4] == "mixed: [EMAIL] from [IPV4] dialed [PHONE]"
+
+
+def test_pack_bins_boundaries(spark):
+    # budget 10, one shard: docs of 4+4+4 tokens -> third doc STARTS at
+    # offset 8 < 10 so it stays in bin 0 (straddles); doc 3 starts at 12.
+    rows = [("s", 0, 4), ("s", 1, 4), ("s", 2, 4), ("s", 3, 6), ("s", 4, 10)]
+    df = spark.createDataFrame(rows, "source string, doc_id long, n_tok int")
+    got = {
+        r["doc_id"]: (r["bin"], r["cum_tokens"])
+        for r in pack_bins(df, budget=10).collect()
+    }
+    assert got[0] == (0, 4)
+    assert got[1] == (0, 8)
+    assert got[2] == (0, 12)  # starts at 8 -> bin 0
+    assert got[3] == (1, 18)  # starts at 12 -> bin 1
+    assert got[4] == (1, 28)  # starts at 18 -> bin 1
+
+
+def test_pack_bins_shards_are_independent(spark):
+    rows = [("a", 0, 7), ("b", 0, 7), ("a", 1, 7), ("b", 1, 7)]
+    df = spark.createDataFrame(rows, "source string, doc_id long, n_tok int")
+    got = {
+        (r["source"], r["doc_id"]): r["bin"]
+        for r in pack_bins(df, budget=8).collect()
+    }
+    # each shard restarts at offset 0: second doc starts at 7 < 8 -> bin 0
+    assert got[("a", 0)] == 0 and got[("a", 1)] == 0
+    assert got[("b", 0)] == 0 and got[("b", 1)] == 0
+
+
+def test_bigram_nll_hand_computed(spark):
+    # corpus: "x y x y" (bigrams: x y, y x, x y) and "x z" (bigram: x z)
+    # c1(x)=3, c1(y)=1; c2(x y)=2, c2(y x)=1, c2(x z)=1
+    # doc 0 nll = -(ln(2/3) + ln(1/1) + ln(2/3)) / 3
+    df = spark.createDataFrame(
+        [(0, "x y x y"), (1, "x z")], "doc_id long, text string"
+    )
+    bg = doc_bigrams(df)
+    got = {r["doc_id"]: r for r in bigram_nll(bg, bg).collect()}
+    assert got[0]["n_bigrams"] == 3
+    expect0 = -(math.log(2 / 3) + math.log(1.0) + math.log(2 / 3)) / 3
+    assert got[0]["avg_nll"] == pytest.approx(round(expect0, 4))
+    # doc 1: single bigram "x z": -ln(1/3)
+    assert got[1]["n_bigrams"] == 1
+    assert got[1]["avg_nll"] == pytest.approx(round(-math.log(1 / 3), 4))
+
+
+def test_semantic_dedup_drops_identical_vector(spark):
+    # two identical vectors land in the same anchor bucket with cosine 1.0;
+    # the higher vec_id is the removed one
+    from vptstools_spark.operators.similarity import anchor_buckets, cosine
+
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.0, 1.0]),
+        (2, [1.0, 0.0]),  # exact dup of 0
+        (3, [-1.0, -0.1]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    anchors = [[1.0, 0.0], [0.0, 1.0]]
+    bk = anchor_buckets(df, anchors)
+    v = df.join(bk, df["vec_id"] == bk["id"]).drop("id")
+    a = v.select(F.col("bucket"), F.col("vec_id").alias("va"), F.col("embedding").alias("ea"))
+    b = v.select(F.col("bucket"), F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"))
+    pairs = (
+        a.join(b, "bucket")
+        .filter(F.col("va") < F.col("vb"))
+        .withColumn("cos", cosine(F.col("ea").cast("array<double>"), F.col("eb").cast("array<double>")))
+    )
+    hot = pairs.filter(F.col("cos") >= 0.99).collect()
+    assert [(r["va"], r["vb"]) for r in hot] == [(0, 2)]

@@ -12,6 +12,7 @@ from vptstools_spark.analytics import (
     dedup_q,
     events_q,
     inventory_q,
+    pretrain_q,
     relational,
     similarity_q,
     stats_q,
@@ -26,6 +27,7 @@ _MODULES = [
     dedup_q,
     similarity_q,
     text_q,
+    pretrain_q,
     events_q,
     stats_q,
     relational,

