@@ -36,10 +36,14 @@ def q_events_sessionize(spark: SparkSession, sf: str) -> DataFrame:
     sessions-per-user. Batch twin of applyInPandasWithState sessionization."""
     e = table(spark, sf, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    # timestampdiff is defined for both TIMESTAMP and TIMESTAMP_NTZ (the
+    # testdata's parquet annotation has flipped between rounds), and is
+    # timezone-free — unlike unix_micros, which rejects NTZ inputs.
+    gap_us = F.expr("timestampdiff(MICROSECOND, prev_ts, ts)")
     new_sess = F.when(gap_us.isNull() | (gap_us > SESSION_GAP_US), 1).otherwise(0)
     return (
-        e.withColumn("new_sess", new_sess)
+        e.withColumn("prev_ts", F.lag("ts").over(w))
+        .withColumn("new_sess", new_sess)
         .groupBy("user_id")
         .agg(
             F.sum("new_sess").cast("long").alias("n_sessions"),

@@ -162,11 +162,10 @@ def q_moving_avg_range(spark: SparkSession, sf: str) -> DataFrame:
     is defined by time distance; one hash exchange on user_id, sort within
     partitions — no global sort."""
     e = table(spark, sf, "events").filter(F.col("user_id") < 20)
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy(F.unix_millis(F.col("ts")))
-        .rangeBetween(-3_600_000, 0)
-    )
+    from vptstools_spark.functions.scalars import epoch_expr
+
+    ts_ms = epoch_expr(dict(e.dtypes)["ts"], "ts", "MILLISECOND")
+    w = Window.partitionBy("user_id").orderBy(ts_ms).rangeBetween(-3_600_000, 0)
     return e.select(
         "event_id",
         "user_id",

@@ -15,6 +15,24 @@ from pyspark.sql import functions as F
 ISO8601_ZULU = "yyyy-MM-dd'T'HH:mm:ss'Z'"
 
 
+def epoch_expr(ts_dtype: str, col_name: str, unit: str = "MICROSECOND") -> Column:
+    """Epoch offset of a timestamp column in `unit`, defined for BOTH
+    `timestamp` (LTZ) and `timestamp_ntz` columns.
+
+    The testdata's parquet timestamp annotation (isAdjustedToUTC) has flipped
+    between driver rounds, so Spark may surface `ts` as either type.
+    `unix_micros`/`unix_millis` reject NTZ inputs; `timestampdiff` against a
+    same-kind epoch literal is type-correct and timezone-free in both cases
+    (for LTZ the session zone cancels out of the difference).
+    """
+    lit = (
+        "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
+        if ts_dtype == "timestamp_ntz"
+        else "TIMESTAMP '1970-01-01 00:00:00+00:00'"
+    )
+    return F.expr(f"timestampdiff({unit}, {lit}, {col_name})")
+
+
 def datetime_to_proper8601(ts: Column) -> Column:
     """Render a timestamp as `2021-01-01T04:00:00Z`
     (reference: src/vptstools/vpts_csv.py:18-37)."""
