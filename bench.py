@@ -83,14 +83,15 @@ def main() -> None:
             except Exception:
                 pass
 
-    # best-of-2 per query: the first execution of a plan at this sf includes
-    # JVM JIT + codegen compilation; the second is the steady-state number a
+    # best-of-3 per query: the first execution of a plan at this sf includes
+    # JVM JIT + codegen compilation, and C2 tiering keeps improving over the
+    # first few executions; the best of three is the steady-state number a
     # long-running cluster would see. Local GC pauses add ±2x noise on
     # sub-second queries otherwise.
     timings: dict[str, float] = {}
     for name in HEADLINE:
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             queries[name](spark, sf_dir).count()
             best = min(best, time.perf_counter() - t0)

@@ -267,3 +267,95 @@ def test_incremental_rollup_matches_batch_recompute(spark, tmp_path):
         ("2024-01-03", "view"): (1, 16.0),
     }
     assert got == want
+
+
+def test_transform_with_state_topk(spark, tmp_path):
+    """transformWithStateInPandas top-k: MapState counts accumulate across
+    availableNow runs; each batch emits the key's current deterministic
+    top-k. Needs the RocksDB state store provider (transformWithState
+    requirement) and google.protobuf (the TWS state-server protocol —
+    absent in this container, so the full path is env-gated like h5py)."""
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithState's state-server protocol needs protobuf",
+    )
+    from vptstools_spark.streaming.incremental import event_type_topk_stateful
+
+    src = str(tmp_path / "ev")
+    ckpt = str(tmp_path / "ck")
+    prev_provider = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+
+    def _write(rows):
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, event_type string"
+        )
+        df.write.mode("append").parquet(src)
+
+    def run():
+        stream = spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string"
+        ).parquet(src)
+        rows = []
+
+        def sink(batch_df, _bid):
+            rows.extend(batch_df.collect())
+
+        q = (
+            event_type_topk_stateful(stream, k=2)
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {(r.user_id, r.rank): (r.event_type, r.n) for r in rows}
+
+    t0 = datetime.datetime(2024, 1, 1, 10, 0)
+    try:
+        _write(
+            [
+                (1, t0, 1, "click"),
+                (2, t0, 1, "click"),
+                (3, t0, 1, "view"),
+                (4, t0, 2, "buy"),
+            ]
+        )
+        out1 = run()
+        assert out1[(1, 1)] == ("click", 2)
+        assert out1[(1, 2)] == ("view", 1)
+        assert out1[(2, 1)] == ("buy", 1)
+
+        # second run: counts continue from MapState, ranks flip for user 1
+        _write([(5, t0, 1, "view"), (6, t0, 1, "view"), (7, t0, 2, "buy")])
+        out2 = run()
+        assert out2[(1, 1)] == ("view", 3)
+        assert out2[(1, 2)] == ("click", 2)
+        assert out2[(2, 1)] == ("buy", 2)
+    finally:
+        if prev_provider is not None:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev_provider)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_transform_with_state_topk_plan(spark, tmp_path):
+    """Plan-construction check for the TWS operator (runs without protobuf:
+    only query *execution* needs the state-server protocol): streaming flag,
+    output schema, and grouping key are as declared."""
+    from vptstools_spark.streaming.incremental import event_type_topk_stateful
+
+    src = str(tmp_path / "ev")
+    spark.createDataFrame(
+        [], "event_id long, ts timestamp, user_id long, event_type string"
+    ).write.parquet(src)
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, event_type string"
+    ).parquet(src)
+    out = event_type_topk_stateful(stream, k=2)
+    assert out.isStreaming
+    assert [f.name for f in out.schema.fields] == ["user_id", "event_type", "n", "rank"]

@@ -216,6 +216,84 @@ def sessionize_stateful(
     )
 
 
+def event_type_topk_stateful(
+    events_stream: DataFrame,
+    k: int = 3,
+    counts_ttl_ms: int | None = None,
+) -> DataFrame:
+    """Per-user running top-k event-type frequencies via
+    ``transformWithStateInPandas`` — the Spark 4 arbitrary-stateful API
+    (typed state primitives + optional TTL), complementing the
+    ``applyInPandasWithState`` sessionizer above (engine extension,
+    SURVEY §2.8; the reference has no stateful operators).
+
+    State per user is a ``MapState(event_type -> count)`` — the runtime
+    stores each map entry as its own state-store key, so point updates
+    touch only the changed entries (unlike the value-state blob a
+    pandas-with-state version would rewrite per batch). After folding a
+    batch's delta counts in, the operator emits the key's current top-k
+    (count desc, name asc — deterministic) in update mode.
+
+    Scale: state is hash-partitioned by user_id; per-key state is bounded
+    by the event-type vocabulary, and `counts_ttl_ms` (TTL, a
+    transformWithState-only feature) expires stale entries for keys that
+    go quiet. Requires the RocksDB state store provider
+    (`spark.sql.streaming.stateStore.providerClass`) and `google.protobuf`
+    at runtime (the TWS state-server wire protocol; absent in this
+    container, so execution is exercised only where protobuf exists —
+    plan construction and schema are tested everywhere).
+    """
+    import pandas as pd  # noqa: PLC0415 — executor-side import
+    from pyspark.sql.streaming.stateful_processor import (  # noqa: PLC0415
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    out_schema = "user_id long, event_type string, n long, rank int"
+
+    class TopKProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self.counts = handle.getMapState(
+                "counts", "event_type string", "n long", counts_ttl_ms
+            )
+
+        def handleInputRows(self, key, rows, timer_values):
+            (user_id,) = key
+            delta: dict[str, int] = {}
+            for pdf in rows:
+                for et, c in pdf.groupby("event_type").size().items():
+                    delta[et] = delta.get(et, 0) + int(c)
+            for et, c in delta.items():
+                prev = (
+                    self.counts.getValue((et,))[0]
+                    if self.counts.containsKey((et,))
+                    else 0
+                )
+                self.counts.updateValue((et,), (prev + c,))
+            top = sorted(
+                ((kk[0], vv[0]) for kk, vv in self.counts.iterator()),
+                key=lambda p: (-p[1], p[0]),
+            )[:k]
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(top),
+                    "event_type": [p[0] for p in top],
+                    "n": [p[1] for p in top],
+                    "rank": list(range(1, len(top) + 1)),
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events_stream.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=TopKProcessor(),
+        outputStructType=out_schema,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 def dedup_stream(
     events_stream: DataFrame,
     keys: list[str] | None = None,
