@@ -220,8 +220,34 @@ def q_events_json_schema(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_events_interval_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Point-in-interval range join via bin bucketing
+    (`operators/rangejoin.py:binned_interval_join` — equi-join on the bin
+    id, never a nested-loop): per-user activity inside the 2-hour window
+    opened by their first event."""
+    from vptstools_spark.operators.rangejoin import binned_interval_join
+
+    e = table(spark, sf, "events")
+    iv = e.groupBy("user_id").agg(F.min("ts").alias("start_ts"))
+    iv = iv.withColumn("end_ts", F.col("start_ts") + F.expr("INTERVAL 2 HOURS"))
+    hits = binned_interval_join(
+        e.select("user_id", "ts", "value"),
+        iv,
+        point_col="ts",
+        start_col="start_ts",
+        end_col="end_ts",
+        keys=["user_id"],
+        bin_seconds=3600,
+    )
+    return hits.groupBy("user_id").agg(
+        F.count("*").alias("n_in_window"),
+        F.round(F.sum("value"), 2).alias("window_value"),
+    )
+
+
 QUERIES = {
     "events_hourly": q_events_hourly,
+    "events_interval_join": q_events_interval_join,
     "events_json_schema": q_events_json_schema,
     "events_session_window": q_events_session_window,
     "events_sessionize": q_events_sessionize,
@@ -234,6 +260,21 @@ QUERIES = {
 }
 
 ORACLES = {
+    "events_interval_join": """
+        WITH iv AS (
+            SELECT user_id,
+                   MIN(ts) AS start_ts,
+                   MIN(ts) + INTERVAL 2 HOUR AS end_ts
+            FROM events GROUP BY user_id
+        )
+        SELECT e.user_id,
+               COUNT(*) AS n_in_window,
+               ROUND(SUM(e.value), 2) AS window_value
+        FROM events e
+        JOIN iv ON e.user_id = iv.user_id
+               AND e.ts BETWEEN iv.start_ts AND iv.end_ts
+        GROUP BY e.user_id
+    """,
     "events_session_window": """
         WITH marked AS (
             SELECT user_id, ts,
