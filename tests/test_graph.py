@@ -65,3 +65,42 @@ def test_converged_run_emits_no_warning(spark):
         warnings.simplefilter("error", RuntimeWarning)
         out = connected_components(df, max_iter=10)
         assert out.filter(F.col("component") != 1).count() == 0
+
+
+def test_star_matches_propagation_on_random_graph(spark):
+    """large-star/small-star and min-label propagation agree exactly on a
+    pseudo-random graph with multiple components of mixed shape."""
+    import random
+
+    from vptstools_spark.operators.graph import connected_components_star
+
+    rng = random.Random(7)
+    edges = []
+    # three islands: a chain, a clique, and sparse random pairs
+    edges += [(i, i + 1) for i in range(0, 40)]                    # chain 0-40
+    edges += [(a, b) for a in range(100, 108) for b in range(a + 1, 108)]
+    pool = list(range(200, 260))
+    edges += [(rng.choice(pool), rng.choice(pool)) for _ in range(80)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+
+    prop = {
+        (r.node, r.component) for r in connected_components(df, max_iter=100).collect()
+    }
+    star = {
+        (r.node, r.component) for r in connected_components_star(df).collect()
+    }
+    assert star == prop
+
+
+def test_star_converges_fast_on_long_chain(spark):
+    """A 200-node chain needs ~200 propagation rounds but O(log n) star
+    rounds — max_iter=12 must be enough."""
+    from vptstools_spark.operators.graph import connected_components_star
+
+    df = spark.createDataFrame(
+        [(i, i + 1) for i in range(200)], "src long, dst long"
+    )
+    out = connected_components_star(df, max_iter=12, strict=True)
+    comps = {r.component for r in out.collect()}
+    assert comps == {0}
+    assert out.count() == 201
