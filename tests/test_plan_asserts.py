@@ -49,3 +49,34 @@ def test_full_registry_sweep(spark):
         if flags:
             flagged[name] = flags
     assert flagged == {}
+
+
+def test_no_row_python_anywhere_vectorized_only_where_documented(spark):
+    """UDF discipline, enforced registry-wide: no query may plan a
+    row-at-a-time BatchEvalPython; Arrow-vectorized Python appears only in
+    the queries whose semantics genuinely exceed built-in expressions
+    (blocked-BLAS cosine, Arrow shingle generation — higher-order array
+    functions are interpreted, excluded from codegen — and the CPython
+    repr-parity render UDF)."""
+    from vptstools_spark.analytics import all_queries
+    from vptstools_spark.plans.asserts import ROW_PYTHON_NODES, python_eval_nodes
+
+    ALLOWED_VECTORIZED = {
+        "vpts_tristate_render",   # CPython repr parity at the export boundary
+        "dedup_embedding",        # blocked BLAS A@B.T in mapInPandas
+        "dedup_semantic",         # same blocked-BLAS candidate stage
+        "dedup_minhash_lsh",      # Arrow shingle generation
+        "dedup_ngram_jaccard",
+        "dedup_lsh_verified",
+        "decontam_ngrams",
+    }
+    sf = "/root/testdata/sf0.001"
+    row_offenders, vec_offenders = {}, {}
+    for name, fn in all_queries().items():
+        nodes = python_eval_nodes(fn(spark, sf))
+        if any(k in ROW_PYTHON_NODES for k in nodes):
+            row_offenders[name] = nodes
+        elif nodes and name not in ALLOWED_VECTORIZED:
+            vec_offenders[name] = nodes
+    assert row_offenders == {}, f"row-at-a-time Python: {row_offenders}"
+    assert vec_offenders == {}, f"undocumented vectorized Python: {vec_offenders}"

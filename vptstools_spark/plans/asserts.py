@@ -50,3 +50,36 @@ def unbounded_global_windows(df: DataFrame) -> list[str]:
         )
         flagged.append(names or "<window>")
     return flagged
+
+
+#: physical nodes that evaluate Python row-at-a-time — banned everywhere
+ROW_PYTHON_NODES = {"BatchEvalPython"}
+
+#: Arrow-vectorized Python nodes — allowed only where a query's semantics
+#: genuinely exceed built-in expressions (blocked BLAS, CPython repr parity)
+VECTOR_PYTHON_NODES = {
+    "ArrowEvalPython",
+    "MapInPandas",
+    "FlatMapGroupsInPandas",
+    "AggregateInPandas",
+    "FlatMapCoGroupsInPandas",
+}
+
+
+def python_eval_nodes(df: DataFrame) -> dict[str, int]:
+    """Count of Python-evaluation nodes by kind in the physical plan —
+    `{}` means the whole plan runs JVM-side (whole-stage codegen eligible).
+
+    Scans the rendered plan string rather than walking `children()`:
+    AdaptiveSparkPlanExec does not expose its wrapped plan through
+    `children()`, so a tree walk silently misses every node under AQE.
+    """
+    import re
+
+    text = df._jdf.queryExecution().executedPlan().toString()
+    out: dict[str, int] = {}
+    for kind in ROW_PYTHON_NODES | VECTOR_PYTHON_NODES:
+        n = len(re.findall(rf"(?:^|[+:\-\s]){kind}\b", text))
+        if n:
+            out[kind] = n
+    return out
