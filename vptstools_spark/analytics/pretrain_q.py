@@ -90,6 +90,30 @@ def q_domain_caps(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_split_assign(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic train/val/test split by content-independent hash:
+    md5(doc_id) hex prefix buckets ~90/5/5. Hash-based assignment is the
+    standard leakage-safe split (stable under re-runs, joins, and
+    repartitioning — unlike randomSplit, whose assignment depends on
+    partitioning). One scan, one final exchange on the split label; md5 is
+    computed identically by Spark and the DuckDB oracle."""
+    d = table(spark, sf, "documents")
+    h = F.md5(F.col("doc_id").cast("string"))
+    # first two hex chars -> 256 buckets: [0,230)=train, [230,243)=val, rest test
+    b = F.conv(F.substring(h, 1, 2), 16, 10).cast("int")
+    split = (
+        F.when(b < 230, "train").when(b < 243, "val").otherwise("test")
+    )
+    return (
+        d.select(split.alias("split"), "n_chars")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
 def q_decontam_ngrams(spark: SparkSession, sf: str) -> DataFrame:
     """Benchmark decontamination: flag training documents sharing any
     DECONTAM_K-gram with the held-out benchmark slice (doc_id % 97 == 0
@@ -204,6 +228,7 @@ QUERIES = {
     "dedup_semantic": q_dedup_semantic,
     "text_perplexity": q_text_perplexity,
     "pii_scrub": q_pii_scrub,
+    "split_assign": q_split_assign,
 }
 
 _PII_SQL_COUNT = {
@@ -216,6 +241,17 @@ for _name, _pat in PII_PATTERNS.items():
     )
 
 ORACLES = {
+    "split_assign": """
+        SELECT CASE
+                 WHEN CAST('0x' || SUBSTRING(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS INT) < 230 THEN 'train'
+                 WHEN CAST('0x' || SUBSTRING(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS INT) < 243 THEN 'val'
+                 ELSE 'test'
+               END AS split,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        FROM documents
+        GROUP BY 1
+    """,
     "pack_sequences": f"""
         WITH t AS (
             SELECT source, doc_id, len(string_split(text, ' ')) AS n_tok
