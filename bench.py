@@ -51,6 +51,7 @@ HEADLINE = [
     "ann_buckets",
     "ann_ivf",
     "embedding_quantize",
+    "embedding_pq",
     "text_quality",
     "text_langid",
     "text_repetition",

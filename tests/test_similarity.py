@@ -123,3 +123,54 @@ def test_knn_ivf_rerank_recovers_ivf_topk(spark):
     # tight shortlist still returns k ordered neighbors
     tight = knn_ivf_rerank(emb, q, anchors, k=2, nprobe=2, rerank=2).collect()
     assert [r["n_id"] for r in sorted(tight, key=lambda r: r["rnk"])] == [1, 4]
+
+
+def test_pq_fit_encode_known_geometry(spark):
+    """PQ on a 4-dim space split into 2 subspaces: each subspace has two
+    obvious groups; codes must separate them and a numpy replica of the
+    same fixed-init Lloyd rounds must produce identical codebooks."""
+    import numpy as np
+
+    from vptstools_spark.operators.similarity import pq_encode, pq_fit
+
+    pts = [
+        (0, [0.0, 0.0, 9.0, 9.0]),
+        (1, [5.0, 5.0, 0.0, 0.0]),
+        (2, [0.2, 0.1, 9.1, 8.9]),
+        (3, [5.1, 4.9, 0.2, 0.1]),
+        (4, [0.1, 0.2, 8.8, 9.2]),
+        (5, [4.8, 5.2, 0.1, 0.3]),
+    ]
+    emb = spark.createDataFrame(pts, "vec_id long, embedding array<float>")
+    books = pq_fit(emb, m=2, k=2, iters=2)
+
+    # numpy replica: same init (first k by id), same 2 Lloyd rounds
+    X = np.array([p[1] for p in pts], dtype=np.float64)
+    for s in range(2):
+        sub = X[:, s * 2 : (s + 1) * 2]
+        C = sub[:2].copy()
+        for _ in range(2):
+            d = ((sub[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+            a = d.argmin(1)  # ties -> lowest index, same as the operator
+            for j in range(2):
+                if (a == j).any():
+                    C[j] = sub[a == j].mean(0)
+        assert np.allclose(np.array(books[s]), C), f"subspace {s} codebook"
+
+    codes = {r.id: list(r.codes) for r in pq_encode(emb, books).collect()}
+    # even ids cluster together in both subspaces, odd ids in the other
+    assert codes[0] == codes[2] == codes[4]
+    assert codes[1] == codes[3] == codes[5]
+    assert codes[0] != codes[1]
+
+
+def test_pq_fit_rejects_indivisible_dims(spark):
+    from vptstools_spark.operators.similarity import pq_fit
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 2.0, 3.0])], "vec_id long, embedding array<float>"
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        pq_fit(emb, m=2, k=1, iters=1)

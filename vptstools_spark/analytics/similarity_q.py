@@ -15,6 +15,8 @@ from vptstools_spark.operators.similarity import (
     knn_bruteforce,
     knn_ivf,
     knn_ivf_rerank,
+    pq_encode,
+    pq_fit,
 )
 
 N_QUERIES = 5
@@ -82,6 +84,32 @@ def q_ann_kmeans_cells(spark: SparkSession, sf: str) -> DataFrame:
         cells.select(F.col("cells")[0].alias("cell"))
         .groupBy("cell")
         .agg(F.count("*").alias("n_vectors"))
+    )
+
+
+_PQ_M = 2
+_PQ_K = 4
+_PQ_ITERS = 2
+
+
+def q_embedding_pq(spark: SparkSession, sf: str) -> DataFrame:
+    """Product quantization (Jégou et al. 2011): train per-subspace L2
+    codebooks (m=2 subspaces, k=4, 2 Lloyd rounds, deterministic first-k
+    init), encode the corpus, and report the per-(subspace, code) histogram
+    with mean quantization distortion. Training is model-to-driver only
+    (m×k×dim/m floats); encoding is an all-JVM narrow map over plan-literal
+    centroids. Deterministic end to end, so fully value-oracled — the Lloyd
+    rounds unroll as chained SQL CTEs per subspace."""
+    emb = fan_out(table(spark, sf, "embeddings"))
+    books = pq_fit(emb, m=_PQ_M, k=_PQ_K, iters=_PQ_ITERS)
+    enc = pq_encode(emb, books)
+    rows = enc.select(
+        F.posexplode("codes").alias("subspace", "code"),
+        F.col("sqdists"),
+    ).select("subspace", "code", F.col("sqdists")[F.col("subspace")].alias("sqdist"))
+    return rows.groupBy("subspace", "code").agg(
+        F.count("*").alias("n_vectors"),
+        F.round(F.avg("sqdist"), 4).alias("avg_sqdist"),
     )
 
 
@@ -166,6 +194,7 @@ QUERIES = {
     "ann_ivf_rerank": q_ann_ivf_rerank,
     "ann_kmeans_cells": q_ann_kmeans_cells,
     "ann_recall": q_ann_recall,
+    "embedding_pq": q_embedding_pq,
 }
 
 ORACLES = {
@@ -383,4 +412,78 @@ ORACLES["ann_kmeans_cells"] = f"""
     {_km_update('e', 'a2', 'c1', 'c2')},
     {_km_assign('e', 'c2', 'a3')}
     SELECT j AS cell, COUNT(*) AS n_vectors FROM a3 GROUP BY j
+"""
+
+
+def _pq_subspace_ctes(s: int, d: int, k: int) -> str:
+    """CTE chain for one PQ subspace: slice dims, first-k init, 2 L2 Lloyd
+    rounds (assign a1/update c1, assign a2/update c2), final encode a3
+    keeping the squared distance. Mirrors pq_fit/pq_encode exactly
+    (argmin L2, ties to the lowest code id)."""
+    lo, hi = s * d + 1, (s + 1) * d
+
+    def assign(e, cents, out, keep_d=False):
+        cols = "vec_id, j" + (", d" if keep_d else "")
+        return f"""
+        {out}_d AS (
+            SELECT e.vec_id, c.j, SUM((e.v - c.cv) * (e.v - c.cv)) AS d
+            FROM {e} e JOIN {cents} c ON e.i = c.i
+            GROUP BY 1, 2
+        ),
+        {out}_r AS (
+            SELECT vec_id, j, d,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY vec_id ORDER BY d ASC, j ASC
+                   ) AS rn
+            FROM {out}_d
+        ),
+        {out} AS (SELECT {cols} FROM {out}_r WHERE rn = 1)
+        """
+
+    def update(e, a, prev, out):
+        return f"""
+        {out}_m AS (
+            SELECT a.j, e.i, AVG(e.v) AS cv
+            FROM {a} a JOIN {e} e ON e.vec_id = a.vec_id
+            GROUP BY 1, 2
+        ),
+        {out} AS (
+            SELECT p.j, p.i, COALESCE(m.cv, p.cv) AS cv
+            FROM {prev} p LEFT JOIN {out}_m m ON m.j = p.j AND m.i = p.i
+        )
+        """
+
+    return f"""
+        e{s} AS (SELECT vec_id, i, v FROM e WHERE i BETWEEN {lo} AND {hi}),
+        init{s} AS (
+            SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS j
+            FROM (SELECT DISTINCT vec_id FROM e{s} ORDER BY vec_id LIMIT {k})
+        ),
+        c0_{s} AS (
+            SELECT init{s}.j, e.i, e.v AS cv
+            FROM init{s} JOIN e{s} e ON e.vec_id = init{s}.vec_id
+        ),
+        {assign(f'e{s}', f'c0_{s}', f'a1_{s}')},
+        {update(f'e{s}', f'a1_{s}', f'c0_{s}', f'c1_{s}')},
+        {assign(f'e{s}', f'c1_{s}', f'a2_{s}')},
+        {update(f'e{s}', f'a2_{s}', f'c1_{s}', f'c2_{s}')},
+        {assign(f'e{s}', f'c2_{s}', f'a3_{s}', keep_d=True)}
+    """
+
+
+_PQ_D = 64 // _PQ_M
+
+ORACLES["embedding_pq"] = f"""
+    WITH e AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+               CAST(unnest(embedding) AS DOUBLE) AS v
+        FROM embeddings
+    ),
+    {",".join(_pq_subspace_ctes(s, _PQ_D, _PQ_K) for s in range(_PQ_M))}
+    {" UNION ALL ".join(
+        f"SELECT CAST({s} AS INT) AS subspace, CAST(j AS INT) AS code, "
+        f"COUNT(*) AS n_vectors, ROUND(AVG(d), 4) AS avg_sqdist "
+        f"FROM a3_{s} GROUP BY 2"
+        for s in range(_PQ_M)
+    )}
 """

@@ -436,3 +436,113 @@ def knn_ivf_rerank(
         .filter(F.col("rnk") <= k)
         .select("q_id", "n_id", F.round("cos", 4).alias("cosine"), "rnk")
     )
+
+
+def _sqdist(vec: Column, centroid: list[float]) -> Column:
+    """Squared L2 distance between an array column and a literal centroid —
+    one JVM zip_with/aggregate chain, codegen-free of Python."""
+    lit_vec = F.array(*[F.lit(float(x)) for x in centroid])
+    return F.aggregate(
+        F.zip_with(as_double(vec), lit_vec, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def pq_assign(sub: DataFrame, centroids: list[list[float]], vec_col: str = "sub") -> DataFrame:
+    """Nearest-centroid code (argmin L2, ties to the lowest code id) for a
+    subvector column against plan-literal centroids — a narrow map, no
+    shuffle. Adds `code` (int) and `sqdist` (double to the chosen centroid)."""
+    scored = F.array(
+        *[
+            F.struct(_sqdist(F.col(vec_col), c).alias("d"), F.lit(j).alias("j"))
+            for j, c in enumerate(centroids)
+        ]
+    )
+    best = F.sort_array(scored, asc=True)[0]
+    return sub.withColumn("code", best["j"]).withColumn("sqdist", best["d"])
+
+
+def pq_fit(
+    vectors: DataFrame,
+    m: int = 2,
+    k: int = 4,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Product-quantization codebooks: split the vector into `m` contiguous
+    subspaces and run L2 Lloyd k-means (k centroids, `iters` rounds,
+    deterministic first-k-by-id init) independently in each.
+
+    Same distributed shape as `kmeans_fit`: assignment is a narrow map over
+    plan-literal centroids, the update is one aggregation, and only the
+    MODEL (m × k × dim/m floats) ever reaches the driver. PQ is the memory
+    side of the ANN stack: with m=8/k=256 a 64-dim float vector compresses
+    256× to 8 bytes, and IVF+PQ is the standard billion-vector layout
+    (Jégou et al., "Product Quantization for Nearest Neighbor Search",
+    TPAMI 2011).
+    """
+    first = vectors.select(vec_col).first()
+    dim = len(first[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    d = dim // m
+    books: list[list[list[float]]] = []
+    for s in range(m):
+        sub = vectors.select(
+            F.col(id_col).alias("id"),
+            as_double(F.slice(F.col(vec_col), s * d + 1, d)).alias("sub"),
+        )
+        init = sub.orderBy("id").limit(k).collect()
+        cents = [[float(x) for x in r["sub"]] for r in init]
+        for _ in range(iters):
+            rows = (
+                pq_assign(sub, cents)
+                .select("code", F.posexplode("sub").alias("pos", "x"))
+                .groupBy("code", "pos")
+                .agg(F.avg("x").alias("mu"))
+                .collect()
+            )
+            means: dict[int, dict[int, float]] = {}
+            for r in rows:
+                means.setdefault(r["code"], {})[r["pos"]] = r["mu"]
+            cents = [
+                [means[j][p] for p in range(d)] if j in means else cents[j]
+                for j in range(k)
+            ]
+        books.append(cents)
+    return books
+
+
+def pq_encode(
+    vectors: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode vectors against trained PQ codebooks: (id, codes array<int>,
+    sqdists array<double>) — `codes[s]` is the centroid id in subspace `s`,
+    `sqdists[s]` the subspace quantization error. All-JVM narrow map; at
+    scale this replaces the raw vector column with m small ints, and ADC
+    scoring reads per-query lookup tables instead of floats.
+    """
+    m = len(codebooks)
+    d = len(codebooks[0][0])
+    codes, dists = [], []
+    for s, cents in enumerate(codebooks):
+        sub = as_double(F.slice(F.col(vec_col), s * d + 1, d))
+        scored = F.array(
+            *[
+                F.struct(_sqdist(sub, c).alias("d"), F.lit(j).alias("j"))
+                for j, c in enumerate(cents)
+            ]
+        )
+        best = F.sort_array(scored, asc=True)[0]
+        codes.append(best["j"])
+        dists.append(best["d"])
+    return vectors.select(
+        F.col(id_col).alias("id"),
+        F.array(*codes).alias("codes"),
+        F.array(*dists).alias("sqdists"),
+    )
