@@ -113,6 +113,20 @@ def q_embedding_pq(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_knn_pq(spark: SparkSession, sf: str) -> DataFrame:
+    """ADC search over PQ codes: exact per-subspace query→centroid lookup
+    tables, corpus scored by m table lookups per vector (raw floats never
+    read at query time). Deterministic (fixed-init codebooks + id
+    tie-breaks), so fully value-oracled — codes and LUT distances re-derived
+    in SQL from the same unrolled Lloyd CTEs."""
+    from vptstools_spark.operators.similarity import knn_pq_adc
+
+    emb = fan_out(table(spark, sf, "embeddings"))
+    books = pq_fit(emb, m=_PQ_M, k=_PQ_K, iters=_PQ_ITERS)
+    queries = table(spark, sf, "embeddings").filter(F.col("vec_id") < N_QUERIES)
+    return knn_pq_adc(emb, queries, books, k=K)
+
+
 def q_ann_recall(spark: SparkSession, sf: str) -> DataFrame:
     """Recall@k of the IVF approximate path against the exact brute-force
     top-k — the quality dial every ANN deployment must measure next to its
@@ -195,6 +209,7 @@ QUERIES = {
     "ann_kmeans_cells": q_ann_kmeans_cells,
     "ann_recall": q_ann_recall,
     "embedding_pq": q_embedding_pq,
+    "knn_pq": q_knn_pq,
 }
 
 ORACLES = {
@@ -486,4 +501,40 @@ ORACLES["embedding_pq"] = f"""
         f"FROM a3_{s} GROUP BY 2"
         for s in range(_PQ_M)
     )}
+"""
+
+
+ORACLES["knn_pq"] = f"""
+    WITH e AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+               CAST(unnest(embedding) AS DOUBLE) AS v
+        FROM embeddings
+    ),
+    {",".join(_pq_subspace_ctes(s, _PQ_D, _PQ_K) for s in range(_PQ_M))},
+    {",".join(
+        f'''qd_{s} AS (
+            SELECT q.vec_id AS q_id, c.j, SUM((q.v - c.cv) * (q.v - c.cv)) AS d
+            FROM e{s} q JOIN c2_{s} c ON q.i = c.i
+            WHERE q.vec_id < {N_QUERIES}
+            GROUP BY 1, 2
+        )'''
+        for s in range(_PQ_M)
+    )},
+    ad AS (
+        SELECT qd_0.q_id, a3_0.vec_id AS n_id, qd_0.d + qd_1.d AS adist
+        FROM a3_0
+        JOIN a3_1 ON a3_1.vec_id = a3_0.vec_id
+        JOIN qd_0 ON qd_0.j = a3_0.j
+        JOIN qd_1 ON qd_1.j = a3_1.j AND qd_1.q_id = qd_0.q_id
+        WHERE qd_0.q_id != a3_0.vec_id
+    ),
+    r AS (
+        SELECT q_id, n_id, adist,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q_id ORDER BY adist ASC, n_id ASC
+               ) AS rk
+        FROM ad
+    )
+    SELECT q_id, n_id, ROUND(adist, 4) AS adist, CAST(rk AS INT) AS rank
+    FROM r WHERE rk <= {K}
 """

@@ -546,3 +546,65 @@ def pq_encode(
         F.array(*codes).alias("codes"),
         F.array(*dists).alias("sqdists"),
     )
+
+
+def knn_pq_adc(
+    vectors: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: per query, the exact
+    subspace distances to every codebook centroid form an m×k lookup table
+    (computed driver-side from the model — the queries are an eval-set-sized
+    collect, like `_anchors`); the corpus side then scores each vector as a
+    SUM OF m TABLE LOOKUPS on its codes — never touching the raw floats.
+
+    This is the query half of the IVF+PQ layout: the scan reads m bytes per
+    vector instead of dim×4, and the scoring expression is all-JVM
+    (element_at over literal arrays). Ties (many vectors share a code
+    combination, so approximate distances collide by construction) break by
+    neighbor id — fully deterministic.
+    """
+    from functools import reduce
+    from operator import add
+
+    m = len(codebooks)
+    d = len(codebooks[0][0])
+    enc = pq_encode(vectors, codebooks, id_col=id_col, vec_col=vec_col)
+    q_rows = queries.select(id_col, vec_col).orderBy(id_col).collect()
+    per_q = []
+    for r in q_rows:
+        qv = [float(x) for x in r[vec_col]]
+        dist_terms = []
+        for s, cents in enumerate(codebooks):
+            sub = qv[s * d : (s + 1) * d]
+            lut = [
+                sum((a - b) * (a - b) for a, b in zip(sub, c)) for c in cents
+            ]
+            dist_terms.append(
+                F.element_at(
+                    F.array(*[F.lit(x) for x in lut]), F.col("codes")[s] + 1
+                )
+            )
+        per_q.append(
+            F.struct(
+                F.lit(r[id_col]).alias("q_id"),
+                reduce(add, dist_terms).alias("adist"),
+            )
+        )
+    scored = (
+        enc.select("id", F.explode(F.array(*per_q)).alias("q"))
+        .select(F.col("q.q_id"), F.col("id").alias("n_id"), F.col("q.adist"))
+        .filter(F.col("q_id") != F.col("n_id"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("q_id").orderBy(F.col("adist").asc(), F.col("n_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "n_id", F.round("adist", 4).alias("adist"), "rank")
+    )
