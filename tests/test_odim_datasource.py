@@ -1,0 +1,75 @@
+"""Spark 4 Python Data Source face of the ODIM byte path:
+`spark.read.format("odim")` and SQL `USING odim` must produce the same
+typed long-format rows as the binaryFile+mapInPandas scan
+(`sources/odim.py:read_vp_files`) over the reference's real .h5 files."""
+
+from __future__ import annotations
+
+import pytest
+
+VP_DIR = "/root/reference/tests/data/vp"
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _register(spark):
+    from vptstools_spark.sources.odim_datasource import OdimDataSource
+
+    spark.dataSource.register(OdimDataSource)
+
+
+def _key(r):
+    # (radar, ts) is NOT unique across VP files: ODIM what/date+time is the
+    # nominal volume time, and the reference's own fixtures contain several
+    # files sharing one nominal slot — so the file name is part of the key
+    return (r.radar, r.ts, r.height, r.source_file.rsplit("/", 1)[-1])
+
+
+def test_load_recursive_directory(spark):
+    df = spark.read.format("odim").load(VP_DIR)
+    rows = df.collect()
+    assert len(rows) == 150  # 6 files x 25 levels
+    assert {r.radar for r in rows} == {"bejab", "bewid"}
+
+
+def test_matches_binaryfile_scan(spark):
+    from vptstools_spark.sources.odim import read_vp_files
+
+    ds = spark.read.format("odim").load(VP_DIR)
+    bf = read_vp_files(spark, f"{VP_DIR}/*/*.h5").unionByName(
+        read_vp_files(spark, f"{VP_DIR}/*/*/*/*/*.h5")
+    )
+    a = sorted(ds.collect(), key=_key)
+    b = sorted(bf.collect(), key=_key)
+    assert len(a) == len(b)
+    assert [_key(r) for r in a] == [_key(r) for r in b]
+    # decoded measurement parity on a dense column, row-aligned by full key
+    assert [r.ff for r in a] == [r.ff for r in b]
+
+
+def test_sql_using_odim(spark):
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY VIEW vp_ds "
+        f"USING odim OPTIONS (path '{VP_DIR}')"
+    )
+    out = spark.sql(
+        "SELECT radar, COUNT(*) AS n FROM vp_ds GROUP BY radar ORDER BY radar"
+    ).collect()
+    assert [(r.radar, r.n) for r in out] == [("bejab", 125), ("bewid", 25)]
+
+
+def test_partition_packing(spark):
+    from vptstools_spark.sources.odim_datasource import OdimReader
+
+    r = OdimReader({"path": VP_DIR, "files_per_task": 2})
+    parts = r.partitions()
+    assert [len(p.paths) for p in parts] == [2, 2, 2]
+
+
+def test_on_error_fail_raises(spark, tmp_path):
+    bad = tmp_path / "bad.h5"
+    bad.write_bytes(b"not an hdf5 file")
+    df = spark.read.format("odim").option("on_error", "fail").load(str(tmp_path))
+    with pytest.raises(Exception):
+        df.collect()
+    # default warn policy skips it
+    assert spark.read.format("odim").load(str(tmp_path)).count() == 0

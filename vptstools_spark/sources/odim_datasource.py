@@ -1,0 +1,92 @@
+"""ODIM HDF5 as a registrable Spark 4 Python Data Source:
+
+    spark.dataSource.register(OdimDataSource)
+    df = spark.read.format("odim").load("/data/vp/*.h5")
+
+This is the DataSource-API face of the same byte path `read_vp_files`
+drives through binaryFile+mapInPandas (`sources/odim.py:216`): file
+listing and partition *planning* happen on the driver, parsing happens on
+executors, and Spark sees a first-class source with the long-format
+profile schema — usable from SQL (`CREATE TABLE ... USING odim`) and
+composable with every downstream operator.
+
+Scale notes (100 TB of ~25 KB VP files):
+- `partitions()` packs the file list into `ceil(n_files / files_per_task)`
+  input partitions — the DataSource-API equivalent of binaryFile's
+  `files.maxPartitionBytes` packing; only file PATHS travel in the plan.
+- each task reads its files independently (no driver I/O after planning);
+  per-file failures follow the reference's warn-and-continue policy
+  (`on_error` option: warn | fail).
+- the parser is the h5py-or-pure-Python byte reader (`sources/hdf5.py`),
+  so the source works in containers without native HDF5 libraries.
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import warnings
+from collections.abc import Iterator
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+from vptstools_spark.schemas import profile_long_schema
+
+#: default files per input partition — ~25 KB VP files ⇒ ~50 MB per task
+DEFAULT_FILES_PER_TASK = 2000
+
+
+class OdimFilesPartition(InputPartition):
+    def __init__(self, paths: list[str]):
+        self.paths = paths
+
+
+class OdimReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("odim source requires a path, e.g. .load('/dir/*.h5')")
+        self.files_per_task = int(
+            options.get("files_per_task", DEFAULT_FILES_PER_TASK)
+        )
+        self.on_error = options.get("on_error", "warn")
+
+    def partitions(self) -> list[OdimFilesPartition]:
+        pattern = self.path
+        if not _glob.has_magic(pattern):
+            # bare directory → recursive scan (radar archives nest by
+            # radar/year/month/day, reference bin/vph5_to_vpts.py listing)
+            pattern = pattern.rstrip("/") + "/**/*.h5"
+        files = sorted(_glob.glob(pattern, recursive=True))
+        n = self.files_per_task
+        return [
+            OdimFilesPartition(files[i : i + n]) for i in range(0, len(files), n)
+        ] or [OdimFilesPartition([])]
+
+    def read(self, partition: OdimFilesPartition) -> Iterator[tuple]:
+        # executor-side import: keep the planning path light
+        from vptstools_spark.sources.odim import parse_odim_bytes
+
+        cols = [f.name for f in profile_long_schema().fields]
+        for p in partition.paths:
+            try:
+                with open(p, "rb") as fh:
+                    rows = parse_odim_bytes(p, fh.read())
+            except Exception as exc:  # per-file isolation, like read_vp_files
+                if self.on_error == "fail":
+                    raise
+                warnings.warn(f"skipping unreadable ODIM file {p}: {exc}")
+                continue
+            for r in rows:
+                yield tuple(r.get(c) for c in cols)
+
+
+class OdimDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "odim"
+
+    def schema(self):
+        return profile_long_schema()
+
+    def reader(self, schema) -> OdimReader:
+        return OdimReader(self.options)
