@@ -108,3 +108,40 @@ def test_tristate_csv_roundtrip(spark, tmp_path_factory, vals):
         assert u_by_height[200 * i] == repr(float(v))
     assert u_by_height[200 * len(vals)] == ""
     assert u_by_height[200 * len(vals) + 200] == "NaN"
+
+
+@PROP_SETTINGS
+@given(
+    points=st.lists(st.tuples(KEY, st.integers(0, 500)), max_size=14),
+    intervals=st.lists(
+        st.tuples(KEY, st.integers(0, 500), st.integers(0, 200)), max_size=8
+    ),
+    bin_seconds=st.sampled_from([7, 60, 1000]),
+)
+def test_binned_interval_join_matches_naive(spark, points, intervals, bin_seconds):
+    """Bin-bucketed containment join == the naive O(n·m) definition, for any
+    bin width (bins narrower than, comparable to, and wider than the data
+    range)."""
+    from vptstools_spark.operators.rangejoin import binned_interval_join
+
+    pdf = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(points)] or [],
+        "k long, p long, pid long",
+    )
+    idf = spark.createDataFrame(
+        [(k, s, s + w, j) for j, (k, s, w) in enumerate(intervals)] or [],
+        "k long, lo long, hi long, iid long",
+    )
+    got = {
+        (r.pid, r.iid)
+        for r in binned_interval_join(
+            pdf, idf, "p", "lo", "hi", keys=["k"], bin_seconds=bin_seconds
+        ).collect()
+    }
+    want = {
+        (pi, ii)
+        for pi, (pk, pt) in enumerate(points)
+        for ii, (ik, s, w) in enumerate(intervals)
+        if pk == ik and s <= pt <= s + w
+    }
+    assert got == want
