@@ -222,13 +222,13 @@ def q_pii_scrub(spark: SparkSession, sf: str) -> DataFrame:
 
 QUERIES = {
     "pack_sequences": q_pack_sequences,
+    "split_assign": q_split_assign,
+    "decontam_ngrams": q_decontam_ngrams,
+    "pii_scrub": q_pii_scrub,
     "sample_stratified": q_sample_stratified,
     "domain_caps": q_domain_caps,
-    "decontam_ngrams": q_decontam_ngrams,
     "dedup_semantic": q_dedup_semantic,
     "text_perplexity": q_text_perplexity,
-    "pii_scrub": q_pii_scrub,
-    "split_assign": q_split_assign,
 }
 
 _PII_SQL_COUNT = {

@@ -199,17 +199,20 @@ def q_embedding_quantize(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# dict order = driver verification priority (analytics/__init__.all_queries
+# round-robins one entry per family per round): newest capabilities first
+# so they land inside any bounded checked prefix
 QUERIES = {
     "knn_bruteforce": q_knn_bruteforce,
-    "embedding_stats": q_embedding_stats,
+    "embedding_pq": q_embedding_pq,
+    "knn_pq": q_knn_pq,
+    "ann_ivf": q_ann_ivf,
     "embedding_quantize": q_embedding_quantize,
     "ann_buckets": q_ann_buckets,
-    "ann_ivf": q_ann_ivf,
     "ann_ivf_rerank": q_ann_ivf_rerank,
     "ann_kmeans_cells": q_ann_kmeans_cells,
     "ann_recall": q_ann_recall,
-    "embedding_pq": q_embedding_pq,
-    "knn_pq": q_knn_pq,
+    "embedding_stats": q_embedding_stats,
 }
 
 ORACLES = {
