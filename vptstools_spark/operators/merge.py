@@ -81,7 +81,11 @@ def merge_upsert(
     # self-referencing read→overwrite: materialize before the write so the
     # scan completes before any file is replaced (rename-committer safe)
     merged = merged.localCheckpoint(eager=True)
-    merged.write.mode("overwrite").partitionBy(*partition_cols).parquet(target_path)
+    # dynamic overwrite forced per-write: without it a default-config session
+    # would truncate untouched partitions
+    merged.write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy(*partition_cols).parquet(target_path)
     # dynamic overwrite only rewrites partitions that PRODUCE rows — a
     # delete that empties a partition leaves its old files behind. Remove
     # touched partitions that ended up empty (metadata-sized driver work).

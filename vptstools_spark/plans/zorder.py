@@ -93,3 +93,55 @@ def zorder_write(
     out.sortWithinPartitions("__z").drop("__z").write.mode("overwrite").format(
         fmt
     ).save(path)
+
+
+def compact_partitions(
+    spark,
+    path: str,
+    partition_cols: list[str],
+    zorder_cols: list[str],
+    partitions: list[tuple] | None = None,
+    num_files: int = 1,
+    bits: int = 8,
+) -> None:
+    """Maintenance rewrite of a partitioned parquet table: coalesce each
+    listed partition's small files into `num_files` z-ordered files (the
+    OPTIMIZE ... ZORDER BY maintenance op, scoped to partitions so cost
+    tracks the worklist, not the table — same touched-partition discipline
+    as operators/merge.py).
+
+    `partitions=None` compacts everything. Ingest (streaming availableNow,
+    per-day overwrite) produces many small files per partition over time;
+    at 100 TB the rewrite is the one range exchange per partition that any
+    re-layout must pay, and untouched partitions' files are not rewritten.
+    """
+    from functools import reduce
+
+    from pyspark.sql import Column
+
+    target = spark.read.parquet(path)
+    if partitions is not None:
+        if not partitions:
+            return
+        conds = [
+            reduce(
+                Column.__and__,
+                [F.col(c) == F.lit(v) for c, v in zip(partition_cols, t)],
+            )
+            for t in partitions
+        ]
+        target = target.filter(reduce(Column.__or__, conds))
+    z = zvalue(target, zorder_cols, bits)
+    out = (
+        target.withColumn("__z", z)
+        .repartitionByRange(num_files, *partition_cols, "__z")
+        .sortWithinPartitions(*partition_cols, "__z")
+        .drop("__z")
+        .localCheckpoint(eager=True)  # finish reading before overwriting
+    )
+    # force dynamic overwrite per-write: on a session without the global
+    # partitionOverwriteMode=dynamic conf, plain overwrite would TRUNCATE
+    # every partition not in the worklist
+    out.write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy(*partition_cols).parquet(path)
