@@ -73,3 +73,31 @@ def test_on_error_fail_raises(spark, tmp_path):
         df.collect()
     # default warn policy skips it
     assert spark.read.format("odim").load(str(tmp_path)).count() == 0
+
+
+def test_filter_pushdown_prunes_files(spark):
+    """radar = 'bewid' prunes the bejab files at planning time (5 of 6
+    files never opened) and still returns correct rows."""
+    from pyspark.sql import functions as F
+
+    df = (
+        spark.read.format("odim")
+        .option("files_per_task", 1)
+        .option("pushdown", "true")
+        .load(VP_DIR)
+        .filter(F.col("radar") == "bewid")
+    )
+    rows = df.collect()
+    assert len(rows) == 25 and {r.radar for r in rows} == {"bewid"}
+    # the executed plan fans out over 1 pruned file, not 6
+    n_tasks = df.rdd.getNumPartitions()
+    assert n_tasks == 1
+
+
+def test_filter_pushdown_is_partial_not_contractual(spark):
+    """The pushed filter is also re-evaluated by Spark (partial pushdown):
+    a filter on a non-filename column still works unpruned."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.format("odim").load(VP_DIR).filter(F.col("height") == 0)
+    assert df.count() == 6  # one level-0 row per file
