@@ -127,6 +127,20 @@ def q_knn_pq(spark: SparkSession, sf: str) -> DataFrame:
     return knn_pq_adc(emb, queries, books, k=K)
 
 
+def q_knn_ivfpq(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF+PQ composed: coarse cells restrict candidates (equi-join on the
+    probed cell ids), ADC ranks them from codes alone — the architecture a
+    billion-vector deployment runs, assembled from the engine's own coarse
+    quantizer and codebooks. Deterministic throughout, fully value-oracled
+    (ann_ivf's cell CTEs + knn_pq's Lloyd/LUT CTEs composed in SQL)."""
+    from vptstools_spark.operators.similarity import knn_ivfpq
+
+    emb = fan_out(table(spark, sf, "embeddings"))
+    books = pq_fit(emb, m=_PQ_M, k=_PQ_K, iters=_PQ_ITERS)
+    queries = table(spark, sf, "embeddings").filter(F.col("vec_id") < N_QUERIES)
+    return knn_ivfpq(emb, queries, _anchors(spark, sf), books, k=K, nprobe=2)
+
+
 def q_ann_recall(spark: SparkSession, sf: str) -> DataFrame:
     """Recall@k of the IVF approximate path against the exact brute-force
     top-k — the quality dial every ANN deployment must measure next to its
@@ -206,6 +220,7 @@ QUERIES = {
     "knn_bruteforce": q_knn_bruteforce,
     "embedding_pq": q_embedding_pq,
     "knn_pq": q_knn_pq,
+    "knn_ivfpq": q_knn_ivfpq,
     "ann_ivf": q_ann_ivf,
     "embedding_quantize": q_embedding_quantize,
     "ann_buckets": q_ann_buckets,
@@ -530,6 +545,67 @@ ORACLES["knn_pq"] = f"""
         JOIN qd_0 ON qd_0.j = a3_0.j
         JOIN qd_1 ON qd_1.j = a3_1.j AND qd_1.q_id = qd_0.q_id
         WHERE qd_0.q_id != a3_0.vec_id
+    ),
+    r AS (
+        SELECT q_id, n_id, adist,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q_id ORDER BY adist ASC, n_id ASC
+               ) AS rk
+        FROM ad
+    )
+    SELECT q_id, n_id, ROUND(adist, 4) AS adist, CAST(rk AS INT) AS rank
+    FROM r WHERE rk <= {K}
+"""
+
+
+ORACLES["knn_ivfpq"] = f"""
+    WITH e AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+               CAST(unnest(embedding) AS DOUBLE) AS v
+        FROM embeddings
+    ),
+    nrm AS (SELECT vec_id, sqrt(SUM(v * v)) AS n FROM e GROUP BY vec_id),
+    cdots AS (
+        SELECT e.vec_id, c.vec_id AS j, SUM(e.v * c.v) AS d
+        FROM e JOIN e c ON e.i = c.i AND c.vec_id < {N_ANCHORS}
+        GROUP BY 1, 2
+    ),
+    ccos AS (
+        SELECT cdots.vec_id, j, d / (a.n * b.n) AS c
+        FROM cdots JOIN nrm a ON a.vec_id = cdots.vec_id
+                   JOIN nrm b ON b.vec_id = j
+    ),
+    cranked AS (
+        SELECT vec_id, j,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY c DESC, j DESC) AS rn
+        FROM ccos
+    ),
+    cell AS (SELECT vec_id, j AS cell FROM cranked WHERE rn = 1),
+    probe AS (SELECT vec_id AS q_id, j AS cell FROM cranked
+              WHERE rn <= 2 AND vec_id < {N_QUERIES}),
+    cand AS (
+        SELECT p.q_id, cl.vec_id AS n_id
+        FROM probe p JOIN cell cl ON cl.cell = p.cell
+        WHERE cl.vec_id <> p.q_id
+    ),
+    {",".join(_pq_subspace_ctes(s, _PQ_D, _PQ_K) for s in range(_PQ_M))},
+    {",".join(
+        f'''qd_{s} AS (
+            SELECT q.vec_id AS q_id, c.j, SUM((q.v - c.cv) * (q.v - c.cv)) AS d
+            FROM e{s} q JOIN c2_{s} c ON q.i = c.i
+            WHERE q.vec_id < {N_QUERIES}
+            GROUP BY 1, 2
+        )'''
+        for s in range(_PQ_M)
+    )},
+    ad AS (
+        SELECT cd.q_id, cd.n_id, qd_0.d + qd_1.d AS adist
+        FROM cand cd
+        JOIN a3_0 ON a3_0.vec_id = cd.n_id
+        JOIN a3_1 ON a3_1.vec_id = cd.n_id
+        JOIN qd_0 ON qd_0.j = a3_0.j AND qd_0.q_id = cd.q_id
+        JOIN qd_1 ON qd_1.j = a3_1.j AND qd_1.q_id = cd.q_id
     ),
     r AS (
         SELECT q_id, n_id, adist,

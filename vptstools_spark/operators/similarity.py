@@ -608,3 +608,91 @@ def knn_pq_adc(
         .filter(F.col("rank") <= k)
         .select("q_id", "n_id", F.round("adist", 4).alias("adist"), "rank")
     )
+
+
+def knn_ivfpq(
+    vectors: DataFrame,
+    queries: DataFrame,
+    anchors: list[list[float]],
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF + PQ composed search — the standard billion-vector layout: the
+    coarse quantizer (IVF cells) restricts candidates to the query's
+    `nprobe` cells via an equi-join, and ADC scores the survivors from
+    their PQ codes alone (m table lookups per candidate, raw floats never
+    read at query time).
+
+    One corpus pass computes home cell AND codes together (a single narrow
+    map — cell assignment and PQ encoding share the scan); the probe side
+    is eval-set-sized and broadcasts. Everything downstream of the model
+    collects (anchors + codebooks + query LUTs, all driver-side constants)
+    is JVM expressions.
+    """
+    from functools import reduce
+    from operator import add
+
+    import math
+
+    m = len(codebooks)
+    d = len(codebooks[0][0])
+    v = with_norm(vectors, vec_col)
+    # home cell (argmax cosine over anchors) and PQ codes in ONE projection
+    cell_scored = []
+    for j, anchor in enumerate(anchors):
+        lit_vec = F.array(*[F.lit(float(x)) for x in anchor])
+        a_norm = math.sqrt(sum(float(x) * float(x) for x in anchor))
+        cos_j = dot(F.col("_vec"), lit_vec) / (F.col("_norm") * F.lit(a_norm))
+        cell_scored.append(F.struct(cos_j.alias("c"), F.lit(j).alias("j")))
+    home = F.sort_array(F.array(*cell_scored), asc=False)[0]["j"]
+    code_cols = []
+    for s, cents in enumerate(codebooks):
+        sub = as_double(F.slice(F.col(vec_col), s * d + 1, d))
+        scored = F.array(
+            *[
+                F.struct(_sqdist(sub, c).alias("d"), F.lit(j).alias("j"))
+                for j, c in enumerate(cents)
+            ]
+        )
+        code_cols.append(F.sort_array(scored, asc=True)[0]["j"])
+    corpus = v.select(
+        F.col(id_col).alias("n_id"),
+        home.alias("cell"),
+        F.array(*code_cols).alias("codes"),
+    )
+
+    # probe side: each query's nprobe nearest cells + its ADC lookup tables
+    probe = (
+        ivf_cells(queries, anchors, nprobe=nprobe, id_col=id_col, vec_col=vec_col)
+        .select(F.col("id").alias("q_id"), F.explode("cells").alias("cell"))
+    )
+    q_rows = queries.select(id_col, vec_col).orderBy(id_col).collect()
+    adist = None
+    for r in q_rows:
+        qv = [float(x) for x in r[vec_col]]
+        terms = []
+        for s, cents in enumerate(codebooks):
+            sub = qv[s * d : (s + 1) * d]
+            lut = [sum((a - b) * (a - b) for a, b in zip(sub, c)) for c in cents]
+            terms.append(
+                F.element_at(F.array(*[F.lit(x) for x in lut]), F.col("codes")[s] + 1)
+            )
+        expr = reduce(add, terms)
+        cond = F.col("q_id") == F.lit(r[id_col])
+        adist = F.when(cond, expr) if adist is None else adist.when(cond, expr)
+
+    from pyspark.sql import Window
+
+    cand = corpus.join(F.broadcast(probe), "cell").filter(
+        F.col("q_id") != F.col("n_id")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("adist").asc(), F.col("n_id").asc())
+    return (
+        cand.withColumn("adist", adist)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "n_id", F.round("adist", 4).alias("adist"), "rank")
+    )
