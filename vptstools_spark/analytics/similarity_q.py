@@ -141,6 +141,36 @@ def q_knn_ivfpq(spark: SparkSession, sf: str) -> DataFrame:
     return knn_ivfpq(emb, queries, _anchors(spark, sf), books, k=K, nprobe=2)
 
 
+def q_pq_recall(spark: SparkSession, sf: str) -> DataFrame:
+    """Recall@k of the IVF+PQ path against exact brute force — the quality
+    dial for the compressed index (how much the coarse cells + 8-byte codes
+    give up vs full-precision cosine). Same shape as `ann_recall`; both
+    sides are the engine's own operators and the oracle recomputes both
+    rankings in SQL."""
+    from vptstools_spark.operators.similarity import knn_ivfpq
+
+    emb = table(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    bf = knn_bruteforce(emb, queries, k=K).select("q_id", "n_id")
+    books = pq_fit(fan_out(emb), m=_PQ_M, k=_PQ_K, iters=_PQ_ITERS)
+    apx = knn_ivfpq(
+        fan_out(emb), queries, _anchors(spark, sf), books, k=K, nprobe=2
+    ).select("q_id", "n_id")
+    hits = bf.join(apx, ["q_id", "n_id"]).groupBy("q_id").agg(
+        F.count("*").alias("n_hits")
+    )
+    return (
+        bf.select("q_id")
+        .distinct()
+        .join(hits, "q_id", "left")
+        .select(
+            "q_id",
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            F.round(F.coalesce("n_hits", F.lit(0)) / F.lit(K), 4).alias("recall"),
+        )
+    )
+
+
 def q_ann_recall(spark: SparkSession, sf: str) -> DataFrame:
     """Recall@k of the IVF approximate path against the exact brute-force
     top-k — the quality dial every ANN deployment must measure next to its
@@ -221,6 +251,7 @@ QUERIES = {
     "embedding_pq": q_embedding_pq,
     "knn_pq": q_knn_pq,
     "knn_ivfpq": q_knn_ivfpq,
+    "pq_recall": q_pq_recall,
     "ann_ivf": q_ann_ivf,
     "embedding_quantize": q_embedding_quantize,
     "ann_buckets": q_ann_buckets,
@@ -616,4 +647,94 @@ ORACLES["knn_ivfpq"] = f"""
     )
     SELECT q_id, n_id, ROUND(adist, 4) AS adist, CAST(rk AS INT) AS rank
     FROM r WHERE rk <= {K}
+"""
+
+
+ORACLES["pq_recall"] = f"""
+    WITH e AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+               CAST(unnest(embedding) AS DOUBLE) AS v
+        FROM embeddings
+    ),
+    nrm AS (SELECT vec_id, sqrt(SUM(v * v)) AS n FROM e GROUP BY vec_id),
+    -- exact brute-force top-k
+    q AS (SELECT * FROM e WHERE vec_id < {N_QUERIES}),
+    bdots AS (
+        SELECT q.vec_id AS q_id, e.vec_id AS n_id, SUM(q.v * e.v) AS d
+        FROM q JOIN e ON q.i = e.i AND e.vec_id <> q.vec_id
+        GROUP BY 1, 2
+    ),
+    bcos AS (
+        SELECT q_id, n_id, d / (a.n * b.n) AS c
+        FROM bdots JOIN nrm a ON a.vec_id = q_id JOIN nrm b ON b.vec_id = n_id
+    ),
+    bf AS (
+        SELECT q_id, n_id FROM (
+            SELECT q_id, n_id,
+                   ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY c DESC, n_id) AS rnk
+            FROM bcos
+        ) WHERE rnk <= {K}
+    ),
+    -- IVF cell assignment (cosine to the first-{N_ANCHORS} anchors)
+    cdots AS (
+        SELECT e.vec_id, c.vec_id AS j, SUM(e.v * c.v) AS d
+        FROM e JOIN e c ON e.i = c.i AND c.vec_id < {N_ANCHORS}
+        GROUP BY 1, 2
+    ),
+    ccos AS (
+        SELECT cdots.vec_id, j, d / (a.n * b.n) AS c
+        FROM cdots JOIN nrm a ON a.vec_id = cdots.vec_id
+                   JOIN nrm b ON b.vec_id = j
+    ),
+    cranked AS (
+        SELECT vec_id, j,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY c DESC, j DESC) AS rn
+        FROM ccos
+    ),
+    cell AS (SELECT vec_id, j AS cell FROM cranked WHERE rn = 1),
+    probe AS (SELECT vec_id AS q_id, j AS cell FROM cranked
+              WHERE rn <= 2 AND vec_id < {N_QUERIES}),
+    cand AS (
+        SELECT p.q_id, cl.vec_id AS n_id
+        FROM probe p JOIN cell cl ON cl.cell = p.cell
+        WHERE cl.vec_id <> p.q_id
+    ),
+    -- PQ codes + per-query subspace LUTs
+    {",".join(_pq_subspace_ctes(s, _PQ_D, _PQ_K) for s in range(_PQ_M))},
+    {",".join(
+        f'''qd_{s} AS (
+            SELECT qq.vec_id AS q_id, c.j, SUM((qq.v - c.cv) * (qq.v - c.cv)) AS d
+            FROM e{s} qq JOIN c2_{s} c ON qq.i = c.i
+            WHERE qq.vec_id < {N_QUERIES}
+            GROUP BY 1, 2
+        )'''
+        for s in range(_PQ_M)
+    )},
+    ad AS (
+        SELECT cd.q_id, cd.n_id, qd_0.d + qd_1.d AS adist
+        FROM cand cd
+        JOIN a3_0 ON a3_0.vec_id = cd.n_id
+        JOIN a3_1 ON a3_1.vec_id = cd.n_id
+        JOIN qd_0 ON qd_0.j = a3_0.j AND qd_0.q_id = cd.q_id
+        JOIN qd_1 ON qd_1.j = a3_1.j AND qd_1.q_id = cd.q_id
+    ),
+    apx AS (
+        SELECT q_id, n_id FROM (
+            SELECT q_id, n_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q_id ORDER BY adist ASC, n_id ASC
+                   ) AS rk
+            FROM ad
+        ) WHERE rk <= {K}
+    ),
+    hits AS (
+        SELECT bf.q_id, COUNT(*) AS n_hits
+        FROM bf JOIN apx ON apx.q_id = bf.q_id AND apx.n_id = bf.n_id
+        GROUP BY 1
+    )
+    SELECT DISTINCT bf.q_id,
+           COALESCE(h.n_hits, 0) AS n_hits,
+           ROUND(COALESCE(h.n_hits, 0) / {K}.0, 4) AS recall
+    FROM bf LEFT JOIN hits h ON h.q_id = bf.q_id
 """
