@@ -112,20 +112,25 @@ def main() -> None:
             except Exception:
                 sweep[name] = -1.0  # visible failure marker, never silent
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "full_sweep_sf": 0.01,
-                "full_sweep_total": round(sum(t for t in sweep.values() if t > 0), 3),
-                "full_sweep": sweep,
-            }
-        )
-    )
+    headline = {
+        "metric": "headline_queries_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "full_sweep_sf": 0.01,
+        "full_sweep_total": round(sum(t for t in sweep.values() if t > 0), 3),
+        "full_sweep_failures": sorted(n for n, t in sweep.items() if t < 0),
+    }
+    # The driver records only the TAIL of stdout, so the big per-query sweep
+    # dict goes on its own line FIRST and the compact headline line is printed
+    # LAST (round-over-round comparison must never lose the headline tier to
+    # output truncation). The full record is also archived to bench_full.json.
+    sweep_line = {"metric": "full_sweep", "sf": 0.01, "queries": sweep}
+    print(json.dumps(sweep_line))
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_full.json"), "w") as fh:
+        json.dump({**headline, "full_sweep": sweep}, fh, indent=1)
+    print(json.dumps(headline))
 
 
 if __name__ == "__main__":

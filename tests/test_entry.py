@@ -14,9 +14,10 @@ def test_entry_returns_rows(spark):
     assert df.count() > 0
 
 
-# queries that are deliberately rows-only checked: iterative algorithms the
-# oracle's single SQL statement can't express (driver records a weaker check)
-ROWS_ONLY_OK = {"ann_kmeans_cells"}
+# Every registered query must ship a value oracle — no rows-only exemptions.
+# (ann_kmeans_cells gained an unrolled-Lloyd CTE oracle in round 2, emptying
+# the set; keep it empty so the no-oracle contract can't silently regress.)
+ROWS_ONLY_OK: set[str] = set()
 
 
 def test_every_query_has_oracle_and_runs(spark):

@@ -73,3 +73,13 @@ def test_plan_is_equi_join_not_nested_loop(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Join" in plan
+
+
+def test_unsupported_how_raises(spark):
+    import pytest
+
+    points, intervals = _fixtures(spark)
+    with pytest.raises(ValueError, match="left_semi"):
+        binned_interval_join(
+            points, intervals, "ts", "start_ts", "end_ts", how="left"
+        )

@@ -174,3 +174,54 @@ def test_pq_fit_rejects_indivisible_dims(spark):
 
     with _pytest.raises(ValueError):
         pq_fit(emb, m=2, k=1, iters=1)
+
+
+def _synthetic_corpus(spark, n, dim=4):
+    """Deterministic array<float> vectors from spark.range — no driver data."""
+    from pyspark.sql import functions as F
+
+    coords = [
+        ((F.col("id") * (3 + i) + i) % 17).cast("float") for i in range(dim)
+    ]
+    return spark.range(n).select(
+        F.col("id").alias("vec_id"), F.array(*coords).alias("embedding")
+    )
+
+
+def test_adc_plan_constant_in_query_count(spark):
+    """The ADC query side must be DATA (broadcast-joined LUTs), not plan
+    literals: the optimized plan may not grow with the number of queries,
+    and a 1,200-query batch must execute. Guards the scale contract of
+    knn_pq_adc/knn_ivfpq (per-query F.when chains would blow up analysis
+    at realistic online batch sizes)."""
+    from vptstools_spark.operators.similarity import knn_pq_adc, pq_fit
+
+    corpus = _synthetic_corpus(spark, 64)
+    books = pq_fit(corpus, m=2, k=4, iters=1)
+
+    def plan_len(queries_df):
+        df = knn_pq_adc(corpus, queries_df, books, k=3)
+        return len(df._jdf.queryExecution().optimizedPlan().toString())
+
+    small = plan_len(_synthetic_corpus(spark, 4))
+    big = plan_len(_synthetic_corpus(spark, 1200))
+    assert big <= small + 200, f"plan grew with query count: {small} -> {big}"
+
+    out = knn_pq_adc(corpus, _synthetic_corpus(spark, 1200), books, k=3)
+    assert out.groupBy("q_id").count().count() == 1200
+
+
+def test_ivfpq_plan_constant_in_query_count(spark):
+    from vptstools_spark.operators.similarity import kmeans_fit, knn_ivfpq, pq_fit
+
+    corpus = _synthetic_corpus(spark, 64)
+    books = pq_fit(corpus, m=2, k=4, iters=1)
+    anchors = kmeans_fit(corpus, k=4, iters=1)
+
+    def plan_len(queries_df):
+        df = knn_ivfpq(corpus, queries_df, anchors, books, k=3, nprobe=2)
+        return len(df._jdf.queryExecution().optimizedPlan().toString())
+
+    small = plan_len(_synthetic_corpus(spark, 4))
+    big = plan_len(_synthetic_corpus(spark, 1000))
+    assert big <= small + 200, f"plan grew with query count: {small} -> {big}"

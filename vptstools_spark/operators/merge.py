@@ -29,6 +29,74 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+#: above this many touched partitions the literal OR-of-ANDs pruning filter
+#: is replaced by a broadcast semi-join — a 10⁵-partition delta must not
+#: build a 10⁵-term predicate (plan analysis is super-linear in expression
+#: size; the join keeps the plan constant and prunes at runtime via
+#: dynamic partition pruning instead of planning time)
+MAX_LITERAL_PARTITION_FILTER = 128
+
+
+def scope_to_partitions(
+    target: DataFrame,
+    partition_cols: list[str],
+    touched: list[tuple],
+    touched_df: DataFrame | None = None,
+) -> DataFrame:
+    """Restrict `target` to the listed partition tuples.
+
+    Small worklists (≤ MAX_LITERAL_PARTITION_FILTER) use a literal
+    OR-of-ANDs that Catalyst folds into planning-time partition pruning;
+    larger ones switch to a broadcast LEFT SEMI join on the partition
+    columns, whose plan size is constant in the worklist and which Spark
+    prunes with dynamic partition pruning at runtime.
+    """
+    from functools import reduce
+
+    if len(touched) <= MAX_LITERAL_PARTITION_FILTER:
+        conds = [
+            reduce(
+                Column.__and__,
+                [F.col(c) == F.lit(v) for c, v in zip(partition_cols, t)],
+            )
+            for t in touched
+        ]
+        return target.filter(reduce(Column.__or__, conds))
+    if touched_df is None:
+        spark = target.sparkSession
+        str_schema = ", ".join(f"`{c}` string" for c in partition_cols)
+        touched_df = spark.createDataFrame(
+            [tuple(None if v is None else str(v) for v in t) for t in touched],
+            str_schema,
+        )
+        for f in target.select(*partition_cols).schema.fields:
+            touched_df = touched_df.withColumn(
+                f.name, F.col(f.name).cast(f.dataType)
+            )
+    return target.join(
+        F.broadcast(touched_df.select(*partition_cols).distinct()),
+        partition_cols,
+        "left_semi",
+    )
+
+
+#: characters Spark's ExternalCatalogUtils.escapePathName percent-encodes in
+#: partition directory names (plus all ASCII control chars)
+_PATH_ESCAPE = set('"#%\'*/:=?\\{[]^') | {chr(i) for i in range(0x20)} | {chr(0x7F)}
+
+
+def escape_partition_value(v) -> str:
+    """Render a partition value the way Spark writes its directory name:
+    `None` → __HIVE_DEFAULT_PARTITION__, booleans lowercased, special
+    characters percent-encoded (ExternalCatalogUtils.escapePathName)."""
+    if v is None:
+        return "__HIVE_DEFAULT_PARTITION__"
+    if isinstance(v, bool):
+        s = "true" if v else "false"
+    else:
+        s = str(v)
+    return "".join(f"%{ord(ch):02X}" if ch in _PATH_ESCAPE else ch for ch in s)
+
 
 def merge_upsert(
     spark: SparkSession,
@@ -62,21 +130,12 @@ def merge_upsert(
     if not touched:
         return
     target = spark.read.parquet(target_path)
-    # literal OR-of-ANDs over the touched partition values: Catalyst folds
-    # this into partition pruning, so only touched partitions are scanned
-    from functools import reduce
-
-    conds = [
-        reduce(
-            Column.__and__,
-            [F.col(c) == F.lit(v) for c, v in zip(partition_cols, t)],
-        )
-        for t in touched
-    ]
-    in_touched = reduce(Column.__or__, conds)
-    kept = target.filter(in_touched).join(
-        F.broadcast(delta.select(*keys).distinct()), keys, "left_anti"
-    )
+    # partition pruning bounded by worklist size: literal filter for small
+    # deltas, broadcast semi-join (constant plan size + DPP) for large ones
+    kept = scope_to_partitions(
+        target, partition_cols, touched,
+        touched_df=delta.select(*partition_cols).distinct(),
+    ).join(F.broadcast(delta.select(*keys).distinct()), keys, "left_anti")
     merged = kept.unionByName(upserts.select(*target.columns))
     # self-referencing read→overwrite: materialize before the write so the
     # scan completes before any file is replaced (rename-committer safe)
@@ -89,15 +148,30 @@ def merge_upsert(
     # dynamic overwrite only rewrites partitions that PRODUCE rows — a
     # delete that empties a partition leaves its old files behind. Remove
     # touched partitions that ended up empty (metadata-sized driver work).
+    # Compare in the RENDERED (directory-name) space: partition-column type
+    # inference means read-back values (e.g. int 5) need not equal the
+    # delta's values (str "5"), and a raw tuple comparison would flag every
+    # touched partition as emptied.
+    def _canon(t: tuple) -> tuple:
+        return tuple(escape_partition_value(v) for v in t)
+
     remaining = {
-        tuple(r) for r in merged.select(*partition_cols).distinct().collect()
+        _canon(tuple(r))
+        for r in merged.select(*partition_cols).distinct().collect()
     }
-    emptied = [t for t in touched if t not in remaining]
+    emptied = [t for t in touched if _canon(t) not in remaining]
     if emptied:
         jvm = spark.sparkContext._jvm
         jsc = spark.sparkContext._jsc
         for t in emptied:
-            subdir = "/".join(f"{c}={v}" for c, v in zip(partition_cols, t))
+            # build the directory name exactly as Spark wrote it: values are
+            # hive-escaped (percent-encoded specials, NULL sentinel dir) —
+            # raw f"{c}={v}" would miss the escaped path and silently leave
+            # the tombstoned partition's old files to resurrect on re-read
+            subdir = "/".join(
+                f"{c}={escape_partition_value(v)}"
+                for c, v in zip(partition_cols, t)
+            )
             jpath = jvm.org.apache.hadoop.fs.Path(f"{target_path}/{subdir}")
             fs = jpath.getFileSystem(jsc.hadoopConfiguration())
             fs.delete(jpath, True)

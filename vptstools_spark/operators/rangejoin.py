@@ -54,7 +54,19 @@ def binned_interval_join(
     `[start_col, end_col]` contains `point_col`. Returns all point columns
     plus the interval's columns. `how='left_semi'` keeps just the points
     that fall in any interval (existence check, no interval payload).
+
+    Only `'inner'` and `'left_semi'` are supported: the containment
+    residual is applied as a post-join filter, which for outer variants
+    would silently drop unmatched rows (their NULL residual collapses the
+    result to inner semantics). Outer interval joins need the residual
+    folded into the join condition itself — not implemented.
     """
+    if how not in ("inner", "left_semi"):
+        raise ValueError(
+            f"how={how!r} not supported: binned_interval_join applies the "
+            "containment residual post-join, which is only correct for "
+            "'inner' and 'left_semi'"
+        )
     keys = keys or []
     p_bin = F.floor(_epoch_seconds(points, point_col) / F.lit(bin_seconds))
     i_start = _epoch_seconds(intervals, start_col)

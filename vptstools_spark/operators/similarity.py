@@ -548,6 +548,46 @@ def pq_encode(
     )
 
 
+def pq_query_luts(
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-query ADC lookup tables as DATA, not plan literals: returns
+    (q_id, luts array<array<double>>) where ``luts[s][j]`` is the exact
+    squared L2 distance from the query's subvector `s` to centroid `j` of
+    codebook `s`.
+
+    Only the MODEL (m×k×d codebook floats) rides in the plan; the per-query
+    tables are computed JVM-side over the queries DataFrame, so the plan is
+    CONSTANT-SIZED in the number of queries. This is the scale-safe query
+    half of PQ search: 10⁶ online queries produce 10⁶ small rows to
+    broadcast, not 10⁶ literal arrays in an F.when chain.
+    """
+    d = len(codebooks[0][0])
+    lut_cols = []
+    for s, cents in enumerate(codebooks):
+        sub = as_double(F.slice(F.col(vec_col), s * d + 1, d))
+        lut_cols.append(F.array(*[_sqdist(sub, c) for c in cents]))
+    return queries.select(
+        F.col(id_col).alias("q_id"), F.array(*lut_cols).alias("luts")
+    )
+
+
+def _adc_distance() -> Column:
+    """SUM OF m TABLE LOOKUPS: fold codes through the joined `luts` column.
+    Sequential fold keeps FP summation order deterministic (identical to the
+    former reduce(add, terms) literal chain: 0.0 + t0 + t1 + …)."""
+    return F.aggregate(
+        F.zip_with(
+            F.col("luts"), F.col("codes"), lambda lut, c: F.element_at(lut, c + 1)
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
 def knn_pq_adc(
     vectors: DataFrame,
     queries: DataFrame,
@@ -555,53 +595,35 @@ def knn_pq_adc(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """Asymmetric-distance (ADC) top-k over PQ codes: per query, the exact
     subspace distances to every codebook centroid form an m×k lookup table
-    (computed driver-side from the model — the queries are an eval-set-sized
-    collect, like `_anchors`); the corpus side then scores each vector as a
-    SUM OF m TABLE LOOKUPS on its codes — never touching the raw floats.
+    (`pq_query_luts` — computed distributed, carried as a broadcast-joined
+    column, NEVER collected or compiled into the plan); the corpus side then
+    scores each vector as a SUM OF m TABLE LOOKUPS on its codes — never
+    touching the raw floats.
 
     This is the query half of the IVF+PQ layout: the scan reads m bytes per
     vector instead of dim×4, and the scoring expression is all-JVM
-    (element_at over literal arrays). Ties (many vectors share a code
-    combination, so approximate distances collide by construction) break by
-    neighbor id — fully deterministic.
+    (element_at over the joined lut arrays). Plan size is constant in the
+    number of queries. Ties (many vectors share a code combination, so
+    approximate distances collide by construction) break by neighbor id —
+    fully deterministic. `broadcast_queries=False` falls back to a shuffle
+    join for offline mega-batches of queries.
     """
-    from functools import reduce
-    from operator import add
-
-    m = len(codebooks)
-    d = len(codebooks[0][0])
-    enc = pq_encode(vectors, codebooks, id_col=id_col, vec_col=vec_col)
-    q_rows = queries.select(id_col, vec_col).orderBy(id_col).collect()
-    per_q = []
-    for r in q_rows:
-        qv = [float(x) for x in r[vec_col]]
-        dist_terms = []
-        for s, cents in enumerate(codebooks):
-            sub = qv[s * d : (s + 1) * d]
-            lut = [
-                sum((a - b) * (a - b) for a, b in zip(sub, c)) for c in cents
-            ]
-            dist_terms.append(
-                F.element_at(
-                    F.array(*[F.lit(x) for x in lut]), F.col("codes")[s] + 1
-                )
-            )
-        per_q.append(
-            F.struct(
-                F.lit(r[id_col]).alias("q_id"),
-                reduce(add, dist_terms).alias("adist"),
-            )
-        )
-    scored = (
-        enc.select("id", F.explode(F.array(*per_q)).alias("q"))
-        .select(F.col("q.q_id"), F.col("id").alias("n_id"), F.col("q.adist"))
-        .filter(F.col("q_id") != F.col("n_id"))
-    )
     from pyspark.sql import Window
 
+    enc = pq_encode(vectors, codebooks, id_col=id_col, vec_col=vec_col)
+    luts = pq_query_luts(queries, codebooks, id_col=id_col, vec_col=vec_col)
+    scored = (
+        enc.join(
+            F.broadcast(luts) if broadcast_queries else luts,
+            F.col("q_id") != F.col("id"),
+        )
+        .withColumn("adist", _adc_distance())
+        .select("q_id", F.col("id").alias("n_id"), "adist")
+    )
     w = Window.partitionBy("q_id").orderBy(F.col("adist").asc(), F.col("n_id").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -628,13 +650,12 @@ def knn_ivfpq(
 
     One corpus pass computes home cell AND codes together (a single narrow
     map — cell assignment and PQ encoding share the scan); the probe side
-    is eval-set-sized and broadcasts. Everything downstream of the model
-    collects (anchors + codebooks + query LUTs, all driver-side constants)
-    is JVM expressions.
+    carries each query's nprobe cells AND its ADC lookup tables as columns
+    (`pq_query_luts`), broadcast-joined on the cell id. Only the MODEL
+    (anchors + codebooks) rides in the plan — plan size is constant in the
+    number of queries, so the layout holds for online batches of 10⁴–10⁶
+    queries, not just eval sets.
     """
-    from functools import reduce
-    from operator import add
-
     import math
 
     m = len(codebooks)
@@ -664,25 +685,15 @@ def knn_ivfpq(
         F.array(*code_cols).alias("codes"),
     )
 
-    # probe side: each query's nprobe nearest cells + its ADC lookup tables
-    probe = (
+    # probe side: each query's nprobe nearest cells + its ADC lookup tables,
+    # both computed distributed and joined on q_id (two tiny query-side
+    # DataFrames) — no collect, no per-query plan literals
+    cells = (
         ivf_cells(queries, anchors, nprobe=nprobe, id_col=id_col, vec_col=vec_col)
         .select(F.col("id").alias("q_id"), F.explode("cells").alias("cell"))
     )
-    q_rows = queries.select(id_col, vec_col).orderBy(id_col).collect()
-    adist = None
-    for r in q_rows:
-        qv = [float(x) for x in r[vec_col]]
-        terms = []
-        for s, cents in enumerate(codebooks):
-            sub = qv[s * d : (s + 1) * d]
-            lut = [sum((a - b) * (a - b) for a, b in zip(sub, c)) for c in cents]
-            terms.append(
-                F.element_at(F.array(*[F.lit(x) for x in lut]), F.col("codes")[s] + 1)
-            )
-        expr = reduce(add, terms)
-        cond = F.col("q_id") == F.lit(r[id_col])
-        adist = F.when(cond, expr) if adist is None else adist.when(cond, expr)
+    luts = pq_query_luts(queries, codebooks, id_col=id_col, vec_col=vec_col)
+    probe = cells.join(luts, "q_id")
 
     from pyspark.sql import Window
 
@@ -691,7 +702,7 @@ def knn_ivfpq(
     )
     w = Window.partitionBy("q_id").orderBy(F.col("adist").asc(), F.col("n_id").asc())
     return (
-        cand.withColumn("adist", adist)
+        cand.withColumn("adist", _adc_distance())
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("q_id", "n_id", F.round("adist", 4).alias("adist"), "rank")

@@ -104,37 +104,40 @@ def compact_partitions(
     num_files: int = 1,
     bits: int = 8,
 ) -> None:
-    """Maintenance rewrite of a partitioned parquet table: coalesce each
-    listed partition's small files into `num_files` z-ordered files (the
-    OPTIMIZE ... ZORDER BY maintenance op, scoped to partitions so cost
-    tracks the worklist, not the table — same touched-partition discipline
-    as operators/merge.py).
+    """Maintenance rewrite of a partitioned parquet table: coalesce the
+    listed partitions' small files into ~`num_files` z-ordered files PER
+    PARTITION (the OPTIMIZE ... ZORDER BY maintenance op, scoped to
+    partitions so cost tracks the worklist, not the table — same
+    touched-partition discipline as operators/merge.py).
 
-    `partitions=None` compacts everything. Ingest (streaming availableNow,
-    per-day overwrite) produces many small files per partition over time;
-    at 100 TB the rewrite is the one range exchange per partition that any
-    re-layout must pay, and untouched partitions' files are not rewritten.
+    The range exchange runs over `(partition_cols, __z)` with
+    `num_files × len(partitions)` output partitions, so each listed
+    partition lands in ~num_files files (exact when the equi-depth
+    boundaries align with partition-value changes — always the case for
+    num_files=1, the common compaction target; larger values are a target,
+    not a guarantee, because range boundaries are equi-depth over rows).
+    With `partitions=None` the whole table is compacted and `num_files` is
+    the GLOBAL output task count.
+
+    Ingest (streaming availableNow, per-day overwrite) produces many small
+    files per partition over time; at 100 TB the rewrite is the one range
+    exchange per partition that any re-layout must pay, and untouched
+    partitions' files are not rewritten.
     """
-    from functools import reduce
-
-    from pyspark.sql import Column
+    from vptstools_spark.operators.merge import scope_to_partitions
 
     target = spark.read.parquet(path)
     if partitions is not None:
         if not partitions:
             return
-        conds = [
-            reduce(
-                Column.__and__,
-                [F.col(c) == F.lit(v) for c, v in zip(partition_cols, t)],
-            )
-            for t in partitions
-        ]
-        target = target.filter(reduce(Column.__or__, conds))
+        # bounded-worklist pruning: literal filter for small lists, broadcast
+        # semi-join above MAX_LITERAL_PARTITION_FILTER (shared with MERGE)
+        target = scope_to_partitions(target, partition_cols, partitions)
     z = zvalue(target, zorder_cols, bits)
+    n_out = num_files * len(partitions) if partitions is not None else num_files
     out = (
         target.withColumn("__z", z)
-        .repartitionByRange(num_files, *partition_cols, "__z")
+        .repartitionByRange(n_out, *partition_cols, "__z")
         .sortWithinPartitions(*partition_cols, "__z")
         .drop("__z")
         .localCheckpoint(eager=True)  # finish reading before overwriting

@@ -81,6 +81,10 @@ def incremental_vpts_sink(
             .write.mode("overwrite")
             .partitionBy("p_radar", "p_date")
             .option("header", "true")
+            # same tri-state text rendering as the batch daily job — the
+            # two paths must produce byte-identical artifacts
+            .option("emptyValue", "")
+            .option("nullValue", "")
             .csv(output_path)
         )
 
@@ -286,11 +290,14 @@ def event_type_topk_stateful(
         def close(self) -> None:
             pass
 
+    # Spark only honors state TTL under ProcessingTime time mode — with
+    # timeMode="None" a non-None TTL raises at runtime, so switch modes
+    # exactly when a TTL is requested
     return events_stream.groupBy("user_id").transformWithStateInPandas(
         statefulProcessor=TopKProcessor(),
         outputStructType=out_schema,
         outputMode="Update",
-        timeMode="None",
+        timeMode="ProcessingTime" if counts_ttl_ms is not None else "None",
     )
 
 
