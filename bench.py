@@ -66,6 +66,11 @@ HEADLINE = [
     "dedup_semantic",
     "text_perplexity",
     "pii_scrub",
+    # round 3 additions
+    "doc_chunks",
+    "retention_cohorts",
+    "profile_documents",
+    "pagerank_trade",
 ]
 
 

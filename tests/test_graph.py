@@ -104,3 +104,48 @@ def test_star_converges_fast_on_long_chain(spark):
     comps = {r.component for r in out.collect()}
     assert comps == {0}
     assert out.count() == 201
+
+
+def test_pagerank_ring_is_uniform(spark):
+    from vptstools_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")], "src string, dst string"
+    )
+    ranks = {r.node: r.rank for r in pagerank(edges, iters=4).collect()}
+    for v in ranks.values():
+        assert abs(v - 1 / 3) < 1e-12
+
+
+def test_pagerank_star_matches_hand_computation(spark):
+    from vptstools_spark.operators.graph import pagerank
+
+    # a->c, b->c: after 1 iter r(c)=0.05+0.85*(2/3*1/1)... hand-rolled below
+    edges = spark.createDataFrame(
+        [("a", "c"), ("b", "c")], "src string, dst string"
+    )
+    n, d = 3, 0.85
+    r = {v: 1.0 / n for v in "abc"}
+    for _ in range(2):
+        r = {
+            "a": (1.0 - d) / n,
+            "b": (1.0 - d) / n,
+            "c": (1.0 - d) / n + d * (r["a"] / 1 + r["b"] / 1),
+        }
+    got = {x.node: x.rank for x in pagerank(edges, iters=2).collect()}
+    for v in "abc":
+        assert abs(got[v] - r[v]) < 1e-15, v
+
+
+def test_pagerank_checkpoint_every_truncates_lineage(spark):
+    from vptstools_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("b", "c")], "src string, dst string"
+    )
+    plain = {r.node: r.rank for r in pagerank(edges, iters=4).collect()}
+    ckpt = {
+        r.node: r.rank
+        for r in pagerank(edges, iters=4, checkpoint_every=2).collect()
+    }
+    assert plain == ckpt

@@ -135,3 +135,41 @@ def test_semantic_dedup_drops_identical_vector(spark):
     )
     hot = pairs.filter(F.col("cos") >= 0.99).collect()
     assert [(r["va"], r["vb"]) for r in hot] == [(0, 2)]
+
+
+def test_chunk_documents_geometry_and_overlap(spark):
+    from vptstools_spark.operators.pretrain import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, "a" * 450), (2, "xy"), (3, "")], "doc_id long, text string"
+    )
+    out = chunk_documents(docs, chunk_size=200, stride=150).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # 450 chars, stride 150 -> starts 1,151,301; last chunk truncated to 150
+    starts = sorted(r.chunk_start for r in by_doc[1])
+    assert starts == [1, 151, 301]
+    lens = [len(r.chunk_text) for r in sorted(by_doc[1], key=lambda r: r.chunk_id)]
+    assert lens == [200, 200, 150]
+    # consecutive chunks overlap by chunk_size - stride = 50
+    c0, c1 = (
+        r.chunk_text
+        for r in sorted(by_doc[1], key=lambda r: r.chunk_id)[:2]
+    )
+    assert c0[150:] == c1[:50]
+    # short and empty docs produce exactly one chunk
+    assert [r.chunk_text for r in by_doc[2]] == ["xy"]
+    assert [r.chunk_text for r in by_doc[3]] == [""]
+
+
+def test_chunk_documents_rejects_bad_params(spark):
+    import pytest
+
+    from vptstools_spark.operators.pretrain import chunk_documents
+
+    docs = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        chunk_documents(docs, chunk_size=0)
+    with pytest.raises(ValueError):
+        chunk_documents(docs, stride=0)

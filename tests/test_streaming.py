@@ -359,3 +359,41 @@ def test_transform_with_state_topk_plan(spark, tmp_path):
     out = event_type_topk_stateful(stream, k=2)
     assert out.isStreaming
     assert [f.name for f in out.schema.fields] == ["user_id", "event_type", "n", "rank"]
+
+
+def test_cdc_merge_sink_applies_batches_incrementally(spark, tmp_path):
+    """Streaming CDC apply (cdc_merge_sink = availableNow + foreachBatch +
+    merge_upsert): first batch creates the table, a later landing file
+    upserts/deletes through the same checkpointed stream — the streaming
+    form of keyed MERGE."""
+    from vptstools_spark.streaming.incremental import cdc_merge_sink
+
+    landing = str(tmp_path / "cdc")
+    target = str(tmp_path / "t")
+    ckpt = str(tmp_path / "ck")
+    schema = "k long, p string, v double, is_delete boolean"
+
+    spark.createDataFrame(
+        [(1, "a", 1.0, False), (2, "a", 2.0, False), (3, "b", 3.0, False)], schema
+    ).write.mode("append").parquet(landing)
+    q = cdc_merge_sink(
+        spark.readStream.schema(schema).parquet(landing),
+        target, keys=["k"], partition_cols=["p"], checkpoint=ckpt,
+        delete_col="is_delete",
+    )
+    q.awaitTermination()
+    rows = {(r.k, r.p): r.v for r in spark.read.parquet(target).collect()}
+    assert rows == {(1, "a"): 1.0, (2, "a"): 2.0, (3, "b"): 3.0}
+
+    # second CDC batch: update k=1, delete k=3 (empties partition b)
+    spark.createDataFrame(
+        [(1, "a", 10.0, False), (3, "b", 0.0, True)], schema
+    ).write.mode("append").parquet(landing)
+    q2 = cdc_merge_sink(
+        spark.readStream.schema(schema).parquet(landing),
+        target, keys=["k"], partition_cols=["p"], checkpoint=ckpt,
+        delete_col="is_delete",
+    )
+    q2.awaitTermination()
+    rows = {(r.k, r.p): r.v for r in spark.read.parquet(target).collect()}
+    assert rows == {(1, "a"): 10.0, (2, "a"): 2.0}

@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from vptstools_spark.analytics import (
     dedup_q,
     events_q,
+    graph_q,
     inventory_q,
     pretrain_q,
     relational,
@@ -29,6 +30,7 @@ _MODULES = [
     text_q,
     pretrain_q,
     events_q,
+    graph_q,
     stats_q,
     relational,
     subqueries_q,

@@ -245,8 +245,33 @@ def q_events_interval_join(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+
+def q_retention_cohorts(spark: SparkSession, sf: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by first-activity week
+    (anchored at 2024-01-01 so the week index is engine-independent), then
+    distinct-user counts per (cohort_week, week_offset) — the classic
+    activation/retention triangle. Two hash aggregations and one broadcast-
+    sized join on user_id; no windows, no skew (cohorts are bounded by the
+    calendar)."""
+    e = table(spark, sf, "events")
+    week = F.floor(
+        F.datediff(F.col("ts").cast("date"), F.to_date(F.lit("2024-01-01"))) / 7
+    ).cast("long")
+    uw = e.select("user_id", week.alias("week")).distinct()
+    cohort = uw.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        uw.join(cohort, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
 QUERIES = {
     "events_hourly": q_events_hourly,
+    "retention_cohorts": q_retention_cohorts,
     "events_interval_join": q_events_interval_join,
     "events_json_schema": q_events_json_schema,
     "events_session_window": q_events_session_window,
@@ -413,3 +438,17 @@ ORACLES = {
         ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.ts
     """,
 }
+
+ORACLES["retention_cohorts"] = """
+    WITH uw AS (
+        SELECT DISTINCT user_id,
+               CAST(FLOOR(DATEDIFF('day', DATE '2024-01-01', CAST(ts AS DATE)) / 7.0) AS BIGINT) AS week
+        FROM events
+    ),
+    c AS (SELECT user_id, MIN(week) AS cohort_week FROM uw GROUP BY user_id)
+    SELECT c.cohort_week,
+           uw.week - c.cohort_week AS week_offset,
+           COUNT(DISTINCT uw.user_id) AS n_users
+    FROM uw JOIN c USING (user_id)
+    GROUP BY 1, 2
+"""

@@ -1,0 +1,100 @@
+"""Graph analytics over the harness star schema: PageRank on the
+customer→supplier trade graph (edges = distinct (custkey, suppkey) pairs
+from orders ⋈ lineitem).
+
+Complements `operators/graph.py`'s connected components (used by the dedup
+cluster queries): CC resolves equivalence classes, PageRank ranks nodes by
+link mass — the two standard iterative-graph shapes a data-pipeline engine
+needs. Both run as fixed-iteration join+aggregate loops (one shuffle pair
+per iteration, model-free), so the oracle can unroll them as CTEs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vptstools_spark.io import table
+
+#: fixed iteration count — deterministic, CTE-unrollable (see module doc)
+_PR_ITERS = 3
+_PR_DAMPING = 0.85
+
+
+def _trade_edges(spark: SparkSession, sf: str) -> DataFrame:
+    o = table(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    l = table(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    return (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+
+
+def q_pagerank_trade(spark: SparkSession, sf: str) -> DataFrame:
+    """PageRank over the bipartite customer→supplier graph, 3 iterations,
+    d=0.85 (`operators/graph.py:pagerank`): top-25 suppliers by link mass.
+    Ranks are rounded to 6 dp before the final order/limit so the result is
+    FP-aggregation-order independent (ties break on the node id)."""
+    from vptstools_spark.operators.graph import pagerank
+
+    pr = pagerank(_trade_edges(spark, sf), iters=_PR_ITERS, damping=_PR_DAMPING)
+    return (
+        pr.filter(F.col("node").startswith("s"))
+        .select("node", F.round("rank", 6).alias("pr"))
+        .orderBy(F.col("pr").desc(), "node")
+        .limit(25)
+    )
+
+
+QUERIES = {
+    "pagerank_trade": q_pagerank_trade,
+}
+
+# one rank-update CTE per iteration: rank_i(v) = (1-d)/N + d * Σ_{u→v} rank_{i-1}(u)/outdeg(u)
+_PR_STEP = """
+    r{i} AS (
+        SELECT n.node,
+               ({one_minus_d} / nn.n) + 0.85 * COALESCE(SUM(p.rank / deg.outdeg), 0) AS rank
+        FROM nodes n
+        CROSS JOIN nn
+        LEFT JOIN edges e ON e.dst = n.node
+        LEFT JOIN deg ON deg.src = e.src
+        LEFT JOIN r{prev} p ON p.node = e.src
+        GROUP BY n.node, nn.n
+    )
+"""
+
+
+def _pagerank_sql() -> str:
+    # 1 - 0.85 computed in Python so the double literal matches the Spark
+    # side's F.lit((1.0 - damping) / n) bit-for-bit
+    steps = ",\n".join(
+        _PR_STEP.format(i=i, prev=i - 1, one_minus_d=repr(1.0 - _PR_DAMPING))
+        for i in range(1, _PR_ITERS + 1)
+    )
+    return f"""
+    WITH edges AS (
+        SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                        's' || CAST(l_suppkey AS VARCHAR) AS dst
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+    nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+    deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+    r0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes CROSS JOIN nn),
+    {steps}
+    SELECT node, ROUND(rank, 6) AS pr
+    FROM r{_PR_ITERS}
+    WHERE node LIKE 's%'
+    ORDER BY pr DESC, node
+    LIMIT 25
+    """
+
+
+ORACLES = {
+    "pagerank_trade": _pagerank_sql(),
+}

@@ -220,7 +220,27 @@ def q_pii_scrub(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+
+def q_doc_chunks(spark: SparkSession, sf: str) -> DataFrame:
+    """Overlapping fixed-size chunking of the document corpus
+    (`operators/pretrain.py:chunk_documents` — sequence+posexplode+substr,
+    an all-JVM narrow map): the RAG / pretraining chunk stage. Emits the
+    chunk geometry plus an md5 content fingerprint per chunk."""
+    from vptstools_spark.operators.pretrain import chunk_documents
+
+    d = table(spark, sf, "documents")
+    ch = chunk_documents(d, chunk_size=200, stride=150)
+    return ch.select(
+        "doc_id",
+        "chunk_id",
+        "chunk_start",
+        F.length("chunk_text").cast("long").alias("chunk_len"),
+        F.md5("chunk_text").alias("chunk_md5"),
+    )
+
+
 QUERIES = {
+    "doc_chunks": q_doc_chunks,
     "pack_sequences": q_pack_sequences,
     "split_assign": q_split_assign,
     "decontam_ngrams": q_decontam_ngrams,
@@ -391,3 +411,17 @@ ORACLES = {
         FROM documents GROUP BY source
     """,
 }
+
+ORACLES["doc_chunks"] = """
+    WITH starts AS (
+        SELECT doc_id, text,
+               UNNEST(GENERATE_SERIES(1, GREATEST(LENGTH(text), 1), 150)) AS s
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST((s - 1) / 150 AS INT) AS chunk_id,
+           CAST(s AS INT) AS chunk_start,
+           CAST(LENGTH(SUBSTR(text, s, 200)) AS BIGINT) AS chunk_len,
+           MD5(SUBSTR(text, s, 200)) AS chunk_md5
+    FROM starts
+"""

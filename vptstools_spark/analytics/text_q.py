@@ -364,7 +364,29 @@ def q_text_length_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_profile_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Column-profiling pass over the corpus, per source: row counts,
+    distinct langs, whitespace-token averages, char-length extrema — the
+    data-quality monitoring stage a production pipeline runs on every
+    ingest batch. One hash aggregation; countDistinct rewrites to a
+    two-phase expand+agg (partial per partition), so no key ever
+    concentrates."""
+    d = table(spark, sf, "documents")
+    return d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.sum(F.when(F.length("text") == 0, 1).otherwise(0)).alias("n_empty"),
+        F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.round(F.avg(F.size(F.split(F.trim(F.col("text")), r"\s+"))), 2).alias(
+            "avg_ws_tokens"
+        ),
+    )
+
+
 QUERIES = {
+    "profile_documents": q_profile_documents,
     "text_tokens": q_text_tokens,
     "text_quality": q_text_quality,
     "text_langid": q_text_langid,
@@ -515,3 +537,16 @@ ORACLES = {
         FROM documents GROUP BY source
     """,
 }
+
+ORACLES["profile_documents"] = """
+    SELECT source,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT lang) AS n_langs,
+           CAST(SUM(CASE WHEN LENGTH(text) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_empty,
+           ROUND(AVG(n_chars), 2) AS avg_chars,
+           MIN(n_chars) AS min_chars,
+           MAX(n_chars) AS max_chars,
+           ROUND(AVG(LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\\s+'))), 2) AS avg_ws_tokens
+    FROM documents
+    GROUP BY source
+"""

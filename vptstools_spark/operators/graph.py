@@ -210,3 +210,59 @@ def connected_components_star(
 def cluster_sizes(components: DataFrame) -> DataFrame:
     """(component, n_nodes) census of the resolved clusters."""
     return components.groupBy("component").agg(F.count("*").alias("n_nodes"))
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = 3,
+    damping: float = 0.85,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    checkpoint_every: int | None = None,
+) -> DataFrame:
+    """Fixed-iteration PageRank over an edge list: returns (node, rank)
+    after `iters` synchronous updates of
+    ``rank(v) = (1-d)/N + d * Σ_{u→v} rank(u)/outdeg(u)``
+    (simplified model: dangling-node mass is not redistributed — documents
+    the same convention as the classic Spark example).
+
+    Distributed shape per iteration: one equi-join of the edge list with the
+    current ranks on the source key plus one aggregation on the destination
+    key — both plain shuffles on node ids, no driver data. Only N (one
+    count) reaches the driver. Iterations grow the lineage linearly; for
+    long runs pass `checkpoint_every` to truncate it with localCheckpoint
+    (same discipline as merge's read-before-overwrite). The deterministic
+    fixed-iteration form (no convergence test) keeps the result
+    oracle-checkable by CTE unrolling.
+    """
+    nodes = (
+        edges.select(F.col(src_col).alias("node"))
+        .unionByName(edges.select(F.col(dst_col).alias("node")))
+        .distinct()
+    )
+    n = nodes.count()
+    out_deg = edges.groupBy(src_col).agg(F.count("*").alias("outdeg"))
+    e = edges.join(out_deg, src_col).select(
+        F.col(src_col).alias("e_src"), F.col(dst_col).alias("e_dst"), "outdeg"
+    )
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    for i in range(iters):
+        contribs = (
+            e.join(ranks, e["e_src"] == ranks["node"])
+            .select(
+                F.col("e_dst").alias("node"),
+                (F.col("rank") / F.col("outdeg")).alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("mass"))
+        )
+        ranks = nodes.join(contribs, "node", "left").select(
+            "node",
+            (
+                F.lit((1.0 - damping) / n)
+                + F.lit(damping) * F.coalesce(F.col("mass"), F.lit(0.0))
+            ).alias("rank"),
+        )
+        if checkpoint_every and (i + 1) % checkpoint_every == 0:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks

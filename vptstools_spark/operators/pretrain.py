@@ -118,3 +118,44 @@ def bigram_nll(scored: DataFrame, corpus: DataFrame, id_col: str = "doc_id") -> 
             F.round(F.avg(-F.log(F.col("c2") / F.col("c1"))), 4).alias("avg_nll"),
         )
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_size: int = 200,
+    stride: int = 150,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Fixed-size overlapping character windows over a document column — the
+    chunking stage of a RAG / pretraining pipeline (every document becomes
+    ceil(max(len,1)/stride) chunks of `chunk_size` chars, consecutive chunks
+    overlapping by `chunk_size - stride`).
+
+    All-JVM narrow map: one `sequence` of start offsets per document,
+    `posexplode`, `substr` — no shuffle, no Python, output row count is
+    linear in corpus size. At 100 TB this is the shape you want: chunking
+    parallelizes per input split and the explode factor is bounded by
+    document length / stride. Token-budget chunking (split on a tokenizer)
+    plugs in by swapping the offset sequence for token-boundary offsets.
+    """
+    if stride <= 0 or chunk_size <= 0:
+        raise ValueError("chunk_size and stride must be positive")
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.length(F.col(text_col)), F.lit(1)), F.lit(stride)
+    )
+    return (
+        docs.select(
+            F.col(id_col),
+            F.col(text_col),
+            F.posexplode(starts).alias("chunk_id", "chunk_start"),
+        )
+        .select(
+            id_col,
+            "chunk_id",
+            "chunk_start",
+            F.col(text_col)
+            .substr(F.col("chunk_start"), F.lit(chunk_size))
+            .alias("chunk_text"),
+        )
+    )

@@ -452,3 +452,43 @@ def run_available_now(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def cdc_merge_sink(
+    cdc_stream: DataFrame,
+    target_path: str,
+    keys: list[str],
+    partition_cols: list[str],
+    checkpoint: str,
+    delete_col: str | None = None,
+) -> StreamingQuery:
+    """Streaming CDC apply: each micro-batch of change rows (upserts +
+    optional tombstones) is merged into the partitioned parquet target via
+    `operators/merge.py:merge_upsert` — the streaming form of keyed MERGE,
+    composing the engine's two incremental primitives.
+
+    Exactly-once by idempotence: re-applying a replayed batch rewrites the
+    same partitions with the same content (merge is deterministic in the
+    batch), matching the availableNow/foreachBatch discipline of
+    `incremental_vpts_sink`. Cost per batch scales with the partitions the
+    batch touches, not the table."""
+    from vptstools_spark.operators.merge import merge_upsert
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        merge_upsert(
+            batch_df.sparkSession,
+            target_path,
+            batch_df,
+            keys=keys,
+            partition_cols=partition_cols,
+            delete_col=delete_col,
+        )
+
+    return (
+        cdc_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
