@@ -451,7 +451,111 @@ def q_lost_order_months(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+
+def q_nation_volume_shipping(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q7-style: bi-national shipping volume between two nations by
+    ship year — a 6-way join where both nation dims broadcast (aliased
+    copies for the supplier and customer sides) and the fact side shuffles
+    once on the join keys; the disjunctive nation pair predicate prunes
+    before aggregation."""
+    l = table(spark, sf, "lineitem")
+    o = table(spark, sf, "orders")
+    c = table(spark, sf, "customer")
+    s = table(spark, sf, "supplier")
+    n = table(spark, sf, "nation")
+    n1 = n.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | (
+        (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    )
+    return (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+def q_market_share(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q8-style: NATION_3's share of AMERICA's import volume per order
+    year — conditional aggregation over the full join (numerator and
+    denominator in ONE pass, no self-join), share rounded after the
+    division so the FP aggregation order can't leak into the hash."""
+    l = table(spark, sf, "lineitem")
+    o = table(spark, sf, "orders")
+    c = table(spark, sf, "customer")
+    s = table(spark, sf, "supplier")
+    n_c = table(spark, sf, "nation")
+    r = table(spark, sf, "region").filter(F.col("r_name") == "AMERICA")
+    n_s = table(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n_c), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(table(spark, sf, "supplier"), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n_s), F.col("s_nationkey") == F.col("s_nk"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(0.0))
+                / F.sum(vol),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
+def q_product_profit(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q9-style: profit per (supplier nation, order year) for widget
+    parts. No partsupp table in the harness, so cost is modeled as
+    0.9 × p_retailprice × l_quantity — the join/aggregation shape (5-way,
+    part filter pushed to the scan, dims broadcast) is what matters."""
+    l = table(spark, sf, "lineitem")
+    o = table(spark, sf, "orders")
+    s = table(spark, sf, "supplier")
+    n = table(spark, sf, "nation")
+    p = table(spark, sf, "part").filter(F.col("p_name").contains("widget"))
+    # exact DECIMAL arithmetic: the inputs are 2-dp money values, so the
+    # per-row profit and its sum are exact and aggregation-order-insensitive
+    # (a double sum of ~3e6 differs at the cent between engines)
+    def dec(c: str):
+        return F.col(c).cast("decimal(12,2)")
+
+    profit = dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(3,2)") - dec("l_discount")
+    ) - F.lit("0.9").cast("decimal(3,2)") * dec("p_retailprice") * dec("l_quantity")
+    return (
+        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(F.round(F.sum(profit).cast("double"), 2).alias("profit"))
+    )
+
+
 QUERIES = {
+    "nation_volume_shipping": q_nation_volume_shipping,
+    "market_share": q_market_share,
+    "product_profit": q_product_profit,
     "pricing_summary": q_pricing_summary,
     "nation_customer_sample": q_nation_customer_sample,
     "latest_order": q_latest_order,
@@ -691,3 +795,53 @@ ORACLES = {
         FROM part GROUP BY 1
     """,
 }
+
+ORACLES["nation_volume_shipping"] = """
+    SELECT n1.n_name AS supp_nation,
+           n2.n_name AS cust_nation,
+           CAST(YEAR(l_shipdate) AS INT) AS l_year,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+       OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+    GROUP BY 1, 2, 3
+"""
+
+ORACLES["market_share"] = """
+    SELECT CAST(YEAR(o_orderdate) AS INT) AS o_year,
+           ROUND(
+               SUM(CASE WHEN ns.n_name = 'NATION_3'
+                        THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)
+               / SUM(l_extendedprice * (1 - l_discount)), 6) AS mkt_share
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation nc ON c_nationkey = nc.n_nationkey
+    JOIN region  ON nc.n_regionkey = r_regionkey AND r_name = 'AMERICA'
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ns ON s_nationkey = ns.n_nationkey
+    GROUP BY 1
+"""
+
+ORACLES["product_profit"] = """
+    SELECT n_name AS nation,
+           CAST(YEAR(o_orderdate) AS INT) AS o_year,
+           ROUND(CAST(SUM(
+               CAST(l_extendedprice AS DECIMAL(12,2))
+                   * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(12,2)))
+               - CAST(0.9 AS DECIMAL(3,2))
+                   * CAST(p_retailprice AS DECIMAL(12,2))
+                   * CAST(l_quantity AS DECIMAL(12,2))
+           ) AS DOUBLE), 2) AS profit
+    FROM lineitem
+    JOIN part     ON l_partkey = p_partkey AND p_name LIKE '%widget%'
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    GROUP BY 1, 2
+"""

@@ -235,15 +235,25 @@ def pagerank(
     fixed-iteration form (no convergence test) keeps the result
     oracle-checkable by CTE unrolling.
     """
+    # materialize the (possibly expensive) edge derivation ONCE: the loop
+    # re-reads edges every iteration, and without this the full upstream
+    # lineage (joins/distinct) re-executes per iteration — the classic
+    # iterative-algorithm caching rule
+    edges = edges.localCheckpoint(eager=True)
     nodes = (
         edges.select(F.col(src_col).alias("node"))
         .unionByName(edges.select(F.col(dst_col).alias("node")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     n = nodes.count()
     out_deg = edges.groupBy(src_col).agg(F.count("*").alias("outdeg"))
-    e = edges.join(out_deg, src_col).select(
-        F.col(src_col).alias("e_src"), F.col(dst_col).alias("e_dst"), "outdeg"
+    e = (
+        edges.join(out_deg, src_col)
+        .select(
+            F.col(src_col).alias("e_src"), F.col(dst_col).alias("e_dst"), "outdeg"
+        )
+        .localCheckpoint(eager=True)
     )
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     for i in range(iters):
