@@ -101,3 +101,59 @@ def test_filter_pushdown_is_partial_not_contractual(spark):
 
     df = spark.read.format("odim").load(VP_DIR).filter(F.col("height") == 0)
     assert df.count() == 6  # one level-0 row per file
+
+
+def test_stream_reader_incremental_ingest(spark, tmp_path):
+    """spark.readStream.format('odim'): first availableNow batch ingests the
+    initial files; files landing later are picked up by a subsequent run
+    from the same checkpoint WITHOUT reprocessing the old ones (filename-
+    watermark offsets)."""
+    import glob
+    import os
+    import shutil
+
+    src_files = sorted(glob.glob(f"{VP_DIR}/**/*.h5", recursive=True))
+    assert len(src_files) >= 4
+    land = tmp_path / "land"
+    land.mkdir()
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    for p in src_files[:2]:
+        shutil.copy(p, land / os.path.basename(p))
+    q = (
+        spark.readStream.format("odim")
+        .load(str(land))
+        .writeStream.format("parquet")
+        .option("checkpointLocation", ckpt)
+        .option("path", out)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    first = spark.read.parquet(out)
+    n_first = first.count()
+    assert n_first > 0
+    files_first = {r.source_file for r in first.select("source_file").distinct().collect()}
+    assert len(files_first) == 2
+
+    for p in src_files[2:4]:
+        shutil.copy(p, land / os.path.basename(p))
+    q2 = (
+        spark.readStream.format("odim")
+        .load(str(land))
+        .writeStream.format("parquet")
+        .option("checkpointLocation", ckpt)
+        .option("path", out)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination()
+    second = spark.read.parquet(out)
+    files_second = {r.source_file for r in second.select("source_file").distinct().collect()}
+    assert len(files_second) == 4
+    # no reprocessing: per-file row counts appear exactly once
+    dup = (
+        second.groupBy("source_file", "ts", "height").count().filter("count > 1").count()
+    )
+    assert dup == 0

@@ -30,6 +30,7 @@ from collections.abc import Iterator
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     EqualTo,
     Filter,
     InputPartition,
@@ -39,6 +40,45 @@ from vptstools_spark.schemas import profile_long_schema
 
 #: default files per input partition — ~25 KB VP files ⇒ ~50 MB per task
 DEFAULT_FILES_PER_TASK = 2000
+
+
+def _arrow_batches(paths: list[str], on_error: str, batch_files: int):
+    """Parse ODIM files into Arrow record batches (one per `batch_files`
+    files, ~25 rows/file): executor-side body shared by the batch and
+    streaming DataSource readers. Per-file failures warn-and-continue
+    (reference policy) unless on_error='fail'."""
+    # executor-side imports: keep the planning path light
+    import pyarrow as pa
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    from vptstools_spark.sources.odim import _rows_to_pdf, parse_odim_bytes
+
+    schema = profile_long_schema()
+    arrow_schema = to_arrow_schema(schema)
+    rows: list[dict] = []
+    n_files = 0
+    for p in paths:
+        try:
+            with open(p, "rb") as fh:
+                rows.extend(parse_odim_bytes(p, fh.read()))
+        except Exception as exc:  # per-file isolation, like read_vp_files
+            if on_error == "fail":
+                raise
+            warnings.warn(f"skipping unreadable ODIM file {p}: {exc}")
+            continue
+        n_files += 1
+        if n_files % batch_files == 0 and rows:
+            # Arrow-batch yield (Spark 4 DataSource API): one columnar batch
+            # per file chunk instead of per-row Python tuples — same batching
+            # as the binaryFile+mapInPandas perf path
+            yield pa.RecordBatch.from_pandas(
+                _rows_to_pdf(rows, schema), schema=arrow_schema, preserve_index=False
+            )
+            rows = []
+    if rows:
+        yield pa.RecordBatch.from_pandas(
+            _rows_to_pdf(rows, schema), schema=arrow_schema, preserve_index=False
+        )
 
 
 class OdimFilesPartition(InputPartition):
@@ -81,40 +121,7 @@ class OdimReader(DataSourceReader):
     ARROW_BATCH_FILES = 256
 
     def read(self, partition: OdimFilesPartition) -> Iterator["pa.RecordBatch"]:
-        # executor-side imports: keep the planning path light
-        import pyarrow as pa
-        from pyspark.sql.pandas.types import to_arrow_schema
-
-        from vptstools_spark.sources.odim import _rows_to_pdf, parse_odim_bytes
-
-        schema = profile_long_schema()
-        arrow_schema = to_arrow_schema(schema)
-        rows: list[dict] = []
-        n_files = 0
-        for p in partition.paths:
-            try:
-                with open(p, "rb") as fh:
-                    rows.extend(parse_odim_bytes(p, fh.read()))
-            except Exception as exc:  # per-file isolation, like read_vp_files
-                if self.on_error == "fail":
-                    raise
-                warnings.warn(f"skipping unreadable ODIM file {p}: {exc}")
-                continue
-            n_files += 1
-            if n_files % self.ARROW_BATCH_FILES == 0 and rows:
-                # Arrow-batch yield (Spark 4 DataSource API): one columnar
-                # batch per file chunk instead of per-row Python tuples —
-                # same batching as the binaryFile+mapInPandas perf path
-                yield pa.RecordBatch.from_pandas(
-                    _rows_to_pdf(rows, schema),
-                    schema=arrow_schema,
-                    preserve_index=False,
-                )
-                rows = []
-        if rows:
-            yield pa.RecordBatch.from_pandas(
-                _rows_to_pdf(rows, schema), schema=arrow_schema, preserve_index=False
-            )
+        return _arrow_batches(partition.paths, self.on_error, self.ARROW_BATCH_FILES)
 
 
 class OdimPushdownReader(OdimReader):
@@ -138,6 +145,60 @@ class OdimPushdownReader(OdimReader):
         return filters
 
 
+class OdimStreamReader(DataSourceStreamReader):
+    """Streaming ODIM ingest: `spark.readStream.format("odim").load(dir)`.
+
+    The offset is a lexicographic FILENAME WATERMARK ({"last": path}) —
+    radar archives name files by timestamp (<radar>_vp_<yyyymmddThhmm>…),
+    so lexicographic order IS arrival order within a directory tree, and
+    the offset stays O(1) regardless of history (unlike a processed-file
+    set). Each micro-batch covers the files that sorted after the previous
+    watermark; `partitions()` packs them per task exactly like the batch
+    reader, and `read()` reuses the shared Arrow-batch parser. This is the
+    DataSource-API form of the reference's cron-batch change detection
+    (SURVEY §2.8): checkpointed offsets replace the S3-inventory
+    `modified` lookback.
+    """
+
+    def __init__(self, options: dict):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("odim stream requires a path, e.g. .load('/dir')")
+        self.files_per_task = int(
+            options.get("files_per_task", DEFAULT_FILES_PER_TASK)
+        )
+        self.on_error = options.get("on_error", "warn")
+
+    def _list(self) -> list[str]:
+        pattern = self.path
+        if not _glob.has_magic(pattern):
+            pattern = pattern.rstrip("/") + "/**/*.h5"
+        return sorted(_glob.glob(pattern, recursive=True))
+
+    def initialOffset(self) -> dict:
+        return {"last": ""}
+
+    def latestOffset(self) -> dict:
+        files = self._list()
+        return {"last": files[-1]} if files else {"last": ""}
+
+    def partitions(self, start: dict, end: dict) -> list[OdimFilesPartition]:
+        files = [p for p in self._list() if start["last"] < p <= end["last"]]
+        n = self.files_per_task
+        return [
+            OdimFilesPartition(files[i : i + n]) for i in range(0, len(files), n)
+        ]
+
+    def read(self, partition: OdimFilesPartition):
+        return _arrow_batches(
+            partition.paths, self.on_error, OdimReader.ARROW_BATCH_FILES
+        )
+
+    def commit(self, end: dict) -> None:
+        # nothing to clean up: the watermark in the checkpoint is the state
+        pass
+
+
 class OdimDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -150,3 +211,6 @@ class OdimDataSource(DataSource):
         if str(self.options.get("pushdown", "false")).lower() == "true":
             return OdimPushdownReader(self.options)
         return OdimReader(self.options)
+
+    def streamReader(self, schema) -> OdimStreamReader:
+        return OdimStreamReader(self.options)
