@@ -141,6 +141,27 @@ def q_knn_ivfpq(spark: SparkSession, sf: str) -> DataFrame:
     return knn_ivfpq(emb, queries, _anchors(spark, sf), books, k=K, nprobe=2)
 
 
+def q_knn_ivfpq_persisted(spark: SparkSession, sf: str) -> DataFrame:
+    """The persisted-index serving path (`operators/ann_index.py`): build
+    the cell-partitioned codes table + model sidecar once, then search it
+    with planning-time partition pruning. Same model, same ADC math, so the
+    oracle is knn_ivfpq's — exact result equality between the in-memory and
+    on-storage paths is itself the property under test."""
+    import tempfile
+
+    from vptstools_spark.operators.ann_index import (
+        build_ivfpq_index,
+        search_ivfpq_index,
+    )
+
+    emb = fan_out(table(spark, sf, "embeddings"))
+    books = pq_fit(emb, m=_PQ_M, k=_PQ_K, iters=_PQ_ITERS)
+    queries = table(spark, sf, "embeddings").filter(F.col("vec_id") < N_QUERIES)
+    path = tempfile.mkdtemp(prefix="ivfpq_index_")
+    build_ivfpq_index(emb, path, _anchors(spark, sf), books)
+    return search_ivfpq_index(spark, path, queries, k=K, nprobe=2)
+
+
 def q_pq_recall(spark: SparkSession, sf: str) -> DataFrame:
     """Recall@k of the IVF+PQ path against exact brute force — the quality
     dial for the compressed index (how much the coarse cells + 8-byte codes
@@ -251,6 +272,7 @@ QUERIES = {
     "embedding_pq": q_embedding_pq,
     "knn_pq": q_knn_pq,
     "knn_ivfpq": q_knn_ivfpq,
+    "knn_ivfpq_persisted": q_knn_ivfpq_persisted,
     "pq_recall": q_pq_recall,
     "ann_ivf": q_ann_ivf,
     "embedding_quantize": q_embedding_quantize,
@@ -738,3 +760,7 @@ ORACLES["pq_recall"] = f"""
            ROUND(COALESCE(h.n_hits, 0) / {K}.0, 4) AS recall
     FROM bf LEFT JOIN hits h ON h.q_id = bf.q_id
 """
+
+# the persisted index must return exactly what the inline operator returns,
+# so it shares knn_ivfpq's oracle verbatim
+ORACLES["knn_ivfpq_persisted"] = ORACLES["knn_ivfpq"]
