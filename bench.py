@@ -71,6 +71,8 @@ HEADLINE = [
     "retention_cohorts",
     "profile_documents",
     "pagerank_trade",
+    "ts_subseq_match",
+    "quality_classifier",
 ]
 
 

@@ -19,6 +19,7 @@ from vptstools_spark.analytics import (
     stats_q,
     subqueries_q,
     text_q,
+    ts_q,
     vpts_q,
 )
 
@@ -34,6 +35,7 @@ _MODULES = [
     stats_q,
     relational,
     subqueries_q,
+    ts_q,
 ]
 
 

@@ -239,8 +239,47 @@ def q_doc_chunks(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_url_host_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Web-corpus URL curation: parse host / path / query-param out of
+    document URLs (deterministically constructed here — the harness corpus
+    has no URL column) with Spark's built-in `parse_url`, then aggregate
+    per host. The parse is a narrow JVM expression; the only exchange is
+    the final per-host aggregation — at 100 TB this is the shape of
+    domain-level corpus accounting (robots blocklists, per-domain caps)."""
+    d = table(spark, sf, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.org/corpus/"),
+        F.col("lang"),
+        F.lit("/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?ref="),
+        F.col("lang"),
+        F.lit("&n="),
+        F.col("n_chars").cast("string"),
+    )
+    u = d.withColumn("url", url).select(
+        "doc_id",
+        "n_chars",
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("ref")).alias("ref"),
+    )
+    return (
+        u.groupBy("host")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("ref").alias("n_langs"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+            F.min("path").alias("min_path"),
+        )
+    )
+
+
 QUERIES = {
     "doc_chunks": q_doc_chunks,
+    "url_host_stats": q_url_host_stats,
     "pack_sequences": q_pack_sequences,
     "split_assign": q_split_assign,
     "decontam_ngrams": q_decontam_ngrams,
@@ -261,6 +300,28 @@ for _name, _pat in PII_PATTERNS.items():
     )
 
 ORACLES = {
+    "url_host_stats": """
+        WITH u AS (
+            SELECT doc_id, n_chars,
+                   'https://' || source || '.example.org/corpus/' || lang || '/'
+                       || CAST(doc_id AS VARCHAR) || '?ref=' || lang || '&n='
+                       || CAST(n_chars AS VARCHAR) AS url
+            FROM documents
+        ),
+        p AS (
+            SELECT doc_id, n_chars,
+                   regexp_extract(url, 'https://([^/]+)', 1) AS host,
+                   regexp_extract(url, 'https://[^/]+(/[^?]*)', 1) AS path,
+                   regexp_extract(url, '[?&]ref=([^&]*)', 1) AS ref
+            FROM u
+        )
+        SELECT host,
+               COUNT(*) AS n_docs,
+               COUNT(DISTINCT ref) AS n_langs,
+               ROUND(AVG(n_chars), 4) AS avg_chars,
+               MIN(path) AS min_path
+        FROM p GROUP BY host
+    """,
     "split_assign": """
         SELECT CASE
                  WHEN CAST('0x' || SUBSTRING(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS INT) < 230 THEN 'train'

@@ -11,6 +11,7 @@ from vptstools_spark.io import table
 from vptstools_spark.operators.text import (
     LANG_MARKERS,
     fingerprint,
+    hashed_linear_score,
     predict_language,
     quality_features,
     token_count,
@@ -385,8 +386,23 @@ def q_profile_documents(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_quality_classifier(spark: SparkSession, sf: str) -> DataFrame:
+    """Hashed-linear (fasttext-style) quality classifier: per-document
+    sigmoid score over md5-hashed token weights, computed as a per-row
+    higher-order aggregate — no explode, no shuffle, scan-speed scoring."""
+    d = table(spark, sf, "documents")
+    score = F.round(hashed_linear_score(F.col("text")), 4)
+    return d.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        score.alias("score"),
+        (score >= 0.5).alias("keep"),
+    ).filter(F.col("score").isNotNull())
+
+
 QUERIES = {
     "profile_documents": q_profile_documents,
+    "quality_classifier": q_quality_classifier,
     "text_tokens": q_text_tokens,
     "text_quality": q_text_quality,
     "text_langid": q_text_langid,
@@ -417,6 +433,27 @@ def _langid_confusion_sql() -> str:
 
 ORACLES = {
     "pipeline_filter": _pipeline_filter_sql(),
+    "quality_classifier": """
+        WITH t AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), w -> len(w) > 0) AS toks,
+                   len(string_split(text, ' ')) AS n_tokens
+            FROM documents
+        ),
+        s AS (
+            SELECT doc_id, n_tokens, len(toks) AS n,
+                   0.0 + list_reduce(
+                       list_transform(toks, tok ->
+                           (CAST('0x' || SUBSTRING(md5('w#' || tok), 1, 6) AS BIGINT)
+                            % 2001 - 1000) / 1000.0),
+                       (acc, x) -> acc + x) AS total
+            FROM t WHERE len(toks) > 0
+        )
+        SELECT doc_id, n_tokens,
+               ROUND(1.0 / (1.0 + EXP(-4.0 * (total / n))), 4) AS score,
+               ROUND(1.0 / (1.0 + EXP(-4.0 * (total / n))), 4) >= 0.5 AS keep
+        FROM s
+    """,
     "langid_confusion": _langid_confusion_sql(),
     "text_length_stats": """
         SELECT lang,

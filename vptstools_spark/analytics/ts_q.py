@@ -1,0 +1,149 @@
+"""Time-series similarity / pattern queries over the events table —
+subsequence search, rolling anomaly detection, PAA/SAX discretization
+(engine extension per SURVEY §7.5's time-series similarity line; the
+reference has no TS matching).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vptstools_spark.io import table
+from vptstools_spark.operators.tsmatch import (
+    paa_symbols,
+    rolling_zscore_anomalies,
+    subsequence_search,
+)
+
+#: the literal query pattern for subsequence search: a monotone ramp.
+#: Z-normalization makes the match scale/offset-invariant, so this finds
+#: the 25 most steadily-rising length-8 runs anywhere in any user's series.
+RAMP = [float(i) for i in range(1, 9)]
+
+
+def q_ts_subseq_match(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-25 z-normalized subsequence matches of a ramp pattern across all
+    user series: bounded per-key window frames + JVM higher-order distance,
+    global top-k via orderBy+limit (TakeOrderedAndProject)."""
+    e = table(spark, sf, "events")
+    hits = subsequence_search(e, RAMP, top_k=25)
+    return hits.select(
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss").alias("start_ts"),
+        F.col("event_id").alias("start_event_id"),
+        "dist",
+    )
+
+
+def q_ts_anomaly_zscore(spark: SparkSession, sf: str) -> DataFrame:
+    """Rolling z-score anomalies: value > 2.5 sigma from the mean of the
+    preceding 20 same-user observations (>=10 of history required). One
+    bounded per-key window — the batch twin of a watermarked stream."""
+    e = table(spark, sf, "events")
+    hits = rolling_zscore_anomalies(e, lookback=20, min_history=10, threshold=2.5)
+    return hits.select(
+        "user_id",
+        F.col("event_id").alias("event_id"),
+        F.round(F.col("value").cast("double"), 2).alias("value"),
+        "zscore",
+    )
+
+
+def q_ts_paa_sax(spark: SparkSession, sf: str) -> DataFrame:
+    """PAA segment means + SAX symbols (segment_len=10, fixed breakpoints):
+    the discretization front of indexable TS search. Row-number window then
+    one hash aggregation on (user, segment)."""
+    e = table(spark, sf, "events").filter(F.col("user_id") < 40)
+    return paa_symbols(e, segment_len=10, breakpoints=(20.0, 45.0, 90.0))
+
+
+QUERIES = {
+    "ts_subseq_match": q_ts_subseq_match,
+    "ts_anomaly_zscore": q_ts_anomaly_zscore,
+    "ts_paa_sax": q_ts_paa_sax,
+}
+
+# Oracle notes: window-list folds use list_reduce (sequential, same FP
+# order as Spark's aggregate() fold seeded with 0.0); the z-normalized
+# pattern is derived in-SQL with the same IEEE ops the Python side uses.
+ORACLES = {
+    "ts_subseq_match": """
+        WITH zp_t AS (
+            SELECT list_transform(generate_series(1, 8),
+                                  i -> (CAST(i AS DOUBLE) - 4.5) / sqrt(5.25)) AS zp
+        ),
+        w AS (
+            SELECT user_id, ts, event_id,
+                   list(CAST(value AS DOUBLE))
+                       OVER (PARTITION BY user_id
+                             ORDER BY epoch_us(ts), event_id
+                             ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS win
+            FROM events
+        ),
+        m AS (
+            SELECT user_id, ts, event_id, win,
+                   (0.0 + list_reduce(win, (acc, x) -> acc + x)) / 8.0 AS mu
+            FROM w WHERE len(win) = 8
+        ),
+        s AS (
+            SELECT user_id, ts, event_id, win, mu,
+                   sqrt((0.0 + list_reduce(list_transform(win, x -> (x - mu) * (x - mu)),
+                                           (acc, x) -> acc + x)) / 8.0) AS sd
+            FROM m
+        ),
+        d AS (
+            SELECT user_id, ts, event_id,
+                   ROUND(0.0 + list_reduce(
+                       list_transform(generate_series(1, 8),
+                           i -> ((win[i] - mu) / sd - zp[i]) * ((win[i] - mu) / sd - zp[i])),
+                       (acc, x) -> acc + x), 4) AS dist
+            FROM s, zp_t WHERE sd > 1e-9
+        )
+        SELECT user_id,
+               strftime(ts, '%Y-%m-%dT%H:%M:%S') AS start_ts,
+               event_id AS start_event_id,
+               dist
+        FROM d
+        ORDER BY dist ASC, user_id ASC, epoch_us(ts) ASC, event_id ASC
+        LIMIT 25
+    """,
+    "ts_anomaly_zscore": """
+        WITH w AS (
+            SELECT user_id, event_id, CAST(value AS DOUBLE) AS v,
+                   AVG(CAST(value AS DOUBLE)) OVER f AS mu,
+                   STDDEV_POP(CAST(value AS DOUBLE)) OVER f AS sd,
+                   COUNT(CAST(value AS DOUBLE)) OVER f AS n
+            FROM events
+            WINDOW f AS (PARTITION BY user_id
+                         ORDER BY epoch_us(ts), event_id
+                         ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+        )
+        SELECT user_id, event_id,
+               ROUND(v, 2) AS value,
+               ROUND((v - mu) / sd, 3) AS zscore
+        FROM w
+        WHERE n >= 10 AND sd > 1e-9 AND ABS(ROUND((v - mu) / sd, 3)) > 2.5
+    """,
+    "ts_paa_sax": """
+        WITH r AS (
+            SELECT user_id, CAST(value AS DOUBLE) AS v,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY epoch_us(ts), event_id) AS rn
+            FROM events WHERE user_id < 40
+        ),
+        g AS (
+            SELECT user_id, CAST(FLOOR((rn - 1) / 10) AS BIGINT) AS segment,
+                   AVG(v) AS paa, COUNT(*) AS n_points
+            FROM r GROUP BY 1, 2
+        )
+        SELECT user_id, segment,
+               ROUND(paa, 4) AS paa_mean,
+               CASE WHEN paa < 20.0 THEN 'a'
+                    WHEN paa < 45.0 THEN 'b'
+                    WHEN paa < 90.0 THEN 'c'
+                    ELSE 'd' END AS sax_symbol,
+               n_points
+        FROM g
+    """,
+}

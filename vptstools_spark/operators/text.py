@@ -76,6 +76,35 @@ def predict_language(text: Column, markers=LANG_MARKERS) -> Column:
     return expr.otherwise(F.lit(markers[-1][0]))
 
 
+def hashed_token_weight(tok: Column) -> Column:
+    """Deterministic signed weight in [-1.0, 1.0] for a token, derived from
+    an md5 hex prefix — the hashing-trick feature map of a linear text
+    classifier, expressed portably (md5+conv exist in Spark, DuckDB, and
+    most warehouses, so oracles can replicate the exact model)."""
+    h = F.conv(F.substring(F.md5(F.concat(F.lit("w#"), tok)), 1, 6), 16, 10)
+    return (h.cast("long") % 2001 - 1000) / F.lit(1000.0)
+
+
+def hashed_linear_score(text: Column, scale: float = 4.0) -> Column:
+    """Fasttext-style hashed linear classifier score: sigmoid of the scaled
+    MEAN hashed-token weight. NULL for empty documents.
+
+    A production deployment swaps `hashed_token_weight` for a broadcast
+    (bucket, weight) table trained offline; what matters at 100 TB is the
+    scoring SHAPE — a per-row higher-order aggregate (transform + fold) with
+    no explode and no shuffle, so the classifier runs inside whole-stage
+    codegen at scan speed. The fold is sequential (seeded 0.0), so the
+    double is reproducible cross-engine.
+    """
+    toks = F.filter(tokens(text), lambda w: F.length(w) > 0)
+    n = F.size(toks)
+    total = F.aggregate(
+        F.transform(toks, hashed_token_weight), F.lit(0.0), lambda acc, x: acc + x
+    )
+    mean = total / n.cast("double")
+    return F.when(n > 0, F.lit(1.0) / (F.lit(1.0) + F.exp(-F.lit(scale) * mean)))
+
+
 def fingerprint(text: Column) -> Column:
     """Normalized document fingerprint: md5 of lowercase/trimmed text.
     (Exact-dedup key; md5 chosen because it is identically available in
