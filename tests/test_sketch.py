@@ -1,0 +1,102 @@
+"""Operator-level tests for the md5-derived sketches (operators/sketch.py).
+
+The sketch *queries* are value-oracled against DuckDB (sketch_q); these
+tests pin the operator semantics the oracle can't see: accuracy bounds,
+the linear-counting branch, the CM one-sided-error guarantee, and the
+bloom filter's no-false-negative + FP-residual-removal contract.
+"""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from vptstools_spark.operators import sketch
+
+
+@pytest.fixture(scope="module")
+def keyed(spark):
+    # 5000 distinct keys, with a skewed repeat pattern: key i appears
+    # (i % 7) + 1 times — exercises dup-insensitivity of both sketches
+    rows = [(i, (i * 37) % 3) for i in range(5000) for _ in range((i % 7) + 1)]
+    return spark.createDataFrame(rows, "k int, g int")
+
+
+def test_hll_within_error_bound(spark, keyed):
+    regs = sketch.hll_registers(keyed, F.col("k"), ["g"])
+    est = sketch.hll_estimate(regs, ["g"]).collect()
+    exact = {
+        r["g"]: r["n"]
+        for r in keyed.groupBy("g").agg(F.countDistinct("k").alias("n")).collect()
+    }
+    # 256 registers → σ ≈ 1.04/√256 = 6.5%; assert within 4σ
+    for r in est:
+        rel = abs(r["hll_est"] - exact[r["g"]]) / exact[r["g"]]
+        assert rel < 0.26, (r, exact[r["g"]])
+
+
+def test_hll_linear_counting_small_cardinality(spark):
+    # 30 distinct keys << 256 registers: most registers empty → the
+    # linear-counting branch (m·ln(m/V)) must engage and be near-exact
+    df = spark.createDataFrame([(i,) for i in range(30)], "k int")
+    regs = sketch.hll_registers(df, F.col("k"), [])
+    row = sketch.hll_estimate(regs, []).collect()[0]
+    assert row["zero_registers"] > 200
+    expected = 256.0 * math.log(256.0 / row["zero_registers"])
+    assert row["hll_est"] == pytest.approx(round(expected, 3))
+    assert abs(row["hll_est"] - 30) < 5
+
+
+def test_hll_duplicate_insensitive(spark):
+    once = spark.createDataFrame([(i,) for i in range(1000)], "k int")
+    many = once.withColumn("x", F.explode(F.array(*[F.lit(j) for j in range(5)])))
+    e1 = sketch.hll_estimate(sketch.hll_registers(once, F.col("k"), []), []).collect()
+    e2 = sketch.hll_estimate(sketch.hll_registers(many, F.col("k"), []), []).collect()
+    assert e1[0]["hll_est"] == e2[0]["hll_est"]
+
+
+def test_cm_never_underestimates(spark, keyed):
+    # CM guarantees est >= true count (collisions only add)
+    sk = sketch.cm_sketch(keyed, F.col("k"), depth=3, width=128)
+    cand = keyed.groupBy("k").agg(F.count("*").alias("true_cnt"))
+    est = sketch.cm_estimate(sk, cand.select("k"), "k", depth=3, width=128)
+    bad = (
+        est.join(cand, "k")
+        .filter(F.col("cm_est") < F.col("true_cnt"))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_cm_exact_when_no_collisions(spark):
+    # 10 keys in 1024 buckets: collisions are possible but the min over
+    # 4 independent rows makes a collision in EVERY row astronomically
+    # unlikely — estimates must equal the true counts
+    df = spark.createDataFrame([(f"key{i}",) for i in range(10) for _ in range(i + 1)], "k string")
+    sk = sketch.cm_sketch(df, F.col("k"), depth=4, width=1024)
+    cand = df.distinct()
+    est = {
+        r["k"]: r["cm_est"]
+        for r in sketch.cm_estimate(sk, cand, "k", depth=4, width=1024).collect()
+    }
+    for i in range(10):
+        assert est[f"key{i}"] == i + 1
+
+
+def test_bloom_no_false_negatives_and_prunes(spark):
+    member = spark.createDataFrame([(i,) for i in range(0, 100)], "k int")
+    probe = spark.createDataFrame([(i,) for i in range(0, 10000)], "k int")
+    mask = sketch.bloom_build(member, F.col("k"), n_hashes=2, m_bits=1024)
+    kept = probe.filter(sketch.bloom_might_contain(F.col("k"), mask, n_hashes=2))
+    kept_keys = {r["k"] for r in kept.collect()}
+    # every true member survives
+    assert set(range(100)) <= kept_keys
+    # and the filter actually prunes: FP rate for k=2, m=1024, n=100 is
+    # (1-e^(-2*100/1024))^2 ≈ 3.1%; allow generous slack
+    assert len(kept_keys) < 100 + 0.15 * 9900
+
+
+def test_bloom_mask_is_model_sized(spark):
+    member = spark.createDataFrame([(i,) for i in range(5000)], "k int")
+    mask = sketch.bloom_build(member, F.col("k"), n_hashes=2, m_bits=1024)
+    assert len(mask) == 1024 // 64  # bitmask longs, independent of |dim|

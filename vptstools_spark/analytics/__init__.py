@@ -16,6 +16,7 @@ from vptstools_spark.analytics import (
     pretrain_q,
     relational,
     similarity_q,
+    sketch_q,
     stats_q,
     subqueries_q,
     text_q,
@@ -36,6 +37,7 @@ _MODULES = [
     relational,
     subqueries_q,
     ts_q,
+    sketch_q,
 ]
 
 

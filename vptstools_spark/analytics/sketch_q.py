@@ -1,0 +1,195 @@
+"""Sketch-family queries: HLL distinct estimate, Count-Min heavy hitters,
+Bloom-pruned join — each value-oracle-checkable because the sketches in
+`operators/sketch.py` are md5-derived and exact-arithmetic (see module doc
+there for the engine-portability argument).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vptstools_spark.io import table
+from vptstools_spark.operators import sketch
+
+# ---------------------------------------------------------------------------
+# HLL
+# ---------------------------------------------------------------------------
+
+
+def q_sketch_hll_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """Approximate COUNT(DISTINCT l_partkey) per returnflag from a 256-register
+    HLL, next to the exact count for calibration. At 100 TB the exact form
+    shuffles every distinct key; the sketch shuffles ≤ 256 rows per group
+    (partial maxes combine map-side)."""
+    l = table(spark, sf, "lineitem")
+    regs = sketch.hll_registers(l, F.col("l_partkey"), ["l_returnflag"])
+    est = sketch.hll_estimate(regs, ["l_returnflag"])
+    exact = l.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("exact_distinct")
+    )
+    return est.join(F.broadcast(exact), "l_returnflag").orderBy("l_returnflag")
+
+
+_HLL_RHO_SQL = """
+        CASE WHEN regexp_replace(tail, '^0+', '') = '' THEN 61
+             ELSE (15 - length(regexp_replace(tail, '^0+', ''))) * 4
+                  + CASE substring(regexp_replace(tail, '^0+', ''), 1, 1)
+                      WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
+                      WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1
+                      WHEN '7' THEN 1 ELSE 0 END
+                  + 1
+        END
+"""
+
+# one final double division from exact-integer state → bit-identical estimate
+_HLL_NUMERATOR = sketch.HLL_ALPHA * sketch.HLL_M * sketch.HLL_M * (2.0**61)
+
+_HLL_ORACLE = f"""
+WITH h AS (
+    SELECT l_returnflag,
+           CAST('0x' || substring(md5(CAST(l_partkey AS VARCHAR)), 1, 2) AS BIGINT) AS bucket,
+           substring(md5(CAST(l_partkey AS VARCHAR)), 3, 15) AS tail
+    FROM lineitem
+), r AS (
+    SELECT l_returnflag, bucket, MAX({_HLL_RHO_SQL}) AS m
+    FROM h GROUP BY 1, 2
+), agg AS (
+    SELECT l_returnflag,
+           SUM(CAST(power(2, 61 - m) AS DECIMAL(38,0))) AS s,
+           256 - COUNT(*) AS v
+    FROM r GROUP BY 1
+), est AS (
+    SELECT l_returnflag, v,
+           {_HLL_NUMERATOR!r} /
+               CAST(s + CAST(v AS DECIMAL(38,0)) * CAST(power(2, 61) AS DECIMAL(38,0)) AS DOUBLE)
+               AS raw
+    FROM agg
+)
+SELECT e.l_returnflag,
+       ROUND(CASE WHEN e.raw <= 640.0 AND e.v > 0
+                  THEN 256.0 * ln(256.0 / e.v) ELSE e.raw END, 3) AS hll_est,
+       CAST(e.v AS INT) AS zero_registers,
+       x.exact_distinct
+FROM est e
+JOIN (SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact_distinct
+      FROM lineitem GROUP BY 1) x USING (l_returnflag)
+ORDER BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
+# Count-Min
+# ---------------------------------------------------------------------------
+
+
+def q_sketch_cm_tokens(spark: SparkSession, sf: str) -> DataFrame:
+    """Heavy-hitter tokens: exact top-20 next to their Count-Min estimates
+    (d=3 × w=128 counters). The sketch state is 384 counters total no matter
+    the corpus size — the exact count here is the eval baseline, the sketch
+    is the thing that still fits in memory at 100 TB."""
+    d = table(spark, sf, "documents")
+    toks = d.select(F.explode(F.split("text", " ")).alias("token"))
+    sk = sketch.cm_sketch(toks, F.col("token"))
+    exact = (
+        toks.groupBy("token")
+        .agg(F.count("*").alias("exact_cnt"))
+        .orderBy(F.col("exact_cnt").desc(), "token")
+        .limit(20)
+    )
+    est = sketch.cm_estimate(sk, exact.select("token"), "token")
+    return (
+        exact.join(F.broadcast(est), "token")
+        .select("token", "exact_cnt", "cm_est")
+        .orderBy(F.col("exact_cnt").desc(), "token")
+    )
+
+
+_CM_ORACLE = """
+WITH toks AS (
+    SELECT unnest(string_split(text, ' ')) AS token FROM documents
+), probes AS (
+    SELECT token, j,
+           CAST('0x' || substring(md5('cm' || j || ':' || token), 1, 8) AS BIGINT) % 128 AS bucket
+    FROM toks, unnest([0, 1, 2]) AS t(j)
+), cm AS (
+    SELECT j, bucket, COUNT(*) AS cnt FROM probes GROUP BY 1, 2
+), exact AS (
+    SELECT token, COUNT(*) AS exact_cnt FROM toks
+    GROUP BY 1 ORDER BY exact_cnt DESC, token LIMIT 20
+), cand AS (
+    SELECT e.token, j,
+           CAST('0x' || substring(md5('cm' || j || ':' || e.token), 1, 8) AS BIGINT) % 128 AS bucket
+    FROM exact e, unnest([0, 1, 2]) AS t(j)
+), est AS (
+    SELECT c.token, MIN(cm.cnt) AS cm_est
+    FROM cand c JOIN cm ON c.j = cm.j AND c.bucket = cm.bucket
+    GROUP BY 1
+)
+SELECT e.token, e.exact_cnt, est.cm_est
+FROM exact e JOIN est USING (token)
+ORDER BY e.exact_cnt DESC, e.token
+"""
+
+
+# ---------------------------------------------------------------------------
+# Bloom-pruned join
+# ---------------------------------------------------------------------------
+
+
+def q_sketch_bloom_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Revenue per supplier of one nation, with the fact side pre-filtered by
+    a 1024-bit Bloom filter built from the dimension keys before the exact
+    (broadcast semi) join removes the false positives. Result is identical to
+    the plain join — the oracle is the plain join — but at 100 TB the bloom
+    probe runs inside the fact scan stage and drops ~24/25 of rows before
+    any join machinery, the standard runtime-filter pattern Spark itself
+    applies only when statistics let it."""
+    s = table(spark, sf, "supplier")
+    n = table(spark, sf, "nation").filter(F.col("n_name") == "NATION_7")
+    dim = s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")).select(
+        "s_suppkey"
+    )
+    mask = sketch.bloom_build(dim, F.col("s_suppkey"))
+    l = table(spark, sf, "lineitem")
+    pruned = l.filter(sketch.bloom_might_contain(F.col("l_suppkey"), mask))
+    rev = (
+        F.col("l_extendedprice").cast("decimal(12,2)")
+        * (F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(3,2)"))
+    )
+    return (
+        pruned.join(F.broadcast(dim), F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
+        .groupBy(F.col("l_suppkey").alias("suppkey"))
+        .agg(F.round(F.sum(rev).cast("double"), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "suppkey")
+        .limit(10)
+    )
+
+
+_BLOOM_ORACLE = """
+SELECT l_suppkey AS suppkey,
+       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                      (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))))
+                  AS DOUBLE), 2) AS revenue
+FROM lineitem
+WHERE l_suppkey IN (
+    SELECT s_suppkey FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_7'
+)
+GROUP BY 1
+ORDER BY revenue DESC, suppkey
+LIMIT 10
+"""
+
+
+QUERIES = {
+    "sketch_hll_distinct": q_sketch_hll_distinct,
+    "sketch_cm_tokens": q_sketch_cm_tokens,
+    "sketch_bloom_join": q_sketch_bloom_join,
+}
+
+ORACLES = {
+    "sketch_hll_distinct": _HLL_ORACLE,
+    "sketch_cm_tokens": _CM_ORACLE,
+    "sketch_bloom_join": _BLOOM_ORACLE,
+}

@@ -1,0 +1,225 @@
+"""Deterministic probabilistic sketches: HyperLogLog distinct-count,
+Count-Min frequency, Bloom-filter join pruning.
+
+At 100 TB the exact forms of these queries are the expensive ones: exact
+COUNT(DISTINCT) shuffles every key, exact heavy-hitters shuffles every
+token, and a join against a small dimension still scans + shuffles the
+full fact side.  Each sketch here replaces that with a *bounded-size*
+state (256 registers, d×w counters, m bits) built in one pass with
+ordinary partial/final aggregation — the classic sketch property that
+partial sketches merge associatively, which is exactly what Spark's
+two-phase HashAggregate needs.
+
+Engine-portability design: every hash is derived from ``md5`` hex (the
+one hash primitive that is bit-identical across Spark, DuckDB, and every
+other engine), and every estimator is computed with exact integer /
+decimal arithmetic up to a single final float op, so an independent SQL
+engine reproduces the sketch *bit-for-bit* — the estimates themselves
+are value-oracle-checkable, not just "approximately right".
+
+Reference scope note: the reference (vptstools) has no sketch operators;
+these are engine extensions motivated by its inventory/coverage use case
+(`vptstools/s3.py` coverage counting) where approximate distinct counts
+over object listings are the scale path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# ---------------------------------------------------------------------------
+# HyperLogLog (Flajolet et al. 2007), m = 2^p registers, md5-derived hash.
+# ---------------------------------------------------------------------------
+
+#: register-count exponent: m = 256 registers → ~6.5% standard error
+HLL_P = 8
+HLL_M = 1 << HLL_P
+
+#: bias-correction constant α_m for m ≥ 128 (HLL paper, fig. 3)
+HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
+
+#: hex digits of md5 used for the rank ("rho") tail: 15 nibbles = 60 bits,
+#: so rho ∈ [1, 61] and 2^(61-rho) stays inside DECIMAL(38,0) when summed
+#: over 256 registers (≤ 256·2^60 < 10^21).
+_TAIL_NIBBLES = 15
+_RHO_MAX = 4 * _TAIL_NIBBLES + 1  # 61
+
+
+def _hex_to_long(col: Column) -> Column:
+    """Hex string → non-negative bigint (≤ 60 bits in, so no sign issues)."""
+    return F.conv(col, 16, 10).cast("long")
+
+
+def hll_rho(key: Column) -> tuple[Column, Column]:
+    """(bucket, rho) for one key: bucket = first 2 md5 nibbles (0..255),
+    rho = 1 + number of leading zero *bits* of the next 60 bits.
+
+    The leading-zero count is computed exactly via string arithmetic on the
+    hex tail (strip leading '0' nibbles, then CASE on the first non-zero
+    nibble) — no floating log2, so it is bit-identical in any engine with
+    md5 + regexp_replace.
+    """
+    h = F.md5(key.cast("string"))
+    bucket = _hex_to_long(F.substring(h, 1, 2))
+    tail = F.substring(h, 3, _TAIL_NIBBLES)
+    stripped = F.regexp_replace(tail, "^0+", "")
+    lz_nibbles = F.lit(_TAIL_NIBBLES) - F.length(stripped)
+    first = F.substring(stripped, 1, 1)
+    # extra leading zero bits inside the first non-zero nibble
+    extra = (
+        F.when(first == "1", 3)
+        .when(first.isin("2", "3"), 2)
+        .when(first.isin("4", "5", "6", "7"), 1)
+        .otherwise(0)
+    )
+    rho = (
+        F.when(stripped == "", F.lit(_RHO_MAX))
+        .otherwise(lz_nibbles * 4 + extra + 1)
+        .cast("int")
+    )
+    return bucket, rho
+
+
+def hll_registers(
+    df: DataFrame, key: Column, group_cols: list[str]
+) -> DataFrame:
+    """One pass over `df`: per group, the 256-register HLL state
+    (bucket, M = max rho). Partial maxes combine map-side, so the shuffle
+    carries at most |groups|·256 rows no matter how many input rows."""
+    bucket, rho = hll_rho(key)
+    return (
+        df.select(*group_cols, bucket.alias("__bucket"), rho.alias("__rho"))
+        .groupBy(*group_cols, "__bucket")
+        .agg(F.max("__rho").alias("__m"))
+    )
+
+
+def hll_estimate(registers: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Registers → per-group estimate, exact-arithmetic form.
+
+    The harmonic sum Σ 2^-M is scaled by 2^61 so every term is an exact
+    integer (powers of two are exact doubles; the decimal cast keeps the
+    sum exact and order-independent — a plain double sum would make the
+    estimate depend on aggregation order and break value-oracle equality).
+    V empty registers each contribute 2^0 = 1 → V·2^61 scaled.
+    Small-range correction (E ≤ 2.5m, V > 0): linear counting m·ln(m/V).
+    """
+    scaled_term = F.pow(F.lit(2.0), F.lit(_RHO_MAX) - F.col("__m")).cast(
+        "decimal(38,0)"
+    )
+    agg = registers.groupBy(*group_cols).agg(
+        F.sum(scaled_term).alias("__s"),
+        F.count("*").alias("__nonzero"),
+    )
+    v = F.lit(HLL_M) - F.col("__nonzero")
+    scale = float(2.0**_RHO_MAX)
+    s_total = (
+        F.col("__s") + v.cast("decimal(38,0)") * F.lit(scale).cast("decimal(38,0)")
+    ).cast("double")
+    raw = F.lit(HLL_ALPHA * HLL_M * HLL_M * scale) / s_total
+    est = F.when(
+        (raw <= 2.5 * HLL_M) & (v > 0),
+        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / v.cast("double")),
+    ).otherwise(raw)
+    return agg.select(
+        *group_cols,
+        F.round(est, 3).alias("hll_est"),
+        v.cast("int").alias("zero_registers"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (Cormode & Muthukrishnan 2005)
+# ---------------------------------------------------------------------------
+
+
+def cm_bucket(key: Column, row: Column | int, width: int) -> Column:
+    """Row-salted md5 bucket in [0, width): row j uses salt 'cm<j>:'."""
+    r = F.lit(row) if isinstance(row, int) else row
+    h = F.md5(F.concat(F.lit("cm"), r.cast("string"), F.lit(":"), key.cast("string")))
+    return _hex_to_long(F.substring(h, 1, 8)) % width
+
+
+def cm_sketch(
+    df: DataFrame, key: Column, depth: int = 3, width: int = 128
+) -> DataFrame:
+    """d×w counter table from one pass: each key lands in one bucket per
+    row. State is d·w counters regardless of input size; the explode is
+    ×d (small constant), and partial counts combine map-side."""
+    rows = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("__row")
+    return (
+        df.select(key.alias("__key"), rows)
+        .select("__row", cm_bucket(F.col("__key"), F.col("__row"), width).alias("__bucket"))
+        .groupBy("__row", "__bucket")
+        .agg(F.count("*").alias("__cnt"))
+    )
+
+
+def cm_estimate(
+    sketch: DataFrame, candidates: DataFrame, key_col: str, depth: int = 3, width: int = 128
+) -> DataFrame:
+    """Point-query the sketch for each candidate key: min over the d row
+    counters (the CM upper-bound estimate, exact integers → oracle-safe).
+    The sketch is tiny (d·w rows) so it broadcasts onto the candidates."""
+    probes = candidates.select(
+        key_col,
+        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("__row"),
+    ).withColumn("__bucket", cm_bucket(F.col(key_col), F.col("__row"), width))
+    return (
+        probes.join(F.broadcast(sketch), ["__row", "__bucket"])
+        .groupBy(key_col)
+        .agg(F.min("__cnt").alias("cm_est"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter join pruning
+# ---------------------------------------------------------------------------
+
+
+def bloom_positions(key: Column, n_hashes: int, m_bits: int) -> list[Column]:
+    """k bit positions per key, each from an independently-salted md5."""
+    return [
+        _hex_to_long(
+            F.substring(
+                F.md5(F.concat(F.lit(f"bf{i}:"), key.cast("string"))), 1, 8
+            )
+        )
+        % m_bits
+        for i in range(n_hashes)
+    ]
+
+
+def bloom_build(
+    dim: DataFrame, key: Column, n_hashes: int = 2, m_bits: int = 1024
+) -> list[int]:
+    """Build the filter as `m_bits/64` longs. The only driver data is the
+    bitmask itself (m_bits/8 bytes — model-sized by construction, never
+    proportional to the dimension's row count: the distinct-positions agg
+    collapses to ≤ m_bits rows before collect)."""
+    pos_col = F.explode(F.array(*bloom_positions(key, n_hashes, m_bits)))
+    positions = [
+        r[0] for r in dim.select(pos_col.alias("p")).distinct().collect()
+    ]
+    words = [0] * (m_bits // 64)
+    for p in positions:
+        words[p // 64] |= 1 << (p % 64)
+    # two's-complement: bit 63 set would overflow a signed literal long
+    return [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+
+
+def bloom_might_contain(
+    key: Column, mask: list[int], n_hashes: int = 2
+) -> Column:
+    """Membership test against a literal mask: k bit probes, all JVM-side
+    (array literal + element_at + shiftright) — no Python, no join, so it
+    pushes into the fact-side scan stage as a cheap prefilter."""
+    m_bits = len(mask) * 64
+    # explicit long cast: a mask whose words all fit in 32 bits would
+    # otherwise become array<int> and getbit would reject positions ≥ 32
+    mask_lit = F.array(*[F.lit(w).cast("long") for w in mask])
+    cond = F.lit(True)
+    for pos in bloom_positions(key, n_hashes, m_bits):
+        word = F.element_at(mask_lit, (pos / 64).cast("int") + 1)
+        cond = cond & (F.getbit(word, pos % 64) == 1)
+    return cond
