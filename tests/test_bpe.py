@@ -1,0 +1,68 @@
+"""BPE trainer (operators/bpe.py): merge order, greedy overlap semantics,
+tie-breaking, and the vocab-sized iteration contract."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from vptstools_spark.operators.bpe import bpe_train, char_segmentation
+
+
+def _vocab(spark, pairs):
+    return spark.createDataFrame(pairs, "word string, freq bigint")
+
+
+def test_classic_merge_sequence(spark):
+    # Sennrich-style toy: 'aaab'×10 — pair (a,a) wins (2 occurrences per
+    # word × 10), then greedy left-to-right merges give [aa, ab] next
+    merges, seg = bpe_train(_vocab(spark, [("aaab", 10)]), iters=2)
+    assert (merges[0].left, merges[0].right, merges[0].pair_freq) == ("a", "a", 20)
+    # after merge 1: [aa, a, b] (greedy: positions 1-2 merge, 3 can't re-pair)
+    # step 2 pairs: (aa,a)=10, (a,b)=10 → tie broken lexicographically: "a b" < "aa a"
+    assert (merges[1].left, merges[1].right) == ("a", "b")
+    toks = seg.select("toks").collect()[0][0]
+    assert toks == ["aa", "ab"]
+
+
+def test_overlap_is_greedy_left_to_right(spark):
+    # "aaaa" under merge (a,a): [aa, aa], NOT [aa, a, a] (the string-replace
+    # trap) and NOT [a, aa, a]
+    merges, seg = bpe_train(_vocab(spark, [("aaaa", 1)]), iters=1)
+    assert seg.select("toks").collect()[0][0] == ["aa", "aa"]
+
+
+def test_frequency_weighting(spark):
+    # (x,y) appears in a freq-100 word; (p,q) in a freq-1 word → xy first
+    merges, _ = bpe_train(_vocab(spark, [("xy", 100), ("pq", 1)]), iters=1)
+    assert merges[0].merged == "xy" and merges[0].pair_freq == 100
+
+
+def test_deterministic_tiebreak(spark):
+    # equal counts: lexicographically smallest "l r" pair string wins
+    merges, _ = bpe_train(_vocab(spark, [("zy", 5), ("ab", 5)]), iters=1)
+    assert merges[0].merged == "ab"
+
+
+def test_merged_tokens_can_merge_again(spark):
+    # 'abab'×3: (a,b) first → [ab, ab]; then (ab,ab) → [abab]
+    merges, seg = bpe_train(_vocab(spark, [("abab", 3)]), iters=2)
+    assert merges[0].merged == "ab"
+    assert merges[1].left == "ab" and merges[1].right == "ab"
+    assert seg.select("toks").collect()[0][0] == ["abab"]
+
+
+def test_exhausted_vocab_stops_early(spark):
+    merges, _ = bpe_train(_vocab(spark, [("ab", 1)]), iters=10)
+    # after (a,b) every word is a single token — no pairs remain
+    assert len(merges) == 1
+
+
+def test_char_segmentation_handles_multibyte(spark):
+    seg = char_segmentation(_vocab(spark, [("héllo", 1)]))
+    assert seg.select("toks").collect()[0][0] == ["h", "é", "l", "l", "o"]
+
+
+def test_quote_in_token_is_escaped(spark):
+    # a vocabulary containing quotes must not break the fold expression
+    merges, seg = bpe_train(_vocab(spark, [("a'b", 4)]), iters=2)
+    assert any("'" in m.merged for m in merges)
+    assert seg.select(F.col("toks")).collect()[0][0] == ["a'b"]

@@ -9,6 +9,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from vptstools_spark.analytics import (
+    corpus_q,
     dedup_q,
     events_q,
     graph_q,
@@ -38,6 +39,7 @@ _MODULES = [
     subqueries_q,
     ts_q,
     sketch_q,
+    corpus_q,
 ]
 
 

@@ -1,0 +1,295 @@
+"""Corpus/pipeline-engineering queries: data-quality constraint suite,
+distributed BPE tokenizer training, BM25 ranked retrieval, and
+temperature-scaled domain mixture weights — the remaining pieces a
+pretraining-data pipeline runs beyond dedup/filter/pack (those live in
+dedup_q / text_q / pretrain_q).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vptstools_spark.io import table
+from vptstools_spark.operators import quality
+from vptstools_spark.operators.bpe import bpe_train
+
+# ---------------------------------------------------------------------------
+# Data-quality suite (Deequ-style, one aggregation pass)
+# ---------------------------------------------------------------------------
+
+
+def q_dq_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """Constraint suite over `orders`: 7 checks, ONE scan + ONE aggregate
+    (operators/quality.py:run_suite) — check count never adds passes."""
+    o = table(spark, sf, "orders")
+    suite = [
+        quality.row_count("row_count_min", lo=1),
+        quality.completeness("custkey_complete", "o_custkey"),
+        quality.uniqueness("orderkey_unique", "o_orderkey"),
+        quality.membership("status_domain", "o_orderstatus", ["O", "F", "P"]),
+        quality.bounded("totalprice_min", F.min("o_totalprice"), lo=0.0, hi=None),
+        quality.bounded("totalprice_max", F.max("o_totalprice"), lo=None, hi=1e7),
+        quality.satisfies(
+            "priority_nonempty", F.length(F.col("o_orderpriority")) > 0
+        ),
+    ]
+    return quality.run_suite(o, suite)
+
+
+_DQ_ORDERS_ORACLE = """
+WITH m AS (
+    SELECT COUNT(*) AS n,
+           COUNT(o_custkey) AS n_custkey,
+           COUNT(DISTINCT o_orderkey) AS n_ok,
+           COUNT(o_orderkey) AS n_ok_nn,
+           SUM(CASE WHEN o_orderstatus IN ('O','F','P') THEN 1 ELSE 0 END) AS n_status,
+           MIN(o_totalprice) AS tp_min,
+           MAX(o_totalprice) AS tp_max,
+           SUM(CASE WHEN length(o_orderpriority) > 0 THEN 1 ELSE 0 END) AS n_prio
+    FROM orders
+)
+SELECT 'row_count_min' AS "check", ROUND(CAST(n AS DOUBLE), 6) AS metric, n >= 1 AS passed FROM m
+UNION ALL
+SELECT 'custkey_complete', ROUND(CAST(n_custkey AS DOUBLE) / CAST(n AS DOUBLE), 6),
+       CAST(n_custkey AS DOUBLE) / CAST(n AS DOUBLE) >= 1.0 FROM m
+UNION ALL
+SELECT 'orderkey_unique', ROUND(CAST(n_ok AS DOUBLE) / CAST(n_ok_nn AS DOUBLE), 6),
+       CAST(n_ok AS DOUBLE) / CAST(n_ok_nn AS DOUBLE) >= 1.0 FROM m
+UNION ALL
+SELECT 'status_domain', ROUND(CAST(n_status AS DOUBLE) / CAST(n AS DOUBLE), 6),
+       CAST(n_status AS DOUBLE) / CAST(n AS DOUBLE) >= 1.0 FROM m
+UNION ALL
+SELECT 'totalprice_min', ROUND(CAST(tp_min AS DOUBLE), 6), tp_min >= 0.0 FROM m
+UNION ALL
+SELECT 'totalprice_max', ROUND(CAST(tp_max AS DOUBLE), 6), tp_max <= 1e7 FROM m
+UNION ALL
+SELECT 'priority_nonempty', ROUND(CAST(n_prio AS DOUBLE) / CAST(n AS DOUBLE), 6),
+       CAST(n_prio AS DOUBLE) / CAST(n AS DOUBLE) >= 1.0 FROM m
+"""
+
+
+# ---------------------------------------------------------------------------
+# BPE training
+# ---------------------------------------------------------------------------
+
+_BPE_ITERS = 4
+
+
+def q_bpe_merges(spark: SparkSession, sf: str) -> DataFrame:
+    """First 4 BPE merges trained on the documents vocabulary: the ordered
+    (step, lhs, rhs, merged, pair_freq) merge table. Corpus→vocab collapse
+    is the one corpus-sized pass; each merge iteration is vocab-sized
+    (operators/bpe.py module doc)."""
+    d = table(spark, sf, "documents")
+    vocab = (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+    merges, _seg = bpe_train(vocab, iters=_BPE_ITERS)
+    return spark.createDataFrame(
+        [(m.step, m.left, m.right, m.merged, m.pair_freq) for m in merges],
+        "step int, lhs string, rhs string, merged string, pair_freq bigint",
+    )
+
+
+def _bpe_step_sql(k: int) -> str:
+    """CTEs for merge step k: pair counts over t{k-1}, winning pair b{k},
+    re-segmented t{k}. The list_reduce fold mirrors the Spark-side greedy
+    left-to-right merge exactly (DuckDB list slices are INCLUSIVE, hence
+    acc[:len(acc)-1] to drop the last element)."""
+    return f"""
+p{k} AS (
+    SELECT pr, SUM(freq) AS cnt FROM (
+        SELECT freq,
+               unnest(CASE WHEN len(toks) < 2 THEN CAST([] AS VARCHAR[])
+                      ELSE list_transform(generate_series(1, len(toks) - 1),
+                                          i -> toks[i] || ' ' || toks[i + 1]) END) AS pr
+        FROM t{k - 1}) GROUP BY 1
+),
+b{k} AS (SELECT pr, cnt FROM p{k} ORDER BY cnt DESC, pr LIMIT 1),
+t{k} AS (
+    SELECT word, freq,
+           list_reduce(list_transform(toks, x -> [x]),
+               (acc, x) -> CASE WHEN acc[-1] = string_split(b.pr, ' ')[1]
+                                 AND x[1] = string_split(b.pr, ' ')[2]
+                           THEN list_append(acc[:len(acc) - 1], replace(b.pr, ' ', ''))
+                           ELSE list_append(acc, x[1]) END) AS toks
+    FROM t{k - 1}, b{k} b
+)"""
+
+
+def _bpe_oracle(iters: int) -> str:
+    steps = ",".join(_bpe_step_sql(k) for k in range(1, iters + 1))
+    finals = "\nUNION ALL\n".join(
+        f"SELECT {k} AS step, string_split(pr, ' ')[1] AS lhs, "
+        f"string_split(pr, ' ')[2] AS rhs, replace(pr, ' ', '') AS merged, "
+        f"CAST(cnt AS BIGINT) AS pair_freq FROM b{k}"
+        for k in range(1, iters + 1)
+    )
+    return f"""
+WITH words AS (
+    SELECT word, COUNT(*) AS freq
+    FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+    WHERE word <> '' GROUP BY 1
+),
+t0 AS (SELECT word, freq, string_split(word, '') AS toks FROM words),
+{steps}
+{finals}
+"""
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ["spark", "hash", "window"]
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+def q_bm25_search(spark: SparkSession, sf: str) -> DataFrame:
+    """BM25 top-15 documents for a 3-term query. The df table is
+    vocabulary-sized and broadcast; N and avgdl are 1-row broadcasts; the
+    per-doc score is a sum over ≤ |query| terms carried in DECIMAL so the
+    result is aggregation-order-exact (verify-skill money-sum rule)."""
+    docs = table(spark, sf, "documents")
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w")).filter(
+        F.col("w") != ""
+    )
+    tf = (
+        toks.filter(F.col("w").isin(_BM25_TERMS))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_t = (
+        toks.filter(F.col("w").isin(_BM25_TERMS))
+        .groupBy("w")
+        .agg(F.countDistinct("doc_id").alias("df"))
+    )
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("tot_dl")
+    )  # integer sums → avgdl is one exact-input division
+    k1, b = _BM25_K1, _BM25_B
+    avgdl = F.col("tot_dl").cast("double") / F.col("n_docs").cast("double")
+    idf = F.log(
+        (F.col("n_docs").cast("double") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        + 1.0
+    )
+    tfd = F.col("tf").cast("double")
+    dld = F.col("dl").cast("double")
+    score_term = idf * (
+        (tfd * (k1 + 1.0)) / (tfd + k1 * ((1.0 - b) + b * (dld / avgdl)))
+    )
+    return (
+        tf.join(F.broadcast(df_t), "w")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("s", F.round(score_term, 8).cast("decimal(20,8)"))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("s").cast("double"), 6).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(15)
+    )
+
+
+_BM25_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+), toks_nz AS (
+    SELECT * FROM toks WHERE w <> ''
+), tf AS (
+    SELECT doc_id, w, COUNT(*) AS tf FROM toks_nz
+    WHERE w IN ('spark', 'hash', 'window') GROUP BY 1, 2
+), df_t AS (
+    SELECT w, COUNT(DISTINCT doc_id) AS df FROM toks_nz
+    WHERE w IN ('spark', 'hash', 'window') GROUP BY 1
+), dl AS (
+    SELECT doc_id, COUNT(*) AS dl FROM toks_nz GROUP BY 1
+), stats AS (
+    SELECT COUNT(*) AS n_docs, SUM(dl) AS tot_dl FROM dl
+), scored AS (
+    SELECT tf.doc_id,
+           CAST(ROUND(
+               ln((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0)
+               * ((CAST(tf AS DOUBLE) * ({_BM25_K1} + 1.0))
+                  / (CAST(tf AS DOUBLE) + {_BM25_K1} * ((1.0 - {_BM25_B}) + {_BM25_B}
+                     * (CAST(dl AS DOUBLE) / (CAST(tot_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))),
+               8) AS DECIMAL(20,8)) AS s
+    FROM tf JOIN df_t USING (w) JOIN dl USING (doc_id) CROSS JOIN stats
+)
+SELECT doc_id, ROUND(CAST(SUM(s) AS DOUBLE), 6) AS bm25
+FROM scored GROUP BY 1
+ORDER BY bm25 DESC, doc_id
+LIMIT 15
+"""
+
+
+# ---------------------------------------------------------------------------
+# Domain mixture weights
+# ---------------------------------------------------------------------------
+
+
+def q_mixture_weights(spark: SparkSession, sf: str) -> DataFrame:
+    """Temperature-scaled sampling weights per source domain:
+    w_i ∝ sqrt(n_tokens_i) (α = 0.5 temperature — sqrt because IEEE 754
+    requires sqrt to be correctly rounded, making the weights bit-exact in
+    any engine, unlike pow(x, 0.3)). Weights are fixed-point bigints
+    (floor ×1e6) so the normalizing sum is exact integer arithmetic."""
+    d = table(spark, sf, "documents")
+    per = (
+        d.select("source", F.size(F.split("text", " ")).alias("n_tok"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_tok").alias("n_tokens"))
+    )
+    per = per.withColumn(
+        "w_fp",
+        F.floor(F.sqrt(F.col("n_tokens").cast("double")) * 1e6).cast("long"),
+    )
+    tot = per.agg(F.sum("w_fp").alias("w_tot"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round(
+                F.col("w_fp").cast("double") / F.col("w_tot").cast("double"), 6
+            ).alias("weight"),
+        )
+        .orderBy("source")
+    )
+
+
+_MIXTURE_ORACLE = """
+WITH per AS (
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+    FROM documents GROUP BY 1
+), fp AS (
+    SELECT *, CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1e6) AS BIGINT) AS w_fp
+    FROM per
+)
+SELECT source, n_docs, n_tokens,
+       ROUND(CAST(w_fp AS DOUBLE) / CAST((SELECT SUM(w_fp) FROM fp) AS DOUBLE), 6) AS weight
+FROM fp
+ORDER BY source
+"""
+
+
+QUERIES = {
+    "dq_orders": q_dq_orders,
+    "bpe_merges": q_bpe_merges,
+    "bm25_search": q_bm25_search,
+    "mixture_weights": q_mixture_weights,
+}
+
+ORACLES = {
+    "dq_orders": _DQ_ORDERS_ORACLE,
+    "bpe_merges": _bpe_oracle(_BPE_ITERS),
+    "bm25_search": _BM25_ORACLE,
+    "mixture_weights": _MIXTURE_ORACLE,
+}

@@ -1,0 +1,103 @@
+"""Distributed BPE (byte-pair-encoding) tokenizer training.
+
+Classic BPE (Sennrich et al. 2016): start from character segmentations of
+the vocabulary, repeatedly (1) count adjacent token pairs weighted by word
+frequency, (2) merge the most frequent pair everywhere. The trained
+artifact is the ordered merge list.
+
+Spark shape per iteration — everything stays distributed except the single
+winning pair:
+
+- pair counting: one JVM array `transform` + explode + groupBy-sum over
+  the *vocabulary* table (already collapsed to distinct words × freq, so
+  iteration cost is vocab-sized, not corpus-sized);
+- argmax: orderBy(count desc, pair asc) LIMIT 1 → `.collect()` of exactly
+  one row per iteration (model-to-driver only, like k-means centroids);
+- merge application: a JVM `aggregate` (left fold) that rebuilds each
+  word's segmentation — greedy left-to-right, so "a a a a" under merge
+  (a,a) becomes [aa, aa], matching reference BPE semantics (a string
+  replace would mis-handle the overlap).
+
+Determinism: integer pair counts and lexicographic tie-break make the
+whole merge sequence value-oracle-checkable (the DuckDB oracle unrolls
+the iterations as CTEs and reproduces the same folds with list_reduce).
+
+At 100 TB the corpus→vocab collapse is the one corpus-sized pass; after
+that, iterations touch only |vocab| rows — the same reason every real BPE
+trainer (HF tokenizers, SentencePiece) works on word counts. Lineage is
+truncated each iteration with localCheckpoint so K merges do not stack K
+plans.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, functions as F
+
+
+@dataclass(frozen=True)
+class Merge:
+    step: int
+    left: str
+    right: str
+    merged: str
+    pair_freq: int
+
+
+_PAIRS = (
+    "CASE WHEN size(toks) < 2 THEN array() "
+    "ELSE transform(sequence(1, size(toks) - 1), "
+    "i -> struct(element_at(toks, i) AS l, element_at(toks, i + 1) AS r)) END"
+)
+
+
+def _sq(s: str) -> str:
+    """Escape a token for use inside a single-quoted SQL literal."""
+    return s.replace("\\", "\\\\").replace("'", "\\'")
+
+
+def char_segmentation(words: DataFrame, word_col: str = "word") -> DataFrame:
+    """Add `toks`: the initial one-character-per-token segmentation."""
+    return words.withColumn(
+        "toks", F.expr(f"filter(split({word_col}, ''), x -> x <> '')")
+    )
+
+
+def bpe_train(
+    words: DataFrame, iters: int, freq_col: str = "freq"
+) -> tuple[list[Merge], DataFrame]:
+    """Train `iters` BPE merges over a (word, freq) vocabulary table.
+
+    Returns (ordered merge list, final segmentations DataFrame). Ties on
+    pair frequency break lexicographically on (left, right) so the merge
+    sequence is deterministic.
+    """
+    seg = char_segmentation(words).localCheckpoint(eager=True)
+    merges: list[Merge] = []
+    for step in range(1, iters + 1):
+        top = (
+            seg.select(F.col(freq_col), F.explode(F.expr(_PAIRS)).alias("p"))
+            .groupBy("p.l", "p.r")
+            .agg(F.sum(freq_col).alias("cnt"))
+            # tie-break on the space-joined pair string (equivalent to the
+            # (l, r) tuple order because ' ' < any token char, and it is the
+            # form an independent SQL engine reproduces most cheaply)
+            .orderBy(F.col("cnt").desc(), F.concat_ws(" ", "l", "r"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        left, right, cnt = top[0]["l"], top[0]["r"], int(top[0]["cnt"])
+        merged = left + right
+        merges.append(Merge(step, left, right, merged, cnt))
+        l_, r_, m_ = _sq(left), _sq(right), _sq(merged)
+        fold = (
+            "aggregate(slice(toks, 2, size(toks) - 1), array(element_at(toks, 1)), "
+            f"(acc, x) -> IF(element_at(acc, -1) = '{l_}' AND x = '{r_}', "
+            f"concat(slice(acc, 1, size(acc) - 1), array('{m_}')), "
+            "concat(acc, array(x))))"
+        )
+        seg = seg.withColumn("toks", F.expr(fold)).localCheckpoint(eager=True)
+    return merges, seg
