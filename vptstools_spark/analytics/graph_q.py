@@ -50,7 +50,52 @@ def q_pagerank_trade(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_triangle_parts(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-15 parts by triangle count in the co-purchase graph (parts are
+    adjacent when some order contains both; restricted to partkey < 400 to
+    keep the toy graph's density realistic). Uses the degree-ordered wedge
+    enumeration (`operators/graph.py:triangle_count`) whose wedge volume is
+    O(|E|^1.5); the oracle counts the same triangles with the naive
+    a<b<c triple join, which only the oracle's scale can afford."""
+    from vptstools_spark.operators.graph import triangle_count
+
+    l = table(spark, sf, "lineitem").filter(F.col("l_partkey") < 400)
+    l1 = l.select("l_orderkey", F.col("l_partkey").alias("pa"))
+    l2 = l.select("l_orderkey", F.col("l_partkey").alias("pb"))
+    edges = (
+        l1.join(l2, "l_orderkey")
+        .filter(F.col("pa") < F.col("pb"))
+        .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+    )
+    return (
+        triangle_count(edges)
+        .orderBy(F.col("n_triangles").desc(), "node")
+        .limit(15)
+    )
+
+
+_TRIANGLE_ORACLE = """
+WITH e AS (
+    SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+    FROM lineitem l1 JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
+    WHERE l1.l_partkey < 400 AND l2.l_partkey < 400
+      AND l1.l_partkey < l2.l_partkey
+), tri AS (
+    SELECT e1.a AS x, e1.b AS y, e2.b AS z
+    FROM e e1
+    JOIN e e2 ON e2.a = e1.b
+    JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+)
+SELECT node, COUNT(*) AS n_triangles
+FROM (SELECT x AS node FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri)
+GROUP BY 1
+ORDER BY n_triangles DESC, node
+LIMIT 15
+"""
+
+
 QUERIES = {
+    "triangle_parts": q_triangle_parts,
     "pagerank_trade": q_pagerank_trade,
 }
 
@@ -96,5 +141,6 @@ def _pagerank_sql() -> str:
 
 
 ORACLES = {
+    "triangle_parts": _TRIANGLE_ORACLE,
     "pagerank_trade": _pagerank_sql(),
 }

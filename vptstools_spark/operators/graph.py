@@ -276,3 +276,66 @@ def pagerank(
         if checkpoint_every and (i + 1) % checkpoint_every == 0:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks
+
+
+def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Per-node triangle counts via degree-ordered wedge closing
+    ("compact-forward" / Schank-Wagner).
+
+    The naive wedge join (all 2-paths through each middle node) blows up as
+    Σ deg(v)² — on a power-law graph the hub nodes alone make that
+    intractable at scale. Directing every edge from the (degree, id)-smaller
+    endpoint to the larger one bounds every out-degree by O(√|E|), so the
+    wedge set is Σ outdeg(v)² = O(|E|^1.5) — the best known bound for exact
+    triangle enumeration, achieved here with two equi-joins (shuffles on
+    node ids) and no driver data.
+
+    Each triangle is enumerated exactly once (its rank-smallest vertex is
+    the wedge apex), then credited to all three corners. Returns
+    (node, n_triangles).
+    """
+    # canonical undirected edge set (a < b), self-loops dropped
+    a, b = F.least(F.col(src), F.col(dst)), F.greatest(F.col(src), F.col(dst))
+    und = (
+        edges.filter(F.col(src) != F.col(dst))
+        .select(a.alias("a"), b.alias("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("n"))
+        .unionAll(und.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").alias("d"))
+    )
+    # orient each edge toward the (degree, id)-larger endpoint
+    ranked = (
+        und.join(deg.withColumnRenamed("n", "a").withColumnRenamed("d", "da"), "a")
+        .join(deg.withColumnRenamed("n", "b").withColumnRenamed("d", "db"), "b")
+    )
+    fwd = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    directed = ranked.select(
+        F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(fwd, F.col("db")).otherwise(F.col("da")).alias("dv"),
+        F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("vid"),
+    )
+    e1 = directed.select(
+        F.col("u"), F.col("v").alias("x"), F.col("dv").alias("dx"), F.col("vid").alias("xi")
+    )
+    e2 = directed.select(
+        F.col("u"), F.col("v").alias("y"), F.col("dv").alias("dy"), F.col("vid").alias("yi")
+    )
+    # wedges at apex u, ordered so the closing edge is oriented x -> y
+    wedges = e1.join(e2, "u").filter(
+        (F.col("dx") < F.col("dy"))
+        | ((F.col("dx") == F.col("dy")) & (F.col("xi") < F.col("yi")))
+    )
+    closing = directed.select(F.col("u").alias("x"), F.col("v").alias("y"))
+    tris = wedges.join(closing, ["x", "y"]).select("u", "x", "y")
+    return (
+        tris.select(F.explode(F.array("u", "x", "y")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").alias("n_triangles"))
+    )
