@@ -397,3 +397,58 @@ def test_cdc_merge_sink_applies_batches_incrementally(spark, tmp_path):
     q2.awaitTermination()
     rows = {(r.k, r.p): r.v for r in spark.read.parquet(target).collect()}
     assert rows == {(1, "a"): 10.0, (2, "a"): 2.0}
+
+
+def test_dq_gated_sink_admits_and_quarantines(spark, tmp_path):
+    """Clean batch → main table; corrupt batch → quarantine + verdicts;
+    replay with a fresh checkpoint (same batch ids) must not duplicate."""
+    import json
+
+    from vptstools_spark.operators import quality
+    from vptstools_spark.streaming.incremental import dq_gated_sink
+
+    src = str(tmp_path / "in")
+    (tmp_path / "in").mkdir()
+    # file 0: clean; file 1: null name + out-of-domain status
+    (tmp_path / "in" / "f0.json").write_text(
+        "\n".join(json.dumps(r) for r in [
+            {"id": 1, "name": "a", "status": "OK"},
+            {"id": 2, "name": "b", "status": "OK"},
+        ])
+    )
+    (tmp_path / "in" / "f1.json").write_text(
+        "\n".join(json.dumps(r) for r in [
+            {"id": 3, "name": None, "status": "BAD"},
+            {"id": 4, "name": "d", "status": "OK"},
+        ])
+    )
+    checks = [
+        quality.completeness("name_complete", "name"),
+        quality.membership("status_domain", "status", ["OK"]),
+    ]
+    out = str(tmp_path / "out")
+    quar = str(tmp_path / "quar")
+
+    def run(ckpt):
+        stream = (
+            spark.readStream.schema("id long, name string, status string")
+            .option("maxFilesPerTrigger", 1)
+            .json(src)
+        )
+        q = dq_gated_sink(stream, checks, out, quar, ckpt)
+        q.awaitTermination(120)
+
+    run(str(tmp_path / "ck1"))
+    main = spark.read.parquet(out)
+    assert sorted(r["id"] for r in main.collect()) == [1, 2]
+    quarantined = spark.read.parquet(quar)
+    assert sorted(r["id"] for r in quarantined.collect()) == [3, 4]
+    verdicts = spark.read.parquet(quar + "_verdicts")
+    failed = {r["check"] for r in verdicts.filter("NOT passed").collect()}
+    assert failed == {"name_complete", "status_domain"}
+
+    # replay: fresh checkpoint reprocesses the same files as the same batch
+    # ids — the b_id partition guard must make it a no-op
+    run(str(tmp_path / "ck2"))
+    assert spark.read.parquet(out).count() == 2
+    assert spark.read.parquet(quar).count() == 2

@@ -492,3 +492,63 @@ def cdc_merge_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def dq_gated_sink(
+    stream: DataFrame,
+    checks: list,
+    output_path: str,
+    quarantine_path: str,
+    checkpoint: str,
+) -> StreamingQuery:
+    """Admission-controlled streaming ingest: every micro-batch must pass a
+    data-quality constraint suite (`operators/quality.py`) before it reaches
+    the main table; failing batches are diverted whole to a quarantine
+    table, with their (check, metric, passed) verdict rows alongside, so an
+    operator can inspect, repair, and replay them.
+
+    The suite costs one aggregate pass per batch (suite-sized driver
+    verdict, never batch data). Batches are written under a `b_id=<n>`
+    partition, which doubles as the replay guard: a foreachBatch retry of an
+    already-committed batch sees its partition directory and skips — the
+    same exactly-once recipe as `incremental_rollup_sink`, but append-only
+    so the guard is a directory-existence check, not a read-modify-write.
+    (The partition column is deliberately NOT underscore-prefixed:
+    `_`-prefixed directories are invisible to Spark's file listing.)
+    """
+    from vptstools_spark.operators import quality as _quality
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        # the batch feeds both the suite aggregate and the write — sever the
+        # double-execution (a source re-read could even see different files)
+        batch_df = batch_df.localCheckpoint(eager=True)
+        verdict = _quality.run_suite(batch_df, checks)
+        verdict_rows = verdict.collect()  # suite-sized, driver-safe
+        admitted = all(r["passed"] for r in verdict_rows)
+        dest = output_path if admitted else quarantine_path
+        if _hadoop_path_exists(spark, f"{dest}/b_id={batch_id}"):
+            return  # replay of a committed batch
+        if not admitted:
+            (
+                verdict.withColumn("b_id", F.lit(batch_id))
+                .coalesce(1)
+                .write.mode("append")
+                .partitionBy("b_id")
+                .parquet(f"{quarantine_path}_verdicts")
+            )
+        (
+            batch_df.withColumn("b_id", F.lit(batch_id))
+            .write.mode("append")
+            .partitionBy("b_id")
+            .parquet(dest)
+        )
+
+    return (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
