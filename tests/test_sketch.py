@@ -100,3 +100,21 @@ def test_bloom_mask_is_model_sized(spark):
     member = spark.createDataFrame([(i,) for i in range(5000)], "k int")
     mask = sketch.bloom_build(member, F.col("k"), n_hashes=2, m_bits=1024)
     assert len(mask) == 1024 // 64  # bitmask longs, independent of |dim|
+
+
+def test_hll_registers_merge_like_the_whole(spark):
+    # sketch mergeability: registers built per shard and merged must equal
+    # registers built over the full data — so per-partition sketch rollups
+    # answer subset queries without rescanning
+    df = spark.createDataFrame([(i,) for i in range(3000)], "k int")
+    whole = sketch.hll_registers(df, F.col("k"), [])
+    shard1 = sketch.hll_registers(df.filter("k % 2 = 0"), F.col("k"), [])
+    shard2 = sketch.hll_registers(df.filter("k % 2 = 1"), F.col("k"), [])
+    merged = sketch.hll_merge(shard1.unionByName(shard2), [])
+    assert (
+        merged.exceptAll(whole).count() == 0
+        and whole.exceptAll(merged).count() == 0
+    )
+    e_whole = sketch.hll_estimate(whole, []).collect()[0]["hll_est"]
+    e_merged = sketch.hll_estimate(merged, []).collect()[0]["hll_est"]
+    assert e_whole == e_merged

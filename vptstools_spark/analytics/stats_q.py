@@ -142,7 +142,39 @@ def q_orders_pctrank(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_winsorize_price(spark: SparkSession, sf: str) -> DataFrame:
+    """Winsorized (5%/95%-capped) price stats per returnflag. The caps are
+    exact interpolated percentiles ROUNDED TO 2dp before clamping — the
+    pre-round kills cross-engine last-ulp interpolation drift, and since
+    prices are 2-dp values the tie behavior at the cap is then identical
+    everywhere. The winsorized mean is carried in DECIMAL (money-sum rule)
+    with one final double division."""
+    l = table(spark, sf, "lineitem")
+    caps = l.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.05)), 2).alias("lo"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.95)), 2).alias("hi"),
+    )
+    p = F.col("l_extendedprice")
+    capped = F.least(F.greatest(p, F.col("lo")), F.col("hi"))
+    return (
+        l.join(F.broadcast(caps), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.first("lo").alias("cap_lo"),
+            F.first("hi").alias("cap_hi"),
+            F.sum(F.when(p < F.col("lo"), 1).otherwise(0)).alias("n_capped_low"),
+            F.sum(F.when(p > F.col("hi"), 1).otherwise(0)).alias("n_capped_high"),
+            F.round(
+                F.sum(capped.cast("decimal(14,2)")).cast("double") / F.count("*"),
+                4,
+            ).alias("mean_winsorized"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 QUERIES = {
+    "winsorize_price": q_winsorize_price,
     "quantiles_price": q_quantiles_price,
     "regr_price_qty": q_regr_price_qty,
     "moments_quantity": q_moments_quantity,
@@ -155,6 +187,23 @@ QUERIES = {
 }
 
 ORACLES = {
+    "winsorize_price": """
+WITH caps AS (
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_extendedprice, 0.05), 2) AS lo,
+           ROUND(quantile_cont(l_extendedprice, 0.95), 2) AS hi
+    FROM lineitem GROUP BY 1
+)
+SELECT l.l_returnflag,
+       MIN(c.lo) AS cap_lo,
+       MIN(c.hi) AS cap_hi,
+       CAST(SUM(CASE WHEN l_extendedprice < c.lo THEN 1 ELSE 0 END) AS BIGINT) AS n_capped_low,
+       CAST(SUM(CASE WHEN l_extendedprice > c.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_capped_high,
+       ROUND(CAST(SUM(CAST(least(greatest(l_extendedprice, c.lo), c.hi) AS DECIMAL(14,2))) AS DOUBLE)
+             / COUNT(*), 4) AS mean_winsorized
+FROM lineitem l JOIN caps c USING (l_returnflag)
+GROUP BY 1 ORDER BY 1
+""",
     "orders_pctrank": """
         SELECT o_orderkey, o_orderpriority,
                ROUND(PERCENT_RANK() OVER (PARTITION BY o_orderpriority

@@ -400,7 +400,29 @@ def q_quality_classifier(spark: SparkSession, sf: str) -> DataFrame:
     ).filter(F.col("score").isNotNull())
 
 
+def q_inverted_index(spark: SparkSession, sf: str) -> DataFrame:
+    """Inverted index build: per term, document frequency and the sorted
+    postings list (rendered as a comma-joined string so the value oracle
+    can hash it). Postings are collect_set + sort_array — dedup happens in
+    the aggregate, order is imposed after, so the result is deterministic
+    under any shuffle schedule. Top-20 terms by df; at scale the postings
+    table is what you'd range-partition by term and write bucketed."""
+    d = table(spark, sf, "documents")
+    return (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(
+            F.countDistinct("doc_id").alias("df"),
+            F.concat_ws(",", F.sort_array(F.collect_set("doc_id"))).alias("postings"),
+        )
+        .orderBy(F.col("df").desc(), "term")
+        .limit(20)
+    )
+
+
 QUERIES = {
+    "inverted_index": q_inverted_index,
     "profile_documents": q_profile_documents,
     "quality_classifier": q_quality_classifier,
     "text_tokens": q_text_tokens,
@@ -432,6 +454,15 @@ def _langid_confusion_sql() -> str:
 
 
 ORACLES = {
+    "inverted_index": """
+WITH toks AS (
+    SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+)
+SELECT term, COUNT(*) AS df,
+       array_to_string(list_sort(list(doc_id)), ',') AS postings
+FROM toks WHERE term <> ''
+GROUP BY term ORDER BY df DESC, term LIMIT 20
+""",
     "pipeline_filter": _pipeline_filter_sql(),
     "quality_classifier": """
         WITH t AS (

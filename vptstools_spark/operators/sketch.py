@@ -223,3 +223,14 @@ def bloom_might_contain(
         word = F.element_at(mask_lit, (pos / 64).cast("int") + 1)
         cond = cond & (F.getbit(word, pos % 64) == 1)
     return cond
+
+
+def hll_merge(registers: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Merge partial HLL register tables (max per bucket) — the property
+    that makes the sketch a storable rollup: persist per-partition
+    registers once, then answer distinct-count queries over ANY partition
+    subset by merging 256-row states, never rescanning the data. Output
+    feeds `hll_estimate` unchanged."""
+    return registers.groupBy(*group_cols, "__bucket").agg(
+        F.max("__m").alias("__m")
+    )
