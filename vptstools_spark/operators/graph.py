@@ -294,12 +294,16 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
     the wedge apex), then credited to all three corners. Returns
     (node, n_triangles).
     """
-    # canonical undirected edge set (a < b), self-loops dropped
+    # canonical undirected edge set (a < b), self-loops dropped.
+    # Materialized eagerly: it feeds the degree table AND the orientation
+    # join — without the checkpoint the (possibly expensive) upstream edge
+    # derivation re-executes per consumer, same discipline as pagerank.
     a, b = F.least(F.col(src), F.col(dst)), F.greatest(F.col(src), F.col(dst))
     und = (
         edges.filter(F.col(src) != F.col(dst))
         .select(a.alias("a"), b.alias("b"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     deg = (
         und.select(F.col("a").alias("n"))
@@ -315,12 +319,14 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
     fwd = (F.col("da") < F.col("db")) | (
         (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
     )
+    # directed feeds both wedge sides and the closing-edge probe (3 uses):
+    # checkpoint so the orientation joins run once, not three times
     directed = ranked.select(
         F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("u"),
         F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("v"),
         F.when(fwd, F.col("db")).otherwise(F.col("da")).alias("dv"),
         F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("vid"),
-    )
+    ).localCheckpoint(eager=True)
     e1 = directed.select(
         F.col("u"), F.col("v").alias("x"), F.col("dv").alias("dx"), F.col("vid").alias("xi")
     )
