@@ -1,0 +1,54 @@
+"""SCD2 derivation (operators/scd.py): run collapsing, reappearing values,
+NULL handling, tie-breaking."""
+
+import datetime
+
+from vptstools_spark.operators.scd import scd2_from_log
+
+
+def _log(spark, rows):
+    data = [
+        (k, a, datetime.datetime(2024, 1, 1) + datetime.timedelta(hours=h), i)
+        for i, (k, a, h) in enumerate(rows)
+    ]
+    return spark.createDataFrame(data, "k int, a string, ts timestamp, id long")
+
+
+def _hist(df):
+    return [
+        (r["k"], r["a"], r["valid_from"].hour + (r["valid_from"].day - 1) * 24,
+         None if r["valid_to"] is None else r["valid_to"].hour + (r["valid_to"].day - 1) * 24,
+         r["version"])
+        for r in df.orderBy("k", "version").collect()
+    ]
+
+
+def test_runs_collapse_and_value_can_return(spark):
+    # x x y x → 3 versions: x returning later is a NEW version (true SCD2)
+    log = _log(spark, [(1, "x", 0), (1, "x", 1), (1, "y", 2), (1, "x", 3)])
+    out = _hist(scd2_from_log(log, "k", "a", "ts", ["id"]))
+    assert out == [
+        (1, "x", 0, 2, 1),
+        (1, "y", 2, 3, 2),
+        (1, "x", 3, None, 3),
+    ]
+
+
+def test_null_attribute_runs(spark):
+    # NULL-first key: run must still open; NULL run collapses
+    log = _log(spark, [(2, None, 0), (2, None, 1), (2, "z", 2)])
+    out = _hist(scd2_from_log(log, "k", "a", "ts", ["id"]))
+    assert out == [(2, None, 0, 2, 1), (2, "z", 2, None, 2)]
+
+
+def test_keys_are_independent(spark):
+    log = _log(spark, [(1, "a", 0), (2, "b", 0), (1, "b", 1)])
+    out = _hist(scd2_from_log(log, "k", "a", "ts", ["id"]))
+    assert out == [(1, "a", 0, 1, 1), (1, "b", 1, None, 2), (2, "b", 0, None, 1)]
+
+
+def test_same_ts_ties_break_on_order_col(spark):
+    # two events at the same hour: id order decides which value wins the run
+    log = _log(spark, [(3, "p", 0), (3, "q", 0)])
+    out = _hist(scd2_from_log(log, "k", "a", "ts", ["id"]))
+    assert out == [(3, "p", 0, 0, 1), (3, "q", 0, None, 2)]

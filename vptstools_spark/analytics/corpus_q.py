@@ -280,8 +280,41 @@ ORDER BY source
 """
 
 
+def q_sample_weighted(spark: SparkSession, sf: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis-Spirakis A-Res):
+    each doc draws a deterministic md5-uniform u ∈ (0,1] and ranks by
+    r = -ln(u)/w with w = n_chars; the k smallest ranks are the sample —
+    equivalent to sequential weighted draws, but embarrassingly parallel
+    (one narrow map + TakeOrderedAndProject, no state, no driver RNG).
+    The importance-sampling primitive for quality-weighted data curation."""
+    d = table(spark, sf, "documents").filter(F.col("n_chars") > 0)
+    u = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("ws:"), F.col("doc_id").cast("string"))), 1, 8), 16, 10)
+        .cast("double")
+        + 1.0
+    ) / 4294967296.0
+    r = -F.log(u) / F.col("n_chars").cast("double")
+    return (
+        d.select("doc_id", "n_chars", F.round(r, 9).alias("rank_key"))
+        .orderBy("rank_key", "doc_id")
+        .limit(25)
+    )
+
+
+_SAMPLE_WEIGHTED_ORACLE = """
+SELECT doc_id, n_chars,
+       ROUND(-ln((CAST(CAST('0x' || substring(md5('ws:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS DOUBLE) + 1.0)
+                 / 4294967296.0) / CAST(n_chars AS DOUBLE), 9) AS rank_key
+FROM documents
+WHERE n_chars > 0
+ORDER BY rank_key, doc_id
+LIMIT 25
+"""
+
+
 QUERIES = {
     "dq_orders": q_dq_orders,
+    "sample_weighted": q_sample_weighted,
     "bpe_merges": q_bpe_merges,
     "bm25_search": q_bm25_search,
     "mixture_weights": q_mixture_weights,
@@ -289,6 +322,7 @@ QUERIES = {
 
 ORACLES = {
     "dq_orders": _DQ_ORDERS_ORACLE,
+    "sample_weighted": _SAMPLE_WEIGHTED_ORACLE,
     "bpe_merges": _bpe_oracle(_BPE_ITERS),
     "bm25_search": _BM25_ORACLE,
     "mixture_weights": _MIXTURE_ORACLE,

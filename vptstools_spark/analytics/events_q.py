@@ -269,8 +269,27 @@ def q_retention_cohorts(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_scd2_event_types(spark: SparkSession, sf: str) -> DataFrame:
+    """SCD Type-2 attribute history: per user, validity intervals of their
+    event_type runs (`operators/scd.py:scd2_from_log` — change-point lag
+    flag + lead close, one hash exchange on user_id, no self-join).
+    Restricted to user_id < 30 to keep the history table driver-printable;
+    event_id breaks same-timestamp ties deterministically."""
+    from vptstools_spark.operators.scd import scd2_from_log
+
+    e = table(spark, sf, "events").filter(F.col("user_id") < 30)
+    return scd2_from_log(
+        e.select("user_id", "event_type", "ts", "event_id"),
+        key="user_id",
+        attr="event_type",
+        ts="ts",
+        order_cols=["event_id"],
+    )
+
+
 QUERIES = {
     "events_hourly": q_events_hourly,
+    "scd2_event_types": q_scd2_event_types,
     "retention_cohorts": q_retention_cohorts,
     "events_interval_join": q_events_interval_join,
     "events_json_schema": q_events_json_schema,
@@ -285,6 +304,25 @@ QUERIES = {
 }
 
 ORACLES = {
+    "scd2_event_types": """
+        WITH ordered AS (
+            SELECT user_id, event_type, ts, event_id,
+                   LAG(event_type) OVER w AS prev_type,
+                   ROW_NUMBER() OVER w AS rn
+            FROM events WHERE user_id < 30
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), starts AS (
+            SELECT user_id, event_type, ts, event_id
+            FROM ordered
+            WHERE rn = 1 OR prev_type IS DISTINCT FROM event_type
+        )
+        SELECT user_id, event_type,
+               ts AS valid_from,
+               LEAD(ts) OVER w2 AS valid_to,
+               CAST(ROW_NUMBER() OVER w2 AS INT) AS version
+        FROM starts
+        WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
     "events_interval_join": """
         WITH iv AS (
             SELECT user_id,
