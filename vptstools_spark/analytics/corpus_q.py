@@ -312,8 +312,117 @@ LIMIT 25
 """
 
 
+
+
+
+# ---------------------------------------------------------------------------
+# End-to-end curation funnel
+# ---------------------------------------------------------------------------
+
+_CUR_LANGS = ("en", "fr", "de")
+_CUR_MIN_SWR = 0.05
+_CUR_MAX_AWL = 4.8
+
+
+def q_curation_report(spark: SparkSession, sf: str) -> DataFrame:
+    """The whole curation pipeline in one call (`operators/curate.py`):
+    language filter → quality filter → exact dedup → LSH near-dedup, with
+    the per-stage funnel report as the result. The oracle re-derives every
+    stage in SQL, including the recursive-CTE connected components over the
+    banding pairs — so the *composition* is value-verified, not just the
+    stages in isolation."""
+    from vptstools_spark.operators.curate import CurationConfig, curate_corpus
+
+    _clean, report = curate_corpus(
+        table(spark, sf, "documents"),
+        CurationConfig(
+            keep_langs=_CUR_LANGS,
+            min_stopword_ratio=_CUR_MIN_SWR,
+            max_avg_word_len=_CUR_MAX_AWL,
+        ),
+    )
+    return report
+
+
+def _curation_oracle() -> str:
+    from vptstools_spark.analytics.dedup_q import NUM_HASHES, ROWS_PER_BAND
+    from vptstools_spark.analytics.text_q import _langid_case_parts
+
+    counts, case = _langid_case_parts()
+    langs = ", ".join(f"'{l}'" for l in _CUR_LANGS)
+    mins = ", ".join(
+        f"MIN(substr(md5('0#' || shingle), {i * 4 + 1}, 4)) AS h{i}"
+        for i in range(NUM_HASHES)
+    )
+    n_bands = NUM_HASHES // ROWS_PER_BAND
+    band_rows = " UNION ALL ".join(
+        f"SELECT id, {b} AS band_id, md5(h{b * ROWS_PER_BAND} || h{b * ROWS_PER_BAND + 1}) AS bh FROM mh"
+        for b in range(n_bands)
+    )
+    return f"""
+WITH RECURSIVE
+langed AS (
+    SELECT doc_id, text FROM (
+        SELECT doc_id, text, {counts} FROM documents
+    ) WHERE {case} IN ({langs})
+),
+qual AS (
+    SELECT doc_id, text FROM (
+        SELECT doc_id, text,
+               len(list_filter(string_split(text, ' '), w -> w IN ('the', 'a')))::DOUBLE
+                   / len(string_split(text, ' ')) AS swr,
+               (length(text)::DOUBLE - len(string_split(text, ' ')) + 1)
+                   / len(string_split(text, ' ')) AS awl
+        FROM langed
+    ) WHERE swr >= {_CUR_MIN_SWR} AND awl <= {_CUR_MAX_AWL}
+),
+exact AS (
+    SELECT doc_id, text FROM (
+        SELECT doc_id, text,
+               ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        FROM qual
+    ) WHERE rn = 1
+),
+words AS (SELECT doc_id, string_split(text, ' ') AS w FROM exact),
+sh AS (
+    SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+    FROM words, UNNEST(range(1, len(w) - 1)) AS t(i)
+    WHERE len(w) >= 3
+),
+mh AS (SELECT doc_id AS id, {mins} FROM sh GROUP BY doc_id),
+bands AS ({band_rows}),
+pairs AS (
+    SELECT a.id AS u, b.id AS v
+    FROM bands a JOIN bands b ON a.band_id = b.band_id AND a.bh = b.bh AND a.id < b.id
+    GROUP BY 1, 2
+),
+edges AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
+reach(node, lab) AS (
+    SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+    UNION
+    SELECT e.v, r.lab FROM reach r JOIN edges e ON e.u = r.node
+),
+losers AS (
+    SELECT node FROM (SELECT node, MIN(lab) AS lab FROM reach GROUP BY node)
+    WHERE node <> lab
+),
+cleaned AS (SELECT doc_id FROM exact WHERE doc_id NOT IN (SELECT node FROM losers)),
+funnel AS (
+    SELECT 0 AS stage_ord, 'input' AS stage, COUNT(*) AS n_docs FROM documents
+    UNION ALL SELECT 1, 'lang_filter', COUNT(*) FROM langed
+    UNION ALL SELECT 2, 'quality_filter', COUNT(*) FROM qual
+    UNION ALL SELECT 3, 'exact_dedup', COUNT(*) FROM exact
+    UNION ALL SELECT 4, 'near_dedup', COUNT(*) FROM cleaned
+)
+SELECT stage_ord, stage, n_docs,
+       COALESCE(LAG(n_docs) OVER (ORDER BY stage_ord) - n_docs, 0) AS n_dropped
+FROM funnel
+"""
+
+
 QUERIES = {
     "dq_orders": q_dq_orders,
+    "curation_report": q_curation_report,
     "sample_weighted": q_sample_weighted,
     "bpe_merges": q_bpe_merges,
     "bm25_search": q_bm25_search,
@@ -322,6 +431,7 @@ QUERIES = {
 
 ORACLES = {
     "dq_orders": _DQ_ORDERS_ORACLE,
+    "curation_report": _curation_oracle(),
     "sample_weighted": _SAMPLE_WEIGHTED_ORACLE,
     "bpe_merges": _bpe_oracle(_BPE_ITERS),
     "bm25_search": _BM25_ORACLE,

@@ -27,6 +27,30 @@ def _subtree_has_limit(node) -> bool:
     return False
 
 
+#: a global window is tolerated when its input provably holds at most this
+#: many rows — report/model-sized frames (e.g. a union of per-stage 1-row
+#: aggregates), never data-sized ones
+MAX_BOUNDED_WINDOW_ROWS = 64
+
+
+def _input_statically_bounded(window_node) -> bool:
+    """True when the window's input has a provable row bound of at most
+    `MAX_BOUNDED_WINDOW_ROWS` (maxRows on the optimized logical node).
+    Catalyst's EliminateLimits removes a Limit whose child already proves
+    maxRows ≤ n — e.g. a union of single-row aggregates — so "bounded by a
+    Limit" must also accept inputs whose bound the optimizer considered too
+    obvious to keep. The size cap keeps a provably-large input (range(1e9)
+    has maxRows too) flagged."""
+    children = window_node.children()
+    if children.size() == 0:
+        return False
+    for i in range(children.size()):
+        mr = children.apply(i).maxRows()
+        if not mr.isDefined() or int(mr.get()) > MAX_BOUNDED_WINDOW_ROWS:
+            return False
+    return True
+
+
 def unbounded_global_windows(df: DataFrame) -> list[str]:
     """Names of window expressions that run with an empty partitionSpec over
     an input NOT bounded by a Limit — i.e. true single-partition windows
@@ -42,7 +66,7 @@ def unbounded_global_windows(df: DataFrame) -> list[str]:
             continue
         if not node.partitionSpec().isEmpty():
             continue
-        if _subtree_has_limit(node):
+        if _subtree_has_limit(node) or _input_statically_bounded(node):
             continue
         exprs = node.windowExpressions()
         names = ",".join(
