@@ -452,3 +452,54 @@ def test_dq_gated_sink_admits_and_quarantines(spark, tmp_path):
     run(str(tmp_path / "ck2"))
     assert spark.read.parquet(out).count() == 2
     assert spark.read.parquet(quar).count() == 2
+
+
+def test_hll_distinct_sink_matches_batch_sketch(spark, tmp_path):
+    """Registers merged across micro-batches must equal the registers of a
+    single batch pass over all data (sketch mergeability end-to-end), and
+    the estimate must match the batch-side estimate exactly."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from vptstools_spark.operators import sketch
+    from vptstools_spark.streaming.incremental import hll_distinct_sink
+
+    src = str(tmp_path / "in")
+    (tmp_path / "in").mkdir()
+    # 3 files → 3 micro-batches; overlapping user ids across batches
+    for i in range(3):
+        rows = [{"g": u % 2, "user": u} for u in range(i * 400, i * 400 + 600)]
+        (tmp_path / "in" / f"f{i}.json").write_text(
+            "\n".join(json.dumps(r) for r in rows)
+        )
+    stream = (
+        spark.readStream.schema("g int, user long")
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    state = str(tmp_path / "state")
+    q = hll_distinct_sink(stream, "user", ["g"], state, str(tmp_path / "ck"))
+    q.awaitTermination(120)
+
+    whole = spark.read.json(src, schema="g int, user long")
+    batch_regs = sketch.hll_registers(whole, F.col("user"), ["g"])
+    stream_regs = spark.read.parquet(state).drop("_batch_id")
+    assert stream_regs.exceptAll(batch_regs).count() == 0
+    assert batch_regs.exceptAll(stream_regs).count() == 0
+
+    est = {
+        r["g"]: r["hll_est"]
+        for r in sketch.hll_estimate(stream_regs, ["g"]).collect()
+    }
+    exact = {
+        r["g"]: r["n"]
+        for r in whole.groupBy("g").agg(
+            F.countDistinct("user").alias("n")
+        ).collect()
+    }
+    for g in exact:
+        assert abs(est[g] - exact[g]) / exact[g] < 0.26  # 4σ for 256 regs
+
+    # state is register-bounded: ≤ 2 groups × 256 buckets
+    assert spark.read.parquet(state).count() <= 512

@@ -552,3 +552,56 @@ def dq_gated_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def hll_distinct_sink(
+    stream: DataFrame,
+    key_col: str,
+    group_cols: list[str],
+    state_path: str,
+    checkpoint: str,
+) -> StreamingQuery:
+    """Streaming distinct-count dashboard: maintain per-group HyperLogLog
+    registers (`operators/sketch.py`) in a parquet state table, merged
+    batch-by-batch.
+
+    The state is ≤ |groups|·256 rows FOREVER — a streaming COUNT(DISTINCT)
+    without storing keys, which is the only shape that survives unbounded
+    cardinality (exact streaming distinct state grows with the key space).
+    Merge = bucket-max (`hll_merge`), which is associative + idempotent at
+    the *register* level; batch replay protection still comes from the
+    stored per-group `_batch_id` high-water mark because a retried batch
+    must not re-raise registers that a concurrent estimate already read as
+    part of a newer merge. Estimates are read on demand with
+    `sketch.hll_estimate(spark.read.parquet(state_path), group_cols)`.
+    """
+    from vptstools_spark.operators import sketch as _sketch
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        delta = _sketch.hll_registers(
+            batch_df, F.col(key_col), group_cols
+        ).withColumn("_batch_id", F.lit(batch_id))
+        if _hadoop_path_exists(spark, state_path):
+            prev = spark.read.parquet(state_path)
+            applied = prev.agg(F.max("_batch_id").alias("b")).collect()[0]["b"]
+            if applied is not None and applied >= batch_id:
+                return  # replay of a merged batch
+            merged = _sketch.hll_merge(
+                prev.drop("_batch_id").unionByName(delta.drop("_batch_id")),
+                group_cols,
+            ).withColumn("_batch_id", F.lit(batch_id))
+        else:
+            merged = delta
+        # state reads the path it overwrites — sever before the write
+        merged = merged.localCheckpoint(eager=True)
+        merged.coalesce(1).write.mode("overwrite").parquet(state_path)
+
+    return (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
