@@ -1,0 +1,69 @@
+"""File-level data skipping (plans/skipping.py): stats correctness, pruning
+soundness (never drops a matching row), and actual file-count reduction."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from vptstools_spark.plans.skipping import (
+    collect_file_stats,
+    files_for_predicate,
+    read_pruned,
+)
+
+
+@pytest.fixture(scope="module")
+def laid_out(spark, tmp_path_factory):
+    # 8 files, each covering a disjoint id range (range-partitioned write):
+    # the best case data skipping is designed for
+    path = str(tmp_path_factory.mktemp("skip") / "t")
+    df = spark.range(8000).withColumn("v", (F.col("id") % 97).cast("int"))
+    df.repartitionByRange(8, "id").write.parquet(path)
+    return path
+
+
+def test_stats_cover_all_rows_and_files(spark, laid_out):
+    stats = collect_file_stats(spark, laid_out, ["id", "v"])
+    rows = stats.collect()
+    assert len(rows) == 8
+    assert sum(r["n_rows"] for r in rows) == 8000
+    # global min/max reassemble from per-file stats
+    assert min(r["id__min"] for r in rows) == 0
+    assert max(r["id__max"] for r in rows) == 7999
+    assert all(r["id__nulls"] == 0 for r in rows)
+
+
+def test_pruning_is_sound_and_effective(spark, laid_out):
+    stats = collect_file_stats(spark, laid_out, ["id"])
+    kept = files_for_predicate(stats, "id", 1000, 1999)
+    # effectiveness: a 1/8-range predicate over range-laid-out files must
+    # read a small fraction, not the whole directory
+    assert 1 <= len(kept) <= 3
+    # soundness: pruned read == full-scan filter, exactly
+    got = read_pruned(spark, stats, "id", 1000, 1999)
+    want = spark.read.parquet(laid_out).filter("id between 1000 and 1999")
+    assert got.count() == want.count() == 1000
+    assert got.exceptAll(want).count() == 0
+
+
+def test_open_bounds(spark, laid_out):
+    stats = collect_file_stats(spark, laid_out, ["id"])
+    assert read_pruned(spark, stats, "id", 7000, None).count() == 1000
+    assert read_pruned(spark, stats, "id", None, 499).count() == 500
+
+
+def test_unclustered_column_keeps_everything(spark, laid_out):
+    # v is uncorrelated with the file layout → every file's [min,max]
+    # spans the predicate → no file can be skipped (and none may be)
+    stats = collect_file_stats(spark, laid_out, ["v"])
+    kept = files_for_predicate(stats, "v", 10, 20)
+    assert len(kept) == 8
+    got = read_pruned(spark, stats, "v", 10, 20)
+    want = spark.read.parquet(laid_out).filter("v between 10 and 20")
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+
+def test_empty_match_preserves_schema(spark, laid_out):
+    stats = collect_file_stats(spark, laid_out, ["id"])
+    out = read_pruned(spark, stats, "id", 100000, 200000)
+    assert out.count() == 0
+    assert set(out.columns) == {"id", "v"}
