@@ -145,3 +145,73 @@ def test_binned_interval_join_matches_naive(spark, points, intervals, bin_second
         if pk == ik and s <= pt <= s + w
     }
     assert got == want
+
+
+@PROP_SETTINGS
+@given(
+    keys=st.lists(st.integers(0, 500), min_size=1, max_size=60),
+    split=st.integers(1, 59),
+)
+def test_hll_merge_equals_whole_and_python_replica(spark, keys, split):
+    """(1) registers(shard A) ⊕ registers(shard B) == registers(A ∪ B) for
+    ANY split — the mergeability contract; (2) the register table equals a
+    pure-Python md5 replica, pinning the hash derivation the DuckDB oracle
+    also mirrors."""
+    import hashlib
+    import re
+
+    from vptstools_spark.operators import sketch
+
+    df = spark.createDataFrame([(k,) for k in keys], "k int")
+    whole = sketch.hll_registers(df, F.col("k"), []).collect()
+
+    a = spark.createDataFrame([(k,) for k in keys[:split]] or [(keys[0],)], "k int")
+    b = spark.createDataFrame([(k,) for k in keys[split:]] or [(keys[-1],)], "k int")
+    if keys[:split] and keys[split:]:
+        merged = sketch.hll_merge(
+            sketch.hll_registers(a, F.col("k"), []).unionByName(
+                sketch.hll_registers(b, F.col("k"), [])
+            ),
+            [],
+        ).collect()
+        assert sorted(map(tuple, merged)) == sorted(map(tuple, whole))
+
+    # python replica of bucket/rho
+    regs = {}
+    for k in set(keys):
+        h = hashlib.md5(str(k).encode()).hexdigest()
+        bucket = int(h[:2], 16)
+        tail = h[2:17]
+        stripped = re.sub("^0+", "", tail)
+        if not stripped:
+            rho = 61
+        else:
+            rho = (15 - len(stripped)) * 4 + {"1": 3, "2": 2, "3": 2}.get(
+                stripped[0], 1 if stripped[0] in "4567" else 0
+            ) + 1
+        regs[bucket] = max(regs.get(bucket, 0), rho)
+    got = {r["__bucket"]: r["__m"] for r in whole}
+    assert got == regs
+
+
+@PROP_SETTINGS
+@given(keys=st.lists(st.text("ab", min_size=1, max_size=3), min_size=1, max_size=40))
+def test_cm_estimate_upper_bounds_truth(spark, keys):
+    """CM one-sided error on arbitrary key multisets: estimate ≥ truth for
+    every key, and the total sketch mass per row equals the input size."""
+    from collections import Counter
+
+    from vptstools_spark.operators import sketch
+
+    df = spark.createDataFrame([(k,) for k in keys], "k string")
+    sk = sketch.cm_sketch(df, F.col("k"), depth=3, width=16)
+    per_row = {r["__row"]: 0 for r in sk.collect()}
+    for r in sk.collect():
+        per_row[r["__row"]] += r["__cnt"]
+    assert all(v == len(keys) for v in per_row.values())
+    truth = Counter(keys)
+    est = sketch.cm_estimate(
+        sk, df.distinct(), "k", depth=3, width=16
+    ).collect()
+    for r in est:
+        assert r["cm_est"] >= truth[r["k"]]
