@@ -149,3 +149,37 @@ def test_pagerank_checkpoint_every_truncates_lineage(spark):
         for r in pagerank(edges, iters=4, checkpoint_every=2).collect()
     }
     assert plain == ckpt
+
+
+def test_label_propagation_two_cliques_with_bridge(spark):
+    # two 4-cliques joined by one bridge edge: after 2 deterministic rounds
+    # each clique converges to its minimum id; the bridge does not merge
+    # them (mode of a bridge endpoint's neighborhood stays in-clique)
+    from vptstools_spark.operators.graph import label_propagation
+
+    c1 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    c2 = [(a, b) for a in range(10, 14) for b in range(a + 1, 14)]
+    edges = spark.createDataFrame(c1 + c2 + [(3, 10)], "src int, dst int")
+    got = {
+        r["node"]: r["label"]
+        for r in label_propagation(edges, iters=2).collect()
+    }
+    assert all(got[n] == 0 for n in range(4))
+    assert all(got[n] == 10 for n in range(10, 14))
+
+
+def test_label_propagation_star_adopts_center_minimum(spark):
+    # star centered at 5 with leaves 6..9: leaves see only the center.
+    # Round 1: leaves -> 5, center -> min leaf label (6). Round 2: leaves
+    # adopt the center's round-1 label (6), center adopts the leaves' (5) —
+    # the classic synchronous star oscillation, pinned deterministically.
+    from vptstools_spark.operators.graph import label_propagation
+
+    edges = spark.createDataFrame(
+        [(5, leaf) for leaf in range(6, 10)], "src int, dst int"
+    )
+    got = {
+        r["node"]: r["label"]
+        for r in label_propagation(edges, iters=2).collect()
+    }
+    assert got[5] == 5 and all(got[leaf] == 6 for leaf in range(6, 10))

@@ -94,8 +94,71 @@ LIMIT 15
 """
 
 
+def q_label_prop_communities(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic synchronous label propagation (2 rounds) over the part
+    co-purchase graph: top-15 communities by size. Mode update with
+    smallest-label tie-break (`operators/graph.py:label_propagation`) so the
+    rounds unroll as SQL CTEs — the stochastic variant would be
+    unverifiable across engines."""
+    from vptstools_spark.operators.graph import label_propagation
+
+    l = table(spark, sf, "lineitem").filter(F.col("l_partkey") < 300)
+    l1 = l.select("l_orderkey", F.col("l_partkey").alias("pa"))
+    l2 = l.select("l_orderkey", F.col("l_partkey").alias("pb"))
+    edges = (
+        l1.join(l2, "l_orderkey")
+        .filter(F.col("pa") < F.col("pb"))
+        .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+        .distinct()
+    )
+    labels = label_propagation(edges, iters=2)
+    return (
+        labels.groupBy(F.col("label").alias("community"))
+        .agg(F.count("*").alias("n_nodes"))
+        .orderBy(F.col("n_nodes").desc(), "community")
+        .limit(15)
+    )
+
+
+def _label_prop_round(k: int) -> str:
+    return f"""
+n{k} AS (
+    SELECT e.v AS node, l.label, COUNT(*) AS cnt
+    FROM edges e JOIN l{k - 1} l ON e.u = l.node
+    GROUP BY 1, 2
+),
+l{k} AS (
+    SELECT node, label FROM (
+        SELECT node, label,
+               ROW_NUMBER() OVER (PARTITION BY node ORDER BY cnt DESC, label) AS rn
+        FROM n{k}
+    ) WHERE rn = 1
+)"""
+
+
+_LABEL_PROP_ORACLE = f"""
+WITH und AS (
+    SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+    FROM lineitem l1 JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
+    WHERE l1.l_partkey < 300 AND l2.l_partkey < 300
+      AND l1.l_partkey < l2.l_partkey
+),
+edges AS (
+    SELECT a AS u, b AS v FROM und UNION SELECT b, a FROM und
+),
+l0 AS (SELECT DISTINCT u AS node, u AS label FROM edges),
+{_label_prop_round(1)},
+{_label_prop_round(2)}
+SELECT label AS community, COUNT(*) AS n_nodes
+FROM l2 GROUP BY 1
+ORDER BY n_nodes DESC, community
+LIMIT 15
+"""
+
+
 QUERIES = {
     "triangle_parts": q_triangle_parts,
+    "label_prop_communities": q_label_prop_communities,
     "pagerank_trade": q_pagerank_trade,
 }
 
@@ -142,5 +205,6 @@ def _pagerank_sql() -> str:
 
 ORACLES = {
     "triangle_parts": _TRIANGLE_ORACLE,
+    "label_prop_communities": _LABEL_PROP_ORACLE,
     "pagerank_trade": _pagerank_sql(),
 }

@@ -15,7 +15,7 @@ cluster swap for ``checkpoint`` against a reliable store.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -345,3 +345,47 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
         .groupBy("node")
         .agg(F.count("*").alias("n_triangles"))
     )
+
+
+def label_propagation(
+    edges: DataFrame, iters: int = 2, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007), made
+    deterministic: every node starts labeled with its own id; each round it
+    adopts the most frequent label among its neighbors, ties broken by the
+    smallest label. Fixed round count → CTE-unrollable value oracle (the
+    stochastic/asynchronous variants are NOT reproducible across engines,
+    which is why this engine pins the deterministic form).
+
+    Per round: one join of the symmetrized edge list with the labels (hash
+    exchange on node id), one (node, label) count aggregate, one per-node
+    window for the argmax — all key-partitioned, no global ordering, no
+    driver data. Lineage is truncated per round. Returns (node, label).
+    """
+    e = (
+        edges.filter(F.col(src) != F.col(dst))
+        .select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .unionAll(
+            edges.filter(F.col(src) != F.col(dst)).select(
+                F.col(dst).alias("u"), F.col(src).alias("v")
+            )
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = e.select(F.col("u").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    w = Window.partitionBy("node").orderBy(F.col("cnt").desc(), F.col("label").asc())
+    for _ in range(iters):
+        neigh = e.join(labels, e["u"] == labels["node"]).select(
+            F.col("v").alias("node"), "label"
+        )
+        counts = neigh.groupBy("node", "label").agg(F.count("*").alias("cnt"))
+        labels = (
+            counts.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("node", "label")
+            .localCheckpoint(eager=True)
+        )
+    return labels
