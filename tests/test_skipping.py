@@ -67,3 +67,28 @@ def test_empty_match_preserves_schema(spark, laid_out):
     out = read_pruned(spark, stats, "id", 100000, 200000)
     assert out.count() == 0
     assert set(out.columns) == {"id", "v"}
+
+
+def test_incremental_stats_update(spark, laid_out, tmp_path):
+    import shutil
+
+    from vptstools_spark.plans.skipping import update_file_stats
+
+    # copy the table so we can append to it
+    path = str(tmp_path / "t2")
+    shutil.copytree(laid_out, path)
+    stats = collect_file_stats(spark, path, ["id"])
+    n_before = stats.count()
+    # append new files with a disjoint id range
+    spark.range(100000, 101000).withColumn(
+        "v", (F.col("id") % 97).cast("int")
+    ).coalesce(2).write.mode("append").parquet(path)
+
+    updated = update_file_stats(spark, path, stats, ["id"])
+    assert updated.count() == n_before + 2
+    # the refreshed table must equal a from-scratch collection
+    scratch = collect_file_stats(spark, path, ["id"])
+    assert updated.exceptAll(scratch).count() == 0
+    assert scratch.exceptAll(updated).count() == 0
+    # and pruning over it sees the new range
+    assert files_for_predicate(updated, "id", 100000, 100500)

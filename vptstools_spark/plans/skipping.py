@@ -80,3 +80,47 @@ def read_pruned(
     if hi is not None:
         df = df.filter(F.col(col) <= F.lit(hi))
     return df
+
+
+def update_file_stats(
+    spark: SparkSession, path: str, stats: DataFrame, cols: list[str]
+) -> DataFrame:
+    """Incrementally maintain the stats table: collect stats ONLY for data
+    files not yet covered (new files from appends/compaction), union with
+    the existing rows that still exist on disk (dropping tombstones for
+    files a rewrite removed). One listing + one pass over the NEW bytes —
+    at 100 TB this is the difference between stats maintenance being a
+    nightly no-op and a full-table rescan."""
+    # filesystem listing, NOT a data scan — input_file_name() would read
+    # every row of every file just to learn the file names
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(hconf)
+    it = fs.listFiles(p, True)
+    current = set()
+    while it.hasNext():
+        f = it.next().getPath().toString()
+        name = f.rsplit("/", 1)[-1]
+        if name.endswith(".parquet") and not name.startswith(("_", ".")):
+            current.add(f)
+    known = {r["file"] for r in stats.select("file").collect()}
+    fresh = sorted(current - known)
+    kept = stats.filter(F.col("file").isin(list(current)))
+    if not fresh:
+        return kept
+    df = spark.read.parquet(*fresh)
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs += [
+            F.min(c).alias(f"{c}__min"),
+            F.max(c).alias(f"{c}__max"),
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}__nulls"),
+        ]
+    new_stats = (
+        df.withColumn("__file", F.input_file_name())
+        .groupBy("__file")
+        .agg(*aggs)
+        .withColumnRenamed("__file", "file")
+    )
+    return kept.unionByName(new_stats)
