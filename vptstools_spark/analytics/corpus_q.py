@@ -420,9 +420,68 @@ FROM funnel
 """
 
 
+# ---------------------------------------------------------------------------
+# Entity resolution
+# ---------------------------------------------------------------------------
+
+
+def q_entity_resolution(spark: SparkSession, sf: str) -> DataFrame:
+    """Record linkage over part names (`operators/entity.py`): block on the
+    name's first 4 chars, verify pairs within 1 edit, resolve transitive
+    clusters, and profile the top-20 entities. Blocking + bounded verify +
+    distributed components — never an all-pairs scan; the oracle replays
+    the same pipeline with full levenshtein and a recursive-CTE closure."""
+    from vptstools_spark.operators.entity import entity_profile, resolve_entities
+
+    p = table(spark, sf, "part").select("p_partkey", "p_name")
+    resolved = resolve_entities(
+        p, "p_partkey", "p_name", F.substring("p_name", 1, 4), max_edit=1
+    )
+    return (
+        entity_profile(resolved, "p_partkey", "p_name")
+        .orderBy(F.col("n_records").desc(), "entity_id")
+        .limit(20)
+    )
+
+
+_ENTITY_ORACLE = """
+WITH RECURSIVE p AS (
+    SELECT p_partkey AS id, p_name AS name FROM part
+),
+pairs AS (
+    SELECT a.id AS u, b.id AS v
+    FROM p a JOIN p b
+      ON substring(a.name, 1, 4) = substring(b.name, 1, 4)
+     AND a.id < b.id
+     AND abs(length(a.name) - length(b.name)) <= 1
+     AND levenshtein(a.name, b.name) <= 1
+),
+edges AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
+reach(node, lab) AS (
+    SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+    UNION
+    SELECT e.v, r.lab FROM reach r JOIN edges e ON e.u = r.node
+),
+comp AS (SELECT node, MIN(lab) AS component FROM reach GROUP BY node),
+resolved AS (
+    SELECT p.id, p.name, COALESCE(c.component, p.id) AS entity_id
+    FROM p LEFT JOIN comp c ON p.id = c.node
+)
+SELECT entity_id,
+       COUNT(*) AS n_records,
+       COUNT(DISTINCT name) AS n_names,
+       MIN(name ORDER BY id) AS canonical_name
+FROM resolved
+GROUP BY 1
+ORDER BY n_records DESC, entity_id
+LIMIT 20
+"""
+
+
 QUERIES = {
     "dq_orders": q_dq_orders,
     "curation_report": q_curation_report,
+    "entity_resolution": q_entity_resolution,
     "sample_weighted": q_sample_weighted,
     "bpe_merges": q_bpe_merges,
     "bm25_search": q_bm25_search,
@@ -432,6 +491,7 @@ QUERIES = {
 ORACLES = {
     "dq_orders": _DQ_ORDERS_ORACLE,
     "curation_report": _curation_oracle(),
+    "entity_resolution": _ENTITY_ORACLE,
     "sample_weighted": _SAMPLE_WEIGHTED_ORACLE,
     "bpe_merges": _bpe_oracle(_BPE_ITERS),
     "bm25_search": _BM25_ORACLE,

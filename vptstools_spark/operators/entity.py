@@ -1,0 +1,86 @@
+"""Entity resolution: blocking → bounded-edit-distance verify → connected
+components → canonical entity table.
+
+The record-linkage twin of the document near-dup pipeline
+(`operators/curate.py`): where documents dedup on shingle similarity,
+records resolve on name edit distance. Same scale architecture —
+candidates come from a blocking equi-join (never all-pairs), the verifier
+is a bounded JVM levenshtein that early-exits over budget, and the
+transitive closure runs as distributed connected components, so the whole
+resolution is three shuffles regardless of table size.
+
+Reference scope: engine extension (SURVEY §7.5); the reference's nearest
+shape is its filename-keyed dedup on ingest (`vptstools/bin/
+transfer_baltrad.py` analog, `operators/transfer.py:65`) which links
+records by exact key only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from vptstools_spark.operators.graph import connected_components
+
+
+def candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    name_col: str,
+    block: Column,
+    max_edit: int = 2,
+) -> DataFrame:
+    """(id_a, id_b) record pairs that block together AND verify within
+    `max_edit` edits. The length-gap pre-filter rejects most candidates
+    before the DP; the 3-arg levenshtein early-exits over budget."""
+    a = df.select(
+        block.alias("__blk"),
+        F.col(id_col).alias("id_a"),
+        F.col(name_col).alias("name_a"),
+    )
+    b = df.select(
+        block.alias("__blk"),
+        F.col(id_col).alias("id_b"),
+        F.col(name_col).alias("name_b"),
+    )
+    return (
+        a.repartition("__blk")
+        .join(b, "__blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.abs(F.length("name_a") - F.length("name_b")) <= max_edit)
+        .filter(F.levenshtein("name_a", "name_b", max_edit) >= 0)
+        .select("id_a", "id_b")
+    )
+
+
+def resolve_entities(
+    df: DataFrame,
+    id_col: str,
+    name_col: str,
+    block: Column,
+    max_edit: int = 2,
+) -> DataFrame:
+    """Every record labeled with its entity id (= the smallest record id in
+    its duplicate component; unmatched records are their own entity).
+    Deterministic end to end — blocking, the edit bound, and the min-id
+    canonicalization contain no randomness."""
+    pairs = candidate_pairs(df, id_col, name_col, block, max_edit)
+    cc = connected_components(pairs, src="id_a", dst="id_b")
+    return (
+        df.join(
+            cc.select(F.col("node").alias(id_col), "component"),
+            id_col,
+            "left",
+        )
+        .withColumn("entity_id", F.coalesce("component", F.col(id_col)))
+        .drop("component")
+    )
+
+
+def entity_profile(resolved: DataFrame, id_col: str, name_col: str) -> DataFrame:
+    """Per-entity rollup: record count, distinct surface forms, canonical
+    name (the smallest-id record's name — min_by keeps it one aggregate)."""
+    return resolved.groupBy("entity_id").agg(
+        F.count("*").alias("n_records"),
+        F.countDistinct(name_col).alias("n_names"),
+        F.min_by(name_col, F.col(id_col)).alias("canonical_name"),
+    )
