@@ -73,6 +73,19 @@ HEADLINE = [
     "pagerank_trade",
     "ts_subseq_match",
     "quality_classifier",
+    "sketch_hll_distinct",
+    "sketch_bloom_join",
+    "dq_orders",
+    "bpe_merges",
+    "bm25_search",
+    "triangle_parts",
+    "inverted_index",
+    "winsorize_price",
+    "curation_report",
+    "entity_resolution",
+    "label_prop_communities",
+    "scd2_event_types",
+    "sample_weighted",
 ]
 
 
