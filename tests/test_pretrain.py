@@ -173,3 +173,34 @@ def test_chunk_documents_rejects_bad_params(spark):
         chunk_documents(docs, chunk_size=0)
     with pytest.raises(ValueError):
         chunk_documents(docs, stride=0)
+
+
+def test_write_training_shards_deterministic_and_manifested(spark, tmp_path):
+    import json
+
+    from vptstools_spark.operators.pretrain import write_training_shards
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["tok"] * (i % 7 + 1))) for i in range(200)],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "shards")
+    m1 = write_training_shards(docs, path, n_shards=4)
+    assert m1["total_docs"] == 200
+    assert m1["total_tokens"] == sum(i % 7 + 1 for i in range(200))
+    assert set(m1["shards"]) == {0, 1, 2, 3}
+    # every shard directory exists and rereads cleanly
+    back = spark.read.parquet(path)
+    assert back.count() == 200
+    got = {r["shard"] for r in back.select("shard").distinct().collect()}
+    assert got == {0, 1, 2, 3}
+    # determinism: same corpus in a different input order → same assignment
+    m2 = write_training_shards(
+        docs.orderBy(__import__("pyspark.sql.functions", fromlist=["f"]).col("doc_id").desc()),
+        str(tmp_path / "shards2"),
+        n_shards=4,
+    )
+    assert m1["shards"] == m2["shards"]
+    # manifest on disk matches the returned one
+    disk = json.load(open(path + "/_manifest.json"))
+    assert disk["total_tokens"] == m1["total_tokens"]

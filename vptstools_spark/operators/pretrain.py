@@ -159,3 +159,66 @@ def chunk_documents(
             .alias("chunk_text"),
         )
     )
+
+
+def write_training_shards(
+    docs: DataFrame,
+    path: str,
+    n_shards: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> dict:
+    """Terminal sink of the curation pipeline: write the corpus as `n_shards`
+    deterministic shards plus a manifest.
+
+    Shard assignment is md5(doc_id) mod n_shards — stable under
+    repartitioning, engine-portable, and independent of input order, so a
+    re-run after an upstream change moves only the documents that actually
+    changed shards (rsync-friendly at 100 TB). One exchange on the shard
+    key; one file per shard directory (each shard is one writer task —
+    scale n_shards to the cluster, shards are the parallelism unit
+    downstream training readers consume).
+
+    The manifest (shard → docs, tokens) is written as `_manifest.json`
+    (underscore prefix: invisible to Spark directory scans) and returned.
+    Token counts are whitespace token counts — swap in a tokenizer UDF for
+    BPE-exact budgets.
+    """
+    import json
+
+    shard = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % n_shards
+    ).cast("int")
+    tagged = docs.withColumn("shard", shard)
+    (
+        tagged.repartition(n_shards, "shard")
+        .sortWithinPartitions(id_col)
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )
+    counts = (
+        tagged.groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.size(F.split(F.col(text_col), " "))).alias("n_tokens"),
+        )
+        .orderBy("shard")
+        .collect()
+    )
+    manifest = {
+        "n_shards": n_shards,
+        "total_docs": int(sum(r["n_docs"] for r in counts)),
+        "total_tokens": int(sum(r["n_tokens"] for r in counts)),
+        "shards": {
+            int(r["shard"]): {"n_docs": int(r["n_docs"]), "n_tokens": int(r["n_tokens"])}
+            for r in counts
+        },
+    }
+    import os
+
+    with open(os.path.join(path, "_manifest.json"), "w") as fh:
+        json.dump(manifest, fh, indent=1, sort_keys=True)
+    return manifest
