@@ -57,3 +57,39 @@ def test_sample_frames_shape_and_determinism(spark):
     assert len(by_id[2]) == 4
     # NULL blob contributes no rows
     assert 3 not in by_id
+
+
+def test_pcm_frame_energy_real_signal(spark):
+    """Synthesized int16 PCM (full-scale square wave + silence) decodes to
+    exactly-known RMS/peak per frame — real signal math, no codec libs."""
+    import numpy as np
+
+    from vptstools_spark.operators.multimodal import pcm_frame_energy
+
+    square = (np.ones(256, dtype="<i2") * 1000).tobytes()  # frame 0: RMS 1000
+    silence = np.zeros(256, dtype="<i2").tobytes()         # frame 1: RMS 0
+    torn = square + silence + b"\x07"                      # odd trailing byte
+    df = spark.createDataFrame([(1, torn), (2, None), (3, b"")], "id long, blob binary")
+    rows = {
+        (r["id"], r["frame_id"]): r
+        for r in pcm_frame_energy(df, frame_samples=256).collect()
+    }
+    assert set(rows) == {(1, 0), (1, 1)}  # null/empty blobs drop out
+    assert rows[(1, 0)]["rms"] == 1000.0 and rows[(1, 0)]["peak"] == 1000
+    assert rows[(1, 1)]["rms"] == 0.0 and rows[(1, 1)]["peak"] == 0
+    assert rows[(1, 0)]["n_samples"] == 256
+
+
+def test_pcm_partial_tail_frame(spark):
+    import numpy as np
+
+    from vptstools_spark.operators.multimodal import pcm_frame_energy
+
+    blob = (np.full(300, -2000, dtype="<i2")).tobytes()  # 1 full + 44-sample tail
+    df = spark.createDataFrame([(7, blob)], "id long, blob binary")
+    rows = sorted(
+        pcm_frame_energy(df, frame_samples=256).collect(),
+        key=lambda r: r["frame_id"],
+    )
+    assert [r["n_samples"] for r in rows] == [256, 44]
+    assert all(r["rms"] == 2000.0 and r["peak"] == 2000 for r in rows)

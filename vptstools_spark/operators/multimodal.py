@@ -137,3 +137,55 @@ def sample_frames(
             yield pd.DataFrame({"id": ids, "frame_idx": idxs, "frame": frames})
 
     return df.select(id_col, blob_col).mapInPandas(run, schema=FRAME_SCHEMA)
+
+
+#: output schema of the real PCM analyzer
+PCM_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType(), False),
+        T.StructField("frame_id", T.IntegerType(), False),
+        T.StructField("n_samples", T.IntegerType(), False),
+        T.StructField("rms", T.DoubleType(), True),
+        T.StructField("peak", T.IntegerType(), True),
+    ]
+)
+
+
+def pcm_frame_energy(
+    df: DataFrame,
+    id_col: str = "id",
+    blob_col: str = "blob",
+    frame_samples: int = 256,
+) -> DataFrame:
+    """REAL audio feature extraction — no media libraries needed: the blob
+    is interpreted as raw little-endian int16 PCM (numpy ``frombuffer``),
+    framed into `frame_samples` windows, and reduced to per-frame RMS and
+    peak. This is the one multimodal path that runs genuine signal math in
+    this container; codec decode (mp3/jpeg/mp4) stays behind the
+    `_fake_decode` stub.
+
+    Arrow-batched ``mapInPandas``: each executor batch decodes its blobs
+    with vectorized numpy — per-row Python never touches samples. The 1→N
+    frame explode happens inside the batch, so output partitioning follows
+    input splits (narrow, no shuffle).
+    """
+    import numpy as np
+
+    def gen(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in ("id", "frame_id", "n_samples", "rms", "peak")}
+            for rid, blob in zip(pdf[id_col], pdf[blob_col]):
+                if blob is None or len(blob) < 2:
+                    continue
+                # truncate a trailing odd byte (torn sample)
+                samples = np.frombuffer(blob[: len(blob) - (len(blob) % 2)], dtype="<i2")
+                for f in range(0, len(samples), frame_samples):
+                    frame = samples[f : f + frame_samples].astype(np.float64)
+                    out["id"].append(rid)
+                    out["frame_id"].append(f // frame_samples)
+                    out["n_samples"].append(len(frame))
+                    out["rms"].append(float(np.sqrt(np.mean(frame * frame))))
+                    out["peak"].append(int(np.max(np.abs(frame))))
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, blob_col).mapInPandas(gen, PCM_FRAME_SCHEMA)
