@@ -1,0 +1,34 @@
+"""SQL face (vptstools_spark/sql.py): tables, UDTFs, and query views are
+reachable and composable from spark.sql."""
+
+from vptstools_spark.sql import register_all
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_tables_and_query_views_compose(spark):
+    views = register_all(
+        spark, SF, query_names=["pricing_summary", "inv_coverage", "dq_orders"]
+    )
+    assert set(views) == {"q_pricing_summary", "q_inv_coverage", "q_dq_orders"}
+    # a raw table is queryable
+    assert spark.sql("SELECT COUNT(*) AS n FROM orders").collect()[0]["n"] > 0
+    # a query view runs and composes with a table join in plain SQL
+    rows = spark.sql(
+        "SELECT l_returnflag, sum_qty FROM q_pricing_summary ORDER BY 1"
+    ).collect()
+    assert len(rows) > 0
+    # view is a lazy plan: predicates written in SQL push into it
+    one = spark.sql(
+        "SELECT * FROM q_dq_orders WHERE `check` = 'orderkey_unique'"
+    ).collect()
+    assert len(one) == 1 and bool(one[0]["passed"]) is True
+
+
+def test_udtfs_registered(spark):
+    register_all(spark, SF, query_names=[])
+    rows = spark.sql(
+        "SELECT c.* FROM VALUES ('hello world') AS t(txt), "
+        "LATERAL chunk_text(t.txt, 5, 5) c"
+    ).collect()
+    assert len(rows) >= 2

@@ -1,0 +1,58 @@
+"""SQL face: make the whole engine reachable from ``spark.sql``.
+
+`register_all` publishes the harness tables as temp views, registers the
+LATERAL-join UDTFs (`functions/udtfs.py`), and exposes every registry
+query as a `q_<name>` temp view — so a SQL-only consumer (BI tool,
+notebook, `spark-sql` shell) can compose engine operators without
+touching the Python API:
+
+    >>> register_all(spark, "/root/testdata/sf0.01")
+    >>> spark.sql("SELECT * FROM q_pricing_summary").show()
+    >>> spark.sql(\"\"\"
+    ...     SELECT c.c_name, q.revenue
+    ...     FROM q_region_revenue q JOIN customer c ON ...
+    ... \"\"\")
+
+Views are lazy plans, not materializations: Catalyst fuses a view
+reference into the consuming query, so filters written in SQL still push
+down through the registered query's plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+from vptstools_spark.io import TABLES, table
+
+
+def register_tables(spark: SparkSession, sf_dir: str) -> None:
+    for t in TABLES:
+        table(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+def register_query_views(
+    spark: SparkSession, sf_dir: str, names: list[str] | None = None
+) -> list[str]:
+    """Expose registry queries as `q_<name>` temp views; returns the view
+    names. Pass `names` to register a subset (building all 130+ plans takes
+    a few seconds of driver time — plan construction only, no execution)."""
+    from vptstools_spark.analytics import all_queries
+
+    out = []
+    for name, fn in all_queries().items():
+        if names is not None and name not in names:
+            continue
+        fn(spark, sf_dir).createOrReplaceTempView(f"q_{name}")
+        out.append(f"q_{name}")
+    return out
+
+
+def register_all(
+    spark: SparkSession, sf_dir: str, query_names: list[str] | None = None
+) -> list[str]:
+    """Tables + UDTFs + query views in one call; returns query view names."""
+    from vptstools_spark.functions.udtfs import register_udtfs
+
+    register_tables(spark, sf_dir)
+    register_udtfs(spark)
+    return register_query_views(spark, sf_dir, query_names)
