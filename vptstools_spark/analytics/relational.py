@@ -552,7 +552,38 @@ def q_product_profit(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_promo_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q14 shape: promo revenue share for one ship month — a
+    conditional aggregate ratio over a broadcast part join. Both the
+    conditional numerator and the denominator are carried in DECIMAL and
+    divided once at the end (money-sum rule), so the percentage is
+    aggregation-order exact."""
+    l = table(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= "1995-09-01") & (F.col("l_shipdate") < "1995-10-01")
+    )
+    p = table(spark, sf, "part")
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(3,2)")
+    )
+    promo = F.when(F.col("p_name").startswith("red"), rev).otherwise(
+        F.lit(0).cast("decimal(14,4)")
+    )
+    return (
+        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(promo).cast("double")
+                / F.sum(rev).cast("double"),
+                6,
+            ).alias("promo_pct"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
 QUERIES = {
+    "promo_revenue": q_promo_revenue,
     "nation_volume_shipping": q_nation_volume_shipping,
     "market_share": q_market_share,
     "product_profit": q_product_profit,
@@ -581,6 +612,20 @@ QUERIES = {
 }
 
 ORACLES = {
+    "promo_revenue": """
+        SELECT ROUND(100.0 *
+                   CAST(SUM(CASE WHEN p_name LIKE 'red%'
+                            THEN CAST(l_extendedprice AS DECIMAL(12,2)) *
+                                 (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))
+                            ELSE CAST(0 AS DECIMAL(14,4)) END) AS DOUBLE)
+                   / CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                          (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE),
+                   6) AS promo_pct,
+               COUNT(*) AS n_lines
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1995-09-01'
+          AND l_shipdate < TIMESTAMP '1995-10-01'
+    """,
     "pricing_summary": """
         SELECT l_returnflag, l_linestatus,
                ROUND(SUM(l_quantity), 2) AS sum_qty,

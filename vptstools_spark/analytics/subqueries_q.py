@@ -343,7 +343,37 @@ def q_lone_late_supplier(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_idle_rich_by_prefix(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q22 shape: customers with above-average balance and no URGENT
+    orders,
+    grouped by a name-suffix "country code" (last two key digits). The scalar average is a 1-row
+    broadcast; the no-orders test is a broadcast anti join; the prefix
+    grouping is a narrow substring — three relational idioms composed."""
+    c = table(spark, sf, "customer")
+    o = (
+        table(spark, sf, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    pos = c.filter(F.col("c_acctbal") > 0.0)
+    avg_bal = pos.agg(F.avg("c_acctbal").alias("ab"))
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("ab"))
+        .join(o, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy(F.substring("c_name", 17, 2).alias("code"))
+        .agg(
+            F.count("*").alias("n_cust"),
+            F.round(F.sum(F.col("c_acctbal").cast("decimal(12,2)")).cast("double"), 2).alias(
+                "total_bal"
+            ),
+        )
+        .orderBy("code")
+    )
+
+
 QUERIES = {
+    "idle_rich_by_prefix": q_idle_rich_by_prefix,
     "exists_late_shipment": q_exists_late_shipment,
     "not_exists_idle_rich": q_not_exists_idle_rich,
     "small_qty_revenue": q_small_qty_revenue,
@@ -362,6 +392,16 @@ QUERIES = {
 }
 
 ORACLES = {
+    "idle_rich_by_prefix": """
+        WITH ab AS (SELECT AVG(c_acctbal) AS ab FROM customer WHERE c_acctbal > 0.0)
+        SELECT substring(c_name, 17, 2) AS code,
+               COUNT(*) AS n_cust,
+               ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE), 2) AS total_bal
+        FROM customer, ab
+        WHERE c_acctbal > ab.ab
+          AND c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        GROUP BY 1 ORDER BY 1
+    """,
     "cheapest_supplier": """
         WITH unit AS (
             SELECT l_partkey, l_suppkey,
