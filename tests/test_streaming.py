@@ -503,3 +503,45 @@ def test_hll_distinct_sink_matches_batch_sketch(spark, tmp_path):
 
     # state is register-bounded: ≤ 2 groups × 256 buckets
     assert spark.read.parquet(state).count() <= 512
+
+
+def test_cm_heavy_hitter_sink_matches_batch_sketch(spark, tmp_path):
+    """Counters summed across micro-batches must equal a single-pass batch
+    sketch, and candidate estimates must upper-bound true counts."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from vptstools_spark.operators import sketch
+    from vptstools_spark.streaming.incremental import cm_heavy_hitter_sink
+
+    src = str(tmp_path / "in")
+    (tmp_path / "in").mkdir()
+    for i in range(3):
+        rows = [{"w": f"tok{u % 17}"} for u in range(i * 100, i * 100 + 300)]
+        (tmp_path / "in" / f"f{i}.json").write_text(
+            "\n".join(json.dumps(r) for r in rows)
+        )
+    stream = (
+        spark.readStream.schema("w string")
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    state = str(tmp_path / "state")
+    q = cm_heavy_hitter_sink(stream, "w", state, str(tmp_path / "ck"))
+    q.awaitTermination(120)
+
+    whole = spark.read.json(src, schema="w string")
+    batch_sk = sketch.cm_sketch(whole, F.col("w"))
+    stream_sk = spark.read.parquet(state).drop("_batch_id")
+    assert stream_sk.exceptAll(batch_sk).count() == 0
+    assert batch_sk.exceptAll(stream_sk).count() == 0
+
+    truth = {
+        r["w"]: r["n"]
+        for r in whole.groupBy("w").agg(F.count("*").alias("n")).collect()
+    }
+    est = sketch.cm_estimate(stream_sk, whole.select("w").distinct(), "w")
+    for r in est.collect():
+        assert r["cm_est"] >= truth[r["w"]]
+    assert spark.read.parquet(state).count() <= 3 * 128

@@ -605,3 +605,54 @@ def hll_distinct_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def cm_heavy_hitter_sink(
+    stream: DataFrame,
+    key_col: str,
+    state_path: str,
+    checkpoint: str,
+    depth: int = 3,
+    width: int = 128,
+) -> StreamingQuery:
+    """Streaming heavy-hitter tracking with bounded state: maintain a
+    Count-Min sketch (d×w counters) in a parquet state table, summed
+    batch-by-batch — counter addition is associative, the same property
+    that lets `hll_distinct_sink` merge registers. State never exceeds
+    d·w rows no matter how many distinct keys stream through; estimates
+    for candidate keys are read on demand with
+    `sketch.cm_estimate(spark.read.parquet(state_path), candidates, key)`.
+    Replay protection: per-state `_batch_id` high-water mark (a re-summed
+    batch would double-count — addition is associative but not
+    idempotent, unlike HLL's max)."""
+    from vptstools_spark.operators import sketch as _sketch
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        delta = _sketch.cm_sketch(batch_df, F.col(key_col), depth, width)
+        if _hadoop_path_exists(spark, state_path):
+            prev = spark.read.parquet(state_path)
+            applied = prev.agg(F.max("_batch_id").alias("b")).collect()[0]["b"]
+            if applied is not None and applied >= batch_id:
+                return  # replay: summing again would double-count
+            merged = (
+                prev.drop("_batch_id")
+                .unionByName(delta)
+                .groupBy("__row", "__bucket")
+                .agg(F.sum("__cnt").alias("__cnt"))
+            )
+        else:
+            merged = delta
+        merged = merged.withColumn("_batch_id", F.lit(batch_id)).localCheckpoint(
+            eager=True
+        )
+        merged.coalesce(1).write.mode("overwrite").parquet(state_path)
+
+    return (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
