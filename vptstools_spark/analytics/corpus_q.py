@@ -478,10 +478,56 @@ LIMIT 20
 """
 
 
+def q_dq_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """The constraint suite applied to the corpus table — demonstrates that
+    `run_suite` composes over any frame: metadata consistency (n_chars must
+    equal length(text)), key uniqueness, domain membership, and corpus-size
+    floors, still in ONE aggregate pass."""
+    d = table(spark, sf, "documents")
+    suite = [
+        quality.row_count("corpus_min_docs", lo=10),
+        quality.completeness("text_complete", "text"),
+        quality.uniqueness("doc_id_unique", "doc_id"),
+        quality.membership(
+            "lang_domain", "lang", ["en", "de", "fr", "es", "zh"]
+        ),
+        quality.satisfies(
+            "n_chars_consistent", F.col("n_chars") == F.length("text")
+        ),
+        quality.bounded("min_doc_len", F.min(F.length("text")), lo=1.0),
+    ]
+    return quality.run_suite(d, suite)
+
+
+_DQ_DOCS_ORACLE = """
+WITH m AS (
+    SELECT COUNT(*) AS n,
+           COUNT(text) AS n_text,
+           COUNT(DISTINCT doc_id) AS n_id,
+           COUNT(doc_id) AS n_id_nn,
+           SUM(CASE WHEN lang IN ('en','de','fr','es','zh') THEN 1 ELSE 0 END) AS n_lang,
+           SUM(CASE WHEN n_chars = length(text) THEN 1 ELSE 0 END) AS n_cons,
+           MIN(length(text)) AS min_len
+    FROM documents
+)
+SELECT 'corpus_min_docs' AS "check", ROUND(CAST(n AS DOUBLE), 6) AS metric, n >= 10 AS passed FROM m
+UNION ALL SELECT 'text_complete', ROUND(CAST(n_text AS DOUBLE)/CAST(n AS DOUBLE), 6),
+       CAST(n_text AS DOUBLE)/CAST(n AS DOUBLE) >= 1.0 FROM m
+UNION ALL SELECT 'doc_id_unique', ROUND(CAST(n_id AS DOUBLE)/CAST(n_id_nn AS DOUBLE), 6),
+       CAST(n_id AS DOUBLE)/CAST(n_id_nn AS DOUBLE) >= 1.0 FROM m
+UNION ALL SELECT 'lang_domain', ROUND(CAST(n_lang AS DOUBLE)/CAST(n AS DOUBLE), 6),
+       CAST(n_lang AS DOUBLE)/CAST(n AS DOUBLE) >= 1.0 FROM m
+UNION ALL SELECT 'n_chars_consistent', ROUND(CAST(n_cons AS DOUBLE)/CAST(n AS DOUBLE), 6),
+       CAST(n_cons AS DOUBLE)/CAST(n AS DOUBLE) >= 1.0 FROM m
+UNION ALL SELECT 'min_doc_len', ROUND(CAST(min_len AS DOUBLE), 6), min_len >= 1.0 FROM m
+"""
+
+
 QUERIES = {
     "dq_orders": q_dq_orders,
     "curation_report": q_curation_report,
     "entity_resolution": q_entity_resolution,
+    "dq_documents": q_dq_documents,
     "sample_weighted": q_sample_weighted,
     "bpe_merges": q_bpe_merges,
     "bm25_search": q_bm25_search,
@@ -492,6 +538,7 @@ ORACLES = {
     "dq_orders": _DQ_ORDERS_ORACLE,
     "curation_report": _curation_oracle(),
     "entity_resolution": _ENTITY_ORACLE,
+    "dq_documents": _DQ_DOCS_ORACLE,
     "sample_weighted": _SAMPLE_WEIGHTED_ORACLE,
     "bpe_merges": _bpe_oracle(_BPE_ITERS),
     "bm25_search": _BM25_ORACLE,
