@@ -84,24 +84,41 @@ def curate_corpus(
     )
     clean = d_exact.join(losers, id_col, "left_anti")
 
-    stages = [
-        ("input", docs),
-        ("lang_filter", d_lang),
-        ("quality_filter", d_qual),
-        ("exact_dedup", d_exact),
-        ("near_dedup", clean),
-    ]
-    report = None
-    for i, (name, frame) in enumerate(stages):
+    # The first three stage counts are per-row predicates over the RAW
+    # corpus (the quality predicate only counts inside the language
+    # survivors — filters are cumulative), so they collapse into ONE
+    # conditional-aggregate scan instead of three. Only the dedup stages
+    # need their machinery: exact from the (checkpointed) survivor frame,
+    # near from the anti-join. 5 counts, 3 jobs, 1 corpus scan.
+    lang_ok = predict_language(text).isin(list(cfg.keep_langs))
+    qual_ok = lang_ok & (
+        (feats["stopword_ratio"] >= cfg.min_stopword_ratio)
+        & (feats["avg_word_len"] <= cfg.max_avg_word_len)
+    )
+    funnel_one_pass = docs.agg(
+        F.count("*").alias("n_input"),
+        F.sum(F.when(lang_ok, 1).otherwise(0)).alias("n_lang"),
+        F.sum(F.when(qual_ok, 1).otherwise(0)).alias("n_qual"),
+    )
+    head = funnel_one_pass.select(
+        F.expr(
+            "stack(3, 0, 'input', n_input, 1, 'lang_filter', n_lang, "
+            "2, 'quality_filter', n_qual) AS (stage_ord, stage, n_docs)"
+        )
+    )
+    report = head
+    for i, (name, frame) in enumerate(
+        [("exact_dedup", d_exact), ("near_dedup", clean)], start=3
+    ):
         row = frame.agg(F.count("*").alias("n_docs")).select(
             F.lit(i).alias("stage_ord"), F.lit(name).alias("stage"), "n_docs"
         )
-        report = row if report is None else report.unionByName(row)
-    # the report is stage-count rows by construction; the explicit limit
-    # makes that bound visible to the optimizer (and to the engine's
+        report = report.unionByName(row)
+    # the report is 5 stage rows by construction; the explicit limit makes
+    # that bound visible to the optimizer (and to the engine's
     # no-unbounded-global-window convention) before the funnel lag
     report = (
-        report.limit(len(stages))
+        report.limit(5)
         .withColumn(
             "n_dropped",
             F.coalesce(
