@@ -183,3 +183,44 @@ def test_label_propagation_star_adopts_center_minimum(spark):
         for r in label_propagation(edges, iters=2).collect()
     }
     assert got[5] == 5 and all(got[leaf] == 6 for leaf in range(6, 10))
+
+
+def test_bounded_reachability_chain(spark):
+    # path 0-1-2-3-4-5, seed {0}, depth 3 → hops 0..3 reach nodes 0..3 only
+    from vptstools_spark.operators.graph import bounded_reachability
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(5)], "src int, dst int"
+    )
+    sym = edges.unionByName(edges.selectExpr("dst as src", "src as dst"))
+    seeds = spark.createDataFrame([(0,)], "node int")
+    got = {
+        r["node"]: r["hops"]
+        for r in bounded_reachability(sym, seeds, depth=3).collect()
+    }
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3}
+
+
+def test_bounded_reachability_min_hops_and_multi_source(spark):
+    # diamond 0→1→3, 0→2→3 plus seed 9 on its own island: node 3 gets
+    # hops=2 once (min), not twice; islands expand independently
+    from vptstools_spark.operators.graph import bounded_reachability
+
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 3), (2, 3), (9, 10)], "src int, dst int"
+    )
+    seeds = spark.createDataFrame([(0,), (9,)], "node int")
+    rows = bounded_reachability(edges, seeds, depth=5).collect()
+    got = {r["node"]: r["hops"] for r in rows}
+    assert len(rows) == len(got)  # no duplicate nodes
+    assert got == {0: 0, 9: 0, 1: 1, 2: 1, 10: 1, 3: 2}
+
+
+def test_bounded_reachability_early_stop(spark):
+    # depth larger than the graph: loop must stop at the empty frontier
+    from vptstools_spark.operators.graph import bounded_reachability
+
+    edges = spark.createDataFrame([(0, 1)], "src int, dst int")
+    seeds = spark.createDataFrame([(0,)], "node int")
+    got = bounded_reachability(edges, seeds, depth=50).collect()
+    assert {(r["node"], r["hops"]) for r in got} == {(0, 0), (1, 1)}

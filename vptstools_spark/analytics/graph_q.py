@@ -156,8 +156,49 @@ LIMIT 15
 """
 
 
+def q_trade_reachability(spark: SparkSession, sf: str) -> DataFrame:
+    """Hop-distance histogram of a multi-source BFS (3 hops) from three
+    seed suppliers over the undirected customer-supplier trade graph
+    (`operators/graph.py:bounded_reachability`). The depth bound is the
+    operator's contract — the scale-safe form of transitive closure — and
+    the oracle mirrors it as a depth-guarded recursive CTE."""
+    from vptstools_spark.operators.graph import bounded_reachability
+
+    e = _trade_edges(spark, sf)
+    sym = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    seeds = spark.range(3).select(
+        F.concat(F.lit("s"), F.col("id").cast("string")).alias("node")
+    )
+    reach = bounded_reachability(sym, seeds, depth=3)
+    return (
+        reach.groupBy("hops")
+        .agg(F.count("*").alias("n_nodes"))
+        .orderBy("hops")
+    )
+
+
+_REACH_ORACLE = """
+WITH RECURSIVE trade AS (
+    SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS u,
+                    's' || CAST(l_suppkey AS VARCHAR) AS v
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+sym AS (SELECT u, v FROM trade UNION SELECT v, u FROM trade),
+reach(node, d) AS (
+    SELECT 's' || CAST(i AS VARCHAR), 0 FROM unnest([0, 1, 2]) AS t(i)
+    UNION
+    SELECT s.v, r.d + 1 FROM reach r JOIN sym s ON s.u = r.node WHERE r.d < 3
+),
+dist AS (SELECT node, MIN(d) AS hops FROM reach GROUP BY node)
+SELECT hops, COUNT(*) AS n_nodes FROM dist GROUP BY hops ORDER BY hops
+"""
+
+
 QUERIES = {
     "triangle_parts": q_triangle_parts,
+    "trade_reachability": q_trade_reachability,
     "label_prop_communities": q_label_prop_communities,
     "pagerank_trade": q_pagerank_trade,
 }
@@ -205,6 +246,7 @@ def _pagerank_sql() -> str:
 
 ORACLES = {
     "triangle_parts": _TRIANGLE_ORACLE,
+    "trade_reachability": _REACH_ORACLE,
     "label_prop_communities": _LABEL_PROP_ORACLE,
     "pagerank_trade": _pagerank_sql(),
 }

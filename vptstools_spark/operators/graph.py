@@ -389,3 +389,44 @@ def label_propagation(
             .localCheckpoint(eager=True)
         )
     return labels
+
+
+def bounded_reachability(
+    edges: DataFrame,
+    sources: DataFrame,
+    depth: int,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Multi-source BFS with a hop bound: (node, hops) for every node
+    reachable from `sources` (a 1-column DataFrame named `node`) within
+    `depth` hops, `hops` = the minimum distance.
+
+    The scale-safe form of hierarchy expansion / transitive closure:
+    unbounded recursive traversal on a big graph is a latency landmine, so
+    the depth is an explicit contract (the oracle mirrors it as a bounded
+    recursive CTE). Per hop: one frontier⋈edges join + an anti-join against
+    the visited set — the frontier never re-expands settled nodes, so total
+    work is O(edges within `depth` hops), not O(depth · edges). Lineage is
+    truncated per hop.
+    """
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).distinct()
+    e = e.localCheckpoint(eager=True)
+    visited = sources.select(F.col("node")).distinct().withColumn(
+        "hops", F.lit(0)
+    ).localCheckpoint(eager=True)
+    frontier = visited
+    for d in range(1, depth + 1):
+        nxt = (
+            e.join(frontier.select(F.col("node").alias("u")), "u")
+            .select(F.col("v").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("hops", F.lit(d))
+        )
+        nxt = nxt.localCheckpoint(eager=True)
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return visited
