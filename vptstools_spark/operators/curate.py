@@ -95,10 +95,13 @@ def curate_corpus(
         (feats["stopword_ratio"] >= cfg.min_stopword_ratio)
         & (feats["avg_word_len"] <= cfg.max_avg_word_len)
     )
+    zero = F.lit(0).cast("long")
     funnel_one_pass = docs.agg(
         F.count("*").alias("n_input"),
-        F.sum(F.when(lang_ok, 1).otherwise(0)).alias("n_lang"),
-        F.sum(F.when(qual_ok, 1).otherwise(0)).alias("n_qual"),
+        # coalesce: sum over an empty corpus is null, and the funnel must
+        # report zeros, not nulls
+        F.coalesce(F.sum(F.when(lang_ok, 1).otherwise(0)), zero).alias("n_lang"),
+        F.coalesce(F.sum(F.when(qual_ok, 1).otherwise(0)), zero).alias("n_qual"),
     )
     head = funnel_one_pass.select(
         F.expr(

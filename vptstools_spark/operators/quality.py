@@ -38,14 +38,17 @@ class Check:
 
 
 def completeness(name: str, col: str) -> Check:
-    """Fraction of rows with a non-null value; pass when = 1.0 by default."""
-    m = F.count(col).cast("double") / F.count(F.lit(1))
+    """Fraction of rows with a non-null value; pass when = 1.0 by default.
+    try_divide: on an empty frame the ratio is NULL and the check fails
+    closed instead of throwing ANSI DIVIDE_BY_ZERO."""
+    m = F.try_divide(F.count(col).cast("double"), F.count(F.lit(1)))
     return Check(name, m, lo=1.0)
 
 
 def uniqueness(name: str, col: str) -> Check:
-    """Fraction of non-null values that are distinct (1.0 = unique key)."""
-    m = F.countDistinct(col).cast("double") / F.count(col)
+    """Fraction of non-null values that are distinct (1.0 = unique key);
+    NULL (fails closed) when there are no non-null values."""
+    m = F.try_divide(F.countDistinct(col).cast("double"), F.count(col))
     return Check(name, m, lo=1.0)
 
 
@@ -57,9 +60,12 @@ def bounded(
 
 def satisfies(name: str, predicate: Column, min_fraction: float = 1.0) -> Check:
     """Fraction of rows satisfying `predicate` (null counts as failing)."""
-    m = F.sum(
-        F.when(F.coalesce(predicate, F.lit(False)), 1).otherwise(0)
-    ).cast("double") / F.count(F.lit(1))
+    m = F.try_divide(
+        F.sum(F.when(F.coalesce(predicate, F.lit(False)), 1).otherwise(0)).cast(
+            "double"
+        ),
+        F.count(F.lit(1)),
+    )
     return Check(name, m, lo=min_fraction)
 
 

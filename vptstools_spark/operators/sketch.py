@@ -107,8 +107,11 @@ def hll_estimate(registers: DataFrame, group_cols: list[str]) -> DataFrame:
     scaled_term = F.pow(F.lit(2.0), F.lit(_RHO_MAX) - F.col("__m")).cast(
         "decimal(38,0)"
     )
+    # coalesce: a global aggregate over an EMPTY register table still emits
+    # one row (sum = null); 0 harmonic mass + V = m flows through the
+    # linear-counting branch to the mathematically correct estimate of 0
     agg = registers.groupBy(*group_cols).agg(
-        F.sum(scaled_term).alias("__s"),
+        F.coalesce(F.sum(scaled_term), F.lit(0).cast("decimal(38,0)")).alias("__s"),
         F.count("*").alias("__nonzero"),
     )
     v = F.lit(HLL_M) - F.col("__nonzero")
