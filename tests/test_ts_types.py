@@ -29,6 +29,9 @@ TS_QUERIES = [
     "events_resample_locf",
     "events_pivot",
     "moving_avg_range",
+    "scd2_event_types",
+    "events_interval_join",
+    "retention_cohorts",
 ]
 
 
