@@ -173,8 +173,29 @@ def q_winsorize_price(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_drift_psi(spark: SparkSession, sf: str) -> DataFrame:
+    """Population Stability Index of the order-price distribution, early
+    orders (baseline) vs late orders (current), over 10 fixed-width bins
+    (`operators/drift.py`). Fractions are single divisions, the PSI term a
+    fixed op chain — identical in any IEEE engine — and everything is
+    rounded before the final ordering."""
+    from vptstools_spark.operators.drift import psi
+
+    o = table(spark, sf, "orders")
+    base = o.filter(F.col("o_orderdate") < "1995-01-01")
+    cur = o.filter(F.col("o_orderdate") >= "1995-01-01")
+    out = psi(base, cur, F.col("o_totalprice"), lo=0.0, hi=400000.0, n_bins=10)
+    return out.select(
+        "bin",
+        F.round("p", 6).alias("p"),
+        F.round("q", 6).alias("q"),
+        F.round("psi_term", 6).alias("psi_term"),
+    ).orderBy("bin")
+
+
 QUERIES = {
     "winsorize_price": q_winsorize_price,
+    "drift_psi": q_drift_psi,
     "quantiles_price": q_quantiles_price,
     "regr_price_qty": q_regr_price_qty,
     "moments_quantity": q_moments_quantity,
@@ -187,6 +208,36 @@ QUERIES = {
 }
 
 ORACLES = {
+    "drift_psi": """
+WITH bins AS (SELECT unnest(generate_series(0, 9)) AS bin),
+b AS (
+    SELECT LEAST(GREATEST(CAST(FLOOR(o_totalprice / 40000.0) AS INT), 0), 9) AS bin,
+           COUNT(*) AS n
+    FROM orders WHERE o_orderdate < TIMESTAMP '1995-01-01' GROUP BY 1
+),
+c AS (
+    SELECT LEAST(GREATEST(CAST(FLOOR(o_totalprice / 40000.0) AS INT), 0), 9) AS bin,
+           COUNT(*) AS n
+    FROM orders WHERE o_orderdate >= TIMESTAMP '1995-01-01' GROUP BY 1
+),
+p AS (
+    SELECT bins.bin,
+           COALESCE(b.n, 0)::DOUBLE / (SELECT SUM(n) FROM b) AS p
+    FROM bins LEFT JOIN b USING (bin)
+),
+q AS (
+    SELECT bins.bin,
+           COALESCE(c.n, 0)::DOUBLE / (SELECT SUM(n) FROM c) AS q
+    FROM bins LEFT JOIN c USING (bin)
+)
+SELECT p.bin,
+       ROUND(p.p, 6) AS p,
+       ROUND(q.q, 6) AS q,
+       ROUND((GREATEST(p.p, 1e-6) - GREATEST(q.q, 1e-6))
+             * ln(GREATEST(p.p, 1e-6) / GREATEST(q.q, 1e-6)), 6) AS psi_term
+FROM p JOIN q USING (bin)
+ORDER BY p.bin
+""",
     "winsorize_price": """
 WITH caps AS (
     SELECT l_returnflag,
