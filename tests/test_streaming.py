@@ -545,3 +545,41 @@ def test_cm_heavy_hitter_sink_matches_batch_sketch(spark, tmp_path):
     for r in est.collect():
         assert r["cm_est"] >= truth[r["w"]]
     assert spark.read.parquet(state).count() <= 3 * 128
+
+
+def test_drift_monitor_sink_flags_shifted_batch(spark, tmp_path):
+    """Batch matching the baseline scores ~0 PSI; a shifted batch scores
+    high, with the drifted bin attributed."""
+    import json
+
+    from vptstools_spark.streaming.incremental import drift_monitor_sink
+
+    src = str(tmp_path / "in")
+    (tmp_path / "in").mkdir()
+    # batch 0: same distribution as baseline (uniform 0..99);
+    # batch 1: all mass in the top decile
+    (tmp_path / "in" / "f0.json").write_text(
+        "\n".join(json.dumps({"v": float(i % 100)}) for i in range(1000))
+    )
+    (tmp_path / "in" / "f1.json").write_text(
+        "\n".join(json.dumps({"v": 95.0}) for _ in range(1000))
+    )
+    baseline = spark.range(1000).selectExpr("CAST(id % 100 AS DOUBLE) AS v")
+    stream = (
+        spark.readStream.schema("v double")
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    log = str(tmp_path / "log")
+    q = drift_monitor_sink(
+        stream, "v", baseline, log, str(tmp_path / "ck"), lo=0.0, hi=100.0
+    )
+    q.awaitTermination(120)
+
+    rows = {r["b_id"]: r for r in spark.read.parquet(log).collect()}
+    assert set(rows) == {0, 1}
+    assert abs(rows[0]["psi"]) < 1e-9
+    assert rows[1]["psi"] > 0.25
+    # the bin that captured all the mass carries the largest term:
+    # (0.1-1.0)·ln(0.1/1.0) ≈ 2.07 > any lost-mass bin's (0.1-ε)·ln(0.1/ε)
+    assert rows[1]["worst_bin"] == 9 and rows[1]["worst_term"] > 1.0

@@ -656,3 +656,65 @@ def cm_heavy_hitter_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def drift_monitor_sink(
+    stream: DataFrame,
+    value_col: str,
+    baseline: DataFrame,
+    log_path: str,
+    checkpoint: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 10,
+) -> StreamingQuery:
+    """Streaming drift monitor: score every micro-batch's distribution of
+    `value_col` against a frozen baseline sample and append the total PSI
+    (+ the worst bin) to a log table — the streaming face of
+    `operators/drift.py`, completing the monitoring trio next to the DQ
+    gate (well-formedness) and the sketch sinks (cardinality/frequency).
+
+    The baseline histogram is computed ONCE at sink construction and
+    carried as a plain local list (|bins| fractions — model-sized); each
+    batch pays one conditional-aggregate pass. Idempotent replay via the
+    b_id partition, like `dq_gated_sink`."""
+    from vptstools_spark.operators.drift import PSI_EPS, histogram_fractions
+
+    base_rows = sorted(
+        histogram_fractions(baseline, F.col(value_col), lo, hi, n_bins).collect(),
+        key=lambda r: r["bin"],
+    )
+    base_fracs = [max(r["frac"] or 0.0, PSI_EPS) for r in base_rows]
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        if _hadoop_path_exists(spark, f"{log_path}/b_id={batch_id}"):
+            return
+        cur = sorted(
+            histogram_fractions(
+                batch_df, F.col(value_col), lo, hi, n_bins
+            ).collect(),
+            key=lambda r: r["bin"],
+        )
+        import math
+
+        terms = [
+            (p - max(c["frac"] or 0.0, PSI_EPS))
+            * math.log(p / max(c["frac"] or 0.0, PSI_EPS))
+            for p, c in zip(base_fracs, cur)
+        ]
+        worst = max(range(n_bins), key=lambda i: terms[i])
+        row = spark.createDataFrame(
+            [(float(sum(terms)), int(worst), float(terms[worst]))],
+            "psi double, worst_bin int, worst_term double",
+        ).withColumn("b_id", F.lit(batch_id))
+        row.coalesce(1).write.mode("append").partitionBy("b_id").parquet(log_path)
+
+    return (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
