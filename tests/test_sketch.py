@@ -118,3 +118,43 @@ def test_hll_registers_merge_like_the_whole(spark):
     e_whole = sketch.hll_estimate(whole, []).collect()[0]["hll_est"]
     e_merged = sketch.hll_estimate(merged, []).collect()[0]["hll_est"]
     assert e_whole == e_merged
+
+
+def test_kmv_merge_equals_whole_and_accuracy(spark):
+    from vptstools_spark.operators.sketch import (
+        kmv_distinct_estimate,
+        kmv_merge,
+        kmv_sketch,
+    )
+
+    df = spark.createDataFrame([(i,) for i in range(5000)], "k int")
+    k = 128
+    whole = kmv_sketch(df, F.col("k"), k)
+    # mergeability: bottom-k of (bottom-k(A) ∪ bottom-k(B)) == bottom-k(A∪B)
+    a = kmv_sketch(df.filter("k % 2 = 0"), F.col("k"), k)
+    b = kmv_sketch(df.filter("k % 2 = 1"), F.col("k"), k)
+    merged = kmv_merge(a.unionByName(b), k)
+    assert merged.exceptAll(whole).count() == 0
+    assert whole.exceptAll(merged).count() == 0
+    # accuracy: σ ≈ 1/√(k-2) ≈ 8.9%; assert within 4σ
+    est = kmv_distinct_estimate(whole, k).collect()[0]["kmv_est"]
+    assert abs(est - 5000) / 5000 < 0.36
+    # under-full sketch is exact
+    small = spark.createDataFrame([(i,) for i in range(40)], "k int")
+    est_small = kmv_distinct_estimate(kmv_sketch(small, F.col("k"), k), k)
+    assert est_small.collect()[0]["kmv_est"] == 40.0
+
+
+def test_kmv_jaccard_estimates_overlap(spark):
+    from vptstools_spark.operators.sketch import kmv_merge, kmv_sketch
+
+    # |A∩B| / |A∪B| = 1000/3000 ≈ 0.333
+    a = spark.range(0, 2000).selectExpr("CAST(id AS INT) k")
+    b = spark.range(1000, 3000).selectExpr("CAST(id AS INT) k")
+    k = 256
+    ka = kmv_sketch(a, F.col("k"), k)
+    kb = kmv_sketch(b, F.col("k"), k)
+    ku = kmv_merge(ka.unionByName(kb), k)
+    inter = ku.join(ka, "h", "left_semi").join(kb, "h", "left_semi").count()
+    j = inter / ku.count()
+    assert abs(j - 1.0 / 3.0) < 0.12

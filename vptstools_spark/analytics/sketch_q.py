@@ -182,14 +182,129 @@ LIMIT 10
 """
 
 
+
+
+
+# ---------------------------------------------------------------------------
+# KMV set-overlap estimation
+# ---------------------------------------------------------------------------
+
+_KMV_K = 64
+
+
+def q_kmv_order_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    """Customer retention by sketch: the Jaccard overlap between the
+    1996 and 1997 ordering-customer sets estimated from two 64-value KMV
+    sketches (`operators/sketch.py:kmv_sketch`) next to the exact overlap.
+    This is the estimate HLL cannot give (intersections), from state that
+    is 64 longs per side no matter how many customers exist — the
+    dedup-planning primitive at 100 TB. Bottom-k of the union of bottom-ks
+    equals bottom-k of the union, so the merged sketch is computed from
+    the two sketches alone."""
+    from vptstools_spark.operators.sketch import (
+        kmv_distinct_estimate,
+        kmv_merge,
+        kmv_sketch,
+    )
+
+    o = table(spark, sf, "orders")
+    a = o.filter(F.year("o_orderdate") == 1996).select("o_custkey")
+    b = o.filter(F.year("o_orderdate") == 1997).select("o_custkey")
+    ka = kmv_sketch(a, F.col("o_custkey"), _KMV_K)
+    kb = kmv_sketch(b, F.col("o_custkey"), _KMV_K)
+    ku = kmv_merge(ka.unionByName(kb), _KMV_K)
+    inter = ku.join(ka, "h", "left_semi").join(kb, "h", "left_semi")
+    est_j = (
+        inter.agg(F.count("*").alias("n_inter"))
+        .crossJoin(ku.agg(F.count("*").alias("n_union")))
+        .select(
+            F.try_divide(
+                F.col("n_inter").cast("double"), F.col("n_union").cast("double")
+            ).alias("est_jaccard")
+        )
+    )
+    ea = kmv_distinct_estimate(ka, _KMV_K).select(
+        F.col("kmv_est").alias("est_1996")
+    )
+    eb = kmv_distinct_estimate(kb, _KMV_K).select(
+        F.col("kmv_est").alias("est_1997")
+    )
+    exact = (
+        a.distinct()
+        .intersect(b.distinct())
+        .agg(F.count("*").alias("n_i"))
+        .crossJoin(a.unionByName(b).distinct().agg(F.count("*").alias("n_u")))
+        .select(
+            F.round(
+                F.try_divide(
+                    F.col("n_i").cast("double"), F.col("n_u").cast("double")
+                ),
+                6,
+            ).alias("exact_jaccard")
+        )
+    )
+    return (
+        est_j.crossJoin(ea)
+        .crossJoin(eb)
+        .crossJoin(exact)
+        .select(
+            F.round("est_jaccard", 6).alias("est_jaccard"),
+            "exact_jaccard",
+            "est_1996",
+            "est_1997",
+        )
+    )
+
+
+_KMV_HASH = "CAST('0x' || substring(md5(CAST(o_custkey AS VARCHAR)), 1, 12) AS BIGINT)"
+
+_KMV_ORACLE = f"""
+WITH a AS (
+    SELECT DISTINCT {_KMV_HASH} AS h FROM orders WHERE year(o_orderdate) = 1996
+),
+b AS (
+    SELECT DISTINCT {_KMV_HASH} AS h FROM orders WHERE year(o_orderdate) = 1997
+),
+ka AS (SELECT h FROM a ORDER BY h LIMIT 64),
+kb AS (SELECT h FROM b ORDER BY h LIMIT 64),
+ku AS (SELECT DISTINCT h FROM (SELECT h FROM ka UNION ALL SELECT h FROM kb) ORDER BY h LIMIT 64),
+inter AS (
+    SELECT ku.h FROM ku
+    WHERE ku.h IN (SELECT h FROM ka) AND ku.h IN (SELECT h FROM kb)
+),
+est AS (
+    SELECT ROUND((SELECT COUNT(*) FROM inter)::DOUBLE / (SELECT COUNT(*) FROM ku), 6) AS est_jaccard,
+           CASE WHEN (SELECT COUNT(*) FROM ka) < 64 THEN ROUND((SELECT COUNT(*) FROM ka)::DOUBLE, 3)
+                ELSE ROUND(CAST(63 AS DOUBLE) * CAST(281474976710656 AS DOUBLE) / (SELECT MAX(h) FROM ka), 3) END AS est_1996,
+           CASE WHEN (SELECT COUNT(*) FROM kb) < 64 THEN ROUND((SELECT COUNT(*) FROM kb)::DOUBLE, 3)
+                ELSE ROUND(CAST(63 AS DOUBLE) * CAST(281474976710656 AS DOUBLE) / (SELECT MAX(h) FROM kb), 3) END AS est_1997
+),
+exact AS (
+    SELECT ROUND(
+        (SELECT COUNT(*) FROM (
+            SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+            INTERSECT
+            SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+        ))::DOUBLE
+        / (SELECT COUNT(*) FROM (
+            SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) IN (1996, 1997)
+        )), 6) AS exact_jaccard
+)
+SELECT est.est_jaccard, exact.exact_jaccard, est.est_1996, est.est_1997
+FROM est, exact
+"""
+
+
 QUERIES = {
     "sketch_hll_distinct": q_sketch_hll_distinct,
+    "kmv_order_overlap": q_kmv_order_overlap,
     "sketch_cm_tokens": q_sketch_cm_tokens,
     "sketch_bloom_join": q_sketch_bloom_join,
 }
 
 ORACLES = {
     "sketch_hll_distinct": _HLL_ORACLE,
+    "kmv_order_overlap": _KMV_ORACLE,
     "sketch_cm_tokens": _CM_ORACLE,
     "sketch_bloom_join": _BLOOM_ORACLE,
 }

@@ -237,3 +237,73 @@ def hll_merge(registers: DataFrame, group_cols: list[str]) -> DataFrame:
     return registers.groupBy(*group_cols, "__bucket").agg(
         F.max("__m").alias("__m")
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) sketch — distinct counts AND set-overlap estimates
+# ---------------------------------------------------------------------------
+
+#: md5 nibbles for the KMV hash: 12 nibbles = 48 bits, exact in a long and
+#: in the doubles of any engine (< 2^53)
+_KMV_NIBBLES = 12
+KMV_HASH_SPACE = 1 << (4 * _KMV_NIBBLES)
+
+
+def kmv_hash(key: Column) -> Column:
+    return _hex_to_long(F.substring(F.md5(key.cast("string")), 1, _KMV_NIBBLES))
+
+
+def kmv_sketch(
+    df: DataFrame,
+    key: Column,
+    k: int,
+    group_cols: list[str] | None = None,
+    prehashed: bool = False,
+) -> DataFrame:
+    """Per group, the k smallest distinct md5 hash values of `key` —
+    one (group, h) row each. The classic bottom-k sketch: mergeable by
+    union + re-take-k, supports distinct-count AND set-intersection
+    estimates (what HLL cannot do). The distinct collapse happens first
+    (hash shuffle), so the per-group rank sort runs over distinct hashes
+    only; state is ≤ k rows per group."""
+    from pyspark.sql import Window
+
+    gc = group_cols or []
+    # prehashed: the column already holds kmv_hash values (merging sketches)
+    # — re-hashing them would build a sketch of a DIFFERENT key space
+    h = (key if prehashed else kmv_hash(key)).alias("h")
+    distinct = df.select(*gc, h).distinct()
+    if not gc:
+        # global sketch: TakeOrderedAndProject (distributed bounded top-k),
+        # never a single-partition window over all distinct hashes
+        return distinct.orderBy("h").limit(k)
+    w = Window.partitionBy(*gc).orderBy("h")
+    return (
+        distinct.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def kmv_merge(sketches: DataFrame, k: int, group_cols: list[str] | None = None) -> DataFrame:
+    """Union of KMV sketches → valid KMV sketch of the united key sets:
+    distinct hashes, re-take the k smallest. The hashes pass through
+    verbatim (prehashed) — bottom-k of a union of bottom-ks equals
+    bottom-k of the union."""
+    return kmv_sketch(sketches, F.col("h"), k, group_cols, prehashed=True)
+
+
+def kmv_distinct_estimate(sketch: DataFrame, k: int, group_cols: list[str] | None = None) -> DataFrame:
+    """(k-1) · H / h_k when the sketch is full (h_k = the kth smallest
+    hash, H = hash-space size); exact size (row count) when fewer than k
+    distinct values exist — integer inputs, one final division."""
+    gc = group_cols or []
+    agg = sketch.groupBy(*gc).agg(
+        F.count("*").alias("__n"), F.max("h").alias("__hk")
+    )
+    est = F.when(
+        F.col("__n") < k, F.col("__n").cast("double")
+    ).otherwise(
+        F.lit(float(k - 1)) * F.lit(float(KMV_HASH_SPACE)) / F.col("__hk").cast("double")
+    )
+    return agg.select(*gc, F.round(est, 3).alias("kmv_est"))
