@@ -7,7 +7,7 @@ dedup_q / text_q / pretrain_q).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from vptstools_spark.io import table
@@ -150,11 +150,9 @@ _BM25_K1 = 1.2
 _BM25_B = 0.75
 
 
-def q_bm25_search(spark: SparkSession, sf: str) -> DataFrame:
-    """BM25 top-15 documents for a 3-term query. The df table is
-    vocabulary-sized and broadcast; N and avgdl are 1-row broadcasts; the
-    per-doc score is a sum over ≤ |query| terms carried in DECIMAL so the
-    result is aggregation-order-exact (verify-skill money-sum rule)."""
+def _bm25_scores(spark: SparkSession, sf: str) -> DataFrame:
+    """(doc_id, bm25) for every matching document — shared by the plain
+    BM25 top-15 query and the hybrid RRF fusion."""
     docs = table(spark, sf, "documents")
     toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w")).filter(
         F.col("w") != ""
@@ -191,8 +189,16 @@ def q_bm25_search(spark: SparkSession, sf: str) -> DataFrame:
         .withColumn("s", F.round(score_term, 8).cast("decimal(20,8)"))
         .groupBy("doc_id")
         .agg(F.round(F.sum("s").cast("double"), 6).alias("bm25"))
-        .orderBy(F.col("bm25").desc(), "doc_id")
-        .limit(15)
+    )
+
+
+def q_bm25_search(spark: SparkSession, sf: str) -> DataFrame:
+    """BM25 top-15 documents for a 3-term query. The df table is
+    vocabulary-sized and broadcast; N and avgdl are 1-row broadcasts; the
+    per-doc score is a sum over ≤ |query| terms carried in DECIMAL so the
+    result is aggregation-order-exact (verify-skill money-sum rule)."""
+    return (
+        _bm25_scores(spark, sf).orderBy(F.col("bm25").desc(), "doc_id").limit(15)
     )
 
 
@@ -523,8 +529,177 @@ UNION ALL SELECT 'min_doc_len', ROUND(CAST(min_len AS DOUBLE), 6), min_len >= 1.
 """
 
 
+# ---------------------------------------------------------------------------
+# Hybrid retrieval (BM25 ⊕ embedding cosine, reciprocal-rank fusion)
+# ---------------------------------------------------------------------------
+
+_RRF_K = 60
+_RRF_N = 20
+
+
+def q_hybrid_rrf(spark: SparkSession, sf: str) -> DataFrame:
+    """Hybrid retrieval: fuse the BM25 lexical top-20 with the embedding
+    cosine top-20 (query = vec 0, vec_id ≡ doc_id) by reciprocal-rank
+    fusion, score = Σ 1/(60+rank) (operators/retrieval.py:rrf_fuse).
+
+    Rank windows run AFTER each list's top-N limit, so every window input
+    is provably ≤20 rows (no unbounded global window); the fusion join is
+    a 20-row full-outer join — constant cost at any corpus size."""
+    from vptstools_spark.operators.retrieval import rrf_fuse
+    from vptstools_spark.operators.similarity import cosine
+
+    bm_top = (
+        _bm25_scores(spark, sf)
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(_RRF_N)
+    )
+    bm_ranked = bm_top.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("bm25").desc(), "doc_id"))
+        .alias("rank"),
+    )
+    emb = table(spark, sf, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    cos_top = (
+        emb.crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(cosine(F.col("embedding"), F.col("qv")), 4).alias("cos"),
+        )
+        .orderBy(F.col("cos").desc(), "doc_id")
+        .limit(_RRF_N)
+    )
+    cos_ranked = cos_top.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("cos").desc(), "doc_id"))
+        .alias("rank"),
+    )
+    fused = rrf_fuse([bm_ranked, cos_ranked], k=_RRF_K)
+    return (
+        fused.select("doc_id", F.round("rrf", 6).alias("rrf"))
+        .orderBy(F.col("rrf").desc(), "doc_id")
+        .limit(15)
+    )
+
+
+_HYBRID_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+), toks_nz AS (
+    SELECT * FROM toks WHERE w <> ''
+), tf AS (
+    SELECT doc_id, w, COUNT(*) AS tf FROM toks_nz
+    WHERE w IN ('spark', 'hash', 'window') GROUP BY 1, 2
+), df_t AS (
+    SELECT w, COUNT(DISTINCT doc_id) AS df FROM toks_nz
+    WHERE w IN ('spark', 'hash', 'window') GROUP BY 1
+), dl AS (
+    SELECT doc_id, COUNT(*) AS dl FROM toks_nz GROUP BY 1
+), stats AS (
+    SELECT COUNT(*) AS n_docs, SUM(dl) AS tot_dl FROM dl
+), scored AS (
+    SELECT tf.doc_id,
+           CAST(ROUND(
+               ln((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0)
+               * ((CAST(tf AS DOUBLE) * ({_BM25_K1} + 1.0))
+                  / (CAST(tf AS DOUBLE) + {_BM25_K1} * ((1.0 - {_BM25_B}) + {_BM25_B}
+                     * (CAST(dl AS DOUBLE) / (CAST(tot_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))),
+               8) AS DECIMAL(20,8)) AS s
+    FROM tf JOIN df_t USING (w) JOIN dl USING (doc_id) CROSS JOIN stats
+), bm AS (
+    SELECT doc_id, ROUND(CAST(SUM(s) AS DOUBLE), 6) AS bm25
+    FROM scored GROUP BY 1
+    ORDER BY bm25 DESC, doc_id LIMIT {_RRF_N}
+), bm_ranked AS (
+    SELECT doc_id, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS rank FROM bm
+), e AS (
+    SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+           CAST(unnest(embedding) AS DOUBLE) AS v
+    FROM embeddings
+), nrm AS (
+    SELECT vec_id, sqrt(SUM(v * v)) AS n FROM e GROUP BY vec_id
+), dots AS (
+    SELECT a.vec_id, SUM(a.v * q.v) AS d
+    FROM e a JOIN e q ON q.vec_id = 0 AND a.i = q.i
+    GROUP BY 1
+), cos AS (
+    SELECT dots.vec_id AS doc_id,
+           ROUND(d / (a.n * q.n), 4) AS cos
+    FROM dots JOIN nrm a ON a.vec_id = dots.vec_id
+              JOIN nrm q ON q.vec_id = 0
+    ORDER BY cos DESC, doc_id LIMIT {_RRF_N}
+), cos_ranked AS (
+    SELECT doc_id, ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id) AS rank FROM cos
+), fused AS (
+    SELECT COALESCE(b.doc_id, c.doc_id) AS doc_id,
+           COALESCE(1.0 / ({_RRF_K} + CAST(b.rank AS DOUBLE)), 0.0)
+         + COALESCE(1.0 / ({_RRF_K} + CAST(c.rank AS DOUBLE)), 0.0) AS rrf
+    FROM bm_ranked b FULL OUTER JOIN cos_ranked c ON b.doc_id = c.doc_id
+)
+SELECT doc_id, ROUND(rrf, 6) AS rrf
+FROM fused ORDER BY rrf DESC, doc_id LIMIT 15
+"""
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weighting (hashed-unigram data selection)
+# ---------------------------------------------------------------------------
+
+_DSIR_BUCKETS = 64
+_DSIR_TOPN = 25
+
+
+def q_dsir_select(spark: SparkSession, sf: str) -> DataFrame:
+    """DSIR-style data selection: hashed-unigram importance weight per
+    document against the target domain lang='en'
+    (operators/retrieval.py:dsir_weights) — top 25 raw documents that look
+    most like the target. The 64-row log-ratio table is broadcast; weights
+    are DECIMAL sums (aggregation-order-exact)."""
+    from vptstools_spark.operators.retrieval import dsir_weights
+
+    docs = table(spark, sf, "documents")
+    w = dsir_weights(docs, F.col("lang") == "en", buckets=_DSIR_BUCKETS)
+    return (
+        w.select("doc_id", F.round(F.col("weight").cast("double"), 6).alias("weight"))
+        .orderBy(F.col("weight").desc(), "doc_id")
+        .limit(_DSIR_TOPN)
+    )
+
+
+_DSIR_ORACLE = f"""
+WITH tok AS (
+    SELECT doc_id,
+           CAST(CAST('0x' || SUBSTRING(md5('b#' || w), 1, 4) AS BIGINT)
+                % {_DSIR_BUCKETS} AS BIGINT) AS bucket,
+           CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_tgt
+    FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+          FROM documents)
+    WHERE w <> ''
+), counts AS (
+    SELECT bucket, COUNT(*) AS raw_b, SUM(is_tgt) AS tgt_b FROM tok GROUP BY 1
+), totals AS (
+    SELECT COUNT(*) AS raw_tot, SUM(is_tgt) AS tgt_tot FROM tok
+), lrs AS (
+    SELECT bucket,
+           CAST(ROUND(ln(
+               (CAST(tgt_b + 1 AS DOUBLE) * (CAST(raw_tot AS DOUBLE) + {_DSIR_BUCKETS}.0))
+             / (CAST(raw_b + 1 AS DOUBLE) * (CAST(tgt_tot AS DOUBLE) + {_DSIR_BUCKETS}.0))
+           ), 8) AS DECIMAL(20,8)) AS lr
+    FROM counts CROSS JOIN totals
+), w AS (
+    SELECT doc_id, SUM(lr) AS weight FROM tok JOIN lrs USING (bucket) GROUP BY 1
+)
+SELECT doc_id, ROUND(CAST(weight AS DOUBLE), 6) AS weight
+FROM w ORDER BY weight DESC, doc_id LIMIT {_DSIR_TOPN}
+"""
+
+
 QUERIES = {
     "dq_orders": q_dq_orders,
+    "hybrid_rrf": q_hybrid_rrf,
+    "dsir_select": q_dsir_select,
     "curation_report": q_curation_report,
     "entity_resolution": q_entity_resolution,
     "dq_documents": q_dq_documents,
@@ -543,4 +718,6 @@ ORACLES = {
     "bpe_merges": _bpe_oracle(_BPE_ITERS),
     "bm25_search": _BM25_ORACLE,
     "mixture_weights": _MIXTURE_ORACLE,
+    "hybrid_rrf": _HYBRID_ORACLE,
+    "dsir_select": _DSIR_ORACLE,
 }

@@ -20,10 +20,12 @@ from vptstools_spark.operators.dedup import (
     simhash16,
 )
 from vptstools_spark.operators.graph import connected_components
+from vptstools_spark.operators.simjoin import similarity_join
 from vptstools_spark.operators.similarity import cosine_pairs_blocked
 
 NUM_HASHES = 8
 ROWS_PER_BAND = 2
+SIMJOIN_T = 0.7
 
 
 def q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
@@ -200,8 +202,56 @@ def q_dedup_canonical(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_simjoin_prefix(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact-threshold set-similarity join via prefix filtering
+    (operators/simjoin.py — PPJoin-lite): every doc pair with token-set
+    Jaccard ≥ 0.7, summarized as a per-0.1-band pair histogram (the pair
+    list itself is O(dup-density·n) — the histogram keeps the correctness
+    artifact small while still pinning every pair's banded value)."""
+    pairs = similarity_join(table(spark, sf, "documents"), threshold=SIMJOIN_T)
+    return (
+        pairs.groupBy(F.floor(F.col("jaccard") * 10).cast("int").alias("band"))
+        .agg(F.count("*").alias("n_pairs"))
+        .orderBy("band")
+    )
+
+
+_SIMJOIN_ORACLE = f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id AS id, w FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE w <> ''
+), dfw AS (SELECT w, COUNT(*) AS df FROM toks GROUP BY 1),
+ranked AS (
+  SELECT id, w,
+         ROW_NUMBER() OVER (PARTITION BY id ORDER BY df ASC, w ASC) AS pos,
+         COUNT(*) OVER (PARTITION BY id) AS sz
+  FROM toks JOIN dfw USING (w)
+), prefix AS (
+  SELECT id, w, sz FROM ranked WHERE pos <= sz - CEIL({SIMJOIN_T} * sz) + 1
+), cand AS (
+  SELECT DISTINCT a.id AS da, b.id AS db, a.sz AS sa, b.sz AS sb
+  FROM prefix a JOIN prefix b ON a.w = b.w AND a.id < b.id
+   AND LEAST(a.sz, b.sz) >= {SIMJOIN_T} * GREATEST(a.sz, b.sz)
+), common AS (
+  SELECT da, db, sa, sb, COUNT(*) AS c
+  FROM cand
+  JOIN toks ta ON ta.id = da
+  JOIN toks tb ON tb.id = db AND tb.w = ta.w
+  GROUP BY 1, 2, 3, 4
+), pairs AS (
+  SELECT ROUND(CAST(c AS DOUBLE) / CAST(sa + sb - c AS DOUBLE), 4) AS jaccard
+  FROM common
+  WHERE CAST(c AS DOUBLE) / CAST(sa + sb - c AS DOUBLE) >= {SIMJOIN_T}
+)
+SELECT CAST(FLOOR(jaccard * 10) AS INT) AS band, COUNT(*) AS n_pairs
+FROM pairs GROUP BY 1 ORDER BY band
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
+    "simjoin_prefix": q_simjoin_prefix,
     "dedup_canonical": q_dedup_canonical,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -213,6 +263,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "simjoin_prefix": _SIMJOIN_ORACLE,
     "dedup_canonical": """
         WITH h AS (
             SELECT doc_id, source, n_chars,
