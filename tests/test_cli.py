@@ -160,3 +160,62 @@ def test_transfer_baltrad_local_e2e(tmp_path):
     # idempotent rerun: nothing left to transfer
     rerun = CliRunner().invoke(cli, ["--source-dir", str(src), "--dest-dir", str(dst)])
     assert "Transferred 0 files" in rerun.output
+
+
+def test_streaming_available_now_matches_batch_cli_daily(
+    spark, inventory_env, tmp_path
+):
+    """Cron-batch CLI and Trigger.AvailableNow streaming must produce
+    byte-identical daily artifacts (reference behavior: repeated scheduled
+    runs of bin/vph5_to_vpts.py:121-144 are equivalent to one catch-up run).
+
+    Batch side: `run()` in inventory mode writes the hive-partitioned daily
+    store. Streaming side: `spark.readStream.format("odim")` over the same
+    radar-day directory → `incremental_vpts_sink` (availableNow). Both
+    partition part files are filecmp-equal and equal the reference golden."""
+    import filecmp
+    import glob as _glob
+
+    from vptstools_spark.bin.vph5_to_vpts import run
+    from vptstools_spark.sources.odim_datasource import OdimDataSource
+    from vptstools_spark.streaming.incremental import incremental_vpts_sink
+
+    res = run(
+        modified_days_ago=3,
+        manifest=inventory_env["manifest"],
+        h5_root=inventory_env["h5_root"],
+        destination=inventory_env["dest"],
+        now="2023-02-02T00:00:00+00:00",
+        spark=spark,
+    )
+    assert res["daily"] == 1
+    [batch_part] = _glob.glob(
+        os.path.join(
+            inventory_env["dest"],
+            "_daily_store",
+            "p_radar=nosta",
+            "p_date=20230311",
+            "*.csv",
+        )
+    )
+
+    spark.dataSource.register(OdimDataSource)
+    day_dir = os.path.join(
+        inventory_env["h5_root"], "baltrad", "hdf5", "nosta", "2023", "03", "11"
+    )
+    out = str(tmp_path / "stream_daily")
+    q = incremental_vpts_sink(
+        spark.readStream.format("odim").load(day_dir),
+        out,
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination()
+    [stream_part] = _glob.glob(
+        os.path.join(out, "p_radar=nosta", "p_date=20230311", "*.csv")
+    )
+
+    assert filecmp.cmp(batch_part, stream_part, shallow=False)
+    golden = open(
+        os.path.join(GOLDEN_DIR, "nosta_vpts_20230311.csv"), "rb"
+    ).read()
+    assert open(stream_part, "rb").read() == golden
