@@ -66,3 +66,38 @@ def test_quote_in_token_is_escaped(spark):
     merges, seg = bpe_train(_vocab(spark, [("a'b", 4)]), iters=2)
     assert any("'" in m.merged for m in merges)
     assert seg.select(F.col("toks")).collect()[0][0] == ["a'b"]
+
+
+def test_apply_reproduces_trainer_segmentations(spark):
+    # encode-train consistency contract: bpe_apply over the raw char
+    # segmentation must reproduce the trainer's own final segmentations
+    from vptstools_spark.operators.bpe import bpe_apply
+
+    vocab = _vocab(
+        spark, [("lower", 5), ("lowest", 3), ("newer", 6), ("wider", 2)]
+    )
+    merges, seg = bpe_train(vocab, iters=5)
+    enc = bpe_apply(char_segmentation(vocab), merges)
+    got = {r["word"]: r["toks"] for r in enc.collect()}
+    want = {r["word"]: r["toks"] for r in seg.collect()}
+    assert got == want
+
+
+def test_apply_encodes_unseen_words(spark):
+    # merges trained on one vocab apply to NEW words (the encode use case);
+    # rank order is respected: (l,o) then (lo,w) etc.
+    from vptstools_spark.operators.bpe import bpe_apply
+
+    merges, _ = bpe_train(_vocab(spark, [("low", 10)]), iters=2)
+    assert [(m.left, m.right) for m in merges] == [("l", "o"), ("lo", "w")]
+    new = char_segmentation(_vocab(spark, [("lowland", 1), ("slow", 1)]))
+    got = {r["word"]: r["toks"] for r in bpe_apply(new, merges).collect()}
+    assert got["lowland"] == ["low", "l", "a", "n", "d"]
+    assert got["slow"] == ["s", "low"]
+
+
+def test_apply_empty_merge_list_is_identity(spark):
+    from vptstools_spark.operators.bpe import bpe_apply
+
+    seg = char_segmentation(_vocab(spark, [("ab", 1)]))
+    assert bpe_apply(seg, []).collect()[0]["toks"] == ["a", "b"]

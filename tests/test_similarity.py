@@ -225,3 +225,27 @@ def test_ivfpq_plan_constant_in_query_count(spark):
     small = plan_len(_synthetic_corpus(spark, 4))
     big = plan_len(_synthetic_corpus(spark, 1000))
     assert big <= small + 200, f"plan grew with query count: {small} -> {big}"
+
+
+def test_filtered_search_results_satisfy_predicate(spark):
+    """Pre-filter semantics: every returned neighbor is an en-document,
+    and every query still gets the full k results."""
+    from vptstools_spark.analytics.similarity_q import K, N_QUERIES, q_ann_filtered
+
+    res = q_ann_filtered(spark, "/root/testdata/sf0.001").collect()
+    import duckdb
+
+    en = {
+        r[0]
+        for r in duckdb.sql(
+            "SELECT doc_id FROM '/root/testdata/sf0.001/documents.parquet' "
+            "WHERE lang = 'en'"
+        ).fetchall()
+    }
+    assert res, "filtered search returned nothing"
+    assert all(r["n_id"] in en for r in res)
+    per_q = {}
+    for r in res:
+        per_q.setdefault(r["q_id"], []).append(r["rnk"])
+    for q, rnks in per_q.items():
+        assert sorted(rnks) == list(range(1, K + 1))

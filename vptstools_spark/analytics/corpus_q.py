@@ -75,20 +75,34 @@ SELECT 'priority_nonempty', ROUND(CAST(n_prio AS DOUBLE) / CAST(n AS DOUBLE), 6)
 
 _BPE_ITERS = 4
 
+#: trained merge lists memoized per (sf, iters) — deterministic pure
+#: function of the data (same pattern as similarity_q._MODEL_CACHE)
+_BPE_CACHE: dict = {}
+
+
+def _doc_vocab(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        table(spark, sf, "documents")
+        .select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+
+
+def _trained_merges(spark: SparkSession, sf: str, iters: int):
+    key = (sf, iters)
+    if key not in _BPE_CACHE:
+        _BPE_CACHE[key] = bpe_train(_doc_vocab(spark, sf), iters=iters)[0]
+    return _BPE_CACHE[key]
+
 
 def q_bpe_merges(spark: SparkSession, sf: str) -> DataFrame:
     """First 4 BPE merges trained on the documents vocabulary: the ordered
     (step, lhs, rhs, merged, pair_freq) merge table. Corpus→vocab collapse
     is the one corpus-sized pass; each merge iteration is vocab-sized
     (operators/bpe.py module doc)."""
-    d = table(spark, sf, "documents")
-    vocab = (
-        d.select(F.explode(F.split("text", " ")).alias("word"))
-        .filter(F.col("word") != "")
-        .groupBy("word")
-        .agg(F.count("*").alias("freq"))
-    )
-    merges, _seg = bpe_train(vocab, iters=_BPE_ITERS)
+    merges = _trained_merges(spark, sf, _BPE_ITERS)
     return spark.createDataFrame(
         [(m.step, m.left, m.right, m.merged, m.pair_freq) for m in merges],
         "step int, lhs string, rhs string, merged string, pair_freq bigint",
@@ -138,6 +152,49 @@ WITH words AS (
 t0 AS (SELECT word, freq, string_split(word, '') AS toks FROM words),
 {steps}
 {finals}
+"""
+
+
+_BPE_ENC_TOPN = 15
+
+
+def q_bpe_encode(spark: SparkSession, sf: str) -> DataFrame:
+    """Tokenize the corpus with the trained BPE: train 4 merges, re-encode
+    the vocabulary via `bpe_apply` (rank-order merge folds — bit-identical
+    to the trainer's own segmentations), then the frequency-weighted
+    token histogram: top 15 (token, n_tokens) in the encoded corpus.
+
+    The encode is a zero-shuffle narrow map (chained JVM `aggregate`
+    folds); only the histogram aggregates."""
+    from vptstools_spark.operators.bpe import bpe_apply, char_segmentation
+
+    merges = _trained_merges(spark, sf, _BPE_ITERS)
+    enc = bpe_apply(char_segmentation(_doc_vocab(spark, sf)), merges)
+    return (
+        enc.select("freq", F.explode("toks").alias("token"))
+        .groupBy("token")
+        .agg(F.sum("freq").alias("n_tokens"))
+        .orderBy(F.col("n_tokens").desc(), "token")
+        .limit(_BPE_ENC_TOPN)
+    )
+
+
+def _bpe_encode_oracle(iters: int) -> str:
+    """The encode oracle rides the SAME unrolled CTE chain as training —
+    t{iters} IS the encoded vocabulary (train and apply are defined to be
+    the same transformation), so the oracle also pins that equivalence."""
+    steps = ",".join(_bpe_step_sql(k) for k in range(1, iters + 1))
+    return f"""
+WITH words AS (
+    SELECT word, COUNT(*) AS freq
+    FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+    WHERE word <> '' GROUP BY 1
+),
+t0 AS (SELECT word, freq, string_split(word, '') AS toks FROM words),
+{steps}
+SELECT token, CAST(SUM(freq) AS BIGINT) AS n_tokens
+FROM (SELECT freq, unnest(toks) AS token FROM t{iters})
+GROUP BY 1 ORDER BY n_tokens DESC, token LIMIT {_BPE_ENC_TOPN}
 """
 
 
@@ -705,6 +762,7 @@ QUERIES = {
     "dq_documents": q_dq_documents,
     "sample_weighted": q_sample_weighted,
     "bpe_merges": q_bpe_merges,
+    "bpe_encode": q_bpe_encode,
     "bm25_search": q_bm25_search,
     "mixture_weights": q_mixture_weights,
 }
@@ -716,6 +774,7 @@ ORACLES = {
     "dq_documents": _DQ_DOCS_ORACLE,
     "sample_weighted": _SAMPLE_WEIGHTED_ORACLE,
     "bpe_merges": _bpe_oracle(_BPE_ITERS),
+    "bpe_encode": _bpe_encode_oracle(_BPE_ITERS),
     "bm25_search": _BM25_ORACLE,
     "mixture_weights": _MIXTURE_ORACLE,
     "hybrid_rrf": _HYBRID_ORACLE,

@@ -58,6 +58,29 @@ def q_ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
     return knn_ivf(fan_out(emb), queries, _anchor_vectors(spark, sf), k=K, nprobe=2)
 
 
+def q_ann_filtered(spark: SparkSession, sf: str) -> DataFrame:
+    """Filtered vector search — the vector-DB "metadata WHERE clause": IVF
+    top-k over only the vectors whose document (vec_id ≡ doc_id) has
+    lang='en'. PRE-filter semantics: the predicate restricts the index side
+    BEFORE the cell equi-join, so all k results satisfy the filter and k is
+    always reached from the eligible set (post-filtering the top-k would
+    return < k under a selective predicate). Cell assignment is per-vector,
+    so filtering commutes with indexing — the oracle pins that. The
+    metadata semi-join is a plain equi-join (AQE broadcasts it when the
+    filtered id set is small; shuffles when it is not)."""
+    emb = table(spark, sf, "embeddings")
+    en_ids = (
+        table(spark, sf, "documents")
+        .filter(F.col("lang") == "en")
+        .select(F.col("doc_id").alias("vec_id"))
+    )
+    corpus = emb.join(en_ids, "vec_id", "left_semi")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    return knn_ivf(
+        fan_out(corpus), queries, _anchor_vectors(spark, sf), k=K, nprobe=2
+    )
+
+
 def q_ann_ivf_rerank(spark: SparkSession, sf: str) -> DataFrame:
     """Full approximate-search composition: IVF cell join → coarse top-1000
     shortlist → exact re-rank. Shortlist width exceeds any probed cell here,
@@ -304,6 +327,7 @@ QUERIES = {
     "knn_ivfpq_persisted": q_knn_ivfpq_persisted,
     "pq_recall": q_pq_recall,
     "ann_ivf": q_ann_ivf,
+    "ann_filtered": q_ann_filtered,
     "embedding_quantize": q_embedding_quantize,
     "ann_buckets": q_ann_buckets,
     "ann_ivf_rerank": q_ann_ivf_rerank,
@@ -440,6 +464,23 @@ ORACLES = {
 # the re-rank composition with a full-width shortlist is defined to equal
 # knn_ivf — assert that equality against the same SQL
 ORACLES["ann_ivf_rerank"] = ORACLES["ann_ivf"]
+
+# filtered search = the same IVF pipeline with the metadata predicate
+# restricting the candidate (index) side — cell assignment is per-vector,
+# so the oracle is ann_ivf's SQL with one extra join in `cand`
+_CAND_CTE = """cand AS (
+            SELECT p.q_id, cl.vec_id AS n_id
+            FROM probe p JOIN cell cl ON cl.cell = p.cell
+            WHERE cl.vec_id <> p.q_id
+        ),"""
+_CAND_FILTERED_CTE = """cand AS (
+            SELECT p.q_id, cl.vec_id AS n_id
+            FROM probe p JOIN cell cl ON cl.cell = p.cell
+            JOIN documents dm ON dm.doc_id = cl.vec_id AND dm.lang = 'en'
+            WHERE cl.vec_id <> p.q_id
+        ),"""
+assert _CAND_CTE in ORACLES["ann_ivf"], "ann_ivf oracle drifted from _CAND_CTE"
+ORACLES["ann_filtered"] = ORACLES["ann_ivf"].replace(_CAND_CTE, _CAND_FILTERED_CTE)
 
 # Lloyd's algorithm with FIXED init (first k vectors by vec_id) and a fixed
 # round count is a deterministic function of the data, so even "iterative

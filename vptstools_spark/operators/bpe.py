@@ -64,6 +64,48 @@ def char_segmentation(words: DataFrame, word_col: str = "word") -> DataFrame:
     )
 
 
+def _merge_fold_expr(left: str, right: str, merged: str, toks_col: str = "toks") -> str:
+    """SQL text for one greedy left-to-right merge pass over `toks_col`:
+    rebuild the segmentation, replacing every non-overlapping adjacent
+    (left, right) with `merged`. Shared by training (where it advances the
+    segmentations between iterations) and encoding (`bpe_apply`)."""
+    l_, r_, m_ = _sq(left), _sq(right), _sq(merged)
+    return (
+        f"aggregate(slice({toks_col}, 2, size({toks_col}) - 1), "
+        f"array(element_at({toks_col}, 1)), "
+        f"(acc, x) -> IF(element_at(acc, -1) = '{l_}' AND x = '{r_}', "
+        f"concat(slice(acc, 1, size(acc) - 1), array('{m_}')), "
+        "concat(acc, array(x))))"
+    )
+
+
+def bpe_apply(
+    df: DataFrame, merges: list[Merge], toks_col: str = "toks"
+) -> DataFrame:
+    """Encode: apply a trained merge list to segmentations, one greedy
+    left-fold per merge IN RANK ORDER — exactly the transformation
+    `bpe_train` applied while training, so encoding the training vocabulary
+    reproduces the trainer's final segmentations bit-for-bit (tested).
+
+    All-JVM: each merge is one `aggregate` higher-order expression; Catalyst
+    collapses the chain into a single projection, so the encode is a narrow
+    map with zero shuffles at any corpus size. The expression tree grows
+    linearly in len(merges); past a few hundred merges, truncate lineage
+    every `_APPLY_CHECKPOINT_EVERY` folds (lazy checkpoint keeps it one job).
+    """
+    out = df
+    for i, m in enumerate(merges, 1):
+        out = out.withColumn(
+            toks_col, F.expr(_merge_fold_expr(m.left, m.right, m.merged, toks_col))
+        )
+        if i % _APPLY_CHECKPOINT_EVERY == 0:
+            out = out.localCheckpoint(eager=False)
+    return out
+
+
+_APPLY_CHECKPOINT_EVERY = 128
+
+
 def bpe_train(
     words: DataFrame, iters: int, freq_col: str = "freq"
 ) -> tuple[list[Merge], DataFrame]:
@@ -92,12 +134,7 @@ def bpe_train(
         left, right, cnt = top[0]["l"], top[0]["r"], int(top[0]["cnt"])
         merged = left + right
         merges.append(Merge(step, left, right, merged, cnt))
-        l_, r_, m_ = _sq(left), _sq(right), _sq(merged)
-        fold = (
-            "aggregate(slice(toks, 2, size(toks) - 1), array(element_at(toks, 1)), "
-            f"(acc, x) -> IF(element_at(acc, -1) = '{l_}' AND x = '{r_}', "
-            f"concat(slice(acc, 1, size(acc) - 1), array('{m_}')), "
-            "concat(acc, array(x))))"
-        )
-        seg = seg.withColumn("toks", F.expr(fold)).localCheckpoint(eager=True)
+        seg = seg.withColumn(
+            "toks", F.expr(_merge_fold_expr(left, right, merged))
+        ).localCheckpoint(eager=True)
     return merges, seg
