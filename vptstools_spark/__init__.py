@@ -36,8 +36,12 @@ __all__ = [
     "curate_corpus",
     "run_suite",
     "bpe_train",
+    "bpe_apply",
     "resolve_entities",
     "write_training_shards",
+    "similarity_join",
+    "rrf_fuse",
+    "dsir_weights",
 ]
 __version__ = "0.1.0"
 
@@ -45,6 +49,10 @@ _LAZY = {
     "curate_corpus": ("vptstools_spark.operators.curate", "curate_corpus"),
     "run_suite": ("vptstools_spark.operators.quality", "run_suite"),
     "bpe_train": ("vptstools_spark.operators.bpe", "bpe_train"),
+    "bpe_apply": ("vptstools_spark.operators.bpe", "bpe_apply"),
+    "similarity_join": ("vptstools_spark.operators.simjoin", "similarity_join"),
+    "rrf_fuse": ("vptstools_spark.operators.retrieval", "rrf_fuse"),
+    "dsir_weights": ("vptstools_spark.operators.retrieval", "dsir_weights"),
     "resolve_entities": ("vptstools_spark.operators.entity", "resolve_entities"),
     "write_training_shards": (
         "vptstools_spark.operators.pretrain",
