@@ -86,6 +86,15 @@ HEADLINE = [
     "label_prop_communities",
     "scd2_event_types",
     "sample_weighted",
+    # round 3, second batch. simjoin_prefix stays sweep-only: the synthetic
+    # corpus draws from a ~31-word vocabulary — the degenerate case for
+    # prefix filtering (every prefix token is near-universal, candidates
+    # approach all-pairs), so at sf0.1 it measures the data pathology, not
+    # the operator (see PLANS.md).
+    "hybrid_rrf",
+    "dsir_select",
+    "bpe_encode",
+    "ann_filtered",
 ]
 
 
