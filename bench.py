@@ -86,16 +86,25 @@ HEADLINE = [
     "label_prop_communities",
     "scd2_event_types",
     "sample_weighted",
-    # round 3, second batch. simjoin_prefix stays sweep-only: the synthetic
-    # corpus draws from a ~31-word vocabulary — the degenerate case for
-    # prefix filtering (every prefix token is near-universal, candidates
-    # approach all-pairs), so at sf0.1 it measures the data pathology, not
-    # the operator (see PLANS.md).
+    # round 3, second batch. simjoin_prefix is absent HERE because the
+    # synthetic corpus draws from a ~31-word vocabulary — the degenerate
+    # case for prefix filtering — so at sf0.1 it would measure the data
+    # pathology, not the operator; it runs at sf0.1 SCALE in the Zipf tier
+    # below instead (see PLANS.md).
     "hybrid_rrf",
     "dsir_select",
     "bpe_encode",
     "ann_filtered",
 ]
+
+#: sf0.1-scale tier on the Zipf-vocabulary fixture (tools/gen_zipf.py):
+#: the df-sensitive text operators measured on realistically-shaped text
+#: (~50k Zipf vocab) instead of the harness's degenerate ~31-word one.
+#: simjoin_prefix lives here — with PPJoin's positional filter it runs in
+#: ~2 s at this scale on Zipfian data (vs 60 s on the 31-word corpus, where
+#: candidates approach all-pairs by construction; see PLANS.md).
+ZIPF_QUERIES = ["simjoin_prefix", "tfidf_top", "bm25_search", "dedup_minhash_lsh"]
+ZIPF_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "fixtures", "zipf0.1")
 
 
 def main() -> None:
@@ -127,6 +136,21 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
 
+    # tier 1b: Zipf-vocabulary text tier (sf0.1-scale documents, realistic
+    # token distribution) — regenerated deterministically if absent
+    if not os.path.isdir(ZIPF_DIR):
+        from tools.gen_zipf import main as gen_zipf  # noqa: PLC0415
+
+        gen_zipf(n_docs=5000, out_dir=ZIPF_DIR)
+    zipf: dict[str, float] = {}
+    for name in ZIPF_QUERIES:
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            queries[name](spark, ZIPF_DIR).count()
+            best = min(best, time.perf_counter() - t0)
+        zipf[name] = round(best, 3)
+
     # tier 2: single-pass FULL sweep at sf0.01 — regression tracking for the
     # ~50 queries outside the headline set (round-over-round comparability,
     # not absolute throughput; one run each keeps the sweep under a minute)
@@ -147,6 +171,8 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "zipf_text": zipf,
+        "zipf_text_total": round(sum(zipf.values()), 3),
         "full_sweep_sf": 0.01,
         "full_sweep_total": round(sum(t for t in sweep.values() if t > 0), 3),
         "full_sweep_failures": sorted(n for n, t in sweep.items() if t < 0),

@@ -49,7 +49,7 @@ def brute_force(docs_rows, threshold):
     return out
 
 
-@pytest.mark.parametrize("threshold", [0.5, 0.7, 0.9])
+@pytest.mark.parametrize("threshold", [0.1, 0.25, 0.5, 0.7, 0.9])
 def test_exact_vs_brute_force(spark, docs, threshold):
     got = {
         (r["doc_a"], r["doc_b"]): r["jaccard"]
@@ -92,3 +92,49 @@ def test_length_filter_inside_join(spark, docs):
     # filter must keep that pair out of the candidate set entirely
     cand = prefix_candidates(prefix_ranked(token_sets(docs)), 0.7)
     assert cand.filter((F.col("da") == 3) & (F.col("db") == 7)).count() == 0
+
+
+def test_ceil_double_rounding_guard(spark):
+    # 0.1 * 10 rounds to 1.0000000000000002 in doubles, so a bare ceil()
+    # yields 2 and shortens a 10-token prefix to 9 — one shorter than the
+    # filter's correctness proof allows. The _EPS guard must keep all 10.
+    doc = [(0, "a b c d e f g h i j")]
+    ranked = prefix_ranked(token_sets(spark.createDataFrame(doc, "doc_id long, text string")))
+    from vptstools_spark.operators.simjoin import _iceil
+
+    n_prefix = ranked.filter(
+        F.col("pos") <= F.col("sz") - _iceil(F.lit(0.1) * F.col("sz")) + 1
+    ).count()
+    assert n_prefix == 10
+
+
+# positional-filter fixture: docs 100 and 101 share EXACTLY one token "zz"
+# that ranks 6th in both (after five globally-unique tokens each); their
+# tails are disjoint high-df fillers pumped by decoy docs. At t=0.5 the
+# prefix is positions 1..6, so "zz" generates the candidate under the old
+# length-only filter — but the positional bound 1 + min(10-6, 10-6) = 5 is
+# below the required overlap ceil(0.5/1.5 * 20) = 7, so PPJoin prunes it.
+POS_DOCS = [
+    (100, "ua1 ua2 ua3 ua4 ua5 zz f1 f2 f3 f4"),
+    (101, "ub1 ub2 ub3 ub4 ub5 zz g1 g2 g3 g4"),
+    (102, "f1 f2 f3 f4 x1 x2 x3 x4 x5 x6"),
+    (103, "f1 f2 f3 f4 y1 y2 y3 y4 y5 y6"),
+    (104, "g1 g2 g3 g4 p1 p2 p3 p4 p5 p6"),
+    (105, "g1 g2 g3 g4 q1 q2 q3 q4 q5 q6"),
+]
+
+
+def test_positional_filter_prunes_hopeless_pair(spark):
+    pdocs = spark.createDataFrame(POS_DOCS, "doc_id long, text string")
+    ranked = prefix_ranked(token_sets(pdocs))
+    pair = (F.col("da") == 100) & (F.col("db") == 101)
+    without = prefix_candidates(ranked, 0.5, positional=False)
+    with_pos = prefix_candidates(ranked, 0.5, positional=True)
+    assert without.filter(pair).count() == 1
+    assert with_pos.filter(pair).count() == 0
+    # and pruning must not cost exactness on this corpus
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in similarity_join(pdocs, threshold=0.5).collect()
+    }
+    assert got == brute_force(POS_DOCS, 0.5)

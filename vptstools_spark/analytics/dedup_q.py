@@ -228,11 +228,17 @@ ranked AS (
          COUNT(*) OVER (PARTITION BY id) AS sz
   FROM toks JOIN dfw USING (w)
 ), prefix AS (
-  SELECT id, w, sz FROM ranked WHERE pos <= sz - CEIL({SIMJOIN_T} * sz) + 1
+  -- -1e-9 before each CEIL: guard against t*sz double-rounding just above
+  -- an exact integer (mirrors operators/simjoin.py _EPS)
+  SELECT id, w, pos, sz FROM ranked
+  WHERE pos <= sz - CEIL({SIMJOIN_T} * sz - 1e-9) + 1
 ), cand AS (
   SELECT DISTINCT a.id AS da, b.id AS db, a.sz AS sa, b.sz AS sb
   FROM prefix a JOIN prefix b ON a.w = b.w AND a.id < b.id
-   AND LEAST(a.sz, b.sz) >= {SIMJOIN_T} * GREATEST(a.sz, b.sz)
+   AND LEAST(a.sz, b.sz) >= CEIL({SIMJOIN_T} * GREATEST(a.sz, b.sz) - 1e-9)
+   -- PPJoin positional filter: achievable overlap from this matched token
+   AND 1 + LEAST(a.sz - a.pos, b.sz - b.pos)
+       >= CEIL({SIMJOIN_T} / (1 + {SIMJOIN_T}) * (a.sz + b.sz) - 1e-9)
 ), common AS (
   SELECT da, db, sa, sb, COUNT(*) AS c
   FROM cand

@@ -32,8 +32,23 @@ Scale shape (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+#: Guard against double rounding in threshold arithmetic: t*sz computed in
+#: doubles can land just ABOVE an exact integer (e.g. 0.07*100 →
+#: 7.000000000000001), making ceil() one too large — which shortens the
+#: prefix below what the filter's correctness proof requires and could miss
+#: boundary pairs. Subtracting EPS before every ceil restores the exact
+#: integer; thresholds are never specified to 9 decimal places, so this can
+#: only widen (never narrow) the candidate set — exactness is preserved by
+#: the verify stage. Mirrored in the DuckDB oracle (analytics/dedup_q.py).
+_EPS = 1e-9
+
+
+def _iceil(x: Column) -> Column:
+    """ceil() with the double-rounding guard above, as a long."""
+    return F.ceil(x - F.lit(_EPS))
 
 
 def token_sets(
@@ -69,27 +84,57 @@ def prefix_ranked(toks: DataFrame) -> DataFrame:
     )
 
 
-def prefix_candidates(ranked: DataFrame, threshold: float) -> DataFrame:
+def prefix_candidates(
+    ranked: DataFrame, threshold: float, positional: bool = True
+) -> DataFrame:
     """Candidate pairs (da, db, sa, sb) from the prefix index.
 
-    Prefix length |s| − ⌈t·|s|⌉ + 1; the Jaccard length filter
-    min(sz) ≥ t·max(sz) rides inside the join condition.
+    Three filters, all INSIDE the equi-join condition so pruned rows never
+    reach the distinct's shuffle write:
+
+    - prefix length |s| − ⌈t·|s|⌉ + 1 (pre-join row filter);
+    - Jaccard length filter min(sz) ≥ ⌈t·max(sz)⌉ (integer form);
+    - PPJoin positional filter (Xiao et al., VLDB 2008 §3.2): a matched
+      prefix token at 1-indexed positions (pa, pb) bounds the achievable
+      overlap by 1 + min(sa − pa, sb − pb) — the token itself plus at best
+      the shorter remaining suffix, since both documents order tokens by
+      the SAME global (df, w) key. Jaccard ≥ t needs overlap
+      α = ⌈t/(1+t)·(sa+sb)⌉, so rows with the bound below α are pruned.
+      Exactness is preserved: for any true pair, its globally-FIRST common
+      token is inside both prefixes (any earlier common token would sit at a
+      smaller position, hence also inside), and at that token every one of
+      the pair's o common tokens occupies a distinct later position in both
+      suffixes, so 1 + min(sa − pa, sb − pb) ≥ o ≥ α — that row survives.
+      This is the pruning that still bites when a low-entropy vocabulary
+      makes every prefix token near-universal and the length filter alone
+      degenerates to all-pairs.
+
+    `positional=False` keeps the pre-round-4 behavior (length filter only)
+    for measuring the candidate-count reduction (PLANS.md).
     """
     prefix = ranked.filter(
-        F.col("pos") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
-    ).select("id", "w", "sz")
+        F.col("pos") <= F.col("sz") - _iceil(F.lit(threshold) * F.col("sz")) + 1
+    ).select("id", "w", "pos", "sz")
     a = prefix.alias("a")
     b = prefix.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.w") == F.col("b.w"))
-            & (F.col("a.id") < F.col("b.id"))
-            & (
-                F.least(F.col("a.sz"), F.col("b.sz"))
-                >= F.lit(threshold) * F.greatest(F.col("a.sz"), F.col("b.sz"))
-            ),
+    cond = (
+        (F.col("a.w") == F.col("b.w"))
+        & (F.col("a.id") < F.col("b.id"))
+        & (
+            F.least(F.col("a.sz"), F.col("b.sz"))
+            >= _iceil(F.lit(threshold) * F.greatest(F.col("a.sz"), F.col("b.sz")))
         )
+    )
+    if positional:
+        alpha = _iceil(
+            F.lit(threshold / (1.0 + threshold)) * (F.col("a.sz") + F.col("b.sz"))
+        )
+        ubound = 1 + F.least(
+            F.col("a.sz") - F.col("a.pos"), F.col("b.sz") - F.col("b.pos")
+        )
+        cond = cond & (ubound >= alpha)
+    return (
+        a.join(b, cond)
         .select(
             F.col("a.id").alias("da"),
             F.col("b.id").alias("db"),
