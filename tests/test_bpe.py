@@ -101,3 +101,55 @@ def test_apply_empty_merge_list_is_identity(spark):
 
     seg = char_segmentation(_vocab(spark, [("ab", 1)]))
     assert bpe_apply(seg, []).collect()[0]["toks"] == ["a", "b"]
+
+
+def test_batched_equals_sequential(spark):
+    # the batched trainer must produce a bit-identical merge sequence to
+    # batch_size=1 (selection only ever takes a prefix whose counts are
+    # provably unperturbed by earlier merges in the same round)
+    vocab = _vocab(
+        spark,
+        [
+            ("lower", 5), ("lowest", 3), ("newer", 6), ("wider", 2),
+            ("abab", 7), ("banana", 4), ("bandana", 2), ("cabana", 3),
+            ("windowing", 2), ("shuffling", 1), ("partition", 5),
+        ],
+    )
+    seq_merges, seq_seg = bpe_train(vocab, iters=25, batch_size=1)
+    stats: dict = {}
+    bat_merges, bat_seg = bpe_train(vocab, iters=25, batch_size=8, stats=stats)
+    assert [(m.left, m.right, m.pair_freq) for m in bat_merges] == [
+        (m.left, m.right, m.pair_freq) for m in seq_merges
+    ]
+    got = {r["word"]: r["toks"] for r in bat_seg.collect()}
+    want = {r["word"]: r["toks"] for r in seq_seg.collect()}
+    assert got == want
+    # batching must actually batch: fewer rounds than merges
+    assert stats["rounds"] < len(bat_merges)
+    assert sum(stats["batch_sizes"]) == len(bat_merges)
+
+
+def test_thousand_merges_bounded(spark):
+    # VERDICT r3 #4: a 1k-merge vocabulary must train in a bounded number
+    # of Spark rounds, not 1000 sequential jobs. Deterministic synthetic
+    # vocab: 400 distinct 12-char words over 20 consonant-vowel syllables.
+    import itertools as it
+
+    sylls = [c + v for c, v in it.product("bcdfghjklm", "ae")]
+    words = []
+    x = 1
+    for i in range(400):
+        x = (x * 48271) % 2147483647  # Lehmer PRNG, fixed seed
+        w = "".join(sylls[(x >> (3 * j)) % len(sylls)] for j in range(6))
+        words.append((w, (i % 9) + 1))
+    vocab = _vocab(spark, words)
+    stats: dict = {}
+    merges, _ = bpe_train(vocab, iters=1000, batch_size=64, stats=stats)
+    assert len(merges) == 1000
+    # exact-semantics batching: ~2.2x fewer rounds than merges on this
+    # adversarially tie-heavy vocab (447 measured; early rounds batch 3-10,
+    # the tail is dominated by tied counts where the created-pair bound
+    # must stop the batch to stay bit-identical to sequential)
+    assert stats["rounds"] <= 500
+    # ranks are consecutive and merge list deterministic at both ends
+    assert [m.step for m in merges] == list(range(1, 1001))

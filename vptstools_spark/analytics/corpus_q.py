@@ -75,8 +75,10 @@ SELECT 'priority_nonempty', ROUND(CAST(n_prio AS DOUBLE) / CAST(n AS DOUBLE), 6)
 
 _BPE_ITERS = 4
 
-#: trained merge lists memoized per (sf, iters) — deterministic pure
-#: function of the data (same pattern as similarity_q._MODEL_CACHE)
+#: trained merge lists memoized per (sf, iters, data mtime) — deterministic
+#: pure function of the data (same pattern as similarity_q._MODEL_CACHE);
+#: the mtime component invalidates the cache if the parquet under an sf dir
+#: is regenerated mid-process (e.g. a test-harness data rebuild)
 _BPE_CACHE: dict = {}
 
 
@@ -90,8 +92,17 @@ def _doc_vocab(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _docs_mtime(sf: str) -> float:
+    import os
+
+    try:
+        return os.path.getmtime(f"{sf}/documents.parquet")
+    except OSError:
+        return -1.0
+
+
 def _trained_merges(spark: SparkSession, sf: str, iters: int):
-    key = (sf, iters)
+    key = (sf, iters, _docs_mtime(sf))
     if key not in _BPE_CACHE:
         _BPE_CACHE[key] = bpe_train(_doc_vocab(spark, sf), iters=iters)[0]
     return _BPE_CACHE[key]
