@@ -157,3 +157,103 @@ def test_stream_reader_incremental_ingest(spark, tmp_path):
         second.groupBy("source_file", "ts", "height").count().filter("count > 1").count()
     )
     assert dup == 0
+
+
+def _mk_tree(tmp_path, layout):
+    # layout: {relative_path: None} — creates empty marker .h5 files
+    for rel in layout:
+        p = tmp_path / rel
+        p.parent.mkdir(parents=True, exist_ok=True)
+        p.write_bytes(b"")
+    return str(tmp_path)
+
+
+NESTED = [
+    "rad/2023/11/01/rad_vp_20231101T0000.h5",
+    "rad/2023/11/01/rad_vp_20231101T1200.h5",
+    "rad/2023/11/02/rad_vp_20231102T0000.h5",
+    "rad/2023/11/03/rad_vp_20231103T0000.h5",
+    "rad/2023/12/01/rad_vp_20231201T0000.h5",
+    "rad/2024/01/01/rad_vp_20240101T0000.h5",
+]
+
+
+def test_pruned_listing_matches_full_walk(tmp_path):
+    """pruned_files_after must equal the filtered full glob at every
+    watermark position (including before-all and after-all)."""
+    import glob
+
+    from vptstools_spark.sources.odim_datasource import pruned_files_after
+
+    base = _mk_tree(tmp_path, NESTED)
+    all_files = sorted(glob.glob(f"{base}/**/*.h5", recursive=True))
+    marks = ["", *all_files]
+    for w in marks:
+        want = [p for p in all_files if p > w]
+        assert pruned_files_after(base, w) == want
+        # bounded window form too
+        for u in all_files:
+            assert pruned_files_after(base, w, u) == [p for p in want if p <= u]
+
+
+def test_pruned_listing_touches_only_tail_dirs(tmp_path, monkeypatch):
+    """VERDICT r3 #3: with the watermark at the last November file, the
+    per-batch listing must never descend into directory subtrees that sort
+    entirely before it (2023/11/01, 2023/11/02, 2023/11/03)."""
+    import os as _os
+
+    from vptstools_spark.sources import odim_datasource as mod
+
+    base = _mk_tree(tmp_path, NESTED)
+    visited = []
+    real_scandir = _os.scandir
+
+    def spy(d):
+        visited.append(str(d))
+        return real_scandir(d)
+
+    monkeypatch.setattr(mod.os, "scandir", spy)
+    w = f"{base}/rad/2023/12/01/rad_vp_20231201T0000.h5"
+    got = mod.pruned_files_after(base, w)
+    assert got == [f"{base}/rad/2024/01/01/rad_vp_20240101T0000.h5"]
+    assert not any("/2023/11" in d for d in visited), visited
+    # the watermark's own directory IS visited (it can hold later files)
+    assert any(d.endswith("/12/01") for d in visited)
+
+
+def test_max_file_descends_greatest_chain(tmp_path, monkeypatch):
+    import os as _os
+
+    from vptstools_spark.sources import odim_datasource as mod
+
+    base = _mk_tree(tmp_path, NESTED)
+    # empty tail dir: max_file must backtrack past it
+    (tmp_path / "rad/2024/02").mkdir(parents=True)
+    visited = []
+    real_scandir = _os.scandir
+
+    def spy(d):
+        visited.append(str(d))
+        return real_scandir(d)
+
+    monkeypatch.setattr(mod.os, "scandir", spy)
+    assert mod.max_file(base) == f"{base}/rad/2024/01/01/rad_vp_20240101T0000.h5"
+    assert not any("/2023" in d for d in visited), visited
+
+
+def test_stream_listing_and_offset_consistency(tmp_path):
+    """latestOffset (max_file) and partitions (pruned listing) must agree
+    with the old full-glob semantics on a nested tree."""
+    from vptstools_spark.sources.odim_datasource import OdimStreamReader
+
+    base = _mk_tree(tmp_path, NESTED)
+    r = OdimStreamReader({"path": base})
+    end = r.latestOffset()
+    assert end["last"].endswith("rad_vp_20240101T0000.h5")
+    parts = r.partitions({"last": ""}, end)
+    listed = [p for part in parts for p in part.paths]
+    assert len(listed) == len(NESTED)
+    mid = sorted(listed)[2]
+    parts_tail = r.partitions({"last": mid}, end)
+    tail = [p for part in parts_tail for p in part.paths]
+    assert tail == [p for p in sorted(listed) if p > mid]

@@ -24,6 +24,7 @@ Scale notes (100 TB of ~25 KB VP files):
 from __future__ import annotations
 
 import glob as _glob
+import os
 import warnings
 from collections.abc import Iterator
 
@@ -79,6 +80,80 @@ def _arrow_batches(paths: list[str], on_error: str, batch_files: int):
         yield pa.RecordBatch.from_pandas(
             _rows_to_pdf(rows, schema), schema=arrow_schema, preserve_index=False
         )
+
+
+def pruned_files_after(
+    base: str, watermark: str, until: str | None = None
+) -> list[str]:
+    """All `*.h5` paths p under `base` with watermark < p (and p ≤ until,
+    when given), visiting ONLY directories whose subtree can contain such a
+    path.
+
+    Purely lexicographic, so it exploits ANY sorted nesting
+    (radar/year/month/day in the reference archive grammar,
+    functions/paths.py) without knowing it: a subtree rooted at prefix
+    P = dir + "/" can hold a path > watermark iff P > watermark (every
+    descendant extends P, hence sorts after it) or watermark starts with P
+    (the watermark lies inside the subtree); otherwise every descendant
+    sorts BEFORE the watermark and the whole subtree is skipped. The upper
+    bound prunes symmetrically (P > until ⇒ every descendant > until).
+    Per-trigger driver work is O(tail directories), not O(archive) —
+    at the 100 TB design point (millions of files across years of
+    radar/day directories) a micro-batch touches only the day dirs at and
+    after the watermark. Flat layouts degrade gracefully: every file sits
+    directly under `base`, which is always visited.
+    """
+    out: list[str] = []
+
+    def walk(d: str) -> None:
+        try:
+            entries = sorted(os.scandir(d), key=lambda e: e.name)
+        except OSError:
+            return
+        for e in entries:
+            full = os.path.join(d, e.name)
+            if e.is_dir(follow_symlinks=True):
+                prefix = full + "/"
+                if until is not None and prefix > until:
+                    continue
+                if prefix > watermark or watermark.startswith(prefix):
+                    walk(full)
+            elif e.name.endswith(".h5") and full > watermark:
+                if until is None or full <= until:
+                    out.append(full)
+
+    walk(base.rstrip("/"))
+    return sorted(out)
+
+
+def max_file(base: str) -> str:
+    """Lexicographically greatest `*.h5` path under `base`, found by
+    descending only the greatest-sorting subtree chain (with backtracking
+    past empty branches) — O(depth × fan-out) driver work instead of a
+    full archive walk. Entries are ordered by their PATH-order key
+    (dirs compare as name + "/": a dir "z" can outsort a file "z.h5"
+    because "/" > "." in ASCII)."""
+
+    def walk(d: str) -> str:
+        try:
+            entries = sorted(
+                os.scandir(d),
+                key=lambda e: e.name + "/" if e.is_dir(follow_symlinks=True) else e.name,
+                reverse=True,
+            )
+        except OSError:
+            return ""
+        for e in entries:
+            full = os.path.join(d, e.name)
+            if e.is_dir(follow_symlinks=True):
+                found = walk(full)
+                if found:
+                    return found
+            elif e.name.endswith(".h5"):
+                return full
+        return ""
+
+    return walk(base.rstrip("/"))
 
 
 class OdimFilesPartition(InputPartition):
@@ -154,7 +229,12 @@ class OdimStreamReader(DataSourceStreamReader):
     the offset stays O(1) regardless of history (unlike a processed-file
     set). Each micro-batch covers the files that sorted after the previous
     watermark; `partitions()` packs them per task exactly like the batch
-    reader, and `read()` reuses the shared Arrow-batch parser. This is the
+    reader, and `read()` reuses the shared Arrow-batch parser. Listing is
+    watermark-pruned (round 4): each trigger walks only the directory
+    subtrees that can sort after the current offset (`pruned_files_after`)
+    and finds the new offset by descending the greatest-sorting chain
+    (`max_file`) — O(tail) driver work per trigger on a nested archive,
+    instead of re-globbing the whole tree. This is the
     DataSource-API form of the reference's cron-batch change detection
     (SURVEY §2.8): checkpointed offsets replace the S3-inventory
     `modified` lookback.
@@ -169,21 +249,32 @@ class OdimStreamReader(DataSourceStreamReader):
         )
         self.on_error = options.get("on_error", "warn")
 
-    def _list(self) -> list[str]:
-        pattern = self.path
-        if not _glob.has_magic(pattern):
-            pattern = pattern.rstrip("/") + "/**/*.h5"
-        return sorted(_glob.glob(pattern, recursive=True))
+    def _list_after(self, watermark: str, until: str | None = None) -> list[str]:
+        """Files strictly after `watermark` (≤ `until`), pruning whole
+        directory subtrees that cannot sort into the window (round-4 fix:
+        the previous full re-glob was O(archive) driver work per trigger,
+        forever). Explicit glob patterns fall back to a full walk — their
+        matching isn't prefix-monotone, so subtree pruning can't apply."""
+        if _glob.has_magic(self.path):
+            files = sorted(_glob.glob(self.path, recursive=True))
+            return [
+                p
+                for p in files
+                if watermark < p and (until is None or p <= until)
+            ]
+        return pruned_files_after(self.path, watermark, until)
 
     def initialOffset(self) -> dict:
         return {"last": ""}
 
     def latestOffset(self) -> dict:
-        files = self._list()
-        return {"last": files[-1]} if files else {"last": ""}
+        if _glob.has_magic(self.path):
+            files = sorted(_glob.glob(self.path, recursive=True))
+            return {"last": files[-1]} if files else {"last": ""}
+        return {"last": max_file(self.path)}
 
     def partitions(self, start: dict, end: dict) -> list[OdimFilesPartition]:
-        files = [p for p in self._list() if start["last"] < p <= end["last"]]
+        files = self._list_after(start["last"], end["last"])
         n = self.files_per_task
         return [
             OdimFilesPartition(files[i : i + n]) for i in range(0, len(files), n)
