@@ -93,3 +93,70 @@ def test_pcm_partial_tail_frame(spark):
     )
     assert [r["n_samples"] for r in rows] == [256, 44]
     assert all(r["rms"] == 2000.0 and r["peak"] == 2000 for r in rows)
+
+
+def test_wav_features_roundtrip(spark):
+    from vptstools_spark.operators.multimodal import synth_blob_udf, wav_features
+    from pyspark.sql import functions as F
+
+    d = spark.range(6).select(
+        F.col("id"), synth_blob_udf("wav")(F.col("id")).alias("blob")
+    )
+    rows = {r["id"]: r for r in wav_features(d).collect()}
+    assert set(rows) == set(range(6))
+    for i, r in rows.items():
+        assert r["sample_rate"] == 8000 + (i % 3) * 4000
+        assert r["n_channels"] == 1 and r["bits"] == 16
+        assert r["n_samples"] == 64 + (i % 5) * 16
+        assert 0 <= r["peak"] <= 100
+
+
+def test_wav_parser_rejects_garbage_and_odd_chunks(spark):
+    import struct
+
+    from vptstools_spark.operators.multimodal import _parse_wav, synth_wav
+
+    assert _parse_wav(None) is None
+    assert _parse_wav(b"") is None
+    assert _parse_wav(b"RIFFxxxxWAVX" + b"\x00" * 40) is None
+    assert _parse_wav(b"not a wav at all, just text bytes padding...") is None
+    # odd-sized chunk before fmt: the 2-byte alignment must be honored
+    wav = synth_wav(3)
+    odd = b"LIST" + struct.pack("<I", 3) + b"abc" + b"\x00"  # padded odd chunk
+    patched = wav[:12] + odd + wav[12:]
+    patched = b"RIFF" + struct.pack("<I", len(patched) - 8) + patched[8:]
+    parsed = _parse_wav(patched)
+    assert parsed is not None and parsed["sample_rate"] == 8000
+
+
+def test_bmp_features_respects_padding_and_row_order(spark):
+    from vptstools_spark.operators.multimodal import bmp_features, synth_blob_udf
+    from pyspark.sql import functions as F
+
+    d = spark.range(6).select(
+        F.col("id"), synth_blob_udf("bmp")(F.col("id")).alias("blob")
+    )
+    rows = {r["id"]: r for r in bmp_features(d).collect()}
+    for i, r in rows.items():
+        w, h = 8 + i % 3, 6
+        vals = [(i + rr * 3 + cc * 5) % 256 for rr in range(h) for cc in range(w)]
+        assert r["width"] == w and r["height"] == h and r["bpp"] == 24
+        assert r["max_px"] == max(vals)
+        assert abs(r["mean_px"] - sum(vals) / len(vals)) < 1e-9
+    # width=9 (id%3==1) has stride padding: a naive byte-mean would include
+    # zero pad bytes and undershoot — verified exact above for id=1,4
+
+
+def test_bmp_parser_rejects_unsupported(spark):
+    from vptstools_spark.operators.multimodal import bmp_features, synth_bmp
+    from pyspark.sql import functions as F
+
+    bad_depth = bytearray(synth_bmp(0))
+    bad_depth[28] = 8  # 8 bpp
+    truncated = synth_bmp(0)[:60]
+    d = spark.createDataFrame(
+        [(0, bytes(bad_depth)), (1, truncated), (2, b"BM"), (3, None), (4, synth_bmp(4))],
+        "id long, blob binary",
+    )
+    got = bmp_features(d).collect()
+    assert [r["id"] for r in got] == [4]

@@ -69,6 +69,8 @@ def test_no_row_python_anywhere_vectorized_only_where_documented(spark):
         "dedup_ngram_jaccard",
         "dedup_lsh_verified",
         "decontam_ngrams",
+        "mm_wav_features",        # binary container decode (RIFF walk + numpy PCM)
+        "mm_bmp_stats",           # binary container decode (DIB + numpy pixels)
     }
     sf = "/root/testdata/sf0.001"
     row_offenders, vec_offenders = {}, {}

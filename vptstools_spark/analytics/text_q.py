@@ -70,6 +70,64 @@ def q_mm_binary_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_mm_wav_features(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL WAV container decode end-to-end: synthesize deterministic
+    RIFF/WAVE bytes per doc_id (operators/multimodal.py:synth_wav — mono
+    16-bit PCM, rate/sample-count/waveform are pure functions of the id),
+    then parse them back with the real chunk-walking parser
+    (`wav_features`) and report header fields + PCM stats. The oracle
+    recomputes every expected value analytically from the generation
+    formula, so a parser bug (chunk alignment, fmt offsets, stride) breaks
+    the value hash. Narrow map end-to-end: one Arrow-batched pass, no
+    shuffle, no driver data."""
+    from vptstools_spark.operators.multimodal import synth_blob_udf, wav_features
+
+    d = (
+        table(spark, sf, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select(F.col("doc_id").alias("id"), synth_blob_udf("wav")(F.col("doc_id")).alias("blob"))
+    )
+    return (
+        wav_features(d)
+        .select(
+            F.col("id").alias("doc_id"),
+            "sample_rate",
+            "n_channels",
+            "bits",
+            "n_samples",
+            F.round("rms", 4).alias("rms"),
+            "peak",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q_mm_bmp_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL BMP decode end-to-end: deterministic 24-bpp bottom-up bitmaps
+    with row padding (synth_bmp), re-parsed by `bmp_features`; the oracle
+    recomputes width/height/pixel stats from the generation formula —
+    catching stride/padding/row-order bugs by value."""
+    from vptstools_spark.operators.multimodal import bmp_features, synth_blob_udf
+
+    d = (
+        table(spark, sf, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select(F.col("doc_id").alias("id"), synth_blob_udf("bmp")(F.col("doc_id")).alias("blob"))
+    )
+    return (
+        bmp_features(d)
+        .select(
+            F.col("id").alias("doc_id"),
+            "width",
+            "height",
+            "bpp",
+            F.round("mean_px", 4).alias("mean_px"),
+            "max_px",
+        )
+        .orderBy("doc_id")
+    )
+
+
 def q_text_repetition(spark: SparkSession, sf: str) -> DataFrame:
     """Repetition scoring — a core pre-training quality signal: per-doc word
     count, distinct-word ratio, and top-word mass. Explode → two-level
@@ -434,6 +492,8 @@ QUERIES = {
     "text_repetition": q_text_repetition,
     "text_normalize": q_text_normalize,
     "mm_binary_stats": q_mm_binary_stats,
+    "mm_wav_features": q_mm_wav_features,
+    "mm_bmp_stats": q_mm_bmp_stats,
     "vocab_topk": q_vocab_topk,
     "tfidf_top": q_tfidf_top,
     "bigram_counts": q_bigram_counts,
@@ -603,6 +663,48 @@ GROUP BY term ORDER BY df DESC, term LIMIT 20
                CAST(SUM(strlen(text)) AS BIGINT) AS total_bytes,
                CAST(MAX(strlen(text)) AS BIGINT) AS max_bytes
         FROM documents GROUP BY source
+    """,
+    # analytic recomputation of the synth_wav generation formula: the Spark
+    # side round-trips these values through REAL RIFF bytes and the parser
+    "mm_wav_features": """
+        WITH params AS (
+            SELECT doc_id,
+                   CAST(8000 + (doc_id % 3) * 4000 AS INT) AS sample_rate,
+                   64 + (doc_id % 5) * 16 AS n
+            FROM documents WHERE doc_id < 200
+        ), samples AS (
+            SELECT doc_id, sample_rate, n, UNNEST(GENERATE_SERIES(0, n - 1)) AS i
+            FROM params
+        ), vals AS (
+            SELECT doc_id, sample_rate, n,
+                   (doc_id * 7 + i * 13) % 201 - 100 AS x
+            FROM samples
+        )
+        SELECT doc_id, sample_rate,
+               CAST(1 AS INT) AS n_channels, CAST(16 AS INT) AS bits,
+               CAST(n AS BIGINT) AS n_samples,
+               ROUND(SQRT(AVG(CAST(x * x AS DOUBLE))), 4) AS rms,
+               CAST(MAX(ABS(x)) AS INT) AS peak
+        FROM vals GROUP BY doc_id, sample_rate, n ORDER BY doc_id
+    """,
+    # analytic recomputation of the synth_bmp generation formula (top-row
+    # r=0; the Spark side must undo the bottom-up row order and padding)
+    "mm_bmp_stats": """
+        WITH params AS (
+            SELECT doc_id, CAST(8 + doc_id % 3 AS INT) AS w, 6 AS h
+            FROM documents WHERE doc_id < 200
+        ), px AS (
+            SELECT doc_id, w, h,
+                   (doc_id + r.r * 3 + c.c * 5) % 256 AS v
+            FROM params,
+                 (SELECT UNNEST(GENERATE_SERIES(0, 5)) AS r) r,
+                 LATERAL (SELECT UNNEST(GENERATE_SERIES(0, w - 1)) AS c) c
+        )
+        SELECT doc_id, w AS width, CAST(h AS INT) AS height,
+               CAST(24 AS INT) AS bpp,
+               ROUND(AVG(CAST(v AS DOUBLE)), 4) AS mean_px,
+               CAST(MAX(v) AS INT) AS max_px
+        FROM px GROUP BY doc_id, w, h ORDER BY doc_id
     """,
 }
 

@@ -117,6 +117,12 @@ def dsir_weights(
     domain score high. The bucket table is broadcast; the corpus side is
     one explode + one groupBy(doc) — linear, shuffle on doc id only.
     Output: (id_col, weight DECIMAL) — exact, reorder-safe.
+
+    Empty-text behavior: a document that yields ZERO tokens produces NO
+    output row (the exploded-bucket join is inner), not a weight-0 row —
+    an empty document has no evidence either way, and downstream selection
+    treats absent as ineligible. Callers needing all-docs output should
+    left-join from `docs` and coalesce the weight to 0.
     """
     lrs = dsir_bucket_logratios(docs, target_pred, text_col, buckets)
     tok = docs.select(
