@@ -106,6 +106,25 @@ HEADLINE = [
 ZIPF_QUERIES = ["simjoin_prefix", "tfidf_top", "bm25_search", "dedup_minhash_lsh"]
 ZIPF_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "fixtures", "zipf0.1")
 
+#: sf1.0 scale probe (tools/gen_sf1.py: deterministic 10× key-shifted
+#: replication of sf0.1 — TPC-H sf1 row counts): the 10 most expensive
+#: headline queries, single-run. The point is the RATIO vs the sf0.1
+#: headline column: linear-or-better scaling validates the plan audit's
+#: 100× story; a superlinear ratio is a found cliff (VERDICT r3 #2).
+SF1_QUERIES = [
+    "curation_report",
+    "pagerank_trade",
+    "dedup_ngram_jaccard",
+    "label_prop_communities",
+    "entity_resolution",
+    "dedup_clusters",
+    "sketch_bloom_join",
+    "lone_late_supplier",
+    "top_unshipped",
+    "ann_filtered",
+]
+SF1_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "fixtures", "sf1")
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -151,6 +170,21 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         zipf[name] = round(best, 3)
 
+    # tier 1c: sf1.0 scale probe — single-run (these are multi-second
+    # queries; JIT noise is proportionally small), generated on demand
+    if not os.path.isdir(SF1_DIR):
+        from tools.gen_sf1 import main as gen_sf1  # noqa: PLC0415
+
+        gen_sf1(out_dir=SF1_DIR)
+    sf1: dict[str, float] = {}
+    for name in SF1_QUERIES:
+        t0 = time.perf_counter()
+        try:
+            queries[name](spark, SF1_DIR).count()
+            sf1[name] = round(time.perf_counter() - t0, 3)
+        except Exception:
+            sf1[name] = -1.0  # visible failure marker, never silent
+
     # tier 2: single-pass FULL sweep at sf0.01 — regression tracking for the
     # ~50 queries outside the headline set (round-over-round comparability,
     # not absolute throughput; one run each keeps the sweep under a minute)
@@ -173,6 +207,9 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "zipf_text": zipf,
         "zipf_text_total": round(sum(zipf.values()), 3),
+        "sf1_probe": sf1,
+        "sf1_probe_total": round(sum(t for t in sf1.values() if t > 0), 3),
+        "sf1_probe_failures": sorted(n for n, t in sf1.items() if t < 0),
         "full_sweep_sf": 0.01,
         "full_sweep_total": round(sum(t for t in sweep.values() if t > 0), 3),
         "full_sweep_failures": sorted(n for n, t in sweep.items() if t < 0),
