@@ -224,3 +224,34 @@ def test_bounded_reachability_early_stop(spark):
     seeds = spark.createDataFrame([(0,)], "node int")
     got = bounded_reachability(edges, seeds, depth=50).collect()
     assert {(r["node"], r["hops"]) for r in got} == {(0, 0), (1, 1)}
+
+
+def test_kcore_peels_to_known_core(spark):
+    """A 4-clique with pendant chains: the 3-core is exactly the clique,
+    and peeling needs TWO rounds (removing the pendants drops the chain
+    attachment points below k only after round 1)."""
+    from pyspark.sql import functions as F
+
+    from vptstools_spark.operators.graph import kcore
+
+    clique = [(a, b) for a in range(4) for b in range(4) if a < b]
+    # chains: 4-10-20 and 10-21 hang off node 3 via 10
+    extra = [(3, 10), (10, 20), (10, 21)]
+    edges = spark.createDataFrame(clique + extra, "src int, dst int")
+    core = {r["node"]: r["deg"] for r in kcore(edges, k=3, iters=3).collect()}
+    assert core == {0: 3, 1: 3, 2: 3, 3: 3}
+    # one round is NOT enough: node 3 has degree 4 before the peel, and 10
+    # has degree 3 (3, 20, 21) — 20/21 die in round 1, 10 dies in round 2
+    one = {r["node"] for r in kcore(edges, k=3, iters=1).select("node").collect()}
+    assert 10 in one
+
+
+def test_kcore_fixed_rounds_deterministic(spark):
+    from vptstools_spark.operators.graph import kcore
+
+    edges = spark.createDataFrame(
+        [(a, b) for a in range(5) for b in range(5) if a < b], "src int, dst int"
+    )
+    a = sorted(map(tuple, kcore(edges, k=2, iters=2).collect()))
+    b = sorted(map(tuple, kcore(edges, k=2, iters=2).collect()))
+    assert a == b and len(a) == 5

@@ -71,6 +71,7 @@ def test_no_row_python_anywhere_vectorized_only_where_documented(spark):
         "decontam_ngrams",
         "mm_wav_features",        # binary container decode (RIFF walk + numpy PCM)
         "mm_bmp_stats",           # binary container decode (DIB + numpy pixels)
+        "mm_pcm_frames",          # raw int16 PCM framing (numpy)
     }
     sf = "/root/testdata/sf0.001"
     row_offenders, vec_offenders = {}, {}

@@ -204,3 +204,20 @@ def test_write_training_shards_deterministic_and_manifested(spark, tmp_path):
     # manifest on disk matches the returned one
     disk = json.load(open(path + "/_manifest.json"))
     assert disk["total_tokens"] == m1["total_tokens"]
+
+
+def test_temperature_weights_flatten_head(spark):
+    from pyspark.sql import functions as F
+
+    from vptstools_spark.operators.pretrain import temperature_weights
+
+    rows = [("big", i) for i in range(90)] + [("small", i) for i in range(10)]
+    df = spark.createDataFrame(rows, "source string, doc_id long")
+    w = {r["source"]: r for r in temperature_weights(df, alpha=0.5).collect()}
+    # alpha=0.5: shares ∝ sqrt(n) → 0.75 / 0.25 instead of 0.9 / 0.1
+    assert abs(w["big"]["p_source"] - 0.75) < 1e-9
+    assert abs(w["small"]["p_source"] - 0.25) < 1e-9
+    # per-doc weight is higher for the tail source
+    assert w["small"]["w_doc"] > w["big"]["w_doc"]
+    # shares always sum to 1
+    assert abs(w["big"]["p_source"] + w["small"]["p_source"] - 1.0) < 1e-12

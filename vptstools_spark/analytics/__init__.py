@@ -50,6 +50,9 @@ _MODULES = [
 NEW_THIS_ROUND = [
     "mm_wav_features",
     "mm_bmp_stats",
+    "mm_pcm_frames",
+    "kcore_parts",
+    "sample_temperature",
 ]
 
 

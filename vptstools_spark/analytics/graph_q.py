@@ -74,6 +74,68 @@ def q_triangle_parts(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_KCORE_K = 10
+_KCORE_ROUNDS = 3
+
+
+def q_kcore_parts(spark: SparkSession, sf: str) -> DataFrame:
+    """k-core peeling (k=10, 3 fixed rounds) over the part co-purchase
+    graph (partkey < 300): survivors with residual degree, top-20. Each
+    round removes every part whose co-purchase degree fell below k —
+    the standard dense-subgraph primitive (`operators/graph.py:kcore`);
+    fixed rounds make it unrollable as oracle CTEs."""
+    from vptstools_spark.operators.graph import kcore
+
+    l = (
+        table(spark, sf, "lineitem")
+        .filter(F.col("l_partkey") < 300)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    l1 = l.select("l_orderkey", F.col("l_partkey").alias("pa"))
+    l2 = l.select("l_orderkey", F.col("l_partkey").alias("pb"))
+    edges = (
+        l1.join(l2, "l_orderkey")
+        .filter(F.col("pa") < F.col("pb"))
+        .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+        .distinct()
+    )
+    return (
+        kcore(edges, k=_KCORE_K, iters=_KCORE_ROUNDS)
+        .orderBy(F.col("deg").desc(), "node")
+        .limit(20)
+    )
+
+
+_KCORE_ORACLE = f"""
+WITH l AS (
+    SELECT DISTINCT l_orderkey, l_partkey FROM lineitem WHERE l_partkey < 300
+), e0 AS (
+    SELECT a.l_partkey AS u, b.l_partkey AS v
+    FROM l a JOIN l b USING (l_orderkey)
+    WHERE a.l_partkey <> b.l_partkey
+    GROUP BY 1, 2
+), k0 AS (
+    SELECT u FROM e0 GROUP BY u HAVING COUNT(*) >= {_KCORE_K}
+), e1 AS (
+    SELECT e.u, e.v FROM e0 e
+    JOIN k0 x ON e.u = x.u JOIN k0 y ON e.v = y.u
+), k1 AS (
+    SELECT u FROM e1 GROUP BY u HAVING COUNT(*) >= {_KCORE_K}
+), e2 AS (
+    SELECT e.u, e.v FROM e1 e
+    JOIN k1 x ON e.u = x.u JOIN k1 y ON e.v = y.u
+), k2 AS (
+    SELECT u FROM e2 GROUP BY u HAVING COUNT(*) >= {_KCORE_K}
+), e3 AS (
+    SELECT e.u, e.v FROM e2 e
+    JOIN k2 x ON e.u = x.u JOIN k2 y ON e.v = y.u
+)
+SELECT u AS node, COUNT(*) AS deg
+FROM e3 GROUP BY u ORDER BY deg DESC, node LIMIT 20
+"""
+
+
 _TRIANGLE_ORACLE = """
 WITH e AS (
     SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
@@ -201,6 +263,7 @@ QUERIES = {
     "trade_reachability": q_trade_reachability,
     "label_prop_communities": q_label_prop_communities,
     "pagerank_trade": q_pagerank_trade,
+    "kcore_parts": q_kcore_parts,
 }
 
 # one rank-update CTE per iteration: rank_i(v) = (1-d)/N + d * Σ_{u→v} rank_{i-1}(u)/outdeg(u)
@@ -249,4 +312,5 @@ ORACLES = {
     "trade_reachability": _REACH_ORACLE,
     "label_prop_communities": _LABEL_PROP_ORACLE,
     "pagerank_trade": _pagerank_sql(),
+    "kcore_parts": _KCORE_ORACLE,
 }

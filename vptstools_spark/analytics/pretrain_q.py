@@ -277,8 +277,26 @@ def q_url_host_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_sample_temperature(spark: SparkSession, sf: str) -> DataFrame:
+    """Temperature-based source mix (alpha=0.5 — sqrt is the one exponent
+    that is IEEE-exact cross-engine): per-source sampling share and
+    per-document resampling weight (operators/pretrain.py:
+    temperature_weights). One count aggregation + a 1-row broadcast
+    normalizer; nothing else scales with the corpus."""
+    from vptstools_spark.operators.pretrain import temperature_weights
+
+    w = temperature_weights(table(spark, sf, "documents"), by="source", alpha=0.5)
+    return w.select(
+        "source",
+        "n_docs",
+        F.round("p_source", 6).alias("p_source"),
+        F.round("w_doc", 8).alias("w_doc"),
+    ).orderBy("source")
+
+
 QUERIES = {
     "doc_chunks": q_doc_chunks,
+    "sample_temperature": q_sample_temperature,
     "url_host_stats": q_url_host_stats,
     "pack_sequences": q_pack_sequences,
     "split_assign": q_split_assign,
@@ -300,6 +318,17 @@ for _name, _pat in PII_PATTERNS.items():
     )
 
 ORACLES = {
+    "sample_temperature": """
+        WITH c AS (
+            SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+        ), t AS (
+            SELECT SUM(SQRT(CAST(n_docs AS DOUBLE))) AS t FROM c
+        )
+        SELECT source, n_docs,
+               ROUND(SQRT(CAST(n_docs AS DOUBLE)) / t, 6) AS p_source,
+               ROUND(SQRT(CAST(n_docs AS DOUBLE)) / t / n_docs, 8) AS w_doc
+        FROM c, t ORDER BY source
+    """,
     "url_host_stats": """
         WITH u AS (
             SELECT doc_id, n_chars,

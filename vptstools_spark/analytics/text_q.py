@@ -128,6 +128,32 @@ def q_mm_bmp_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_mm_pcm_frames(spark: SparkSession, sf: str) -> DataFrame:
+    """Raw-PCM framing path value-oracled (the operator was pytest-only
+    until round 4): deterministic int16 waveforms (synth_pcm) framed into
+    32-sample windows by `pcm_frame_energy` — per-frame RMS/peak, with a
+    partial final frame whenever the sample count isn't a multiple of 32.
+    The oracle regroups the generation formula by i//32."""
+    from vptstools_spark.operators.multimodal import pcm_frame_energy, synth_blob_udf
+
+    d = (
+        table(spark, sf, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select(F.col("doc_id").alias("id"), synth_blob_udf("pcm")(F.col("doc_id")).alias("blob"))
+    )
+    return (
+        pcm_frame_energy(d, frame_samples=32)
+        .select(
+            F.col("id").alias("doc_id"),
+            "frame_id",
+            "n_samples",
+            F.round("rms", 4).alias("rms"),
+            "peak",
+        )
+        .orderBy("doc_id", "frame_id")
+    )
+
+
 def q_text_repetition(spark: SparkSession, sf: str) -> DataFrame:
     """Repetition scoring — a core pre-training quality signal: per-doc word
     count, distinct-word ratio, and top-word mass. Explode → two-level
@@ -494,6 +520,7 @@ QUERIES = {
     "mm_binary_stats": q_mm_binary_stats,
     "mm_wav_features": q_mm_wav_features,
     "mm_bmp_stats": q_mm_bmp_stats,
+    "mm_pcm_frames": q_mm_pcm_frames,
     "vocab_topk": q_vocab_topk,
     "tfidf_top": q_tfidf_top,
     "bigram_counts": q_bigram_counts,
@@ -686,6 +713,22 @@ GROUP BY term ORDER BY df DESC, term LIMIT 20
                ROUND(SQRT(AVG(CAST(x * x AS DOUBLE))), 4) AS rms,
                CAST(MAX(ABS(x)) AS INT) AS peak
         FROM vals GROUP BY doc_id, sample_rate, n ORDER BY doc_id
+    """,
+    "mm_pcm_frames": """
+        WITH params AS (
+            SELECT doc_id, 64 + (doc_id % 5) * 16 AS n
+            FROM documents WHERE doc_id < 200
+        ), s AS (
+            SELECT doc_id, UNNEST(GENERATE_SERIES(0, n - 1)) AS i FROM params
+        ), v AS (
+            SELECT doc_id, CAST(i // 32 AS INT) AS frame_id,
+                   (doc_id * 7 + i * 13) % 201 - 100 AS x
+            FROM s
+        )
+        SELECT doc_id, frame_id, CAST(COUNT(*) AS INT) AS n_samples,
+               ROUND(SQRT(AVG(CAST(x * x AS DOUBLE))), 4) AS rms,
+               CAST(MAX(ABS(x)) AS INT) AS peak
+        FROM v GROUP BY doc_id, frame_id ORDER BY doc_id, frame_id
     """,
     # analytic recomputation of the synth_bmp generation formula (top-row
     # r=0; the Spark side must undo the bottom-up row order and padding)

@@ -430,3 +430,54 @@ def bounded_reachability(
         visited = visited.unionByName(nxt).localCheckpoint(eager=True)
         frontier = nxt
     return visited
+
+
+def kcore(
+    edges: DataFrame,
+    k: int,
+    iters: int,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """k-core peeling over an undirected graph, a FIXED `iters` rounds:
+    each round recomputes degrees and drops every node with degree < k
+    (both its edge endpoints leave the edge set), exposing new low-degree
+    nodes for the next round. Returns (node, deg) for the survivors with
+    their residual degree.
+
+    The fixed round count is the determinism contract (same reason
+    `pagerank`/`label_propagation` fix iterations): the result after
+    exactly R rounds is well-defined whether or not the peel has
+    converged, so an independent engine reproduces it as R unrolled CTEs.
+    Peeling converges in at most |V| rounds but near-always in a handful —
+    callers wanting the fixpoint raise `iters` until a round removes
+    nothing.
+
+    Scale shape: per round one degree aggregation + two left-semi joins
+    (both endpoints against the survivor set) — all equi-joins on the node
+    id; the survivor set is a 1-column table that AQE broadcasts once it
+    shrinks. Lineage is truncated per round.
+    """
+    sym = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .unionByName(
+            edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    cur = sym
+    for _ in range(iters):
+        keep = (
+            cur.groupBy("u")
+            .agg(F.count("*").alias("deg"))
+            .filter(F.col("deg") >= k)
+            .select("u")
+        )
+        cur = (
+            cur.join(keep, "u", "left_semi")
+            .join(keep.withColumnRenamed("u", "v"), "v", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+    return cur.groupBy(F.col("u").alias("node")).agg(F.count("*").alias("deg"))

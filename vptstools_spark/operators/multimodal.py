@@ -404,12 +404,22 @@ def synth_bmp(doc_id: int) -> bytes:
     return hdr + dib + px
 
 
+def synth_pcm(doc_id: int) -> bytes:
+    """Headerless little-endian int16 PCM: the synth_wav waveform without
+    the RIFF container (for the raw-PCM framing path)."""
+    import numpy as np
+
+    n = 64 + (doc_id % 5) * 16
+    i = np.arange(n, dtype=np.int64)
+    return ((doc_id * 7 + i * 13) % 201 - 100).astype("<i2").tobytes()
+
+
 def synth_blob_udf(kind: str):
-    """Arrow-batched pandas UDF producing synth_wav/synth_bmp bytes from a
-    long id column."""
+    """Arrow-batched pandas UDF producing synth_wav/synth_bmp/synth_pcm
+    bytes from a long id column."""
     from pyspark.sql.functions import pandas_udf
 
-    make = synth_wav if kind == "wav" else synth_bmp
+    make = {"wav": synth_wav, "bmp": synth_bmp, "pcm": synth_pcm}[kind]
 
     @pandas_udf("binary")
     def gen(ids: pd.Series) -> pd.Series:

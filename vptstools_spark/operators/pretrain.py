@@ -222,3 +222,38 @@ def write_training_shards(
     with open(os.path.join(path, "_manifest.json"), "w") as fh:
         json.dump(manifest, fh, indent=1, sort_keys=True)
     return manifest
+
+
+def temperature_weights(
+    df: DataFrame, by: str = "source", alpha: float = 0.5
+) -> DataFrame:
+    """Temperature-based source resampling weights (the multilingual-mix
+    recipe of Lample & Conneau 2019 §3.1, public paper): a source with n_s
+    documents is sampled with probability p_s ∝ n_s^alpha, which flattens
+    the head and up-weights the tail as alpha → 0. Output per source:
+    n_docs, p_source (the normalized source share), and w_doc = p_s / n_s
+    (the per-document resampling weight a sampler multiplies in).
+
+    Scale shape: one count aggregation (map-side combine) → a
+    sources-sized table; the normalizer is a 1-row broadcast. Nothing in
+    the plan scales with the corpus beyond the first count.
+
+    Oracle note: alpha=0.5 is the value the oracle-checked query pins,
+    because x^0.5 is IEEE-exact as sqrt() on every engine; arbitrary
+    pow(x, alpha) is not bit-reproducible across engines (verify skill §5)
+    and is therefore available but not value-oracled.
+    """
+    counts = df.groupBy(by).agg(F.count("*").alias("n_docs"))
+    mass = (
+        F.sqrt(F.col("n_docs"))
+        if alpha == 0.5
+        else F.pow(F.col("n_docs"), F.lit(alpha))
+    )
+    scored = counts.withColumn("mass", mass.cast("double"))
+    total = scored.agg(F.sum("mass").alias("t"))
+    return scored.crossJoin(F.broadcast(total)).select(
+        by,
+        "n_docs",
+        (F.col("mass") / F.col("t")).alias("p_source"),
+        ((F.col("mass") / F.col("t")) / F.col("n_docs")).alias("w_doc"),
+    )
