@@ -52,3 +52,41 @@ def test_same_ts_ties_break_on_order_col(spark):
     log = _log(spark, [(3, "p", 0), (3, "q", 0)])
     out = _hist(scd2_from_log(log, "k", "a", "ts", ["id"]))
     assert out == [(3, "p", 0, 0, 1), (3, "q", 0, None, 2)]
+
+
+def test_snapshot_diff_classifies_and_drops_unchanged(spark):
+    from vptstools_spark.operators.scd import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0), (4, None, 40.0)],
+        "k int, s string, v double",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "B", 20.0), (4, None, 40.0), (5, "e", 50.0)],
+        "k int, s string, v double",
+    )
+    out = {
+        r["k"]: r["change"]
+        for r in snapshot_diff(old, new, keys=["k"]).collect()
+    }
+    # k=1 unchanged (dropped), k=4 NULL attr unchanged (dropped)
+    assert out == {2: "changed", 3: "removed", 5: "added"}
+
+
+def test_snapshot_diff_null_vs_sentinel_string_no_collision(spark):
+    from vptstools_spark.operators.scd import snapshot_diff
+
+    # a NULL column must not fingerprint-collide with the literal sentinel
+    old = spark.createDataFrame([(1, None)], "k int, s string")
+    new = spark.createDataFrame([(1, "\x00")], "k int, s string")
+    out = snapshot_diff(old, new, keys=["k"]).collect()
+    assert [(r["k"], r["change"]) for r in out] == [(1, "changed")]
+
+
+def test_snapshot_diff_compare_cols_subset(spark):
+    from vptstools_spark.operators.scd import snapshot_diff
+
+    old = spark.createDataFrame([(1, "a", 1.0)], "k int, s string, v double")
+    new = spark.createDataFrame([(1, "a", 2.0)], "k int, s string, v double")
+    # only compare s → the v change is invisible
+    assert snapshot_diff(old, new, keys=["k"], compare_cols=["s"]).count() == 0

@@ -287,7 +287,42 @@ def q_scd2_event_types(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_snapshot_diff(spark: SparkSession, sf: str) -> DataFrame:
+    """Keyed snapshot diff (operators/scd.py:snapshot_diff): two orders
+    snapshots derived deterministically — the OLD one is missing every
+    97th key, the NEW one drops every 101st and bumps every 89th key's
+    total price — then classified added/removed/changed in one full-outer
+    join on key fingerprints. Summary: per-class key count + key checksum
+    (the checksum pins WHICH keys landed in each class, not just how
+    many)."""
+    from vptstools_spark.operators.scd import snapshot_diff
+
+    orders = table(spark, sf, "orders")
+    old = orders.filter(F.col("o_orderkey") % 97 != 0).select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    new = orders.filter(F.col("o_orderkey") % 101 != 0).select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 89 == 0, F.col("o_totalprice") + F.lit(1.0)
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+        "o_orderstatus",
+    )
+    d = snapshot_diff(old, new, keys=["o_orderkey"])
+    return (
+        d.groupBy("change")
+        .agg(
+            F.count("*").alias("n_keys"),
+            F.sum("o_orderkey").cast("long").alias("key_sum"),
+        )
+        .orderBy("change")
+    )
+
+
 QUERIES = {
+    "snapshot_diff": q_snapshot_diff,
     "events_hourly": q_events_hourly,
     "scd2_event_types": q_scd2_event_types,
     "retention_cohorts": q_retention_cohorts,
@@ -304,6 +339,28 @@ QUERIES = {
 }
 
 ORACLES = {
+    "snapshot_diff": """
+        WITH o AS (
+            SELECT o_orderkey, o_totalprice, o_orderstatus
+            FROM orders WHERE o_orderkey % 97 <> 0
+        ), n AS (
+            SELECT o_orderkey,
+                   CASE WHEN o_orderkey % 89 = 0
+                        THEN o_totalprice + 1.0 ELSE o_totalprice END AS p,
+                   o_orderstatus
+            FROM orders WHERE o_orderkey % 101 <> 0
+        ), j AS (
+            SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS k,
+                   CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                        WHEN n.o_orderkey IS NULL THEN 'removed'
+                        WHEN o.o_totalprice <> n.p
+                             OR o.o_orderstatus <> n.o_orderstatus
+                        THEN 'changed' END AS change
+            FROM o FULL OUTER JOIN n ON o.o_orderkey = n.o_orderkey
+        )
+        SELECT change, COUNT(*) AS n_keys, CAST(SUM(k) AS BIGINT) AS key_sum
+        FROM j WHERE change IS NOT NULL GROUP BY change ORDER BY change
+    """,
     "scd2_event_types": """
         WITH ordered AS (
             SELECT user_id, event_type, ts, event_id,

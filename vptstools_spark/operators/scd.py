@@ -58,3 +58,59 @@ def scd2_from_log(
         F.lead(ts).over(w2).alias("valid_to"),
         F.row_number().over(w2).alias("version"),
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Keyed diff between two table snapshots: one row per differing key
+    with `change` ∈ {'added', 'removed', 'changed'} — the audit primitive
+    behind CDC validation, backfill verification, and "what did this
+    pipeline run alter" reports (the read-side complement of
+    `operators/merge.py:merge_upsert`).
+
+    Each side is reduced to (keys, row fingerprint) BEFORE the join —
+    md5 over the compared columns, each rendered as a tagged string
+    ('\\x01' + value when present, bare '\\x00' when NULL) joined with a
+    field separator, so NULL can't collide with any literal value
+    (including the literal '\\x00' string) and ('a', NULL) can't collide
+    with ('aNULL', …) — then a
+    single full-outer join on the keys classifies every key; unchanged
+    keys are dropped immediately. Scale shape: one hash exchange per side
+    on the key columns and nothing else; the fingerprint collapses
+    arbitrarily wide compare-column sets to one string before the
+    shuffle, so wide tables diff at key+hash cost.
+    """
+    cols = compare_cols or [c for c in new.columns if c not in keys]
+
+    def fp(df: DataFrame) -> Column:
+        return F.md5(
+            F.concat_ws(
+                "\x1f",
+                *[
+                    F.when(
+                        F.col(c).isNull(), F.lit("\x00")
+                    ).otherwise(
+                        F.concat(F.lit("\x01"), F.col(c).cast("string"))
+                    )
+                    for c in cols
+                ],
+            )
+        )
+
+    o = old.select(*keys, fp(old).alias("_old_fp"))
+    n = new.select(*keys, fp(new).alias("_new_fp"))
+    j = o.join(n, keys, "full_outer")
+    change = (
+        F.when(F.col("_old_fp").isNull(), "added")
+        .when(F.col("_new_fp").isNull(), "removed")
+        .when(F.col("_old_fp") != F.col("_new_fp"), "changed")
+    )
+    return (
+        j.withColumn("change", change)
+        .filter(F.col("change").isNotNull())
+        .select(*keys, "change")
+    )
