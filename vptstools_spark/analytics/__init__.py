@@ -48,6 +48,7 @@ _MODULES = [
 #: work must sort before the cutoff to ship with recorded verification
 #: (round-3 advice: bpe_encode/ann_filtered landed outside the sample).
 NEW_THIS_ROUND = [
+    "snapshot_diff",
     "mm_wav_features",
     "mm_bmp_stats",
     "mm_pcm_frames",
