@@ -35,3 +35,38 @@ def test_histogram_mass_conserved_with_outliers(spark):
     by_bin = {r["bin"]: r["frac"] for r in fr}
     assert by_bin[0] == pytest.approx(0.4)  # -5 and 0 clamp low
     assert by_bin[9] == pytest.approx(0.4)  # 99 and 1e9 clamp high
+
+
+def test_ks_on_grid_known_distance(spark):
+    from vptstools_spark.operators.drift import ks_on_grid
+
+    # baseline uniform over {1..4}, current all mass at {3,4}:
+    # at edge 2: |0.5 - 0.0| = 0.5 (the KS distance), at edge 4: both 1.0
+    base = spark.createDataFrame([(1.0,), (2.0,), (3.0,), (4.0,)], "v double")
+    cur = spark.createDataFrame([(3.0,), (4.0,)], "v double")
+    out = {
+        r["edge"]: (r["cdf_base"], r["cdf_cur"], r["d"])
+        for r in ks_on_grid(base, cur, F.col("v"), [1.0, 2.0, 3.0, 4.0]).collect()
+    }
+    assert out[2.0] == (0.5, 0.0, 0.5)
+    assert out[4.0] == (1.0, 1.0, 0.0)
+    assert max(d for _, _, d in out.values()) == 0.5
+
+
+def test_ks_on_grid_nulls_carry_no_mass(spark):
+    from vptstools_spark.operators.drift import ks_on_grid
+
+    base = spark.createDataFrame([(1.0,), (None,)], "v double")
+    cur = spark.createDataFrame([(1.0,)], "v double")
+    out = ks_on_grid(base, cur, F.col("v"), [1.0]).collect()
+    assert out[0]["cdf_base"] == 1.0 and out[0]["d"] == 0.0
+
+
+def test_ks_on_grid_empty_side_yields_null_cdf(spark):
+    from vptstools_spark.operators.drift import ks_on_grid
+
+    base = spark.createDataFrame([], "v double")
+    cur = spark.createDataFrame([(1.0,)], "v double")
+    out = ks_on_grid(base, cur, F.col("v"), [1.0]).collect()
+    # try_divide by a zero count → NULL, never a crash or a fake 0 distance
+    assert out[0]["cdf_base"] is None and out[0]["d"] is None

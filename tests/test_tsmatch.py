@@ -135,3 +135,44 @@ def test_new_queries_plan_discipline(spark):
         df = fn(spark, sf_dir)
         assert python_eval_nodes(df) == {}, fn.__name__
         assert unbounded_global_windows(df) == [], fn.__name__
+
+
+def test_cusum_detects_level_shift_exactly(spark):
+    from vptstools_spark.operators.tsmatch import cusum_stats
+
+    # 10 zeros then 10 tens: mu=5, sigma_pop=5, slack=2.5, threshold=20.
+    # Up stat climbs 2.5/step after the shift: 22.5 and 25.0 exceed -> 2
+    # alarms, max 25; the down stat mirrors it in the first half.
+    import datetime
+
+    rows = [
+        (i, datetime.datetime(2024, 1, 1) + datetime.timedelta(hours=i),
+         7, "t", 0.0 if i < 10 else 10.0)
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    out = cusum_stats(df, slack=0.5, threshold=4.0).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["n_up_alarms"], r["n_down_alarms"]) == (2, 2)
+    assert (r["max_cusum_up"], r["max_cusum_down"]) == (25.0, 25.0)
+
+
+def test_cusum_constant_series_never_alarms(spark):
+    from vptstools_spark.operators.tsmatch import cusum_stats
+
+    import datetime
+
+    rows = [
+        (i, datetime.datetime(2024, 1, 1) + datetime.timedelta(hours=i),
+         1, "t", 3.0)
+        for i in range(15)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    r = cusum_stats(df).collect()[0]
+    assert r["n_up_alarms"] == 0 and r["n_down_alarms"] == 0
+    assert r["max_cusum_up"] == 0.0 and r["max_cusum_down"] == 0.0

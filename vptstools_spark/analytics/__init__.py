@@ -49,6 +49,8 @@ _MODULES = [
 #: (round-3 advice: bpe_encode/ann_filtered landed outside the sample).
 NEW_THIS_ROUND = [
     "snapshot_diff",
+    "drift_ks",
+    "ts_cusum",
     "mm_wav_features",
     "mm_bmp_stats",
     "mm_pcm_frames",

@@ -175,15 +175,15 @@ def q_winsorize_price(spark: SparkSession, sf: str) -> DataFrame:
 
 def q_drift_psi(spark: SparkSession, sf: str) -> DataFrame:
     """Population Stability Index of the order-price distribution, early
-    orders (baseline) vs late orders (current), over 10 fixed-width bins
+    orders (pre-1998 baseline) vs late orders (current), over 10 fixed-width bins
     (`operators/drift.py`). Fractions are single divisions, the PSI term a
     fixed op chain — identical in any IEEE engine — and everything is
     rounded before the final ordering."""
     from vptstools_spark.operators.drift import psi
 
     o = table(spark, sf, "orders")
-    base = o.filter(F.col("o_orderdate") < "1995-01-01")
-    cur = o.filter(F.col("o_orderdate") >= "1995-01-01")
+    base = o.filter(F.col("o_orderdate") < "1998-01-01")
+    cur = o.filter(F.col("o_orderdate") >= "1998-01-01")
     out = psi(base, cur, F.col("o_totalprice"), lo=0.0, hi=400000.0, n_bins=10)
     return out.select(
         "bin",
@@ -193,9 +193,33 @@ def q_drift_psi(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("bin")
 
 
+def q_drift_ks(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-sample KS distance of the order-price distribution on a fixed
+    20-edge grid, early vs late orders (`operators/drift.py:ks_on_grid`).
+    The `x ≤ edge` conditional sums are already cumulative, so the whole
+    query is two map-side aggregates and a 1×1 cross join — no window, no
+    running-sum pass, no sort. Each CDF value is a single integer÷integer
+    division (IEEE-identical cross-engine); rounded to 8 dp on output."""
+    from vptstools_spark.operators.drift import ks_on_grid
+
+    o = table(spark, sf, "orders")
+    base = o.filter(F.col("o_orderdate") < "1998-01-01")
+    cur = o.filter(F.col("o_orderdate") >= "1998-01-01")
+    edges = [20000.0 * (i + 1) for i in range(20)]
+    out = ks_on_grid(base, cur, F.col("o_totalprice"), edges)
+    return out.select(
+        "i",
+        "edge",
+        F.round("cdf_base", 8).alias("cdf_base"),
+        F.round("cdf_cur", 8).alias("cdf_cur"),
+        F.round("d", 8).alias("d"),
+    ).orderBy("i")
+
+
 QUERIES = {
     "winsorize_price": q_winsorize_price,
     "drift_psi": q_drift_psi,
+    "drift_ks": q_drift_ks,
     "quantiles_price": q_quantiles_price,
     "regr_price_qty": q_regr_price_qty,
     "moments_quantity": q_moments_quantity,
@@ -208,17 +232,37 @@ QUERIES = {
 }
 
 ORACLES = {
+    "drift_ks": """
+WITH e AS (SELECT unnest(generate_series(0, 19)) AS i),
+b AS (SELECT o_totalprice AS v FROM orders
+      WHERE o_orderdate < TIMESTAMP '1998-01-01'),
+c AS (SELECT o_totalprice AS v FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1998-01-01'),
+bs AS (SELECT i, COUNT(CASE WHEN v <= 20000.0 * (i + 1) THEN 1 END) AS cb,
+              COUNT(v) AS nb
+       FROM e CROSS JOIN b GROUP BY i),
+cs AS (SELECT i, COUNT(CASE WHEN v <= 20000.0 * (i + 1) THEN 1 END) AS cc,
+              COUNT(v) AS nc
+       FROM e CROSS JOIN c GROUP BY i),
+j AS (SELECT bs.i, 20000.0 * (bs.i + 1) AS edge,
+             CAST(cb AS DOUBLE) / nb AS pb,
+             CAST(cc AS DOUBLE) / nc AS pc
+      FROM bs JOIN cs ON bs.i = cs.i)
+SELECT i, edge, ROUND(pb, 8) AS cdf_base, ROUND(pc, 8) AS cdf_cur,
+       ROUND(ABS(pb - pc), 8) AS d
+FROM j ORDER BY i
+    """,
     "drift_psi": """
 WITH bins AS (SELECT unnest(generate_series(0, 9)) AS bin),
 b AS (
     SELECT LEAST(GREATEST(CAST(FLOOR(o_totalprice / 40000.0) AS INT), 0), 9) AS bin,
            COUNT(*) AS n
-    FROM orders WHERE o_orderdate < TIMESTAMP '1995-01-01' GROUP BY 1
+    FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01' GROUP BY 1
 ),
 c AS (
     SELECT LEAST(GREATEST(CAST(FLOOR(o_totalprice / 40000.0) AS INT), 0), 9) AS bin,
            COUNT(*) AS n
-    FROM orders WHERE o_orderdate >= TIMESTAMP '1995-01-01' GROUP BY 1
+    FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01' GROUP BY 1
 ),
 p AS (
     SELECT bins.bin,

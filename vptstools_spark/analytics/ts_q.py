@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 
 from vptstools_spark.io import table
 from vptstools_spark.operators.tsmatch import (
+    cusum_stats,
     paa_symbols,
     rolling_zscore_anomalies,
     subsequence_search,
@@ -58,16 +59,75 @@ def q_ts_paa_sax(spark: SparkSession, sf: str) -> DataFrame:
     return paa_symbols(e, segment_len=10, breakpoints=(20.0, 45.0, 90.0))
 
 
+def q_ts_cusum(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-sided CUSUM level-shift detection per user series
+    (`operators/tsmatch.py:cusum_stats`): slack 0.5σ, alarm at 4σ. The
+    max(0, …) recurrence runs as running-sum − running-min windows over one
+    key exchange; μ/σ are pre-rounded so the sequential window arithmetic
+    is IEEE-identical in any engine."""
+    e = table(spark, sf, "events")
+    out = cusum_stats(e, slack=0.5, threshold=4.0)
+    return out.filter(
+        (F.col("n_up_alarms") > 0) | (F.col("n_down_alarms") > 0)
+    ).orderBy("user_id")
+
+
 QUERIES = {
     "ts_subseq_match": q_ts_subseq_match,
     "ts_anomaly_zscore": q_ts_anomaly_zscore,
     "ts_paa_sax": q_ts_paa_sax,
+    "ts_cusum": q_ts_cusum,
 }
 
 # Oracle notes: window-list folds use list_reduce (sequential, same FP
 # order as Spark's aggregate() fold seeded with 0.0); the z-normalized
 # pattern is derived in-SQL with the same IEEE ops the Python side uses.
 ORACLES = {
+    "ts_cusum": """
+        WITH s AS (
+            SELECT user_id, ts, event_id, CAST(value AS DOUBLE) AS v
+            FROM events
+        ),
+        m AS (
+            SELECT user_id, ROUND(AVG(v), 6) AS mu,
+                   ROUND(STDDEV_POP(v), 6) AS sd
+            FROM s GROUP BY user_id
+        ),
+        d AS (
+            SELECT s.user_id, ts, event_id, sd,
+                   v - mu - 0.5 * sd AS du,
+                   mu - v - 0.5 * sd AS dd
+            FROM s JOIN m USING (user_id)
+        ),
+        c AS (
+            SELECT user_id, ts, event_id, sd,
+                   SUM(du) OVER w AS cu, SUM(dd) OVER w AS cd
+            FROM d
+            WINDOW w AS (PARTITION BY user_id
+                         ORDER BY epoch_us(ts), event_id
+                         ROWS UNBOUNDED PRECEDING)
+        ),
+        x AS (
+            SELECT user_id, sd,
+                   cu - LEAST(0.0, MIN(cu) OVER w) AS su,
+                   cd - LEAST(0.0, MIN(cd) OVER w) AS sdn
+            FROM c
+            WINDOW w AS (PARTITION BY user_id
+                         ORDER BY epoch_us(ts), event_id
+                         ROWS UNBOUNDED PRECEDING)
+        )
+        SELECT user_id,
+               CAST(SUM(CASE WHEN su > 4.0 * sd THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_up_alarms,
+               CAST(SUM(CASE WHEN sdn > 4.0 * sd THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_down_alarms,
+               ROUND(MAX(su), 4) AS max_cusum_up,
+               ROUND(MAX(sdn), 4) AS max_cusum_down
+        FROM x GROUP BY user_id
+        HAVING SUM(CASE WHEN su > 4.0 * sd THEN 1 ELSE 0 END) > 0
+            OR SUM(CASE WHEN sdn > 4.0 * sd THEN 1 ELSE 0 END) > 0
+        ORDER BY user_id
+    """,
     "ts_subseq_match": """
         WITH zp_t AS (
             SELECT list_transform(generate_series(1, 8),

@@ -78,3 +78,66 @@ def psi(
         "q",
         ((pe - qe) * F.log(pe / qe)).alias("psi_term"),
     )
+
+
+def ks_on_grid(
+    baseline: DataFrame,
+    current: DataFrame,
+    col: Column,
+    edges: list[float],
+) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov distance evaluated on a fixed grid:
+    one row per grid edge with both empirical CDFs and their absolute gap;
+    the KS statistic is MAX(d) and the argmax edge shows WHERE the
+    distributions diverge (the complement of PSI's per-bin terms).
+
+    Exact at the grid points; the grid bounds the statistic from below
+    with error ≤ the CDF mass between adjacent edges, which is the
+    standard trade for making KS distribution-free of a global sort.
+
+    Scale shape: NO window, NO shuffle beyond two map-side-combining
+    aggregates — each side collapses in a single pass to one row of
+    |edges| cumulative conditional counts (`x ≤ edge_i` sums are already
+    cumulative, so no running-sum pass exists at all), and the combine is
+    a 1-row × 1-row cross join. NULLs carry no CDF mass on either side
+    (condition NULL → sum skips; totals use count(col)).
+    """
+    def side(df: DataFrame, tag: str) -> DataFrame:
+        return df.agg(
+            *[
+                F.sum((col <= F.lit(e)).cast("long")).alias(f"{tag}c{i}")
+                for i, e in enumerate(edges)
+            ],
+            F.count(col).alias(f"{tag}n"),
+        )
+
+    b = side(baseline, "b")
+    c = side(current, "c")
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("i"),
+                F.lit(float(e)).alias("edge"),
+                F.try_divide(
+                    F.coalesce(F.col(f"bc{i}"), F.lit(0)).cast("double"),
+                    F.col("bn"),
+                ).alias("cdf_base"),
+                F.try_divide(
+                    F.coalesce(F.col(f"cc{i}"), F.lit(0)).cast("double"),
+                    F.col("cn"),
+                ).alias("cdf_cur"),
+            )
+            for i, e in enumerate(edges)
+        ]
+    )
+    return (
+        b.crossJoin(c)
+        .select(F.explode(rows).alias("r"))
+        .select(
+            "r.i",
+            "r.edge",
+            "r.cdf_base",
+            "r.cdf_cur",
+            F.abs(F.col("r.cdf_base") - F.col("r.cdf_cur")).alias("d"),
+        )
+    )

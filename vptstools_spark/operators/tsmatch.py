@@ -27,7 +27,13 @@ import math
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["znorm", "subsequence_search", "rolling_zscore_anomalies", "paa_symbols"]
+__all__ = [
+    "znorm",
+    "subsequence_search",
+    "rolling_zscore_anomalies",
+    "paa_symbols",
+    "cusum_stats",
+]
 
 
 def znorm(pattern: list[float]) -> list[float]:
@@ -138,6 +144,67 @@ def rolling_zscore_anomalies(
         .withColumn("zscore", F.round((v - F.col("_mu")) / F.col("_sd"), 3))
         .filter(F.abs(F.col("zscore")) > threshold)
         .select(key_col, *order_cols, val_col, "zscore")
+    )
+
+
+def cusum_stats(
+    series: DataFrame,
+    slack: float = 0.5,
+    threshold: float = 4.0,
+    key_col: str = "user_id",
+    order_cols: tuple[str, ...] = ("ts", "event_id"),
+    val_col: str = "value",
+) -> DataFrame:
+    """Two-sided CUSUM level-shift detection per key (Page 1954): upward and
+    downward cumulative-sum statistics with slack `slack`·σ, alarm when a
+    statistic exceeds `threshold`·σ. Output: per-key alarm counts + the
+    maximum excursion of each side.
+
+    The textbook recurrence S_t = max(0, S_{t−1} + dev_t) looks like an
+    imperative scan, but it has a closed windowed form:
+    S_t = C_t − min(0, min_{j≤t} C_j) where C is the plain running sum of
+    deviations — so the whole operator is two per-key running-sum windows
+    plus two running-min windows over the SAME (key, order) sort: ONE hash
+    exchange on the key, zero Python, no UDF scan.
+
+    Cross-engine determinism: μ and σ are per-key aggregates whose FP
+    result depends on combine order, so both are rounded to 6 dp BEFORE
+    entering the deviations; the running sums then add identical doubles
+    in an identical order on any engine (same pre-round trick as
+    `stats_q.q_winsorize_price`). Constant series (σ = 0) produce zero
+    alarms by construction: every deviation is 0, both statistics stay at
+    0, and the strict `> threshold·σ = 0` comparison never fires.
+    """
+    v = F.col(val_col).cast("double")
+    wk = Window.partitionBy(key_col)
+    wo = (
+        Window.partitionBy(key_col)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    mu = F.round(F.avg("_v").over(wk), 6)
+    sd = F.round(F.stddev_pop("_v").over(wk), 6)
+    base = (
+        series.select(key_col, *order_cols, v.alias("_v"))
+        .withColumn("_mu", mu)
+        .withColumn("_sd", sd)
+        .withColumn("_du", F.col("_v") - F.col("_mu") - F.lit(slack) * F.col("_sd"))
+        .withColumn("_dd", F.col("_mu") - F.col("_v") - F.lit(slack) * F.col("_sd"))
+    )
+    cu = F.sum("_du").over(wo)
+    cd = F.sum("_dd").over(wo)
+    scored = (
+        base.withColumn("_cu", cu)
+        .withColumn("_cd", cd)
+        .withColumn("_su", F.col("_cu") - F.least(F.lit(0.0), F.min("_cu").over(wo)))
+        .withColumn("_sd2", F.col("_cd") - F.least(F.lit(0.0), F.min("_cd").over(wo)))
+    )
+    h = F.lit(threshold) * F.col("_sd")
+    return scored.groupBy(key_col).agg(
+        F.sum(F.when(F.col("_su") > h, 1).otherwise(0)).alias("n_up_alarms"),
+        F.sum(F.when(F.col("_sd2") > h, 1).otherwise(0)).alias("n_down_alarms"),
+        F.round(F.max("_su"), 4).alias("max_cusum_up"),
+        F.round(F.max("_sd2"), 4).alias("max_cusum_down"),
     )
 
 
