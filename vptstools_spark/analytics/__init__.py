@@ -51,6 +51,7 @@ NEW_THIS_ROUND = [
     "snapshot_diff",
     "drift_ks",
     "ts_cusum",
+    "events_resample_interp",
     "mm_wav_features",
     "mm_bmp_stats",
     "mm_pcm_frames",

@@ -187,6 +187,67 @@ def q_events_resample_locf(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_events_resample_interp(spark: SparkSession, sf: str) -> DataFrame:
+    """Daily resample with LINEAR INTERPOLATION across gaps (the lerp twin
+    of `events_resample_locf`, TimescaleDB's `interpolate()` semantics):
+    same spine/left-join shape, then each gap day takes
+    prev + (next − prev) · Δdays/Δspan from the bracketing observations;
+    leading gaps backfill, trailing gaps carry forward. Two mirrored
+    per-key windows (last-non-null before, first-non-null after) share ONE
+    (user, day) sort — still a single key exchange. Observed days pass
+    through untouched (and dodge the 0/0 span of a degenerate bracket);
+    day_vals are pre-rounded so the lerp arithmetic is IEEE-identical
+    cross-engine."""
+    e = table(spark, sf, "events").filter(F.col("user_id") < 10)
+    daily = e.groupBy(
+        "user_id", F.to_date("ts").alias("day")
+    ).agg(F.round(F.avg("value"), 4).alias("day_val"))
+    users = daily.select("user_id").distinct()
+    spine = users.crossJoin(
+        spark.range(1)
+        .select(
+            F.explode(
+                F.sequence(
+                    F.to_date(F.lit("2024-01-01")),
+                    F.to_date(F.lit("2024-01-30")),
+                )
+            ).alias("day")
+        )
+    )
+    wp = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_day = F.when(F.col("day_val").isNotNull(), F.col("day"))
+    j = (
+        spine.join(daily, ["user_id", "day"], "left")
+        .withColumn("_pv", F.last("day_val", ignorenulls=True).over(wp))
+        .withColumn("_pd", F.last(obs_day, ignorenulls=True).over(wp))
+        .withColumn("_nv", F.first("day_val", ignorenulls=True).over(wf))
+        .withColumn("_nd", F.first(obs_day, ignorenulls=True).over(wf))
+    )
+    frac = F.datediff(F.col("day"), F.col("_pd")).cast("double") / F.datediff(
+        F.col("_nd"), F.col("_pd")
+    ).cast("double")
+    interp = (
+        F.when(F.col("day_val").isNotNull(), F.col("day_val"))
+        .when(F.col("_pv").isNull(), F.col("_nv"))
+        .when(F.col("_nv").isNull(), F.col("_pv"))
+        .otherwise(F.col("_pv") + (F.col("_nv") - F.col("_pv")) * frac)
+    )
+    return j.select(
+        "user_id",
+        F.date_format("day", "yyyy-MM-dd").alias("day_str"),
+        F.round(interp, 4).alias("interp_val"),
+    )
+
+
 def q_events_session_window(spark: SparkSession, sf: str) -> DataFrame:
     """Native session windows (`F.session_window`, 30-min gap) — the built-in
     form of the lag-based sessionization in `events_sessionize`, and the same
@@ -336,6 +397,7 @@ QUERIES = {
     "events_asof_join": q_events_asof_purchase_click,
     "events_funnel": q_events_funnel,
     "events_resample_locf": q_events_resample_locf,
+    "events_resample_interp": q_events_resample_interp,
 }
 
 ORACLES = {
@@ -450,6 +512,47 @@ ORACLES = {
         SELECT (SELECT COUNT(*) FROM v) AS n_view,
                (SELECT COUNT(*) FROM c) AS n_click_after_view,
                (SELECT COUNT(*) FROM p) AS n_purchase_after_click
+    """,
+    "events_resample_interp": """
+        WITH daily AS (
+            SELECT user_id, CAST(ts AS DATE) AS day,
+                   ROUND(AVG(value), 4) AS day_val
+            FROM events WHERE user_id < 10
+            GROUP BY user_id, CAST(ts AS DATE)
+        ),
+        spine AS (
+            SELECT u.user_id, d.day
+            FROM (SELECT DISTINCT user_id FROM daily) u
+            CROSS JOIN (SELECT unnest(generate_series(DATE '2024-01-01',
+                                                      DATE '2024-01-30',
+                                                      INTERVAL 1 DAY))::DATE
+                        AS day) d
+        ),
+        j AS (
+            SELECT s.user_id, s.day, daily.day_val,
+                   LAST_VALUE(daily.day_val IGNORE NULLS) OVER wp AS pv,
+                   LAST_VALUE(CASE WHEN daily.day_val IS NOT NULL
+                                   THEN s.day END IGNORE NULLS) OVER wp AS pd,
+                   FIRST_VALUE(daily.day_val IGNORE NULLS) OVER wf AS nv,
+                   FIRST_VALUE(CASE WHEN daily.day_val IS NOT NULL
+                                    THEN s.day END IGNORE NULLS) OVER wf AS nd
+            FROM spine s
+            LEFT JOIN daily ON s.user_id = daily.user_id AND s.day = daily.day
+            WINDOW wp AS (PARTITION BY s.user_id ORDER BY s.day
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                   wf AS (PARTITION BY s.user_id ORDER BY s.day
+                          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        )
+        SELECT user_id, strftime(day, '%Y-%m-%d') AS day_str,
+               ROUND(CASE
+                   WHEN day_val IS NOT NULL THEN day_val
+                   WHEN pv IS NULL THEN nv
+                   WHEN nv IS NULL THEN pv
+                   ELSE pv + (nv - pv)
+                        * (CAST(date_diff('day', pd, day) AS DOUBLE)
+                           / CAST(date_diff('day', pd, nd) AS DOUBLE))
+               END, 4) AS interp_val
+        FROM j
     """,
     "events_resample_locf": """
         WITH daily AS (
