@@ -255,3 +255,38 @@ def test_kcore_fixed_rounds_deterministic(spark):
     a = sorted(map(tuple, kcore(edges, k=2, iters=2).collect()))
     b = sorted(map(tuple, kcore(edges, k=2, iters=2).collect()))
     assert a == b and len(a) == 5
+
+
+def test_adamic_adar_known_scores(spark):
+    from vptstools_spark.operators.graph import adamic_adar
+
+    edges = spark.createDataFrame(
+        [("u1", "A"), ("u1", "B"),
+         ("u2", "A"), ("u2", "B"), ("u2", "C"),
+         ("u3", "B"), ("u3", "C"),
+         ("u4", "A")],  # deg-1 neighbor: contributes nothing (ln 1 = 0)
+        "src string, dst string",
+    )
+    out = {
+        (r["node_a"], r["node_b"]): (r["n_common"], r["score"])
+        for r in adamic_adar(edges).collect()
+    }
+    import math
+
+    aa2, aa3 = 1.0 / math.log(2), 1.0 / math.log(3)
+    assert out[("A", "B")] == (2, round(aa2 + aa3, 6))
+    assert out[("B", "C")] == (2, round(aa2 + aa3, 6))
+    assert out[("A", "C")] == (1, round(aa3, 6))
+    assert len(out) == 3
+
+
+def test_adamic_adar_hub_guard_drops_promiscuous_neighbors(spark):
+    from vptstools_spark.operators.graph import adamic_adar
+
+    hub = [("hub", x) for x in ("A", "B", "C", "D")]
+    edges = spark.createDataFrame(
+        [("u1", "A"), ("u1", "B")] + hub, "src string, dst string"
+    )
+    out = adamic_adar(edges, max_hub_degree=3).collect()
+    # the hub (degree 4 > 3) is excluded -> only u1's single pair remains
+    assert [(r["node_a"], r["node_b"], r["n_common"]) for r in out] == [("A", "B", 1)]

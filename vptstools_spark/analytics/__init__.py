@@ -52,6 +52,7 @@ NEW_THIS_ROUND = [
     "drift_ks",
     "ts_cusum",
     "events_resample_interp",
+    "link_prediction",
     "mm_wav_features",
     "mm_bmp_stats",
     "mm_pcm_frames",

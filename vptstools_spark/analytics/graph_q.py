@@ -258,8 +258,22 @@ SELECT hops, COUNT(*) AS n_nodes FROM dist GROUP BY hops ORDER BY hops
 """
 
 
+def q_link_prediction(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-20 predicted supplier–supplier links by Adamic–Adar score over
+    the bipartite trade graph (`operators/graph.py:adamic_adar`): supplier
+    pairs sharing customers, each shared customer discounted by
+    1/ln(its supplier-degree); hub customers (degree > 100) excluded
+    before the wedge join. Global top-k is orderBy+limit →
+    TakeOrderedAndProject, never a single-partition window."""
+    from vptstools_spark.operators.graph import adamic_adar
+
+    out = adamic_adar(_trade_edges(spark, sf), max_hub_degree=100)
+    return out.orderBy(F.col("score").desc(), "node_a", "node_b").limit(20)
+
+
 QUERIES = {
     "triangle_parts": q_triangle_parts,
+    "link_prediction": q_link_prediction,
     "trade_reachability": q_trade_reachability,
     "label_prop_communities": q_label_prop_communities,
     "pagerank_trade": q_pagerank_trade,
@@ -308,6 +322,28 @@ def _pagerank_sql() -> str:
 
 
 ORACLES = {
+    "link_prediction": """
+        WITH e AS (
+            SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS u,
+                            's' || CAST(l_suppkey AS VARCHAR) AS w
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        ),
+        d AS (SELECT u, COUNT(*) AS deg FROM e GROUP BY u),
+        ok AS (
+            SELECT u, 1.0 / ln(CAST(deg AS DOUBLE)) AS ild
+            FROM d WHERE deg BETWEEN 2 AND 100
+        ),
+        ew AS (SELECT e.u, e.w, ok.ild FROM e JOIN ok USING (u)),
+        p AS (
+            SELECT a.w AS node_a, b.w AS node_b,
+                   COUNT(*) AS n_common,
+                   ROUND(SUM(a.ild), 6) AS score
+            FROM ew a JOIN ew b ON a.u = b.u AND a.w < b.w
+            GROUP BY 1, 2
+        )
+        SELECT node_a, node_b, n_common, score
+        FROM p ORDER BY score DESC, node_a, node_b LIMIT 20
+    """,
     "triangle_parts": _TRIANGLE_ORACLE,
     "trade_reachability": _REACH_ORACLE,
     "label_prop_communities": _LABEL_PROP_ORACLE,

@@ -481,3 +481,47 @@ def kcore(
             .localCheckpoint(eager=True)
         )
     return cur.groupBy(F.col("u").alias("node")).agg(F.count("*").alias("deg"))
+
+
+def adamic_adar(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_hub_degree: int = 100,
+) -> DataFrame:
+    """Adamic–Adar link-prediction scores for every candidate `dst`-side
+    pair sharing at least one `src`-side neighbor in a bipartite edge set:
+    score(a, b) = Σ over common neighbors u of 1/ln(deg(u)) — the classic
+    common-neighbor predictor that discounts promiscuous neighbors
+    (Adamic & Adar, 2003).
+
+    Output: (node_a, node_b, n_common, score) with node_a < node_b.
+
+    Scale shape: one degree aggregation, then the pair enumeration is a
+    self-equi-join on the shared neighbor — wedge volume Σ_u deg(u)², the
+    same budget as triangle counting. Neighbors with degree above
+    `max_hub_degree` are dropped BEFORE the join (the standard hub guard:
+    a u connected to everything creates deg² ≈ |V|² pairs while
+    contributing only 1/ln(deg) ≈ 0 evidence per pair — at 100 TB the cap
+    is what keeps the wedge volume linear-ish in |E|). Degree is computed
+    on the FULL graph first, so the discount 1/ln(deg) is unbiased by the
+    cap; deg-1 neighbors carry no pair anyway (ln(1) = 0 would divide by
+    zero — they are excluded with the hubs).
+    """
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("w")).distinct()
+    deg = e.groupBy("u").agg(F.count("*").alias("deg"))
+    ok = deg.filter((F.col("deg") >= 2) & (F.col("deg") <= max_hub_degree))
+    ew = e.join(ok, "u").withColumn(
+        "inv_log_deg", F.lit(1.0) / F.log(F.col("deg").cast("double"))
+    )
+    a = ew.select("u", F.col("w").alias("node_a"), "inv_log_deg")
+    b = ew.select("u", F.col("w").alias("node_b"))
+    return (
+        a.join(b, "u")
+        .filter(F.col("node_a") < F.col("node_b"))
+        .groupBy("node_a", "node_b")
+        .agg(
+            F.count("*").alias("n_common"),
+            F.round(F.sum("inv_log_deg"), 6).alias("score"),
+        )
+    )
