@@ -160,3 +160,51 @@ def test_bmp_parser_rejects_unsupported(spark):
     )
     got = bmp_features(d).collect()
     assert [r["id"] for r in got] == [4]
+
+
+def test_bmp_patches_topdown_and_bottomup_agree(spark):
+    """A negative-height (top-down) BMP must patchify identically to the
+    bottom-up encoding of the same image — the orientation branch."""
+    import struct
+
+    from vptstools_spark.operators.multimodal import bmp_patches, synth_bmp
+
+    def flip_to_topdown(blob: bytes) -> bytes:
+        px_off = int.from_bytes(blob[10:14], "little")
+        width = int.from_bytes(blob[18:22], "little", signed=True)
+        height = int.from_bytes(blob[22:26], "little", signed=True)
+        stride = (width * 3 + 3) // 4 * 4
+        rows = [
+            blob[px_off + r * stride : px_off + (r + 1) * stride]
+            for r in range(height)
+        ]
+        px = b"".join(reversed(rows))
+        dib = blob[14:px_off]
+        dib = dib[:8] + struct.pack("<i", -height) + dib[12:]
+        return blob[:14] + dib + px
+
+    bu = synth_bmp(7)
+    td = flip_to_topdown(bu)
+    df = spark.createDataFrame([(1, bu), (2, td)], "id long, blob binary")
+    rows = bmp_patches(df, patch=2).collect()
+    a = sorted(
+        (r["patch_row"], r["patch_col"], r["mean_px"], r["max_px"])
+        for r in rows
+        if r["id"] == 1
+    )
+    b = sorted(
+        (r["patch_row"], r["patch_col"], r["mean_px"], r["max_px"])
+        for r in rows
+        if r["id"] == 2
+    )
+    assert a == b and len(a) == 12  # 3 patch rows x 4 patch cols (width 8)
+
+
+def test_bmp_patches_partial_edges_dropped(spark):
+    from vptstools_spark.operators.multimodal import bmp_patches, synth_bmp
+
+    # doc_id 1 -> width 9: the 9th pixel column is a partial patch -> dropped
+    df = spark.createDataFrame([(1, synth_bmp(1))], "id long, blob binary")
+    rows = bmp_patches(df, patch=2).collect()
+    assert max(r["patch_col"] for r in rows) == 3
+    assert len(rows) == 12

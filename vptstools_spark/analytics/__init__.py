@@ -53,6 +53,10 @@ NEW_THIS_ROUND = [
     "ts_cusum",
     "events_resample_interp",
     "link_prediction",
+    "events_markov",
+    "mi_lang_source",
+    "rfm_segments",
+    "mm_bmp_patches",
     "mm_wav_features",
     "mm_bmp_stats",
     "mm_pcm_frames",

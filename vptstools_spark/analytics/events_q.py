@@ -248,6 +248,31 @@ def q_events_resample_interp(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_events_markov(spark: SparkSession, sf: str) -> DataFrame:
+    """First-order Markov transition matrix of the per-user event stream:
+    P(next event type | current) with transition counts. One lag window
+    per user (the sessionize sort, reused shape) then a (prev, cur) count
+    aggregate; probabilities are count ÷ row-total — a single
+    integer÷integer division, so the doubles are engine-identical. The
+    behavioral-analytics primitive behind next-action prediction and
+    anomaly scoring of event sequences."""
+    e = table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        e.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("cur_type"))
+        .agg(F.count("*").alias("n"))
+    )
+    totals = pairs.groupBy("prev_type").agg(F.sum("n").alias("n_total"))
+    return pairs.join(F.broadcast(totals), "prev_type").select(
+        "prev_type",
+        "cur_type",
+        "n",
+        F.round(F.col("n").cast("double") / F.col("n_total"), 6).alias("p"),
+    )
+
+
 def q_events_session_window(spark: SparkSession, sf: str) -> DataFrame:
     """Native session windows (`F.session_window`, 30-min gap) — the built-in
     form of the lag-based sessionization in `events_sessionize`, and the same
@@ -398,6 +423,7 @@ QUERIES = {
     "events_funnel": q_events_funnel,
     "events_resample_locf": q_events_resample_locf,
     "events_resample_interp": q_events_resample_interp,
+    "events_markov": q_events_markov,
 }
 
 ORACLES = {
@@ -512,6 +538,24 @@ ORACLES = {
         SELECT (SELECT COUNT(*) FROM v) AS n_view,
                (SELECT COUNT(*) FROM c) AS n_click_after_view,
                (SELECT COUNT(*) FROM p) AS n_purchase_after_click
+    """,
+    "events_markov": """
+        WITH seq AS (
+            SELECT user_id, event_type,
+                   LAG(event_type) OVER (
+                       PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                   ) AS prev_type
+            FROM events
+        ),
+        pairs AS (
+            SELECT prev_type, event_type AS cur_type, COUNT(*) AS n
+            FROM seq WHERE prev_type IS NOT NULL
+            GROUP BY 1, 2
+        ),
+        tot AS (SELECT prev_type, SUM(n) AS n_total FROM pairs GROUP BY 1)
+        SELECT p.prev_type, p.cur_type, p.n,
+               ROUND(CAST(p.n AS DOUBLE) / t.n_total, 6) AS p
+        FROM pairs p JOIN tot t USING (prev_type)
     """,
     "events_resample_interp": """
         WITH daily AS (

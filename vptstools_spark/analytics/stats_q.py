@@ -216,10 +216,70 @@ def q_drift_ks(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("i")
 
 
+def q_rfm_segments(spark: SparkSession, sf: str) -> DataFrame:
+    """RFM customer segmentation (recency/frequency/monetary), the classic
+    customer-analytics composite — done WITHOUT the textbook ntile()
+    global window, which would single-partition the customer table. Each
+    dimension's low/mid/high cut is an exact interpolated percentile
+    (0.33/0.67) pre-rounded to 4 dp (winsorize rule), broadcast as a
+    1-row table, and applied as CASE comparisons — so segmentation is a
+    scan + one customer aggregate + one 27-cell rollup at any scale.
+    Monetary sums ride DECIMAL (money rule) and become double only for
+    the percentile/compare."""
+    o = table(spark, sf, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count("*").alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("mon_dec"),
+    )
+    anchor = per_cust.agg(F.max("last_order").alias("anchor"))
+    pc = (
+        per_cust.crossJoin(F.broadcast(anchor))
+        .select(
+            "o_custkey",
+            F.datediff("anchor", "last_order").alias("recency"),
+            "frequency",
+            F.col("mon_dec").cast("double").alias("monetary"),
+        )
+    )
+    cuts = pc.agg(
+        F.round(F.percentile("recency", F.lit(0.33)), 4).alias("r_lo"),
+        F.round(F.percentile("recency", F.lit(0.67)), 4).alias("r_hi"),
+        F.round(F.percentile("frequency", F.lit(0.33)), 4).alias("f_lo"),
+        F.round(F.percentile("frequency", F.lit(0.67)), 4).alias("f_hi"),
+        F.round(F.percentile("monetary", F.lit(0.33)), 4).alias("m_lo"),
+        F.round(F.percentile("monetary", F.lit(0.67)), 4).alias("m_hi"),
+    )
+
+    def seg(col, lo, hi):
+        return (
+            F.when(F.col(col) <= F.col(lo), "low")
+            .when(F.col(col) <= F.col(hi), "mid")
+            .otherwise("high")
+        )
+
+    return (
+        pc.crossJoin(F.broadcast(cuts))
+        .select(
+            seg("recency", "r_lo", "r_hi").alias("r_seg"),
+            seg("frequency", "f_lo", "f_hi").alias("f_seg"),
+            seg("monetary", "m_lo", "m_hi").alias("m_seg"),
+            "monetary",
+        )
+        .groupBy("r_seg", "f_seg", "m_seg")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum(F.col("monetary").cast("decimal(18,2)")).cast("double"), 2)
+                .alias("total_monetary"),
+        )
+    )
+
+
 QUERIES = {
     "winsorize_price": q_winsorize_price,
     "drift_psi": q_drift_psi,
     "drift_ks": q_drift_ks,
+    "rfm_segments": q_rfm_segments,
     "quantiles_price": q_quantiles_price,
     "regr_price_qty": q_regr_price_qty,
     "moments_quantity": q_moments_quantity,
@@ -232,6 +292,46 @@ QUERIES = {
 }
 
 ORACLES = {
+    "rfm_segments": """
+WITH pc AS (
+    SELECT o_custkey,
+           MAX(o_orderdate) AS last_order,
+           COUNT(*) AS frequency,
+           SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS mon_dec
+    FROM orders GROUP BY o_custkey
+),
+a AS (SELECT MAX(last_order) AS anchor FROM pc),
+x AS (
+    SELECT o_custkey,
+           date_diff('day', last_order, anchor) AS recency,
+           frequency,
+           CAST(mon_dec AS DOUBLE) AS monetary
+    FROM pc CROSS JOIN a
+),
+cuts AS (
+    SELECT ROUND(quantile_cont(recency, 0.33), 4) AS r_lo,
+           ROUND(quantile_cont(recency, 0.67), 4) AS r_hi,
+           ROUND(quantile_cont(frequency, 0.33), 4) AS f_lo,
+           ROUND(quantile_cont(frequency, 0.67), 4) AS f_hi,
+           ROUND(quantile_cont(monetary, 0.33), 4) AS m_lo,
+           ROUND(quantile_cont(monetary, 0.67), 4) AS m_hi
+    FROM x
+),
+s AS (
+    SELECT CASE WHEN recency <= r_lo THEN 'low'
+                WHEN recency <= r_hi THEN 'mid' ELSE 'high' END AS r_seg,
+           CASE WHEN frequency <= f_lo THEN 'low'
+                WHEN frequency <= f_hi THEN 'mid' ELSE 'high' END AS f_seg,
+           CASE WHEN monetary <= m_lo THEN 'low'
+                WHEN monetary <= m_hi THEN 'mid' ELSE 'high' END AS m_seg,
+           monetary
+    FROM x CROSS JOIN cuts
+)
+SELECT r_seg, f_seg, m_seg, COUNT(*) AS n_customers,
+       ROUND(CAST(SUM(CAST(monetary AS DECIMAL(18,2))) AS DOUBLE), 2)
+           AS total_monetary
+FROM s GROUP BY r_seg, f_seg, m_seg
+    """,
     "drift_ks": """
 WITH e AS (SELECT unnest(generate_series(0, 19)) AS i),
 b AS (SELECT o_totalprice AS v FROM orders

@@ -154,6 +154,35 @@ def q_mm_pcm_frames(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_mm_bmp_patches(spark: SparkSession, sf: str) -> DataFrame:
+    """ViT-style patchify over real decoded BMPs
+    (`operators/multimodal.py:bmp_patches`): 2×2 pixel tiles from the
+    TOP-DOWN-reoriented image, partial edge patches dropped, per-patch
+    channel-byte mean/max. The oracle re-derives every patch from the
+    synth_bmp generation formula ((id + 3r + 5c) % 256 at top-down (r,c)),
+    so a row-flip or stride bug changes the values — this is the
+    decode→tile front of an image-pretraining pipeline with the codec
+    swapped for the BMP walker."""
+    from vptstools_spark.operators.multimodal import bmp_patches, synth_blob_udf
+
+    d = (
+        table(spark, sf, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select(F.col("doc_id").alias("id"), synth_blob_udf("bmp")(F.col("doc_id")).alias("blob"))
+    )
+    return (
+        bmp_patches(d, patch=2)
+        .select(
+            F.col("id").alias("doc_id"),
+            "patch_row",
+            "patch_col",
+            F.round("mean_px", 4).alias("mean_px"),
+            "max_px",
+        )
+        .orderBy("doc_id", "patch_row", "patch_col")
+    )
+
+
 def q_text_repetition(spark: SparkSession, sf: str) -> DataFrame:
     """Repetition scoring — a core pre-training quality signal: per-doc word
     count, distinct-word ratio, and top-word mass. Explode → two-level
@@ -433,6 +462,39 @@ def q_langid_confusion(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_mi_lang_source(spark: SparkSession, sf: str) -> DataFrame:
+    """Mutual information between two categorical columns (lang × source):
+    per-cell pointwise MI and MI contribution, the dependence screen for
+    corpus composition ("does source determine language?") and for feature
+    selection. One joint-count aggregate + two broadcast marginal joins —
+    counts stay integers until a single double division per cell, and
+    ln((n_xy·N)/(n_x·n_y)) is evaluated as a double ratio so the cell math
+    never overflows at corpus scale. MI total = SUM(mi_term) ≥ 0."""
+    d = table(spark, sf, "documents")
+    joint = d.groupBy("lang", "source").agg(F.count("*").alias("n_xy"))
+    mx = joint.groupBy("lang").agg(F.sum("n_xy").alias("n_x"))
+    my = joint.groupBy("source").agg(F.sum("n_xy").alias("n_y"))
+    tot = joint.agg(F.sum("n_xy").alias("n_tot"))
+    ratio = (F.col("n_xy").cast("double") * F.col("n_tot").cast("double")) / (
+        F.col("n_x").cast("double") * F.col("n_y").cast("double")
+    )
+    pmi = F.log(ratio)
+    return (
+        joint.join(F.broadcast(mx), "lang")
+        .join(F.broadcast(my), "source")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "source",
+            "n_xy",
+            F.round(pmi, 6).alias("pmi"),
+            F.round(
+                (F.col("n_xy").cast("double") / F.col("n_tot")) * pmi, 8
+            ).alias("mi_term"),
+        )
+    )
+
+
 def q_text_length_stats(spark: SparkSession, sf: str) -> DataFrame:
     """Per-language length profile: doc count, mean chars, exact median and
     p90 token counts — the length-filter calibration view of a cleaning
@@ -513,6 +575,7 @@ QUERIES = {
     "text_quality": q_text_quality,
     "text_langid": q_text_langid,
     "langid_confusion": q_langid_confusion,
+    "mi_lang_source": q_mi_lang_source,
     "text_length_stats": q_text_length_stats,
     "text_fingerprint": q_text_fingerprint,
     "text_repetition": q_text_repetition,
@@ -520,6 +583,7 @@ QUERIES = {
     "mm_binary_stats": q_mm_binary_stats,
     "mm_wav_features": q_mm_wav_features,
     "mm_bmp_stats": q_mm_bmp_stats,
+    "mm_bmp_patches": q_mm_bmp_patches,
     "mm_pcm_frames": q_mm_pcm_frames,
     "vocab_topk": q_vocab_topk,
     "tfidf_top": q_tfidf_top,
@@ -541,6 +605,52 @@ def _langid_confusion_sql() -> str:
 
 
 ORACLES = {
+    "mm_bmp_patches": """
+        WITH ids AS (
+            SELECT DISTINCT doc_id AS id FROM documents WHERE doc_id < 200
+        ),
+        dims AS (SELECT id, 8 + id % 3 AS width FROM ids),
+        grid AS (
+            SELECT id, pr.pr, pc.pc
+            FROM dims,
+                 (SELECT unnest(generate_series(0, 2)) AS pr) pr,
+                 (SELECT unnest(generate_series(0, 4)) AS pc) pc
+            WHERE pc.pc < width // 2
+        ),
+        cells AS (
+            SELECT id, pr, pc,
+                   CAST((id + 3 * (2 * pr + dr.d) + 5 * (2 * pc + dc.d)) % 256
+                        AS DOUBLE) AS v
+            FROM grid,
+                 (SELECT unnest(generate_series(0, 1)) AS d) dr,
+                 (SELECT unnest(generate_series(0, 1)) AS d) dc
+        )
+        SELECT id AS doc_id, pr AS patch_row, pc AS patch_col,
+               ROUND(AVG(v), 4) AS mean_px, CAST(MAX(v) AS INT) AS max_px
+        FROM cells GROUP BY 1, 2, 3
+        ORDER BY doc_id, patch_row, patch_col
+    """,
+    "mi_lang_source": """
+        WITH joint AS (
+            SELECT lang, source, COUNT(*) AS n_xy
+            FROM documents GROUP BY lang, source
+        ),
+        mx AS (SELECT lang, SUM(n_xy) AS n_x FROM joint GROUP BY lang),
+        my AS (SELECT source, SUM(n_xy) AS n_y FROM joint GROUP BY source),
+        tot AS (SELECT SUM(n_xy) AS n_tot FROM joint)
+        SELECT j.lang, j.source, j.n_xy,
+               ROUND(ln((CAST(j.n_xy AS DOUBLE) * CAST(n_tot AS DOUBLE))
+                        / (CAST(n_x AS DOUBLE) * CAST(n_y AS DOUBLE))), 6)
+                   AS pmi,
+               ROUND((CAST(j.n_xy AS DOUBLE) / n_tot)
+                     * ln((CAST(j.n_xy AS DOUBLE) * CAST(n_tot AS DOUBLE))
+                          / (CAST(n_x AS DOUBLE) * CAST(n_y AS DOUBLE))), 8)
+                   AS mi_term
+        FROM joint j
+        JOIN mx USING (lang)
+        JOIN my USING (source)
+        CROSS JOIN tot
+    """,
     "inverted_index": """
 WITH toks AS (
     SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term FROM documents

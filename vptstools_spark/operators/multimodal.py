@@ -426,3 +426,76 @@ def synth_blob_udf(kind: str):
         return ids.map(lambda i: make(int(i)))
 
     return gen
+
+
+#: output schema of patch extraction: one row per full patch
+BMP_PATCH_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType(), False),
+        T.StructField("patch_row", T.IntegerType(), False),
+        T.StructField("patch_col", T.IntegerType(), False),
+        T.StructField("mean_px", T.DoubleType(), True),
+        T.StructField("max_px", T.IntegerType(), True),
+    ]
+)
+
+
+def bmp_patches(
+    df: DataFrame, patch: int = 2, id_col: str = "id", blob_col: str = "blob"
+) -> DataFrame:
+    """ViT-style patch extraction over decoded 24-bpp BMPs: the image is
+    reoriented TOP-DOWN (BMP stores rows bottom-up for positive heights —
+    the orientation bug a raw byte-tiler ships), tiled into
+    `patch`×`patch` pixel patches, and each patch reduced to channel-byte
+    mean/max. Partial edge patches are DROPPED (exact-division tiling,
+    the ViT convention), so a 9-wide image yields width//patch columns.
+
+    The Spark-side plumbing is the multimodal contract: Arrow-batched
+    ``mapInPandas``, one narrow pass, per-image fan-out of
+    (rows//patch)·(cols//patch) output rows, no shuffle, no driver data —
+    the same shape a real pretraining patchifier (decode → tile → embed)
+    runs at 100 TB, with the codec swapped in for the BMP walker."""
+    import numpy as np
+
+    def gen(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                k: []
+                for k in ("id", "patch_row", "patch_col", "mean_px", "max_px")
+            }
+            for rid, blob in zip(pdf[id_col], pdf[blob_col]):
+                if blob is None or len(blob) < 54 or blob[:2] != b"BM":
+                    continue
+                px_off = int.from_bytes(blob[10:14], "little")
+                width = int.from_bytes(blob[18:22], "little", signed=True)
+                height = int.from_bytes(blob[22:26], "little", signed=True)
+                bpp = int.from_bytes(blob[28:30], "little")
+                compression = int.from_bytes(blob[30:34], "little")
+                if bpp != 24 or compression != 0 or width <= 0 or height == 0:
+                    continue
+                n_rows = abs(height)
+                stride = (width * 3 + 3) // 4 * 4
+                if len(blob) < px_off + stride * n_rows:
+                    continue
+                arr = np.frombuffer(
+                    blob, dtype=np.uint8, count=stride * n_rows, offset=px_off
+                )
+                px = arr.reshape(n_rows, stride)[:, : width * 3]
+                if height > 0:  # bottom-up storage → flip to top-down
+                    px = px[::-1]
+                img = px.reshape(n_rows, width, 3)
+                pr_n, pc_n = n_rows // patch, width // patch
+                for pr in range(pr_n):
+                    for pc in range(pc_n):
+                        tile = img[
+                            pr * patch : (pr + 1) * patch,
+                            pc * patch : (pc + 1) * patch,
+                        ]
+                        out["id"].append(int(rid))
+                        out["patch_row"].append(pr)
+                        out["patch_col"].append(pc)
+                        out["mean_px"].append(float(tile.mean()))
+                        out["max_px"].append(int(tile.max()))
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, blob_col).mapInPandas(gen, BMP_PATCH_SCHEMA)
