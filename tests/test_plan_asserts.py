@@ -72,6 +72,7 @@ def test_no_row_python_anywhere_vectorized_only_where_documented(spark):
         "mm_wav_features",        # binary container decode (RIFF walk + numpy PCM)
         "mm_bmp_stats",           # binary container decode (DIB + numpy pixels)
         "mm_pcm_frames",          # raw int16 PCM framing (numpy)
+        "mm_bmp_patches",         # binary decode + ViT tiling (numpy)
     }
     sf = "/root/testdata/sf0.001"
     row_offenders, vec_offenders = {}, {}
