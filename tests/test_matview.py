@@ -1,0 +1,134 @@
+"""Materialized-view layer (plans/matview.py): answer equality vs the
+base table, the avg-of-averages trap, spec matching, router fallback,
+and partition-scoped incremental refresh vs full rebuild."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from vptstools_spark.plans.matview import (
+    MatViewDef,
+    Measure,
+    answer_from_mv,
+    can_answer,
+    create_matview,
+    read_matview,
+    refresh_matview,
+    route,
+)
+
+MV = MatViewDef(
+    name="sales_by_prio_month",
+    dims=("prio", "month"),
+    measures={
+        "rev_sum": Measure("sum", "price", cast="decimal(18,2)"),
+        "n": Measure("count", "*"),
+        "p_min": Measure("min", "price"),
+        "p_max": Measure("max", "price"),
+    },
+    partition_dim="month",
+)
+
+
+def _base(spark, rows):
+    return spark.createDataFrame(rows, "prio string, month string, price double")
+
+
+def _rows(df, dims):
+    return {
+        tuple(r[d] for d in dims): tuple(v for k, v in r.asDict().items() if k not in dims)
+        for r in df.collect()
+    }
+
+
+def test_mv_answers_equal_base_aggregate(spark, tmp_path):
+    base = _base(
+        spark,
+        [("HIGH", "m1", 10.0), ("HIGH", "m1", 20.0), ("HIGH", "m2", 40.0),
+         ("LOW", "m1", 1.0), ("LOW", "m2", 3.0), ("LOW", "m2", 5.0)],
+    )
+    path = str(tmp_path / "mv")
+    create_matview(base, path, MV)
+    mv_df, mv = read_matview(spark, path)
+    wanted = {
+        "n_rows": ("count", "*"),
+        "revenue": ("sum", "price"),
+        "avg_price": ("avg", "price"),
+        "min_price": ("min", "price"),
+        "max_price": ("max", "price"),
+    }
+    got = answer_from_mv(mv_df, mv, ["prio"], wanted)
+    direct = base.groupBy("prio").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("price").cast("decimal(18,2)")).alias("revenue"),
+        F.avg("price").alias("avg_price"),
+        F.min("price").alias("min_price"),
+        F.max("price").alias("max_price"),
+    )
+    g, d = _rows(got, ["prio"]), _rows(direct, ["prio"])
+    assert set(g) == set(d)
+    for k in g:
+        for a, b in zip(g[k], d[k]):
+            assert float(a) == pytest.approx(float(b))
+
+
+def test_avg_is_sum_over_count_not_avg_of_avgs(spark, tmp_path):
+    # groups of very different sizes: avg-of-avgs would give 5.5, truth is 1.9
+    base = _base(
+        spark,
+        [("A", "m1", 1.0)] * 9 + [("A", "m2", 10.0)],
+    )
+    path = str(tmp_path / "mv")
+    create_matview(base, path, MV)
+    mv_df, mv = read_matview(spark, path)
+    out = answer_from_mv(mv_df, mv, ["prio"], {"a": ("avg", "price")}).collect()
+    assert out[0]["a"] == pytest.approx(1.9)
+
+
+def test_can_answer_rejects_underivable(spark):
+    assert can_answer(MV, ["prio"], {"x": ("sum", "price")})
+    assert not can_answer(MV, ["prio", "day"], {"x": ("sum", "price")})
+    assert not can_answer(MV, ["prio"], {"x": ("sum", "qty")})
+    no_count = MatViewDef(
+        "nc", ("prio",), {"s": Measure("sum", "price")}, None
+    )
+    assert not can_answer(no_count, ["prio"], {"x": ("avg", "price")})
+
+
+def test_route_falls_back_to_base_on_miss(spark, tmp_path):
+    base = _base(spark, [("A", "m1", 2.0), ("B", "m1", 4.0)])
+    path = str(tmp_path / "mv")
+    create_matview(base, path, MV)
+    mv_df, mv = read_matview(spark, path)
+    # 'day' is not an MV dim -> must aggregate the base table
+    out = route(
+        base.withColumn("day", F.lit("d1")), mv_df, mv,
+        ["day"], {"n_rows": ("count", "*")},
+    ).collect()
+    assert [(r["day"], r["n_rows"]) for r in out] == [("d1", 2)]
+
+
+def test_incremental_refresh_matches_full_rebuild(spark, tmp_path):
+    rows = [("HIGH", "m1", 10.0), ("HIGH", "m2", 40.0), ("LOW", "m2", 3.0)]
+    base = _base(spark, rows)
+    inc_path, full_path = str(tmp_path / "inc"), str(tmp_path / "full")
+    create_matview(base, inc_path, MV)
+    # base changes in m2 only (new row + implicit reaggregation)
+    rows2 = rows + [("LOW", "m2", 7.0), ("HIGH", "m2", 1.0)]
+    base2 = _base(spark, rows2)
+    refresh_matview(base2, inc_path, changed=["m2"])
+    create_matview(base2, full_path, MV)
+    inc_df, mv = read_matview(spark, inc_path)
+    full_df, _ = read_matview(spark, full_path)
+    cols = ["prio", "month", "rev_sum", "n", "p_min", "p_max"]
+    assert sorted(map(tuple, inc_df.select(cols).collect())) == sorted(
+        map(tuple, full_df.select(cols).collect())
+    )
+
+
+def test_refresh_requires_partitioned_mv(spark, tmp_path):
+    mv = MatViewDef("u", ("prio",), {"n": Measure("count", "*")}, None)
+    base = _base(spark, [("A", "m1", 1.0)])
+    path = str(tmp_path / "mv")
+    create_matview(base, path, mv)
+    with pytest.raises(ValueError, match="unpartitioned"):
+        refresh_matview(base, path, changed=["m1"])

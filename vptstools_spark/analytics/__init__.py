@@ -57,6 +57,7 @@ NEW_THIS_ROUND = [
     "mi_lang_source",
     "rfm_segments",
     "mm_bmp_patches",
+    "mv_rollup_orders",
     "mm_wav_features",
     "mm_bmp_stats",
     "mm_pcm_frames",

@@ -275,11 +275,80 @@ def q_rfm_segments(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+#: session-scoped built-MV memo — the MV is a pure function of (sf, def),
+#: same discipline as similarity_q._MODEL_CACHE; serving-path queries
+#: should pay rollup-read cost, not rebuild cost
+_MV_CACHE: dict = {}
+
+
+def q_mv_rollup_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """Materialized-view-served rollup (`plans/matview.py`): build the
+    (priority × month) summary table once — partitioned by month, DECIMAL
+    revenue, stored sum+count so avg derives correctly — then answer the
+    priority-level dashboard query FROM THE MV with the re-aggregation
+    algebra (sum-of-sums, sum-of-counts, derived avg, max-of-max). The
+    oracle aggregates the raw orders table directly, so the gate proves
+    the MV path is indistinguishable from first-principles aggregation —
+    while scanning a summary that is |priorities×months| rows instead of
+    the lake."""
+    import tempfile
+
+    from vptstools_spark.plans.matview import (
+        MatViewDef,
+        Measure,
+        answer_from_mv,
+        create_matview,
+        read_matview,
+    )
+
+    key = ("orders_mv", sf)
+    if key not in _MV_CACHE:
+        o = table(spark, sf, "orders")
+        base = o.select(
+            "o_orderpriority",
+            F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias("month"),
+            "o_totalprice",
+        )
+        mv = MatViewDef(
+            name="orders_by_prio_month",
+            dims=("o_orderpriority", "month"),
+            measures={
+                "rev": Measure("sum", "o_totalprice", cast="decimal(18,2)"),
+                "n": Measure("count", "*"),
+                "mx": Measure("max", "o_totalprice"),
+            },
+            partition_dim="month",
+        )
+        path = tempfile.mkdtemp(prefix="mv_orders_")
+        create_matview(base, path, mv)
+        _MV_CACHE[key] = path
+    mv_df, mv = read_matview(spark, _MV_CACHE[key])
+    out = answer_from_mv(
+        mv_df,
+        mv,
+        ["o_orderpriority"],
+        {
+            "n_orders": ("count", "*"),
+            "revenue": ("sum", "o_totalprice"),
+            "avg_price": ("avg", "o_totalprice"),
+            "max_price": ("max", "o_totalprice"),
+        },
+    )
+    return out.select(
+        "o_orderpriority",
+        "n_orders",
+        F.round(F.col("revenue").cast("double"), 2).alias("revenue"),
+        F.round("avg_price", 4).alias("avg_price"),
+        F.round("max_price", 2).alias("max_price"),
+    )
+
+
 QUERIES = {
     "winsorize_price": q_winsorize_price,
     "drift_psi": q_drift_psi,
     "drift_ks": q_drift_ks,
     "rfm_segments": q_rfm_segments,
+    "mv_rollup_orders": q_mv_rollup_orders,
     "quantiles_price": q_quantiles_price,
     "regr_price_qty": q_regr_price_qty,
     "moments_quantity": q_moments_quantity,
@@ -292,6 +361,16 @@ QUERIES = {
 }
 
 ORACLES = {
+    "mv_rollup_orders": """
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+           AS revenue,
+       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             / COUNT(*), 4) AS avg_price,
+       ROUND(MAX(o_totalprice), 2) AS max_price
+FROM orders GROUP BY o_orderpriority
+    """,
     "rfm_segments": """
 WITH pc AS (
     SELECT o_custkey,

@@ -1,0 +1,233 @@
+"""Aggregate materialized views (summary tables) with rollup answering
+and partition-scoped incremental refresh.
+
+Engine feature in the OLAP summary-table family (Druid/Pinot rollups,
+BigQuery materialized views, Calcite's aggregate-match rewrite; the
+reference engine has no MV layer — this extends SURVEY §7.5's
+engine-extension line): define an aggregate MV over a base table, persist
+it as partitioned parquet plus a JSON definition sidecar, and answer any
+COARSER aggregation from the MV instead of the base table. At 100 TB the
+MV is smaller than the base by the rollup factor (often 10³–10⁶×), so a
+matched dashboard query scans megabytes instead of the lake.
+
+Matching is SPEC-level, not plan-level: a request (dims, measures) routes
+to the MV iff dims ⊆ mv.dims and every requested measure is derivable
+from the MV's stored measures. Anything else falls through to the base
+table — the router can be conservative but never wrong. Derivability is
+the standard re-aggregation algebra:
+
+    sum   → SUM(mv.sum)          count → SUM(mv.count)
+    min   → MIN(mv.min)          max   → MAX(mv.max)
+    avg   → SUM(mv.sum) / SUM(mv.count)   — never AVG(mv.avg)
+
+(avg is why MVs must store sum+count, not averages: averages of averages
+are wrong under uneven group sizes.)
+
+Incremental refresh recomputes ONLY the MV partitions whose base data
+changed (dynamic partition overwrite on the MV's partition dim) — the
+same bounded-worklist contract as `operators/merge.py`.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_DEF_FILE = "_matview.json"
+_DATA_DIR = "data"
+
+#: measure functions the re-aggregation algebra can roll up further.
+#: (avg is intentionally absent from STORABLE: it is derived, never stored)
+STORABLE_FNS = ("sum", "count", "min", "max")
+_REAGG = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
+
+
+@dataclass(frozen=True)
+class Measure:
+    """One stored measure: `fn` over base column `col` (count uses "*"),
+    optionally pre-cast to `cast` (e.g. "decimal(18,2)" for money sums —
+    the exact-money rule survives re-aggregation because decimal sums of
+    decimal sums are still exact)."""
+
+    fn: str
+    col: str
+    cast: str | None = None
+
+    def __post_init__(self):
+        if self.fn not in STORABLE_FNS:
+            raise ValueError(
+                f"measure fn {self.fn!r} not storable; use one of {STORABLE_FNS}"
+            )
+
+
+@dataclass(frozen=True)
+class MatViewDef:
+    name: str
+    dims: tuple[str, ...]
+    measures: dict = field(hash=False)  # out_col -> Measure
+    partition_dim: str | None = None
+
+    def to_json(self) -> str:
+        return json.dumps(
+            {
+                "name": self.name,
+                "dims": list(self.dims),
+                "measures": {
+                    k: {"fn": m.fn, "col": m.col, "cast": m.cast}
+                    for k, m in self.measures.items()
+                },
+                "partition_dim": self.partition_dim,
+            }
+        )
+
+    @staticmethod
+    def from_json(s: str) -> "MatViewDef":
+        d = json.loads(s)
+        return MatViewDef(
+            name=d["name"],
+            dims=tuple(d["dims"]),
+            measures={
+                k: Measure(m["fn"], m["col"], m.get("cast"))
+                for k, m in d["measures"].items()
+            },
+            partition_dim=d.get("partition_dim"),
+        )
+
+
+def _agg_exprs(mv: MatViewDef) -> list:
+    out = []
+    for name, m in mv.measures.items():
+        if m.fn == "count":
+            src = F.lit(1) if m.col == "*" else F.col(m.col)
+            expr = F.count(src)
+        else:
+            c = F.col(m.col)
+            if m.cast:
+                c = c.cast(m.cast)
+            expr = getattr(F, m.fn)(c)
+        out.append(expr.alias(name))
+    return out
+
+
+def _aggregate(base: DataFrame, mv: MatViewDef) -> DataFrame:
+    return base.groupBy(*mv.dims).agg(*_agg_exprs(mv))
+
+
+def create_matview(base: DataFrame, path: str, mv: MatViewDef) -> None:
+    """Full build: one aggregate over the base table → parquet (partitioned
+    by `partition_dim` when set, so refresh and dim-filtered reads prune
+    at planning time) + the definition sidecar."""
+    if mv.partition_dim is not None and mv.partition_dim not in mv.dims:
+        raise ValueError("partition_dim must be one of the MV dims")
+    agg = _aggregate(base, mv)
+    w = agg.write.mode("overwrite")
+    if mv.partition_dim:
+        w = w.partitionBy(mv.partition_dim)
+    w.parquet(os.path.join(path, _DATA_DIR))
+    with open(os.path.join(path, _DEF_FILE), "w", encoding="utf-8") as f:
+        f.write(mv.to_json())
+
+
+def read_matview(spark: SparkSession, path: str) -> tuple[DataFrame, MatViewDef]:
+    with open(os.path.join(path, _DEF_FILE), encoding="utf-8") as f:
+        mv = MatViewDef.from_json(f.read())
+    return spark.read.parquet(os.path.join(path, _DATA_DIR)), mv
+
+
+def can_answer(mv: MatViewDef, dims: list[str], wanted: dict) -> bool:
+    """True iff (dims, wanted) is derivable: dims ⊆ mv.dims and every
+    wanted (fn, col) has its stored prerequisite(s) — avg needs BOTH the
+    sum and the count of the same column set."""
+    if not set(dims) <= set(mv.dims):
+        return False
+    stored = {(m.fn, m.col) for m in mv.measures.values()}
+    for fn, col in wanted.values():
+        if fn == "avg":
+            if ("sum", col) not in stored or not any(
+                f == "count" for f, _ in stored
+            ):
+                return False
+        elif (fn, col) not in stored:
+            return False
+    return True
+
+
+def answer_from_mv(
+    mv_df: DataFrame, mv: MatViewDef, dims: list[str], wanted: dict
+) -> DataFrame:
+    """Roll the MV up to `dims`, deriving each wanted measure with the
+    re-aggregation algebra. `wanted`: out_col -> (fn, base_col) with fn in
+    sum/count/min/max/avg. Raises if not derivable — call `can_answer`
+    (or `route`) first."""
+    if not can_answer(mv, dims, wanted):
+        raise ValueError(f"MV {mv.name} cannot answer dims={dims} wanted={wanted}")
+    by_pair = {(m.fn, m.col): name for name, m in mv.measures.items()}
+    count_col = next(name for name, m in mv.measures.items() if m.fn == "count")
+    exprs = []
+    for out, (fn, col) in wanted.items():
+        if fn == "avg":
+            e = F.sum(by_pair[("sum", col)]).cast("double") / F.sum(count_col)
+        else:
+            e = _REAGG[fn](F.col(by_pair[(fn, col)]))
+        exprs.append(e.alias(out))
+    return mv_df.groupBy(*dims).agg(*exprs)
+
+
+def route(
+    base: DataFrame,
+    mv_df: DataFrame,
+    mv: MatViewDef,
+    dims: list[str],
+    wanted: dict,
+) -> DataFrame:
+    """Answer from the MV when derivable, else aggregate the base table
+    directly — the conservative aggregate-navigator contract: a miss costs
+    a base scan, never a wrong answer."""
+    if can_answer(mv, dims, wanted):
+        return answer_from_mv(mv_df, mv, dims, wanted)
+    exprs = []
+    for out, (fn, col) in wanted.items():
+        if fn == "count":
+            e = F.count(F.lit(1) if col == "*" else F.col(col))
+        elif fn == "avg":
+            e = F.avg(F.col(col))
+        else:
+            e = getattr(F, fn)(F.col(col))
+        exprs.append(e.alias(out))
+    return base.groupBy(*dims).agg(*exprs)
+
+
+def refresh_matview(
+    base: DataFrame, path: str, changed: list
+) -> None:
+    """Partition-scoped incremental refresh: recompute the MV rows for the
+    partitions in `changed` (values of the MV's partition_dim) and replace
+    ONLY those partitions via dynamic partition overwrite. The recompute
+    filters the BASE side on the partition dim first, so the work is
+    proportional to the changed slice, not the table — and the filter
+    reaches the base scan as a pushed predicate (partition pruning when
+    the base is partitioned the same way).
+
+    Requires a partitioned MV; raises otherwise (an unpartitioned MV has
+    no replace unit smaller than itself — rebuild instead)."""
+    spark = base.sparkSession
+    _, mv = read_matview(spark, path)
+    if not mv.partition_dim:
+        raise ValueError(f"MV {mv.name} is unpartitioned; use create_matview")
+    if not changed:
+        return
+    delta = _aggregate(base.filter(F.col(mv.partition_dim).isin(changed)), mv)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            delta.write.mode("overwrite")
+            .partitionBy(mv.partition_dim)
+            .parquet(os.path.join(path, _DATA_DIR))
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
