@@ -95,6 +95,20 @@ HEADLINE = [
     "dsir_select",
     "bpe_encode",
     "ann_filtered",
+    # round 4 additions
+    "snapshot_diff",
+    "drift_ks",
+    "ts_cusum",
+    "events_resample_interp",
+    "link_prediction",
+    "events_markov",
+    "mi_lang_source",
+    "rfm_segments",
+    "mm_bmp_patches",
+    "mv_rollup_orders",
+    "mm_wav_features",
+    "kcore_parts",
+    "sample_temperature",
 ]
 
 #: sf0.1-scale tier on the Zipf-vocabulary fixture (tools/gen_zipf.py):

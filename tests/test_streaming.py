@@ -583,3 +583,75 @@ def test_drift_monitor_sink_flags_shifted_batch(spark, tmp_path):
     # the bin that captured all the mass carries the largest term:
     # (0.1-1.0)·ln(0.1/1.0) ≈ 2.07 > any lost-mass bin's (0.1-ε)·ln(0.1/ε)
     assert rows[1]["worst_bin"] == 9 and rows[1]["worst_term"] > 1.0
+
+
+def test_matview_stream_sink_matches_batch_build_and_serves(spark, tmp_path):
+    """A stream-maintained MatViewDef must equal the batch-built MV over
+    the same data (interchangeable by construction) and serve rollups
+    through the same answer_from_mv path."""
+    from pyspark.sql import functions as F
+
+    from vptstools_spark.plans.matview import (
+        MatViewDef,
+        Measure,
+        answer_from_mv,
+        create_matview,
+        read_matview,
+    )
+    from vptstools_spark.streaming.incremental import matview_stream_sink
+
+    mv = MatViewDef(
+        name="ev_by_day_type",
+        dims=("p_day", "event_type"),
+        measures={
+            "n": Measure("count", "*"),
+            "v_sum": Measure("sum", "value"),
+            "v_max": Measure("max", "value"),
+        },
+        partition_dim="p_day",
+    )
+    src = str(tmp_path / "mv_ev")
+    out = str(tmp_path / "mv_out")
+    ckpt = str(tmp_path / "mv_ck")
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+
+    def t(d, h):
+        return datetime.datetime(2024, 1, d, h, 0)
+
+    def write(rows):
+        spark.createDataFrame(rows, schema).write.mode("append").parquet(src)
+
+    def run():
+        stream = (
+            spark.readStream.schema(schema)
+            .parquet(src)
+            .withColumn("p_day", F.date_format(F.to_date("ts"), "yyyy-MM-dd"))
+        )
+        matview_stream_sink(stream, out, ckpt, mv).awaitTermination(120)
+
+    batch1 = [(1, t(1, 9), 1, "click", 1.0), (2, t(1, 10), 2, "view", 2.0),
+              (3, t(2, 9), 1, "click", 4.0)]
+    batch2 = [(4, t(2, 18), 3, "click", 8.0), (5, t(3, 9), 1, "view", 16.0)]
+    write(batch1)
+    run()
+    write(batch2)
+    run()
+
+    full = str(tmp_path / "mv_full")
+    all_df = spark.createDataFrame(batch1 + batch2, schema).withColumn(
+        "p_day", F.date_format(F.to_date("ts"), "yyyy-MM-dd")
+    )
+    create_matview(all_df, full, mv)
+    cols = ["p_day", "event_type", "n", "v_sum", "v_max"]
+    got_df, got_mv = read_matview(spark, out)
+    want_df, _ = read_matview(spark, full)
+    assert sorted(map(tuple, got_df.select(cols).collect())) == sorted(
+        map(tuple, want_df.select(cols).collect())
+    )
+    served = answer_from_mv(
+        got_df, got_mv, ["event_type"],
+        {"n_rows": ("count", "*"), "total": ("sum", "value")},
+    ).collect()
+    assert {(r["event_type"], r["n_rows"], r["total"]) for r in served} == {
+        ("click", 3, 13.0), ("view", 2, 18.0),
+    }

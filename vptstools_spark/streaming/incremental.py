@@ -718,3 +718,90 @@ def drift_monitor_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def matview_stream_sink(
+    stream: DataFrame,
+    path: str,
+    checkpoint: str,
+    mv,
+) -> StreamingQuery:
+    """Streaming maintenance of ANY `plans/matview.py` MatViewDef — the
+    generalization of `incremental_rollup_sink` from its hardcoded
+    (day, event_type) counts to an arbitrary aggregate MV: each
+    availableNow micro-batch aggregates itself with the MV's definition,
+    merges into the stored summary with the MV's own re-aggregation
+    algebra (sum/count→Σ, min→min, max→max — the same algebra the batch
+    query router uses, so stream-maintained and batch-built MVs are
+    interchangeable by construction), and dynamic-partition-overwrites
+    only the touched partitions of `mv.partition_dim`.
+
+    Merge is not idempotent for sums, so every row carries the writing
+    `_batch_id` and a replayed batch skips partitions whose stored id
+    already reached it (the foreachBatch exactly-once recipe shared with
+    `incremental_rollup_sink`). Requires a partitioned MatViewDef —
+    without a partition dim there is no replace unit smaller than the MV.
+    """
+    from vptstools_spark.plans.matview import _REAGG, _aggregate
+
+    if not mv.partition_dim:
+        raise ValueError(f"MV {mv.name} needs partition_dim for streaming")
+    pdim = mv.partition_dim
+    data_path = f"{path}/data"
+    merge_exprs = [
+        _REAGG[m.fn](F.col(name)).alias(name) for name, m in mv.measures.items()
+    ]
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        delta = _aggregate(batch_df, mv)
+        parts = [r[pdim] for r in delta.select(pdim).distinct().collect()]
+        if _hadoop_path_exists(spark, data_path):
+            prev = spark.read.parquet(data_path).filter(F.col(pdim).isin(parts))
+            applied = {
+                r[pdim]: r["bid"]
+                for r in prev.groupBy(pdim).agg(F.max("_batch_id").alias("bid")).collect()
+            }
+        else:
+            prev, applied = None, {}
+        todo = [p for p in parts if applied.get(p, -1) < batch_id]
+        if not todo:
+            return
+        delta = delta.filter(F.col(pdim).isin(todo))
+        if prev is not None:
+            merged = (
+                prev.filter(F.col(pdim).isin(todo))
+                .drop("_batch_id")
+                .unionByName(delta)
+                .groupBy(*mv.dims)
+                .agg(*merge_exprs)
+            )
+        else:
+            merged = delta
+        merged = merged.withColumn("_batch_id", F.lit(batch_id)).localCheckpoint(
+            eager=True
+        )
+        (
+            merged.repartition(pdim)
+            .write.mode("overwrite")
+            .partitionBy(pdim)
+            .parquet(data_path)
+        )
+
+    # write the definition sidecar so read_matview/answer_from_mv serve
+    # the stream-maintained MV exactly like a batch-built one
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "_matview.json"), "w", encoding="utf-8") as f:
+        f.write(mv.to_json())
+
+    return (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
