@@ -106,6 +106,9 @@ HEADLINE = [
     "rfm_segments",
     "mm_bmp_patches",
     "mv_rollup_orders",
+    "hll_rollup",
+    "returned_item_report",
+    "events_funnel_windowed",
     "mm_wav_features",
     "kcore_parts",
     "sample_temperature",

@@ -58,6 +58,9 @@ NEW_THIS_ROUND = [
     "rfm_segments",
     "mm_bmp_patches",
     "mv_rollup_orders",
+    "hll_rollup",
+    "returned_item_report",
+    "events_funnel_windowed",
     "mm_wav_features",
     "mm_bmp_stats",
     "mm_pcm_frames",

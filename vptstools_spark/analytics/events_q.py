@@ -150,6 +150,42 @@ def q_events_funnel(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_events_funnel_windowed(spark: SparkSession, sf: str) -> DataFrame:
+    """Conversion-window funnel — the time-boxed variant of
+    `events_funnel`: each stage must land within 7 days of the PREVIOUS
+    stage's first hit (view → click ≤ 7d → purchase ≤ 7d), the form
+    marketing attribution actually uses (an unbounded funnel overcounts
+    conversions that straggle in months later). Same scale shape: each
+    stage pre-aggregates to a per-user MIN before its join, three keyed
+    joins sharing the user_id exchange."""
+    e = table(spark, sf, "events")
+    week = F.expr("INTERVAL 7 DAYS")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter((F.col("ts") >= F.col("v_ts")) & (F.col("ts") <= F.col("v_ts") + week))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c_ts"))
+    )
+    pu = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter((F.col("ts") >= F.col("c_ts")) & (F.col("ts") <= F.col("c_ts") + week))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    return (
+        v.agg(F.count("*").alias("n_view"))
+        .crossJoin(c.agg(F.count("*").alias("n_click_7d")))
+        .crossJoin(pu.agg(F.count("*").alias("n_purchase_7d")))
+    )
+
+
 def q_events_resample_locf(spark: SparkSession, sf: str) -> DataFrame:
     """Daily resample with last-observation-carried-forward: a calendar
     spine (sequence+explode — generated, never shuffled) cross-joined with
@@ -424,9 +460,33 @@ QUERIES = {
     "events_resample_locf": q_events_resample_locf,
     "events_resample_interp": q_events_resample_interp,
     "events_markov": q_events_markov,
+    "events_funnel_windowed": q_events_funnel_windowed,
 }
 
 ORACLES = {
+    "events_funnel_windowed": """
+        WITH v AS (
+            SELECT user_id, MIN(ts) AS v_ts FROM events
+            WHERE event_type = 'view' GROUP BY user_id
+        ),
+        c AS (
+            SELECT e.user_id, MIN(e.ts) AS c_ts
+            FROM events e JOIN v ON e.user_id = v.user_id
+            WHERE e.event_type = 'click'
+              AND e.ts >= v.v_ts AND e.ts <= v.v_ts + INTERVAL 7 DAY
+            GROUP BY e.user_id
+        ),
+        p AS (
+            SELECT e.user_id, MIN(e.ts) AS p_ts
+            FROM events e JOIN c ON e.user_id = c.user_id
+            WHERE e.event_type = 'purchase'
+              AND e.ts >= c.c_ts AND e.ts <= c.c_ts + INTERVAL 7 DAY
+            GROUP BY e.user_id
+        )
+        SELECT (SELECT COUNT(*) FROM v) AS n_view,
+               (SELECT COUNT(*) FROM c) AS n_click_7d,
+               (SELECT COUNT(*) FROM p) AS n_purchase_7d
+    """,
     "snapshot_diff": """
         WITH o AS (
             SELECT o_orderkey, o_totalprice, o_orderstatus

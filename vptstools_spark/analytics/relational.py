@@ -582,6 +582,34 @@ def q_promo_revenue(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_returned_item_report(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q10 shape — returned-item revenue report: top-20 customers by
+    revenue lost to returns in a quarter, with nation context. Revenue is
+    a DECIMAL sum (money rule); the date predicate and the returnflag
+    filter push to the two fact scans, the two dims broadcast, and the
+    top-k is orderBy+limit (TakeOrderedAndProject) over the customer
+    aggregate — the canonical star-join report at any scale."""
+    o = table(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= "1998-01-01") & (F.col("o_orderdate") < "1998-04-01")
+    )
+    l = table(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R")
+    c = table(spark, sf, "customer")
+    n = table(spark, sf, "nation")
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))
+    )
+    return (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
+        .agg(F.round(F.sum(rev).cast("double"), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
 QUERIES = {
     "promo_revenue": q_promo_revenue,
     "nation_volume_shipping": q_nation_volume_shipping,
@@ -590,6 +618,7 @@ QUERIES = {
     "pricing_summary": q_pricing_summary,
     "nation_customer_sample": q_nation_customer_sample,
     "latest_order": q_latest_order,
+    "returned_item_report": q_returned_item_report,
     "lost_order_months": q_lost_order_months,
     "order_count_dist": q_order_count_dist,
     "large_orders": q_large_orders,
@@ -612,6 +641,22 @@ QUERIES = {
 }
 
 ORACLES = {
+    "returned_item_report": """
+SELECT c_custkey, c_name, n_name, c_acctbal,
+       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+                  AS DOUBLE), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1998-01-01'
+  AND o_orderdate < TIMESTAMP '1998-04-01'
+GROUP BY c_custkey, c_name, n_name, c_acctbal
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+    """,
     "promo_revenue": """
         SELECT ROUND(100.0 *
                    CAST(SUM(CASE WHEN p_name LIKE 'red%'

@@ -31,6 +31,25 @@ def q_sketch_hll_distinct(spark: SparkSession, sf: str) -> DataFrame:
     return est.join(F.broadcast(exact), "l_returnflag").orderBy("l_returnflag")
 
 
+def q_hll_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """Sketch ROLLUP — the property that makes HLL a storable summary: build
+    fine-grained (returnflag × linestatus) register states, then answer the
+    coarser returnflag question by MERGING the 256-row states
+    (`sketch.hll_merge`, max per bucket) without rescanning lineitem.
+    Because register max-merge is associative, merge-then-estimate is
+    EXACTLY the direct coarse estimate — the oracle computes the direct
+    form, so the gate proves the rollup identity cross-engine. At 100 TB
+    this is the persisted-sketch pattern: per-partition registers written
+    once, any partition-subset distinct-count answered from |subset|·256
+    rows."""
+    l = table(spark, sf, "lineitem")
+    fine = sketch.hll_registers(
+        l, F.col("l_partkey"), ["l_returnflag", "l_linestatus"]
+    )
+    merged = sketch.hll_merge(fine, ["l_returnflag"])
+    return sketch.hll_estimate(merged, ["l_returnflag"]).orderBy("l_returnflag")
+
+
 _HLL_RHO_SQL = """
         CASE WHEN regexp_replace(tail, '^0+', '') = '' THEN 61
              ELSE (15 - length(regexp_replace(tail, '^0+', ''))) * 4
@@ -297,12 +316,43 @@ FROM est, exact
 
 QUERIES = {
     "sketch_hll_distinct": q_sketch_hll_distinct,
+    "hll_rollup": q_hll_rollup,
     "kmv_order_overlap": q_kmv_order_overlap,
     "sketch_cm_tokens": q_sketch_cm_tokens,
     "sketch_bloom_join": q_sketch_bloom_join,
 }
 
+_HLL_ROLLUP_ORACLE = f"""
+WITH h AS (
+    SELECT l_returnflag,
+           CAST('0x' || substring(md5(CAST(l_partkey AS VARCHAR)), 1, 2) AS BIGINT) AS bucket,
+           substring(md5(CAST(l_partkey AS VARCHAR)), 3, 15) AS tail
+    FROM lineitem
+), r AS (
+    SELECT l_returnflag, bucket, MAX({_HLL_RHO_SQL}) AS m
+    FROM h GROUP BY 1, 2
+), agg AS (
+    SELECT l_returnflag,
+           SUM(CAST(power(2, 61 - m) AS DECIMAL(38,0))) AS s,
+           256 - COUNT(*) AS v
+    FROM r GROUP BY 1
+), est AS (
+    SELECT l_returnflag, v,
+           {_HLL_NUMERATOR!r} /
+               CAST(s + CAST(v AS DECIMAL(38,0)) * CAST(power(2, 61) AS DECIMAL(38,0)) AS DOUBLE)
+               AS raw
+    FROM agg
+)
+SELECT l_returnflag,
+       ROUND(CASE WHEN raw <= 640.0 AND v > 0
+                  THEN 256.0 * ln(256.0 / v) ELSE raw END, 3) AS hll_est,
+       CAST(v AS INT) AS zero_registers
+FROM est
+ORDER BY l_returnflag
+"""
+
 ORACLES = {
+    "hll_rollup": _HLL_ROLLUP_ORACLE,
     "sketch_hll_distinct": _HLL_ORACLE,
     "kmv_order_overlap": _KMV_ORACLE,
     "sketch_cm_tokens": _CM_ORACLE,
