@@ -97,6 +97,7 @@ HEADLINE = [
     "ann_filtered",
     # round 4 additions
     "snapshot_diff",
+    "sync_segments",
     "drift_ks",
     "ts_cusum",
     "events_resample_interp",

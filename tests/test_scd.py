@@ -90,3 +90,38 @@ def test_snapshot_diff_compare_cols_subset(spark):
     new = spark.createDataFrame([(1, "a", 2.0)], "k int, s string, v double")
     # only compare s → the v change is invisible
     assert snapshot_diff(old, new, keys=["k"], compare_cols=["s"]).count() == 0
+
+
+def test_segment_hashes_are_partition_order_independent(spark):
+    from vptstools_spark.operators.scd import segment_sync_hashes
+
+    rows = [(i, f"v{i}", float(i)) for i in range(100)]
+    df = spark.createDataFrame(rows, "k long, s string, v double")
+    a = {r["segment"]: (r["digest"], r["n_rows"])
+         for r in segment_sync_hashes(df, ["k"], 16).collect()}
+    b = {r["segment"]: (r["digest"], r["n_rows"])
+         for r in segment_sync_hashes(df.repartition(7, "s"), ["k"], 16).collect()}
+    assert a == b and sum(n for _, n in a.values()) == 100
+
+
+def test_segment_hashes_localize_a_single_changed_row(spark):
+    from vptstools_spark.operators.scd import segment_sync_hashes
+
+    rows = [(i, f"v{i}", float(i)) for i in range(100)]
+    df1 = spark.createDataFrame(rows, "k long, s string, v double")
+    rows2 = [(k, s, v if k != 42 else v + 1) for k, s, v in rows]
+    df2 = spark.createDataFrame(rows2, "k long, s string, v double")
+    a = {r["segment"]: r["digest"] for r in segment_sync_hashes(df1, ["k"], 16).collect()}
+    b = {r["segment"]: r["digest"] for r in segment_sync_hashes(df2, ["k"], 16).collect()}
+    dirty = [s for s in a if a[s] != b.get(s)]
+    assert len(dirty) == 1  # exactly the segment holding k=42
+
+
+def test_segment_hashes_null_vs_sentinel_distinct(spark):
+    from vptstools_spark.operators.scd import segment_sync_hashes
+
+    df1 = spark.createDataFrame([(1, None)], "k long, s string")
+    df2 = spark.createDataFrame([(1, "\x00")], "k long, s string")
+    d1 = segment_sync_hashes(df1, ["k"], 4).collect()[0]["digest"]
+    d2 = segment_sync_hashes(df2, ["k"], 4).collect()[0]["digest"]
+    assert d1 != d2

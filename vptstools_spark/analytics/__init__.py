@@ -49,6 +49,7 @@ _MODULES = [
 #: (round-3 advice: bpe_encode/ann_filtered landed outside the sample).
 NEW_THIS_ROUND = [
     "snapshot_diff",
+    "sync_segments",
     "drift_ks",
     "ts_cusum",
     "events_resample_interp",

@@ -150,6 +150,50 @@ def q_events_funnel(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_sync_segments(spark: SparkSession, sf: str) -> DataFrame:
+    """Anti-entropy table sync, coarse stage
+    (`operators/scd.py:segment_sync_hashes`): two orders snapshots — the
+    new one drops every 10007th key and bumps every 9973rd key's price —
+    reduced to 256 order-independent XOR segment digests per side; output
+    = the DIRTY segments only (digest or count mismatch). At 100 TB this
+    is the pass that turns "diff two tables" into "diff the ~3 segments
+    that changed" before `snapshot_diff` recurses row-level; XOR makes
+    the digest shuffle-plan-independent and bit-identical cross-engine."""
+    from vptstools_spark.operators.scd import segment_sync_hashes
+
+    orders = table(spark, sf, "orders")
+    old = orders.select("o_orderkey", "o_totalprice", "o_orderstatus")
+    new = orders.filter(F.col("o_orderkey") % 10007 != 0).select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 9973 == 0, F.col("o_totalprice") + F.lit(1.0)
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+        "o_orderstatus",
+    )
+    a = segment_sync_hashes(old, ["o_orderkey"], n_segments=256)
+    b = segment_sync_hashes(new, ["o_orderkey"], n_segments=256)
+    bn = b.select(
+        F.col("segment"),
+        F.col("digest").alias("digest_new"),
+        F.col("n_rows").alias("n_new"),
+    )
+    return (
+        a.join(bn, "segment", "full_outer")
+        .filter(
+            ~F.col("digest").eqNullSafe(F.col("digest_new"))
+            | ~F.col("n_rows").eqNullSafe(F.col("n_new"))
+        )
+        .select(
+            "segment",
+            F.coalesce("n_rows", F.lit(0)).alias("n_old"),
+            F.coalesce("n_new", F.lit(0)).alias("n_new"),
+        )
+        .orderBy("segment")
+    )
+
+
 def q_events_funnel_windowed(spark: SparkSession, sf: str) -> DataFrame:
     """Conversion-window funnel — the time-boxed variant of
     `events_funnel`: each stage must land within 7 days of the PREVIOUS
@@ -445,6 +489,7 @@ def q_snapshot_diff(spark: SparkSession, sf: str) -> DataFrame:
 
 QUERIES = {
     "snapshot_diff": q_snapshot_diff,
+    "sync_segments": q_sync_segments,
     "events_hourly": q_events_hourly,
     "scd2_event_types": q_scd2_event_types,
     "retention_cohorts": q_retention_cohorts,
@@ -464,6 +509,62 @@ QUERIES = {
 }
 
 ORACLES = {
+    "sync_segments": """
+        WITH oldt AS (
+            SELECT o_orderkey AS k, o_totalprice AS p, o_orderstatus AS st
+            FROM orders
+        ),
+        newt AS (
+            SELECT o_orderkey AS k,
+                   CASE WHEN o_orderkey % 9973 = 0 THEN o_totalprice + 1.0
+                        ELSE o_totalprice END AS p,
+                   o_orderstatus AS st
+            FROM orders WHERE o_orderkey % 10007 <> 0
+        ),
+        ah AS (
+            SELECT CAST(CAST('0x' || substring(md5(
+                       chr(1) || CAST(k AS VARCHAR)), 1, 6) AS UBIGINT)
+                       % 256 AS BIGINT) AS segment,
+                   CAST(CAST('0x' || substring(md5(
+                       chr(1) || CAST(k AS VARCHAR) || chr(31) ||
+                       chr(1) || CAST(p AS VARCHAR) || chr(31) ||
+                       chr(1) || st), 1, 16) AS UBIGINT) AS HUGEINT) AS ufp
+            FROM oldt
+        ),
+        bh AS (
+            SELECT CAST(CAST('0x' || substring(md5(
+                       chr(1) || CAST(k AS VARCHAR)), 1, 6) AS UBIGINT)
+                       % 256 AS BIGINT) AS segment,
+                   CAST(CAST('0x' || substring(md5(
+                       chr(1) || CAST(k AS VARCHAR) || chr(31) ||
+                       chr(1) || CAST(p AS VARCHAR) || chr(31) ||
+                       chr(1) || st), 1, 16) AS UBIGINT) AS HUGEINT) AS ufp
+            FROM newt
+        ),
+        asg AS (
+            SELECT segment,
+                   bit_xor(CAST(CASE WHEN ufp > 9223372036854775807
+                                     THEN ufp - 18446744073709551616
+                                     ELSE ufp END AS BIGINT)) AS digest,
+                   COUNT(*) AS n_rows
+            FROM ah GROUP BY segment
+        ),
+        bsg AS (
+            SELECT segment,
+                   bit_xor(CAST(CASE WHEN ufp > 9223372036854775807
+                                     THEN ufp - 18446744073709551616
+                                     ELSE ufp END AS BIGINT)) AS digest,
+                   COUNT(*) AS n_rows
+            FROM bh GROUP BY segment
+        )
+        SELECT COALESCE(a.segment, b.segment) AS segment,
+               COALESCE(a.n_rows, 0) AS n_old,
+               COALESCE(b.n_rows, 0) AS n_new
+        FROM asg a FULL OUTER JOIN bsg b ON a.segment = b.segment
+        WHERE a.digest IS DISTINCT FROM b.digest
+           OR a.n_rows IS DISTINCT FROM b.n_rows
+        ORDER BY segment
+    """,
     "events_funnel_windowed": """
         WITH v AS (
             SELECT user_id, MIN(ts) AS v_ts FROM events

@@ -114,3 +114,55 @@ def snapshot_diff(
         .filter(F.col("change").isNotNull())
         .select(*keys, "change")
     )
+
+
+def segment_sync_hashes(
+    df: DataFrame,
+    keys: list[str],
+    n_segments: int = 256,
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Anti-entropy segment digests (the Merkle/DynamoDB table-sync
+    primitive, and `snapshot_diff`'s coarse stage at 100 TB): every row is
+    hashed into one of `n_segments` key-determined segments, and each
+    segment collapses to an order-independent digest — XOR of the rows'
+    64-bit fingerprints — plus a row count. Comparing two tables is then a
+    |segments|-row join; only segments whose digests differ need the
+    row-level `snapshot_diff`, so a 100 TB sync reads both tables once,
+    ships 256 rows, and recurses into the (usually few) dirty segments.
+
+    XOR is commutative/associative, so the digest is independent of
+    partitioning and aggregation order — safe under any shuffle plan and
+    bit-identical cross-engine. The row fingerprint reuses the tagged-NULL
+    scheme of `snapshot_diff` (md5 → first 16 hex → signed 64-bit), keys
+    included so a key swap between two equal payloads still changes the
+    digest."""
+    cols = compare_cols or [c for c in df.columns if c not in keys]
+
+    def tagged(c: str) -> Column:
+        return F.when(F.col(c).isNull(), F.lit("\x00")).otherwise(
+            F.concat(F.lit("\x01"), F.col(c).cast("string"))
+        )
+
+    row_str = F.concat_ws("\x1f", *[tagged(c) for c in list(keys) + cols])
+    fp64 = F.conv(F.substring(F.md5(row_str), 1, 16), 16, 10).cast("decimal(20,0)")
+    # conv() returns the UNSIGNED value as a string; route through
+    # decimal(20,0) then subtract the two's-complement offset so the final
+    # long is well-defined (a direct cast of >2^63-1 would overflow-null)
+    signed = F.when(
+        fp64 > F.lit(9223372036854775807).cast("decimal(20,0)"),
+        (fp64 - F.lit("18446744073709551616").cast("decimal(21,0)")).cast("long"),
+    ).otherwise(fp64.cast("long"))
+    seg_key = F.concat_ws("\x1f", *[tagged(k) for k in keys])
+    seg = (
+        F.conv(F.substring(F.md5(seg_key), 1, 6), 16, 10).cast("long")
+        % n_segments
+    )
+    return (
+        df.select(seg.alias("segment"), signed.alias("_fp"))
+        .groupBy("segment")
+        .agg(
+            F.bit_xor("_fp").alias("digest"),
+            F.count("*").alias("n_rows"),
+        )
+    )
