@@ -215,3 +215,99 @@ def test_cm_estimate_upper_bounds_truth(spark, keys):
     ).collect()
     for r in est:
         assert r["cm_est"] >= truth[r["k"]]
+
+
+@PROP_SETTINGS
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["A", "B", "C"]),
+            st.sampled_from(["m1", "m2"]),
+            st.integers(-50, 50),
+        ),
+        min_size=1,
+        max_size=15,
+    )
+)
+def test_matview_answers_match_naive(spark, rows, tmp_path_factory):
+    """MV re-aggregation algebra vs a naive Python reference on random
+    groups — including the derived avg under uneven group sizes."""
+    from vptstools_spark.plans.matview import (
+        MatViewDef,
+        Measure,
+        answer_from_mv,
+        create_matview,
+        read_matview,
+    )
+
+    mv = MatViewDef(
+        "p", ("g", "m"),
+        {"s": Measure("sum", "v"), "n": Measure("count", "*"),
+         "mn": Measure("min", "v"), "mx": Measure("max", "v")},
+        None,
+    )
+    df = spark.createDataFrame(
+        [(g, m, float(v)) for g, m, v in rows], "g string, m string, v double"
+    )
+    path = str(tmp_path_factory.mktemp("mvp") / "mv")
+    create_matview(df, path, mv)
+    mv_df, mvd = read_matview(spark, path)
+    got = {
+        r["g"]: (r["s"], r["n"], r["a"], r["mn"], r["mx"])
+        for r in answer_from_mv(
+            mv_df, mvd, ["g"],
+            {"s": ("sum", "v"), "n": ("count", "*"), "a": ("avg", "v"),
+             "mn": ("min", "v"), "mx": ("max", "v")},
+        ).collect()
+    }
+    by_g: dict = {}
+    for g, _, v in rows:
+        by_g.setdefault(g, []).append(float(v))
+    for g, vs in by_g.items():
+        s, n, a, mn, mx = got[g]
+        assert (s, n, mn, mx) == (sum(vs), len(vs), min(vs), max(vs))
+        assert abs(a - sum(vs) / len(vs)) < 1e-9
+
+
+@PROP_SETTINGS
+@given(
+    old=st.dictionaries(st.integers(0, 20), st.integers(-5, 5), max_size=15),
+    new=st.dictionaries(st.integers(0, 20), st.integers(-5, 5), max_size=15),
+)
+def test_segment_digests_agree_with_row_diff(spark, old, new):
+    """Coarse-to-fine consistency: the dirty-segment set from XOR digests
+    must be EXACTLY the segments containing keys snapshot_diff flags."""
+    from vptstools_spark.operators.scd import segment_sync_hashes, snapshot_diff
+
+    odf = spark.createDataFrame(
+        [(k, float(v)) for k, v in old.items()] or [], "k long, v double"
+    )
+    ndf = spark.createDataFrame(
+        [(k, float(v)) for k, v in new.items()] or [], "k long, v double"
+    )
+    n_seg = 8
+    a = {r["segment"]: (r["digest"], r["n_rows"])
+         for r in segment_sync_hashes(odf, ["k"], n_seg).collect()}
+    b = {r["segment"]: (r["digest"], r["n_rows"])
+         for r in segment_sync_hashes(ndf, ["k"], n_seg).collect()}
+    dirty = {s for s in set(a) | set(b) if a.get(s) != b.get(s)}
+    diff_keys = [r["k"] for r in snapshot_diff(odf, ndf, keys=["k"]).collect()]
+    seg_of = {
+        r["k"]: r["segment"]
+        for r in spark.createDataFrame(
+            [(k,) for k in diff_keys] or [], "k long"
+        ).select(
+            "k",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit("\x01"), F.col("k").cast("string"))),
+                        1, 6,
+                    ), 16, 10,
+                ).cast("long") % n_seg
+            ).alias("segment"),
+        ).collect()
+    }
+    # XOR collisions could in principle hide a change, but not on these
+    # sizes; equality (not ⊆) is the property that makes the recursion safe
+    assert dirty == set(seg_of.values())
