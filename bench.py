@@ -105,6 +105,7 @@ HEADLINE = [
     "events_markov",
     "mi_lang_source",
     "rfm_segments",
+    "robust_stats",
     "mm_bmp_patches",
     "mv_rollup_orders",
     "hll_rollup",

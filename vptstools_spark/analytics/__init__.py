@@ -57,6 +57,7 @@ NEW_THIS_ROUND = [
     "events_markov",
     "mi_lang_source",
     "rfm_segments",
+    "robust_stats",
     "mm_bmp_patches",
     "mv_rollup_orders",
     "hll_rollup",

@@ -275,6 +275,42 @@ def q_rfm_segments(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_robust_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Robust per-group statistics: median, MAD (median absolute
+    deviation), and the IQR outlier census — the outlier screen that
+    survives the heavy tails that break z-scores. Two exact-percentile
+    passes (the second over |x − median|); the medians are pre-rounded to
+    2 dp (winsorize rule) so the deviation values — differences of 2-dp
+    quantities — are exact and cross-engine; Tukey fences derive from
+    rounded quartiles the same way. Scale: two grouped aggregates + one
+    broadcast join, no window."""
+    l = table(spark, sf, "lineitem")
+    p = F.col("l_extendedprice")
+    q1 = l.groupBy("l_returnflag").agg(
+        F.round(F.percentile(p, F.lit(0.5)), 2).alias("med"),
+        F.round(F.percentile(p, F.lit(0.25)), 2).alias("q1"),
+        F.round(F.percentile(p, F.lit(0.75)), 2).alias("q3"),
+    )
+    j = l.join(F.broadcast(q1), "l_returnflag")
+    iqr = F.col("q3") - F.col("q1")
+    lo, hi = F.col("q1") - 1.5 * iqr, F.col("q3") + 1.5 * iqr
+    return (
+        j.groupBy("l_returnflag")
+        .agg(
+            F.first("med").alias("median"),
+            F.round(
+                F.percentile(F.abs(p - F.col("med")), F.lit(0.5)), 2
+            ).alias("mad"),
+            F.round(F.first("q3") - F.first("q1"), 2).alias("iqr"),
+            F.sum(F.when((p < lo) | (p > hi), 1).otherwise(0))
+                .cast("long")
+                .alias("n_outliers"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 #: session-scoped built-MV memo — the MV is a pure function of (sf, def),
 #: same discipline as similarity_q._MODEL_CACHE; serving-path queries
 #: should pay rollup-read cost, not rebuild cost
@@ -349,6 +385,7 @@ QUERIES = {
     "drift_ks": q_drift_ks,
     "rfm_segments": q_rfm_segments,
     "mv_rollup_orders": q_mv_rollup_orders,
+    "robust_stats": q_robust_stats,
     "quantiles_price": q_quantiles_price,
     "regr_price_qty": q_regr_price_qty,
     "moments_quantity": q_moments_quantity,
@@ -361,6 +398,26 @@ QUERIES = {
 }
 
 ORACLES = {
+    "robust_stats": """
+WITH q AS (
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_extendedprice, 0.5), 2) AS med,
+           ROUND(quantile_cont(l_extendedprice, 0.25), 2) AS q1,
+           ROUND(quantile_cont(l_extendedprice, 0.75), 2) AS q3
+    FROM lineitem GROUP BY l_returnflag
+)
+SELECT l.l_returnflag,
+       ANY_VALUE(q.med) AS median,
+       ROUND(quantile_cont(ABS(l.l_extendedprice - q.med), 0.5), 2) AS mad,
+       ROUND(ANY_VALUE(q.q3) - ANY_VALUE(q.q1), 2) AS iqr,
+       CAST(SUM(CASE WHEN l.l_extendedprice < q.q1 - 1.5 * (q.q3 - q.q1)
+                       OR l.l_extendedprice > q.q3 + 1.5 * (q.q3 - q.q1)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       COUNT(*) AS n
+FROM lineitem l JOIN q USING (l_returnflag)
+GROUP BY l.l_returnflag
+ORDER BY l.l_returnflag
+    """,
     "mv_rollup_orders": """
 SELECT o_orderpriority,
        COUNT(*) AS n_orders,
