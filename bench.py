@@ -122,7 +122,17 @@ HEADLINE = [
 #: simjoin_prefix lives here — with PPJoin's positional filter it runs in
 #: ~2 s at this scale on Zipfian data (vs 60 s on the 31-word corpus, where
 #: candidates approach all-pairs by construction; see PLANS.md).
-ZIPF_QUERIES = ["simjoin_prefix", "tfidf_top", "bm25_search", "dedup_minhash_lsh"]
+ZIPF_QUERIES = [
+    "simjoin_prefix",
+    "tfidf_top",
+    "bm25_search",
+    "dedup_minhash_lsh",
+    # round 4: the rest of the df-sensitive text stack on realistic text
+    "vocab_topk",
+    "inverted_index",
+    "bpe_merges",
+    "text_repetition",
+]
 ZIPF_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "fixtures", "zipf0.1")
 
 #: sf1.0 scale probe (tools/gen_sf1.py: deterministic 10× key-shifted
