@@ -67,3 +67,27 @@ def _plan_num_partitions(df: DataFrame) -> int:
         return int(df._jdf.queryExecution().executedPlan().execute().getNumPartitions())
     except Exception:
         return df.rdd.getNumPartitions()
+
+
+def write_text_sidecar(spark: SparkSession, path: str, text: str) -> None:
+    """Write a small driver-sized text/JSON sidecar via the Hadoop FS API,
+    so metadata lands next to its data on ANY supported scheme (local,
+    HDFS, s3a) — a plain open() would silently localize `s3a://…` paths."""
+    jvm = spark.sparkContext._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    out = fs.create(jpath, True)
+    out.write(bytearray(text.encode("utf-8")))
+    out.close()
+
+
+def read_text_sidecar(spark: SparkSession, path: str) -> str:
+    jvm = spark.sparkContext._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    stream = fs.open(jpath)
+    try:
+        data = bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
+    finally:
+        stream.close()
+    return data.decode("utf-8")

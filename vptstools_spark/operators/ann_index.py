@@ -73,27 +73,17 @@ def build_ivfpq_index(
 
 
 def _write_model(spark: SparkSession, path: str, model: dict) -> None:
-    # driver-sized sidecar via the Hadoop FS (works on any scheme)
-    jvm = spark.sparkContext._jvm
-    jpath = jvm.org.apache.hadoop.fs.Path(os.path.join(path, _MODEL_FILE))
-    fs = jpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
-    out = fs.create(jpath, True)
-    out.write(bytearray(json.dumps(model).encode("utf-8")))
-    out.close()
+    # driver-sized sidecar via the Hadoop FS (works on any scheme);
+    # shared helper with plans/matview.py
+    from vptstools_spark.io import write_text_sidecar
+
+    write_text_sidecar(spark, os.path.join(path, _MODEL_FILE), json.dumps(model))
 
 
 def _read_model(spark: SparkSession, path: str) -> dict:
-    jvm = spark.sparkContext._jvm
-    jpath = jvm.org.apache.hadoop.fs.Path(os.path.join(path, _MODEL_FILE))
-    fs = jpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
-    stream = fs.open(jpath)
-    try:
-        data = bytes(
-            jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
-        )
-    finally:
-        stream.close()
-    return json.loads(data.decode("utf-8"))
+    from vptstools_spark.io import read_text_sidecar
+
+    return json.loads(read_text_sidecar(spark, os.path.join(path, _MODEL_FILE)))
 
 
 def load_ivfpq_model(

@@ -128,13 +128,19 @@ def create_matview(base: DataFrame, path: str, mv: MatViewDef) -> None:
     if mv.partition_dim:
         w = w.partitionBy(mv.partition_dim)
     w.parquet(os.path.join(path, _DATA_DIR))
-    with open(os.path.join(path, _DEF_FILE), "w", encoding="utf-8") as f:
-        f.write(mv.to_json())
+    from vptstools_spark.io import write_text_sidecar
+
+    write_text_sidecar(
+        base.sparkSession, os.path.join(path, _DEF_FILE), mv.to_json()
+    )
 
 
 def read_matview(spark: SparkSession, path: str) -> tuple[DataFrame, MatViewDef]:
-    with open(os.path.join(path, _DEF_FILE), encoding="utf-8") as f:
-        mv = MatViewDef.from_json(f.read())
+    from vptstools_spark.io import read_text_sidecar
+
+    mv = MatViewDef.from_json(
+        read_text_sidecar(spark, os.path.join(path, _DEF_FILE))
+    )
     return spark.read.parquet(os.path.join(path, _DATA_DIR)), mv
 
 

@@ -792,12 +792,11 @@ def matview_stream_sink(
         )
 
     # write the definition sidecar so read_matview/answer_from_mv serve
-    # the stream-maintained MV exactly like a batch-built one
-    import os
+    # the stream-maintained MV exactly like a batch-built one (Hadoop FS —
+    # works on any scheme, and creates parent dirs itself)
+    from vptstools_spark.io import write_text_sidecar
 
-    os.makedirs(path, exist_ok=True)
-    with open(os.path.join(path, "_matview.json"), "w", encoding="utf-8") as f:
-        f.write(mv.to_json())
+    write_text_sidecar(stream.sparkSession, f"{path}/_matview.json", mv.to_json())
 
     return (
         stream.writeStream.foreachBatch(process)
