@@ -124,3 +124,128 @@ def update_file_stats(
         .withColumnRenamed("__file", "file")
     )
     return kept.unionByName(new_stats)
+
+
+# ---------------------------------------------------------------------------
+# File-level Bloom index — equality-probe skipping where min/max is useless
+# ---------------------------------------------------------------------------
+
+#: bloom geometry defaults: 3 salted probes into a 2048-bit mask per file
+#: (≈0.3% false-positive rate at ~150 distinct keys/file; scale m_bits with
+#: per-file cardinality — the mask stays KB-scale either way)
+BLOOM_HASHES = 3
+BLOOM_BITS = 2048
+
+
+def collect_file_blooms(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    n_hashes: int = BLOOM_HASHES,
+    m_bits: int = BLOOM_BITS,
+) -> DataFrame:
+    """One row per data file: a Bloom bitmask (array of m_bits/64 longs)
+    over `col` — the Delta-style bloom index for EQUALITY probes, which
+    min/max skipping can't help with when values interleave across files
+    (a uniformly-distributed id column gives every file the same [min,
+    max] range; its bloom still prunes to ~1 file + false positives).
+
+    Build is one distributed pass: explode the k salted bit positions,
+    distinct per (file, position) — ≤ m_bits rows per file survive —
+    fold positions into 64-bit words with bit_or, then densify to a fixed
+    array via a map lookup over the word index range. Shuffle carries
+    |files|·m_bits rows max; nothing data-scale reaches the driver."""
+    from vptstools_spark.operators.sketch import bloom_positions
+
+    df = spark.read.parquet(path)
+    pos = F.explode(
+        F.array(*bloom_positions(F.col(col), n_hashes, m_bits))
+    ).alias("p")
+    pairs = (
+        df.withColumn("__file", F.input_file_name())
+        .select("__file", pos)
+        .distinct()
+    )
+    words = (
+        pairs.select(
+            "__file",
+            (F.col("p") / 64).cast("int").alias("w"),
+            # pyspark's shiftleft() wants a literal shift; the SQL form
+            # takes a column
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))").alias("b"),
+        )
+        .groupBy("__file", "w")
+        .agg(F.bit_or("b").alias("word"))
+    )
+    n_words = m_bits // 64
+    return (
+        words.groupBy("__file")
+        .agg(
+            F.map_from_arrays(
+                F.collect_list("w"), F.collect_list("word")
+            ).alias("__wm")
+        )
+        .select(
+            F.col("__file").alias("file"),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_words - 1)),
+                lambda i: F.coalesce(
+                    F.col("__wm").getItem(i.cast("int")), F.lit(0).cast("long")
+                ),
+            ).alias("mask"),
+        )
+    )
+
+
+def _bloom_positions_driver(value, n_hashes: int, m_bits: int) -> list[int]:
+    """Driver-side twin of `sketch.bloom_positions` for a literal probe
+    value: same salted-md5 scheme over the value's STRING form, so a probe
+    matches exactly the bits the Spark build set. hashlib.md5 of the UTF-8
+    string == Spark md5 of the string cast — the cross-engine md5 identity
+    every sketch in this repo already relies on."""
+    import hashlib
+
+    s = str(value)
+    return [
+        int(hashlib.md5(f"bf{i}:{s}".encode()).hexdigest()[:8], 16) % m_bits
+        for i in range(n_hashes)
+    ]
+
+
+def files_for_equality(
+    blooms: DataFrame,
+    value,
+    n_hashes: int = BLOOM_HASHES,
+    m_bits: int = BLOOM_BITS,
+) -> list[str]:
+    """Files whose bloom CANNOT rule out `col = value`: all k probe bits
+    set. No false negatives (a file containing the value always keeps all
+    its bits); false positives only cost an extra file read. The probe is
+    a constant-folded bit test per file row — |files|-scale work."""
+    cond = F.lit(True)
+    for p in _bloom_positions_driver(value, n_hashes, m_bits):
+        bit = F.shiftleft(F.lit(1).cast("long"), p % 64)
+        cond = cond & (
+            F.element_at("mask", p // 64 + 1).bitwiseAND(bit) != F.lit(0)
+        )
+    return [r["file"] for r in blooms.filter(cond).select("file").collect()]
+
+
+def read_pruned_equality(
+    spark: SparkSession,
+    blooms: DataFrame,
+    col: str,
+    value,
+    n_hashes: int = BLOOM_HASHES,
+    m_bits: int = BLOOM_BITS,
+) -> DataFrame:
+    """Scan only bloom-surviving files for `col = value`; the residual
+    equality filter removes false-positive files' rows, so the result
+    equals the full-scan filter — skipping is purely I/O."""
+    files = files_for_equality(blooms, value, n_hashes, m_bits)
+    if not files:
+        any_file = [r["file"] for r in blooms.select("file").limit(1).collect()]
+        if not any_file:
+            raise ValueError("bloom table is empty — collect_file_blooms first")
+        return spark.read.parquet(*any_file).filter(F.lit(False))
+    return spark.read.parquet(*files).filter(F.col(col) == F.lit(value))
