@@ -1,0 +1,81 @@
+"""`OPTIMIZE`-style table maintenance: one entrypoint composing the
+layout and index passes this engine already has — partition-scoped
+compaction + z-order (`plans/zorder.py`), min/max stats refresh, and
+bloom-index refresh (`plans/skipping.py`) — into the nightly maintenance
+job a lakehouse table actually runs.
+
+Cost contract at 100 TB: every stage is worklist-scoped. Compaction
+rewrites only the listed partitions; the stats/bloom refreshers list the
+filesystem once (metadata, no data scan) and read ONLY files the rewrite
+created — so a maintenance run on a quiet table is a listing + no-op, and
+on a busy table costs one range exchange over the touched partitions plus
+one pass over the new bytes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from vptstools_spark.plans.skipping import (
+    collect_file_blooms,
+    collect_file_stats,
+    list_data_files,
+    update_file_blooms,
+    update_file_stats,
+)
+from vptstools_spark.plans.zorder import compact_partitions
+
+
+def optimize_table(
+    spark: SparkSession,
+    path: str,
+    partition_cols: list[str],
+    zorder_cols: list[str],
+    stats_cols: list[str] | None = None,
+    bloom_col: str | None = None,
+    partitions: list[tuple] | None = None,
+    stats: DataFrame | None = None,
+    blooms: DataFrame | None = None,
+    num_files: int = 1,
+) -> dict:
+    """Run the full maintenance pass and return a report dict:
+    {"n_files_before", "n_files_after", "stats", "blooms"}.
+
+    Pass the previous `stats`/`blooms` tables to refresh them
+    incrementally (new files only); omit them to (re)build from scratch.
+    `partitions=None` compacts the whole table — same semantics as
+    `compact_partitions`.
+    """
+    n_before = len(list_data_files(spark, path))
+    compact_partitions(
+        spark,
+        path,
+        partition_cols=partition_cols,
+        zorder_cols=zorder_cols,
+        partitions=partitions,
+        num_files=num_files,
+    )
+    n_after = len(list_data_files(spark, path))
+    out_stats = out_blooms = None
+    if stats_cols:
+        out_stats = (
+            update_file_stats(spark, path, stats, stats_cols)
+            if stats is not None
+            else collect_file_stats(spark, path, stats_cols)
+        )
+        # materialize: the stats plan reads files the NEXT optimize may
+        # rewrite; a driver-stable snapshot decouples it from the table
+        out_stats = out_stats.localCheckpoint(eager=True)
+    if bloom_col:
+        out_blooms = (
+            update_file_blooms(spark, path, blooms, bloom_col)
+            if blooms is not None
+            else collect_file_blooms(spark, path, bloom_col)
+        )
+        out_blooms = out_blooms.localCheckpoint(eager=True)
+    return {
+        "n_files_before": n_before,
+        "n_files_after": n_after,
+        "stats": out_stats,
+        "blooms": out_blooms,
+    }

@@ -93,17 +93,7 @@ def update_file_stats(
     nightly no-op and a full-table rescan."""
     # filesystem listing, NOT a data scan — input_file_name() would read
     # every row of every file just to learn the file names
-    jvm = spark.sparkContext._jvm
-    hconf = spark.sparkContext._jsc.hadoopConfiguration()
-    p = jvm.org.apache.hadoop.fs.Path(path)
-    fs = p.getFileSystem(hconf)
-    it = fs.listFiles(p, True)
-    current = set()
-    while it.hasNext():
-        f = it.next().getPath().toString()
-        name = f.rsplit("/", 1)[-1]
-        if name.endswith(".parquet") and not name.startswith(("_", ".")):
-            current.add(f)
+    current = list_data_files(spark, path)
     known = {r["file"] for r in stats.select("file").collect()}
     fresh = sorted(current - known)
     kept = stats.filter(F.col("file").isin(list(current)))
@@ -249,3 +239,80 @@ def read_pruned_equality(
             raise ValueError("bloom table is empty — collect_file_blooms first")
         return spark.read.parquet(*any_file).filter(F.lit(False))
     return spark.read.parquet(*files).filter(F.col(col) == F.lit(value))
+
+
+def list_data_files(spark: SparkSession, path: str) -> set[str]:
+    """Recursive filesystem listing of a table's data files — a metadata
+    operation (no data scan; `input_file_name()` would read every row just
+    to learn the names). Shared by the incremental stats/bloom refreshers."""
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(hconf)
+    it = fs.listFiles(p, True)
+    current: set[str] = set()
+    while it.hasNext():
+        f = it.next().getPath().toString()
+        name = f.rsplit("/", 1)[-1]
+        if name.endswith(".parquet") and not name.startswith(("_", ".")):
+            current.add(f)
+    return current
+
+
+def update_file_blooms(
+    spark: SparkSession,
+    path: str,
+    blooms: DataFrame,
+    col: str,
+    n_hashes: int = BLOOM_HASHES,
+    m_bits: int = BLOOM_BITS,
+) -> DataFrame:
+    """Incrementally maintain the bloom index: build masks ONLY for data
+    files not yet covered, drop tombstoned rows for files a rewrite
+    removed — the bloom twin of `update_file_stats`, with the same
+    one-listing + new-bytes-only cost contract."""
+    from vptstools_spark.operators.sketch import bloom_positions
+
+    current = list_data_files(spark, path)
+    known = {r["file"] for r in blooms.select("file").collect()}
+    fresh = sorted(current - known)
+    kept = blooms.filter(F.col("file").isin(list(current)))
+    if not fresh:
+        return kept
+    df = spark.read.parquet(*fresh)
+    pos = F.explode(
+        F.array(*bloom_positions(F.col(col), n_hashes, m_bits))
+    ).alias("p")
+    pairs = (
+        df.withColumn("__file", F.input_file_name())
+        .select("__file", pos)
+        .distinct()
+    )
+    words = (
+        pairs.select(
+            "__file",
+            (F.col("p") / 64).cast("int").alias("w"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))").alias("b"),
+        )
+        .groupBy("__file", "w")
+        .agg(F.bit_or("b").alias("word"))
+    )
+    n_words = m_bits // 64
+    fresh_blooms = (
+        words.groupBy("__file")
+        .agg(
+            F.map_from_arrays(
+                F.collect_list("w"), F.collect_list("word")
+            ).alias("__wm")
+        )
+        .select(
+            F.col("__file").alias("file"),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_words - 1)),
+                lambda i: F.coalesce(
+                    F.col("__wm").getItem(i.cast("int")), F.lit(0).cast("long")
+                ),
+            ).alias("mask"),
+        )
+    )
+    return kept.unionByName(fresh_blooms)
