@@ -179,3 +179,24 @@ def test_rollup_from_mv_matches_base_rollup(spark, tmp_path):
     g = {key(r): (r["n_rows"], float(r["total"])) for r in got.collect()}
     w = {key(r): (r["n_rows"], float(r["total"])) for r in want.collect()}
     assert g == w and len(g) == 2 * 2 + 2 + 1  # cells + prio subtotals + grand
+
+
+def test_avg_on_nullable_column_uses_count_of_column(spark, tmp_path):
+    """avg(col) must divide by count(col), not count(*), when the column
+    has NULLs — the MV stores both counts and the NULL-exact one wins."""
+    from vptstools_spark.plans.matview import answer_from_mv
+
+    mv = MatViewDef(
+        "nn", ("g",),
+        {"s": Measure("sum", "v"), "n_star": Measure("count", "*"),
+         "n_v": Measure("count", "v")},
+        None,
+    )
+    df = spark.createDataFrame(
+        [("A", 2.0), ("A", None), ("A", 4.0)], "g string, v double"
+    )
+    path = str(tmp_path / "mv")
+    create_matview(df, path, mv)
+    mv_df, mvd = read_matview(spark, path)
+    out = answer_from_mv(mv_df, mvd, ["g"], {"a": ("avg", "v")}).collect()
+    assert out[0]["a"] == 3.0  # (2+4)/2, NOT (2+4)/3

@@ -153,13 +153,31 @@ def can_answer(mv: MatViewDef, dims: list[str], wanted: dict) -> bool:
     stored = {(m.fn, m.col) for m in mv.measures.values()}
     for fn, col in wanted.values():
         if fn == "avg":
-            if ("sum", col) not in stored or not any(
-                f == "count" for f, _ in stored
+            # avg = Σsum/Σcount is only exact when the count skips the
+            # same NULLs the sum does: require count(col) itself, or
+            # count(*) — the latter matches only for non-null columns, so
+            # prefer count(col) at answer time (see _count_col_for)
+            if ("sum", col) not in stored or (
+                ("count", col) not in stored and ("count", "*") not in stored
             ):
                 return False
         elif (fn, col) not in stored:
             return False
     return True
+
+
+def _count_col_for(mv: MatViewDef, col: str) -> str:
+    """The stored count measure to divide by for avg(col): count(col) when
+    the MV stores it (NULL-exact), else count(*) — exact only when `col`
+    is non-null, which is why `Measure("count", col)` is the right thing
+    to store next to `Measure("sum", col)` for nullable columns."""
+    for name, m in mv.measures.items():
+        if m.fn == "count" and m.col == col:
+            return name
+    for name, m in mv.measures.items():
+        if m.fn == "count" and m.col == "*":
+            return name
+    raise ValueError(f"MV {mv.name} has no usable count measure for {col!r}")
 
 
 def answer_from_mv(
@@ -172,11 +190,12 @@ def answer_from_mv(
     if not can_answer(mv, dims, wanted):
         raise ValueError(f"MV {mv.name} cannot answer dims={dims} wanted={wanted}")
     by_pair = {(m.fn, m.col): name for name, m in mv.measures.items()}
-    count_col = next(name for name, m in mv.measures.items() if m.fn == "count")
     exprs = []
     for out, (fn, col) in wanted.items():
         if fn == "avg":
-            e = F.sum(by_pair[("sum", col)]).cast("double") / F.sum(count_col)
+            e = F.sum(by_pair[("sum", col)]).cast("double") / F.sum(
+                _count_col_for(mv, col)
+            )
         else:
             e = _REAGG[fn](F.col(by_pair[(fn, col)]))
         exprs.append(e.alias(out))
@@ -250,11 +269,12 @@ def answer_rollup_from_mv(
     if not can_answer(mv, dims, wanted):
         raise ValueError(f"MV {mv.name} cannot answer rollup({dims})")
     by_pair = {(m.fn, m.col): name for name, m in mv.measures.items()}
-    count_col = next(name for name, m in mv.measures.items() if m.fn == "count")
     exprs = []
     for out, (fn, col) in wanted.items():
         if fn == "avg":
-            e = F.sum(by_pair[("sum", col)]).cast("double") / F.sum(count_col)
+            e = F.sum(by_pair[("sum", col)]).cast("double") / F.sum(
+                _count_col_for(mv, col)
+            )
         else:
             e = _REAGG[fn](F.col(by_pair[(fn, col)]))
         exprs.append(e.alias(out))
