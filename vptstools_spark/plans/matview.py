@@ -245,7 +245,15 @@ def refresh_matview(
         raise ValueError(f"MV {mv.name} is unpartitioned; use create_matview")
     if not changed:
         return
-    delta = _aggregate(base.filter(F.col(mv.partition_dim).isin(changed)), mv)
+    from vptstools_spark.operators.merge import scope_to_partitions
+
+    # worklist discipline shared with operators/merge.py: ≤128 changed
+    # partitions fold into planning-time pruning literals; above that the
+    # filter becomes a broadcast semi-join so plan size stays constant
+    scoped = scope_to_partitions(
+        base, [mv.partition_dim], [(c,) for c in changed]
+    )
+    delta = _aggregate(scoped, mv)
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
