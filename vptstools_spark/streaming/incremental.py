@@ -759,8 +759,13 @@ def matview_stream_sink(
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         delta = _aggregate(batch_df, mv)
         parts = [r[pdim] for r in delta.select(pdim).distinct().collect()]
+        from vptstools_spark.operators.merge import scope_to_partitions
+
         if _hadoop_path_exists(spark, data_path):
-            prev = spark.read.parquet(data_path).filter(F.col(pdim).isin(parts))
+            # bounded-worklist filter (literals ≤128 parts, semi-join above)
+            prev = scope_to_partitions(
+                spark.read.parquet(data_path), [pdim], [(p,) for p in parts]
+            )
             applied = {
                 r[pdim]: r["bid"]
                 for r in prev.groupBy(pdim).agg(F.max("_batch_id").alias("bid")).collect()
@@ -770,10 +775,10 @@ def matview_stream_sink(
         todo = [p for p in parts if applied.get(p, -1) < batch_id]
         if not todo:
             return
-        delta = delta.filter(F.col(pdim).isin(todo))
+        delta = scope_to_partitions(delta, [pdim], [(p,) for p in todo])
         if prev is not None:
             merged = (
-                prev.filter(F.col(pdim).isin(todo))
+                scope_to_partitions(prev, [pdim], [(p,) for p in todo])
                 .drop("_batch_id")
                 .unionByName(delta)
                 .groupBy(*mv.dims)
