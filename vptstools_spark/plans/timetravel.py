@@ -1,0 +1,240 @@
+"""Versioned table snapshots (time travel) over plain parquet — a
+copy-on-write commit log in the Delta/Iceberg family, scoped to what an
+engine without a transaction service can promise honestly: immutable data
+files + a JSON commit per version listing the files that make up that
+snapshot. Readers pin any version; writers never mutate or delete a file
+an older commit references.
+
+Write path is PARTITION-scoped copy-on-write: an upsert rewrites only the
+partitions its delta touches (new files under `data/v{n}/`), and the new
+commit references the untouched partitions' files from the PREVIOUS
+commit unchanged — so at 100 TB a small delta costs one rewrite of the
+touched partitions and a KB-scale commit, and every historical version
+remains readable at zero storage cost beyond the rewritten partitions.
+
+Honest scope: single-writer (no optimistic concurrency / conflict
+detection — that needs a log service); vacuuming old versions is an
+explicit, separate decision (`expire_versions`), never a side effect.
+Diffing two versions composes with `operators/scd.py:snapshot_diff`.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from vptstools_spark.io import read_text_sidecar, write_text_sidecar
+from vptstools_spark.plans.skipping import list_data_files
+
+_LOG_DIR = "_log"
+_DATA_DIR = "data"
+
+
+def _log_path(path: str, version: int) -> str:
+    return os.path.join(path, _LOG_DIR, f"{version:08d}.json")
+
+
+def _list_versions(spark: SparkSession, path: str) -> list[int]:
+    jvm = spark.sparkContext._jvm
+    p = jvm.org.apache.hadoop.fs.Path(os.path.join(path, _LOG_DIR))
+    fs = p.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    if not fs.exists(p):
+        return []
+    out = []
+    for st in fs.listStatus(p):
+        name = st.getPath().getName()
+        if name.endswith(".json"):
+            out.append(int(name[:-5]))
+    return sorted(out)
+
+
+def _read_commit(spark: SparkSession, path: str, version: int) -> dict:
+    return json.loads(read_text_sidecar(spark, _log_path(path, version)))
+
+
+def _partition_of(rel_file: str, partition_cols: list[str]) -> tuple:
+    """Partition values parsed from a file's `col=value` path segments
+    (hive layout, as written by partitionBy)."""
+    vals = {}
+    for seg in rel_file.split("/"):
+        if "=" in seg:
+            k, _, v = seg.partition("=")
+            if k in partition_cols:
+                vals[k] = v
+    return tuple(vals.get(c) for c in partition_cols)
+
+
+def _write_snapshot_files(
+    df: DataFrame, path: str, version: int, partition_cols: list[str]
+) -> list[str]:
+    """Write `df` as this version's new immutable files; return their
+    paths RELATIVE to the table's data dir."""
+    vdir = os.path.join(path, _DATA_DIR, f"v{version}")
+    w = df.write.mode("error")
+    if partition_cols:
+        w = w.partitionBy(*partition_cols)
+    w.parquet(vdir)
+    files = list_data_files(df.sparkSession, vdir)
+    rels = []
+    for f in files:
+        idx = f.index(f"{_DATA_DIR}/v{version}/")
+        rels.append(f[idx + len(_DATA_DIR) + 1 :])
+    return sorted(rels)
+
+
+def _commit(
+    spark: SparkSession,
+    path: str,
+    version: int,
+    files: list[str],
+    partition_cols: list[str],
+    op: str,
+) -> None:
+    write_text_sidecar(
+        spark,
+        _log_path(path, version),
+        json.dumps(
+            {
+                "version": version,
+                "op": op,
+                "partition_cols": partition_cols,
+                "files": sorted(files),
+            }
+        ),
+    )
+
+
+def commit_initial(
+    df: DataFrame, path: str, partition_cols: list[str] | None = None
+) -> int:
+    """Version 0: full snapshot write + commit. Returns the version."""
+    pcols = partition_cols or []
+    rels = _write_snapshot_files(df, path, 0, pcols)
+    _commit(df.sparkSession, path, 0, rels, pcols, "initial")
+    return 0
+
+
+def commit_upsert(
+    spark: SparkSession,
+    path: str,
+    delta: DataFrame,
+    keys: list[str],
+    delete_col: str | None = None,
+) -> int:
+    """Partition-scoped copy-on-write upsert: delta rows replace same-key
+    rows, `delete_col`-true rows are tombstones. Only partitions present
+    in the delta are rewritten; the new commit carries the previous
+    commit's files for every untouched partition. Returns the new
+    version."""
+    versions = _list_versions(spark, path)
+    if not versions:
+        raise ValueError(f"no table at {path}; commit_initial first")
+    prev_v = versions[-1]
+    prev = _read_commit(spark, path, prev_v)
+    pcols = prev["partition_cols"]
+    new_v = prev_v + 1
+
+    upserts = delta.filter(~F.col(delete_col)) if delete_col else delta
+    upserts = upserts.drop(*([delete_col] if delete_col else []))
+
+    if pcols:
+        raw = [tuple(r) for r in delta.select(*pcols).distinct().collect()]
+        # path comparison uses the hive string form; the scope filter the
+        # raw typed values (partitionBy renders both from the same values,
+        # so simple key types round-trip; exotic values would need
+        # merge.escape_partition_value here)
+        touched_str = {
+            tuple(None if v is None else str(v) for v in t) for t in raw
+        }
+        from vptstools_spark.operators.merge import scope_to_partitions
+
+        cur = scope_to_partitions(read_version(spark, path, prev_v), pcols, raw)
+        carried = [
+            f
+            for f in prev["files"]
+            if _partition_of(f, pcols) not in touched_str
+        ]
+    else:
+        cur = read_version(spark, path, prev_v)
+        carried = []
+    survivors = cur.join(delta.select(*keys).distinct(), keys, "left_anti")
+    merged = survivors.unionByName(upserts)
+    rels = _write_snapshot_files(merged, path, new_v, pcols)
+    _commit(spark, path, new_v, carried + rels, pcols, "upsert")
+    return new_v
+
+
+def read_version(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """Read a pinned snapshot (default: latest). `basePath` keeps hive
+    partition columns parsing even though the file list spans versions."""
+    versions = _list_versions(spark, path)
+    if not versions:
+        raise ValueError(f"no table at {path}")
+    v = versions[-1] if version is None else version
+    commit = _read_commit(spark, path, v)
+    data_root = os.path.join(path, _DATA_DIR)
+    if not commit["files"]:
+        raise ValueError(f"version {v} is empty")
+    # a snapshot's files span several version dirs (carried + new), and
+    # hive partition discovery can't cross the non-hive `vN` segment —
+    # read each version dir with its own basePath and union
+    by_vdir: dict[str, list[str]] = {}
+    for f in commit["files"]:
+        vdir = f.split("/", 1)[0]
+        by_vdir.setdefault(vdir, []).append(os.path.join(data_root, f))
+    parts = [
+        spark.read.option("basePath", os.path.join(data_root, vdir)).parquet(*fs)
+        for vdir, fs in sorted(by_vdir.items())
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def history(spark: SparkSession, path: str) -> list[dict]:
+    """Commit metadata for every version (file lists elided to counts)."""
+    out = []
+    for v in _list_versions(spark, path):
+        c = _read_commit(spark, path, v)
+        out.append(
+            {"version": v, "op": c["op"], "n_files": len(c["files"])}
+        )
+    return out
+
+
+def diff_versions(
+    spark: SparkSession,
+    path: str,
+    v_old: int,
+    v_new: int,
+    keys: list[str],
+) -> DataFrame:
+    """Keyed change classification between two pinned versions — time
+    travel composed with `snapshot_diff` (added/removed/changed)."""
+    from vptstools_spark.operators.scd import snapshot_diff
+
+    return snapshot_diff(
+        read_version(spark, path, v_old),
+        read_version(spark, path, v_new),
+        keys=keys,
+    )
+
+
+def expire_versions(spark: SparkSession, path: str, keep_last: int) -> list[int]:
+    """Explicitly drop the commit entries (NOT the data files) of all but
+    the last `keep_last` versions; returns the expired version numbers.
+    Physical file deletion is left to a separate vacuum that checks no
+    surviving commit references a file — never a write-path side effect."""
+    versions = _list_versions(spark, path)
+    expired = versions[:-keep_last] if keep_last > 0 else versions
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    for v in expired:
+        p = jvm.org.apache.hadoop.fs.Path(_log_path(path, v))
+        p.getFileSystem(hconf).delete(p, False)
+    return expired
