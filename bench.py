@@ -98,6 +98,8 @@ HEADLINE = [
     # round 4 additions
     "snapshot_diff",
     "sync_segments",
+    "tt_version_diff",
+    "bloom_point_lookup",
     "drift_ks",
     "ts_cusum",
     "events_resample_interp",

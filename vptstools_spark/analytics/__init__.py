@@ -50,6 +50,8 @@ _MODULES = [
 NEW_THIS_ROUND = [
     "snapshot_diff",
     "sync_segments",
+    "tt_version_diff",
+    "bloom_point_lookup",
     "drift_ks",
     "ts_cusum",
     "events_resample_interp",

@@ -194,6 +194,56 @@ def q_sync_segments(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+#: session-scoped versioned-table memo (pure function of the sf dir)
+_TT_CACHE: dict = {}
+
+
+def q_tt_version_diff(spark: SparkSession, sf: str) -> DataFrame:
+    """Time travel exercised through the value gate
+    (`plans/timetravel.py`): commit orders as version 0, commit a
+    deterministic upsert (bump every 89th key's price, tombstone every
+    97th) as version 1, then classify v0→v1 changes with `diff_versions`
+    — pinned snapshot reads + COW commits + the snapshot-diff composition
+    all sit under the oracle, which recomputes the expected classes from
+    the raw table."""
+    import tempfile
+
+    from vptstools_spark.plans.timetravel import commit_initial, commit_upsert, diff_versions
+
+    key = ("tt_orders", sf)
+    if key not in _TT_CACHE:
+        o = table(spark, sf, "orders").select(
+            "o_orderkey", "o_totalprice", "o_orderstatus",
+            (F.col("o_orderkey") % 8).cast("int").alias("part"),
+        )
+        path = tempfile.mkdtemp(prefix="tt_orders_")
+        commit_initial(o, path, ["part"])
+        delta = (
+            o.filter(
+                (F.col("o_orderkey") % 89 == 0) | (F.col("o_orderkey") % 97 == 0)
+            )
+            .withColumn(
+                "o_totalprice",
+                F.when(
+                    F.col("o_orderkey") % 89 == 0,
+                    F.col("o_totalprice") + F.lit(1.0),
+                ).otherwise(F.col("o_totalprice")),
+            )
+            .withColumn("is_delete", F.col("o_orderkey") % 97 == 0)
+        )
+        commit_upsert(spark, path, delta, keys=["o_orderkey"], delete_col="is_delete")
+        _TT_CACHE[key] = path
+    d = diff_versions(spark, _TT_CACHE[key], 0, 1, keys=["o_orderkey"])
+    return (
+        d.groupBy("change")
+        .agg(
+            F.count("*").alias("n_keys"),
+            F.sum("o_orderkey").cast("long").alias("key_sum"),
+        )
+        .orderBy("change")
+    )
+
+
 def q_events_funnel_windowed(spark: SparkSession, sf: str) -> DataFrame:
     """Conversion-window funnel — the time-boxed variant of
     `events_funnel`: each stage must land within 7 days of the PREVIOUS
@@ -490,6 +540,7 @@ def q_snapshot_diff(spark: SparkSession, sf: str) -> DataFrame:
 QUERIES = {
     "snapshot_diff": q_snapshot_diff,
     "sync_segments": q_sync_segments,
+    "tt_version_diff": q_tt_version_diff,
     "events_hourly": q_events_hourly,
     "scd2_event_types": q_scd2_event_types,
     "retention_cohorts": q_retention_cohorts,
@@ -509,6 +560,19 @@ QUERIES = {
 }
 
 ORACLES = {
+    "tt_version_diff": """
+        WITH j AS (
+            SELECT o_orderkey AS k,
+                   CASE WHEN o_orderkey % 97 = 0 THEN 'removed'
+                        WHEN o_orderkey % 89 = 0 THEN 'changed'
+                   END AS change
+            FROM orders
+        )
+        SELECT change, COUNT(*) AS n_keys,
+               CAST(SUM(k) AS BIGINT) AS key_sum
+        FROM j WHERE change IS NOT NULL
+        GROUP BY change ORDER BY change
+    """,
     "sync_segments": """
         WITH oldt AS (
             SELECT o_orderkey AS k, o_totalprice AS p, o_orderstatus AS st

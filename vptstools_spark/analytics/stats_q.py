@@ -379,6 +379,50 @@ def q_mv_rollup_orders(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+#: session-scoped bloom-indexed table memo (pure function of the sf dir)
+_BLOOM_CACHE: dict = {}
+
+#: fixed probe keys for the bloom-pruned point-lookup query
+_BLOOM_PROBES = (515, 7777, 29441)
+
+
+def q_bloom_point_lookup(spark: SparkSession, sf: str) -> DataFrame:
+    """File-level Bloom index exercised through the value gate
+    (`plans/skipping.py`): orders written as 16 interleaved files (every
+    file spans the full key range — min/max skipping is blind), a bloom
+    index collected once, then three point lookups served by
+    `read_pruned_equality` — each reads only bloom-surviving files. The
+    oracle answers the same probes from the raw table, so a false
+    NEGATIVE (a bloom that drops the true file) breaks the value hash."""
+    import tempfile
+
+    from vptstools_spark.plans.skipping import (
+        collect_file_blooms,
+        read_pruned_equality,
+    )
+
+    key = ("bloom_orders", sf)
+    if key not in _BLOOM_CACHE:
+        o = table(spark, sf, "orders").select(
+            "o_orderkey", "o_totalprice",
+            (F.col("o_orderkey") % 16).cast("int").alias("b"),
+        )
+        path = tempfile.mkdtemp(prefix="bloom_orders_")
+        o.repartition("b").write.partitionBy("b").parquet(path, mode="overwrite")
+        blooms = collect_file_blooms(spark, path, "o_orderkey").localCheckpoint(
+            eager=True
+        )
+        _BLOOM_CACHE[key] = (path, blooms)
+    path, blooms = _BLOOM_CACHE[key]
+    out = None
+    for k in _BLOOM_PROBES:
+        hit = read_pruned_equality(spark, blooms, "o_orderkey", k).select(
+            "o_orderkey", F.round("o_totalprice", 2).alias("price")
+        )
+        out = hit if out is None else out.unionByName(hit)
+    return out.orderBy("o_orderkey")
+
+
 QUERIES = {
     "winsorize_price": q_winsorize_price,
     "drift_psi": q_drift_psi,
@@ -386,6 +430,7 @@ QUERIES = {
     "rfm_segments": q_rfm_segments,
     "mv_rollup_orders": q_mv_rollup_orders,
     "robust_stats": q_robust_stats,
+    "bloom_point_lookup": q_bloom_point_lookup,
     "quantiles_price": q_quantiles_price,
     "regr_price_qty": q_regr_price_qty,
     "moments_quantity": q_moments_quantity,
@@ -398,6 +443,11 @@ QUERIES = {
 }
 
 ORACLES = {
+    "bloom_point_lookup": """
+SELECT o_orderkey, ROUND(o_totalprice, 2) AS price
+FROM orders WHERE o_orderkey IN (515, 7777, 29441)
+ORDER BY o_orderkey
+    """,
     "robust_stats": """
 WITH q AS (
     SELECT l_returnflag,
