@@ -13,8 +13,8 @@ from vptstools_spark.operators.dedup import (
     duplicate_spans,
     exact_dedup_stats,
     jaccard_pairs,
-    jaccard_verify,
     lsh_candidates,
+    lsh_verified_dedup,
     minhash_signatures,
     shingles,
     simhash16,
@@ -48,11 +48,16 @@ def q_dedup_lsh_verified(spark: SparkSession, sf: str) -> DataFrame:
     exact Jaccard verification on the candidate pairs ONLY. The quadratic
     verify cost of `dedup_ngram_jaccard` shrinks to the LSH candidate count;
     recall is bounded by banding (pairs missed by every band are missed
-    here — the measured scale/recall trade)."""
-    sh = shingles(fan_out(table(spark, sf, "documents")), k=3)
-    sigs = minhash_signatures(sh, NUM_HASHES)
-    cands = lsh_candidates(sigs, NUM_HASHES, ROWS_PER_BAND)
-    return jaccard_verify(sh, cands, threshold=0.8)
+    here — the measured scale/recall trade). The shared shingle subtree is
+    persisted inside `lsh_verified_dedup` so it executes once, not once per
+    consumer (VERDICT r4 #2)."""
+    return lsh_verified_dedup(
+        fan_out(table(spark, sf, "documents")),
+        k=3,
+        num_hashes=NUM_HASHES,
+        rows_per_band=ROWS_PER_BAND,
+        threshold=0.8,
+    )
 
 
 def q_dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:

@@ -226,6 +226,35 @@ def duplicate_spans(
     )
 
 
+def lsh_verified_dedup(
+    df: DataFrame,
+    k: int = 3,
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The corpus-scale near-dup composition as ONE operator:
+    shingle → MinHash → LSH banding → exact Jaccard verify on candidates.
+
+    The shingle table feeds TWO consumers (the signature aggregate and the
+    verify stage); without materialization Spark re-executes the
+    tokenize→shingle subtree once per consumer — at 100 TB that is a full
+    corpus re-scan + re-shingle. Persist it here (MEMORY_AND_DISK, spills
+    gracefully) exactly as `simjoin.similarity_join` persists its token
+    table, so library users get the shared subtree for free.
+    """
+    from pyspark import StorageLevel
+
+    sh = shingles(df, text_col=text_col, id_col=id_col, k=k).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    sigs = minhash_signatures(sh, num_hashes)
+    cands = lsh_candidates(sigs, num_hashes, rows_per_band)
+    return jaccard_verify(sh, cands, threshold=threshold)
+
+
 def jaccard_verify(sh: DataFrame, pairs: DataFrame, threshold: float = 0.8) -> DataFrame:
     """Exact Jaccard on a CANDIDATE pair list — the verify stage of the
     LSH→verify composition (module docstring; the corpus-scale default).
