@@ -56,7 +56,8 @@ def test_mv_answers_equal_base_aggregate(spark, tmp_path):
         "min_price": ("min", "price"),
         "max_price": ("max", "price"),
     }
-    got = answer_from_mv(mv_df, mv, ["prio"], wanted)
+    # MV stores count(*) only; price is non-null in this fixture, declared
+    got = answer_from_mv(mv_df, mv, ["prio"], wanted, assume_non_null=True)
     direct = base.groupBy("prio").agg(
         F.count("*").alias("n_rows"),
         F.sum(F.col("price").cast("decimal(18,2)")).alias("revenue"),
@@ -80,7 +81,9 @@ def test_avg_is_sum_over_count_not_avg_of_avgs(spark, tmp_path):
     path = str(tmp_path / "mv")
     create_matview(base, path, MV)
     mv_df, mv = read_matview(spark, path)
-    out = answer_from_mv(mv_df, mv, ["prio"], {"a": ("avg", "price")}).collect()
+    out = answer_from_mv(
+        mv_df, mv, ["prio"], {"a": ("avg", "price")}, assume_non_null=True
+    ).collect()
     assert out[0]["a"] == pytest.approx(1.9)
 
 
@@ -92,6 +95,11 @@ def test_can_answer_rejects_underivable(spark):
         "nc", ("prio",), {"s": Measure("sum", "price")}, None
     )
     assert not can_answer(no_count, ["prio"], {"x": ("avg", "price")})
+    # count(*)-only MVs answer avg ONLY under the explicit non-null
+    # declaration — the default must fall through, not divide by the
+    # wrong count on a nullable column (ADVICE r4)
+    assert not can_answer(MV, ["prio"], {"x": ("avg", "price")})
+    assert can_answer(MV, ["prio"], {"x": ("avg", "price")}, assume_non_null=True)
 
 
 def test_route_falls_back_to_base_on_miss(spark, tmp_path):
@@ -200,3 +208,23 @@ def test_avg_on_nullable_column_uses_count_of_column(spark, tmp_path):
     mv_df, mvd = read_matview(spark, path)
     out = answer_from_mv(mv_df, mvd, ["g"], {"a": ("avg", "v")}).collect()
     assert out[0]["a"] == 3.0  # (2+4)/2, NOT (2+4)/3
+
+
+def test_refresh_deletes_vanished_partition(spark, tmp_path):
+    """A changed partition whose base rows were ALL deleted must disappear
+    from the MV — dynamic overwrite alone leaves it serving stale
+    aggregates (ADVICE r4)."""
+    base = _base(
+        spark, [("A", "m1", 1.0), ("A", "m2", 2.0), ("B", "m2", 4.0)]
+    )
+    path = str(tmp_path / "mv")
+    create_matview(base, path, MV)
+    # all m1 rows deleted; m2 changed
+    new_base = _base(spark, [("A", "m2", 3.0), ("B", "m2", 4.0)])
+    refresh_matview(new_base, path, ["m1", "m2"])
+    mv_df, mv = read_matview(spark, path)
+    full = str(tmp_path / "mv_full")
+    create_matview(new_base, full, MV)
+    want_df, _ = read_matview(spark, full)
+    assert _rows(mv_df, ["prio", "month"]) == _rows(want_df, ["prio", "month"])
+    assert mv_df.filter(F.col("month") == "m1").count() == 0

@@ -137,3 +137,44 @@ def test_bloom_index_empty_result_keeps_schema(spark, tmp_path):
     blooms = collect_file_blooms(spark, path, "id")
     out = read_pruned_equality(spark, blooms, "id", 99999)
     assert out.columns == ["id"] and out.count() == 0
+
+
+def test_bloom_probe_rendering_matches_spark_cast(spark, tmp_path):
+    """Boolean probes must hash Spark's 'true'/'false' rendering, not
+    Python's 'True'; divergent-rendering types (float) are rejected
+    instead of silently producing false negatives (ADVICE r4)."""
+    from vptstools_spark.plans.skipping import (
+        collect_file_blooms,
+        read_pruned_equality,
+    )
+
+    path = str(tmp_path / "bt")
+    df = spark.range(100).select(
+        (F.col("id") % 2 == 0).alias("flag"), F.col("id")
+    )
+    df.repartition(2).write.parquet(path)
+    blooms = collect_file_blooms(spark, path, "flag")
+    got = read_pruned_equality(spark, blooms, "flag", True)
+    assert got.count() == 50  # a 'True'-hashed probe would return 0 rows
+    with pytest.raises(TypeError, match="false negatives"):
+        read_pruned_equality(spark, blooms, "flag", 1.5)
+
+
+def test_bloom_probe_date_rendering(spark, tmp_path):
+    import datetime
+
+    from vptstools_spark.plans.skipping import (
+        collect_file_blooms,
+        read_pruned_equality,
+    )
+
+    path = str(tmp_path / "bd")
+    df = spark.sql(
+        "SELECT sequence(DATE'2024-01-01', DATE'2024-01-10') AS ds"
+    ).select(F.explode("ds").alias("d"))
+    df.repartition(3).write.parquet(path)
+    blooms = collect_file_blooms(spark, path, "d")
+    got = read_pruned_equality(
+        spark, blooms, "d", datetime.date(2024, 1, 7)
+    )
+    assert got.count() == 1

@@ -90,3 +90,56 @@ def test_history_and_expiry(spark, tmp_path):
     assert _rows(read_version(spark, path)) == [
         (1, 0, 1.0), (2, 0, 2.0), (3, 0, 3.0),
     ]
+
+
+def test_upsert_hive_rendered_partitions_no_duplication(spark, tmp_path):
+    """Partition values whose Python str() diverges from Spark's directory
+    rendering (booleans -> 'true', NULL -> __HIVE_DEFAULT_PARTITION__) must
+    still be recognized as touched: before r5 the old file was carried AND
+    the rows rewritten — silent duplication (ADVICE r4)."""
+    path = str(tmp_path / "tt6")
+    df = spark.createDataFrame(
+        [(1, True, 1.0), (2, False, 2.0), (3, None, 3.0)],
+        "k long, flag boolean, v double",
+    )
+    commit_initial(df, path, ["flag"])
+    delta = spark.createDataFrame(
+        [(1, True, 9.0), (3, None, 8.0)], "k long, flag boolean, v double"
+    )
+    commit_upsert(spark, path, delta, keys=["k"])
+    got = sorted((r["k"], r["flag"], r["v"]) for r in read_version(spark, path).collect())
+    assert got == [(1, True, 9.0), (2, False, 2.0), (3, None, 8.0)]
+
+
+def test_expired_read_raises_clear_error_and_pinned_plan_survives(spark, tmp_path):
+    path = str(tmp_path / "tt7")
+    commit_initial(_df(spark, [(1, 0, 1.0)]), path, ["day"])
+    commit_upsert(spark, path, _df(spark, [(2, 0, 2.0)]), keys=["k"])
+    pinned = read_version(spark, path, 0)  # plan held across expiry
+    assert expire_versions(spark, path, keep_last=1) == [0]
+    # the already-pinned plan still reads (data files are never deleted)
+    assert _rows(pinned) == [(1, 0, 1.0)]
+    with pytest.raises(ValueError, match="expired"):
+        read_version(spark, path, 0)
+    with pytest.raises(ValueError, match="does not exist"):
+        read_version(spark, path, 99)
+
+
+def test_expiry_retention_guard(spark, tmp_path):
+    path = str(tmp_path / "tt8")
+    commit_initial(_df(spark, [(1, 0, 1.0)]), path, ["day"])
+    with pytest.raises(ValueError, match="keep_last"):
+        expire_versions(spark, path, keep_last=0)
+    assert _rows(read_version(spark, path)) == [(1, 0, 1.0)]
+
+
+def test_register_table_as_of_sql_face(spark, tmp_path):
+    from vptstools_spark.sql import register_table_as_of
+
+    path = str(tmp_path / "tt9")
+    commit_initial(_df(spark, [(1, 0, 1.0)]), path, ["day"])
+    commit_upsert(spark, path, _df(spark, [(1, 0, 2.0)]), keys=["k"])
+    register_table_as_of(spark, path, "tt9_v0", 0)
+    register_table_as_of(spark, path, "tt9_latest")
+    assert spark.sql("SELECT v FROM tt9_v0").collect()[0][0] == 1.0
+    assert spark.sql("SELECT v FROM tt9_latest").collect()[0][0] == 2.0

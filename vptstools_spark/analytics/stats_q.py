@@ -369,6 +369,9 @@ def q_mv_rollup_orders(spark: SparkSession, sf: str) -> DataFrame:
             "avg_price": ("avg", "o_totalprice"),
             "max_price": ("max", "o_totalprice"),
         },
+        # o_totalprice is non-null (TPC-H), declared so count(*) may back
+        # the derived avg; nullable columns must store count(col) instead
+        assume_non_null=True,
     )
     return out.select(
         "o_orderpriority",

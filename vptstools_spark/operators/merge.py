@@ -54,10 +54,13 @@ def scope_to_partitions(
     from functools import reduce
 
     if len(touched) <= MAX_LITERAL_PARTITION_FILTER:
+        # eqNullSafe: a NULL partition value (__HIVE_DEFAULT_PARTITION__ on
+        # disk) must still select its partition — plain `=` is never true
+        # against NULL and would silently drop those rows from the rewrite
         conds = [
             reduce(
                 Column.__and__,
-                [F.col(c) == F.lit(v) for c, v in zip(partition_cols, t)],
+                [F.col(c).eqNullSafe(F.lit(v)) for c, v in zip(partition_cols, t)],
             )
             for t in touched
         ]
@@ -73,11 +76,12 @@ def scope_to_partitions(
             touched_df = touched_df.withColumn(
                 f.name, F.col(f.name).cast(f.dataType)
             )
-    return target.join(
-        F.broadcast(touched_df.select(*partition_cols).distinct()),
-        partition_cols,
-        "left_semi",
+    right = touched_df.select(*partition_cols).distinct()
+    cond = reduce(
+        Column.__and__,
+        [target[c].eqNullSafe(right[c]) for c in partition_cols],
     )
+    return target.join(F.broadcast(right), cond, "left_semi")
 
 
 #: characters Spark's ExternalCatalogUtils.escapePathName percent-encodes in
@@ -85,17 +89,27 @@ def scope_to_partitions(
 _PATH_ESCAPE = set('"#%\'*/:=?\\{[]^') | {chr(i) for i in range(0x20)} | {chr(0x7F)}
 
 
-def escape_partition_value(v) -> str:
-    """Render a partition value the way Spark writes its directory name:
-    `None` → __HIVE_DEFAULT_PARTITION__, booleans lowercased, special
-    characters percent-encoded (ExternalCatalogUtils.escapePathName)."""
-    if v is None:
+def escape_partition_segment(s: str | None) -> str:
+    """Escape a partition value ALREADY rendered to string (by Spark's own
+    `cast(v as string)` — the exact pre-escape rendering the dynamic
+    partition writer uses) into its directory-segment form: `None` →
+    __HIVE_DEFAULT_PARTITION__, special characters percent-encoded
+    (ExternalCatalogUtils.escapePathName)."""
+    if s is None:
         return "__HIVE_DEFAULT_PARTITION__"
-    if isinstance(v, bool):
-        s = "true" if v else "false"
-    else:
-        s = str(v)
     return "".join(f"%{ord(ch):02X}" if ch in _PATH_ESCAPE else ch for ch in s)
+
+
+def escape_partition_value(v) -> str:
+    """Render a PYTHON-typed partition value the way Spark writes its
+    directory name. Only use for values whose Python str() matches Spark's
+    cast-to-string (int/str/date/bool — handled here); for values read back
+    from a DataFrame prefer `escape_partition_segment` over Spark's own
+    `cast(col as string)`, which is exact for every type (doubles render
+    scientifically in Spark, differently from Python)."""
+    if isinstance(v, bool):
+        return escape_partition_segment("true" if v else "false")
+    return escape_partition_segment(None if v is None else str(v))
 
 
 def merge_upsert(

@@ -144,21 +144,28 @@ def read_matview(spark: SparkSession, path: str) -> tuple[DataFrame, MatViewDef]
     return spark.read.parquet(os.path.join(path, _DATA_DIR)), mv
 
 
-def can_answer(mv: MatViewDef, dims: list[str], wanted: dict) -> bool:
+def can_answer(
+    mv: MatViewDef, dims: list[str], wanted: dict, assume_non_null: bool = False
+) -> bool:
     """True iff (dims, wanted) is derivable: dims ⊆ mv.dims and every
     wanted (fn, col) has its stored prerequisite(s) — avg needs BOTH the
-    sum and the count of the same column set."""
+    sum and the count of the same column set.
+
+    avg = Σsum/Σcount is only exact when the count skips the same NULLs
+    the sum does, so by DEFAULT avg(col) requires a stored count(col);
+    count(*) substitutes ONLY under the caller's explicit
+    `assume_non_null=True` declaration (the conservative-router contract:
+    a silent wrong answer on a nullable column is worse than a base-table
+    fallback)."""
     if not set(dims) <= set(mv.dims):
         return False
     stored = {(m.fn, m.col) for m in mv.measures.values()}
     for fn, col in wanted.values():
         if fn == "avg":
-            # avg = Σsum/Σcount is only exact when the count skips the
-            # same NULLs the sum does: require count(col) itself, or
-            # count(*) — the latter matches only for non-null columns, so
-            # prefer count(col) at answer time (see _count_col_for)
-            if ("sum", col) not in stored or (
-                ("count", col) not in stored and ("count", "*") not in stored
+            if ("sum", col) not in stored:
+                return False
+            if ("count", col) not in stored and not (
+                assume_non_null and ("count", "*") in stored
             ):
                 return False
         elif (fn, col) not in stored:
@@ -168,9 +175,8 @@ def can_answer(mv: MatViewDef, dims: list[str], wanted: dict) -> bool:
 
 def _count_col_for(mv: MatViewDef, col: str) -> str:
     """The stored count measure to divide by for avg(col): count(col) when
-    the MV stores it (NULL-exact), else count(*) — exact only when `col`
-    is non-null, which is why `Measure("count", col)` is the right thing
-    to store next to `Measure("sum", col)` for nullable columns."""
+    the MV stores it (NULL-exact), else count(*) — reached only when the
+    caller declared `assume_non_null=True` in `can_answer`."""
     for name, m in mv.measures.items():
         if m.fn == "count" and m.col == col:
             return name
@@ -181,13 +187,17 @@ def _count_col_for(mv: MatViewDef, col: str) -> str:
 
 
 def answer_from_mv(
-    mv_df: DataFrame, mv: MatViewDef, dims: list[str], wanted: dict
+    mv_df: DataFrame,
+    mv: MatViewDef,
+    dims: list[str],
+    wanted: dict,
+    assume_non_null: bool = False,
 ) -> DataFrame:
     """Roll the MV up to `dims`, deriving each wanted measure with the
     re-aggregation algebra. `wanted`: out_col -> (fn, base_col) with fn in
     sum/count/min/max/avg. Raises if not derivable — call `can_answer`
     (or `route`) first."""
-    if not can_answer(mv, dims, wanted):
+    if not can_answer(mv, dims, wanted, assume_non_null):
         raise ValueError(f"MV {mv.name} cannot answer dims={dims} wanted={wanted}")
     by_pair = {(m.fn, m.col): name for name, m in mv.measures.items()}
     exprs = []
@@ -208,12 +218,13 @@ def route(
     mv: MatViewDef,
     dims: list[str],
     wanted: dict,
+    assume_non_null: bool = False,
 ) -> DataFrame:
     """Answer from the MV when derivable, else aggregate the base table
     directly — the conservative aggregate-navigator contract: a miss costs
     a base scan, never a wrong answer."""
-    if can_answer(mv, dims, wanted):
-        return answer_from_mv(mv_df, mv, dims, wanted)
+    if can_answer(mv, dims, wanted, assume_non_null):
+        return answer_from_mv(mv_df, mv, dims, wanted, assume_non_null)
     exprs = []
     for out, (fn, col) in wanted.items():
         if fn == "count":
@@ -265,16 +276,64 @@ def refresh_matview(
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
+    # VANISHED partitions: a changed partition whose base rows were ALL
+    # deleted produces no delta rows, and dynamic overwrite only replaces
+    # partitions the delta writes — so without this step the MV silently
+    # keeps serving aggregates for data that no longer exists (ADVICE r4).
+    # Diff `changed` against the delta's surviving partition values (one
+    # extra aggregate over the already-scoped slice) and delete the MV
+    # directories for the ones that disappeared — rendered with Spark's
+    # own cast-to-string so bool/NULL/double partition values land on the
+    # directory partitionBy actually wrote.
+    survived = {
+        r["s"]
+        for r in delta.select(
+            F.col(mv.partition_dim).cast("string").alias("s")
+        )
+        .distinct()
+        .collect()
+    }
+    dim_type = next(
+        f.dataType.simpleString()
+        for f in base.schema.fields
+        if f.name == mv.partition_dim
+    )
+    changed_rows = (
+        spark.createDataFrame([(c,) for c in changed], f"`v` {dim_type}")
+        .select(F.col("v").cast("string").alias("s"))
+        .collect()
+    )
+    vanished = [r["s"] for r in changed_rows if r["s"] not in survived]
+    if vanished:
+        from vptstools_spark.operators.merge import escape_partition_segment
+
+        jvm = spark.sparkContext._jvm
+        hconf = spark.sparkContext._jsc.hadoopConfiguration()
+        for s in vanished:
+            pdir = os.path.join(
+                path,
+                _DATA_DIR,
+                f"{mv.partition_dim}={escape_partition_segment(s)}",
+            )
+            p = jvm.org.apache.hadoop.fs.Path(pdir)
+            fs = p.getFileSystem(hconf)
+            if fs.exists(p):
+                fs.delete(p, True)
+
 
 def answer_rollup_from_mv(
-    mv_df: DataFrame, mv: MatViewDef, dims: list[str], wanted: dict
+    mv_df: DataFrame,
+    mv: MatViewDef,
+    dims: list[str],
+    wanted: dict,
+    assume_non_null: bool = False,
 ) -> DataFrame:
     """Serve the whole ROLLUP lattice over `dims` from ONE MV scan: the
     re-aggregation algebra commutes with grouping sets, so
     `mv.rollup(dims)` with derived measures equals rolling up the base
     table — at the MV's row count, not the lake's. Adds the standard
     `grouping_id` disambiguator (NULL dim values vs subtotal rows)."""
-    if not can_answer(mv, dims, wanted):
+    if not can_answer(mv, dims, wanted, assume_non_null):
         raise ValueError(f"MV {mv.name} cannot answer rollup({dims})")
     by_pair = {(m.fn, m.col): name for name, m in mv.measures.items()}
     exprs = []

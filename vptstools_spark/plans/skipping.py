@@ -187,15 +187,41 @@ def collect_file_blooms(
     )
 
 
+def _spark_string_of(value) -> str:
+    """Render a probe value EXACTLY as the build side's `cast(col as
+    string)` did — the bloom has no false negatives only if the probe
+    hashes the same bytes the build hashed. Python str() diverges from
+    Spark's cast for booleans ('True' vs 'true') and for doubles (Spark
+    renders Java Double.toString scientific forms), so those either get an
+    explicit translation (bool) or an explicit rejection (float/decimal/
+    datetime) — a silent false NEGATIVE would make read_pruned_equality
+    drop the file that contains the value (ADVICE r4)."""
+    import datetime
+
+    if isinstance(value, bool):
+        return "true" if value else "false"
+    if isinstance(value, int) or isinstance(value, str):
+        return str(value)
+    if isinstance(value, datetime.date) and not isinstance(value, datetime.datetime):
+        return value.isoformat()  # == Spark's date cast 'YYYY-MM-DD'
+    raise TypeError(
+        f"bloom equality probe on {type(value).__name__} is not supported: "
+        "Python's rendering of this type diverges from Spark's cast-to-"
+        "string, which would silently produce bloom false negatives. "
+        "Probe with int/str/bool/date, or pass the Spark-rendered string."
+    )
+
+
 def _bloom_positions_driver(value, n_hashes: int, m_bits: int) -> list[int]:
     """Driver-side twin of `sketch.bloom_positions` for a literal probe
-    value: same salted-md5 scheme over the value's STRING form, so a probe
-    matches exactly the bits the Spark build set. hashlib.md5 of the UTF-8
-    string == Spark md5 of the string cast — the cross-engine md5 identity
-    every sketch in this repo already relies on."""
+    value: same salted-md5 scheme over the value's Spark-cast string form
+    (`_spark_string_of`), so a probe matches exactly the bits the Spark
+    build set. hashlib.md5 of the UTF-8 string == Spark md5 of the string
+    cast — the cross-engine md5 identity every sketch in this repo already
+    relies on."""
     import hashlib
 
-    s = str(value)
+    s = _spark_string_of(value)
     return [
         int(hashlib.md5(f"bf{i}:{s}".encode()).hexdigest()[:8], 16) % m_bits
         for i in range(n_hashes)

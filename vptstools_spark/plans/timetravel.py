@@ -91,6 +91,7 @@ def _commit(
     files: list[str],
     partition_cols: list[str],
     op: str,
+    partition_types: dict[str, str] | None = None,
 ) -> None:
     write_text_sidecar(
         spark,
@@ -100,6 +101,10 @@ def _commit(
                 "version": version,
                 "op": op,
                 "partition_cols": partition_cols,
+                # declared types beat hive directory-name inference on read
+                # (inference can only guess numeric/date/string — a boolean
+                # or decimal partition column would come back as string)
+                "partition_types": partition_types or {},
                 "files": sorted(files),
             }
         ),
@@ -112,7 +117,12 @@ def commit_initial(
     """Version 0: full snapshot write + commit. Returns the version."""
     pcols = partition_cols or []
     rels = _write_snapshot_files(df, path, 0, pcols)
-    _commit(df.sparkSession, path, 0, rels, pcols, "initial")
+    ptypes = {
+        f.name: f.dataType.simpleString()
+        for f in df.schema.fields
+        if f.name in pcols
+    }
+    _commit(df.sparkSession, path, 0, rels, pcols, "initial", ptypes)
     return 0
 
 
@@ -140,16 +150,35 @@ def commit_upsert(
     upserts = upserts.drop(*([delete_col] if delete_col else []))
 
     if pcols:
-        raw = [tuple(r) for r in delta.select(*pcols).distinct().collect()]
-        # path comparison uses the hive string form; the scope filter the
-        # raw typed values (partitionBy renders both from the same values,
-        # so simple key types round-trip; exotic values would need
-        # merge.escape_partition_value here)
-        touched_str = {
-            tuple(None if v is None else str(v) for v in t) for t in raw
-        }
-        from vptstools_spark.operators.merge import scope_to_partitions
+        # one collect yields BOTH forms of each touched partition tuple:
+        # the typed values (drive the scope filter) and Spark's own
+        # cast-to-string rendering (drives the path comparison — the
+        # dynamic partition writer renders directory names as
+        # escapePathName(cast(v as string)), so NULL →
+        # __HIVE_DEFAULT_PARTITION__, booleans → 'true', doubles in
+        # Spark's scientific form; Python str() diverges on all three
+        # and silently duplicated rows before r5)
+        from vptstools_spark.operators.merge import (
+            escape_partition_segment,
+            scope_to_partitions,
+        )
 
+        rows = (
+            delta.select(*pcols)
+            .distinct()
+            .select(
+                F.struct(*pcols).alias("t"),
+                F.struct(
+                    *[F.col(c).cast("string").alias(c) for c in pcols]
+                ).alias("s"),
+            )
+            .collect()
+        )
+        raw = [tuple(r["t"][c] for c in pcols) for r in rows]
+        touched_str = {
+            tuple(escape_partition_segment(r["s"][c]) for c in pcols)
+            for r in rows
+        }
         cur = scope_to_partitions(read_version(spark, path, prev_v), pcols, raw)
         carried = [
             f
@@ -162,7 +191,15 @@ def commit_upsert(
     survivors = cur.join(delta.select(*keys).distinct(), keys, "left_anti")
     merged = survivors.unionByName(upserts)
     rels = _write_snapshot_files(merged, path, new_v, pcols)
-    _commit(spark, path, new_v, carried + rels, pcols, "upsert")
+    _commit(
+        spark,
+        path,
+        new_v,
+        carried + rels,
+        pcols,
+        "upsert",
+        prev.get("partition_types"),
+    )
     return new_v
 
 
@@ -175,6 +212,14 @@ def read_version(
     if not versions:
         raise ValueError(f"no table at {path}")
     v = versions[-1] if version is None else version
+    if v not in versions:
+        # a clear contract error instead of a parquet-not-found stack:
+        # distinguishes "never existed" from "expired" by position
+        state = "has been expired" if v < versions[0] else "does not exist"
+        raise ValueError(
+            f"version {v} of {path} {state}; available versions: "
+            f"{versions[0]}..{versions[-1]}"
+        )
     commit = _read_commit(spark, path, v)
     data_root = os.path.join(path, _DATA_DIR)
     if not commit["files"]:
@@ -193,6 +238,8 @@ def read_version(
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
+    for c, dt in (commit.get("partition_types") or {}).items():
+        out = out.withColumn(c, F.col(c).cast(dt))
     return out
 
 
@@ -229,9 +276,20 @@ def expire_versions(spark: SparkSession, path: str, keep_last: int) -> list[int]
     """Explicitly drop the commit entries (NOT the data files) of all but
     the last `keep_last` versions; returns the expired version numbers.
     Physical file deletion is left to a separate vacuum that checks no
-    surviving commit references a file — never a write-path side effect."""
+    surviving commit references a file — never a write-path side effect,
+    so a session that already pinned an expired version keeps reading its
+    files; only NEW `read_version` calls get the expired-version error.
+
+    Retention guard: `keep_last` must be >= 1 — expiring the latest
+    version would leave the table unreadable; a table-drop must be an
+    explicit filesystem operation, never an expiry edge case."""
+    if keep_last < 1:
+        raise ValueError(
+            f"keep_last must be >= 1 (got {keep_last}); refusing to expire "
+            "the current version — drop the table explicitly instead"
+        )
     versions = _list_versions(spark, path)
-    expired = versions[:-keep_last] if keep_last > 0 else versions
+    expired = versions[:-keep_last]
     jvm = spark.sparkContext._jvm
     hconf = spark.sparkContext._jsc.hadoopConfiguration()
     for v in expired:

@@ -47,6 +47,26 @@ def register_query_views(
     return out
 
 
+def register_table_as_of(
+    spark: SparkSession, path: str, name: str, version: int | None = None
+) -> str:
+    """Time travel's session-level face: pin a versioned table (written by
+    `plans/timetravel.py`) at `version` (default: latest) as a temp view,
+    so SQL consumers get `SELECT ... FROM orders_v3`-style as-of reads:
+
+        >>> register_table_as_of(spark, "/data/orders_tt", "orders_v3", 3)
+        >>> spark.sql("SELECT count(*) FROM orders_v3")
+
+    The view is the pinned snapshot's lazy plan — expiring the version
+    later does not break the already-registered view (data files are never
+    deleted by `expire_versions`), but re-registering it will raise the
+    expired-version error."""
+    from vptstools_spark.plans.timetravel import read_version
+
+    read_version(spark, path, version).createOrReplaceTempView(name)
+    return name
+
+
 def register_all(
     spark: SparkSession, sf_dir: str, query_names: list[str] | None = None
 ) -> list[str]:
