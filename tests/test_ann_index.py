@@ -113,3 +113,89 @@ def test_append_upserts_same_cell_id(spark, tmp_path):
     idx = spark.read.parquet(f"{path}/index")
     assert idx.count() == 32
     assert idx.groupBy("n_id").count().filter("count > 1").count() == 0
+
+
+def test_optimize_table_auto_rebuilds_stale_ann_index(spark, tmp_path):
+    """VERDICT r4 #6: appends push stale_fraction over the threshold →
+    optimize_table re-fits + rebuilds and search equals a fresh full
+    build; below threshold → index untouched (no-op)."""
+    from vptstools_spark.operators.ann_index import (
+        append_ivfpq_index,
+        build_ivfpq_index,
+        index_stale_fraction,
+        search_ivfpq_index,
+    )
+    from vptstools_spark.operators.similarity import kmeans_fit, pq_fit
+    from vptstools_spark.plans.maintenance import optimize_table
+
+    full = _corpus(spark, n=96)
+    base = full.filter(F.col("vec_id") < 64)
+    delta = full.filter(F.col("vec_id") >= 64)
+    queries = _corpus(spark, n=6)
+    anchors = kmeans_fit(base, k=4, iters=1)
+    books = pq_fit(base, m=2, k=4, iters=1)
+
+    # a tiny plain table for the compaction stages of optimize_table
+    tbl = str(tmp_path / "tbl")
+    spark.range(100).withColumn("day", F.lit(1)).write.partitionBy("day").parquet(tbl)
+
+    idx = str(tmp_path / "idx")
+    build_ivfpq_index(base, idx, anchors, books)
+
+    # fresh index: 0% stale -> maintenance must NOT rebuild
+    before = sorted(
+        map(tuple, search_ivfpq_index(spark, idx, queries, k=3, nprobe=2).collect())
+    )
+    rep = optimize_table(
+        spark, tbl, ["day"], ["id"], ann_index_path=idx, ann_vectors=base
+    )
+    assert rep["ann"] == {"stale_fraction": 0.0, "rebuilt": False}
+    after = sorted(
+        map(tuple, search_ivfpq_index(spark, idx, queries, k=3, nprobe=2).collect())
+    )
+    assert after == before
+
+    # append a third of the corpus -> 33% stale -> rebuild at 20% threshold
+    s = append_ivfpq_index(delta, idx)
+    assert s["stale_fraction"] > 0.2
+    rep = optimize_table(
+        spark, tbl, ["day"], ["id"], ann_index_path=idx, ann_vectors=full
+    )
+    assert rep["ann"]["rebuilt"] and rep["ann"]["stale_fraction"] == s["stale_fraction"]
+    assert index_stale_fraction(spark, idx) == 0.0
+
+    # rebuilt index == a from-scratch same-hyperparameter build over full
+    fresh = str(tmp_path / "fresh")
+    anchors2 = kmeans_fit(full, k=4, iters=3)
+    books2 = pq_fit(full, m=2, k=4, iters=2)
+    build_ivfpq_index(full, fresh, anchors2, books2)
+    got = sorted(
+        map(tuple, search_ivfpq_index(spark, idx, queries, k=3, nprobe=2).collect())
+    )
+    want = sorted(
+        map(tuple, search_ivfpq_index(spark, fresh, queries, k=3, nprobe=2).collect())
+    )
+    assert got == want
+
+
+def test_optimize_table_stale_without_corpus_raises(spark, tmp_path):
+    import pytest
+
+    from vptstools_spark.operators.ann_index import (
+        append_ivfpq_index,
+        build_ivfpq_index,
+    )
+    from vptstools_spark.operators.similarity import kmeans_fit, pq_fit
+    from vptstools_spark.plans.maintenance import optimize_table
+
+    base = _corpus(spark, n=32)
+    delta = _corpus(spark, n=64).filter(F.col("vec_id") >= 32)
+    anchors = kmeans_fit(base, k=4, iters=1)
+    books = pq_fit(base, m=2, k=4, iters=1)
+    idx = str(tmp_path / "idx")
+    build_ivfpq_index(base, idx, anchors, books)
+    append_ivfpq_index(delta, idx)
+    tbl = str(tmp_path / "tbl")
+    spark.range(10).withColumn("day", F.lit(1)).write.partitionBy("day").parquet(tbl)
+    with pytest.raises(ValueError, match="stale"):
+        optimize_table(spark, tbl, ["day"], ["id"], ann_index_path=idx)

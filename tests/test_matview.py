@@ -228,3 +228,45 @@ def test_refresh_deletes_vanished_partition(spark, tmp_path):
     want_df, _ = read_matview(spark, full)
     assert _rows(mv_df, ["prio", "month"]) == _rows(want_df, ["prio", "month"])
     assert mv_df.filter(F.col("month") == "m1").count() == 0
+
+
+def test_filtered_route_hits_mv_and_prunes_partitions(spark, tmp_path):
+    base = _base(
+        spark,
+        [("A", "m1", 1.0), ("A", "m2", 2.0), ("A", "m3", 4.0),
+         ("B", "m2", 8.0)],
+    )
+    path = str(tmp_path / "mv")
+    create_matview(base, path, MV)
+    mv_df, mv = read_matview(spark, path)
+    out = route(
+        base, mv_df, mv, ["prio"], {"total": ("sum", "price")},
+        filters=[("month", "=", "m2")],
+    )
+    got = {r["prio"]: float(r["total"]) for r in out.collect()}
+    assert got == {"A": 2.0, "B": 8.0}
+    # dim filter routes to the MV (no base lineage) and the partition_dim
+    # equality reaches the hive-partitioned scan as a partition filter
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(month" in plan
+
+
+def test_filtered_route_falls_back_on_non_dim_filter(spark, tmp_path):
+    base = _base(spark, [("A", "m1", 1.0), ("A", "m1", 5.0)])
+    path = str(tmp_path / "mv")
+    create_matview(base, path, MV)
+    mv_df, mv = read_matview(spark, path)
+    # price is a measure column, not a dim: must aggregate the base table
+    assert not can_answer(MV, ["prio"], {"t": ("sum", "price")},
+                          filters=[("price", ">", 2.0)])
+    out = route(
+        base, mv_df, mv, ["prio"], {"t": ("sum", "price")},
+        filters=[("price", ">", 2.0)],
+    ).collect()
+    assert [(r["prio"], r["t"]) for r in out] == [("A", 5.0)]
+
+
+def test_filtered_route_rejects_unknown_op(spark):
+    with pytest.raises(ValueError, match="unsupported filter op"):
+        can_answer(MV, ["prio"], {"t": ("sum", "price")},
+                   filters=[("month", "like", "m%")])

@@ -48,6 +48,9 @@ _MODULES = [
 #: work must sort before the cutoff to ship with recorded verification
 #: (round-3 advice: bpe_encode/ann_filtered landed outside the sample).
 NEW_THIS_ROUND = [
+    # round 5
+    "mv_filtered_route",
+    # round 4
     "snapshot_diff",
     "sync_segments",
     "tt_version_diff",

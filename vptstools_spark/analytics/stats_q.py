@@ -317,6 +317,38 @@ def q_robust_stats(spark: SparkSession, sf: str) -> DataFrame:
 _MV_CACHE: dict = {}
 
 
+def _ensure_orders_mv(spark: SparkSession, sf: str) -> None:
+    """Build-once (per sf) the (priority × month) orders summary MV —
+    partitioned by month, DECIMAL revenue — shared by the MV-routing
+    queries below."""
+    import tempfile
+
+    from vptstools_spark.plans.matview import MatViewDef, Measure, create_matview
+
+    key = ("orders_mv", sf)
+    if key in _MV_CACHE:
+        return
+    o = table(spark, sf, "orders")
+    base = o.select(
+        "o_orderpriority",
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias("month"),
+        "o_totalprice",
+    )
+    mv = MatViewDef(
+        name="orders_by_prio_month",
+        dims=("o_orderpriority", "month"),
+        measures={
+            "rev": Measure("sum", "o_totalprice", cast="decimal(18,2)"),
+            "n": Measure("count", "*"),
+            "mx": Measure("max", "o_totalprice"),
+        },
+        partition_dim="month",
+    )
+    path = tempfile.mkdtemp(prefix="mv_orders_")
+    create_matview(base, path, mv)
+    _MV_CACHE[key] = path
+
+
 def q_mv_rollup_orders(spark: SparkSession, sf: str) -> DataFrame:
     """Materialized-view-served rollup (`plans/matview.py`): build the
     (priority × month) summary table once — partitioned by month, DECIMAL
@@ -327,38 +359,10 @@ def q_mv_rollup_orders(spark: SparkSession, sf: str) -> DataFrame:
     the MV path is indistinguishable from first-principles aggregation —
     while scanning a summary that is |priorities×months| rows instead of
     the lake."""
-    import tempfile
+    from vptstools_spark.plans.matview import answer_from_mv, read_matview
 
-    from vptstools_spark.plans.matview import (
-        MatViewDef,
-        Measure,
-        answer_from_mv,
-        create_matview,
-        read_matview,
-    )
-
-    key = ("orders_mv", sf)
-    if key not in _MV_CACHE:
-        o = table(spark, sf, "orders")
-        base = o.select(
-            "o_orderpriority",
-            F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias("month"),
-            "o_totalprice",
-        )
-        mv = MatViewDef(
-            name="orders_by_prio_month",
-            dims=("o_orderpriority", "month"),
-            measures={
-                "rev": Measure("sum", "o_totalprice", cast="decimal(18,2)"),
-                "n": Measure("count", "*"),
-                "mx": Measure("max", "o_totalprice"),
-            },
-            partition_dim="month",
-        )
-        path = tempfile.mkdtemp(prefix="mv_orders_")
-        create_matview(base, path, mv)
-        _MV_CACHE[key] = path
-    mv_df, mv = read_matview(spark, _MV_CACHE[key])
+    _ensure_orders_mv(spark, sf)
+    mv_df, mv = read_matview(spark, _MV_CACHE[("orders_mv", sf)])
     out = answer_from_mv(
         mv_df,
         mv,
@@ -379,6 +383,46 @@ def q_mv_rollup_orders(spark: SparkSession, sf: str) -> DataFrame:
         F.round(F.col("revenue").cast("double"), 2).alias("revenue"),
         F.round("avg_price", 4).alias("avg_price"),
         F.round("max_price", 2).alias("max_price"),
+    )
+
+
+def q_mv_filtered_route(spark: SparkSession, sf: str) -> DataFrame:
+    """Predicate-aware MV routing (`plans/matview.py:route` with
+    `filters`): the first thing a dashboard user does is add
+    `WHERE month BETWEEN '1995-01' AND '1995-03'` — the router pushes the
+    dim predicate to the MV SCAN (planning-time partition pruning: month
+    is the MV's partition_dim, so the summary read touches 3 hive
+    directories) and re-aggregates only the surviving cells. The oracle
+    aggregates raw orders under the same predicate, so the gate proves
+    filtered MV answering is exact, not just the unfiltered rollup."""
+    from vptstools_spark.plans.matview import read_matview, route
+
+    _ensure_orders_mv(spark, sf)
+    mv_df, mv = read_matview(spark, _MV_CACHE[("orders_mv", sf)])
+    o = table(spark, sf, "orders")
+    base = o.select(
+        "o_orderpriority",
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias("month"),
+        "o_totalprice",
+    )
+    out = route(
+        base,
+        mv_df,
+        mv,
+        ["o_orderpriority"],
+        {
+            "n_orders": ("count", "*"),
+            "revenue": ("sum", "o_totalprice"),
+            "avg_price": ("avg", "o_totalprice"),
+        },
+        assume_non_null=True,
+        filters=[("month", ">=", "1995-01"), ("month", "<=", "1995-03")],
+    )
+    return out.select(
+        "o_orderpriority",
+        "n_orders",
+        F.round(F.col("revenue").cast("double"), 2).alias("revenue"),
+        F.round("avg_price", 4).alias("avg_price"),
     )
 
 
@@ -432,6 +476,7 @@ QUERIES = {
     "drift_ks": q_drift_ks,
     "rfm_segments": q_rfm_segments,
     "mv_rollup_orders": q_mv_rollup_orders,
+    "mv_filtered_route": q_mv_filtered_route,
     "robust_stats": q_robust_stats,
     "bloom_point_lookup": q_bloom_point_lookup,
     "quantiles_price": q_quantiles_price,
@@ -480,6 +525,18 @@ SELECT o_orderpriority,
              / COUNT(*), 4) AS avg_price,
        ROUND(MAX(o_totalprice), 2) AS max_price
 FROM orders GROUP BY o_orderpriority
+    """,
+    "mv_filtered_route": """
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+           AS revenue,
+       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             / COUNT(*), 4) AS avg_price
+FROM orders
+WHERE strftime(date_trunc('month', o_orderdate), '%Y-%m') >= '1995-01'
+  AND strftime(date_trunc('month', o_orderdate), '%Y-%m') <= '1995-03'
+GROUP BY o_orderpriority
     """,
     "rfm_segments": """
 WITH pc AS (

@@ -37,15 +37,29 @@ def optimize_table(
     stats: DataFrame | None = None,
     blooms: DataFrame | None = None,
     num_files: int = 1,
+    ann_index_path: str | None = None,
+    ann_vectors: DataFrame | None = None,
+    ann_fit_fn=None,
+    ann_stale_threshold: float = 0.2,
+    ann_id_col: str = "vec_id",
+    ann_vec_col: str = "embedding",
 ) -> dict:
     """Run the full maintenance pass and return a report dict:
-    {"n_files_before", "n_files_after", "stats", "blooms"}.
+    {"n_files_before", "n_files_after", "stats", "blooms", "ann"}.
 
     Pass the previous `stats`/`blooms` tables to refresh them
     incrementally (new files only); omit them to (re)build from scratch.
     `partitions=None` compacts the whole table — same semantics as
     `compact_partitions`.
-    """
+
+    ANN lifecycle (VERDICT r4 #6): pass `ann_index_path` (a persisted
+    IVF+PQ index, `operators/ann_index.py`) and `ann_vectors` (the CURRENT
+    full vector corpus) and the pass automates append→degrade→rebuild:
+    when the sidecar's stale fraction exceeds `ann_stale_threshold` the
+    index is re-fitted (`ann_fit_fn`, or same-hyperparameter kmeans/PQ
+    refit by default) and rebuilt over `ann_vectors`; below threshold the
+    index is untouched — a quiet table's maintenance stays a listing +
+    no-op. The report's "ann" entry records the decision either way."""
     n_before = len(list_data_files(spark, path))
     compact_partitions(
         spark,
@@ -73,9 +87,34 @@ def optimize_table(
             else collect_file_blooms(spark, path, bloom_col)
         )
         out_blooms = out_blooms.localCheckpoint(eager=True)
+    ann_report = None
+    if ann_index_path is not None:
+        from vptstools_spark.operators.ann_index import (
+            index_stale_fraction,
+            rebuild_ivfpq_index,
+        )
+
+        frac = index_stale_fraction(spark, ann_index_path)
+        rebuilt = frac > ann_stale_threshold
+        if rebuilt:
+            if ann_vectors is None:
+                raise ValueError(
+                    f"ANN index at {ann_index_path} is {frac:.1%} stale "
+                    f"(> {ann_stale_threshold:.1%}) but no ann_vectors "
+                    "corpus was provided to rebuild from"
+                )
+            rebuild_ivfpq_index(
+                ann_vectors,
+                ann_index_path,
+                fit_fn=ann_fit_fn,
+                id_col=ann_id_col,
+                vec_col=ann_vec_col,
+            )
+        ann_report = {"stale_fraction": frac, "rebuilt": rebuilt}
     return {
         "n_files_before": n_before,
         "n_files_after": n_after,
         "stats": out_stats,
         "blooms": out_blooms,
+        "ann": ann_report,
     }

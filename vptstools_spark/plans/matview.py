@@ -144,12 +144,51 @@ def read_matview(spark: SparkSession, path: str) -> tuple[DataFrame, MatViewDef]
     return spark.read.parquet(os.path.join(path, _DATA_DIR)), mv
 
 
+#: predicate operators the MV router understands; anything else is a miss
+_FILTER_OPS = {
+    "=": lambda c, v: F.col(c) == F.lit(v),
+    "!=": lambda c, v: F.col(c) != F.lit(v),
+    "<": lambda c, v: F.col(c) < F.lit(v),
+    "<=": lambda c, v: F.col(c) <= F.lit(v),
+    ">": lambda c, v: F.col(c) > F.lit(v),
+    ">=": lambda c, v: F.col(c) >= F.lit(v),
+    "in": lambda c, v: F.col(c).isin(list(v)),
+}
+
+
+def _filters_answerable(mv: MatViewDef, filters: list | None) -> bool:
+    """A predicate commutes with the MV's aggregation iff it references
+    only GROUPING dims — each MV row is exactly one (dims…) cell, so a
+    dim filter selects whole cells and every stored measure stays exact.
+    A filter on a measure or any non-dim base column would need row-level
+    data the MV no longer has → base-table fallback."""
+    for col, op, _ in filters or []:
+        if col not in mv.dims or op not in _FILTER_OPS:
+            return False
+    return True
+
+
+def _filter_expr(filters: list):
+    from functools import reduce
+
+    return reduce(
+        lambda a, b: a & b,
+        [_FILTER_OPS[op](col, v) for col, op, v in filters],
+    )
+
+
 def can_answer(
-    mv: MatViewDef, dims: list[str], wanted: dict, assume_non_null: bool = False
+    mv: MatViewDef,
+    dims: list[str],
+    wanted: dict,
+    assume_non_null: bool = False,
+    filters: list | None = None,
 ) -> bool:
-    """True iff (dims, wanted) is derivable: dims ⊆ mv.dims and every
-    wanted (fn, col) has its stored prerequisite(s) — avg needs BOTH the
-    sum and the count of the same column set.
+    """True iff (dims, wanted, filters) is derivable: dims ⊆ mv.dims,
+    every filter references an MV dim with a supported operator
+    (`filters`: [(col, op, value), …] — ANDed), and every wanted
+    (fn, col) has its stored prerequisite(s) — avg needs BOTH the sum and
+    the count of the same column set.
 
     avg = Σsum/Σcount is only exact when the count skips the same NULLs
     the sum does, so by DEFAULT avg(col) requires a stored count(col);
@@ -157,7 +196,14 @@ def can_answer(
     `assume_non_null=True` declaration (the conservative-router contract:
     a silent wrong answer on a nullable column is worse than a base-table
     fallback)."""
+    for _, op, _v in filters or []:
+        if op not in _FILTER_OPS:
+            raise ValueError(
+                f"unsupported filter op {op!r}; supported: {sorted(_FILTER_OPS)}"
+            )
     if not set(dims) <= set(mv.dims):
+        return False
+    if not _filters_answerable(mv, filters):
         return False
     stored = {(m.fn, m.col) for m in mv.measures.values()}
     for fn, col in wanted.values():
@@ -192,13 +238,22 @@ def answer_from_mv(
     dims: list[str],
     wanted: dict,
     assume_non_null: bool = False,
+    filters: list | None = None,
 ) -> DataFrame:
     """Roll the MV up to `dims`, deriving each wanted measure with the
-    re-aggregation algebra. `wanted`: out_col -> (fn, base_col) with fn in
-    sum/count/min/max/avg. Raises if not derivable — call `can_answer`
-    (or `route`) first."""
-    if not can_answer(mv, dims, wanted, assume_non_null):
-        raise ValueError(f"MV {mv.name} cannot answer dims={dims} wanted={wanted}")
+    re-aggregation algebra; `filters` ([(col, op, value), …], ANDed, dims
+    only) are applied to the MV SCAN — when a filter hits `partition_dim`
+    the hive layout prunes at planning time, so a dashboard's
+    `WHERE month = '1995-03'` reads one MV partition, not the summary.
+    `wanted`: out_col -> (fn, base_col) with fn in sum/count/min/max/avg.
+    Raises if not derivable — call `can_answer` (or `route`) first."""
+    if not can_answer(mv, dims, wanted, assume_non_null, filters):
+        raise ValueError(
+            f"MV {mv.name} cannot answer dims={dims} wanted={wanted} "
+            f"filters={filters}"
+        )
+    if filters:
+        mv_df = mv_df.filter(_filter_expr(filters))
     by_pair = {(m.fn, m.col): name for name, m in mv.measures.items()}
     exprs = []
     for out, (fn, col) in wanted.items():
@@ -219,12 +274,18 @@ def route(
     dims: list[str],
     wanted: dict,
     assume_non_null: bool = False,
+    filters: list | None = None,
 ) -> DataFrame:
     """Answer from the MV when derivable, else aggregate the base table
     directly — the conservative aggregate-navigator contract: a miss costs
-    a base scan, never a wrong answer."""
-    if can_answer(mv, dims, wanted, assume_non_null):
-        return answer_from_mv(mv_df, mv, dims, wanted, assume_non_null)
+    a base scan, never a wrong answer. `filters` route with the query: on
+    a hit they prune the MV scan; on a miss (e.g. a predicate on a
+    non-dim column) they are applied to the BASE table before aggregating,
+    so both paths answer the same question."""
+    if can_answer(mv, dims, wanted, assume_non_null, filters):
+        return answer_from_mv(mv_df, mv, dims, wanted, assume_non_null, filters)
+    if filters:
+        base = base.filter(_filter_expr(filters))
     exprs = []
     for out, (fn, col) in wanted.items():
         if fn == "count":
