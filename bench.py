@@ -116,6 +116,9 @@ HEADLINE = [
     "mm_wav_features",
     "kcore_parts",
     "sample_temperature",
+    # round 5
+    "mv_filtered_route",
+    "forecast_revenue",
 ]
 
 #: sf0.1-scale tier on the Zipf-vocabulary fixture (tools/gen_zipf.py):

@@ -143,3 +143,59 @@ def test_register_table_as_of_sql_face(spark, tmp_path):
     register_table_as_of(spark, path, "tt9_latest")
     assert spark.sql("SELECT v FROM tt9_v0").collect()[0][0] == 1.0
     assert spark.sql("SELECT v FROM tt9_latest").collect()[0][0] == 2.0
+
+
+def test_vacuum_reclaims_unreferenced_files_only(spark, tmp_path):
+    import glob
+
+    from vptstools_spark.plans.timetravel import vacuum_table
+
+    path = str(tmp_path / "tt10")
+    commit_initial(
+        _df(spark, [(1, 0, 1.0), (2, 1, 2.0)]), path, ["day"]
+    )
+    commit_upsert(spark, path, _df(spark, [(1, 0, 9.0)]), keys=["k"])
+    # all commits alive -> vacuum is a no-op
+    assert vacuum_table(spark, path) == []
+    expire_versions(spark, path, keep_last=1)
+    removed = vacuum_table(spark, path)
+    # v0's day=0 file is now unreferenced (v1 rewrote day=0); v0's day=1
+    # file is CARRIED by v1 and must survive
+    assert removed and all(r.startswith("v0/day=0") for r in removed)
+    assert glob.glob(f"{path}/data/v0/day=1/*.parquet")
+    assert _rows(read_version(spark, path)) == [(1, 0, 9.0), (2, 1, 2.0)]
+
+
+def test_commit_race_one_winner(spark, tmp_path):
+    from vptstools_spark.plans.timetravel import CommitConflictError
+
+    path = str(tmp_path / "tt11")
+    commit_initial(_df(spark, [(1, 0, 1.0)]), path, ["day"])
+    # writer B publishes version 1 first (simulated by a direct commit);
+    # writer A's attempt to commit the same version must lose atomically
+    commit_upsert(spark, path, _df(spark, [(2, 0, 2.0)]), keys=["k"])
+    import json as _json
+    import os as _os
+
+    # roll the log back in A's view by deleting nothing — instead race on
+    # the NEXT version: pre-create 00000002.json as writer B
+    log2 = _os.path.join(path, "_log", "00000002.json")
+    with open(log2, "w") as fh:
+        fh.write(_json.dumps({
+            "version": 2, "op": "upsert", "partition_cols": ["day"],
+            "partition_types": {"day": "int"},
+            "files": _json.loads(open(_os.path.join(path, "_log", "00000001.json")).read())["files"],
+        }))
+    with pytest.raises(CommitConflictError, match="expected"):
+        # A derived its delta against v1; the CAS catches the stale view
+        # before any write work:
+        commit_upsert(
+            spark, path, _df(spark, [(3, 0, 3.0)]), keys=["k"],
+            expected_version=1,
+        )
+    # and the raw create-exclusive primitive: second create loses
+    from vptstools_spark.io import create_text_exclusive
+
+    assert not create_text_exclusive(spark, log2, "{}")
+    # table still readable, B's commit intact
+    assert read_version(spark, path, 2).count() == 2

@@ -50,6 +50,7 @@ _MODULES = [
 NEW_THIS_ROUND = [
     # round 5
     "mv_filtered_route",
+    "forecast_revenue",
     # round 4
     "snapshot_diff",
     "sync_segments",

@@ -35,6 +35,33 @@ def q_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_forecast_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q6: the canonical predicate-pushdown probe — a single-table
+    conjunctive filter (date range × discount band × quantity cap) and one
+    global sum. Every predicate reaches the parquet scan as a
+    PushedFilter and row-group min/max statistics skip the cold years
+    without decoding them; DECIMAL arithmetic keeps the money sum
+    aggregation-order-exact (reference has no analytics tier; engine
+    extension per SURVEY §2.5)."""
+    l = table(spark, sf, "lineitem")
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * F.col(
+        "l_discount"
+    ).cast("decimal(3,2)")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.02)
+            & (F.col("l_discount") <= 0.04)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(rev).cast("double"), 2).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
 def q_top_unshipped(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q3-style: 3-way join + agg + deterministic top-10."""
     c = table(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
@@ -616,6 +643,7 @@ QUERIES = {
     "market_share": q_market_share,
     "product_profit": q_product_profit,
     "pricing_summary": q_pricing_summary,
+    "forecast_revenue": q_forecast_revenue,
     "nation_customer_sample": q_nation_customer_sample,
     "latest_order": q_latest_order,
     "returned_item_report": q_returned_item_report,
@@ -885,6 +913,18 @@ LIMIT 20
         FROM part GROUP BY 1
     """,
 }
+
+ORACLES["forecast_revenue"] = """
+SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                     * CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE), 2)
+           AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_discount >= 0.02 AND l_discount <= 0.04
+  AND l_quantity < 24
+"""
 
 ORACLES["nation_volume_shipping"] = """
     SELECT n1.n_name AS supp_nation,

@@ -81,6 +81,26 @@ def write_text_sidecar(spark: SparkSession, path: str, text: str) -> None:
     out.close()
 
 
+def create_text_exclusive(spark: SparkSession, path: str, text: str) -> bool:
+    """Atomically create `path` with `text` ONLY if it does not exist;
+    returns False (without writing) when it already does. `fs.create(p,
+    overwrite=false)` is the one atomic primitive HDFS/local FS give us —
+    the basis for optimistic-concurrency commit logs (two writers racing
+    to create the same commit file: exactly one wins). Object stores
+    without atomic create-exclusive (plain S3) need a log service or a
+    conditional-put layer instead — callers document that scope."""
+    jvm = spark.sparkContext._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    try:
+        out = fs.create(jpath, False)
+    except Exception:
+        return False
+    out.write(bytearray(text.encode("utf-8")))
+    out.close()
+    return True
+
+
 def read_text_sidecar(spark: SparkSession, path: str) -> str:
     jvm = spark.sparkContext._jvm
     jpath = jvm.org.apache.hadoop.fs.Path(path)

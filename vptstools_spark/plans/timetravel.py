@@ -12,10 +12,15 @@ commit unchanged — so at 100 TB a small delta costs one rewrite of the
 touched partitions and a KB-scale commit, and every historical version
 remains readable at zero storage cost beyond the rewritten partitions.
 
-Honest scope: single-writer (no optimistic concurrency / conflict
-detection — that needs a log service); vacuuming old versions is an
-explicit, separate decision (`expire_versions`), never a side effect.
-Diffing two versions composes with `operators/scd.py:snapshot_diff`.
+Concurrency: commits publish via ATOMIC create-exclusive on the commit
+file (io.create_text_exclusive), so two writers racing to the same
+version produce one winner and one `CommitConflictError` — Delta-style
+optimistic concurrency on filesystems with atomic create (HDFS, local;
+plain S3 needs a conditional-put layer — documented, not papered over).
+Vacuuming old versions is a two-step explicit decision (`expire_versions`
+drops commits, `vacuum_table` deletes data files no surviving commit
+references), never a write-path side effect. Diffing two versions
+composes with `operators/scd.py:snapshot_diff`.
 """
 
 from __future__ import annotations
@@ -25,11 +30,17 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from vptstools_spark.io import read_text_sidecar, write_text_sidecar
+from vptstools_spark.io import create_text_exclusive, read_text_sidecar
 from vptstools_spark.plans.skipping import list_data_files
 
 _LOG_DIR = "_log"
 _DATA_DIR = "data"
+
+
+class CommitConflictError(RuntimeError):
+    """Another writer committed this version first. The loser's snapshot
+    files are orphans (never referenced — `vacuum_table` reclaims them);
+    retry by re-reading the latest version and re-applying the delta."""
 
 
 def _log_path(path: str, version: int) -> str:
@@ -93,7 +104,12 @@ def _commit(
     op: str,
     partition_types: dict[str, str] | None = None,
 ) -> None:
-    write_text_sidecar(
+    """Publish a commit via ATOMIC create-exclusive: the commit file IS
+    the transaction — snapshot files are invisible until it exists, and
+    two writers racing to the same version number produce exactly one
+    winner (Delta-style optimistic concurrency on filesystems with atomic
+    create; see io.create_text_exclusive for the object-store caveat)."""
+    ok = create_text_exclusive(
         spark,
         _log_path(path, version),
         json.dumps(
@@ -109,6 +125,11 @@ def _commit(
             }
         ),
     )
+    if not ok:
+        raise CommitConflictError(
+            f"version {version} of {path} was committed by another writer; "
+            "re-read the latest version and retry the upsert"
+        )
 
 
 def commit_initial(
@@ -132,16 +153,29 @@ def commit_upsert(
     delta: DataFrame,
     keys: list[str],
     delete_col: str | None = None,
+    expected_version: int | None = None,
 ) -> int:
     """Partition-scoped copy-on-write upsert: delta rows replace same-key
     rows, `delete_col`-true rows are tombstones. Only partitions present
     in the delta are rewritten; the new commit carries the previous
     commit's files for every untouched partition. Returns the new
-    version."""
+    version.
+
+    Concurrency: pass `expected_version` (the version this delta was
+    derived against) for compare-and-swap semantics — a cheap early
+    `CommitConflictError` when someone already committed past it. Even
+    without it, the final commit publish is atomic create-exclusive, so a
+    lost race NEVER corrupts the log; the loser's orphaned snapshot files
+    are reclaimed by `vacuum_table`."""
     versions = _list_versions(spark, path)
     if not versions:
         raise ValueError(f"no table at {path}; commit_initial first")
     prev_v = versions[-1]
+    if expected_version is not None and prev_v != expected_version:
+        raise CommitConflictError(
+            f"table {path} is at version {prev_v}, not the expected "
+            f"{expected_version}; re-derive the delta and retry"
+        )
     prev = _read_commit(spark, path, prev_v)
     pcols = prev["partition_cols"]
     new_v = prev_v + 1
@@ -296,3 +330,34 @@ def expire_versions(spark: SparkSession, path: str, keep_last: int) -> list[int]
         p = jvm.org.apache.hadoop.fs.Path(_log_path(path, v))
         p.getFileSystem(hconf).delete(p, False)
     return expired
+
+
+def vacuum_table(spark: SparkSession, path: str) -> list[str]:
+    """Physically delete data files referenced by NO surviving commit —
+    the second half of the expiry story (`expire_versions` drops commit
+    entries; this reclaims the storage) plus orphan cleanup for lost
+    commit races. Returns the deleted files' table-relative paths.
+
+    Safety: the reference set is the union of every SURVIVING commit's
+    file list, so a file shared across versions lives until its last
+    referencing commit expires; a session holding a pinned plan to an
+    expired version loses it only here — vacuum is the explicitly
+    destructive step, separated from expiry exactly so operators can
+    sequence grace periods between the two."""
+    versions = _list_versions(spark, path)
+    referenced: set[str] = set()
+    for v in versions:
+        referenced |= set(_read_commit(spark, path, v)["files"])
+    data_root = os.path.join(path, _DATA_DIR)
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    marker = f"/{_DATA_DIR}/v"
+    removed = []
+    for f in sorted(list_data_files(spark, data_root)):
+        idx = f.rindex(marker)
+        rel = f[idx + len(marker) - 1 :]
+        if rel not in referenced:
+            p = jvm.org.apache.hadoop.fs.Path(f)
+            p.getFileSystem(hconf).delete(p, False)
+            removed.append(rel)
+    return removed
