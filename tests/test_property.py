@@ -258,6 +258,8 @@ def test_matview_answers_match_naive(spark, rows, tmp_path_factory):
             mv_df, mvd, ["g"],
             {"s": ("sum", "v"), "n": ("count", "*"), "a": ("avg", "v"),
              "mn": ("min", "v"), "mx": ("max", "v")},
+            # generated v is non-null by construction; count(*) backs avg
+            assume_non_null=True,
         ).collect()
     }
     by_g: dict = {}
