@@ -199,3 +199,111 @@ def test_commit_race_one_winner(spark, tmp_path):
     assert not create_text_exclusive(spark, log2, "{}")
     # table still readable, B's commit intact
     assert read_version(spark, path, 2).count() == 2
+
+
+def test_cdc_driven_mv_refresh(spark, tmp_path):
+    """Subsystem composition: a time-travel upsert's diff tells the MV
+    layer exactly which partitions changed — diff_versions → changed
+    partition list → refresh_matview — so the summary follows the
+    versioned table at delta cost, and equals a full rebuild."""
+    from pyspark.sql import functions as F
+
+    from vptstools_spark.plans.matview import (
+        MatViewDef,
+        Measure,
+        create_matview,
+        read_matview,
+        refresh_matview,
+    )
+
+    MVD = MatViewDef(
+        "by_day", ("day",),
+        {"s": Measure("sum", "v"), "n": Measure("count", "*")},
+        partition_dim="day",
+    )
+    tt = str(tmp_path / "tt")
+    mv = str(tmp_path / "mv")
+    base = _df(spark, [(1, 0, 1.0), (2, 0, 2.0), (3, 1, 3.0), (4, 2, 4.0)])
+    commit_initial(base, tt, ["day"])
+    create_matview(read_version(spark, tt, 0), mv, MVD)
+
+    delta = _df(spark, [(2, 0, 9.0), (5, 1, 5.0)])
+    v1 = commit_upsert(spark, tt, delta, keys=["k"])
+    diff = diff_versions(spark, tt, 0, v1, keys=["k"])
+    both = read_version(spark, tt, v1).unionByName(read_version(spark, tt, 0))
+    changed_days = [
+        r["day"]
+        for r in both.join(diff.select("k"), "k", "left_semi")
+        .select("day").distinct().collect()
+    ]
+    refresh_matview(read_version(spark, tt, v1), mv, changed_days)
+
+    mv_df, _ = read_matview(spark, mv)
+    full = str(tmp_path / "mv_full")
+    create_matview(read_version(spark, tt, v1), full, MVD)
+    want_df, _ = read_matview(spark, full)
+    got = sorted((r["day"], r["s"], r["n"]) for r in mv_df.collect())
+    want = sorted((r["day"], r["s"], r["n"]) for r in want_df.collect())
+    assert got == want
+    assert sorted(changed_days) == [0, 1]  # day 2 untouched -> not refreshed
+
+
+def test_restore_version_metadata_only_rollback(spark, tmp_path):
+    from vptstools_spark.plans.timetravel import _read_commit, restore_version
+
+    path = str(tmp_path / "tt12")
+    commit_initial(_df(spark, [(1, 0, 1.0), (2, 1, 2.0)]), path, ["day"])
+    commit_upsert(spark, path, _df(spark, [(1, 0, 9.0)]), keys=["k"])  # bad write
+    v2 = restore_version(spark, path, 0)
+    assert v2 == 2
+    # latest == v0's data; the bad v1 stays readable for forensics
+    assert _rows(read_version(spark, path)) == [(1, 0, 1.0), (2, 1, 2.0)]
+    assert _rows(read_version(spark, path, 1)) == [(1, 0, 9.0), (2, 1, 2.0)]
+    # metadata-only: the restore commit references v0's files verbatim
+    assert _read_commit(spark, path, 2)["files"] == _read_commit(spark, path, 0)["files"]
+    assert _read_commit(spark, path, 2)["op"] == "restore(0)"
+    with pytest.raises(ValueError, match="cannot restore"):
+        restore_version(spark, path, 99)
+
+
+def test_timetravel_stream_sink_versions_follow_batches(spark, tmp_path):
+    """Each availableNow run commits its batches as versions; final state
+    equals a batch upsert sequence, every intermediate state is pinnable,
+    and a second run with no new data commits nothing."""
+    from vptstools_spark.streaming.incremental import timetravel_stream_sink
+
+    src = str(tmp_path / "src")
+    tbl = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "k long, day int, v double"
+    _df(spark, [(1, 0, 1.0), (2, 1, 2.0)]).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(src)
+    timetravel_stream_sink(
+        stream, tbl, ckpt, keys=["k"], partition_cols=["day"]
+    ).awaitTermination()
+    v_after_first = history(spark, tbl)[-1]["version"]
+    assert _rows(read_version(spark, tbl)) == [(1, 0, 1.0), (2, 1, 2.0)]
+
+    # second wave: an update and an insert
+    _df(spark, [(1, 0, 5.0), (3, 2, 3.0)]).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    timetravel_stream_sink(
+        stream, tbl, ckpt, keys=["k"], partition_cols=["day"]
+    ).awaitTermination()
+    assert _rows(read_version(spark, tbl)) == [
+        (1, 0, 5.0), (2, 1, 2.0), (3, 2, 3.0),
+    ]
+    # the pre-update state is still pinnable
+    assert _rows(read_version(spark, tbl, v_after_first)) == [
+        (1, 0, 1.0), (2, 1, 2.0),
+    ]
+    # quiet re-run: no new batches, no new versions
+    n = len(history(spark, tbl))
+    stream = spark.readStream.schema(schema).parquet(src)
+    timetravel_stream_sink(
+        stream, tbl, ckpt, keys=["k"], partition_cols=["day"]
+    ).awaitTermination()
+    assert len(history(spark, tbl)) == n

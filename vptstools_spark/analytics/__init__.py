@@ -51,6 +51,7 @@ NEW_THIS_ROUND = [
     # round 5
     "mv_filtered_route",
     "forecast_revenue",
+    "skew_report",
     # round 4
     "snapshot_diff",
     "sync_segments",

@@ -317,6 +317,17 @@ def q_robust_stats(spark: SparkSession, sf: str) -> DataFrame:
 _MV_CACHE: dict = {}
 
 
+def q_skew_report(spark: SparkSession, sf: str) -> DataFrame:
+    """Key-skew diagnostic (`plans/skew.py:key_skew_report`) on the
+    orders→customer join key: the measurement that decides whether a key
+    needs `salted_agg`/AQE skew handling before you pay for it. One
+    map-side-combining per-key count + a 1-row aggregate — no driver-side
+    key list, lake-scale safe."""
+    from vptstools_spark.plans.skew import key_skew_report
+
+    return key_skew_report(table(spark, sf, "orders"), ["o_custkey"])
+
+
 def _ensure_orders_mv(spark: SparkSession, sf: str) -> None:
     """Build-once (per sf) the (priority × month) orders summary MV —
     partitioned by month, DECIMAL revenue — shared by the MV-routing
@@ -477,6 +488,7 @@ QUERIES = {
     "rfm_segments": q_rfm_segments,
     "mv_rollup_orders": q_mv_rollup_orders,
     "mv_filtered_route": q_mv_filtered_route,
+    "skew_report": q_skew_report,
     "robust_stats": q_robust_stats,
     "bloom_point_lookup": q_bloom_point_lookup,
     "quantiles_price": q_quantiles_price,
@@ -525,6 +537,18 @@ SELECT o_orderpriority,
              / COUNT(*), 4) AS avg_price,
        ROUND(MAX(o_totalprice), 2) AS max_price
 FROM orders GROUP BY o_orderpriority
+    """,
+    "skew_report": """
+WITH pk AS (
+    SELECT o_custkey, COUNT(*) AS cnt FROM orders GROUP BY o_custkey
+)
+SELECT CAST(SUM(cnt) AS BIGINT) AS n_rows,
+       COUNT(*) AS n_keys,
+       MAX(cnt) AS max_key_rows,
+       ROUND(AVG(cnt), 4) AS avg_key_rows,
+       ROUND(MAX(cnt) / AVG(cnt), 4) AS skew_ratio,
+       ROUND(MAX(cnt) / SUM(cnt), 6) AS top1_share
+FROM pk
     """,
     "mv_filtered_route": """
 SELECT o_orderpriority,

@@ -85,3 +85,25 @@ def salted_join(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))
     )
     return s.join(o, [on, "__salt"], how).drop("__salt")
+
+
+def key_skew_report(df: DataFrame, keys: list[str]) -> DataFrame:
+    """One-row skew diagnostic for a prospective join/agg key: row count,
+    distinct keys, max and mean per-key cardinality, their ratio (the
+    number AQE's skew-join and `salted_agg` care about), and the hottest
+    key's share of all rows. This is the measurement half of the skew
+    story — run it BEFORE choosing salt_buckets or bucketing a table, and
+    in CI to catch data drift that turns a balanced key hot.
+
+    Plan: one map-side-combining count per key, then a 1-row aggregate —
+    no driver-side key list, so it runs at lake scale (the per-key table
+    is the same shuffle a real aggregation on that key would pay)."""
+    per_key = df.groupBy(*keys).agg(F.count("*").alias("cnt"))
+    return per_key.agg(
+        F.sum("cnt").cast("long").alias("n_rows"),
+        F.count("*").alias("n_keys"),
+        F.max("cnt").alias("max_key_rows"),
+        F.round(F.avg("cnt"), 4).alias("avg_key_rows"),
+        F.round(F.max("cnt") / F.avg("cnt"), 4).alias("skew_ratio"),
+        F.round(F.max("cnt") / F.sum("cnt"), 6).alias("top1_share"),
+    )

@@ -103,6 +103,7 @@ def _commit(
     partition_cols: list[str],
     op: str,
     partition_types: dict[str, str] | None = None,
+    extra: dict | None = None,
 ) -> None:
     """Publish a commit via ATOMIC create-exclusive: the commit file IS
     the transaction — snapshot files are invisible until it exists, and
@@ -122,6 +123,7 @@ def _commit(
                 # or decimal partition column would come back as string)
                 "partition_types": partition_types or {},
                 "files": sorted(files),
+                **(extra or {}),
             }
         ),
     )
@@ -133,7 +135,10 @@ def _commit(
 
 
 def commit_initial(
-    df: DataFrame, path: str, partition_cols: list[str] | None = None
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str] | None = None,
+    extra: dict | None = None,
 ) -> int:
     """Version 0: full snapshot write + commit. Returns the version."""
     pcols = partition_cols or []
@@ -143,7 +148,7 @@ def commit_initial(
         for f in df.schema.fields
         if f.name in pcols
     }
-    _commit(df.sparkSession, path, 0, rels, pcols, "initial", ptypes)
+    _commit(df.sparkSession, path, 0, rels, pcols, "initial", ptypes, extra)
     return 0
 
 
@@ -154,6 +159,7 @@ def commit_upsert(
     keys: list[str],
     delete_col: str | None = None,
     expected_version: int | None = None,
+    extra: dict | None = None,
 ) -> int:
     """Partition-scoped copy-on-write upsert: delta rows replace same-key
     rows, `delete_col`-true rows are tombstones. Only partitions present
@@ -233,6 +239,7 @@ def commit_upsert(
         pcols,
         "upsert",
         prev.get("partition_types"),
+        extra,
     )
     return new_v
 
@@ -304,6 +311,37 @@ def diff_versions(
         read_version(spark, path, v_new),
         keys=keys,
     )
+
+
+def restore_version(spark: SparkSession, path: str, version: int) -> int:
+    """Delta-style RESTORE: make `version`'s snapshot the new LATEST by
+    writing a new commit that references the OLD version's files — a
+    metadata-only rollback (no data rewrite, KB-scale commit) that keeps
+    the bad intermediate versions readable for forensics instead of
+    deleting history. Returns the new version number.
+
+    Publishes through the same atomic create-exclusive as every commit,
+    so a restore racing an upsert has exactly one winner."""
+    versions = _list_versions(spark, path)
+    if not versions:
+        raise ValueError(f"no table at {path}")
+    if version not in versions:
+        raise ValueError(
+            f"cannot restore to version {version}; available: "
+            f"{versions[0]}..{versions[-1]}"
+        )
+    src = _read_commit(spark, path, version)
+    new_v = versions[-1] + 1
+    _commit(
+        spark,
+        path,
+        new_v,
+        src["files"],
+        src["partition_cols"],
+        f"restore({version})",
+        src.get("partition_types"),
+    )
+    return new_v
 
 
 def expire_versions(spark: SparkSession, path: str, keep_last: int) -> list[int]:

@@ -809,3 +809,68 @@ def matview_stream_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def timetravel_stream_sink(
+    stream: DataFrame,
+    path: str,
+    checkpoint: str,
+    keys: list[str],
+    partition_cols: list[str] | None = None,
+    delete_col: str | None = None,
+) -> StreamingQuery:
+    """Stream into a VERSIONED table (`plans/timetravel.py`): each
+    availableNow micro-batch becomes one commit — version 0 is the first
+    batch's snapshot, every later batch a partition-scoped copy-on-write
+    upsert (tombstones via `delete_col`). The result is a table whose
+    history IS the stream: any point between batches is pinnable with
+    `read_version`, diffable with `diff_versions`, and rollback-able with
+    `restore_version` — the CDC audit trail `cdc_merge_sink` discards.
+
+    Exactly-once: upserts are NOT idempotent, so each commit records the
+    writing `_batch_id`; a replayed batch (checkpoint rollback after a
+    crash between commit and offset write) sees the latest commit already
+    carries its id and skips — the same foreachBatch replay guard as
+    `matview_stream_sink`, moved into the commit log itself. Commit
+    publish is atomic create-exclusive, so a replay racing a live writer
+    still yields exactly one version per number."""
+    from vptstools_spark.plans.timetravel import (
+        _list_versions,
+        _read_commit,
+        commit_initial,
+        commit_upsert,
+    )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        versions = _list_versions(spark, path)
+        if not versions:
+            upserts = (
+                batch_df.filter(~F.col(delete_col)).drop(delete_col)
+                if delete_col
+                else batch_df
+            )
+            commit_initial(
+                upserts, path, partition_cols, extra={"batch_id": batch_id}
+            )
+            return
+        last = _read_commit(spark, path, versions[-1])
+        if last.get("batch_id") is not None and batch_id <= last["batch_id"]:
+            return  # replayed batch: its commit already exists
+        commit_upsert(
+            spark,
+            path,
+            batch_df,
+            keys=keys,
+            delete_col=delete_col,
+            extra={"batch_id": batch_id},
+        )
+
+    return (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
