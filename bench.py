@@ -137,6 +137,10 @@ ZIPF_QUERIES = [
     "inverted_index",
     "bpe_merges",
     "text_repetition",
+    # round 5: the production near-dup path on realistic text — candidate
+    # counts here are governed by real shingle df, not the harness's
+    # degenerate vocab or the sf1 fixture's exact-replica pairs
+    "dedup_lsh_verified",
 ]
 ZIPF_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "fixtures", "zipf0.1")
 
@@ -306,8 +310,11 @@ def main() -> None:
     print(json.dumps(sweep_line))
     sweep01_line = {"metric": "sweep_sf01_nonheadline", "sf": 0.1, "queries": sweep01}
     print(json.dumps(sweep01_line))
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_full.json"), "w") as fh:
-        json.dump({**headline, "full_sweep": sweep, "sweep_sf01_nonheadline": sweep01}, fh, indent=1)
+    if tiers >= {"headline", "zipf", "sf1", "sweep", "sweep01"}:
+        # archive only COMPLETE runs — a tier-filtered local iteration must
+        # not clobber the round's committed record
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_full.json"), "w") as fh:
+            json.dump({**headline, "full_sweep": sweep, "sweep_sf01_nonheadline": sweep01}, fh, indent=1)
     print(json.dumps(headline))
 
 
