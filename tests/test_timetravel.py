@@ -307,3 +307,62 @@ def test_timetravel_stream_sink_versions_follow_batches(spark, tmp_path):
         stream, tbl, ckpt, keys=["k"], partition_cols=["day"]
     ).awaitTermination()
     assert len(history(spark, tbl)) == n
+
+
+def test_vacuum_respects_restore_references(spark, tmp_path):
+    """After RESTORE, the restored commit references the ORIGINAL
+    version's files; expiring that original version must not let vacuum
+    delete files the restore commit still needs."""
+    from vptstools_spark.plans.timetravel import restore_version, vacuum_table
+
+    path = str(tmp_path / "tt13")
+    commit_initial(_df(spark, [(1, 0, 1.0), (2, 1, 2.0)]), path, ["day"])
+    commit_upsert(spark, path, _df(spark, [(1, 0, 9.0)]), keys=["k"])  # v1
+    restore_version(spark, path, 0)  # v2 -> references v0's files
+    expire_versions(spark, path, keep_last=1)  # only v2 survives
+    removed = vacuum_table(spark, path)
+    # v1's day=0 rewrite is the only unreferenced data
+    assert removed and all(r.startswith("v1/") for r in removed)
+    assert _rows(read_version(spark, path)) == [(1, 0, 1.0), (2, 1, 2.0)]
+
+
+def test_additive_schema_evolution(spark, tmp_path):
+    path = str(tmp_path / "tt14")
+    commit_initial(_df(spark, [(1, 0, 1.0), (2, 1, 2.0)]), path, ["day"])
+    delta = spark.createDataFrame(
+        [(1, 0, 9.0, "eur")], "k long, day int, v double, ccy string"
+    )
+    with pytest.raises(ValueError, match="evolve_schema"):
+        commit_upsert(spark, path, delta, keys=["k"])
+    commit_upsert(spark, path, delta, keys=["k"], evolve_schema=True)
+    got = sorted(
+        (r["k"], r["day"], r["v"], r["ccy"])
+        for r in read_version(spark, path).collect()
+    )
+    # day=1 rows come from a CARRIED old-schema file -> NULL ccy
+    assert got == [(1, 0, 9.0, "eur"), (2, 1, 2.0, None)]
+    # the pinned pre-evolution version keeps its original schema
+    assert read_version(spark, path, 0).columns == ["k", "day", "v"]
+    # later non-evolving upserts keep working over the mixed file set
+    delta2 = spark.createDataFrame(
+        [(3, 1, 3.0, "usd")], "k long, day int, v double, ccy string"
+    )
+    commit_upsert(spark, path, delta2, keys=["k"])
+    assert read_version(spark, path).count() == 3
+
+
+def test_schema_evolution_rejects_drops_and_retypes(spark, tmp_path):
+    path = str(tmp_path / "tt15")
+    commit_initial(_df(spark, [(1, 0, 1.0)]), path, ["day"])
+    with pytest.raises(ValueError, match="missing table columns"):
+        commit_upsert(
+            spark, path,
+            spark.createDataFrame([(1, 0)], "k long, day int"),
+            keys=["k"], evolve_schema=True,
+        )
+    with pytest.raises(ValueError, match="retypes"):
+        commit_upsert(
+            spark, path,
+            spark.createDataFrame([(1, 0, "x")], "k long, day int, v string"),
+            keys=["k"], evolve_schema=True,
+        )

@@ -148,7 +148,16 @@ def commit_initial(
         for f in df.schema.fields
         if f.name in pcols
     }
-    _commit(df.sparkSession, path, 0, rels, pcols, "initial", ptypes, extra)
+    _commit(
+        df.sparkSession,
+        path,
+        0,
+        rels,
+        pcols,
+        "initial",
+        ptypes,
+        {"columns": df.columns, **(extra or {})},
+    )
     return 0
 
 
@@ -160,6 +169,7 @@ def commit_upsert(
     delete_col: str | None = None,
     expected_version: int | None = None,
     extra: dict | None = None,
+    evolve_schema: bool = False,
 ) -> int:
     """Partition-scoped copy-on-write upsert: delta rows replace same-key
     rows, `delete_col`-true rows are tombstones. Only partitions present
@@ -172,7 +182,16 @@ def commit_upsert(
     `CommitConflictError` when someone already committed past it. Even
     without it, the final commit publish is atomic create-exclusive, so a
     lost race NEVER corrupts the log; the loser's orphaned snapshot files
-    are reclaimed by `vacuum_table`."""
+    are reclaimed by `vacuum_table`.
+
+    Schema: by default the delta's data columns must match the table's
+    exactly (a clear error beats a silent NULL-fill that erases data on
+    replaced rows). `evolve_schema=True` permits ADDITIVE evolution —
+    extra delta columns are appended to the table schema and earlier
+    rows read as NULL for them (carried old files are never rewritten;
+    `read_version` aligns schemas at read time from the commit's
+    recorded column list). Dropping or retyping a column is always
+    rejected — that is a rewrite, not an evolution."""
     versions = _list_versions(spark, path)
     if not versions:
         raise ValueError(f"no table at {path}; commit_initial first")
@@ -188,6 +207,37 @@ def commit_upsert(
 
     upserts = delta.filter(~F.col(delete_col)) if delete_col else delta
     upserts = upserts.drop(*([delete_col] if delete_col else []))
+
+    cur_schema = {
+        f.name: f.dataType.simpleString()
+        for f in read_version(spark, path, prev_v).schema.fields
+    }
+    new_schema = {
+        f.name: f.dataType.simpleString() for f in upserts.schema.fields
+    }
+    missing = set(cur_schema) - set(new_schema)
+    added = set(new_schema) - set(cur_schema)
+    retyped = {
+        c for c in set(cur_schema) & set(new_schema)
+        if cur_schema[c] != new_schema[c]
+    }
+    if retyped:
+        raise ValueError(
+            f"delta retypes columns {sorted(retyped)} "
+            f"({ {c: (cur_schema[c], new_schema[c]) for c in sorted(retyped)} }); "
+            "type changes require a rewrite, not an upsert"
+        )
+    if missing:
+        raise ValueError(
+            f"delta is missing table columns {sorted(missing)}; an upsert "
+            "replaces whole rows — a NULL-fill here would silently erase "
+            "data (project the delta onto the full schema explicitly)"
+        )
+    if added and not evolve_schema:
+        raise ValueError(
+            f"delta adds columns {sorted(added)}; pass evolve_schema=True "
+            "for additive schema evolution"
+        )
 
     if pcols:
         # one collect yields BOTH forms of each touched partition tuple:
@@ -229,7 +279,10 @@ def commit_upsert(
         cur = read_version(spark, path, prev_v)
         carried = []
     survivors = cur.join(delta.select(*keys).distinct(), keys, "left_anti")
-    merged = survivors.unionByName(upserts)
+    # allowMissingColumns only ever fills the SURVIVOR side (schema checks
+    # above guarantee upserts ⊇ table columns): survivors read NULL for
+    # newly added columns, exactly the additive-evolution semantics
+    merged = survivors.unionByName(upserts, allowMissingColumns=True)
     rels = _write_snapshot_files(merged, path, new_v, pcols)
     _commit(
         spark,
@@ -239,7 +292,12 @@ def commit_upsert(
         pcols,
         "upsert",
         prev.get("partition_types"),
-        extra,
+        {
+            # stable column order: table order first, additions appended —
+            # read_version aligns mixed-schema file sets against this
+            "columns": list(cur_schema) + sorted(added),
+            **(extra or {}),
+        },
     )
     return new_v
 
@@ -278,7 +336,13 @@ def read_version(
     ]
     out = parts[0]
     for p in parts[1:]:
-        out = out.unionByName(p)
+        # a snapshot's file set can mix schemas after additive evolution
+        # (carried old files never get rewritten); missing columns read
+        # as NULL, and the commit's recorded column order aligns them
+        out = out.unionByName(p, allowMissingColumns=True)
+    cols = commit.get("columns")
+    if cols:
+        out = out.select(*cols)
     for c, dt in (commit.get("partition_types") or {}).items():
         out = out.withColumn(c, F.col(c).cast(dt))
     return out
