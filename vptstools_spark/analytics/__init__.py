@@ -52,6 +52,8 @@ NEW_THIS_ROUND = [
     "mv_filtered_route",
     "forecast_revenue",
     "skew_report",
+    "drift_js",
+    "events_dwell_time",
     # round 4
     "snapshot_diff",
     "sync_segments",

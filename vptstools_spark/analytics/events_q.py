@@ -537,7 +537,34 @@ def q_snapshot_diff(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_events_dwell_time(spark: SparkSession, sf: str) -> DataFrame:
+    """Inter-event dwell-time statistics per event type: the per-user lag
+    window yields consecutive gaps; gaps are attributed to the ARRIVING
+    event's type (how long users linger before doing X — the engagement
+    metric behind feed ranking and session-quality scores). One sort per
+    user partition shared with the other lag queries; integer microsecond
+    arithmetic so the oracle matches bit-for-bit."""
+    e = table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.expr("timestampdiff(MICROSECOND, prev_ts, ts)")
+    return (
+        e.withColumn("prev_ts", F.lag("ts").over(w))
+        .withColumn("gap_us", gap_us)
+        .filter(F.col("gap_us").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_gaps"),
+            # exact integer µs sum, ONE double division: aggregation-order-
+            # insensitive, unlike AVG over per-row double gaps
+            F.round(F.sum("gap_us") / F.count("*") / 1000000.0, 4).alias("avg_gap_s"),
+            (F.max("gap_us") / 1000000.0).alias("max_gap_s"),
+            (F.min("gap_us") / 1000000.0).alias("min_gap_s"),
+        )
+    )
+
+
 QUERIES = {
+    "events_dwell_time": q_events_dwell_time,
     "snapshot_diff": q_snapshot_diff,
     "sync_segments": q_sync_segments,
     "tt_version_diff": q_tt_version_diff,
@@ -560,6 +587,22 @@ QUERIES = {
 }
 
 ORACLES = {
+    "events_dwell_time": """
+        WITH g AS (
+            SELECT event_type,
+                   epoch_us(ts) - LAG(epoch_us(ts)) OVER
+                       (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+                       AS gap_us
+            FROM events
+        )
+        SELECT event_type,
+               COUNT(*) AS n_gaps,
+               ROUND(SUM(gap_us) / COUNT(*) / 1000000.0, 4) AS avg_gap_s,
+               MAX(gap_us) / 1000000.0 AS max_gap_s,
+               MIN(gap_us) / 1000000.0 AS min_gap_s
+        FROM g WHERE gap_us IS NOT NULL
+        GROUP BY event_type
+    """,
     "tt_version_diff": """
         WITH j AS (
             SELECT o_orderkey AS k,

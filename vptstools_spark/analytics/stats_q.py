@@ -193,6 +193,25 @@ def q_drift_psi(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("bin")
 
 
+def q_drift_js(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-bin Jensen–Shannon drift terms of the order-price distribution,
+    early vs late orders (`operators/drift.py:js_divergence`) — PSI's
+    bounded symmetric sibling, total ∈ [0, ln 2], safe for untuned
+    alerting thresholds. Same two-histogram plan as drift_psi."""
+    from vptstools_spark.operators.drift import js_divergence
+
+    o = table(spark, sf, "orders")
+    base = o.filter(F.col("o_orderdate") < "1998-01-01")
+    cur = o.filter(F.col("o_orderdate") >= "1998-01-01")
+    out = js_divergence(base, cur, F.col("o_totalprice"), lo=0.0, hi=400000.0, n_bins=10)
+    return out.select(
+        "bin",
+        F.round("p", 6).alias("p"),
+        F.round("q", 6).alias("q"),
+        F.round("js_term", 6).alias("js_term"),
+    ).orderBy("bin")
+
+
 def q_drift_ks(spark: SparkSession, sf: str) -> DataFrame:
     """Two-sample KS distance of the order-price distribution on a fixed
     20-edge grid, early vs late orders (`operators/drift.py:ks_on_grid`).
@@ -484,6 +503,7 @@ def q_bloom_point_lookup(spark: SparkSession, sf: str) -> DataFrame:
 QUERIES = {
     "winsorize_price": q_winsorize_price,
     "drift_psi": q_drift_psi,
+    "drift_js": q_drift_js,
     "drift_ks": q_drift_ks,
     "rfm_segments": q_rfm_segments,
     "mv_rollup_orders": q_mv_rollup_orders,
@@ -649,6 +669,39 @@ SELECT p.bin,
        ROUND(q.q, 6) AS q,
        ROUND((GREATEST(p.p, 1e-6) - GREATEST(q.q, 1e-6))
              * ln(GREATEST(p.p, 1e-6) / GREATEST(q.q, 1e-6)), 6) AS psi_term
+FROM p JOIN q USING (bin)
+ORDER BY p.bin
+""",
+    "drift_js": """
+WITH bins AS (SELECT unnest(generate_series(0, 9)) AS bin),
+b AS (
+    SELECT LEAST(GREATEST(CAST(FLOOR(o_totalprice / 40000.0) AS INT), 0), 9) AS bin,
+           COUNT(*) AS n
+    FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01' GROUP BY 1
+),
+c AS (
+    SELECT LEAST(GREATEST(CAST(FLOOR(o_totalprice / 40000.0) AS INT), 0), 9) AS bin,
+           COUNT(*) AS n
+    FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01' GROUP BY 1
+),
+p AS (
+    SELECT bins.bin,
+           COALESCE(b.n, 0)::DOUBLE / (SELECT SUM(n) FROM b) AS p
+    FROM bins LEFT JOIN b USING (bin)
+),
+q AS (
+    SELECT bins.bin,
+           COALESCE(c.n, 0)::DOUBLE / (SELECT SUM(n) FROM c) AS q
+    FROM bins LEFT JOIN c USING (bin)
+)
+SELECT p.bin,
+       ROUND(p.p, 6) AS p,
+       ROUND(q.q, 6) AS q,
+       ROUND((GREATEST(p.p, 1e-6) * ln(GREATEST(p.p, 1e-6)
+                  / ((GREATEST(p.p, 1e-6) + GREATEST(q.q, 1e-6)) / 2))
+              + GREATEST(q.q, 1e-6) * ln(GREATEST(q.q, 1e-6)
+                  / ((GREATEST(p.p, 1e-6) + GREATEST(q.q, 1e-6)) / 2))) / 2,
+             6) AS js_term
 FROM p JOIN q USING (bin)
 ORDER BY p.bin
 """,

@@ -141,3 +141,32 @@ def ks_on_grid(
             F.abs(F.col("r.cdf_base") - F.col("r.cdf_cur")).alias("d"),
         )
     )
+
+
+def js_divergence(
+    baseline: DataFrame,
+    current: DataFrame,
+    col: Column,
+    lo: float,
+    hi: float,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Per-bin Jensen–Shannon divergence terms between two samples of
+    `col`: (bin, p, q, js_term) with total JS = SUM(js_term) ∈ [0, ln 2].
+    JS is PSI's bounded, symmetric sibling — the mixture M = (P+Q)/2
+    makes it finite even where one side has zero mass, so it is the
+    right default for automated drift ALERTING thresholds (PSI's
+    unbounded terms need per-feature tuning). Same plan shape as `psi`:
+    two one-pass histograms, a |bins|-row join, a fixed arithmetic
+    chain — IEEE-identical in any engine."""
+    p = histogram_fractions(baseline, col, lo, hi, n_bins).withColumnRenamed(
+        "frac", "p"
+    )
+    q = histogram_fractions(current, col, lo, hi, n_bins).withColumnRenamed(
+        "frac", "q"
+    )
+    pe = F.greatest(F.col("p"), F.lit(PSI_EPS))
+    qe = F.greatest(F.col("q"), F.lit(PSI_EPS))
+    m = (pe + qe) / 2
+    js = (pe * F.log(pe / m) + qe * F.log(qe / m)) / 2
+    return p.join(q, "bin").select("bin", "p", "q", js.alias("js_term"))
