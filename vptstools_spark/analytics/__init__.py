@@ -54,6 +54,7 @@ NEW_THIS_ROUND = [
     "skew_report",
     "drift_js",
     "events_dwell_time",
+    "dedup_cluster_sizes",
     # round 4
     "snapshot_diff",
     "sync_segments",

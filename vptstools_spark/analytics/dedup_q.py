@@ -88,6 +88,28 @@ def q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_dedup_cluster_sizes(spark: SparkSession, sf: str) -> DataFrame:
+    """Cluster-size census over the near-dup components — the number a
+    curation run actually reports: keep-one-per-cluster drops
+    Σ (size−1)·n_clusters documents, and the size histogram shows whether
+    duplication is pairwise noise or boilerplate families. One extra
+    two-level aggregate over the connected-components output."""
+    sh = shingles(fan_out(table(spark, sf, "documents")), k=3)
+    sigs = minhash_signatures(sh, NUM_HASHES)
+    pairs = lsh_candidates(sigs, NUM_HASHES, ROWS_PER_BAND)
+    cc = connected_components(pairs, src="doc_a", dst="doc_b")
+    sizes = cc.groupBy("component").agg(F.count("*").alias("cluster_size"))
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count("*").alias("n_clusters"))
+        .withColumn(
+            "docs_dropped",
+            ((F.col("cluster_size") - 1) * F.col("n_clusters")).cast("long"),
+        )
+        .orderBy("cluster_size")
+    )
+
+
 _SHINGLE_SQL = """
         words AS (
             SELECT doc_id, string_split(text, ' ') AS w FROM documents
@@ -271,6 +293,7 @@ QUERIES = {
     "dedup_spans": q_dedup_spans,
     "dedup_embedding": q_dedup_embedding,
     "dedup_clusters": q_dedup_clusters,
+    "dedup_cluster_sizes": q_dedup_cluster_sizes,
 }
 
 ORACLES = {
@@ -344,6 +367,16 @@ ORACLES = {
         WHERE CAST(c AS DOUBLE) / (x.n + y.n - c) >= 0.8
     """,
     "dedup_clusters": _clusters_sql(),
+    "dedup_cluster_sizes": f"""
+        WITH cc AS ({_clusters_sql()}),
+        sizes AS (
+            SELECT cluster_id, COUNT(*) AS cluster_size FROM cc GROUP BY cluster_id
+        )
+        SELECT cluster_size,
+               COUNT(*) AS n_clusters,
+               CAST((cluster_size - 1) * COUNT(*) AS BIGINT) AS docs_dropped
+        FROM sizes GROUP BY cluster_size ORDER BY cluster_size
+    """,
     "dedup_simhash": _simhash_sql(),
     "dedup_spans": """
         WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
