@@ -119,6 +119,11 @@ HEADLINE = [
     # round 5
     "mv_filtered_route",
     "forecast_revenue",
+    "skew_report",
+    "drift_js",
+    "events_dwell_time",
+    "dedup_cluster_sizes",
+    "ship_latency",
 ]
 
 #: sf0.1-scale tier on the Zipf-vocabulary fixture (tools/gen_zipf.py):

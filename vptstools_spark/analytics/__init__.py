@@ -55,6 +55,7 @@ NEW_THIS_ROUND = [
     "drift_js",
     "events_dwell_time",
     "dedup_cluster_sizes",
+    "ship_latency",
     # round 4
     "snapshot_diff",
     "sync_segments",

@@ -35,6 +35,28 @@ def q_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_ship_latency(spark: SparkSession, sf: str) -> DataFrame:
+    """Order→ship latency percentiles per order priority — the fulfilment
+    SLA table. One orders⋈lineitem key join (orders side broadcastable at
+    small sf, shuffle join at lake scale), integer day lags, exact
+    interpolated percentiles per group (percentile ↔ quantile_cont)."""
+    o = table(spark, sf, "orders")
+    l = table(spark, sf, "lineitem")
+    lag_days = F.expr("timestampdiff(DAY, o_orderdate, l_shipdate)")
+    return (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select("o_orderpriority", lag_days.alias("lag_d"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.percentile("lag_d", F.lit(0.5)), 4).alias("p50_days"),
+            F.round(F.percentile("lag_d", F.lit(0.9)), 4).alias("p90_days"),
+            F.round(F.percentile("lag_d", F.lit(0.99)), 4).alias("p99_days"),
+            F.max("lag_d").alias("max_days"),
+        )
+    )
+
+
 def q_forecast_revenue(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q6: the canonical predicate-pushdown probe — a single-table
     conjunctive filter (date range × discount band × quantity cap) and one
@@ -644,6 +666,7 @@ QUERIES = {
     "product_profit": q_product_profit,
     "pricing_summary": q_pricing_summary,
     "forecast_revenue": q_forecast_revenue,
+    "ship_latency": q_ship_latency,
     "nation_customer_sample": q_nation_customer_sample,
     "latest_order": q_latest_order,
     "returned_item_report": q_returned_item_report,
@@ -913,6 +936,21 @@ LIMIT 20
         FROM part GROUP BY 1
     """,
 }
+
+ORACLES["ship_latency"] = """
+WITH lags AS (
+    SELECT o_orderpriority,
+           date_diff('day', o_orderdate, l_shipdate) AS lag_d
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+)
+SELECT o_orderpriority,
+       COUNT(*) AS n_items,
+       ROUND(quantile_cont(lag_d, 0.5), 4) AS p50_days,
+       ROUND(quantile_cont(lag_d, 0.9), 4) AS p90_days,
+       ROUND(quantile_cont(lag_d, 0.99), 4) AS p99_days,
+       MAX(lag_d) AS max_days
+FROM lags GROUP BY o_orderpriority
+"""
 
 ORACLES["forecast_revenue"] = """
 SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
