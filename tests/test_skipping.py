@@ -178,3 +178,48 @@ def test_bloom_probe_date_rendering(spark, tmp_path):
         spark, blooms, "d", datetime.date(2024, 1, 7)
     )
     assert got.count() == 1
+
+
+def test_dictionary_index_prunes_exactly(spark, tmp_path):
+    """Low-cardinality dictionary index: equality probes prune with ZERO
+    false positives (unlike bloom), overflow files are kept
+    conservatively, and results equal the full-scan filter."""
+    from vptstools_spark.plans.skipping import (
+        collect_file_dictionaries,
+        files_for_equality_dict,
+        read_pruned_equality_dict,
+    )
+
+    path = str(tmp_path / "dt")
+    # 4 files, each holding exactly 2 of 8 status codes
+    df = spark.range(800).select(
+        F.col("id"), F.concat(F.lit("S"), (F.col("id") % 8)).alias("status")
+    )
+    df.repartitionByRange(4, F.col("id") % 8).write.parquet(path)
+    dicts = collect_file_dictionaries(spark, path, "status")
+    full = spark.read.parquet(path)
+    probe_files = files_for_equality_dict(dicts, "S3")
+    n_files = dicts.count()
+    assert 0 < len(probe_files) < n_files  # real pruning happened
+    got = read_pruned_equality_dict(spark, dicts, "status", "S3")
+    assert got.count() == full.filter(F.col("status") == "S3").count() == 100
+    # absent value -> zero files, schema preserved
+    assert files_for_equality_dict(dicts, "S9") == []
+    assert read_pruned_equality_dict(spark, dicts, "status", "S9").count() == 0
+
+
+def test_dictionary_index_overflow_is_conservative(spark, tmp_path):
+    from vptstools_spark.plans.skipping import (
+        collect_file_dictionaries,
+        read_pruned_equality_dict,
+    )
+
+    path = str(tmp_path / "dov")
+    # one file with 200 distinct values -> overflow (NULL entry)
+    spark.range(200).select(
+        F.col("id"), F.col("id").cast("string").alias("v")
+    ).coalesce(1).write.parquet(path)
+    dicts = collect_file_dictionaries(spark, path, "v", max_distinct=64)
+    assert dicts.filter(F.col("values").isNull()).count() == 1
+    # overflow file kept -> probe still finds the row via residual filter
+    assert read_pruned_equality_dict(spark, dicts, "v", "123").count() == 1

@@ -342,3 +342,69 @@ def update_file_blooms(
         )
     )
     return kept.unionByName(fresh_blooms)
+
+
+#: dictionary index capacity: above this many distinct values per file the
+#: entry records an overflow (NULL) and the file is never pruned by the
+#: dictionary — the bloom index is the right tool past this cardinality
+DICT_MAX_DISTINCT = 64
+
+
+def collect_file_dictionaries(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    max_distinct: int = DICT_MAX_DISTINCT,
+) -> DataFrame:
+    """One row per data file: the EXACT sorted distinct-value list of
+    `col` (as Spark-cast strings), or NULL when the file exceeds
+    `max_distinct` values. For low-cardinality columns (status codes,
+    country/category/flag columns) this index prunes equality probes with
+    ZERO false positives — strictly stronger than the bloom mask, at a
+    cost that is bounded by |files|·max_distinct strings. Build is one
+    distributed pass: per-file distinct (map-side combining) → bounded
+    collect_list; nothing data-scale reaches the driver."""
+    df = spark.read.parquet(path)
+    per = (
+        df.withColumn("__file", F.input_file_name())
+        .select("__file", F.col(col).cast("string").alias("v"))
+        .distinct()
+        .groupBy("__file")
+        .agg(
+            # collect_list skips NULL v (a stored NULL can never satisfy an
+            # equality probe, so it carries no pruning information)
+            F.sort_array(F.collect_list("v")).alias("values"),
+            F.count("*").alias("__n"),
+        )
+    )
+    return per.select(
+        F.col("__file").alias("file"),
+        F.when(F.col("__n") <= max_distinct, F.col("values")).alias("values"),
+    )
+
+
+def files_for_equality_dict(dicts: DataFrame, value) -> list[str]:
+    """Files whose dictionary admits `col = value`: exact membership for
+    indexed files, conservatively kept for overflow (NULL) entries. The
+    probe renders the value with Spark's own cast semantics
+    (`_spark_string_of`) so index and probe agree byte-for-byte."""
+    s = _spark_string_of(value)
+    keep = dicts.filter(
+        F.col("values").isNull() | F.array_contains("values", F.lit(s))
+    )
+    return [r["file"] for r in keep.select("file").collect()]
+
+
+def read_pruned_equality_dict(
+    spark: SparkSession, dicts: DataFrame, col: str, value
+) -> DataFrame:
+    """Scan only dictionary-admitted files for `col = value`; the residual
+    filter is still applied (overflow files may not contain the value),
+    so the result equals the full-scan filter — skipping is purely I/O."""
+    files = files_for_equality_dict(dicts, value)
+    if not files:
+        any_file = [r["file"] for r in dicts.select("file").limit(1).collect()]
+        if not any_file:
+            raise ValueError("dictionary table is empty — collect_file_dictionaries first")
+        return spark.read.parquet(*any_file).filter(F.lit(False))
+    return spark.read.parquet(*files).filter(F.col(col) == F.lit(value))
