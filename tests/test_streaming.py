@@ -580,6 +580,12 @@ def test_drift_monitor_sink_flags_shifted_batch(spark, tmp_path):
     assert set(rows) == {0, 1}
     assert abs(rows[0]["psi"]) < 1e-9
     assert rows[1]["psi"] > 0.25
+    # the bounded JS companion: ~0 on the matching batch, large (but
+    # capped at ln 2) on the shifted one — one threshold fits all features
+    import math
+
+    assert abs(rows[0]["js"]) < 1e-9
+    assert 0.25 < rows[1]["js"] <= math.log(2) + 1e-9
     # the bin that captured all the mass carries the largest term:
     # (0.1-1.0)·ln(0.1/1.0) ≈ 2.07 > any lost-mass bin's (0.1-ε)·ln(0.1/ε)
     assert rows[1]["worst_bin"] == 9 and rows[1]["worst_term"] > 1.0

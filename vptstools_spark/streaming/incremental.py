@@ -700,15 +700,21 @@ def drift_monitor_sink(
         )
         import math
 
+        cur_fracs = [max(c["frac"] or 0.0, PSI_EPS) for c in cur]
         terms = [
-            (p - max(c["frac"] or 0.0, PSI_EPS))
-            * math.log(p / max(c["frac"] or 0.0, PSI_EPS))
-            for p, c in zip(base_fracs, cur)
+            (p - q) * math.log(p / q) for p, q in zip(base_fracs, cur_fracs)
         ]
+        # bounded companion score (∈ [0, ln 2], see operators/drift.py:
+        # js_divergence): one fixed alert threshold works across features,
+        # where PSI's unbounded terms need per-feature tuning
+        js = sum(
+            (p * math.log(2 * p / (p + q)) + q * math.log(2 * q / (p + q))) / 2
+            for p, q in zip(base_fracs, cur_fracs)
+        )
         worst = max(range(n_bins), key=lambda i: terms[i])
         row = spark.createDataFrame(
-            [(float(sum(terms)), int(worst), float(terms[worst]))],
-            "psi double, worst_bin int, worst_term double",
+            [(float(sum(terms)), float(js), int(worst), float(terms[worst]))],
+            "psi double, js double, worst_bin int, worst_term double",
         ).withColumn("b_id", F.lit(batch_id))
         row.coalesce(1).write.mode("append").partitionBy("b_id").parquet(log_path)
 
