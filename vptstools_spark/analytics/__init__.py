@@ -56,6 +56,8 @@ NEW_THIS_ROUND = [
     "events_dwell_time",
     "dedup_cluster_sizes",
     "ship_latency",
+    "attribution_last_touch",
+    "revenue_mom",
     # round 4
     "snapshot_diff",
     "sync_segments",

@@ -563,8 +563,68 @@ def q_events_dwell_time(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_attribution_last_touch(spark: SparkSession, sf: str) -> DataFrame:
+    """Last-touch conversion attribution: each purchase is credited to the
+    user's most recent PRECEDING non-purchase event type. One per-user
+    window (`last(..., ignorenulls)` over unbounded-preceding..-1 rows)
+    shared with the other lag queries — no self-join, no driver state;
+    purchases with no preceding touch report as 'direct'."""
+    e = table(spark, sf, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.last(
+        F.when(F.col("event_type") != "purchase", F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        e.withColumn("channel", touch)
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce("channel", F.lit("direct")).alias("channel"))
+        .agg(F.count("*").alias("n_conversions"))
+    )
+
+
+def q_revenue_mom(spark: SparkSession, sf: str) -> DataFrame:
+    """Month-over-month revenue growth WITHOUT a global window: the
+    monthly aggregate self-joins on the previous calendar month (an
+    |months|-row broadcast join), so the plan has no single-partition
+    ordered window — the pattern that survives when the time series is
+    billions of rows wide per month. DECIMAL month sums make the growth
+    ratio engine-exact."""
+    o = table(spark, sf, "orders")
+    monthly = o.groupBy(
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias("month")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev")
+    )
+    prev = monthly.select(
+        F.date_format(
+            F.add_months(F.to_date(F.concat(F.col("month"), F.lit("-01"))), 1),
+            "yyyy-MM",
+        ).alias("month"),
+        F.col("rev").alias("prev_rev"),
+    )
+    return (
+        monthly.join(F.broadcast(prev), "month", "left")
+        .select(
+            "month",
+            F.round(F.col("rev").cast("double"), 2).alias("revenue"),
+            F.round(
+                (F.col("rev") - F.col("prev_rev")).cast("double")
+                / F.col("prev_rev").cast("double"),
+                6,
+            ).alias("mom_growth"),
+        )
+    )
+
+
 QUERIES = {
     "events_dwell_time": q_events_dwell_time,
+    "attribution_last_touch": q_attribution_last_touch,
+    "revenue_mom": q_revenue_mom,
     "snapshot_diff": q_snapshot_diff,
     "sync_segments": q_sync_segments,
     "tt_version_diff": q_tt_version_diff,
@@ -602,6 +662,35 @@ ORACLES = {
                MIN(gap_us) / 1000000.0 AS min_gap_s
         FROM g WHERE gap_us IS NOT NULL
         GROUP BY event_type
+    """,
+    "attribution_last_touch": """
+        WITH t AS (
+            SELECT event_type,
+                   LAST_VALUE(CASE WHEN event_type <> 'purchase'
+                                   THEN event_type END IGNORE NULLS) OVER
+                       (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       AS channel
+            FROM events
+        )
+        SELECT COALESCE(channel, 'direct') AS channel,
+               COUNT(*) AS n_conversions
+        FROM t WHERE event_type = 'purchase'
+        GROUP BY 1
+    """,
+    "revenue_mom": """
+        WITH m AS (
+            SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+                   SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+            FROM orders GROUP BY 1
+        )
+        SELECT m.month,
+               ROUND(CAST(m.rev AS DOUBLE), 2) AS revenue,
+               ROUND(CAST(m.rev - p.rev AS DOUBLE) / CAST(p.rev AS DOUBLE), 6)
+                   AS mom_growth
+        FROM m LEFT JOIN m p
+          ON p.month = strftime(date_trunc('month',
+                 CAST(m.month || '-01' AS DATE)) - INTERVAL 1 MONTH, '%Y-%m')
     """,
     "tt_version_diff": """
         WITH j AS (
