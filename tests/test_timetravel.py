@@ -366,3 +366,138 @@ def test_schema_evolution_rejects_drops_and_retypes(spark, tmp_path):
             spark.createDataFrame([(1, 0, "x")], "k long, day int, v string"),
             keys=["k"], evolve_schema=True,
         )
+
+
+# ---- merge-on-read deletes / blind append / purge (round 5) ----------------
+
+
+def test_delete_where_carries_files_and_hides_rows(spark, tmp_path):
+    from vptstools_spark.plans.timetravel import _read_commit, delete_where
+
+    path = str(tmp_path / "dv1")
+    base = [(1, 0, 1.0), (2, 0, 2.0), (3, 1, 3.0), (4, 1, 4.0)]
+    commit_initial(_df(spark, base), path, ["day"])
+    assert delete_where(spark, path, "k % 2 = 0") == 1
+    # every data file carried unchanged — a MOR delete rewrites nothing
+    assert _read_commit(spark, path, 1)["files"] == _read_commit(spark, path, 0)["files"]
+    assert _read_commit(spark, path, 1)["n_deleted"] == 2
+    assert _rows(read_version(spark, path)) == [(1, 0, 1.0), (3, 1, 3.0)]
+    # the pre-delete snapshot is untouched
+    assert _rows(read_version(spark, path, 0)) == sorted(base)
+
+
+def test_delete_where_is_idempotent_on_deleted_rows(spark, tmp_path):
+    from vptstools_spark.plans.timetravel import _read_commit, delete_where
+
+    path = str(tmp_path / "dv2")
+    commit_initial(_df(spark, [(1, 0, 1.0), (2, 0, 2.0)]), path, ["day"])
+    delete_where(spark, path, F.col("k") == 2)
+    # predicate evaluated on the CURRENT snapshot: row 2 is already gone
+    delete_where(spark, path, F.col("k") >= 2)
+    assert _read_commit(spark, path, 2)["n_deleted"] == 0
+    assert _rows(read_version(spark, path)) == [(1, 0, 1.0)]
+
+
+def test_append_after_delete_and_purge_equivalence(spark, tmp_path):
+    from vptstools_spark.plans.timetravel import (
+        _read_commit,
+        commit_append,
+        delete_where,
+        purge_deletes,
+    )
+
+    path = str(tmp_path / "dv3")
+    commit_initial(
+        _df(spark, [(1, 0, 1.0), (2, 0, 2.0), (3, 1, 3.0)]), path, ["day"]
+    )
+    delete_where(spark, path, "k = 2")
+    commit_append(spark, path, _df(spark, [(9, 1, 9.0)]))
+    expect = [(1, 0, 1.0), (3, 1, 3.0), (9, 1, 9.0)]
+    assert _rows(read_version(spark, path)) == expect
+
+    v = purge_deletes(spark, path)
+    c = _read_commit(spark, path, v)
+    assert c["delete_files"] == []
+    # only the DIRTY file (the one part file holding k=2) was rewritten;
+    # every clean file — including day=0 siblings — is carried unchanged
+    prev_files = set(_read_commit(spark, path, v - 1)["files"])
+    carried = set(c["files"]) & prev_files
+    rewritten_away = prev_files - set(c["files"])
+    assert carried and len(rewritten_away) == 1
+    assert all("day=0" in f for f in rewritten_away)
+    assert _rows(read_version(spark, path)) == expect
+    # purge with no vectors is a metadata no-op (no new commit)
+    assert purge_deletes(spark, path) == v
+
+
+def test_append_schema_mismatch_rejected(spark, tmp_path):
+    from vptstools_spark.plans.timetravel import commit_append
+
+    path = str(tmp_path / "dv4")
+    commit_initial(_df(spark, [(1, 0, 1.0)]), path, ["day"])
+    bad = spark.createDataFrame([(2, 0)], "k long, day int")
+    with pytest.raises(ValueError, match="does not match"):
+        commit_append(spark, path, bad)
+
+
+def test_upsert_carries_pending_vectors_for_untouched_partitions(spark, tmp_path):
+    from vptstools_spark.plans.timetravel import delete_where
+
+    path = str(tmp_path / "dv5")
+    commit_initial(
+        _df(spark, [(1, 0, 1.0), (2, 1, 2.0), (3, 1, 3.0)]), path, ["day"]
+    )
+    delete_where(spark, path, "k = 2")  # hits day=1
+    # upsert touches ONLY day=0: day=1 files carried with their vectors —
+    # row 2 must stay deleted, not resurrect
+    commit_upsert(spark, path, _df(spark, [(1, 0, 9.0)]), keys=["k"])
+    assert _rows(read_version(spark, path)) == [(1, 0, 9.0), (3, 1, 3.0)]
+
+
+def test_restore_preserves_delete_vectors(spark, tmp_path):
+    from vptstools_spark.plans.timetravel import delete_where, restore_version
+
+    path = str(tmp_path / "dv6")
+    commit_initial(_df(spark, [(1, 0, 1.0), (2, 0, 2.0)]), path, ["day"])
+    delete_where(spark, path, "k = 2")          # v1
+    commit_upsert(spark, path, _df(spark, [(5, 0, 5.0)]), keys=["k"])  # v2
+    restore_version(spark, path, 1)              # v3 == v1's snapshot
+    assert _rows(read_version(spark, path)) == [(1, 0, 1.0)]
+
+
+def test_vacuum_never_deletes_referenced_vectors(spark, tmp_path):
+    from vptstools_spark.plans.timetravel import (
+        delete_where,
+        vacuum_table,
+    )
+
+    path = str(tmp_path / "dv7")
+    commit_initial(_df(spark, [(1, 0, 1.0), (2, 0, 2.0)]), path, ["day"])
+    delete_where(spark, path, "k = 2")
+    # nothing is unreferenced: vacuum must keep data files AND vectors
+    assert vacuum_table(spark, path) == []
+    assert _rows(read_version(spark, path)) == [(1, 0, 1.0)]
+    # after expiring the delete version's PREDECESSOR the vectors are
+    # still referenced by the surviving commit
+    expire_versions(spark, path, keep_last=1)
+    assert vacuum_table(spark, path) == []
+    assert _rows(read_version(spark, path)) == [(1, 0, 1.0)]
+
+
+def test_vacuum_reclaims_orphaned_vectors_after_purge_and_expiry(spark, tmp_path):
+    from vptstools_spark.plans.timetravel import (
+        delete_where,
+        purge_deletes,
+        vacuum_table,
+    )
+
+    path = str(tmp_path / "dv8")
+    commit_initial(_df(spark, [(1, 0, 1.0), (2, 0, 2.0)]), path, ["day"])
+    delete_where(spark, path, "k = 2")
+    purge_deletes(spark, path)
+    expire_versions(spark, path, keep_last=1)
+    removed = vacuum_table(spark, path)
+    # the purged commit references neither the old day=0 file nor the
+    # vector sidecar — both reclaimed
+    assert any(r.startswith("dv") for r in removed)
+    assert _rows(read_version(spark, path)) == [(1, 0, 1.0)]

@@ -244,6 +244,58 @@ def q_tt_version_diff(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_dv_delete_read(spark: SparkSession, sf: str) -> DataFrame:
+    """Merge-on-read deletes under the value gate
+    (`plans/timetravel.py:delete_where`): commit orders as a versioned
+    table, DELETE every 59th key via position-delete vectors (no file
+    rewritten), blind-APPEND a key-shifted copy of every 101st original
+    row, then read BOTH the merge-on-read snapshot (vectors applied as a
+    broadcast anti-join at scan) and the purged snapshot (file-scoped
+    compaction) — the two stages must agree with each other and with the
+    oracle, which recomputes the surviving multiset from the raw table."""
+    import tempfile
+
+    from vptstools_spark.plans.timetravel import (
+        commit_append,
+        commit_initial,
+        delete_where,
+        purge_deletes,
+        read_version,
+    )
+
+    key = ("dv_orders", sf)
+    if key not in _TT_CACHE:
+        o = table(spark, sf, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice",
+            (F.col("o_orderkey") % 8).cast("int").alias("part"),
+        )
+        path = tempfile.mkdtemp(prefix="dv_orders_")
+        commit_initial(o, path, ["part"])                       # v0
+        delete_where(spark, path, "o_orderkey % 59 = 0")        # v1
+        appended = o.filter(F.col("o_orderkey") % 101 == 0).withColumn(
+            "o_orderkey", F.col("o_orderkey") + F.lit(20_000_000)
+        )
+        commit_append(spark, path, appended)                    # v2
+        purge_deletes(spark, path)                              # v3
+        _TT_CACHE[key] = path
+    path = _TT_CACHE[key]
+
+    def agg(df: DataFrame, stage: str) -> DataFrame:
+        return (
+            df.groupBy("o_orderstatus")
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.sum("o_orderkey").cast("long").alias("key_sum"),
+                F.round(F.sum("o_totalprice"), 2).alias("price_sum"),
+            )
+            .withColumn("stage", F.lit(stage))
+        )
+
+    return agg(read_version(spark, path, 2), "mor").unionByName(
+        agg(read_version(spark, path, 3), "purged")
+    ).orderBy("stage", "o_orderstatus")
+
+
 def q_events_funnel_windowed(spark: SparkSession, sf: str) -> DataFrame:
     """Conversion-window funnel — the time-boxed variant of
     `events_funnel`: each stage must land within 7 days of the PREVIOUS
@@ -628,6 +680,7 @@ QUERIES = {
     "snapshot_diff": q_snapshot_diff,
     "sync_segments": q_sync_segments,
     "tt_version_diff": q_tt_version_diff,
+    "dv_delete_read": q_dv_delete_read,
     "events_hourly": q_events_hourly,
     "scd2_event_types": q_scd2_event_types,
     "retention_cohorts": q_retention_cohorts,
@@ -691,6 +744,24 @@ ORACLES = {
         FROM m LEFT JOIN m p
           ON p.month = strftime(date_trunc('month',
                  CAST(m.month || '-01' AS DATE)) - INTERVAL 1 MONTH, '%Y-%m')
+    """,
+    "dv_delete_read": """
+        WITH cur AS (
+            SELECT o_orderkey AS k, o_orderstatus AS st, o_totalprice AS p
+            FROM orders WHERE o_orderkey % 59 <> 0
+            UNION ALL
+            SELECT o_orderkey + 20000000, o_orderstatus, o_totalprice
+            FROM orders WHERE o_orderkey % 101 = 0
+        ),
+        a AS (
+            SELECT st AS o_orderstatus, COUNT(*) AS n_rows,
+                   CAST(SUM(k) AS BIGINT) AS key_sum,
+                   ROUND(SUM(p), 2) AS price_sum
+            FROM cur GROUP BY st
+        )
+        SELECT o_orderstatus, n_rows, key_sum, price_sum, stage
+        FROM a CROSS JOIN (VALUES ('mor'), ('purged')) s(stage)
+        ORDER BY stage, o_orderstatus
     """,
     "tt_version_diff": """
         WITH j AS (

@@ -21,6 +21,23 @@ Vacuuming old versions is a two-step explicit decision (`expire_versions`
 drops commits, `vacuum_table` deletes data files no surviving commit
 references), never a write-path side effect. Diffing two versions
 composes with `operators/scd.py:snapshot_diff`.
+
+Merge-on-read deletes (`delete_where`): instead of rewriting every
+touched partition, a delete commit writes POSITION-DELETE sidecar files
+— parquet rows of (data-file relative path, row index) derived from
+Spark's `_metadata.file_path` / `_metadata.row_index` scan columns — and
+carries every data file unchanged (the Iceberg-v2 position-delete /
+Delta deletion-vector design, re-expressed with public Spark metadata
+columns). Readers apply the vectors as a BROADCAST anti-join on
+(file, pos), so the 100 TB fact side never shuffles for a delete; the
+explicit contract is that accumulated vectors stay broadcast-small and
+`purge_deletes` (file-scoped compaction: rewrite only the dirty files,
+carry the clean ones, clear the vectors) is the remedy when they don't.
+`commit_append` is the matching blind append (new files only, nothing
+rewritten), so small-delta maintenance on a huge table is
+delete_where + commit_append — two KB-scale commits and zero partition
+rewrites — with `commit_upsert` remaining the copy-on-write path that
+materializes deletes for the partitions it rewrites.
 """
 
 from __future__ import annotations
@@ -296,17 +313,25 @@ def commit_upsert(
             # stable column order: table order first, additions appended —
             # read_version aligns mixed-schema file sets against this
             "columns": list(cur_schema) + sorted(added),
+            # carried partitions keep their pending delete vectors; the
+            # rewrite materialized deletes only for TOUCHED partitions.
+            # Entries referencing dropped files match nothing (harmless);
+            # purge_deletes clears them
+            "delete_files": prev.get("delete_files") or [],
             **(extra or {}),
         },
     )
     return new_v
 
 
-def read_version(
-    spark: SparkSession, path: str, version: int | None = None
-) -> DataFrame:
-    """Read a pinned snapshot (default: latest). `basePath` keeps hive
-    partition columns parsing even though the file list spans versions."""
+#: hidden scan-position columns a merge-on-read read threads through the
+#: plan; dropped before the caller sees the DataFrame (user tables must
+#: not collide with these names)
+_DV_FILE = "__dv_file"
+_DV_POS = "__dv_pos"
+
+
+def _resolve_version(spark: SparkSession, path: str, version: int | None) -> int:
     versions = _list_versions(spark, path)
     if not versions:
         raise ValueError(f"no table at {path}")
@@ -319,33 +344,265 @@ def read_version(
             f"version {v} of {path} {state}; available versions: "
             f"{versions[0]}..{versions[-1]}"
         )
-    commit = _read_commit(spark, path, v)
+    return v
+
+
+def _read_snapshot(
+    spark: SparkSession,
+    path: str,
+    version: int,
+    with_position: bool = False,
+    file_subset: set[str] | None = None,
+) -> DataFrame:
+    """Assemble a commit's file list into one DataFrame, applying any
+    position-delete vectors the commit carries. `with_position=True`
+    keeps the (relative file, row index) scan columns (`_DV_FILE`,
+    `_DV_POS`) for writers that derive new vectors; `file_subset`
+    restricts the scan to the listed relative files (purge reads ONLY
+    the dirty files this way — the pruning happens at file-list time,
+    not as a post-scan filter)."""
+    commit = _read_commit(spark, path, version)
     data_root = os.path.join(path, _DATA_DIR)
-    if not commit["files"]:
-        raise ValueError(f"version {v} is empty")
+    files = commit["files"]
+    if file_subset is not None:
+        files = [f for f in files if f in file_subset]
+    if not files:
+        raise ValueError(f"version {version} is empty")
+    delete_files = commit.get("delete_files") or []
+    want_pos = with_position or bool(delete_files)
     # a snapshot's files span several version dirs (carried + new), and
     # hive partition discovery can't cross the non-hive `vN` segment —
     # read each version dir with its own basePath and union
     by_vdir: dict[str, list[str]] = {}
-    for f in commit["files"]:
+    for f in files:
         vdir = f.split("/", 1)[0]
         by_vdir.setdefault(vdir, []).append(os.path.join(data_root, f))
-    parts = [
-        spark.read.option("basePath", os.path.join(data_root, vdir)).parquet(*fs)
-        for vdir, fs in sorted(by_vdir.items())
-    ]
+    parts = []
+    for vdir, fs in sorted(by_vdir.items()):
+        p = spark.read.option("basePath", os.path.join(data_root, vdir)).parquet(*fs)
+        if want_pos:
+            # rel path after the LAST '/data/' matches the commit's
+            # relative file names regardless of scheme/prefix
+            p = p.select(
+                "*",
+                F.substring_index(
+                    F.col("_metadata.file_path"), f"/{_DATA_DIR}/", -1
+                ).alias(_DV_FILE),
+                F.col("_metadata.row_index").alias(_DV_POS),
+            )
+        parts.append(p)
     out = parts[0]
     for p in parts[1:]:
         # a snapshot's file set can mix schemas after additive evolution
         # (carried old files never get rewritten); missing columns read
         # as NULL, and the commit's recorded column order aligns them
         out = out.unionByName(p, allowMissingColumns=True)
+    if delete_files:
+        dv = spark.read.parquet(
+            *[os.path.join(data_root, f) for f in delete_files]
+        )
+        # BROADCAST anti-join: the fact side never shuffles for a
+        # delete; vectors are bounded broadcast-small by contract
+        # (purge_deletes is the remedy when they accumulate past that)
+        out = out.join(
+            F.broadcast(dv),
+            (out[_DV_FILE] == dv["file"]) & (out[_DV_POS] == dv["pos"]),
+            "left_anti",
+        )
     cols = commit.get("columns")
     if cols:
-        out = out.select(*cols)
+        keep = [c for c in cols if file_subset is None or c in out.columns]
+        out = out.select(*keep, *([_DV_FILE, _DV_POS] if with_position else []))
+    elif want_pos and not with_position:
+        out = out.drop(_DV_FILE, _DV_POS)
     for c, dt in (commit.get("partition_types") or {}).items():
         out = out.withColumn(c, F.col(c).cast(dt))
     return out
+
+
+def read_version(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """Read a pinned snapshot (default: latest). `basePath` keeps hive
+    partition columns parsing even though the file list spans versions;
+    position-delete vectors, if the commit carries any, are applied as a
+    broadcast anti-join on (file, row index)."""
+    v = _resolve_version(spark, path, version)
+    return _read_snapshot(spark, path, v)
+
+
+def delete_where(
+    spark: SparkSession,
+    path: str,
+    predicate,
+    expected_version: int | None = None,
+) -> int:
+    """Merge-on-read DELETE: write position-delete vectors for the rows
+    matching `predicate` (a Column or SQL string over the table's
+    columns) and commit with every data file CARRIED unchanged — no
+    partition rewrite, however many partitions the predicate touches.
+    The vectors are parquet rows (file: relative data file, pos: row
+    index within it), computed distributed from the scan's
+    `_metadata.file_path` / `row_index` columns (Iceberg-v2 position
+    deletes / Delta deletion vectors, on public Spark metadata columns).
+    Returns the new version.
+
+    The predicate is evaluated on the CURRENT snapshot (vectors already
+    applied), so deleting an already-deleted row is a no-op rather than
+    a duplicate vector entry. Prior vectors are carried; readers union
+    them. Cost contract: reads apply vectors as a broadcast anti-join,
+    so keep cumulative vectors broadcast-small — `purge_deletes`
+    compacts them away when they grow."""
+    prev_v = _resolve_version(spark, path, None)
+    if expected_version is not None and prev_v != expected_version:
+        raise CommitConflictError(
+            f"table {path} is at version {prev_v}, not the expected "
+            f"{expected_version}; re-derive the delete and retry"
+        )
+    prev = _read_commit(spark, path, prev_v)
+    new_v = prev_v + 1
+    cond = F.expr(predicate) if isinstance(predicate, str) else predicate
+    snap = _read_snapshot(spark, path, prev_v, with_position=True)
+    hits = snap.filter(cond).select(
+        F.col(_DV_FILE).alias("file"), F.col(_DV_POS).alias("pos")
+    )
+    dv_dir = os.path.join(path, _DATA_DIR, f"dv{new_v}")
+    hits.write.mode("error").parquet(dv_dir)
+    data_root = os.path.join(path, _DATA_DIR)
+    new_rels = sorted(
+        f[f.index(f"{_DATA_DIR}/dv{new_v}/") + len(_DATA_DIR) + 1 :]
+        for f in list_data_files(spark, dv_dir)
+    )
+    # an all-miss predicate can legally write zero part files — the
+    # commit still happens (the caller asked for a version boundary)
+    n_deleted = (
+        spark.read.parquet(*[os.path.join(data_root, f) for f in new_rels]).count()
+        if new_rels
+        else 0
+    )
+    _commit(
+        spark,
+        path,
+        new_v,
+        prev["files"],
+        prev["partition_cols"],
+        "delete",
+        prev.get("partition_types"),
+        {
+            "columns": prev.get("columns"),
+            "delete_files": (prev.get("delete_files") or []) + new_rels,
+            "n_deleted": n_deleted,
+        },
+    )
+    return new_v
+
+
+def commit_append(
+    spark: SparkSession,
+    path: str,
+    df: DataFrame,
+    expected_version: int | None = None,
+) -> int:
+    """Blind APPEND: write `df` as new immutable files and commit them
+    alongside every existing file — nothing rewritten, prior delete
+    vectors carried. With `delete_where` this makes small-delta
+    maintenance on a huge table two KB-scale commits and zero partition
+    rewrites (`commit_upsert` stays the copy-on-write path). The
+    appended frame must match the table schema exactly — append is not
+    the evolution path."""
+    prev_v = _resolve_version(spark, path, None)
+    if expected_version is not None and prev_v != expected_version:
+        raise CommitConflictError(
+            f"table {path} is at version {prev_v}, not the expected "
+            f"{expected_version}; retry the append"
+        )
+    prev = _read_commit(spark, path, prev_v)
+    new_v = prev_v + 1
+    cur_schema = {
+        f.name: f.dataType.simpleString()
+        for f in read_version(spark, path, prev_v).schema.fields
+    }
+    new_schema = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    if cur_schema != new_schema:
+        raise ValueError(
+            f"append schema {sorted(new_schema.items())} does not match "
+            f"table schema {sorted(cur_schema.items())}; use commit_upsert "
+            "with evolve_schema=True to change the schema"
+        )
+    pcols = prev["partition_cols"]
+    rels = _write_snapshot_files(df, path, new_v, pcols)
+    _commit(
+        spark,
+        path,
+        new_v,
+        prev["files"] + rels,
+        pcols,
+        "append",
+        prev.get("partition_types"),
+        {
+            "columns": prev.get("columns"),
+            "delete_files": prev.get("delete_files") or [],
+        },
+    )
+    return new_v
+
+
+def purge_deletes(spark: SparkSession, path: str) -> int:
+    """File-scoped compaction of position-delete vectors: rewrite ONLY
+    the data files some vector actually hits, carry every clean file
+    unchanged, and commit with an empty vector list. This is the
+    merge-on-read → copy-on-write transition (Iceberg's
+    rewrite-position-deletes): run it when vectors accumulate past the
+    broadcast-small read contract. Returns the new version (the current
+    one if there is nothing to purge — no empty commit)."""
+    prev_v = _resolve_version(spark, path, None)
+    prev = _read_commit(spark, path, prev_v)
+    delete_files = prev.get("delete_files") or []
+    if not delete_files:
+        return prev_v
+    data_root = os.path.join(path, _DATA_DIR)
+    dv = spark.read.parquet(*[os.path.join(data_root, f) for f in delete_files])
+    # vectors may reference files a later upsert already dropped — only
+    # files still in the commit are dirty; |files|-scale driver state
+    live = set(prev["files"])
+    dirty = sorted(
+        r["file"]
+        for r in dv.select("file").distinct().collect()
+        if r["file"] in live
+    )
+    new_v = prev_v + 1
+    pcols = prev["partition_cols"]
+    if dirty:
+        snap = _read_snapshot(
+            spark, path, prev_v, with_position=False, file_subset=set(dirty)
+        )
+        # old-schema files can predate additive evolution: align to the
+        # committed column list with typed NULLs from the full snapshot
+        cols = prev.get("columns")
+        if cols and set(cols) - set(snap.columns):
+            full = {
+                f.name: f.dataType
+                for f in read_version(spark, path, prev_v).schema.fields
+            }
+            for c in cols:
+                if c not in snap.columns:
+                    snap = snap.withColumn(c, F.lit(None).cast(full[c]))
+            snap = snap.select(*cols)
+        rels = _write_snapshot_files(snap, path, new_v, pcols)
+    else:
+        rels = []
+    carried = [f for f in prev["files"] if f not in set(dirty)]
+    _commit(
+        spark,
+        path,
+        new_v,
+        carried + rels,
+        pcols,
+        "purge_deletes",
+        prev.get("partition_types"),
+        {"columns": prev.get("columns"), "delete_files": []},
+    )
+    return new_v
 
 
 def history(spark: SparkSession, path: str) -> list[dict]:
@@ -404,6 +661,13 @@ def restore_version(spark: SparkSession, path: str, version: int) -> int:
         src["partition_cols"],
         f"restore({version})",
         src.get("partition_types"),
+        # the restored snapshot's column order and delete vectors are
+        # part of its identity — dropping them here would re-order
+        # evolved schemas and resurrect deleted rows
+        {
+            "columns": src.get("columns"),
+            "delete_files": src.get("delete_files") or [],
+        },
     )
     return new_v
 
@@ -449,15 +713,19 @@ def vacuum_table(spark: SparkSession, path: str) -> list[str]:
     versions = _list_versions(spark, path)
     referenced: set[str] = set()
     for v in versions:
-        referenced |= set(_read_commit(spark, path, v)["files"])
+        c = _read_commit(spark, path, v)
+        referenced |= set(c["files"])
+        # position-delete sidecars are live data too: deleting one would
+        # silently RESURRECT rows in every surviving commit that lists it
+        referenced |= set(c.get("delete_files") or [])
     data_root = os.path.join(path, _DATA_DIR)
     jvm = spark.sparkContext._jvm
     hconf = spark.sparkContext._jsc.hadoopConfiguration()
-    marker = f"/{_DATA_DIR}/v"
+    marker = f"/{_DATA_DIR}/"
     removed = []
     for f in sorted(list_data_files(spark, data_root)):
         idx = f.rindex(marker)
-        rel = f[idx + len(marker) - 1 :]
+        rel = f[idx + len(marker) :]
         if rel not in referenced:
             p = jvm.org.apache.hadoop.fs.Path(f)
             p.getFileSystem(hconf).delete(p, False)
