@@ -124,6 +124,9 @@ HEADLINE = [
     "events_dwell_time",
     "dedup_cluster_sizes",
     "ship_latency",
+    "attribution_last_touch",
+    "revenue_mom",
+    "dv_delete_read",
 ]
 
 #: sf0.1-scale tier on the Zipf-vocabulary fixture (tools/gen_zipf.py):

@@ -501,3 +501,137 @@ def test_vacuum_reclaims_orphaned_vectors_after_purge_and_expiry(spark, tmp_path
     # vector sidecar — both reclaimed
     assert any(r.startswith("dv") for r in removed)
     assert _rows(read_version(spark, path)) == [(1, 0, 1.0)]
+
+
+# ---- commit-time table constraints (round 5) -------------------------------
+
+
+def test_set_constraints_validates_existing_data(spark, tmp_path):
+    from vptstools_spark.plans.timetravel import (
+        ConstraintViolationError,
+        constraints_of,
+        set_constraints,
+    )
+
+    path = str(tmp_path / "ct1")
+    commit_initial(_df(spark, [(1, 0, 1.0), (2, 0, -2.0)]), path, ["day"])
+    with pytest.raises(ConstraintViolationError, match="existing data"):
+        set_constraints(
+            spark, path, [{"name": "v_pos", "kind": "check", "expr": "v > 0"}]
+        )
+    set_constraints(
+        spark, path, [{"name": "v_big", "kind": "check", "expr": "v > -10"}]
+    )
+    assert [c["name"] for c in constraints_of(spark, path)] == ["v_big"]
+
+
+def test_append_rejects_check_and_null_violations(spark, tmp_path):
+    from vptstools_spark.plans.timetravel import (
+        ConstraintViolationError,
+        commit_append,
+        set_constraints,
+    )
+
+    path = str(tmp_path / "ct2")
+    commit_initial(_df(spark, [(1, 0, 1.0)]), path, ["day"])
+    set_constraints(
+        spark,
+        path,
+        [
+            {"name": "v_pos", "kind": "check", "expr": "v > 0"},
+            {"name": "k_nn", "kind": "not_null", "columns": ["k"]},
+        ],
+    )
+    with pytest.raises(ConstraintViolationError, match="v_pos"):
+        commit_append(spark, path, _df(spark, [(2, 0, -5.0)]))
+    with pytest.raises(ConstraintViolationError, match="k_nn"):
+        commit_append(spark, path, _df(spark, [(None, 0, 5.0)]))
+    # rejected commits leave the table readable at its old version
+    assert _rows(read_version(spark, path)) == [(1, 0, 1.0)]
+    commit_append(spark, path, _df(spark, [(2, 0, 5.0)]))
+    assert _rows(read_version(spark, path)) == [(1, 0, 1.0), (2, 0, 5.0)]
+
+
+def test_check_constraint_ansi_null_passes(spark, tmp_path):
+    from vptstools_spark.plans.timetravel import commit_append, set_constraints
+
+    path = str(tmp_path / "ct3")
+    commit_initial(_df(spark, [(1, 0, 1.0)]), path, ["day"])
+    set_constraints(
+        spark, path, [{"name": "v_pos", "kind": "check", "expr": "v > 0"}]
+    )
+    # ANSI CHECK: NULL comparison is UNKNOWN -> passes (not_null is the
+    # explicit opt-in for rejecting NULLs)
+    commit_append(spark, path, _df(spark, [(2, 0, None)]))
+    assert len(_rows(read_version(spark, path))) == 2
+
+
+def test_unique_constraint_on_append_and_upsert(spark, tmp_path):
+    from vptstools_spark.plans.timetravel import (
+        ConstraintViolationError,
+        commit_append,
+        set_constraints,
+    )
+
+    path = str(tmp_path / "ct4")
+    commit_initial(_df(spark, [(1, 0, 1.0), (2, 1, 2.0)]), path, ["day"])
+    set_constraints(
+        spark, path, [{"name": "k_uniq", "kind": "unique", "columns": ["k"]}]
+    )
+    # append colliding with an existing key -> rejected
+    with pytest.raises(ConstraintViolationError, match="k_uniq"):
+        commit_append(spark, path, _df(spark, [(2, 0, 9.0)]))
+    # append with an internal duplicate -> rejected
+    with pytest.raises(ConstraintViolationError, match="k_uniq"):
+        commit_append(spark, path, _df(spark, [(7, 0, 7.0), (7, 1, 7.5)]))
+    # UPSERT on the same key REPLACES it -> no violation
+    commit_upsert(spark, path, _df(spark, [(2, 1, 9.0)]), keys=["k"])
+    assert _rows(read_version(spark, path)) == [(1, 0, 1.0), (2, 1, 9.0)]
+
+
+def test_unique_on_non_key_column_under_upsert(spark, tmp_path):
+    from vptstools_spark.plans.timetravel import (
+        ConstraintViolationError,
+        set_constraints,
+    )
+
+    path = str(tmp_path / "ct5")
+    df = spark.createDataFrame(
+        [(1, 0, 100.0), (2, 0, 200.0)], "k long, day int, v double"
+    )
+    commit_initial(df, path, ["day"])
+    set_constraints(
+        spark, path, [{"name": "v_uniq", "kind": "unique", "columns": ["v"]}]
+    )
+    # new key 3 reuses retained row 2's v value -> collision on the
+    # non-key unique column
+    bad = spark.createDataFrame([(3, 0, 200.0)], "k long, day int, v double")
+    with pytest.raises(ConstraintViolationError, match="v_uniq"):
+        commit_upsert(spark, path, bad, keys=["k"])
+    # replacing key 2 itself with the same v is fine (its old row leaves)
+    ok = spark.createDataFrame([(2, 0, 200.0)], "k long, day int, v double")
+    commit_upsert(spark, path, ok, keys=["k"])
+
+
+def test_drop_constraints_and_carry_through_commits(spark, tmp_path):
+    from vptstools_spark.plans.timetravel import (
+        commit_append,
+        constraints_of,
+        delete_where,
+        drop_constraints,
+        set_constraints,
+    )
+
+    path = str(tmp_path / "ct6")
+    commit_initial(_df(spark, [(1, 0, 1.0)]), path, ["day"])
+    set_constraints(
+        spark, path, [{"name": "v_pos", "kind": "check", "expr": "v > 0"}]
+    )
+    commit_append(spark, path, _df(spark, [(2, 0, 2.0)]))
+    delete_where(spark, path, "k = 2")
+    commit_upsert(spark, path, _df(spark, [(3, 0, 3.0)]), keys=["k"])
+    # every commit path carried the constraint
+    assert [c["name"] for c in constraints_of(spark, path)] == ["v_pos"]
+    drop_constraints(spark, path, ["v_pos"])
+    assert constraints_of(spark, path) == []
+    commit_append(spark, path, _df(spark, [(4, 0, -4.0)]))  # now allowed

@@ -45,7 +45,7 @@ from __future__ import annotations
 import json
 import os
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 from vptstools_spark.io import create_text_exclusive, read_text_sidecar
 from vptstools_spark.plans.skipping import list_data_files
@@ -58,6 +58,25 @@ class CommitConflictError(RuntimeError):
     """Another writer committed this version first. The loser's snapshot
     files are orphans (never referenced — `vacuum_table` reclaims them);
     retry by re-reading the latest version and re-applying the delta."""
+
+
+class ConstraintViolationError(ValueError):
+    """A commit's incoming rows violate a table constraint; the commit is
+    rejected before any commit file is published (the already-written
+    snapshot files are orphans, reclaimed by `vacuum_table`)."""
+
+
+def _carry(prev: dict) -> dict:
+    """Persistent commit metadata every successor commit must re-state:
+    the committed column order (schema-evolution alignment), pending
+    position-delete vectors, and table constraints. Dropping any of these
+    on one commit path silently changes table semantics — restore lost
+    `columns` that way before r5."""
+    return {
+        "columns": prev.get("columns"),
+        "delete_files": prev.get("delete_files") or [],
+        "constraints": prev.get("constraints") or [],
+    }
 
 
 def _log_path(path: str, version: int) -> str:
@@ -255,6 +274,15 @@ def commit_upsert(
             f"delta adds columns {sorted(added)}; pass evolve_schema=True "
             "for additive schema evolution"
         )
+    # incoming (non-tombstone) rows must satisfy the table's constraints;
+    # unique rules probe the snapshot minus the keys this delta replaces
+    _enforce(
+        upserts,
+        prev,
+        "upsert",
+        table=read_version(spark, path, prev_v),
+        replace_keys=keys,
+    )
 
     if pcols:
         # one collect yields BOTH forms of each touched partition tuple:
@@ -310,14 +338,14 @@ def commit_upsert(
         "upsert",
         prev.get("partition_types"),
         {
-            # stable column order: table order first, additions appended —
-            # read_version aligns mixed-schema file sets against this
-            "columns": list(cur_schema) + sorted(added),
             # carried partitions keep their pending delete vectors; the
             # rewrite materialized deletes only for TOUCHED partitions.
             # Entries referencing dropped files match nothing (harmless);
             # purge_deletes clears them
-            "delete_files": prev.get("delete_files") or [],
+            **_carry(prev),
+            # stable column order: table order first, additions appended —
+            # read_version aligns mixed-schema file sets against this
+            "columns": list(cur_schema) + sorted(added),
             **(extra or {}),
         },
     )
@@ -489,7 +517,7 @@ def delete_where(
         "delete",
         prev.get("partition_types"),
         {
-            "columns": prev.get("columns"),
+            **_carry(prev),
             "delete_files": (prev.get("delete_files") or []) + new_rels,
             "n_deleted": n_deleted,
         },
@@ -529,6 +557,9 @@ def commit_append(
             f"table schema {sorted(cur_schema.items())}; use commit_upsert "
             "with evolve_schema=True to change the schema"
         )
+    # constraints see the appended rows plus (for unique) one collision
+    # probe against the current snapshot — rejected BEFORE any file lands
+    _enforce(df, prev, "append", table=read_version(spark, path, prev_v))
     pcols = prev["partition_cols"]
     rels = _write_snapshot_files(df, path, new_v, pcols)
     _commit(
@@ -539,10 +570,7 @@ def commit_append(
         pcols,
         "append",
         prev.get("partition_types"),
-        {
-            "columns": prev.get("columns"),
-            "delete_files": prev.get("delete_files") or [],
-        },
+        _carry(prev),
     )
     return new_v
 
@@ -600,9 +628,159 @@ def purge_deletes(spark: SparkSession, path: str) -> int:
         pcols,
         "purge_deletes",
         prev.get("partition_types"),
-        {"columns": prev.get("columns"), "delete_files": []},
+        {**_carry(prev), "delete_files": []},
     )
     return new_v
+
+
+_CONSTRAINT_KINDS = {"check", "not_null", "unique"}
+
+
+def _violations(
+    df: DataFrame,
+    constraints: list[dict],
+    table: DataFrame | None = None,
+    replace_keys: list[str] | None = None,
+) -> dict[str, int]:
+    """Per-constraint violation counts for `df` (the rows a commit is
+    adding). All `check`/`not_null` rules fold into ONE aggregate pass
+    over `df`; ANSI CHECK semantics (NULL/UNKNOWN passes — count_if on
+    the negation counts only definite FALSE). A `unique` rule costs one
+    duplicate count over `df` plus, when `table` is given, one
+    broadcast-semi-join collision probe against the retained table rows
+    (minus the rows `replace_keys` says `df` replaces) — i.e. one table
+    scan per commit, the price of global uniqueness; NULL key values
+    never collide (ANSI)."""
+    bad: dict[str, int] = {}
+    row_rules: list[tuple[str, Column]] = []
+    for c in constraints:
+        if c["kind"] == "check":
+            row_rules.append((c["name"], F.expr(c["expr"])))
+        elif c["kind"] == "not_null":
+            for col in c["columns"]:
+                row_rules.append((f"{c['name']}({col})", F.col(col).isNotNull()))
+    if row_rules:
+        r = df.agg(
+            *[
+                F.count_if(~e).alias(f"c{i}")
+                for i, (_, e) in enumerate(row_rules)
+            ]
+        ).collect()[0]
+        for i, (name, _) in enumerate(row_rules):
+            if r[f"c{i}"]:
+                bad[name] = bad.get(name, 0) + r[f"c{i}"]
+    for c in constraints:
+        if c["kind"] != "unique":
+            continue
+        u = c["columns"]
+        n_bad = (
+            df.groupBy(*u)
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > 1)
+            .count()
+        )
+        if table is not None:
+            retained = table
+            if replace_keys:
+                retained = retained.join(
+                    df.select(*replace_keys).distinct(), replace_keys, "left_anti"
+                )
+            n_bad += retained.join(
+                F.broadcast(df.select(*u).distinct()), u, "left_semi"
+            ).count()
+        if n_bad:
+            bad[c["name"]] = bad.get(c["name"], 0) + int(n_bad)
+    return bad
+
+
+def _enforce(
+    df: DataFrame,
+    prev: dict,
+    op: str,
+    table: DataFrame | None,
+    replace_keys: list[str] | None = None,
+) -> None:
+    cons = prev.get("constraints") or []
+    if not cons:
+        return
+    bad = _violations(df, cons, table=table, replace_keys=replace_keys)
+    if bad:
+        raise ConstraintViolationError(
+            f"{op} rejected: constraint violations {bad} (counts are "
+            "violating incoming rows; fix the delta or drop_constraints)"
+        )
+
+
+def set_constraints(
+    spark: SparkSession, path: str, constraints: list[dict]
+) -> int:
+    """Declare table constraints, enforced on every later append/upsert
+    (the Delta `ADD CONSTRAINT` surface). Shapes:
+      {"name": ..., "kind": "check",    "expr": "<sql over columns>"}
+      {"name": ..., "kind": "not_null", "columns": [...]}
+      {"name": ..., "kind": "unique",   "columns": [...]}
+    The EXISTING snapshot must already satisfy them (validated here, one
+    scan) — a constraint the data doesn't meet is a lie that would make
+    every later commit's rejection message misleading. Metadata-only
+    commit; replaces the whole constraint list (compose with
+    `constraints_of` to add incrementally). Returns the new version."""
+    for c in constraints:
+        if not c.get("name") or c.get("kind") not in _CONSTRAINT_KINDS:
+            raise ValueError(
+                f"bad constraint {c!r}: need a name and kind in "
+                f"{sorted(_CONSTRAINT_KINDS)}"
+            )
+        if c["kind"] == "check" and not c.get("expr"):
+            raise ValueError(f"check constraint {c['name']!r} needs expr")
+        if c["kind"] in ("not_null", "unique") and not c.get("columns"):
+            raise ValueError(f"constraint {c['name']!r} needs columns")
+    prev_v = _resolve_version(spark, path, None)
+    prev = _read_commit(spark, path, prev_v)
+    bad = _violations(read_version(spark, path, prev_v), constraints)
+    if bad:
+        raise ConstraintViolationError(
+            f"existing data violates new constraints {bad}; clean the "
+            "table first (delete_where / upsert) or fix the constraint"
+        )
+    _commit(
+        spark,
+        path,
+        prev_v + 1,
+        prev["files"],
+        prev["partition_cols"],
+        "set_constraints",
+        prev.get("partition_types"),
+        {**_carry(prev), "constraints": constraints},
+    )
+    return prev_v + 1
+
+
+def drop_constraints(
+    spark: SparkSession, path: str, names: list[str]
+) -> int:
+    """Remove constraints by name (metadata-only commit)."""
+    prev_v = _resolve_version(spark, path, None)
+    prev = _read_commit(spark, path, prev_v)
+    keep = [
+        c for c in (prev.get("constraints") or []) if c["name"] not in set(names)
+    ]
+    _commit(
+        spark,
+        path,
+        prev_v + 1,
+        prev["files"],
+        prev["partition_cols"],
+        "drop_constraints",
+        prev.get("partition_types"),
+        {**_carry(prev), "constraints": keep},
+    )
+    return prev_v + 1
+
+
+def constraints_of(spark: SparkSession, path: str) -> list[dict]:
+    """The current constraint list (empty for an unconstrained table)."""
+    v = _resolve_version(spark, path, None)
+    return _read_commit(spark, path, v).get("constraints") or []
 
 
 def history(spark: SparkSession, path: str) -> list[dict]:
@@ -661,13 +839,10 @@ def restore_version(spark: SparkSession, path: str, version: int) -> int:
         src["partition_cols"],
         f"restore({version})",
         src.get("partition_types"),
-        # the restored snapshot's column order and delete vectors are
-        # part of its identity — dropping them here would re-order
-        # evolved schemas and resurrect deleted rows
-        {
-            "columns": src.get("columns"),
-            "delete_files": src.get("delete_files") or [],
-        },
+        # the restored snapshot's column order, delete vectors, and
+        # constraints are part of its identity — dropping them here would
+        # re-order evolved schemas and resurrect deleted rows
+        _carry(src),
     )
     return new_v
 
