@@ -635,3 +635,107 @@ def test_drop_constraints_and_carry_through_commits(spark, tmp_path):
     drop_constraints(spark, path, ["v_pos"])
     assert constraints_of(spark, path) == []
     commit_append(spark, path, _df(spark, [(4, 0, -4.0)]))  # now allowed
+
+
+# ---- merge-on-read MERGE (single-commit upsert) ----------------------------
+
+
+def test_mor_upsert_matches_cow_and_rewrites_nothing(spark, tmp_path):
+    from vptstools_spark.plans.timetravel import (
+        _read_commit,
+        commit_upsert_mor,
+    )
+
+    cow = str(tmp_path / "cow")
+    mor = str(tmp_path / "mor")
+    base = [(1, 0, 1.0), (2, 1, 2.0), (3, 2, 3.0)]
+    delta = spark.createDataFrame(
+        [(2, 1, 9.0, False), (3, 2, 0.0, True), (4, 0, 4.0, False)],
+        "k long, day int, v double, is_delete boolean",
+    )
+    for path in (cow, mor):
+        commit_initial(_df(spark, base), path, ["day"])
+    commit_upsert(spark, cow, delta, keys=["k"], delete_col="is_delete")
+    commit_upsert_mor(spark, mor, delta, keys=["k"], delete_col="is_delete")
+    expect = [(1, 0, 1.0), (2, 1, 9.0), (4, 0, 4.0)]
+    assert _rows(read_version(spark, cow)) == expect
+    assert _rows(read_version(spark, mor)) == expect
+    # MOR carried EVERY original data file; COW rewrote the touched ones
+    f0 = set(_read_commit(spark, mor, 0)["files"])
+    f1 = set(_read_commit(spark, mor, 1)["files"])
+    assert f0 <= f1
+    assert _read_commit(spark, mor, 1)["delete_files"]
+
+
+def test_mor_upsert_pure_delete_batch(spark, tmp_path):
+    from vptstools_spark.plans.timetravel import commit_upsert_mor
+
+    path = str(tmp_path / "mor2")
+    commit_initial(_df(spark, [(1, 0, 1.0), (2, 0, 2.0)]), path, ["day"])
+    delta = spark.createDataFrame(
+        [(1, 0, 0.0, True)], "k long, day int, v double, is_delete boolean"
+    )
+    commit_upsert_mor(spark, path, delta, keys=["k"], delete_col="is_delete")
+    assert _rows(read_version(spark, path)) == [(2, 0, 2.0)]
+
+
+def test_mor_upsert_respects_constraints(spark, tmp_path):
+    from vptstools_spark.plans.timetravel import (
+        ConstraintViolationError,
+        commit_upsert_mor,
+        set_constraints,
+    )
+
+    path = str(tmp_path / "mor3")
+    commit_initial(_df(spark, [(1, 0, 1.0)]), path, ["day"])
+    set_constraints(
+        spark, path, [{"name": "v_pos", "kind": "check", "expr": "v > 0"}]
+    )
+    with pytest.raises(ConstraintViolationError, match="v_pos"):
+        commit_upsert_mor(spark, path, _df(spark, [(2, 0, -1.0)]), keys=["k"])
+
+
+def test_mor_then_purge_then_mor_roundtrip(spark, tmp_path):
+    from vptstools_spark.plans.timetravel import (
+        _read_commit,
+        commit_upsert_mor,
+        purge_deletes,
+    )
+
+    path = str(tmp_path / "mor4")
+    commit_initial(_df(spark, [(1, 0, 1.0), (2, 1, 2.0)]), path, ["day"])
+    commit_upsert_mor(spark, path, _df(spark, [(1, 0, 5.0)]), keys=["k"])
+    v = purge_deletes(spark, path)
+    assert _read_commit(spark, path, v)["delete_files"] == []
+    commit_upsert_mor(spark, path, _df(spark, [(2, 1, 6.0)]), keys=["k"])
+    assert _rows(read_version(spark, path)) == [(1, 0, 5.0), (2, 1, 6.0)]
+
+
+def test_timetravel_stream_sink_mor_mode(spark, tmp_path):
+    """The MOR sink produces the same table state as the COW sink while
+    never rewriting a committed data file."""
+    from vptstools_spark.plans.timetravel import _read_commit
+    from vptstools_spark.streaming.incremental import timetravel_stream_sink
+
+    src = str(tmp_path / "src")
+    tbl = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "k long, day int, v double"
+    _df(spark, [(1, 0, 1.0), (2, 1, 2.0)]).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    timetravel_stream_sink(
+        stream, tbl, ckpt, keys=["k"], partition_cols=["day"], mor=True
+    ).awaitTermination()
+
+    _df(spark, [(1, 0, 5.0), (3, 2, 3.0)]).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    timetravel_stream_sink(
+        stream, tbl, ckpt, keys=["k"], partition_cols=["day"], mor=True
+    ).awaitTermination()
+    assert _rows(read_version(spark, tbl)) == [
+        (1, 0, 5.0), (2, 1, 2.0), (3, 2, 3.0),
+    ]
+    h = history(spark, tbl)
+    files_prev = set(_read_commit(spark, tbl, h[-2]["version"])["files"])
+    files_last = set(_read_commit(spark, tbl, h[-1]["version"])["files"])
+    assert files_prev <= files_last  # nothing rewritten, only appended

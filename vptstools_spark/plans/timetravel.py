@@ -575,6 +575,91 @@ def commit_append(
     return new_v
 
 
+def commit_upsert_mor(
+    spark: SparkSession,
+    path: str,
+    delta: DataFrame,
+    keys: list[str],
+    delete_col: str | None = None,
+    expected_version: int | None = None,
+    extra: dict | None = None,
+) -> int:
+    """MERGE-ON-READ upsert: ONE atomic commit that (a) position-deletes
+    every current row whose key appears in the delta and (b) appends the
+    delta's non-tombstone rows as new files — no partition rewrite,
+    however many partitions the keys scatter across. This is the
+    Delta-DV / Iceberg-v2 MERGE shape: a small CDC batch against a
+    100 TB table costs one metadata-scale delete-vector pass plus the
+    appended files, where `commit_upsert` (the copy-on-write path) would
+    rewrite every touched partition. Reads get slightly slower (vector
+    anti-join) until `purge_deletes` compacts; pick COW for few-large-
+    partition deltas, MOR for many-partition scatter.
+
+    The delta's schema must match the table exactly (evolution stays on
+    the COW path, whose rewrite can align files); constraints are
+    enforced the same as `commit_upsert`. Tombstones via `delete_col`
+    contribute deletes only. Returns the new version."""
+    prev_v = _resolve_version(spark, path, None)
+    if expected_version is not None and prev_v != expected_version:
+        raise CommitConflictError(
+            f"table {path} is at version {prev_v}, not the expected "
+            f"{expected_version}; re-derive the delta and retry"
+        )
+    prev = _read_commit(spark, path, prev_v)
+    new_v = prev_v + 1
+    upserts = delta.filter(~F.col(delete_col)) if delete_col else delta
+    upserts = upserts.drop(*([delete_col] if delete_col else []))
+    cur_schema = {
+        f.name: f.dataType.simpleString()
+        for f in read_version(spark, path, prev_v).schema.fields
+    }
+    new_schema = {f.name: f.dataType.simpleString() for f in upserts.schema.fields}
+    if cur_schema != new_schema:
+        raise ValueError(
+            f"merge-on-read upsert schema {sorted(new_schema.items())} does "
+            f"not match table schema {sorted(cur_schema.items())}; schema "
+            "evolution goes through commit_upsert(evolve_schema=True)"
+        )
+    _enforce(
+        upserts,
+        prev,
+        "upsert_mor",
+        table=read_version(spark, path, prev_v),
+        replace_keys=keys,
+    )
+    # position-delete every current row the delta's keys replace (or
+    # tombstone): broadcast semi-join keyed on the delta — the fact side
+    # is scanned once and never shuffled
+    snap = _read_snapshot(spark, path, prev_v, with_position=True)
+    hits = snap.join(
+        F.broadcast(delta.select(*keys).distinct()), keys, "left_semi"
+    ).select(F.col(_DV_FILE).alias("file"), F.col(_DV_POS).alias("pos"))
+    data_root = os.path.join(path, _DATA_DIR)
+    dv_dir = os.path.join(data_root, f"dv{new_v}")
+    hits.write.mode("error").parquet(dv_dir)
+    dv_rels = sorted(
+        f[f.index(f"{_DATA_DIR}/dv{new_v}/") + len(_DATA_DIR) + 1 :]
+        for f in list_data_files(spark, dv_dir)
+    )
+    pcols = prev["partition_cols"]
+    rels = _write_snapshot_files(upserts, path, new_v, pcols)
+    _commit(
+        spark,
+        path,
+        new_v,
+        prev["files"] + rels,
+        pcols,
+        "upsert_mor",
+        prev.get("partition_types"),
+        {
+            **_carry(prev),
+            "delete_files": (prev.get("delete_files") or []) + dv_rels,
+            **(extra or {}),
+        },
+    )
+    return new_v
+
+
 def purge_deletes(spark: SparkSession, path: str) -> int:
     """File-scoped compaction of position-delete vectors: rewrite ONLY
     the data files some vector actually hits, carry every clean file

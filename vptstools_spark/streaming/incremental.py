@@ -824,11 +824,17 @@ def timetravel_stream_sink(
     keys: list[str],
     partition_cols: list[str] | None = None,
     delete_col: str | None = None,
+    mor: bool = False,
 ) -> StreamingQuery:
     """Stream into a VERSIONED table (`plans/timetravel.py`): each
     availableNow micro-batch becomes one commit — version 0 is the first
     batch's snapshot, every later batch a partition-scoped copy-on-write
-    upsert (tombstones via `delete_col`). The result is a table whose
+    upsert (tombstones via `delete_col`). With `mor=True` later batches
+    commit through `commit_upsert_mor` instead: position-delete vectors
+    for replaced keys plus appended files in ONE atomic commit, so a CDC
+    stream whose keys scatter across many partitions never rewrites
+    them — run `purge_deletes` periodically (e.g. from optimize_table)
+    to fold the vectors away. The result is a table whose
     history IS the stream: any point between batches is pinnable with
     `read_version`, diffable with `diff_versions`, and rollback-able with
     `restore_version` — the CDC audit trail `cdc_merge_sink` discards.
@@ -845,6 +851,7 @@ def timetravel_stream_sink(
         _read_commit,
         commit_initial,
         commit_upsert,
+        commit_upsert_mor,
     )
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
@@ -865,7 +872,8 @@ def timetravel_stream_sink(
         last = _read_commit(spark, path, versions[-1])
         if last.get("batch_id") is not None and batch_id <= last["batch_id"]:
             return  # replayed batch: its commit already exists
-        commit_upsert(
+        commit = commit_upsert_mor if mor else commit_upsert
+        commit(
             spark,
             path,
             batch_df,
