@@ -500,8 +500,37 @@ def q_bloom_point_lookup(spark: SparkSession, sf: str) -> DataFrame:
     return out.orderBy("o_orderkey")
 
 
+def q_secure_customer_view(spark: SparkSession, sf: str) -> DataFrame:
+    """Row/column security policies under the value gate
+    (`plans/governance.py`): a row filter (positive balance), a
+    partial mask (name: star all but the last 5 chars), an
+    equality-preserving sha2-256 pseudonym (market segment), a custom
+    bucketing mask (balance → low/high), and a column drop (nationkey) —
+    all pure plan rewrites; the oracle recomputes every mask in DuckDB."""
+    from vptstools_spark.plans.governance import apply_policies
+
+    c = table(spark, sf, "customer")
+    return apply_policies(
+        c,
+        {
+            "row_filter": "c_acctbal > 0",
+            "masks": [
+                {"column": "c_name", "kind": "partial", "keep": 5},
+                {"column": "c_mktsegment", "kind": "hash"},
+                {
+                    "column": "c_acctbal",
+                    "kind": "custom",
+                    "expr": "CASE WHEN c_acctbal < 5000 THEN 'low' ELSE 'high' END",
+                },
+            ],
+            "drop": ["c_nationkey"],
+        },
+    )
+
+
 QUERIES = {
     "winsorize_price": q_winsorize_price,
+    "secure_customer_view": q_secure_customer_view,
     "drift_psi": q_drift_psi,
     "drift_js": q_drift_js,
     "drift_ks": q_drift_ks,
@@ -523,6 +552,16 @@ QUERIES = {
 }
 
 ORACLES = {
+    "secure_customer_view": """
+        SELECT c_custkey,
+               repeat('*', greatest(length(c_name) - 5, 0)) || right(c_name, 5)
+                   AS c_name,
+               sha256(c_mktsegment) AS c_mktsegment,
+               CASE WHEN c_acctbal < 5000 THEN 'low' ELSE 'high' END
+                   AS c_acctbal
+        FROM customer
+        WHERE c_acctbal > 0
+    """,
     "bloom_point_lookup": """
 SELECT o_orderkey, ROUND(o_totalprice, 2) AS price
 FROM orders WHERE o_orderkey IN (515, 7777, 29441)
