@@ -127,6 +127,8 @@ HEADLINE = [
     "attribution_last_touch",
     "revenue_mom",
     "dv_delete_read",
+    "secure_customer_view",
+    "cdf_order_changes",
 ]
 
 #: sf0.1-scale tier on the Zipf-vocabulary fixture (tools/gen_zipf.py):

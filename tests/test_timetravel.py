@@ -739,3 +739,76 @@ def test_timetravel_stream_sink_mor_mode(spark, tmp_path):
     files_prev = set(_read_commit(spark, tbl, h[-2]["version"])["files"])
     files_last = set(_read_commit(spark, tbl, h[-1]["version"])["files"])
     assert files_prev <= files_last  # nothing rewritten, only appended
+
+
+# ---- change data feed (table_changes) --------------------------------------
+
+
+def _changes(df):
+    return sorted(
+        (r["_commit_version"], r["_change_type"], r["k"], r["v"])
+        for r in df.collect()
+    )
+
+
+def test_table_changes_mor_commits_are_delta_scoped(spark, tmp_path):
+    from vptstools_spark.plans.timetravel import (
+        commit_append,
+        commit_upsert_mor,
+        delete_where,
+        table_changes,
+    )
+
+    path = str(tmp_path / "cdf1")
+    commit_initial(_df(spark, [(1, 0, 1.0), (2, 1, 2.0)]), path, ["day"])  # v0
+    commit_append(spark, path, _df(spark, [(3, 0, 3.0)]))                   # v1
+    delete_where(spark, path, "k = 1")                                      # v2
+    commit_upsert_mor(spark, path, _df(spark, [(2, 1, 9.0)]), keys=["k"])   # v3
+
+    assert _changes(table_changes(spark, path, 0)) == [
+        (1, "insert", 3, 3.0),
+        (2, "delete", 1, 1.0),
+        (3, "delete", 2, 2.0),
+        (3, "insert", 2, 9.0),
+    ]
+    # a sub-range reads only that window
+    assert _changes(table_changes(spark, path, 1, 2)) == [
+        (2, "delete", 1, 1.0),
+    ]
+    # and replaying the feed over the base reconstructs the snapshot
+    assert _rows(read_version(spark, path)) == [(2, 1, 9.0), (3, 0, 3.0)]
+
+
+def test_table_changes_initial_and_cow_fallback(spark, tmp_path):
+    from vptstools_spark.plans.timetravel import table_changes
+
+    path = str(tmp_path / "cdf2")
+    commit_initial(_df(spark, [(1, 0, 1.0), (2, 0, 2.0)]), path, ["day"])  # v0
+    commit_upsert(spark, path, _df(spark, [(2, 0, 5.0)]), keys=["k"])      # v1 (COW)
+    got = _changes(table_changes(spark, path, -1))
+    assert (0, "insert", 1, 1.0) in got and (0, "insert", 2, 2.0) in got
+    assert (1, "delete", 2, 2.0) in got and (1, "insert", 2, 5.0) in got
+    # the COW rewrite of day=0 did NOT spuriously report row 1 (unchanged
+    # rows cancel in the multiset diff)
+    assert (1, "delete", 1, 1.0) not in got and (1, "insert", 1, 1.0) not in got
+
+
+def test_table_changes_metadata_commits_emit_nothing(spark, tmp_path):
+    from vptstools_spark.plans.timetravel import (
+        delete_where,
+        purge_deletes,
+        set_constraints,
+        table_changes,
+    )
+
+    path = str(tmp_path / "cdf3")
+    commit_initial(_df(spark, [(1, 0, 1.0), (2, 0, 2.0)]), path, ["day"])  # v0
+    delete_where(spark, path, "k = 2")                                     # v1
+    set_constraints(
+        spark, path, [{"name": "v_pos", "kind": "check", "expr": "v > 0"}]
+    )                                                                      # v2
+    purge_deletes(spark, path)                                             # v3
+    assert _changes(table_changes(spark, path, 1)) == []
+    # empty feed keeps the schema contract
+    cols = table_changes(spark, path, 1).columns
+    assert "_change_type" in cols and "_commit_version" in cols

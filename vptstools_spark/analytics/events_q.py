@@ -296,6 +296,30 @@ def q_dv_delete_read(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("stage", "o_orderstatus")
 
 
+def q_cdf_order_changes(spark: SparkSession, sf: str) -> DataFrame:
+    """Change data feed under the value gate
+    (`plans/timetravel.py:table_changes`): over the same versioned
+    orders table as `dv_delete_read` (v0 initial, v1 MOR delete of every
+    59th key, v2 blind append), read the feed from the beginning through
+    v2 and fold it per (commit, change type). The MOR commits derive
+    their rows from commit artifacts alone — vectors joined back to the
+    files they hit — so the oracle recomputing each class from the raw
+    table checks both the insert and the materialized-delete paths."""
+    q_dv_delete_read(spark, sf)  # ensure the versioned table is built
+    from vptstools_spark.plans.timetravel import table_changes
+
+    path = _TT_CACHE[("dv_orders", sf)]
+    ch = table_changes(spark, path, -1, 2)
+    return (
+        ch.groupBy("_commit_version", "_change_type")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("o_orderkey").cast("long").alias("key_sum"),
+        )
+        .orderBy("_commit_version", "_change_type")
+    )
+
+
 def q_events_funnel_windowed(spark: SparkSession, sf: str) -> DataFrame:
     """Conversion-window funnel — the time-boxed variant of
     `events_funnel`: each stage must land within 7 days of the PREVIOUS
@@ -681,6 +705,7 @@ QUERIES = {
     "sync_segments": q_sync_segments,
     "tt_version_diff": q_tt_version_diff,
     "dv_delete_read": q_dv_delete_read,
+    "cdf_order_changes": q_cdf_order_changes,
     "events_hourly": q_events_hourly,
     "scd2_event_types": q_scd2_event_types,
     "retention_cohorts": q_retention_cohorts,
@@ -744,6 +769,19 @@ ORACLES = {
         FROM m LEFT JOIN m p
           ON p.month = strftime(date_trunc('month',
                  CAST(m.month || '-01' AS DATE)) - INTERVAL 1 MONTH, '%Y-%m')
+    """,
+    "cdf_order_changes": """
+        SELECT 0 AS _commit_version, 'insert' AS _change_type,
+               COUNT(*) AS n_rows, CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+        FROM orders
+        UNION ALL
+        SELECT 1, 'delete', COUNT(*), CAST(SUM(o_orderkey) AS BIGINT)
+        FROM orders WHERE o_orderkey % 59 = 0
+        UNION ALL
+        SELECT 2, 'insert', COUNT(*),
+               CAST(SUM(o_orderkey + 20000000) AS BIGINT)
+        FROM orders WHERE o_orderkey % 101 = 0
+        ORDER BY _commit_version, _change_type
     """,
     "dv_delete_read": """
         WITH cur AS (

@@ -897,6 +897,129 @@ def diff_versions(
     )
 
 
+def table_changes(
+    spark: SparkSession, path: str, from_version: int, to_version: int | None = None
+) -> DataFrame:
+    """Change data feed: every row-level change committed AFTER
+    `from_version` up to `to_version` (default: latest), as the table's
+    columns plus `_change_type` ('insert' | 'delete') and
+    `_commit_version`. An update appears as its delete + insert pair
+    (the Delta CDF convention without update coalescing).
+
+    Cost model — the reason this exists next to `diff_versions`: for
+    append / merge-on-read commits the feed is derived from the commit's
+    OWN artifacts, never a snapshot join — files added by the commit are
+    scanned as inserts, its new delete vectors are joined (vector side
+    broadcast) back to the files they hit to materialize the deleted
+    rows. So consuming a CDC stream's history costs O(changed data), not
+    O(table). Copy-on-write commits (upsert/restore) rewrite whole
+    partitions without recording which rows changed, so they fall back
+    to a keyless full-row `exceptAll` diff of the two snapshots scoped
+    to... the whole table — precise, but O(snapshot); prefer MOR commits
+    when the feed matters. `set_constraints`/`drop_constraints`/
+    `purge_deletes` commits change no rows and emit nothing."""
+    to_v = _resolve_version(spark, path, to_version)
+    # from_version is an EXCLUSIVE low bound and need not exist: -1 (or
+    # anything below the first version) means "from the beginning,
+    # including the initial commit"
+    versions = [
+        v for v in _list_versions(spark, path) if from_version < v <= to_v
+    ]
+    data_root = os.path.join(path, _DATA_DIR)
+    snap_cols: list[str] | None = None
+    out: DataFrame | None = None
+
+    def tag(df: DataFrame, change: str, v: int) -> DataFrame:
+        return df.select(
+            *[F.col(c) for c in df.columns if not c.startswith("__dv_")],
+            F.lit(change).alias("_change_type"),
+            F.lit(v).alias("_commit_version"),
+        )
+
+    for v in versions:
+        commit = _read_commit(spark, path, v)
+        prev = (
+            _read_commit(spark, path, v - 1)
+            if v > 0
+            else {"files": [], "delete_files": []}
+        )
+        op = commit["op"]
+        pieces: list[DataFrame] = []
+        if op in ("append", "delete", "upsert_mor"):
+            new_files = sorted(set(commit["files"]) - set(prev["files"]))
+            if new_files:
+                pieces.append(
+                    tag(
+                        _read_snapshot(
+                            spark, path, v, file_subset=set(new_files)
+                        ),
+                        "insert",
+                        v,
+                    )
+                )
+            new_dvs = sorted(
+                set(commit.get("delete_files") or [])
+                - set(prev.get("delete_files") or [])
+            )
+            if new_dvs:
+                dv = spark.read.parquet(
+                    *[os.path.join(data_root, f) for f in new_dvs]
+                )
+                hit_files = {
+                    r["file"]
+                    for r in dv.select("file").distinct().collect()
+                    if r["file"] in set(prev["files"])
+                }
+                if hit_files:
+                    # the deleted rows, AS OF the prior version, restricted
+                    # to the files the new vectors hit (semi-join keeps
+                    # only vector-matched positions; vector side broadcast)
+                    old = _read_snapshot(
+                        spark,
+                        path,
+                        v - 1,
+                        with_position=True,
+                        file_subset=hit_files,
+                    )
+                    deleted = old.join(
+                        F.broadcast(dv),
+                        (old[_DV_FILE] == dv["file"])
+                        & (old[_DV_POS] == dv["pos"]),
+                        "left_semi",
+                    )
+                    pieces.append(tag(deleted, "delete", v))
+        elif op == "initial" or op.startswith("restore") or op == "upsert":
+            if op == "initial":
+                pieces.append(tag(_read_snapshot(spark, path, v), "insert", v))
+            else:
+                # COW rewrite: no per-row record — keyless multiset diff
+                new_s = _read_snapshot(spark, path, v)
+                old_s = _read_snapshot(spark, path, v - 1).select(*new_s.columns)
+                pieces.append(tag(new_s.exceptAll(old_s), "insert", v))
+                pieces.append(tag(old_s.exceptAll(new_s), "delete", v))
+        # set_constraints / drop_constraints / purge_deletes: no row changes
+        for p in pieces:
+            if snap_cols is None:
+                snap_cols = p.columns
+            p = p.select(*snap_cols) if set(p.columns) == set(snap_cols) else p
+            out = p if out is None else out.unionByName(
+                p, allowMissingColumns=True
+            )
+    if out is None:
+        # no row-changing commits in range: empty frame with the table's
+        # schema + feed columns
+        base = read_version(spark, path, to_v)
+        return (
+            base.select(
+                "*",
+                F.lit("insert").alias("_change_type"),
+                F.lit(0).alias("_commit_version"),
+            )
+            .limit(0)
+        )
+    return out
+
+
 def restore_version(spark: SparkSession, path: str, version: int) -> int:
     """Delta-style RESTORE: make `version`'s snapshot the new LATEST by
     writing a new commit that references the OLD version's files — a
