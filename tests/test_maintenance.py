@@ -84,3 +84,42 @@ def test_optimize_incremental_second_run_is_cheap_noop(spark, tmp_path):
     assert [r["id"] for r in out] == [444]
     files_on_disk = {r["file"] for r in r2["blooms"].select("file").collect()}
     assert len(files_on_disk) == 3
+
+
+def test_optimize_versioned_table_lifecycle(spark, tmp_path):
+    from vptstools_spark.plans.maintenance import optimize_versioned_table
+    from vptstools_spark.plans.timetravel import (
+        commit_initial,
+        delete_where,
+        history,
+        read_version,
+    )
+
+    path = str(tmp_path / "vt")
+    df = spark.createDataFrame(
+        [(i, i % 2, float(i)) for i in range(20)], "k long, day int, v double"
+    )
+    commit_initial(df, path, ["day"])
+    delete_where(spark, path, "k % 4 = 0")
+
+    # below threshold: metadata peek, no purge, no new version
+    n = len(history(spark, path))
+    rep = optimize_versioned_table(spark, path, max_dv_rows=100)
+    assert rep == {"dv_rows": 5, "purged": False, "expired": [], "vacuumed": []}
+    assert len(history(spark, path)) == n
+
+    # above threshold: purge commits, values unchanged
+    rep = optimize_versioned_table(spark, path, max_dv_rows=3)
+    assert rep["purged"] and rep["dv_rows"] == 5
+    assert sorted(r["k"] for r in read_version(spark, path).collect()) == [
+        k for k in range(20) if k % 4
+    ]
+
+    # full lifecycle: expire history + vacuum the now-orphaned artifacts
+    rep = optimize_versioned_table(
+        spark, path, max_dv_rows=10**6, expire_keep_last=1, vacuum=True
+    )
+    assert rep["expired"] and rep["vacuumed"]
+    assert sorted(r["k"] for r in read_version(spark, path).collect()) == [
+        k for k in range(20) if k % 4
+    ]

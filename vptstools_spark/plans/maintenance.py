@@ -118,3 +118,58 @@ def optimize_table(
         "blooms": out_blooms,
         "ann": ann_report,
     }
+
+
+def optimize_versioned_table(
+    spark: SparkSession,
+    path: str,
+    max_dv_rows: int = 1_000_000,
+    expire_keep_last: int | None = None,
+    vacuum: bool = False,
+) -> dict:
+    """Maintenance pass for a VERSIONED table (`plans/timetravel.py`):
+    automates the merge-on-read lifecycle the way the ANN path automates
+    append→degrade→rebuild. Policy: reads apply delete vectors as a
+    BROADCAST anti-join, so the health bound is a vector ROW COUNT —
+    when the live commit's vectors exceed `max_dv_rows` (default 1M ≈
+    comfortably broadcastable), `purge_deletes` folds them into the
+    dirty files; below it the pass is a metadata peek and no-op.
+    Optionally expire history (`expire_keep_last`) and, as the separate
+    explicitly-destructive step, vacuum unreferenced files. Returns
+    {"dv_rows", "purged", "expired", "vacuumed"}."""
+    import os
+
+    from vptstools_spark.plans.timetravel import (
+        _DATA_DIR,
+        _read_commit,
+        _resolve_version,
+        expire_versions,
+        purge_deletes,
+        vacuum_table,
+    )
+
+    v = _resolve_version(spark, path, None)
+    delete_files = _read_commit(spark, path, v).get("delete_files") or []
+    dv_rows = (
+        spark.read.parquet(
+            *[os.path.join(path, _DATA_DIR, f) for f in delete_files]
+        ).count()
+        if delete_files
+        else 0
+    )
+    purged = False
+    if dv_rows > max_dv_rows:
+        purge_deletes(spark, path)
+        purged = True
+    expired: list[int] = []
+    if expire_keep_last is not None:
+        expired = expire_versions(spark, path, keep_last=expire_keep_last)
+    vacuumed: list[str] = []
+    if vacuum:
+        vacuumed = vacuum_table(spark, path)
+    return {
+        "dv_rows": dv_rows,
+        "purged": purged,
+        "expired": expired,
+        "vacuumed": vacuumed,
+    }
