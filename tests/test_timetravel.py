@@ -812,3 +812,21 @@ def test_table_changes_metadata_commits_emit_nothing(spark, tmp_path):
     # empty feed keeps the schema contract
     cols = table_changes(spark, path, 1).columns
     assert "_change_type" in cols and "_commit_version" in cols
+
+
+def test_table_changes_across_schema_evolution(spark, tmp_path):
+    from vptstools_spark.plans.timetravel import table_changes
+
+    path = str(tmp_path / "cdf4")
+    commit_initial(_df(spark, [(1, 0, 1.0), (2, 0, 2.0)]), path, ["day"])
+    delta = spark.createDataFrame(
+        [(2, 0, 5.0, "x")], "k long, day int, v double, note string"
+    )
+    commit_upsert(spark, path, delta, keys=["k"], evolve_schema=True)
+    got = sorted(
+        (r["_commit_version"], r["_change_type"], r["k"], r["note"])
+        for r in table_changes(spark, path, 0).collect()
+    )
+    # unchanged row 1 cancels (NULL-aligned), changed row 2 appears as
+    # delete(old, note NULL) + insert(new, note 'x')
+    assert got == [(1, "delete", 2, None), (1, "insert", 2, "x")]

@@ -994,7 +994,15 @@ def table_changes(
             else:
                 # COW rewrite: no per-row record — keyless multiset diff
                 new_s = _read_snapshot(spark, path, v)
-                old_s = _read_snapshot(spark, path, v - 1).select(*new_s.columns)
+                old_s = _read_snapshot(spark, path, v - 1)
+                # an evolving upsert adds columns the old snapshot lacks:
+                # align with typed NULLs (old rows read NULL for them, so
+                # unchanged rows still cancel in the diff)
+                new_types = {f.name: f.dataType for f in new_s.schema.fields}
+                for c in new_s.columns:
+                    if c not in old_s.columns:
+                        old_s = old_s.withColumn(c, F.lit(None).cast(new_types[c]))
+                old_s = old_s.select(*new_s.columns)
                 pieces.append(tag(new_s.exceptAll(old_s), "insert", v))
                 pieces.append(tag(old_s.exceptAll(new_s), "delete", v))
         # set_constraints / drop_constraints / purge_deletes: no row changes
