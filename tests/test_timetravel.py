@@ -830,3 +830,64 @@ def test_table_changes_across_schema_evolution(spark, tmp_path):
     # unchanged row 1 cancels (NULL-aligned), changed row 2 appears as
     # delete(old, note NULL) + insert(new, note 'x')
     assert got == [(1, "delete", 2, None), (1, "insert", 2, "x")]
+
+
+def test_update_where_set_semantics_and_no_rewrite(spark, tmp_path):
+    from vptstools_spark.plans.timetravel import (
+        _read_commit,
+        table_changes,
+        update_where,
+    )
+
+    path = str(tmp_path / "up1")
+    commit_initial(
+        _df(spark, [(1, 0, 1.0), (2, 0, 2.0), (3, 1, 3.0)]), path, ["day"]
+    )
+    update_where(spark, path, "k >= 2", {"v": "v * 10"})
+    assert _rows(read_version(spark, path)) == [
+        (1, 0, 1.0), (2, 0, 20.0), (3, 1, 30.0),
+    ]
+    # no data file rewritten
+    assert set(_read_commit(spark, path, 0)["files"]) <= set(
+        _read_commit(spark, path, 1)["files"]
+    )
+    # CDF sees the update as delete+insert pairs
+    got = sorted(
+        (r["_change_type"], r["k"], r["v"])
+        for r in table_changes(spark, path, 0).collect()
+    )
+    assert got == [
+        ("delete", 2, 2.0), ("delete", 3, 3.0),
+        ("insert", 2, 20.0), ("insert", 3, 30.0),
+    ]
+
+
+def test_update_where_simultaneous_assignments(spark, tmp_path):
+    from vptstools_spark.plans.timetravel import update_where
+
+    path = str(tmp_path / "up2")
+    df = spark.createDataFrame([(1, 0, 10.0, 20.0)], "k long, day int, a double, b double")
+    commit_initial(df, path, ["day"])
+    # SET a = b, b = a must SWAP (both read the old row)
+    update_where(spark, path, "k = 1", {"a": "b", "b": "a"})
+    r = read_version(spark, path).collect()[0]
+    assert (r["a"], r["b"]) == (20.0, 10.0)
+
+
+def test_update_where_constraint_and_unknown_column(spark, tmp_path):
+    from vptstools_spark.plans.timetravel import (
+        ConstraintViolationError,
+        set_constraints,
+        update_where,
+    )
+
+    path = str(tmp_path / "up3")
+    commit_initial(_df(spark, [(1, 0, 1.0)]), path, ["day"])
+    set_constraints(
+        spark, path, [{"name": "v_pos", "kind": "check", "expr": "v > 0"}]
+    )
+    with pytest.raises(ConstraintViolationError, match="v_pos"):
+        update_where(spark, path, "k = 1", {"v": "-v"})
+    with pytest.raises(ValueError, match="unknown columns"):
+        update_where(spark, path, "k = 1", {"nope": "1"})
+    assert _rows(read_version(spark, path)) == [(1, 0, 1.0)]

@@ -575,6 +575,87 @@ def commit_append(
     return new_v
 
 
+def update_where(
+    spark: SparkSession,
+    path: str,
+    predicate,
+    assignments: dict[str, str],
+    expected_version: int | None = None,
+) -> int:
+    """Merge-on-read UPDATE: one atomic commit that position-deletes the
+    rows matching `predicate` (Column or SQL string) and appends their
+    transformed copies — `assignments` maps column → SQL expression over
+    the OLD row (standard UPDATE ... SET semantics; expressions may
+    reference any column's pre-update value). Completes the DML surface
+    next to INSERT (`commit_append`), DELETE (`delete_where`) and MERGE
+    (`commit_upsert_mor`), with the same no-rewrite cost model: matched
+    rows cost one vector pass + the appended files, never a partition
+    rewrite. Constraints are enforced on the updated rows. Returns the
+    new version."""
+    prev_v = _resolve_version(spark, path, None)
+    if expected_version is not None and prev_v != expected_version:
+        raise CommitConflictError(
+            f"table {path} is at version {prev_v}, not the expected "
+            f"{expected_version}; re-derive the update and retry"
+        )
+    prev = _read_commit(spark, path, prev_v)
+    new_v = prev_v + 1
+    fields = [
+        (f.name, f.dataType)
+        for f in read_version(spark, path, prev_v).schema.fields
+    ]
+    unknown = set(assignments) - {n for n, _ in fields}
+    if unknown:
+        raise ValueError(f"assignments reference unknown columns {sorted(unknown)}")
+    cond = F.expr(predicate) if isinstance(predicate, str) else predicate
+    snap = _read_snapshot(spark, path, prev_v, with_position=True)
+    matched = snap.filter(cond)
+    # all SET expressions evaluate against the OLD row simultaneously
+    # (select, not chained withColumn — `SET a = b, b = a` swaps)
+    updated = matched.select(
+        *[
+            F.expr(assignments[c]).cast(t).alias(c)
+            if c in assignments
+            else F.col(c)
+            for c, t in fields
+        ]
+    )
+    # unique probes run against the rows the update RETAINS (matched rows
+    # leave, their updated copies are `updated` itself)
+    _enforce(
+        updated,
+        prev,
+        "update",
+        table=snap.filter(~cond.eqNullSafe(F.lit(True))),
+    )
+    hits = matched.select(
+        F.col(_DV_FILE).alias("file"), F.col(_DV_POS).alias("pos")
+    )
+    data_root = os.path.join(path, _DATA_DIR)
+    dv_dir = os.path.join(data_root, f"dv{new_v}")
+    hits.write.mode("error").parquet(dv_dir)
+    dv_rels = sorted(
+        f[f.index(f"{_DATA_DIR}/dv{new_v}/") + len(_DATA_DIR) + 1 :]
+        for f in list_data_files(spark, dv_dir)
+    )
+    pcols = prev["partition_cols"]
+    rels = _write_snapshot_files(updated, path, new_v, pcols)
+    _commit(
+        spark,
+        path,
+        new_v,
+        prev["files"] + rels,
+        pcols,
+        "update",
+        prev.get("partition_types"),
+        {
+            **_carry(prev),
+            "delete_files": (prev.get("delete_files") or []) + dv_rels,
+        },
+    )
+    return new_v
+
+
 def commit_upsert_mor(
     spark: SparkSession,
     path: str,
@@ -945,7 +1026,7 @@ def table_changes(
         )
         op = commit["op"]
         pieces: list[DataFrame] = []
-        if op in ("append", "delete", "upsert_mor"):
+        if op in ("append", "delete", "upsert_mor", "update"):
             new_files = sorted(set(commit["files"]) - set(prev["files"]))
             if new_files:
                 pieces.append(
