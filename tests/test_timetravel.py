@@ -891,3 +891,46 @@ def test_update_where_constraint_and_unknown_column(spark, tmp_path):
     with pytest.raises(ValueError, match="unknown columns"):
         update_where(spark, path, "k = 1", {"nope": "1"})
     assert _rows(read_version(spark, path)) == [(1, 0, 1.0)]
+
+
+def test_cdf_driven_mv_refresh_at_delta_cost(spark, tmp_path):
+    """Same composition as test_cdc_driven_mv_refresh but the changed-
+    partition worklist comes from the CDF (`changed_partitions`) over a
+    merge-on-read history — O(changed data), no snapshot key join."""
+    from vptstools_spark.plans.matview import (
+        MatViewDef,
+        Measure,
+        create_matview,
+        read_matview,
+        refresh_matview,
+    )
+    from vptstools_spark.plans.timetravel import (
+        changed_partitions,
+        commit_upsert_mor,
+    )
+
+    MVD = MatViewDef(
+        "by_day", ("day",),
+        {"s": Measure("sum", "v"), "n": Measure("count", "*")},
+        partition_dim="day",
+    )
+    tt = str(tmp_path / "tt")
+    mv = str(tmp_path / "mv")
+    base = _df(spark, [(1, 0, 1.0), (2, 0, 2.0), (3, 1, 3.0), (4, 2, 4.0)])
+    commit_initial(base, tt, ["day"])
+    create_matview(read_version(spark, tt, 0), mv, MVD)
+
+    v1 = commit_upsert_mor(
+        spark, tt, _df(spark, [(2, 0, 9.0), (5, 1, 5.0)]), keys=["k"]
+    )
+    days = [d for (d,) in changed_partitions(spark, tt, 0, v1)]
+    assert sorted(days) == [0, 1]  # day 2 untouched
+    refresh_matview(read_version(spark, tt, v1), mv, days)
+
+    full = str(tmp_path / "mv_full")
+    create_matview(read_version(spark, tt, v1), full, MVD)
+    got_df, _ = read_matview(spark, mv)
+    want_df, _ = read_matview(spark, full)
+    got = sorted((r["day"], r["s"], r["n"]) for r in got_df.collect())
+    want = sorted((r["day"], r["s"], r["n"]) for r in want_df.collect())
+    assert got == want

@@ -1109,6 +1109,30 @@ def table_changes(
     return out
 
 
+def changed_partitions(
+    spark: SparkSession,
+    path: str,
+    from_version: int,
+    to_version: int | None = None,
+    partition_cols: list[str] | None = None,
+) -> list[tuple]:
+    """Distinct partition tuples touched by any change in
+    (`from_version`, `to_version`] — the worklist an incremental
+    consumer (e.g. `plans/matview.py:refresh_matview`) needs. Derived
+    from the change data feed, so for MOR commit histories the cost is
+    O(changed data), where the `diff_versions`-based derivation pays a
+    full-snapshot key join. Returns driver-side tuples (|partitions|
+    scale, same as the MV worklist contract)."""
+    pcols = partition_cols or _read_commit(
+        spark, path, _resolve_version(spark, path, to_version)
+    )["partition_cols"]
+    if not pcols:
+        raise ValueError(f"table {path} is unpartitioned")
+    ch = table_changes(spark, path, from_version, to_version)
+    rows = ch.select(*pcols).distinct().collect()
+    return [tuple(r[c] for c in pcols) for r in rows]
+
+
 def restore_version(spark: SparkSession, path: str, version: int) -> int:
     """Delta-style RESTORE: make `version`'s snapshot the new LATEST by
     writing a new commit that references the OLD version's files — a
