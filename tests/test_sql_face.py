@@ -32,3 +32,20 @@ def test_udtfs_registered(spark):
         "LATERAL chunk_text(t.txt, 5, 5) c"
     ).collect()
     assert len(rows) >= 2
+
+
+def test_register_table_changes_view(spark, tmp_path):
+    from vptstools_spark.plans.timetravel import commit_initial, delete_where
+    from vptstools_spark.sql import register_table_changes
+
+    path = str(tmp_path / "cdf_sql")
+    df = spark.createDataFrame(
+        [(1, 0, 1.0), (2, 0, 2.0)], "k long, day int, v double"
+    )
+    commit_initial(df, path, ["day"])
+    delete_where(spark, path, "k = 2")
+    register_table_changes(spark, path, "cdf_sql_feed", 0)
+    got = spark.sql(
+        "SELECT _change_type, k FROM cdf_sql_feed"
+    ).collect()
+    assert [(r["_change_type"], r["k"]) for r in got] == [("delete", 2)]

@@ -67,6 +67,29 @@ def register_table_as_of(
     return name
 
 
+def register_table_changes(
+    spark: SparkSession,
+    path: str,
+    name: str,
+    from_version: int,
+    to_version: int | None = None,
+) -> str:
+    """Change data feed's SQL face: the row-level feed of a versioned
+    table (`plans/timetravel.py:table_changes`) as a temp view with
+    `_change_type` / `_commit_version` columns, so SQL consumers audit or
+    replay history without the Python API:
+
+        >>> register_table_changes(spark, "/data/orders_tt", "orders_cdf", 3)
+        >>> spark.sql("SELECT _change_type, count(*) FROM orders_cdf GROUP BY 1")
+    """
+    from vptstools_spark.plans.timetravel import table_changes
+
+    table_changes(spark, path, from_version, to_version).createOrReplaceTempView(
+        name
+    )
+    return name
+
+
 def register_all(
     spark: SparkSession, sf_dir: str, query_names: list[str] | None = None
 ) -> list[str]:
