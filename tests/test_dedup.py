@@ -104,3 +104,38 @@ def test_jaccard_verify_matches_exact_on_candidates(spark):
     # every verified candidate's jaccard equals the exact pairwise value
     for pair, j in verified.items():
         assert exact[pair] == j
+
+
+def test_incremental_dedup_registry_across_runs(spark, tmp_path):
+    from vptstools_spark.operators.dedup import incremental_dedup
+
+    reg = str(tmp_path / "fp_registry")
+
+    def batch(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    # run 1: one in-batch dup
+    fresh, rep = incremental_dedup(
+        spark, reg, batch([(1, "aaa"), (2, "bbb"), (3, "aaa")])
+    )
+    assert rep == {
+        "n_batch": 3, "n_in_batch_dups": 1, "n_seen_dups": 0, "n_fresh": 2
+    }
+    assert sorted(r["doc_id"] for r in fresh.collect()) == [1, 2]
+
+    # run 2 (a NEW pipeline run): one cross-run dup, one fresh
+    fresh, rep = incremental_dedup(
+        spark, reg, batch([(10, "bbb"), (11, "ccc")])
+    )
+    assert rep == {
+        "n_batch": 2, "n_in_batch_dups": 0, "n_seen_dups": 1, "n_fresh": 1
+    }
+    assert [r["doc_id"] for r in fresh.collect()] == [11]
+
+    # run 3: everything already seen -> no registry commit, empty fresh
+    from vptstools_spark.plans.timetravel import history
+
+    n_versions = len(history(spark, reg))
+    fresh, rep = incremental_dedup(spark, reg, batch([(20, "aaa")]))
+    assert rep["n_fresh"] == 0 and fresh.count() == 0
+    assert len(history(spark, reg)) == n_versions

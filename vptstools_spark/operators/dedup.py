@@ -327,3 +327,58 @@ def simhash16(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
         *[F.when(F.col(f"d{d}") > 0, F.lit("1")).otherwise(F.lit("0")) for d in range(16)]
     )
     return agg.select("id", bits.alias("simhash16"))
+
+
+def incremental_dedup(
+    spark,
+    registry_path: str,
+    batch: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, dict]:
+    """Cross-RUN exact dedup against a persistent fingerprint registry —
+    the pipeline-lifetime complement to `dedup_stream` (whose state is
+    watermark-bounded within one streaming query): every batch a corpus
+    ingest has ever admitted leaves its md5 fingerprint in a VERSIONED
+    registry table (`plans/timetravel.py`), and the next run's batch
+    drops both its in-batch duplicates (deterministic min-id winner) and
+    every text already admitted by ANY earlier run.
+
+    Returns (fresh_rows, report) where report counts
+    {"n_batch", "n_in_batch_dups", "n_seen_dups", "n_fresh"}; the fresh
+    rows are localCheckpointed (batch-scale, not corpus-scale) because
+    the registry append below must not re-execute the batch plan, and
+    the registry commit is the md5 strings only — ~32 bytes/doc, the
+    whole corpus's history at fingerprint cost. The registry probe is a
+    key anti-join on the hash (broadcast by AQE while the registry is
+    small, shuffle join at corpus scale — never a scan of admitted
+    TEXT)."""
+    from vptstools_spark.plans.timetravel import (
+        _list_versions,
+        commit_append,
+        commit_initial,
+        read_version,
+    )
+
+    fp = batch.withColumn("_fp", F.md5(F.col(text_col)))
+    n_batch = fp.count()
+    winners = fp.groupBy("_fp").agg(F.min(id_col).alias(id_col))
+    in_batch = fp.join(winners, ["_fp", id_col], "left_semi")
+    n_in_batch = in_batch.count()
+    if _list_versions(spark, registry_path):
+        seen = read_version(spark, registry_path)
+        fresh = in_batch.join(seen, "_fp", "left_anti").localCheckpoint()
+        n_fresh = fresh.count()
+        new_fps = fresh.select("_fp")
+        if n_fresh:
+            commit_append(spark, registry_path, new_fps)
+    else:
+        fresh = in_batch.localCheckpoint()
+        n_fresh = n_in_batch
+        commit_initial(fresh.select("_fp"), registry_path)
+    return fresh.drop("_fp"), {
+        "n_batch": n_batch,
+        "n_in_batch_dups": n_batch - n_in_batch,
+        "n_seen_dups": n_in_batch - n_fresh,
+        "n_fresh": n_fresh,
+    }
