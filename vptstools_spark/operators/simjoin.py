@@ -115,7 +115,16 @@ def prefix_candidates(
     prefix = ranked.filter(
         F.col("pos") <= F.col("sz") - _iceil(F.lit(threshold) * F.col("sz")) + 1
     ).select("id", "w", "pos", "sz")
-    a = prefix.alias("a")
+    # The candidate join EXPLODES its input (every co-occurring prefix-token
+    # pair), and on a low-entropy vocabulary the blowup is 100-1000×: if the
+    # compact prefix index sits in a handful of partitions (it is small —
+    # that is the point of prefix filtering), the explosion runs in that
+    # handful of tasks while the rest of the cluster idles. Spread the PROBE
+    # side round-robin across the session's parallelism first — a shuffle of
+    # the small index, paid once, so the explosion scales out; the build
+    # side stays as-is for AQE to broadcast.
+    sc = prefix.sparkSession.sparkContext
+    a = prefix.repartition(sc.defaultParallelism).alias("a")
     b = prefix.alias("b")
     cond = (
         (F.col("a.w") == F.col("b.w"))
@@ -145,6 +154,30 @@ def prefix_candidates(
     )
 
 
+def _token_arrays(
+    docs: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """(id, arr, sz, fp): sorted distinct-token array per document, its
+    size, and an md5 set fingerprint — all NARROW (no shuffle): the array
+    is built from the text column in one projection. Empty token sets are
+    dropped, matching `token_sets` (a doc with no tokens joins nothing)."""
+    arr = F.array_sort(
+        F.array_distinct(
+            F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+        )
+    )
+    return (
+        docs.select(F.col(id_col).alias("id"), arr.alias("arr"))
+        .filter(F.size("arr") > 0)
+        .select(
+            "id",
+            "arr",
+            F.size("arr").alias("sz"),
+            F.md5(F.concat_ws("\x1f", "arr")).alias("fp"),
+        )
+    )
+
+
 def similarity_join(
     docs: DataFrame,
     threshold: float = 0.6,
@@ -156,30 +189,101 @@ def similarity_join(
     Exact result (identical to the quadratic `dedup.jaccard_pairs` on token
     sets) — prefix filtering only prunes candidates that provably cannot
     reach the threshold. Columns: doc_a < doc_b, jaccard rounded to 4 dp.
+
+    Two exactness-preserving reductions keep the join honest on
+    replica-heavy / low-entropy corpora (where prefix filtering alone
+    degenerates toward all-pairs — measured: the sf0.1 harness corpus has
+    a 31-token vocabulary and 21% exact-replica token sets):
+
+    - REPLICA COLLAPSE: documents with identical token sets (md5 set
+      fingerprint) are represented by their min-id member; the prefix
+      index, candidate join, and verify run over UNIQUE SETS only, and
+      member pairs are re-expanded afterward by two fingerprint joins
+      (output-sized — unavoidable) plus the intra-group pairs at
+      Jaccard exactly 1.0. On an N×-replicated corpus the candidate
+      stage shrinks by N² while the result is identical pair-for-pair.
+    - ARRAY VERIFY: each candidate pair verifies with
+      size(array_intersect(arr_a, arr_b)) on the two documents' sorted
+      token arrays — a per-row JVM expression inside whole-stage codegen
+      — instead of re-joining the exploded token table and aggregating
+      one row PER COMMON TOKEN per pair (the |candidates|·|overlap|-row
+      shuffle that dominated at low vocabulary entropy). The array sides
+      are |unique sets| rows; AQE broadcasts them when small.
+
+    Token-frequency ordering for the prefix index is computed over the
+    unique-set corpus; any global total order preserves the prefix
+    filter's correctness proof (the rarest-first choice only tunes
+    pruning quality), so collapsing before the df count is exact.
     """
-    # the token-set table feeds three consumers (df counts, prefix index,
-    # verify stage) — materialize once, spill-friendly
     from pyspark import StorageLevel
 
-    toks = token_sets(docs, text_col, id_col).persist(StorageLevel.MEMORY_AND_DISK)
-    cand = prefix_candidates(prefix_ranked(toks), threshold)
-    ta = toks.alias("ta")
-    tb = toks.alias("tb")
-    common = (
-        cand.join(ta, F.col("ta.id") == F.col("da"))
-        .join(tb, (F.col("tb.id") == F.col("db")) & (F.col("tb.w") == F.col("ta.w")))
-        .groupBy("da", "db", "sa", "sb")
-        .agg(F.count("*").alias("c"))
+    sc = docs.sparkSession.sparkContext
+    arrs = _token_arrays(docs, text_col, id_col).persist(
+        StorageLevel.MEMORY_AND_DISK
     )
-    jac = F.col("c").cast("double") / (
-        F.col("sa") + F.col("sb") - F.col("c")
-    ).cast("double")
-    return (
-        common.withColumn("jaccard", jac)
+    members = arrs.select("id", "fp")
+    reps = members.groupBy("fp").agg(
+        F.min("id").alias("id"), F.count("*").alias("n")
+    )
+    rep_arrs = arrs.join(
+        reps.select("id"), "id", "left_semi"
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+
+    # prefix index over representative sets only
+    toks = rep_arrs.select("id", F.explode("arr").alias("w"))
+    cand = prefix_candidates(prefix_ranked(toks), threshold)
+    # Everything downstream of the candidate distinct is broadcast-joined,
+    # so that exchange is the LAST shuffle before the verify — and AQE
+    # coalesces it by BYTES (candidate rows are 4 ints ≈ tens of MB even
+    # for millions of pairs), which would run the CPU-heavy per-row
+    # array_intersect verify and the pair expansion on 1-2 cores. Re-spread
+    # to the session's parallelism: byte-based coalescing is the wrong
+    # heuristic when per-row cost, not row width, dominates.
+    cand = cand.repartition(sc.defaultParallelism)
+
+    # verify: one array_intersect per candidate row, no per-token rows
+    aa = rep_arrs.select(
+        F.col("id").alias("da"), F.col("arr").alias("arr_a"), F.col("fp").alias("fpa")
+    )
+    ab = rep_arrs.select(
+        F.col("id").alias("db"), F.col("arr").alias("arr_b"), F.col("fp").alias("fpb")
+    )
+    c = F.size(F.array_intersect("arr_a", "arr_b"))
+    rep_pairs = (
+        cand.join(aa, "da")
+        .join(ab, "db")
+        .withColumn(
+            "jaccard",
+            c.cast("double")
+            / (F.col("sa") + F.col("sb") - c).cast("double"),
+        )
         .filter(F.col("jaccard") >= threshold)
+        .select("fpa", "fpb", "jaccard")
+    )
+
+    # expansion 1: cross-group pairs — every member of fpa × every member
+    # of fpb shares the representatives' jaccard; normalize to a < b
+    ma = members.select(F.col("fp").alias("fpa"), F.col("id").alias("ia"))
+    mb = members.select(F.col("fp").alias("fpb"), F.col("id").alias("ib"))
+    cross = (
+        rep_pairs.join(ma, "fpa")
+        .join(mb, "fpb")
         .select(
-            F.col("da").alias("doc_a"),
-            F.col("db").alias("doc_b"),
+            F.least("ia", "ib").alias("doc_a"),
+            F.greatest("ia", "ib").alias("doc_b"),
             F.round("jaccard", 4).alias("jaccard"),
         )
     )
+    # expansion 2: intra-group pairs (identical sets) at jaccard 1.0
+    m2 = members.select(F.col("fp").alias("fpa"), F.col("id").alias("ib"))
+    intra = (
+        members.select(F.col("fp").alias("fpa"), F.col("id").alias("ia"))
+        .join(m2, "fpa")
+        .filter(F.col("ia") < F.col("ib"))
+        .select(
+            F.col("ia").alias("doc_a"),
+            F.col("ib").alias("doc_b"),
+            F.round(F.lit(1.0), 4).alias("jaccard"),
+        )
+    )
+    return cross.unionByName(intra)
