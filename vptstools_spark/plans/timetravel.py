@@ -52,6 +52,12 @@ from vptstools_spark.plans.skipping import list_data_files
 
 _LOG_DIR = "_log"
 _DATA_DIR = "data"
+#: per-branch commit logs live under `_branch_log/{name}/` — same commit
+#: format, own version counter, data files shared in `data/` (branches.py)
+_BRANCH_LOG_ROOT = "_branch_log"
+#: immutable named refs (tags) — `_refs/{name}.json` pointing at a
+#: main-line version; tagged versions are protected from expiry
+_REFS_DIR = "_refs"
 
 
 class CommitConflictError(RuntimeError):
@@ -79,13 +85,15 @@ def _carry(prev: dict) -> dict:
     }
 
 
-def _log_path(path: str, version: int) -> str:
-    return os.path.join(path, _LOG_DIR, f"{version:08d}.json")
+def _log_path(path: str, version: int, log_dir: str = _LOG_DIR) -> str:
+    return os.path.join(path, log_dir, f"{version:08d}.json")
 
 
-def _list_versions(spark: SparkSession, path: str) -> list[int]:
+def _list_versions(
+    spark: SparkSession, path: str, log_dir: str = _LOG_DIR
+) -> list[int]:
     jvm = spark.sparkContext._jvm
-    p = jvm.org.apache.hadoop.fs.Path(os.path.join(path, _LOG_DIR))
+    p = jvm.org.apache.hadoop.fs.Path(os.path.join(path, log_dir))
     fs = p.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
     if not fs.exists(p):
         return []
@@ -97,8 +105,12 @@ def _list_versions(spark: SparkSession, path: str) -> list[int]:
     return sorted(out)
 
 
-def _read_commit(spark: SparkSession, path: str, version: int) -> dict:
-    return json.loads(read_text_sidecar(spark, _log_path(path, version)))
+def _read_commit(
+    spark: SparkSession, path: str, version: int, log_dir: str = _LOG_DIR
+) -> dict:
+    return json.loads(
+        read_text_sidecar(spark, _log_path(path, version, log_dir))
+    )
 
 
 def _partition_of(rel_file: str, partition_cols: list[str]) -> tuple:
@@ -114,11 +126,20 @@ def _partition_of(rel_file: str, partition_cols: list[str]) -> tuple:
 
 
 def _write_snapshot_files(
-    df: DataFrame, path: str, version: int, partition_cols: list[str]
+    df: DataFrame,
+    path: str,
+    version: int,
+    partition_cols: list[str],
+    vlabel: str | None = None,
 ) -> list[str]:
     """Write `df` as this version's new immutable files; return their
-    paths RELATIVE to the table's data dir."""
-    vdir = os.path.join(path, _DATA_DIR, f"v{version}")
+    paths RELATIVE to the table's data dir. `vlabel` overrides the
+    version-dir name (branch commits write under `b-{name}-v{k}` so
+    their dirs can never collide with main-line `v{k}` dirs — the data
+    dir is SHARED across main and branches, which is what makes a fork
+    and a fast-forward merge zero-copy metadata operations)."""
+    vlabel = vlabel or f"v{version}"
+    vdir = os.path.join(path, _DATA_DIR, vlabel)
     w = df.write.mode("error")
     if partition_cols:
         w = w.partitionBy(*partition_cols)
@@ -126,7 +147,7 @@ def _write_snapshot_files(
     files = list_data_files(df.sparkSession, vdir)
     rels = []
     for f in files:
-        idx = f.index(f"{_DATA_DIR}/v{version}/")
+        idx = f.index(f"{_DATA_DIR}/{vlabel}/")
         rels.append(f[idx + len(_DATA_DIR) + 1 :])
     return sorted(rels)
 
@@ -140,6 +161,7 @@ def _commit(
     op: str,
     partition_types: dict[str, str] | None = None,
     extra: dict | None = None,
+    log_dir: str = _LOG_DIR,
 ) -> None:
     """Publish a commit via ATOMIC create-exclusive: the commit file IS
     the transaction — snapshot files are invisible until it exists, and
@@ -148,7 +170,7 @@ def _commit(
     create; see io.create_text_exclusive for the object-store caveat)."""
     ok = create_text_exclusive(
         spark,
-        _log_path(path, version),
+        _log_path(path, version, log_dir),
         json.dumps(
             {
                 "version": version,
@@ -381,6 +403,7 @@ def _read_snapshot(
     version: int,
     with_position: bool = False,
     file_subset: set[str] | None = None,
+    log_dir: str = _LOG_DIR,
 ) -> DataFrame:
     """Assemble a commit's file list into one DataFrame, applying any
     position-delete vectors the commit carries. `with_position=True`
@@ -389,7 +412,7 @@ def _read_snapshot(
     restricts the scan to the listed relative files (purge reads ONLY
     the dirty files this way — the pruning happens at file-list time,
     not as a post-scan filter)."""
-    commit = _read_commit(spark, path, version)
+    commit = _read_commit(spark, path, version, log_dir)
     data_root = os.path.join(path, _DATA_DIR)
     files = commit["files"]
     if file_subset is not None:
@@ -1133,6 +1156,33 @@ def changed_partitions(
     return [tuple(r[c] for c in pcols) for r in rows]
 
 
+def _list_fs_children(spark: SparkSession, dir_path: str) -> list[str]:
+    """Child names of a directory via the Hadoop FS API ([] if absent) —
+    works on any configured filesystem, not just local."""
+    jvm = spark.sparkContext._jvm
+    p = jvm.org.apache.hadoop.fs.Path(dir_path)
+    fs = p.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    if not fs.exists(p):
+        return []
+    return sorted(st.getPath().getName() for st in fs.listStatus(p))
+
+
+def _list_branch_names(spark: SparkSession, path: str) -> list[str]:
+    return _list_fs_children(spark, os.path.join(path, _BRANCH_LOG_ROOT))
+
+
+def _tagged_versions(spark: SparkSession, path: str) -> set[int]:
+    refs_dir = os.path.join(path, _REFS_DIR)
+    out: set[int] = set()
+    for name in _list_fs_children(spark, refs_dir):
+        if name.endswith(".json"):
+            ref = json.loads(
+                read_text_sidecar(spark, os.path.join(refs_dir, name))
+            )
+            out.add(int(ref["version"]))
+    return out
+
+
 def restore_version(spark: SparkSession, path: str, version: int) -> int:
     """Delta-style RESTORE: make `version`'s snapshot the new LATEST by
     writing a new commit that references the OLD version's files — a
@@ -1178,14 +1228,18 @@ def expire_versions(spark: SparkSession, path: str, keep_last: int) -> list[int]
 
     Retention guard: `keep_last` must be >= 1 — expiring the latest
     version would leave the table unreadable; a table-drop must be an
-    explicit filesystem operation, never an expiry edge case."""
+    explicit filesystem operation, never an expiry edge case. TAGGED
+    versions (plans/branches.py:create_tag) are skipped: a tag is an
+    explicit promise that a named snapshot stays readable, so retention
+    sweeps walk around it until the tag is deleted."""
     if keep_last < 1:
         raise ValueError(
             f"keep_last must be >= 1 (got {keep_last}); refusing to expire "
             "the current version — drop the table explicitly instead"
         )
     versions = _list_versions(spark, path)
-    expired = versions[:-keep_last]
+    tagged = _tagged_versions(spark, path)
+    expired = [v for v in versions[:-keep_last] if v not in tagged]
     jvm = spark.sparkContext._jvm
     hconf = spark.sparkContext._jsc.hadoopConfiguration()
     for v in expired:
@@ -1205,15 +1259,24 @@ def vacuum_table(spark: SparkSession, path: str) -> list[str]:
     referencing commit expires; a session holding a pinned plan to an
     expired version loses it only here — vacuum is the explicitly
     destructive step, separated from expiry exactly so operators can
-    sequence grace periods between the two."""
-    versions = _list_versions(spark, path)
+    sequence grace periods between the two. BRANCH commits
+    (plans/branches.py) reference files in the shared data dir too, so
+    every surviving branch-log commit joins the reachability set — a
+    file is reclaimable only when no main version AND no branch version
+    lists it."""
     referenced: set[str] = set()
-    for v in versions:
-        c = _read_commit(spark, path, v)
-        referenced |= set(c["files"])
-        # position-delete sidecars are live data too: deleting one would
-        # silently RESURRECT rows in every surviving commit that lists it
-        referenced |= set(c.get("delete_files") or [])
+    logs = [_LOG_DIR] + [
+        os.path.join(_BRANCH_LOG_ROOT, b)
+        for b in _list_branch_names(spark, path)
+    ]
+    for log_dir in logs:
+        for v in _list_versions(spark, path, log_dir):
+            c = _read_commit(spark, path, v, log_dir)
+            referenced |= set(c["files"])
+            # position-delete sidecars are live data too: deleting one
+            # would silently RESURRECT rows in every surviving commit
+            # that lists it
+            referenced |= set(c.get("delete_files") or [])
     data_root = os.path.join(path, _DATA_DIR)
     jvm = spark.sparkContext._jvm
     hconf = spark.sparkContext._jsc.hadoopConfiguration()

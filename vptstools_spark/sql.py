@@ -90,6 +90,34 @@ def register_table_changes(
     return name
 
 
+def register_table_branch(
+    spark: SparkSession, path: str, branch: str, name: str
+) -> str:
+    """Branch reads' SQL face (`plans/branches.py:read_branch`): the
+    branch head as a temp view, so an audit query inspects staged rows
+    before a write-audit-publish merge makes them visible to main:
+
+        >>> register_table_branch(spark, "/data/orders_tt", "wap", "staged")
+        >>> spark.sql("SELECT count(*) FROM staged WHERE price < 0")
+    """
+    from vptstools_spark.plans.branches import read_branch
+
+    read_branch(spark, path, branch).createOrReplaceTempView(name)
+    return name
+
+
+def register_table_tag(
+    spark: SparkSession, path: str, tag: str, name: str
+) -> str:
+    """Tag reads' SQL face (`plans/branches.py:read_tag`): a named pinned
+    snapshot as a temp view — the durable cousin of
+    `register_table_as_of` (tagged versions survive retention sweeps)."""
+    from vptstools_spark.plans.branches import read_tag
+
+    read_tag(spark, path, tag).createOrReplaceTempView(name)
+    return name
+
+
 def register_all(
     spark: SparkSession, sf_dir: str, query_names: list[str] | None = None
 ) -> list[str]:
