@@ -49,6 +49,7 @@ _MODULES = [
 #: (round-3 advice: bpe_encode/ann_filtered landed outside the sample).
 NEW_THIS_ROUND = [
     # round 5
+    "wap_audit_publish",
     "cdf_order_changes",
     "secure_customer_view",
     "dv_delete_read",

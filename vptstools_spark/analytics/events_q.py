@@ -244,6 +244,74 @@ def q_tt_version_diff(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_wap_audit_publish(spark: SparkSession, sf: str) -> DataFrame:
+    """Write-audit-publish exercised through the value gate
+    (`plans/branches.py:wap_publish`): commit orders as a versioned
+    table, stage a POISONED delta (negated prices) on a WAP branch —
+    the audit must reject it and main must stay at one version — then
+    stage the clean delta (key-shifted copy of every 101st row), audit,
+    fast-forward publish, and tag the published snapshot. The result
+    reads THROUGH THE TAG and carries the commit count, so the oracle
+    (raw-table recompute + the literal expected version count) proves
+    both that the bad rows never became visible and that the good rows
+    did — the whole fork→audit→merge→tag lifecycle under one hash."""
+    import tempfile
+
+    from vptstools_spark.plans.branches import (
+        AuditFailedError,
+        create_tag,
+        read_tag,
+        wap_publish,
+    )
+    from vptstools_spark.plans.timetravel import commit_initial, history
+
+    key = ("wap_orders", sf)
+    if key not in _TT_CACHE:
+        o = table(spark, sf, "orders").select(
+            "o_orderkey",
+            "o_orderstatus",
+            "o_totalprice",
+            (F.col("o_orderkey") % 8).cast("int").alias("part"),
+        )
+        path = tempfile.mkdtemp(prefix="wap_orders_")
+        commit_initial(o, path, ["part"])
+        delta = o.filter(F.col("o_orderkey") % 101 == 0).withColumn(
+            "o_orderkey", F.col("o_orderkey") + F.lit(1000000000)
+        )
+
+        def audit(staged: DataFrame) -> bool:
+            neg = staged.filter(F.col("o_totalprice") < 0).count()
+            dups = (
+                staged.groupBy("o_orderkey")
+                .count()
+                .filter(F.col("count") > 1)
+                .count()
+            )
+            return neg == 0 and dups == 0
+
+        poisoned = delta.withColumn("o_totalprice", -F.col("o_totalprice"))
+        try:
+            wap_publish(spark, path, poisoned, audit)
+            raise AssertionError("poisoned delta must not publish")
+        except AuditFailedError:
+            pass
+        wap_publish(spark, path, delta, audit)
+        create_tag(spark, path, "audited")
+        _TT_CACHE[key] = path
+    path = _TT_CACHE[key]
+    n_versions = len(history(spark, path))
+    return (
+        read_tag(spark, path, "audited")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("o_orderkey").cast("long").alias("key_sum"),
+        )
+        .withColumn("n_versions", F.lit(n_versions))
+        .orderBy("o_orderstatus")
+    )
+
+
 def q_dv_delete_read(spark: SparkSession, sf: str) -> DataFrame:
     """Merge-on-read deletes under the value gate
     (`plans/timetravel.py:delete_where`): commit orders as a versioned
@@ -704,6 +772,7 @@ QUERIES = {
     "snapshot_diff": q_snapshot_diff,
     "sync_segments": q_sync_segments,
     "tt_version_diff": q_tt_version_diff,
+    "wap_audit_publish": q_wap_audit_publish,
     "dv_delete_read": q_dv_delete_read,
     "cdf_order_changes": q_cdf_order_changes,
     "events_hourly": q_events_hourly,
@@ -800,6 +869,22 @@ ORACLES = {
         SELECT o_orderstatus, n_rows, key_sum, price_sum, stage
         FROM a CROSS JOIN (VALUES ('mor'), ('purged')) s(stage)
         ORDER BY stage, o_orderstatus
+    """,
+    "wap_audit_publish": """
+        WITH base AS (
+            SELECT o_orderkey, o_orderstatus FROM orders
+        ), final AS (
+            SELECT o_orderkey, o_orderstatus FROM base
+            UNION ALL
+            SELECT o_orderkey + 1000000000, o_orderstatus
+            FROM base WHERE o_orderkey % 101 = 0
+        )
+        -- n_versions = 2: v0 (initial) + the one published WAP merge;
+        -- the rejected poisoned delta must not have added a commit
+        SELECT o_orderstatus, COUNT(*) AS n_rows,
+               CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+               2 AS n_versions
+        FROM final GROUP BY o_orderstatus ORDER BY o_orderstatus
     """,
     "tt_version_diff": """
         WITH j AS (
