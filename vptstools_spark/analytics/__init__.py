@@ -50,6 +50,7 @@ _MODULES = [
 NEW_THIS_ROUND = [
     # round 5
     "wap_audit_publish",
+    "sketch_moments_rollup",
     "cdf_order_changes",
     "secure_customer_view",
     "dv_delete_read",

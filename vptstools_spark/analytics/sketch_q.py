@@ -314,7 +314,68 @@ FROM est, exact
 """
 
 
+def q_sketch_moments_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """Mergeable moments sketch with the rollup identity under the value
+    gate (`operators/sketch.py:moments_sketch` — Gan et al. VLDB 2018
+    family): build per-(returnflag, linestatus) sketches of l_quantity
+    (ONE hash aggregation: n/min/max/Σx..Σx⁴ in exact BIGINT), MERGE
+    them down to returnflag (sums add — never re-reads the fact table),
+    and derive mean/variance/skewness/kurtosis from the merged power
+    sums. The oracle computes the power sums per returnflag DIRECTLY
+    from raw rows with the identical fixed-association expression tree,
+    so the gate proves merge-then-estimate ≡ direct — the property that
+    makes the sketch a valid rollup/MV artifact at 100 TB (distribution
+    shape per cell at O(k) state, any lattice level derivable without a
+    fact-table re-scan)."""
+    l = table(spark, sf, "lineitem")
+    fine = sketch.moments_sketch(
+        l, "l_quantity", ["l_returnflag", "l_linestatus"], k=4
+    )
+    merged = sketch.moments_merge(fine, ["l_returnflag"], k=4)
+    return sketch.moments_stats(merged, ["l_returnflag"]).orderBy(
+        "l_returnflag"
+    )
+
+
+_MOMENTS_ORACLE = """
+WITH s AS (
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           MIN(CAST(l_quantity AS BIGINT)) AS mn,
+           MAX(CAST(l_quantity AS BIGINT)) AS mx,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS s1,
+           CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS BIGINT) AS s2,
+           CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS BIGINT) AS s3,
+           CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS BIGINT) AS s4
+    FROM lineitem GROUP BY 1
+), d AS (
+    SELECT l_returnflag, n, mn, mx,
+           CAST(n AS DOUBLE) AS nd, CAST(s1 AS DOUBLE) AS s1d,
+           CAST(s2 AS DOUBLE) AS s2d, CAST(s3 AS DOUBLE) AS s3d,
+           CAST(s4 AS DOUBLE) AS s4d
+    FROM s
+), m AS (
+    SELECT l_returnflag, n, mn, mx,
+           s1d / nd AS m,
+           s2d / nd - (s1d / nd) * (s1d / nd) AS m2,
+           s3d / nd - 3.0 * (s1d / nd) * (s2d / nd)
+               + 2.0 * (s1d / nd) * (s1d / nd) * (s1d / nd) AS m3,
+           s4d / nd - 4.0 * (s1d / nd) * (s3d / nd)
+               + 6.0 * (s1d / nd) * (s1d / nd) * (s2d / nd)
+               - 3.0 * (s1d / nd) * (s1d / nd) * (s1d / nd) * (s1d / nd) AS m4
+    FROM d
+)
+SELECT l_returnflag, n, mn, mx,
+       ROUND(m, 6) AS mean,
+       ROUND(m2, 6) AS variance,
+       ROUND(m3 / power(m2, 1.5), 6) AS skewness,
+       ROUND(m4 / (m2 * m2) - 3.0, 6) AS kurtosis_excess
+FROM m ORDER BY l_returnflag
+"""
+
+
 QUERIES = {
+    "sketch_moments_rollup": q_sketch_moments_rollup,
     "sketch_hll_distinct": q_sketch_hll_distinct,
     "hll_rollup": q_hll_rollup,
     "kmv_order_overlap": q_kmv_order_overlap,
@@ -352,6 +413,7 @@ ORDER BY l_returnflag
 """
 
 ORACLES = {
+    "sketch_moments_rollup": _MOMENTS_ORACLE,
     "hll_rollup": _HLL_ROLLUP_ORACLE,
     "sketch_hll_distinct": _HLL_ORACLE,
     "kmv_order_overlap": _KMV_ORACLE,
