@@ -174,3 +174,34 @@ def test_wap_publish_gate(spark, tmp_path):
     assert read_version(spark, path, v).count() == 4
     assert history(spark, path)[-1]["op"] == "merge(wap)"
     assert list_branches(spark, path) == []
+
+
+def test_metadata_tables(spark, tmp_path):
+    from vptstools_spark.plans.timetravel import (
+        commit_append,
+        files_metadata,
+        history_metadata,
+        partitions_metadata,
+    )
+    from vptstools_spark.sql import register_metadata_tables
+
+    path = _base(spark, tmp_path)
+    commit_append(spark, path, _mk(spark, [(4, "c", 4.0)]))
+
+    f = files_metadata(spark, path)
+    assert set(f.columns) == {"file", "introduced_in", "size_bytes", "part"}
+    rows = f.collect()
+    assert all(r["size_bytes"] > 0 for r in rows)
+    assert {r["introduced_in"] for r in rows} == {"v0", "v1"}
+    assert {r["part"] for r in rows} == {"a", "b", "c"}
+
+    p = partitions_metadata(spark, path).collect()
+    assert {(r["part"], r["n_files"]) for r in p} >= {("c", 1)}
+    assert sum(r["total_bytes"] for r in p) == sum(r["size_bytes"] for r in rows)
+
+    h = history_metadata(spark, path).orderBy("version").collect()
+    assert [(r["version"], r["op"]) for r in h] == [(0, "initial"), (1, "append")]
+
+    views = register_metadata_tables(spark, path, "t")
+    assert views == ["t_files", "t_partitions", "t_history"]
+    assert spark.sql("SELECT count(*) n FROM t_history").collect()[0]["n"] == 2

@@ -1290,3 +1290,80 @@ def vacuum_table(spark: SparkSession, path: str) -> list[str]:
             p.getFileSystem(hconf).delete(p, False)
             removed.append(rel)
     return removed
+
+
+# -------------------------------------------------------- metadata tables
+
+
+def files_metadata(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """Iceberg-`files`-style metadata TABLE for one snapshot: one row per
+    data file with its partition values, byte size, and the version dir
+    it was written under — assembled from the commit's file list plus one
+    filesystem stat per file (a metadata operation; no data scan). The
+    `introduced_in` column is the version-dir label, so "which commit
+    wrote this file" is answerable without walking history."""
+    v = _resolve_version(spark, path, version)
+    commit = _read_commit(spark, path, v)
+    pcols = commit["partition_cols"]
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    rows = []
+    for rel in commit["files"]:
+        p = jvm.org.apache.hadoop.fs.Path(
+            os.path.join(path, _DATA_DIR, rel)
+        )
+        size = int(p.getFileSystem(hconf).getFileStatus(p).getLen())
+        vals = _partition_of(rel, pcols)
+        rows.append(
+            (rel, rel.split("/", 1)[0], size)
+            + tuple(None if x is None else str(x) for x in vals)
+        )
+    schema = "file string, introduced_in string, size_bytes long"
+    for c in pcols:
+        schema += f", `{c}` string"
+    out = spark.createDataFrame(rows, schema)
+    for c, dt in (commit.get("partition_types") or {}).items():
+        out = out.withColumn(c, F.col(c).cast(dt))
+    return out
+
+
+def partitions_metadata(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """Iceberg-`partitions`-style rollup of `files_metadata`: per
+    partition tuple, file count and total bytes — the table an operator
+    reads before deciding what to compact, and a small-files report for
+    free (files-per-partition vs bytes-per-partition)."""
+    f = files_metadata(spark, path, version)
+    pcols = [
+        c for c in f.columns
+        if c not in ("file", "introduced_in", "size_bytes")
+    ]
+    return f.groupBy(*pcols).agg(
+        F.count("*").alias("n_files"),
+        F.sum("size_bytes").alias("total_bytes"),
+    )
+
+
+def history_metadata(spark: SparkSession, path: str) -> DataFrame:
+    """`history` as a DataFrame (version, op, n_files, n_delete_files,
+    n_constraints) — the SQL-joinable face of the commit log."""
+    rows = []
+    for v in _list_versions(spark, path):
+        c = _read_commit(spark, path, v)
+        rows.append(
+            (
+                v,
+                c["op"],
+                len(c["files"]),
+                len(c.get("delete_files") or []),
+                len(c.get("constraints") or []),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "version int, op string, n_files int, n_delete_files int, "
+        "n_constraints int",
+    )

@@ -118,6 +118,36 @@ def register_table_tag(
     return name
 
 
+def register_metadata_tables(
+    spark: SparkSession, path: str, prefix: str
+) -> list[str]:
+    """Iceberg-style metadata tables of a versioned table as temp views:
+    `{prefix}_files`, `{prefix}_partitions`, `{prefix}_history` — so the
+    compaction/skew/retention questions ("which partitions are
+    small-file-heavy?", "how many delete commits since the last
+    optimize?") are plain SQL:
+
+        >>> register_metadata_tables(spark, "/data/orders_tt", "orders")
+        >>> spark.sql("SELECT * FROM orders_partitions ORDER BY n_files DESC")
+    """
+    from vptstools_spark.plans.timetravel import (
+        files_metadata,
+        history_metadata,
+        partitions_metadata,
+    )
+
+    names = []
+    for suffix, df in (
+        ("files", files_metadata(spark, path)),
+        ("partitions", partitions_metadata(spark, path)),
+        ("history", history_metadata(spark, path)),
+    ):
+        name = f"{prefix}_{suffix}"
+        df.createOrReplaceTempView(name)
+        names.append(name)
+    return names
+
+
 def register_all(
     spark: SparkSession, sf_dir: str, query_names: list[str] | None = None
 ) -> list[str]:
