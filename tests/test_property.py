@@ -313,3 +313,68 @@ def test_segment_digests_agree_with_row_diff(spark, old, new):
     # XOR collisions could in principle hide a change, but not on these
     # sizes; equality (not ⊆) is the property that makes the recursion safe
     assert dirty == set(seg_of.values())
+
+
+@PROP_SETTINGS
+@given(
+    vals=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 1), st.integers(-50, 50)),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_moments_merge_identity_and_python_replica(spark, vals):
+    """merge(fine sketches) == direct coarse sketch (exact integers), and
+    the power sums match a naive Python accumulation."""
+    from vptstools_spark.operators.sketch import moments_merge, moments_sketch
+
+    df = spark.createDataFrame(vals, "g int, sub int, x long")
+    fine = moments_sketch(df, "x", ["g", "sub"], k=4)
+    merged = {
+        r["g"]: r for r in moments_merge(fine, ["g"], k=4).collect()
+    }
+    direct = {
+        r["g"]: r for r in moments_sketch(df, "x", ["g"], k=4).collect()
+    }
+    assert merged.keys() == direct.keys()
+    for g in direct:
+        for c in ["n", "mn", "mx", "s1", "s2", "s3", "s4"]:
+            assert merged[g][c] == direct[g][c], (g, c)
+        xs = [x for gg, _s, x in vals if gg == g]
+        assert direct[g]["n"] == len(xs)
+        assert direct[g]["mn"] == min(xs) and direct[g]["mx"] == max(xs)
+        for i in range(1, 5):
+            assert direct[g][f"s{i}"] == sum(x**i for x in xs), (g, i)
+
+
+@PROP_SETTINGS
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab ", min_size=0, max_size=12), min_size=2, max_size=12
+    ),
+    threshold=st.sampled_from([0.3, 0.5, 0.8, 1.0]),
+)
+def test_similarity_join_matches_naive_on_replica_heavy_input(
+    spark, texts, threshold
+):
+    """The replica-collapse + array-verify similarity_join equals the
+    naive all-pairs token-set Jaccard — tiny 'ab '-alphabet corpora are
+    exactly the degenerate replica-heavy shape the collapse targets."""
+    from vptstools_spark.operators.simjoin import similarity_join
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in similarity_join(docs, threshold).collect()
+    }
+    sets = {i: {w for w in t.split(" ") if w} for i, t in enumerate(texts)}
+    want = {}
+    for a in sets:
+        for b in sets:
+            if a < b and sets[a] and sets[b]:
+                j = len(sets[a] & sets[b]) / len(sets[a] | sets[b])
+                if j >= threshold:
+                    want[(a, b)] = round(j, 4)
+    assert got == want
