@@ -548,6 +548,53 @@ def delete_where(
     return new_v
 
 
+def commit_overwrite(
+    spark: SparkSession,
+    path: str,
+    df: DataFrame,
+    partition_cols: list[str] | None = None,
+    extra: dict | None = None,
+) -> int:
+    """INSERT OVERWRITE as a commit: the new version's snapshot is
+    exactly `df` — no prior file carried, prior delete vectors dropped
+    (no prior file survives for them to hit). The recompute-and-swap
+    path for DERIVED tables (rollups, summaries) whose content is a
+    function of some upstream state rather than a delta; constraints
+    carry and are enforced on the new rows. Schema and partitioning MAY
+    change — the overwrite defines both. History stays: the previous
+    snapshot remains pinnable/diffable exactly like any version."""
+    prev_v = _resolve_version(spark, path, None)
+    prev = _read_commit(spark, path, prev_v)
+    _enforce(df, prev, "overwrite", table=None)
+    new_v = prev_v + 1
+    pcols = (
+        prev["partition_cols"] if partition_cols is None else partition_cols
+    )
+    pcols = [c for c in pcols if c in df.columns]
+    rels = _write_snapshot_files(df, path, new_v, pcols)
+    ptypes = {
+        f.name: f.dataType.simpleString()
+        for f in df.schema.fields
+        if f.name in pcols
+    }
+    _commit(
+        spark,
+        path,
+        new_v,
+        rels,
+        pcols,
+        "overwrite",
+        ptypes,
+        {
+            "columns": df.columns,
+            "delete_files": [],
+            "constraints": prev.get("constraints") or [],
+            **(extra or {}),
+        },
+    )
+    return new_v
+
+
 def commit_append(
     spark: SparkSession,
     path: str,

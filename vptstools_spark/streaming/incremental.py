@@ -888,3 +888,122 @@ def timetravel_stream_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def catalog_publish_stream_sink(
+    stream: DataFrame,
+    cat: str,
+    fact_path: str,
+    checkpoint: str,
+    keys: list[str],
+    derived: dict[str, "tuple[str, object]"] | None = None,
+    fact_name: str = "fact",
+    partition_cols: list[str] | None = None,
+    mor: bool = False,
+) -> StreamingQuery:
+    """Exactly-once MULTI-TABLE publish from a stream: each availableNow
+    micro-batch (1) commits the batch into the versioned FACT table
+    (initial → then upsert, `mor=True` for merge-on-read commits), (2)
+    recomputes each DERIVED table from the new fact snapshot and commits
+    it via `commit_overwrite`, and (3) swaps ALL the new versions into
+    the cross-table catalog with ONE atomic `catalog_commit` — so a
+    reader resolving through the catalog never sees the fact without its
+    rollups (`plans/catalog.py`'s write-then-swap, driven by a stream).
+
+    `derived` maps table name → (table_path, derive_fn) where
+    `derive_fn(fact_snapshot_df) -> DataFrame` is the full recompute;
+    at scale, swap the recompute for an incremental refresh
+    (plans/matview.py) — the publish protocol is unchanged.
+
+    Exactly-once across THREE commit levels: the fact commit records the
+    `_batch_id` replay guard (as `timetravel_stream_sink`); a replayed
+    batch skips the table commits it finds already done, then REPAIRS
+    the catalog — if the crash landed between table commits and the
+    catalog swap, the replay re-derives the desired pin set (every
+    table's latest version) and publishes the missing swap; if the swap
+    already happened, the pin set matches and the replay is a no-op.
+    Every publish is atomic create-exclusive, so replays racing a live
+    writer still produce exactly one commit per version."""
+    from vptstools_spark.plans.catalog import (
+        catalog_commit,
+        catalog_init,
+        catalog_pins,
+    )
+    from vptstools_spark.plans.timetravel import (
+        _list_versions,
+        _read_commit,
+        commit_initial,
+        commit_overwrite,
+        commit_upsert,
+        commit_upsert_mor,
+        read_version,
+    )
+
+    derived = derived or {}
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        versions = _list_versions(spark, fact_path)
+        already = False
+        if versions:
+            last = _read_commit(spark, fact_path, versions[-1])
+            already = (
+                last.get("batch_id") is not None
+                and batch_id <= last["batch_id"]
+            )
+        if not already:
+            if not versions:
+                commit_initial(
+                    batch_df, fact_path, partition_cols,
+                    extra={"batch_id": batch_id},
+                )
+            else:
+                commit = commit_upsert_mor if mor else commit_upsert
+                commit(
+                    spark, fact_path, batch_df, keys=keys,
+                    extra={"batch_id": batch_id},
+                )
+            snapshot = read_version(spark, fact_path)
+            for _name, (dpath, derive) in derived.items():
+                out = derive(snapshot)
+                if _list_versions(spark, dpath):
+                    commit_overwrite(
+                        spark, dpath, out, extra={"batch_id": batch_id}
+                    )
+                else:
+                    commit_initial(out, dpath, extra={"batch_id": batch_id})
+        # catalog repair/swap: desired pins = every table's latest version
+        desired = {fact_name: (fact_path, _list_versions(spark, fact_path)[-1])}
+        for name, (dpath, _derive) in derived.items():
+            desired[name] = (dpath, _list_versions(spark, dpath)[-1])
+        if not _catalog_exists(spark, cat):
+            catalog_init(spark, cat, desired)
+        else:
+            pins = catalog_pins(spark, cat)
+            updates = {
+                n: v
+                for n, (_p, v) in desired.items()
+                if n in pins and pins[n][1] != v
+            }
+            new_tables = set(desired) - set(pins)
+            if new_tables:
+                raise ValueError(
+                    f"catalog {cat} is missing tables {sorted(new_tables)}; "
+                    "register them before streaming into the catalog"
+                )
+            if updates:
+                catalog_commit(spark, cat, updates)
+
+    def _catalog_exists(spark: SparkSession, c: str) -> bool:
+        from vptstools_spark.plans.catalog import _cat_versions
+
+        return bool(_cat_versions(spark, c))
+
+    return (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
