@@ -1,0 +1,153 @@
+"""Query result cache with version-based invalidation — the lakehouse
+result-reuse pattern (public designs: Snowflake query-result reuse,
+Databricks/Delta result caching): a query over VERSIONED tables is a pure
+function of (query key, the versions of the tables it reads), so its
+result can be stored once and served until any dependency commits a new
+version — correctness by construction, no TTL guessing.
+
+    deps = [(orders_path, None), (customer_path, 4)]   # None = latest
+    df = cached_result(spark, cache_dir, "daily_rollup", deps, build_fn)
+
+`build_fn(spark) -> DataFrame` runs ONLY on a miss; the result is written
+to parquet under the cache dir next to a meta JSON recording the resolved
+dependency versions. A later call re-resolves each `None` pin to the
+dependency's CURRENT latest version: if the fingerprint matches, the call
+returns a scan of the stored parquet (no recompute, no dependency scan);
+if any table moved, the entry is stale — the new result is written under
+a NEW fingerprint dir (create-exclusive meta publish, racing builders
+produce one winner and the loser serves the winner's entry), and stale
+entries stay until `evict_stale` reclaims them (two-step, like
+expire/vacuum).
+
+Scale shape: a cache HIT costs two sidecar reads + a parquet scan of the
+RESULT (usually orders of magnitude smaller than its inputs); a miss
+costs the query itself plus one result write. The cache never caches
+against mutable plain-parquet dirs — deps must be versioned tables,
+because an unversioned directory has no commit point to fingerprint.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from vptstools_spark.io import create_text_exclusive, read_text_sidecar
+from vptstools_spark.plans.timetravel import _list_versions
+
+
+def _resolve_deps(
+    spark: SparkSession, deps: list[tuple[str, int | None]]
+) -> list[tuple[str, int]]:
+    out = []
+    for path, v in deps:
+        versions = _list_versions(spark, path)
+        if not versions:
+            raise ValueError(
+                f"result-cache dependency {path} is not a versioned table "
+                "(no commit log) — an unversioned input has no commit "
+                "point to fingerprint"
+            )
+        rv = versions[-1] if v is None else v
+        if rv not in versions:
+            raise ValueError(
+                f"dependency {path} has no version {rv}; available: "
+                f"{versions[0]}..{versions[-1]}"
+            )
+        out.append((path, rv))
+    return out
+
+
+def _fingerprint(key: str, resolved: list[tuple[str, int]]) -> str:
+    payload = json.dumps([key, sorted(resolved)]).encode()
+    return hashlib.md5(payload).hexdigest()[:16]
+
+
+def _entry_dir(cache_dir: str, key: str, fp: str) -> str:
+    return os.path.join(cache_dir, key, fp)
+
+
+def cached_result(
+    spark: SparkSession,
+    cache_dir: str,
+    key: str,
+    deps: list[tuple[str, int | None]],
+    build_fn,
+) -> DataFrame:
+    """Serve `key`'s result for the current dependency versions, building
+    it with `build_fn(spark)` only on a miss. Returns a DataFrame either
+    way (a stored-result scan on hit)."""
+    resolved = _resolve_deps(spark, deps)
+    fp = _fingerprint(key, resolved)
+    entry = _entry_dir(cache_dir, key, fp)
+    meta_path = os.path.join(entry, "meta.json")
+    data_path = os.path.join(entry, "result")
+    try:
+        read_text_sidecar(spark, meta_path)
+        return spark.read.parquet(data_path)
+    except Exception:
+        pass
+    out = build_fn(spark)
+    # write data first, publish meta last (create-exclusive): the meta
+    # file IS the entry — a half-written result is invisible, and racing
+    # builders produce one winner whose entry everyone then serves
+    tmp_data = os.path.join(entry, f"result-building-{os.getpid()}")
+    out.write.mode("overwrite").parquet(tmp_data)
+    won = create_text_exclusive(
+        spark,
+        meta_path,
+        json.dumps({"key": key, "deps": sorted(resolved), "data": "result"}),
+    )
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    src = jvm.org.apache.hadoop.fs.Path(tmp_data)
+    dst = jvm.org.apache.hadoop.fs.Path(data_path)
+    fs = src.getFileSystem(hconf)
+    if won:
+        fs.rename(src, dst)
+    else:
+        fs.delete(src, True)  # loser: discard, serve the winner's entry
+    return spark.read.parquet(data_path)
+
+
+def cache_entries(spark: SparkSession, cache_dir: str) -> list[dict]:
+    """Every cached entry's (key, fingerprint, deps) — the inspection
+    face eviction decisions read."""
+    from vptstools_spark.plans.timetravel import _list_fs_children
+
+    out = []
+    for key in _list_fs_children(spark, cache_dir):
+        for fp in _list_fs_children(spark, os.path.join(cache_dir, key)):
+            meta_path = os.path.join(cache_dir, key, fp, "meta.json")
+            try:
+                meta = json.loads(read_text_sidecar(spark, meta_path))
+            except Exception:
+                continue  # half-built loser entry, no meta published
+            out.append({"key": key, "fingerprint": fp, "deps": meta["deps"]})
+    return out
+
+
+def evict_stale(spark: SparkSession, cache_dir: str) -> list[str]:
+    """Delete every entry whose dependency pins no longer match the
+    dependencies' CURRENT latest versions (or whose pinned version has
+    been expired) — the explicit reclaim step; serving correctness never
+    depends on running it. Returns evicted `key/fingerprint` ids."""
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    evicted = []
+    for e in cache_entries(spark, cache_dir):
+        fresh = True
+        for path, v in e["deps"]:
+            versions = _list_versions(spark, path)
+            if not versions or versions[-1] != v:
+                fresh = False
+                break
+        if not fresh:
+            p = jvm.org.apache.hadoop.fs.Path(
+                _entry_dir(cache_dir, e["key"], e["fingerprint"])
+            )
+            p.getFileSystem(hconf).delete(p, True)
+            evicted.append(f"{e['key']}/{e['fingerprint']}")
+    return evicted
