@@ -378,3 +378,48 @@ def test_similarity_join_matches_naive_on_replica_heavy_input(
                 if j >= threshold:
                     want[(a, b)] = round(j, 4)
     assert got == want
+
+
+@PROP_SETTINGS
+@given(
+    left=st.lists(st.tuples(KEY, TS), max_size=12),
+    right=st.dictionaries(st.tuples(KEY, TS), st.integers(-9, 9), max_size=12),
+    tol=st.sampled_from([None, 0, 3, 100]),
+)
+def test_asof_forward_and_nearest_match_naive(spark, left, right, tol):
+    from vptstools_spark.operators.asof import (
+        asof_join_forward,
+        asof_join_nearest,
+    )
+
+    ldf = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(left)] or [],
+        "k long, ts long, lid long",
+    )
+    rdf = spark.createDataFrame(
+        [(k, t, float(v)) for (k, t), v in right.items()] or [],
+        "k long, ts long, v double",
+    )
+    fwd = {
+        r["lid"]: r["v_right"]
+        for r in asof_join_forward(ldf, rdf, on="k", payload_cols=["v"]).collect()
+    }
+    near = {
+        r["lid"]: r["v_right"]
+        for r in asof_join_nearest(
+            ldf, rdf, on="k", payload_cols=["v"], tolerance=tol
+        ).collect()
+    }
+    for i, (k, t) in enumerate(left):
+        f_cands = [(t2, v) for (k2, t2), v in right.items() if k2 == k and t2 >= t]
+        f_want = float(min(f_cands)[1]) if f_cands else None
+        assert fwd[i] == f_want, ("fwd", i, k, t)
+
+        cands = [(t2, v) for (k2, t2), v in right.items() if k2 == k]
+        n_want = None
+        if cands:
+            # min distance; ties -> backward (earlier right ts)
+            best = min(cands, key=lambda tv: (abs(tv[0] - t), tv[0] >= t))
+            if tol is None or abs(best[0] - t) <= tol:
+                n_want = float(best[1])
+        assert near[i] == n_want, ("near", i, k, t, tol)

@@ -25,6 +25,7 @@ TS_QUERIES = [
     "events_running",
     "events_lag_delta",
     "events_asof_join",
+    "events_asof_nearest",
     "events_funnel",
     "events_resample_locf",
     "events_pivot",

@@ -51,6 +51,7 @@ NEW_THIS_ROUND = [
     # round 5
     "wap_audit_publish",
     "sketch_moments_rollup",
+    "events_asof_nearest",
     "cdf_order_changes",
     "secure_customer_view",
     "dv_delete_read",

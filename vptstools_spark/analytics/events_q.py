@@ -117,6 +117,37 @@ def q_events_asof_purchase_click(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_events_asof_nearest(spark: SparkSession, sf: str) -> DataFrame:
+    """Nearest as-of join with tolerance (operators/asof.py
+    `asof_join_nearest` — pandas merge_asof(direction='nearest')
+    semantics, exact ties backward): each purchase gets the click value
+    CLOSEST in time within 2 days, either direction. Same one-shuffle
+    union-tag plan as the backward join, two window frames over ONE sort.
+    Oracle: per-purchase argmin over |Δts| with the backward tie-break,
+    null beyond tolerance."""
+    from vptstools_spark.operators.asof import asof_join_nearest
+
+    e = table(spark, sf, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("cvalue"))
+    )
+    joined = asof_join_nearest(
+        purchases, clicks, on="user_id", payload_cols=["cvalue"],
+        tolerance=172800.0,
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.round("value", 2).alias("purchase_value"),
+        F.round("cvalue_right", 2).alias("nearest_click_value"),
+    )
+
+
 def q_events_funnel(spark: SparkSession, sf: str) -> DataFrame:
     """Ordered funnel (view → click → purchase): users reaching each stage,
     where each stage must occur at-or-after the previous stage's first hit.
@@ -786,6 +817,7 @@ QUERIES = {
     "events_running": q_events_running,
     "events_lag_delta": q_events_lag_delta,
     "events_asof_join": q_events_asof_purchase_click,
+    "events_asof_nearest": q_events_asof_nearest,
     "events_funnel": q_events_funnel,
     "events_resample_locf": q_events_resample_locf,
     "events_resample_interp": q_events_resample_interp,
@@ -1214,6 +1246,31 @@ ORACLES = {
                ROUND(value - LAG(value) OVER (PARTITION BY user_id
                                               ORDER BY epoch_us(ts), event_id), 2) AS delta
         FROM events WHERE user_id < 30
+    """,
+    "events_asof_nearest": """
+        WITH purchases AS (
+            SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase'
+        ),
+        clicks AS (
+            SELECT user_id, ts, MAX(value) AS cvalue
+            FROM events WHERE event_type = 'click'
+            GROUP BY user_id, ts
+        ),
+        pairs AS (
+            SELECT p.event_id, p.user_id, p.value, c.cvalue,
+                   ABS(epoch(c.ts) - epoch(p.ts)) AS d,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY p.event_id
+                       ORDER BY ABS(epoch(c.ts) - epoch(p.ts)),
+                                CASE WHEN c.ts <= p.ts THEN 0 ELSE 1 END
+                   ) AS rn
+            FROM purchases p LEFT JOIN clicks c ON p.user_id = c.user_id
+        )
+        SELECT event_id, user_id,
+               ROUND(value, 2) AS purchase_value,
+               ROUND(CASE WHEN d <= 172800 THEN cvalue END, 2)
+                   AS nearest_click_value
+        FROM pairs WHERE rn = 1
     """,
     "events_asof_join": """
         WITH purchases AS (

@@ -65,3 +65,148 @@ def asof_join_backward(
         *[F.col(c) for c in lcols],
         *[F.col(f"{c}{suffix}") for c in payload_cols],
     )
+
+
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    ts_col: str = "ts",
+    payload_cols: list[str] | None = None,
+    suffix: str = "_right",
+) -> DataFrame:
+    """Forward as-of join: for each left row, the EARLIEST right row with
+    the same key and right.ts >= left.ts (ties: same-timestamp right rows
+    match, matching pandas merge_asof(direction='forward')). Same
+    union-tag-window plan as the backward join — one shuffle on the key —
+    with the frame flipped to [currentRow, unboundedFollowing] and the
+    side priority inverted so an equal-ts right row sorts AFTER the left
+    row and stays inside its forward frame."""
+    payload_cols = payload_cols or [
+        c for c in right.columns if c not in (on, ts_col)
+    ]
+    lcols = left.columns
+    l_tagged = left.select(
+        F.col(on), F.col(ts_col), F.lit(0).alias("__side"),
+        *[F.col(c) for c in lcols if c not in (on, ts_col)],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__p_{c}") for c in payload_cols],
+    )
+    r_tagged = right.select(
+        F.col(on), F.col(ts_col), F.lit(1).alias("__side"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols if c not in (on, ts_col)],
+        *[F.col(c).alias(f"__p_{c}") for c in payload_cols],
+    )
+    unioned = l_tagged.unionByName(r_tagged)
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col(ts_col), F.col("__side"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    carried = unioned.select(
+        "*",
+        *[
+            F.first(F.col(f"__p_{c}"), ignorenulls=True).over(w).alias(f"{c}{suffix}")
+            for c in payload_cols
+        ],
+    )
+    return carried.filter(F.col("__side") == 0).select(
+        *[F.col(c) for c in lcols],
+        *[F.col(f"{c}{suffix}") for c in payload_cols],
+    )
+
+
+def asof_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    ts_col: str = "ts",
+    payload_cols: list[str] | None = None,
+    suffix: str = "_right",
+    tolerance: float | None = None,
+) -> DataFrame:
+    """Nearest as-of join: the right row minimizing |right.ts − left.ts|
+    per key; exact ties break BACKWARD (the earlier right row), matching
+    pandas merge_asof(direction='nearest'). `tolerance` (same units as
+    `ts_col` after a numeric cast — seconds for timestamps) null-fills
+    matches farther than the bound.
+
+    ONE sort serves both directions: with right rows ordered before left
+    at equal ts, the backward candidate is last(payload) over
+    [unboundedPreceding, current] and the forward candidate is
+    first(payload) over [current, unboundedFollowing]. An equal-ts right
+    row is only visible to the BACKWARD frame — harmless, because a 0
+    delta is minimal and ties resolve backward anyway. Still one shuffle
+    on the key."""
+    payload_cols = payload_cols or [
+        c for c in right.columns if c not in (on, ts_col)
+    ]
+    lcols = left.columns
+    l_tagged = left.select(
+        F.col(on), F.col(ts_col), F.lit(1).alias("__side"),
+        *[F.col(c) for c in lcols if c not in (on, ts_col)],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__p_{c}") for c in payload_cols],
+    )
+    r_tagged = right.select(
+        F.col(on), F.col(ts_col), F.lit(0).alias("__side"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols if c not in (on, ts_col)],
+        *[F.col(c).alias(f"__p_{c}") for c in payload_cols],
+    )
+    unioned = l_tagged.unionByName(r_tagged)
+    order = [F.col(ts_col), F.col("__side")]
+    wb = (
+        Window.partitionBy(on)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy(on)
+        .orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    # numeric view of ts for the distance math: timestamps (either
+    # annotation — NTZ rejects a double cast) go through epoch_expr in
+    # SECONDS to match a seconds-denominated `tolerance`; numeric ts
+    # columns cast directly
+    ts_dtype = dict(zip(left.columns, [f.dataType.simpleString() for f in left.schema.fields]))[ts_col]
+    if ts_dtype in ("timestamp", "timestamp_ntz"):
+        from vptstools_spark.functions.scalars import epoch_expr
+
+        ts_num = epoch_expr(ts_dtype, ts_col, "MICROSECOND").cast(
+            "double"
+        ) / F.lit(1e6)
+    else:
+        ts_num = F.col(ts_col).cast("double")
+    rts = F.when(F.col("__side") == 0, ts_num)
+    carried = unioned.select(
+        "*",
+        F.last(rts, ignorenulls=True).over(wb).alias("__bts"),
+        F.first(rts, ignorenulls=True).over(wf).alias("__fts"),
+        *[
+            F.last(F.col(f"__p_{c}"), ignorenulls=True).over(wb).alias(f"__b_{c}")
+            for c in payload_cols
+        ],
+        *[
+            F.first(F.col(f"__p_{c}"), ignorenulls=True).over(wf).alias(f"__f_{c}")
+            for c in payload_cols
+        ],
+    ).filter(F.col("__side") == 1)
+    lts = ts_num
+    bd = lts - F.col("__bts")
+    fd = F.col("__fts") - lts
+    use_back = F.col("__fts").isNull() | (
+        F.col("__bts").isNotNull() & (bd <= fd)
+    )
+    dist = F.when(use_back, bd).otherwise(fd)
+    in_tol = (
+        F.lit(True) if tolerance is None else dist <= F.lit(float(tolerance))
+    )
+    return carried.select(
+        *[F.col(c) for c in lcols],
+        *[
+            F.when(
+                in_tol,
+                F.when(use_back, F.col(f"__b_{c}")).otherwise(F.col(f"__f_{c}")),
+            ).alias(f"{c}{suffix}")
+            for c in payload_cols
+        ],
+    )
