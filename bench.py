@@ -86,11 +86,12 @@ HEADLINE = [
     "label_prop_communities",
     "scd2_event_types",
     "sample_weighted",
-    # round 3, second batch. simjoin_prefix is absent HERE because the
-    # synthetic corpus draws from a ~31-word vocabulary — the degenerate
-    # case for prefix filtering — so at sf0.1 it would measure the data
-    # pathology, not the operator; it runs at sf0.1 SCALE in the Zipf tier
-    # below instead (see PLANS.md).
+    # round 3, second batch. simjoin_prefix stays out of the median-of-5
+    # headline tier because its sf0.1 answer is inherently ~5.1M pairs on
+    # the 31-word-vocabulary corpus (r5's replica collapse + array verify
+    # cut it 94 s → ~25 s, but 5× runs of an output-bound join would
+    # dominate the tier); it is timed on realistic text in the Zipf tier
+    # and on this corpus once per round in the sf0.1 sweep (see PLANS.md).
     "hybrid_rrf",
     "dsir_select",
     "bpe_encode",
@@ -129,6 +130,9 @@ HEADLINE = [
     "dv_delete_read",
     "secure_customer_view",
     "cdf_order_changes",
+    "wap_audit_publish",
+    "sketch_moments_rollup",
+    "events_asof_nearest",
 ]
 
 #: sf0.1-scale tier on the Zipf-vocabulary fixture (tools/gen_zipf.py):

@@ -205,3 +205,24 @@ def test_metadata_tables(spark, tmp_path):
     views = register_metadata_tables(spark, path, "t")
     assert views == ["t_files", "t_partitions", "t_history"]
     assert spark.sql("SELECT count(*) n FROM t_history").collect()[0]["n"] == 2
+
+
+def test_wap_cleans_up_on_constraint_violation(spark, tmp_path):
+    from vptstools_spark.plans.branches import wap_publish
+
+    path = _base(spark, tmp_path)
+    set_constraints(
+        spark, path, [{"name": "v_pos", "kind": "check", "expr": "v > 0"}]
+    )
+    # delta violates the TABLE constraint (not the audit): the staged
+    # append itself is rejected, and the staging branch must not linger
+    with pytest.raises(ConstraintViolationError):
+        wap_publish(
+            spark, path, _mk(spark, [(4, "c", -4.0)]), audit=lambda df: True
+        )
+    assert list_branches(spark, path) == []
+    # a follow-up publish on the same default branch name works
+    v = wap_publish(
+        spark, path, _mk(spark, [(4, "c", 4.0)]), audit=lambda df: True
+    )
+    assert read_version(spark, path, v).count() == 4

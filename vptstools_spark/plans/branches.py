@@ -431,7 +431,12 @@ def wap_publish(
                 f"{branch_name!r}; nothing was published"
             )
         new_v = merge_branch(spark, path, branch_name)
-    except (AuditFailedError, CommitConflictError, BranchConflictError):
+    except BaseException:
+        # ANY failure before the merge publishes (audit rejection, a
+        # constraint violation inside the staged write, a merge race, a
+        # broken audit fn) must not leave a dangling staging branch —
+        # create_branch on the same name is the de-facto staging lock,
+        # and an orphaned branch would deadlock the next publish
         drop_branch(spark, path, branch_name)
         raise
     drop_branch(spark, path, branch_name)
