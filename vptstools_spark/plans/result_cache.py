@@ -79,37 +79,41 @@ def cached_result(
     """Serve `key`'s result for the current dependency versions, building
     it with `build_fn(spark)` only on a miss. Returns a DataFrame either
     way (a stored-result scan on hit)."""
+    import uuid
+
     resolved = _resolve_deps(spark, deps)
     fp = _fingerprint(key, resolved)
     entry = _entry_dir(cache_dir, key, fp)
     meta_path = os.path.join(entry, "meta.json")
-    data_path = os.path.join(entry, "result")
+
+    def _serve() -> DataFrame:
+        meta = json.loads(read_text_sidecar(spark, meta_path))
+        return spark.read.parquet(os.path.join(entry, meta["data"]))
+
     try:
-        read_text_sidecar(spark, meta_path)
-        return spark.read.parquet(data_path)
+        return _serve()
     except Exception:
         pass
     out = build_fn(spark)
-    # write data first, publish meta last (create-exclusive): the meta
-    # file IS the entry — a half-written result is invisible, and racing
-    # builders produce one winner whose entry everyone then serves
-    tmp_data = os.path.join(entry, f"result-building-{os.getpid()}")
-    out.write.mode("overwrite").parquet(tmp_data)
+    # write data under a builder-unique dir FIRST, then publish meta
+    # (create-exclusive) NAMING that dir: the meta file IS the entry and
+    # already points at fully-written data, so there is no window where a
+    # reader sees the entry before its result exists; racing builders
+    # produce one winner, the loser deletes its own dir and serves the
+    # winner's
+    data_name = f"result-{uuid.uuid4().hex[:12]}"
+    out.write.mode("error").parquet(os.path.join(entry, data_name))
     won = create_text_exclusive(
         spark,
         meta_path,
-        json.dumps({"key": key, "deps": sorted(resolved), "data": "result"}),
+        json.dumps({"key": key, "deps": sorted(resolved), "data": data_name}),
     )
-    jvm = spark.sparkContext._jvm
-    hconf = spark.sparkContext._jsc.hadoopConfiguration()
-    src = jvm.org.apache.hadoop.fs.Path(tmp_data)
-    dst = jvm.org.apache.hadoop.fs.Path(data_path)
-    fs = src.getFileSystem(hconf)
-    if won:
-        fs.rename(src, dst)
-    else:
-        fs.delete(src, True)  # loser: discard, serve the winner's entry
-    return spark.read.parquet(data_path)
+    if not won:
+        jvm = spark.sparkContext._jvm
+        hconf = spark.sparkContext._jsc.hadoopConfiguration()
+        p = jvm.org.apache.hadoop.fs.Path(os.path.join(entry, data_name))
+        p.getFileSystem(hconf).delete(p, True)
+    return _serve()
 
 
 def cache_entries(spark: SparkSession, cache_dir: str) -> list[dict]:
