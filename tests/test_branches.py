@@ -99,10 +99,10 @@ def test_drop_branch_reclaims_private_files_only(spark, tmp_path):
     path = _base(spark, tmp_path)
     create_branch(spark, path, "scratch")
     branch_append(spark, path, "scratch", _mk(spark, [(7, "q", 7.0)]))
-    assert any("b-scratch-v1" in f for f in _data_files(path))
+    assert any("b-scratch-" in f for f in _data_files(path))
     removed = drop_branch(spark, path, "scratch")
-    assert removed and all(r.startswith("b-scratch-v") for r in removed)
-    assert not any("b-scratch-v" in f for f in _data_files(path))
+    assert removed and all(r.startswith("b-scratch-") for r in removed)
+    assert not any("b-scratch-" in f for f in _data_files(path))
     assert list_branches(spark, path) == []
     # main still reads clean
     assert read_version(spark, path).count() == 3
@@ -167,7 +167,7 @@ def test_wap_publish_gate(spark, tmp_path):
         )
     assert read_version(spark, path).count() == 3
     assert list_branches(spark, path) == []
-    assert not any("b-wap-v" in f for f in _data_files(path))
+    assert not any("b-wap-" in f for f in _data_files(path))
 
     # passing audit publishes exactly one new main version
     v = wap_publish(spark, path, _mk(spark, [(4, "c", 4.0)]), audit=no_negatives)
@@ -226,3 +226,17 @@ def test_wap_cleans_up_on_constraint_violation(spark, tmp_path):
         spark, path, _mk(spark, [(4, "c", 4.0)]), audit=lambda df: True
     )
     assert read_version(spark, path, v).count() == 4
+
+
+def test_wap_republish_same_branch_name(spark, tmp_path):
+    """Three successive WAP publishes under the default branch name: a
+    merged generation's data dirs outlive the branch (main references
+    them), so re-staging must land in a fresh generation dir."""
+    from vptstools_spark.plans.branches import wap_publish
+
+    path = _base(spark, tmp_path)
+    ok = lambda df: True  # noqa: E731
+    for i, n in enumerate([4, 5, 6]):
+        v = wap_publish(spark, path, _mk(spark, [(10 + i, "c", 1.0)]), audit=ok)
+        assert read_version(spark, path, v).count() == n
+    assert list_branches(spark, path) == []

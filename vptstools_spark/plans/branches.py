@@ -6,8 +6,10 @@ commit log (`plans/timetravel.py`) with zero new storage machinery:
 - A BRANCH is an independent commit chain under `_branch_log/{name}/`
   whose commits list files in the SAME shared `data/` directory as the
   main line. Forking copies a file LIST (KB-scale JSON), never data;
-  branch writes land under `data/b-{name}-v{k}/` so they can never
-  collide with main-line `v{k}` dirs; main readers never see them
+  branch writes land under `data/b-{name}-{gen}-v{k}/` (gen = a
+  per-fork token, because a merged generation's dirs outlive the branch
+  — main's merge commit references them) so they can never collide with
+  main-line `v{k}` dirs or a prior fork of the same name; main readers never see them
   because visibility is commit-list membership, not directory layout.
 - A TAG is an immutable named ref (`_refs/{name}.json`) pinning a
   main-line version; `expire_versions` walks around tagged versions
@@ -112,6 +114,13 @@ def create_branch(
             f"{versions[0]}..{versions[-1]}"
         )
     parent = _read_commit(spark, path, at)
+    import uuid
+
+    # generation token: a branch NAME can be reused across forks (WAP
+    # re-stages under the same name every publish), but its data dirs
+    # must never collide with a prior generation's — a merged branch's
+    # dirs outlive the branch because main's merge commit references them
+    gen = uuid.uuid4().hex[:8]
     _commit(
         spark,
         path,
@@ -120,7 +129,7 @@ def create_branch(
         parent["partition_cols"],
         "fork",
         parent.get("partition_types"),
-        {**_carry(parent), "forked_from": at},
+        {**_carry(parent), "forked_from": at, "gen": gen},
         log_dir=blog,
     )
     return 0
@@ -187,7 +196,7 @@ def branch_append(
     new_v = head_v + 1
     pcols = head["partition_cols"]
     rels = _write_snapshot_files(
-        df, path, new_v, pcols, vlabel=f"b-{name}-v{new_v}"
+        df, path, new_v, pcols, vlabel=f"b-{name}-{head['gen']}-v{new_v}"
     )
     _commit(
         spark,
@@ -197,7 +206,7 @@ def branch_append(
         pcols,
         "append",
         head.get("partition_types"),
-        _carry(head),
+        {**_carry(head), "gen": head["gen"]},
         log_dir=_branch_log(name),
     )
     return new_v
@@ -216,7 +225,7 @@ def branch_overwrite(
     new_v = head_v + 1
     pcols = [c for c in head["partition_cols"] if c in df.columns]
     rels = _write_snapshot_files(
-        df, path, new_v, pcols, vlabel=f"b-{name}-v{new_v}"
+        df, path, new_v, pcols, vlabel=f"b-{name}-{head['gen']}-v{new_v}"
     )
     ptypes = {
         f.name: f.dataType.simpleString()
@@ -235,6 +244,7 @@ def branch_overwrite(
             "columns": df.columns,
             "delete_files": [],
             "constraints": head.get("constraints") or [],
+            "gen": head["gen"],
         },
         log_dir=_branch_log(name),
     )
@@ -301,7 +311,7 @@ def drop_branch(spark: SparkSession, path: str, name: str) -> list[str]:
             c = _read_commit(spark, path, v, log_dir)
             referenced |= set(c["files"])
             referenced |= set(c.get("delete_files") or [])
-    prefix = f"b-{name}-v"
+    prefix = f"b-{name}-"
     data_root = os.path.join(path, _DATA_DIR)
     marker = f"/{_DATA_DIR}/"
     removed = []
