@@ -133,6 +133,7 @@ HEADLINE = [
     "wap_audit_publish",
     "sketch_moments_rollup",
     "events_asof_nearest",
+    "jv_orders_refresh",
 ]
 
 #: sf0.1-scale tier on the Zipf-vocabulary fixture (tools/gen_zipf.py):

@@ -49,6 +49,7 @@ _MODULES = [
 #: (round-3 advice: bpe_encode/ann_filtered landed outside the sample).
 NEW_THIS_ROUND = [
     # round 5
+    "jv_orders_refresh",
     "wap_audit_publish",
     "sketch_moments_rollup",
     "events_asof_nearest",

@@ -275,6 +275,85 @@ def q_tt_version_diff(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_jv_orders_refresh(spark: SparkSession, sf: str) -> DataFrame:
+    """Incrementally-maintained join view under the value gate
+    (`plans/joinview.py`): orders ⋈ customer persisted at an initial
+    state (⅔ of orders, ⅘ of customers), then both sides churn —
+    left: append the missing third, MOR-delete every 59th key;
+    right: append the missing fifth, MOR-upsert every 97th customer to
+    segment 'VIP' — and ONE incremental refresh advances the view across
+    all four commits via the signed delta algebra ΔA⋈B_new + A_old⋈ΔB.
+    The oracle recomputes the FINAL join state analytically from the raw
+    tables, so a value match proves the maintained view converged to the
+    full re-join without ever running one."""
+    import tempfile
+
+    from vptstools_spark.plans.joinview import (
+        JoinViewDef,
+        build_joinview,
+        read_joinview,
+        refresh_joinview,
+    )
+    from vptstools_spark.plans.timetravel import (
+        commit_append,
+        commit_initial,
+        commit_upsert_mor,
+        delete_where,
+    )
+
+    key = ("jv_orders", sf)
+    if key not in _TT_CACHE:
+        o = table(spark, sf, "orders").select(
+            "o_orderkey",
+            F.col("o_custkey").alias("custkey"),
+            "o_totalprice",
+            (F.col("o_orderkey") % 8).cast("int").alias("part"),
+        )
+        c = table(spark, sf, "customer").select(
+            F.col("c_custkey").alias("custkey"), "c_mktsegment"
+        )
+        lp = tempfile.mkdtemp(prefix="jv_orders_l_")
+        rp = tempfile.mkdtemp(prefix="jv_orders_r_")
+        vp = tempfile.mkdtemp(prefix="jv_orders_v_")
+        commit_initial(o.filter(F.col("o_orderkey") % 3 != 0), lp, ["part"])
+        commit_initial(c.filter(F.col("custkey") % 5 != 0), rp, [])
+        defn = JoinViewDef(
+            name="jv_orders",
+            left_path=lp,
+            right_path=rp,
+            on=["custkey"],
+            select=["o_orderkey", "custkey", "o_totalprice", "c_mktsegment", "part"],
+            partition_by=["part"],
+        )
+        build_joinview(spark, defn, vp)
+        # churn both sides, multiple commits each
+        commit_append(spark, lp, o.filter(F.col("o_orderkey") % 3 == 0))
+        delete_where(spark, lp, "o_orderkey % 59 = 0")
+        commit_append(spark, rp, c.filter(F.col("custkey") % 5 == 0))
+        commit_upsert_mor(
+            spark,
+            rp,
+            c.filter(F.col("custkey") % 97 == 0).withColumn(
+                "c_mktsegment", F.lit("VIP")
+            ),
+            keys=["custkey"],
+        )
+        refresh_joinview(spark, vp)
+        _TT_CACHE[key] = vp
+    view, _ = read_joinview(spark, _TT_CACHE[key])
+    return (
+        view.groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum("o_orderkey").cast("long").alias("key_sum"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2
+            ).cast("double").alias("price_sum"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
 def q_wap_audit_publish(spark: SparkSession, sf: str) -> DataFrame:
     """Write-audit-publish exercised through the value gate
     (`plans/branches.py:wap_publish`): commit orders as a versioned
@@ -806,6 +885,7 @@ QUERIES = {
     "wap_audit_publish": q_wap_audit_publish,
     "dv_delete_read": q_dv_delete_read,
     "cdf_order_changes": q_cdf_order_changes,
+    "jv_orders_refresh": q_jv_orders_refresh,
     "events_hourly": q_events_hourly,
     "scd2_event_types": q_scd2_event_types,
     "retention_cohorts": q_retention_cohorts,
@@ -870,6 +950,25 @@ ORACLES = {
         FROM m LEFT JOIN m p
           ON p.month = strftime(date_trunc('month',
                  CAST(m.month || '-01' AS DATE)) - INTERVAL 1 MONTH, '%Y-%m')
+    """,
+    "jv_orders_refresh": """
+        WITH lo AS (
+            SELECT o_orderkey, o_custkey AS custkey, o_totalprice
+            FROM orders WHERE o_orderkey % 59 <> 0
+        ), rc AS (
+            SELECT c_custkey AS custkey,
+                   CASE WHEN c_custkey % 97 = 0 THEN 'VIP'
+                        ELSE c_mktsegment END AS c_mktsegment
+            FROM customer
+        )
+        SELECT c_mktsegment,
+               COUNT(*) AS n_orders,
+               CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+               ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                          AS DOUBLE), 2) AS price_sum
+        FROM lo JOIN rc USING (custkey)
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment
     """,
     "cdf_order_changes": """
         SELECT 0 AS _commit_version, 'insert' AS _change_type,
