@@ -134,6 +134,7 @@ HEADLINE = [
     "sketch_moments_rollup",
     "events_asof_nearest",
     "jv_orders_refresh",
+    "table_stats_orders",
 ]
 
 #: sf0.1-scale tier on the Zipf-vocabulary fixture (tools/gen_zipf.py):

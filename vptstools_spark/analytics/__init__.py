@@ -50,6 +50,7 @@ _MODULES = [
 NEW_THIS_ROUND = [
     # round 5
     "jv_orders_refresh",
+    "table_stats_orders",
     "wap_audit_publish",
     "sketch_moments_rollup",
     "events_asof_nearest",

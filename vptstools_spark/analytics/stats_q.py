@@ -528,7 +528,26 @@ def q_secure_customer_view(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_table_stats_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """ANALYZE under the value gate (`plans/stats.py:stats_df`): the
+    CBO's per-column statistics — row count, non-null count, exact NDV,
+    min/max — for four orders columns, computed in ONE aggregation pass
+    (multiple COUNT DISTINCTs compile to a single Expand-based job; the
+    approx HLL++ variant is the scale default, exact here so DuckDB can
+    recompute the identical numbers). These are the inputs to
+    `choose_join_strategy` / `estimate_equi_join`, so a value match
+    grounds the whole cost model."""
+    from vptstools_spark.plans.stats import stats_df
+
+    return stats_df(
+        table(spark, sf, "orders"),
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"],
+        exact=True,
+    ).orderBy("col_name")
+
+
 QUERIES = {
+    "table_stats_orders": q_table_stats_orders,
     "winsorize_price": q_winsorize_price,
     "secure_customer_view": q_secure_customer_view,
     "drift_psi": q_drift_psi,
@@ -552,6 +571,33 @@ QUERIES = {
 }
 
 ORACLES = {
+    "table_stats_orders": """
+        WITH s AS (
+            SELECT 'o_orderkey' AS col_name, COUNT(*) AS n_rows,
+                   COUNT(o_orderkey) AS n_nonnull,
+                   COUNT(DISTINCT o_orderkey) AS ndv,
+                   CAST(MIN(o_orderkey) AS VARCHAR) AS min_val,
+                   CAST(MAX(o_orderkey) AS VARCHAR) AS max_val
+            FROM orders
+            UNION ALL
+            SELECT 'o_custkey', COUNT(*), COUNT(o_custkey),
+                   COUNT(DISTINCT o_custkey),
+                   CAST(MIN(o_custkey) AS VARCHAR),
+                   CAST(MAX(o_custkey) AS VARCHAR)
+            FROM orders
+            UNION ALL
+            SELECT 'o_orderstatus', COUNT(*), COUNT(o_orderstatus),
+                   COUNT(DISTINCT o_orderstatus),
+                   MIN(o_orderstatus), MAX(o_orderstatus)
+            FROM orders
+            UNION ALL
+            SELECT 'o_orderpriority', COUNT(*), COUNT(o_orderpriority),
+                   COUNT(DISTINCT o_orderpriority),
+                   MIN(o_orderpriority), MAX(o_orderpriority)
+            FROM orders
+        )
+        SELECT * FROM s ORDER BY col_name
+    """,
     "secure_customer_view": """
         SELECT c_custkey,
                repeat('*', greatest(length(c_name) - 5, 0)) || right(c_name, 5)

@@ -1,0 +1,381 @@
+"""Table statistics (ANALYZE) and cost-based join planning.
+
+Engine feature in the CBO family (System R's selectivity formulas via
+Selinger et al. 1979; Spark's own CBO keeps the same shapes under
+`ANALYZE TABLE ... COMPUTE STATISTICS FOR COLUMNS`). The reference engine
+has no statistics layer; at 100 TB the cost of a wrong join strategy —
+sort-merging against a dimension that would broadcast, or broadcasting a
+"small" side that explodes post-filter — dwarfs every other plan decision,
+and Catalyst's plan-time size estimates are exactly what lies there
+(pre-aggregated sides look big, exploded sides look small; see
+plans/hints.py's rationale).
+
+This module makes the estimate EXPLICIT and PERSISTED:
+
+- ``analyze_table``: ONE distributed aggregation computes, per column:
+  non-null count, NDV (HyperLogLog++ via `approx_count_distinct` by
+  default — mergeable, single-pass; ``exact=True`` upgrades to
+  count-distinct where an oracle-grade number is worth the expand), min,
+  max, and avg string length. Row count and byte-size estimates derive
+  from those.
+- ``write_stats`` / ``read_stats``: JSON sidecar next to the data
+  (`_stats.json`), optionally pinned to a versioned table's commit
+  version so staleness is a version comparison, not a guess
+  (``stats_stale``).
+- ``estimate_equi_join``: |A|·|B| / max(ndv_A(k), ndv_B(k)) per key with
+  independence across keys — the System-R equi-join cardinality.
+- ``estimate_filter_selectivity``: 1/ndv for equality, linear
+  interpolation over [min, max] for ranges — the classic uniformity
+  assumptions, documented as such.
+- ``choose_join_strategy`` / ``stats_join``: pick broadcast /
+  shuffle_hash / merge from ESTIMATED byte sizes and apply it through
+  `plans/hints.py:hinted_join`, returning the decision record alongside
+  the DataFrame so the choice is reviewable (and testable) instead of
+  implicit.
+
+Scale: the analyze pass is a single map-side-combinable aggregation —
+no shuffle beyond the final 1-row reduce; stats are KB-scale JSON.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import json
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from vptstools_spark.io import read_text_sidecar, write_text_sidecar
+from vptstools_spark.plans.hints import hinted_join
+
+_STATS_FILE = "_stats.json"
+
+#: fixed per-value widths (bytes) by Spark type for size estimation;
+#: strings add their measured average length
+_WIDTHS = {
+    T.BooleanType: 1,
+    T.ByteType: 1,
+    T.ShortType: 2,
+    T.IntegerType: 4,
+    T.LongType: 8,
+    T.FloatType: 4,
+    T.DoubleType: 8,
+    T.DateType: 4,
+    T.TimestampType: 8,
+    T.TimestampNTZType: 8,
+}
+_STRING_OVERHEAD = 20  # UTF8String object + offset overhead, Tungsten-ish
+_DEFAULT_WIDTH = 16
+
+
+@dataclass(frozen=True)
+class ColumnStats:
+    name: str
+    n_nonnull: int
+    ndv: int
+    min: object = None
+    max: object = None
+    avg_len: float | None = None  # strings only
+
+
+@dataclass(frozen=True)
+class TableStats:
+    n_rows: int
+    columns: dict[str, ColumnStats] = field(default_factory=dict)
+    #: versioned-table pin: the commit version these stats describe
+    version: int | None = None
+
+    def null_count(self, col: str) -> int:
+        return self.n_rows - self.columns[col].n_nonnull
+
+    def row_width_bytes(self, schema: T.StructType | None = None) -> float:
+        """Estimated bytes per row from column stats (strings use their
+        measured avg length; other types fixed widths via `schema` when
+        given, else the default)."""
+        width = 0.0
+        by_name = {f.name: f.dataType for f in schema.fields} if schema else {}
+        for c in self.columns.values():
+            if c.avg_len is not None:
+                width += _STRING_OVERHEAD + c.avg_len
+            else:
+                width += _WIDTHS.get(type(by_name.get(c.name)), _DEFAULT_WIDTH)
+        return width or _DEFAULT_WIDTH
+
+    def size_bytes(self, schema: T.StructType | None = None) -> float:
+        return self.n_rows * self.row_width_bytes(schema)
+
+
+def _jsonable(v):
+    if isinstance(v, (_dt.datetime, _dt.date)):
+        return v.isoformat()
+    if isinstance(v, _dt.timedelta):
+        return v.total_seconds()
+    return v
+
+
+def analyze_table(
+    df: DataFrame, columns: list[str] | None = None, exact: bool = False
+) -> TableStats:
+    """Compute table + column stats in ONE aggregation pass.
+
+    ``exact=False`` (default) uses HyperLogLog++ NDV (rsd 5%) — single
+    pass, mergeable, the right default at scale. ``exact=True`` uses
+    COUNT(DISTINCT) per column; Catalyst compiles multiple distincts into
+    one Expand-based pass — still one job, ~|cols|× wider shuffle."""
+    cols = columns or df.columns
+    types = {f.name: f.dataType for f in df.schema.fields}
+    aggs: list[Column] = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs.append(F.count(F.col(c)).alias(f"nn__{c}"))
+        if exact:
+            aggs.append(F.count_distinct(F.col(c)).alias(f"ndv__{c}"))
+        else:
+            aggs.append(F.approx_count_distinct(c, rsd=0.05).alias(f"ndv__{c}"))
+        # min/max are not defined for every type (maps, structs...)
+        if _orderable(types[c]):
+            aggs.append(F.min(c).alias(f"min__{c}"))
+            aggs.append(F.max(c).alias(f"max__{c}"))
+        if isinstance(types[c], T.StringType):
+            aggs.append(F.avg(F.length(c)).alias(f"len__{c}"))
+    rd = df.agg(*aggs).first().asDict()
+    out: dict[str, ColumnStats] = {}
+    for c in cols:
+        out[c] = ColumnStats(
+            name=c,
+            n_nonnull=rd[f"nn__{c}"],
+            ndv=int(rd[f"ndv__{c}"]),
+            min=_jsonable(rd.get(f"min__{c}")),
+            max=_jsonable(rd.get(f"max__{c}")),
+            avg_len=(
+                float(rd[f"len__{c}"])
+                if rd.get(f"len__{c}") is not None
+                else None
+            ),
+        )
+    return TableStats(n_rows=rd["__n"], columns=out)
+
+
+def stats_df(df: DataFrame, columns: list[str], exact: bool = False) -> DataFrame:
+    """The ANALYZE pass as a DataFrame (one row per column) instead of
+    driver-side state — same single aggregation, unpivoted via stack so
+    the result is joinable/persistable like any other table. min/max are
+    rendered as strings for a uniform schema (Spark's cast semantics)."""
+    aggs: list[Column] = [F.count(F.lit(1)).alias("__n")]
+    for c in columns:
+        aggs.append(F.count(F.col(c)).alias(f"nn__{c}"))
+        ndv = (
+            F.count_distinct(F.col(c))
+            if exact
+            else F.approx_count_distinct(c, rsd=0.05)
+        )
+        aggs.append(ndv.alias(f"ndv__{c}"))
+        aggs.append(F.min(c).cast("string").alias(f"min__{c}"))
+        aggs.append(F.max(c).cast("string").alias(f"max__{c}"))
+    one = df.agg(*aggs)
+    stack_args = []
+    for c in columns:
+        stack_args += [
+            F.lit(c),
+            F.col(f"nn__{c}"),
+            F.col(f"ndv__{c}"),
+            F.col(f"min__{c}"),
+            F.col(f"max__{c}"),
+        ]
+    return one.select(
+        F.col("__n").alias("n_rows"),
+        F.stack(
+            F.lit(len(columns)), *stack_args
+        ).alias("col_name", "n_nonnull", "ndv", "min_val", "max_val"),
+    ).select("col_name", "n_rows", "n_nonnull", "ndv", "min_val", "max_val")
+
+
+def _orderable(dt: T.DataType) -> bool:
+    return not isinstance(dt, (T.MapType, T.ArrayType, T.StructType, T.BinaryType))
+
+
+def write_stats(
+    spark: SparkSession, path: str, stats: TableStats, version: int | None = None
+) -> None:
+    doc = {
+        "n_rows": stats.n_rows,
+        "version": version,
+        "columns": {
+            c.name: {
+                "n_nonnull": c.n_nonnull,
+                "ndv": c.ndv,
+                "min": c.min,
+                "max": c.max,
+                "avg_len": c.avg_len,
+            }
+            for c in stats.columns.values()
+        },
+    }
+    write_text_sidecar(spark, os.path.join(path, _STATS_FILE), json.dumps(doc))
+
+
+def read_stats(spark: SparkSession, path: str) -> TableStats:
+    doc = json.loads(read_text_sidecar(spark, os.path.join(path, _STATS_FILE)))
+    return TableStats(
+        n_rows=doc["n_rows"],
+        version=doc.get("version"),
+        columns={
+            name: ColumnStats(name=name, **c)
+            for name, c in doc["columns"].items()
+        },
+    )
+
+
+def analyze_versioned_table(
+    spark: SparkSession, path: str, columns: list[str] | None = None,
+    exact: bool = False,
+) -> TableStats:
+    """ANALYZE a `plans/timetravel.py` table at its current version and
+    pin the sidecar to that version — `stats_stale` then answers "did
+    any commit land since?" without touching data."""
+    from vptstools_spark.plans.timetravel import _resolve_version, read_version
+
+    v = _resolve_version(spark, path, None)
+    stats = analyze_table(read_version(spark, path, v), columns, exact)
+    write_stats(spark, path, stats, version=v)
+    return TableStats(n_rows=stats.n_rows, columns=stats.columns, version=v)
+
+
+def stats_stale(spark: SparkSession, path: str) -> bool:
+    from vptstools_spark.plans.timetravel import _resolve_version
+
+    try:
+        stats = read_stats(spark, path)
+    except Exception:
+        return True  # no stats yet
+    return _resolve_version(spark, path, None) != stats.version
+
+
+# ---------------------------------------------------------------- estimates
+
+
+def estimate_equi_join(
+    left: TableStats, right: TableStats, keys: list[str]
+) -> float:
+    """System-R equi-join cardinality: |L|·|R| / Π_k max(ndv_L(k), ndv_R(k)),
+    independence assumed across keys, denominator floored at 1."""
+    denom = 1.0
+    for k in keys:
+        denom *= max(left.columns[k].ndv, right.columns[k].ndv, 1)
+    return left.n_rows * right.n_rows / denom
+
+
+def estimate_filter_selectivity(
+    stats: TableStats, col: str, op: str, value
+) -> float:
+    """Classic uniformity selectivities: '=' → 1/ndv; '<'/'<='/'>'/'>='
+    → linear interpolation over [min, max] (numeric only; non-numeric or
+    missing bounds fall back to 1/3, Selinger's default). Clamped to
+    [0, 1]."""
+    c = stats.columns[col]
+    if op == "=":
+        return 1.0 / max(c.ndv, 1)
+    lo, hi = c.min, c.max
+    if not isinstance(lo, (int, float)) or not isinstance(hi, (int, float)) or hi <= lo:
+        return 1.0 / 3.0
+    frac = (float(value) - lo) / (hi - lo)
+    frac = min(max(frac, 0.0), 1.0)
+    if op in ("<", "<="):
+        return frac
+    if op in (">", ">="):
+        return 1.0 - frac
+    raise ValueError(f"unsupported op {op!r}")
+
+
+def scaled(stats: TableStats, selectivity: float) -> TableStats:
+    """Stats after an estimated-selectivity filter: row count scales;
+    NDVs scale but never above the new row count (distinct-value
+    containment assumption)."""
+    n = max(int(stats.n_rows * selectivity), 0)
+    return TableStats(
+        n_rows=n,
+        version=stats.version,
+        columns={
+            name: ColumnStats(
+                name=name,
+                n_nonnull=min(c.n_nonnull, n),
+                ndv=max(min(c.ndv, n), 1 if n else 0),
+                min=c.min,
+                max=c.max,
+                avg_len=c.avg_len,
+            )
+            for name, c in stats.columns.items()
+        },
+    )
+
+
+# ----------------------------------------------------------------- planning
+
+
+def choose_join_strategy(
+    left: TableStats,
+    right: TableStats,
+    left_schema: T.StructType | None = None,
+    right_schema: T.StructType | None = None,
+    broadcast_bytes: float = 32 * 1024 * 1024,
+    hash_build_bytes: float = 512 * 1024 * 1024,
+) -> dict:
+    """Strategy from ESTIMATED sizes: smaller side under the broadcast
+    threshold → broadcast it; smaller side's per-partition build under
+    the hash budget → shuffle_hash; else sort-merge. Returns a decision
+    record (strategy, side, both size estimates) — callers log it."""
+    lb = left.size_bytes(left_schema)
+    rb = right.size_bytes(right_schema)
+    small_side, small = ("right", rb) if rb <= lb else ("left", lb)
+    if small <= broadcast_bytes:
+        strategy = "broadcast"
+    elif small <= hash_build_bytes:
+        strategy = "shuffle_hash"
+    else:
+        strategy = "merge"
+    return {
+        "strategy": strategy,
+        "side": small_side,
+        "left_bytes_est": lb,
+        "right_bytes_est": rb,
+    }
+
+
+def stats_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_stats: TableStats,
+    right_stats: TableStats,
+    how: str = "inner",
+    **thresholds,
+) -> tuple[DataFrame, dict]:
+    """Join with the strategy `choose_join_strategy` picks, applied via
+    plans/hints.py. The hint goes on the chosen SMALL side (broadcast /
+    hash-build side); rows_est carries the System-R output estimate."""
+    decision = choose_join_strategy(
+        left_stats, right_stats, left.schema, right.schema, **thresholds
+    )
+    decision["rows_est"] = estimate_equi_join(left_stats, right_stats, on)
+    if decision["side"] == "right" or how != "inner":
+        # hint lands on the right argument; for outer joins sides are not
+        # interchangeable, so a left-side pick degrades to hinting right
+        # (merge/shuffle_hash are side-symmetric; a left-side broadcast
+        # pick under an outer join is recorded but not forced)
+        strategy = decision["strategy"]
+        if decision["side"] == "left" and how != "inner" and strategy == "broadcast":
+            decision["applied"] = "none (outer join, left-side broadcast pick)"
+            strategy = None
+        df = hinted_join(left, right, on=on, how=how, strategy=strategy)
+    else:
+        # hinted_join hints its RIGHT argument; flip so the hint lands on
+        # the small side, then restore column order
+        df = hinted_join(right, left, on=on, how=how, strategy=decision["strategy"])
+        df = df.select(
+            *on,
+            *[c for c in left.columns if c not in on],
+            *[c for c in right.columns if c not in on],
+        )
+    return df, decision
