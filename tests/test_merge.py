@@ -125,3 +125,31 @@ def test_merge_large_worklist_end_to_end(spark, tmp_path):
     got = {(r.k, str(r.p)): r.v for r in spark.read.parquet(path).collect()}
     assert len(got) == 600
     assert got[(5, "5")] == 9.0 and got[(305, "5")] == 1.0
+
+
+def test_anti_scope_is_exact_complement(spark):
+    """scope + anti_scope partition any frame: disjoint, union = all — in
+    BOTH regimes (literal filter and broadcast anti-join), including NULL
+    partition values."""
+    from pyspark.sql import functions as F
+
+    from vptstools_spark.operators.merge import (
+        MAX_LITERAL_PARTITION_FILTER,
+        anti_scope_to_partitions,
+        scope_to_partitions,
+    )
+
+    df = spark.range(500).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 10 == 0, F.lit(None))
+        .otherwise((F.col("id") % 200).cast("string"))
+        .alias("p"),
+    )
+    for touched in (
+        [("5",), ("17",), (None,)],  # literal regime, with NULL
+        [(str(i),) for i in range(MAX_LITERAL_PARTITION_FILTER + 10)],
+    ):
+        inside = scope_to_partitions(df, ["p"], touched)
+        outside = anti_scope_to_partitions(df, ["p"], touched)
+        assert inside.count() + outside.count() == 500
+        assert inside.join(outside, ["k"], "inner").count() == 0

@@ -157,3 +157,109 @@ def test_stats_join_left_side_small_flips_hint(spark):
         assert df.count() == 50_000
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+# ------------------------------------------------ incremental maintenance
+
+
+def _tt(spark, tmp_path, name="tt"):
+    from vptstools_spark.plans.timetravel import commit_initial
+
+    path = str(tmp_path / name)
+    base = spark.createDataFrame(
+        [(i, i % 5, f"w{i % 13}", float(i)) for i in range(200)],
+        "k long, day int, w string, v double",
+    )
+    commit_initial(base, path, ["day"])
+    return path
+
+
+def _cmp(inc, full, cols):
+    assert inc.n_rows == full.n_rows
+    for c in cols:
+        ic, fc = inc.columns[c], full.columns[c]
+        assert ic.n_nonnull == fc.n_nonnull, c
+        assert ic.ndv == fc.ndv, c
+        assert str(ic.min) == str(fc.min) and str(ic.max) == str(fc.max), c
+        if fc.avg_len is not None:
+            assert ic.avg_len == pytest.approx(fc.avg_len), c
+
+
+def test_incremental_analyze_appends_match_full(spark, tmp_path):
+    """Append-only history: the CDF-maintained stats are IDENTICAL to a
+    full re-analyze — counts/sums signed-exact, NDV via sketch union
+    (HLL of a multiset == union of its parts' HLLs, deterministically)."""
+    from vptstools_spark.plans.stats import (
+        analyze_table_sketched,
+        incremental_analyze,
+    )
+    from vptstools_spark.plans.timetravel import commit_append, read_version
+
+    path = _tt(spark, tmp_path)
+    s0 = incremental_analyze(spark, path)  # first call: full pass
+    assert s0.version == 0 and s0.n_rows == 200
+    delta = spark.createDataFrame(
+        [(i, i % 5, f"w{i % 31}", float(i)) for i in range(200, 350)],
+        "k long, day int, w string, v double",
+    )
+    commit_append(spark, path, delta)
+    inc = incremental_analyze(spark, path)
+    assert inc.version == 1 and inc.n_rows == 350
+    full, _ = analyze_table_sketched(read_version(spark, path))
+    _cmp(inc, full, ["k", "day", "w", "v"])
+
+
+def test_incremental_analyze_deletes_signed_counts_bounded_ndv(
+    spark, tmp_path
+):
+    """MOR deletes: row/non-null counts and length sums subtract exactly;
+    NDV and min/max become valid BOUNDS (can't shrink a sketch)."""
+    from vptstools_spark.plans.stats import incremental_analyze
+    from vptstools_spark.plans.timetravel import delete_where
+
+    path = _tt(spark, tmp_path, "ttd")
+    incremental_analyze(spark, path)
+    delete_where(spark, path, "k >= 150")
+    inc = incremental_analyze(spark, path)
+    assert inc.n_rows == 150
+    assert inc.columns["k"].n_nonnull == 150
+    # bounds: still valid (cover the data), possibly loose
+    assert float(inc.columns["k"].min) <= 0
+    assert float(inc.columns["k"].max) >= 149
+    assert inc.columns["k"].ndv >= 140  # upper-bound NDV clamped to rows? no:
+    # 200-value sketch clamped to min(ndv, n_nonnull)=150
+    assert inc.columns["k"].ndv <= 150
+    # avg_len stays exact under deletes (signed length sums)
+    got = inc.columns["w"].avg_len
+    want = sum(len(f"w{i % 13}") for i in range(150)) / 150
+    assert got == pytest.approx(want)
+
+
+def test_incremental_analyze_cow_falls_back_to_full(spark, tmp_path):
+    """A copy-on-write upsert in the gap makes the CDF O(snapshot), so the
+    maintainer re-analyzes fully — and the result is exact again."""
+    from vptstools_spark.plans.stats import (
+        analyze_table_sketched,
+        incremental_analyze,
+    )
+    from vptstools_spark.plans.timetravel import commit_upsert, read_version
+
+    path = _tt(spark, tmp_path, "ttc")
+    incremental_analyze(spark, path)
+    delta = spark.createDataFrame(
+        [(1, 0, "zz", 99.0)], "k long, day int, w string, v double"
+    )
+    commit_upsert(spark, path, delta, keys=["k"])
+    inc = incremental_analyze(spark, path)
+    full, _ = analyze_table_sketched(read_version(spark, path))
+    _cmp(inc, full, ["k", "day", "w", "v"])
+    assert inc.version == 1
+
+
+def test_incremental_analyze_fresh_is_noop(spark, tmp_path):
+    from vptstools_spark.plans.stats import incremental_analyze
+
+    path = _tt(spark, tmp_path, "ttn")
+    s1 = incremental_analyze(spark, path)
+    s2 = incremental_analyze(spark, path)  # same version: sidecar read only
+    assert s2.version == s1.version and s2.n_rows == s1.n_rows

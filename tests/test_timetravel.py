@@ -934,3 +934,105 @@ def test_cdf_driven_mv_refresh_at_delta_cost(spark, tmp_path):
     got = sorted((r["day"], r["s"], r["n"]) for r in got_df.collect())
     want = sorted((r["day"], r["s"], r["n"]) for r in want_df.collect())
     assert got == want
+
+
+# ------------------------------------------------------ partition evolution
+
+
+def test_evolve_partitioning_metadata_only_then_append(spark, tmp_path):
+    """Evolving the spec rewrites nothing (same file list); later appends
+    write under the NEW spec and reads merge both layouts — the column
+    comes from data in pre-evolution files and from the hive path after."""
+    from vptstools_spark.plans.timetravel import (
+        _read_commit,
+        commit_append,
+        evolve_partitioning,
+    )
+
+    path = str(tmp_path / "pe1")
+    commit_initial(_df(spark, [(1, 0, 1.0), (2, 1, 2.0)]), path, [])
+    v1 = evolve_partitioning(spark, path, ["day"])
+    assert v1 == 1
+    assert _read_commit(spark, path, 1)["files"] == _read_commit(spark, path, 0)["files"]
+    assert _read_commit(spark, path, 1)["partition_cols"] == ["day"]
+    # idempotent no-op: same spec -> no new commit
+    assert evolve_partitioning(spark, path, ["day"]) == 1
+    assert _rows(read_version(spark, path)) == [(1, 0, 1.0), (2, 1, 2.0)]
+
+    v2 = commit_append(spark, path, _df(spark, [(3, 1, 3.0)]))
+    new_files = set(_read_commit(spark, path, v2)["files"]) - set(
+        _read_commit(spark, path, v1)["files"]
+    )
+    assert new_files and all("day=1" in f for f in new_files)
+    assert _rows(read_version(spark, path)) == [
+        (1, 0, 1.0), (2, 1, 2.0), (3, 1, 3.0),
+    ]
+    # pre-evolution version still pinnable
+    assert _rows(read_version(spark, path, 0)) == [(1, 0, 1.0), (2, 1, 2.0)]
+
+
+def test_evolve_then_cow_upsert_migrates_legacy_files(spark, tmp_path):
+    """A COW upsert after evolution must DROP pre-evolution files (their
+    partition values are undecidable from the path) and rewrite all their
+    rows under the new spec — carrying one would duplicate its touched-
+    partition rows; skipping its untouched rows would lose data."""
+    from vptstools_spark.plans.timetravel import (
+        _read_commit,
+        evolve_partitioning,
+    )
+
+    path = str(tmp_path / "pe2")
+    commit_initial(
+        _df(spark, [(1, 0, 1.0), (2, 1, 2.0), (3, 2, 3.0)]), path, []
+    )
+    evolve_partitioning(spark, path, ["day"])
+    v2 = commit_upsert(
+        spark, path, _df(spark, [(1, 0, 9.0), (4, 0, 4.0)]), keys=["k"]
+    )
+    # exact rows: touched day=0 replaced, untouched days 1/2 intact, no dups
+    assert _rows(read_version(spark, path, v2)) == [
+        (1, 0, 9.0), (2, 1, 2.0), (3, 2, 3.0), (4, 0, 4.0),
+    ]
+    # the legacy (v0, unpartitioned) files are gone from the commit
+    legacy = set(_read_commit(spark, path, 0)["files"])
+    assert not legacy & set(_read_commit(spark, path, v2)["files"])
+    # and the migrated rows landed under the new spec
+    assert all("day=" in f for f in _read_commit(spark, path, v2)["files"])
+    # next upsert behaves like a normal partition-scoped COW: untouched
+    # partitions' files are carried
+    v3 = commit_upsert(spark, path, _df(spark, [(2, 1, 7.0)]), keys=["k"])
+    carried = set(_read_commit(spark, path, v2)["files"]) & set(
+        _read_commit(spark, path, v3)["files"]
+    )
+    assert carried and all("day=1" not in f for f in carried)
+    assert _rows(read_version(spark, path, v3)) == [
+        (1, 0, 9.0), (2, 1, 7.0), (3, 2, 3.0), (4, 0, 4.0),
+    ]
+
+
+def test_evolve_repartition_and_unpartition(spark, tmp_path):
+    """day -> k re-partitioning, then -> [] unpartitioned: reads stay
+    correct across all three layout generations."""
+    from vptstools_spark.plans.timetravel import evolve_partitioning
+
+    path = str(tmp_path / "pe3")
+    commit_initial(_df(spark, [(1, 0, 1.0), (2, 1, 2.0)]), path, ["day"])
+    evolve_partitioning(spark, path, ["k"])
+    commit_upsert(spark, path, _df(spark, [(3, 1, 3.0)]), keys=["k"])
+    assert _rows(read_version(spark, path)) == [
+        (1, 0, 1.0), (2, 1, 2.0), (3, 1, 3.0),
+    ]
+    evolve_partitioning(spark, path, [])
+    commit_upsert(spark, path, _df(spark, [(1, 0, 8.0)]), keys=["k"])
+    assert _rows(read_version(spark, path)) == [
+        (1, 0, 8.0), (2, 1, 2.0), (3, 1, 3.0),
+    ]
+
+
+def test_evolve_rejects_unknown_column(spark, tmp_path):
+    from vptstools_spark.plans.timetravel import evolve_partitioning
+
+    path = str(tmp_path / "pe4")
+    commit_initial(_df(spark, [(1, 0, 1.0)]), path, [])
+    with pytest.raises(ValueError, match="non-existent"):
+        evolve_partitioning(spark, path, ["nope"])

@@ -49,6 +49,8 @@ _MODULES = [
 #: (round-3 advice: bpe_encode/ann_filtered landed outside the sample).
 NEW_THIS_ROUND = [
     # round 5
+    "pe_evolved_scan",
+    "stats_incremental_orders",
     "jv_orders_refresh",
     "table_stats_orders",
     "wap_audit_publish",

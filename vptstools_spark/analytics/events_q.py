@@ -275,6 +275,55 @@ def q_tt_version_diff(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_pe_evolved_scan(spark: SparkSession, sf: str) -> DataFrame:
+    """Partition-spec evolution under the value gate
+    (`plans/timetravel.py:evolve_partitioning`): orders commit
+    UNPARTITIONED as v0, the spec evolves to `part` (metadata-only — no
+    rewrite), then a COW upsert bumps every 83rd key's price — which must
+    MIGRATE the pre-evolution files (their partition values are
+    undecidable from the path: carrying one would duplicate its touched
+    rows, skipping its untouched rows would lose data). The final scan
+    spans both layout generations (part from the hive path in new files,
+    from the data column in old ones). The oracle recomputes the final
+    state analytically from the raw table, so a value match proves the
+    evolution + migration lost and duplicated nothing."""
+    import tempfile
+
+    from vptstools_spark.plans.timetravel import (
+        commit_initial,
+        commit_upsert,
+        evolve_partitioning,
+        read_version,
+    )
+
+    key = ("pe_orders", sf)
+    if key not in _TT_CACHE:
+        o = table(spark, sf, "orders").select(
+            "o_orderkey",
+            "o_orderstatus",
+            "o_totalprice",
+            (F.col("o_orderkey") % 6).cast("int").alias("part"),
+        )
+        path = tempfile.mkdtemp(prefix="pe_orders_")
+        commit_initial(o, path, [])
+        evolve_partitioning(spark, path, ["part"])
+        delta = o.filter(F.col("o_orderkey") % 83 == 0).withColumn(
+            "o_totalprice", F.col("o_totalprice") + F.lit(5.0)
+        )
+        commit_upsert(spark, path, delta, keys=["o_orderkey"])
+        _TT_CACHE[key] = path
+    t = read_version(spark, _TT_CACHE[key])
+    return (
+        t.groupBy("part")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum("o_orderkey").cast("long").alias("key_sum"),
+            F.round(F.sum("o_totalprice"), 2).alias("price_sum"),
+        )
+        .orderBy("part")
+    )
+
+
 def q_jv_orders_refresh(spark: SparkSession, sf: str) -> DataFrame:
     """Incrementally-maintained join view under the value gate
     (`plans/joinview.py`): orders ⋈ customer persisted at an initial
@@ -882,6 +931,7 @@ QUERIES = {
     "snapshot_diff": q_snapshot_diff,
     "sync_segments": q_sync_segments,
     "tt_version_diff": q_tt_version_diff,
+    "pe_evolved_scan": q_pe_evolved_scan,
     "wap_audit_publish": q_wap_audit_publish,
     "dv_delete_read": q_dv_delete_read,
     "cdf_order_changes": q_cdf_order_changes,
@@ -1016,6 +1066,18 @@ ORACLES = {
                CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
                2 AS n_versions
         FROM final GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    "pe_evolved_scan": """
+        WITH final AS (
+            SELECT CAST(o_orderkey % 6 AS INTEGER) AS part, o_orderkey,
+                   CASE WHEN o_orderkey % 83 = 0 THEN o_totalprice + 5.0
+                        ELSE o_totalprice END AS p
+            FROM orders
+        )
+        SELECT part, COUNT(*) AS n_orders,
+               CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+               ROUND(SUM(p), 2) AS price_sum
+        FROM final GROUP BY part ORDER BY part
     """,
     "tt_version_diff": """
         WITH j AS (

@@ -546,8 +546,62 @@ def q_table_stats_orders(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("col_name")
 
 
+#: session-scoped memo (pure function of the sf dir)
+_STATS_TT_CACHE: dict = {}
+
+
+def q_stats_incremental_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """CDF-maintained ANALYZE under the value gate
+    (`plans/stats.py:incremental_analyze`): stats over a versioned orders
+    table are advanced across an APPEND (the missing third of the keys)
+    and a merge-on-read DELETE (every key ≡ 7 mod 500) purely from the
+    change feed — signed row/non-null/length-sum algebra plus HLL sketch
+    union, never a table rescan. The oracle recomputes the FINAL state's
+    exact counts and min/max from the raw table, so a value match proves
+    the incremental maintenance converged to a full re-analyze for every
+    exactly-maintained statistic. (NDV is sketch-estimated and min/max
+    are bounds after deletes in general — this delete stays inside the
+    hull, so bounds remain tight; the sketch-vs-full identity is
+    pytest-proven instead.)"""
+    import tempfile
+
+    from vptstools_spark.plans.stats import incremental_analyze
+    from vptstools_spark.plans.timetravel import (
+        commit_append,
+        commit_initial,
+        delete_where,
+    )
+
+    key = ("stats_inc", sf)
+    if key not in _STATS_TT_CACHE:
+        o = table(spark, sf, "orders").select("o_orderkey", "o_orderstatus")
+        path = tempfile.mkdtemp(prefix="stats_inc_")
+        commit_initial(o.filter(F.col("o_orderkey") % 3 != 0), path, [])
+        incremental_analyze(spark, path)  # first pass: full, sketched
+        commit_append(spark, path, o.filter(F.col("o_orderkey") % 3 == 0))
+        delete_where(spark, path, "o_orderkey % 500 = 7")
+        _STATS_TT_CACHE[key] = path
+    s = incremental_analyze(spark, _STATS_TT_CACHE[key])
+    rows = [
+        (
+            c,
+            s.n_rows,
+            s.columns[c].n_nonnull,
+            str(s.columns[c].min),
+            str(s.columns[c].max),
+        )
+        for c in ("o_orderkey", "o_orderstatus")
+    ]
+    return spark.createDataFrame(
+        rows,
+        "col_name string, n_rows long, n_nonnull long, "
+        "min_val string, max_val string",
+    ).orderBy("col_name")
+
+
 QUERIES = {
     "table_stats_orders": q_table_stats_orders,
+    "stats_incremental_orders": q_stats_incremental_orders,
     "winsorize_price": q_winsorize_price,
     "secure_customer_view": q_secure_customer_view,
     "drift_psi": q_drift_psi,
@@ -571,6 +625,23 @@ QUERIES = {
 }
 
 ORACLES = {
+    "stats_incremental_orders": """
+        WITH final AS (
+            SELECT o_orderkey, o_orderstatus FROM orders
+            WHERE o_orderkey % 500 <> 7
+        )
+        SELECT * FROM (
+            SELECT 'o_orderkey' AS col_name, COUNT(*) AS n_rows,
+                   COUNT(o_orderkey) AS n_nonnull,
+                   CAST(MIN(o_orderkey) AS VARCHAR) AS min_val,
+                   CAST(MAX(o_orderkey) AS VARCHAR) AS max_val
+            FROM final
+            UNION ALL
+            SELECT 'o_orderstatus', COUNT(*), COUNT(o_orderstatus),
+                   MIN(o_orderstatus), MAX(o_orderstatus)
+            FROM final
+        ) ORDER BY col_name
+    """,
     "table_stats_orders": """
         WITH s AS (
             SELECT 'o_orderkey' AS col_name, COUNT(*) AS n_rows,

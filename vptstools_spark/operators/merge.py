@@ -84,6 +84,41 @@ def scope_to_partitions(
     return target.join(F.broadcast(right), cond, "left_semi")
 
 
+def anti_scope_to_partitions(
+    target: DataFrame,
+    partition_cols: list[str],
+    touched: list[tuple],
+) -> DataFrame:
+    """Complement of `scope_to_partitions`: rows OUTSIDE the listed
+    partition tuples. Same two regimes — negated literal OR-of-ANDs for
+    small worklists, broadcast LEFT ANTI join past the threshold."""
+    from functools import reduce
+
+    if len(touched) <= MAX_LITERAL_PARTITION_FILTER:
+        conds = [
+            reduce(
+                Column.__and__,
+                [F.col(c).eqNullSafe(F.lit(v)) for c, v in zip(partition_cols, t)],
+            )
+            for t in touched
+        ]
+        return target.filter(~reduce(Column.__or__, conds))
+    spark = target.sparkSession
+    str_schema = ", ".join(f"`{c}` string" for c in partition_cols)
+    touched_df = spark.createDataFrame(
+        [tuple(None if v is None else str(v) for v in t) for t in touched],
+        str_schema,
+    )
+    for f in target.select(*partition_cols).schema.fields:
+        touched_df = touched_df.withColumn(f.name, F.col(f.name).cast(f.dataType))
+    right = touched_df.select(*partition_cols).distinct()
+    cond = reduce(
+        Column.__and__,
+        [target[c].eqNullSafe(right[c]) for c in partition_cols],
+    )
+    return target.join(F.broadcast(right), cond, "left_anti")
+
+
 #: characters Spark's ExternalCatalogUtils.escapePathName percent-encodes in
 #: partition directory names (plus all ASCII control chars)
 _PATH_ESCAPE = set('"#%\'*/:=?\\{[]^') | {chr(i) for i in range(0x20)} | {chr(0x7F)}

@@ -253,6 +253,272 @@ def stats_stale(spark: SparkSession, path: str) -> bool:
     return _resolve_version(spark, path, None) != stats.version
 
 
+# ----------------------------------------------- incremental maintenance
+
+#: sidecar key for the per-column Datasketches HLL binaries that make NDV
+#: mergeable; sketches are what turn re-ANALYZE from O(table) into
+#: O(changed data)
+_SKETCH_KEY = "ndv_sketches"
+#: Datasketches HLL lgConfigK — 2^12 buckets ≈ 1.6% rse, ~8 KB per column
+_LG_K = 12
+
+
+def _sketch_col(c: str, dt: T.DataType) -> Column:
+    # HllSketchAgg accepts int/long/string/binary; cast everything else to
+    # STRING so full and incremental passes hash identical renderings
+    if isinstance(dt, (T.IntegerType, T.LongType, T.StringType, T.BinaryType)):
+        return F.col(c)
+    return F.col(c).cast("string")
+
+
+def analyze_table_sketched(
+    df: DataFrame, columns: list[str] | None = None
+) -> tuple[TableStats, dict[str, bytes]]:
+    """`analyze_table`, plus the per-column Datasketches HLL binaries the
+    NDV estimates came from — still ONE aggregation pass. Persisting the
+    sketches (write_stats_sketched) is what makes later ANALYZE runs
+    incremental: a delta's sketch UNIONS with the stored one, where a
+    scalar NDV can only be recomputed from scratch."""
+    cols = columns or df.columns
+    types = {f.name: f.dataType for f in df.schema.fields}
+    aggs: list[Column] = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs.append(F.count(F.col(c)).alias(f"nn__{c}"))
+        aggs.append(
+            F.hll_sketch_agg(_sketch_col(c, types[c]), F.lit(_LG_K)).alias(
+                f"hll__{c}"
+            )
+        )
+        if _orderable(types[c]):
+            aggs.append(F.min(c).alias(f"min__{c}"))
+            aggs.append(F.max(c).alias(f"max__{c}"))
+        if isinstance(types[c], T.StringType):
+            aggs.append(F.sum(F.length(c)).alias(f"len__{c}"))
+    rd = (
+        df.agg(*aggs)
+        .select(
+            "*",
+            *[
+                F.hll_sketch_estimate(f"hll__{c}").alias(f"ndv__{c}")
+                for c in cols
+            ],
+        )
+        .first()
+        .asDict()
+    )
+    out: dict[str, ColumnStats] = {}
+    sketches: dict[str, bytes] = {}
+    for c in cols:
+        nn = rd[f"nn__{c}"]
+        sum_len = rd.get(f"len__{c}")
+        out[c] = ColumnStats(
+            name=c,
+            n_nonnull=nn,
+            ndv=int(rd[f"ndv__{c}"]),
+            min=_jsonable(rd.get(f"min__{c}")),
+            max=_jsonable(rd.get(f"max__{c}")),
+            avg_len=(float(sum_len) / nn if sum_len is not None and nn else None),
+        )
+        sketches[c] = bytes(rd[f"hll__{c}"])
+    return TableStats(n_rows=rd["__n"], columns=out), sketches
+
+
+def write_stats_sketched(
+    spark: SparkSession,
+    path: str,
+    stats: TableStats,
+    sketches: dict[str, bytes],
+    version: int | None = None,
+    sum_lens: dict[str, float] | None = None,
+) -> None:
+    """`write_stats` plus the mergeable state: base64 HLL binaries and the
+    exact length SUMS behind each avg_len (sums merge; averages don't)."""
+    import base64
+
+    doc = {
+        "n_rows": stats.n_rows,
+        "version": version,
+        "columns": {
+            c.name: {
+                "n_nonnull": c.n_nonnull,
+                "ndv": c.ndv,
+                "min": c.min,
+                "max": c.max,
+                "avg_len": c.avg_len,
+            }
+            for c in stats.columns.values()
+        },
+        _SKETCH_KEY: {
+            c: base64.b64encode(b).decode("ascii") for c, b in sketches.items()
+        },
+        "sum_lens": sum_lens
+        or {
+            c.name: c.avg_len * c.n_nonnull
+            for c in stats.columns.values()
+            if c.avg_len is not None
+        },
+    }
+    write_text_sidecar(spark, os.path.join(path, _STATS_FILE), json.dumps(doc))
+
+
+def _read_stats_doc(spark: SparkSession, path: str) -> dict:
+    return json.loads(read_text_sidecar(spark, os.path.join(path, _STATS_FILE)))
+
+
+#: commit ops whose change feed is O(changed data) — incremental ANALYZE
+#: only advances across these; a copy-on-write rewrite (upsert/restore)
+#: would make the CDF an O(snapshot) diff, at which point a full
+#: re-analyze is the cheaper AND exact choice
+_MOR_OPS = {"append", "delete", "upsert_mor", "update"}
+_NOOP_OPS = {"set_constraints", "drop_constraints", "evolve_partitioning"}
+
+
+def incremental_analyze(
+    spark: SparkSession, path: str, columns: list[str] | None = None
+) -> TableStats:
+    """Maintain a versioned table's statistics from its CHANGE FEED instead
+    of rescanning the table — the mergeable-sketch ANALYZE:
+
+    - row / non-null counts and string length SUMS are signed: inserts
+      add, deletes subtract, exactly;
+    - NDV: the delta's HLL sketch UNIONS into the stored one (Datasketches
+      HLL via `hll_sketch_agg`/`hll_union`). Inserts keep NDV exact-ish
+      (sketch precision); deletes cannot leave a sketch, so after deletes
+      NDV is an UPPER bound — the safe direction for every consumer here
+      (a high NDV under-estimates join fanout never worse than reality's
+      blowup, and 1/ndv equality selectivity errs selective);
+    - min/max: inserts extend them; deletes cannot shrink them, so they
+      too become (valid) BOUNDS after deletes.
+
+    Cost: one aggregation over `table_changes(stored_version, latest)` —
+    O(changed data). Falls back to a FULL `analyze_table_sketched` pass
+    (and says so via the returned stats being exact again) when there are
+    no stored sketches yet or when a copy-on-write commit (upsert /
+    restore / overwrite) sits in the gap, where the feed itself would be
+    O(snapshot). Either way the sidecar ends pinned to the latest version.
+    Returns the refreshed TableStats."""
+    import base64
+
+    from vptstools_spark.plans.timetravel import (
+        _list_versions,
+        _read_commit,
+        _resolve_version,
+        read_version,
+        table_changes,
+    )
+
+    v_now = _resolve_version(spark, path, None)
+    full_df = read_version(spark, path, v_now)
+    cols = columns or full_df.columns
+
+    def _full() -> TableStats:
+        stats, sketches = analyze_table_sketched(full_df, cols)
+        write_stats_sketched(spark, path, stats, sketches, version=v_now)
+        return TableStats(n_rows=stats.n_rows, columns=stats.columns, version=v_now)
+
+    try:
+        doc = _read_stats_doc(spark, path)
+    except Exception:
+        return _full()
+    v_old = doc.get("version")
+    sk64 = doc.get(_SKETCH_KEY) or {}
+    if v_old is None or not all(c in sk64 and c in doc["columns"] for c in cols):
+        return _full()
+    if v_old == v_now:
+        return read_stats(spark, path)
+    gap_ops = {
+        _read_commit(spark, path, v)["op"]
+        for v in _list_versions(spark, path)
+        if v_old < v <= v_now
+    }
+    if not gap_ops <= (_MOR_OPS | _NOOP_OPS):
+        return _full()
+
+    ch = table_changes(spark, path, v_old, v_now)
+    types = {f.name: f.dataType for f in ch.schema.fields}
+    ins = F.col("_change_type") == "insert"
+    sign = F.when(ins, F.lit(1)).otherwise(F.lit(-1))
+    aggs: list[Column] = [F.coalesce(F.sum(sign), F.lit(0)).alias("__dn")]
+    for c in cols:
+        aggs.append(
+            F.coalesce(
+                F.sum(F.when(F.col(c).isNotNull(), sign)), F.lit(0)
+            ).alias(f"dnn__{c}")
+        )
+        aggs.append(
+            F.hll_sketch_agg(
+                F.when(ins, _sketch_col(c, types[c])), F.lit(_LG_K)
+            ).alias(f"hll__{c}")
+        )
+        if _orderable(types[c]):
+            aggs.append(F.min(F.when(ins, F.col(c))).alias(f"min__{c}"))
+            aggs.append(F.max(F.when(ins, F.col(c))).alias(f"max__{c}"))
+        if isinstance(types[c], T.StringType):
+            aggs.append(
+                F.coalesce(F.sum(sign * F.length(c)), F.lit(0)).alias(
+                    f"dlen__{c}"
+                )
+            )
+    rd = ch.agg(*aggs).first().asDict()
+
+    out: dict[str, ColumnStats] = {}
+    merged_sk: dict[str, bytes] = {}
+    sum_lens: dict[str, float] = {}
+    sketch_df_rows = []
+    for c in cols:
+        old_b = base64.b64decode(sk64[c])
+        new_b = bytes(rd[f"hll__{c}"]) if rd[f"hll__{c}"] is not None else None
+        sketch_df_rows.append((c, old_b, new_b))
+    # union + estimate all columns' sketches in one local 1-row-per-col job
+    est_rows = (
+        spark.createDataFrame(
+            sketch_df_rows, "col string, old binary, new binary"
+        )
+        .select(
+            "col",
+            F.when(
+                F.col("new").isNull(), F.col("old")
+            ).otherwise(F.hll_union("old", "new")).alias("u"),
+        )
+        .select("col", "u", F.hll_sketch_estimate("u").alias("ndv"))
+        .collect()
+    )
+    unioned = {r["col"]: (bytes(r["u"]), int(r["ndv"])) for r in est_rows}
+
+    def _merge_bound(old, delta, fn):
+        if delta is None:
+            return old
+        delta = _jsonable(delta)
+        if old is None:
+            return delta
+        return fn(old, delta)
+
+    for c in cols:
+        oc = doc["columns"][c]
+        nn = oc["n_nonnull"] + rd[f"dnn__{c}"]
+        merged_sk[c], ndv = unioned[c]
+        old_sum = (doc.get("sum_lens") or {}).get(c)
+        avg_len = None
+        if f"dlen__{c}" in rd and old_sum is not None:
+            sum_lens[c] = float(old_sum) + float(rd[f"dlen__{c}"])
+            avg_len = sum_lens[c] / nn if nn else None
+        out[c] = ColumnStats(
+            name=c,
+            n_nonnull=nn,
+            ndv=min(ndv, max(nn, 1)) if nn else ndv,
+            min=_merge_bound(oc["min"], rd.get(f"min__{c}"), min),
+            max=_merge_bound(oc["max"], rd.get(f"max__{c}"), max),
+            avg_len=avg_len,
+        )
+    stats = TableStats(
+        n_rows=doc["n_rows"] + rd["__dn"], columns=out, version=v_now
+    )
+    write_stats_sketched(
+        spark, path, stats, merged_sk, version=v_now, sum_lens=sum_lens
+    )
+    return stats
+
+
 # ---------------------------------------------------------------- estimates
 
 

@@ -336,11 +336,44 @@ def commit_upsert(
             tuple(escape_partition_segment(r["s"][c]) for c in pcols)
             for r in rows
         }
+        # files whose path lacks a segment for SOME current partition
+        # column were written under an earlier partition spec
+        # (evolve_partitioning is metadata-only): their partition values
+        # are not decidable from the path, so they can never be carried —
+        # a COW upsert migrates them to the current spec (Iceberg's
+        # rewrite-on-write rule for pre-evolution files)
+        legacy = {
+            f for f in prev["files"] if None in _partition_of(f, pcols)
+        }
         cur = scope_to_partitions(read_version(spark, path, prev_v), pcols, raw)
+        if legacy:
+            from vptstools_spark.operators.merge import anti_scope_to_partitions
+
+            # touched-partition rows (from ALL files, legacy included) are
+            # already in `cur`; add the legacy files' rows OUTSIDE the
+            # touched partitions so dropping the files loses nothing
+            legacy_rows = _read_snapshot(
+                spark, path, prev_v, file_subset=legacy
+            )
+            ptypes = prev.get("partition_types") or {}
+            for c in pcols:
+                # a now-partitioning column added by schema evolution AFTER
+                # the legacy file was written: those rows are NULL for it
+                if c not in legacy_rows.columns:
+                    legacy_rows = legacy_rows.withColumn(
+                        c, F.lit(None).cast(ptypes.get(c, "string"))
+                    )
+            # legacy files can also predate additive SCHEMA evolution:
+            # allowMissingColumns fills their missing columns with NULL,
+            # matching how read_version reads them in place
+            cur = cur.unionByName(
+                anti_scope_to_partitions(legacy_rows, pcols, raw),
+                allowMissingColumns=True,
+            )
         carried = [
             f
             for f in prev["files"]
-            if _partition_of(f, pcols) not in touched_str
+            if f not in legacy and _partition_of(f, pcols) not in touched_str
         ]
     else:
         cur = read_version(spark, path, prev_v)
@@ -467,7 +500,10 @@ def _read_snapshot(
     elif want_pos and not with_position:
         out = out.drop(_DV_FILE, _DV_POS)
     for c, dt in (commit.get("partition_types") or {}).items():
-        out = out.withColumn(c, F.col(c).cast(dt))
+        # a file_subset of pre-evolution files can lack a partition column
+        # entirely (added by later schema evolution); nothing to cast then
+        if c in out.columns:
+            out = out.withColumn(c, F.col(c).cast(dt))
     return out
 
 
@@ -593,6 +629,69 @@ def commit_overwrite(
         },
     )
     return new_v
+
+
+def evolve_partitioning(
+    spark: SparkSession,
+    path: str,
+    partition_cols: list[str],
+) -> int:
+    """Iceberg-style PARTITION EVOLUTION as a metadata-only commit: change
+    the table's partition spec without rewriting a byte. Every existing
+    file is carried; commits AFTER this one write under the new spec.
+    Returns the new version (the current one if the spec is unchanged).
+
+    Why this is safe without a rewrite: reads assemble each version dir
+    with its own `basePath`, so a column is sourced from the hive path in
+    post-evolution files and from the DATA columns in pre-evolution files
+    (partitionBy drops partition columns from the data and encodes them in
+    the path; files written under a spec that did NOT include the column
+    kept it as data) — `unionByName` aligns the two. The asymmetry that
+    DOES need handling is the copy-on-write carry rule: `commit_upsert`
+    decides "untouched" by parsing `col=value` path segments, which
+    pre-evolution files lack for newly-partitioning columns. Those files
+    are detected as LEGACY (a None in their parsed partition tuple) and
+    migrated — all their rows are rewritten under the current spec and the
+    old file is dropped, never carried (Iceberg's rewrite-on-write rule
+    for pre-evolution files). Merge-on-read commits (`commit_append`,
+    `delete_where`, `commit_upsert_mor`, `update_where`) carry everything
+    by construction and need no rule.
+
+    New partition columns must already exist in the table schema (their
+    types are recorded from it); pass `[]` to make the table unpartitioned
+    for future writes."""
+    prev_v = _resolve_version(spark, path, None)
+    prev = _read_commit(spark, path, prev_v)
+    pcols = list(partition_cols or [])
+    if pcols == prev["partition_cols"]:
+        return prev_v
+    fields = {
+        f.name: f.dataType.simpleString()
+        for f in read_version(spark, path, prev_v).schema.fields
+    }
+    missing = [c for c in pcols if c not in fields]
+    if missing:
+        raise ValueError(
+            f"cannot partition by non-existent columns {missing}; add them "
+            "first via commit_upsert(evolve_schema=True)"
+        )
+    _commit(
+        spark,
+        path,
+        prev_v + 1,
+        prev["files"],
+        pcols,
+        "evolve_partitioning",
+        # keep the PREVIOUS spec's types too: carried files still encode
+        # those columns as hive path segments, whose directory-name
+        # inference (int/string only) needs the recorded cast on read
+        {
+            **(prev.get("partition_types") or {}),
+            **{c: fields[c] for c in pcols},
+        },
+        _carry(prev),
+    )
+    return prev_v + 1
 
 
 def commit_append(
