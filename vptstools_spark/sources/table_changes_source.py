@@ -1,0 +1,382 @@
+"""Streaming CHANGE-DATA-FEED source over versioned tables
+(`plans/timetravel.py`) — the read-side complement of the commit sinks:
+`spark.readStream.format("table_changes").load(table_path)` yields every
+row-level change as (table columns…, _change_type, _commit_version),
+exactly once, resuming from the checkpoint across restarts. This is the
+Delta `readStream` + `readChangeFeed` shape re-expressed with Spark 4's
+Python DataSource API (public: pyspark.sql.datasource).
+
+Design — why this scales:
+
+- The OFFSET is a commit version number ({"version": N}) — O(1)
+  checkpoint state regardless of history length, like the ODIM source's
+  filename watermark (odim_datasource.py).
+- Micro-batch planning reads ONLY the commit JSONs in the version range
+  (KB-scale driver work). Each merge-on-read commit decomposes into
+  per-file tasks: files the commit ADDED become insert tasks; delete
+  vectors it added become delete tasks (data file + the vector files
+  that hit it). Executors read just those parquet files with pyarrow —
+  O(changed data) per trigger, the fact table is never rescanned.
+- COPY-ON-WRITE commits (upsert/restore/overwrite) rewrite partitions
+  without recording which rows changed; deriving their feed needs a
+  distributed snapshot diff, which a source task cannot do. Exactly like
+  Delta's streaming source, the stream FAILS on such a commit unless
+  `.option("skipChangeCommits", "true")` opts into skipping them —
+  an explicit, documented gap rather than a silent wrong answer. Prefer
+  MOR commits (`commit_append`/`delete_where`/`commit_upsert_mor`/
+  `update_where`) on tables that feed streams.
+- `startingVersion` (default 0 = full history incl. the initial
+  snapshot, or "latest" = only future commits) mirrors Delta's option.
+
+Schema is pinned at stream start from the latest commit (recorded column
+order + a data-file footer + the commit's partition types); files written
+before additive schema evolution read NULL for later columns. Mid-stream
+evolution keeps the pinned schema — restart the stream to pick up new
+columns (Delta semantics).
+
+IO goes through pyarrow.fs URIs, so the same source reads local, HDFS or
+s3 paths without the JVM; batch-side consumers keep using
+`plans/timetravel.py:table_changes` (whose reads are JVM parquet scans).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import posixpath
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+from pyspark.sql.types import StructType
+
+_LOG_DIR = "_log"
+_DATA_DIR = "data"
+#: merge-on-read ops whose feed derives from the commit's own artifacts
+_MOR_OPS = {"append", "delete", "upsert_mor", "update", "initial"}
+#: metadata-only ops that change no rows (purge rewrites files but not rows)
+_NOOP_OPS = {
+    "set_constraints",
+    "drop_constraints",
+    "evolve_partitioning",
+    "purge_deletes",
+}
+
+
+def _fs_for(path: str):
+    """(pyarrow FileSystem, fs-local path) for a local path or URI."""
+    import pyarrow.fs as pafs
+
+    if "://" in path:
+        return pafs.FileSystem.from_uri(path)
+    return pafs.LocalFileSystem(), path
+
+
+def _read_json(path: str) -> dict:
+    fs, p = _fs_for(path)
+    with fs.open_input_stream(p) as fh:
+        return json.loads(fh.read().decode("utf-8"))
+
+
+def _list_versions(table_path: str) -> list[int]:
+    import pyarrow.fs as pafs
+
+    fs, p = _fs_for(posixpath.join(table_path, _LOG_DIR))
+    try:
+        infos = fs.get_file_info(pafs.FileSelector(p))
+    except FileNotFoundError:
+        return []
+    out = []
+    for fi in infos:
+        name = os.path.basename(fi.path)
+        if name.endswith(".json"):
+            out.append(int(name[:-5]))
+    return sorted(out)
+
+
+def _read_commit(table_path: str, version: int) -> dict:
+    return _read_json(
+        posixpath.join(table_path, _LOG_DIR, f"{version:08d}.json")
+    )
+
+
+def _partition_values(rel_file: str, pcols: list[str]) -> dict[str, str | None]:
+    """Hive `col=value` path segments of a commit-relative file, unescaped
+    (inverse of merge.escape_partition_segment); missing segment → absent
+    key (pre-evolution file), __HIVE_DEFAULT_PARTITION__ → None."""
+    from urllib.parse import unquote
+
+    vals: dict[str, str | None] = {}
+    for seg in rel_file.split("/"):
+        if "=" in seg:
+            k, _, v = seg.partition("=")
+            if k in pcols:
+                vals[k] = None if v == "__HIVE_DEFAULT_PARTITION__" else unquote(v)
+    return vals
+
+
+class _ChangeTask(InputPartition):
+    """One executor task: either the INSERT rows of some added data files
+    or the DELETE rows one data file lost to new vectors."""
+
+    def __init__(
+        self,
+        kind: str,  # "insert" | "delete"
+        version: int,
+        data_files: list[str],  # commit-relative
+        positions: list[int],  # delete tasks: row indices within the file
+    ):
+        self.kind = kind
+        self.version = version
+        self.data_files = data_files
+        self.positions = positions
+
+
+class TableChangesStreamReader(DataSourceStreamReader):
+    #: added data files packed per insert task (delete tasks are per file)
+    FILES_PER_TASK = 8
+
+    def __init__(self, options: dict, schema_json: str):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError(
+                "table_changes stream requires the table path, "
+                "e.g. .load('/warehouse/orders')"
+            )
+        self.skip_change_commits = (
+            str(options.get("skipChangeCommits", "false")).lower() == "true"
+        )
+        self.starting = str(options.get("startingVersion", "0"))
+        self._schema_json = schema_json  # pinned; executors rebuild from it
+
+    # -------------------------------------------------------------- offsets
+
+    def initialOffset(self) -> dict:
+        if self.starting == "latest":
+            vs = _list_versions(self.path)
+            return {"version": vs[-1] if vs else -1}
+        return {"version": int(self.starting) - 1}
+
+    def latestOffset(self) -> dict:
+        vs = _list_versions(self.path)
+        return {"version": vs[-1] if vs else -1}
+
+    # ------------------------------------------------------------- planning
+
+    def partitions(self, start: dict, end: dict) -> list[_ChangeTask]:
+        tasks: list[_ChangeTask] = []
+        versions = [
+            v
+            for v in _list_versions(self.path)
+            if start["version"] < v <= end["version"]
+        ]
+        for v in versions:
+            commit = _read_commit(self.path, v)
+            op = commit["op"]
+            if op in _NOOP_OPS:
+                continue
+            if op not in _MOR_OPS:
+                if self.skip_change_commits:
+                    continue
+                raise ValueError(
+                    f"version {v} of {self.path} is a copy-on-write "
+                    f"'{op}' commit: its row-level changes are not "
+                    "recorded in commit artifacts. Use merge-on-read "
+                    "commits on streamed tables, or opt into "
+                    ".option('skipChangeCommits', 'true') (Delta "
+                    "semantics: those commits' changes are then NOT "
+                    "emitted)."
+                )
+            prev = (
+                _read_commit(self.path, v - 1)
+                if v > 0
+                else {"files": [], "delete_files": []}
+            )
+            new_files = sorted(set(commit["files"]) - set(prev["files"]))
+            n = self.FILES_PER_TASK
+            for i in range(0, len(new_files), n):
+                tasks.append(
+                    _ChangeTask("insert", v, new_files[i : i + n], [])
+                )
+            new_dvs = sorted(
+                set(commit.get("delete_files") or [])
+                - set(prev.get("delete_files") or [])
+            )
+            if new_dvs:
+                # the commit's new vectors are broadcast-small by the
+                # table contract (timetravel.py delete_where), so the
+                # driver reads them ONCE and plans one delete task per
+                # HIT file with its positions inline — never a task per
+                # prior file, never a per-task vector re-read
+                import pyarrow.parquet as pq
+
+                by_file: dict[str, list[int]] = {}
+                data_root = posixpath.join(self.path, _DATA_DIR)
+                for dv_rel in new_dvs:
+                    fs, p = _fs_for(posixpath.join(data_root, dv_rel))
+                    dv = pq.read_table(p, filesystem=fs)
+                    for f, pos in zip(
+                        dv.column("file").to_pylist(),
+                        dv.column("pos").to_pylist(),
+                    ):
+                        by_file.setdefault(f, []).append(pos)
+                live = set(prev["files"])
+                for f in sorted(by_file):
+                    if f in live:
+                        tasks.append(
+                            _ChangeTask(
+                                "delete", v, [f], sorted(by_file[f])
+                            )
+                        )
+        return tasks
+
+    # ------------------------------------------------------------ execution
+
+    def _target_arrow_schema(self):
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        return to_arrow_schema(StructType.fromJson(json.loads(self._schema_json)))
+
+    def _align(self, table, pvals: dict, version: int, change: str):
+        """Project a raw file table onto the pinned stream schema: hive
+        partition values re-attached as columns, pre-evolution files read
+        NULL for later columns, every column cast to the pinned type."""
+        import pyarrow as pa
+
+        target = self._target_arrow_schema()
+        n = table.num_rows
+        cols = []
+        for f in target:
+            if f.name == "_change_type":
+                cols.append(pa.array([change] * n, type=f.type))
+            elif f.name == "_commit_version":
+                cols.append(pa.array([version] * n, type=f.type))
+            elif f.name in table.column_names:
+                cols.append(table.column(f.name).cast(f.type))
+            elif f.name in pvals:
+                v = pvals[f.name]
+                cols.append(
+                    pa.array([v] * n, type=pa.string()).cast(f.type)
+                )
+            else:
+                cols.append(pa.nulls(n, type=f.type))
+        return pa.table(cols, schema=target)
+
+    def read(self, partition: _ChangeTask):
+        import pyarrow.parquet as pq
+
+        data_root = posixpath.join(self.path, _DATA_DIR)
+        # partition columns = pinned schema names that data files may
+        # encode in their paths (supersets are harmless: _partition_values
+        # only picks up names actually present as segments)
+        pinned = [
+            f["name"] for f in json.loads(self._schema_json)["fields"]
+        ]
+        if partition.kind == "insert":
+            for rel in partition.data_files:
+                fs, p = _fs_for(posixpath.join(data_root, rel))
+                t = pq.read_table(p, filesystem=fs)
+                out = self._align(
+                    t,
+                    _partition_values(rel, pinned),
+                    partition.version,
+                    "insert",
+                )
+                yield from out.to_batches()
+            return
+        # delete: take the planned positions from the one hit file
+        rel = partition.data_files[0]
+        fs, p = _fs_for(posixpath.join(data_root, rel))
+        t = pq.read_table(p, filesystem=fs)
+        taken = t.take(partition.positions)
+        out = self._align(
+            taken, _partition_values(rel, pinned), partition.version, "delete"
+        )
+        yield from out.to_batches()
+
+    def commit(self, end: dict) -> None:
+        # the version offset in the checkpoint is the only state
+        pass
+
+
+class TableChangesDataSource(DataSource):
+    """`spark.dataSource.register(TableChangesDataSource)` then
+    `spark.readStream.format("table_changes").load(table_path)`."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "table_changes"
+
+    @staticmethod
+    def _type_from_ddl(ddl: str):
+        """Partition columns are scalar by construction; parse their
+        recorded simpleString without a SparkSession (the data-source
+        worker that calls schema() has none)."""
+        import re
+
+        from pyspark.sql import types as T
+
+        atoms = {
+            "boolean": T.BooleanType(),
+            "tinyint": T.ByteType(),
+            "smallint": T.ShortType(),
+            "int": T.IntegerType(),
+            "bigint": T.LongType(),
+            "float": T.FloatType(),
+            "double": T.DoubleType(),
+            "string": T.StringType(),
+            "date": T.DateType(),
+            "timestamp": T.TimestampType(),
+            "timestamp_ntz": T.TimestampNTZType(),
+        }
+        if ddl in atoms:
+            return atoms[ddl]
+        m = re.fullmatch(r"decimal\((\d+),\s*(\d+)\)", ddl)
+        if m:
+            return T.DecimalType(int(m.group(1)), int(m.group(2)))
+        raise ValueError(f"unsupported partition column type {ddl!r}")
+
+    def schema(self) -> StructType:
+        from pyspark.sql.pandas.types import from_arrow_type
+        from pyspark.sql.types import LongType, StringType, StructField
+
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("table_changes requires .load(table_path)")
+        versions = _list_versions(path)
+        if not versions:
+            raise ValueError(f"no versioned table at {path}")
+        commit = _read_commit(path, versions[-1])
+        ptypes = commit.get("partition_types") or {}
+        # a data-file footer gives the non-partition column types; the
+        # commit's recorded types give the partition columns (their path
+        # rendering would otherwise read back as strings)
+        import pyarrow.parquet as pq
+
+        fields: dict[str, StructField] = {}
+        for rel in commit["files"]:
+            fs, p = _fs_for(posixpath.join(path, _DATA_DIR, rel))
+            sch = pq.read_schema(p, filesystem=fs)
+            for f in sch:
+                if f.name not in fields:
+                    fields[f.name] = StructField(
+                        f.name, from_arrow_type(f.type), True
+                    )
+            if set(commit.get("columns") or []) <= (
+                set(fields) | set(ptypes)
+            ):
+                break  # footers cover the schema; stop stat-ing files
+        for c, ddl in ptypes.items():
+            fields[c] = StructField(c, self._type_from_ddl(ddl), True)
+        order = commit.get("columns") or sorted(fields)
+        out = [fields[c] for c in order if c in fields]
+        out.append(StructField("_change_type", StringType(), False))
+        out.append(StructField("_commit_version", LongType(), False))
+        return StructType(out)
+
+    def streamReader(self, schema: StructType) -> TableChangesStreamReader:
+        return TableChangesStreamReader(
+            self.options, json.dumps(schema.jsonValue())
+        )
