@@ -2,6 +2,7 @@
 the file count, data survives byte-for-byte, and the refreshed stats and
 bloom indexes serve correct pruned reads afterwards."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from vptstools_spark.plans.maintenance import optimize_table
@@ -105,7 +106,7 @@ def test_optimize_versioned_table_lifecycle(spark, tmp_path):
     # below threshold: metadata peek, no purge, no new version
     n = len(history(spark, path))
     rep = optimize_versioned_table(spark, path, max_dv_rows=100)
-    assert rep == {"dv_rows": 5, "purged": False, "expired": [], "vacuumed": []}
+    assert rep == {"dv_rows": 5, "purged": False, "compacted": None, "expired": [], "vacuumed": []}
     assert len(history(spark, path)) == n
 
     # above threshold: purge commits, values unchanged
@@ -123,3 +124,153 @@ def test_optimize_versioned_table_lifecycle(spark, tmp_path):
     assert sorted(r["k"] for r in read_version(spark, path).collect()) == [
         k for k in range(20) if k % 4
     ]
+
+
+# ----------------------------------------------- versioned-table compaction
+
+
+def test_compact_versioned_table_small_files(spark, tmp_path):
+    """Many small files per partition (the streaming-sink accretion shape)
+    compact to one file per partition in a single commit; rows identical,
+    non-victim files carried, prior versions still pinnable."""
+    from vptstools_spark.plans.maintenance import compact_versioned_table
+    from vptstools_spark.plans.timetravel import (
+        _read_commit,
+        commit_append,
+        commit_initial,
+        read_version,
+    )
+
+    path = str(tmp_path / "ct")
+    df = lambda rows: spark.createDataFrame(rows, "k long, day int, v double")
+    commit_initial(df([(0, 0, 0.0), (100, 9, 1.0)]), path, ["day"])
+    for i in range(1, 5):  # 4 appends -> day=0 accretes 5 files
+        commit_append(spark, path, df([(i, 0, float(i))]))
+    before = read_version(spark, path)
+    rows_before = sorted(tuple(r) for r in before.collect())
+    n_day0 = sum(
+        "day=0" in f for f in _read_commit(spark, path, 4)["files"]
+    )
+    assert n_day0 == 5
+
+    rep = compact_versioned_table(spark, path, min_files=4)
+    assert rep["compacted_partitions"] == 1
+    assert rep["files_after"] < rep["files_before"]
+    commit = _read_commit(spark, path, rep["version"])
+    assert sum("day=0" in f for f in commit["files"]) == 1
+    assert sum("day=9" in f for f in commit["files"]) == 1  # carried
+    assert sorted(
+        tuple(r) for r in read_version(spark, path).collect()
+    ) == rows_before
+    # history intact: version 4 pre-compaction still readable
+    assert read_version(spark, path, 4).count() == len(rows_before)
+    # quiet table: second run is a no-op (no empty commit)
+    rep2 = compact_versioned_table(spark, path, min_files=4)
+    assert rep2["version"] == rep["version"]
+
+
+def test_compact_materializes_deletes_and_skips_big_partitions(
+    spark, tmp_path
+):
+    from vptstools_spark.plans.maintenance import compact_versioned_table
+    from vptstools_spark.plans.timetravel import (
+        _read_commit,
+        commit_append,
+        commit_initial,
+        delete_where,
+        read_version,
+    )
+
+    path = str(tmp_path / "ct2")
+    df = lambda rows: spark.createDataFrame(rows, "k long, day int, v double")
+    commit_initial(df([(0, 0, 0.0)]), path, ["day"])
+    for i in range(1, 6):
+        commit_append(spark, path, df([(i, 0, float(i))]))
+    delete_where(spark, path, "k = 2")
+    want = sorted(
+        tuple(r) for r in read_version(spark, path).collect()
+    )
+    rep = compact_versioned_table(spark, path, min_files=2)
+    got = sorted(tuple(r) for r in read_version(spark, path).collect())
+    assert got == want and not any(k == 2 for (k, _, _) in got)
+    # a partition over the byte bound is left alone
+    rep3 = compact_versioned_table(
+        spark, path, min_files=1, max_partition_bytes=1
+    )
+    assert rep3["compacted_partitions"] == 0
+    assert rep3["version"] == rep["version"]
+
+
+def test_compact_emits_nothing_in_cdf_and_stream(spark, tmp_path):
+    """compact is row-preserving: the batch feed and the streaming source
+    both skip it (no spurious insert/delete storm after maintenance)."""
+    from vptstools_spark.plans.maintenance import compact_versioned_table
+    from vptstools_spark.plans.timetravel import (
+        commit_append,
+        commit_initial,
+        table_changes,
+    )
+    from vptstools_spark.sources.table_changes_source import (
+        TableChangesDataSource,
+    )
+
+    spark.dataSource.register(TableChangesDataSource)
+    path = str(tmp_path / "ct3")
+    df = lambda rows: spark.createDataFrame(rows, "k long, day int, v double")
+    commit_initial(df([(0, 0, 0.0)]), path, ["day"])
+    for i in range(1, 4):
+        commit_append(spark, path, df([(i, 0, float(i))]))
+    rep = compact_versioned_table(spark, path, min_files=2)
+    ch = table_changes(spark, path, -1)
+    assert ch.filter(f"_commit_version = {rep['version']}").count() == 0
+    assert ch.count() == 4  # the four genuine inserts
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = (
+        spark.readStream.format("table_changes")
+        .load(path)
+        .writeStream.format("parquet")
+        .option("checkpointLocation", ckpt)
+        .option("path", out)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.read.parquet(out)
+    assert got.count() == 4
+    assert got.filter(f"_commit_version = {rep['version']}").count() == 0
+
+
+def test_timestamp_as_of_and_age_retention(spark, tmp_path):
+    """Commit timestamps: TIMESTAMP AS OF resolves to the version live at
+    the instant; age-gated expiry refuses to drop young commits."""
+    import time
+
+    from vptstools_spark.plans.timetravel import (
+        commit_append,
+        commit_initial,
+        expire_versions,
+        history_metadata,
+        read_version,
+        version_at_timestamp,
+    )
+
+    path = str(tmp_path / "ts")
+    df = lambda rows: spark.createDataFrame(rows, "k long, day int, v double")
+    commit_initial(df([(1, 0, 1.0)]), path, ["day"])
+    t_after_v0 = time.time()
+    time.sleep(0.05)
+    commit_append(spark, path, df([(2, 0, 2.0)]))
+
+    assert version_at_timestamp(spark, path, t_after_v0) == 0
+    assert version_at_timestamp(spark, path, time.time()) == 1
+    assert read_version(spark, path, timestamp=t_after_v0).count() == 1
+    with pytest.raises(ValueError, match="predates"):
+        version_at_timestamp(spark, path, 1.0)  # 1970: before any commit
+    with pytest.raises(ValueError, match="not both"):
+        read_version(spark, path, version=0, timestamp=t_after_v0)
+    hm = {r["version"]: r["commit_ts"] for r in history_metadata(spark, path).collect()}
+    assert hm[0] > 0 and hm[1] >= hm[0]
+    # both commits are seconds old: a 1-hour grace expires nothing
+    assert expire_versions(spark, path, keep_last=1, min_age_seconds=3600) == []
+    assert expire_versions(spark, path, keep_last=1) == [0]

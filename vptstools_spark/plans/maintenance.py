@@ -126,6 +126,8 @@ def optimize_versioned_table(
     max_dv_rows: int = 1_000_000,
     expire_keep_last: int | None = None,
     vacuum: bool = False,
+    compact_min_files: int | None = None,
+    expire_min_age_seconds: float | None = None,
 ) -> dict:
     """Maintenance pass for a VERSIONED table (`plans/timetravel.py`):
     automates the merge-on-read lifecycle the way the ANN path automates
@@ -134,9 +136,13 @@ def optimize_versioned_table(
     when the live commit's vectors exceed `max_dv_rows` (default 1M ≈
     comfortably broadcastable), `purge_deletes` folds them into the
     dirty files; below it the pass is a metadata peek and no-op.
-    Optionally expire history (`expire_keep_last`) and, as the separate
-    explicitly-destructive step, vacuum unreferenced files. Returns
-    {"dv_rows", "purged", "expired", "vacuumed"}."""
+    `compact_min_files` additionally runs `compact_versioned_table`
+    (small-file bin-packing) at that threshold — purge-then-compact
+    order, so compaction reads vector-free snapshots. Optionally expire
+    history (`expire_keep_last`, age-gated by `expire_min_age_seconds`)
+    and, as the separate explicitly-destructive step, vacuum
+    unreferenced files. Returns {"dv_rows", "purged", "compacted",
+    "expired", "vacuumed"}."""
     import os
 
     from vptstools_spark.plans.timetravel import (
@@ -161,15 +167,127 @@ def optimize_versioned_table(
     if dv_rows > max_dv_rows:
         purge_deletes(spark, path)
         purged = True
+    compacted = None
+    if compact_min_files is not None:
+        compacted = compact_versioned_table(
+            spark, path, min_files=compact_min_files
+        )
     expired: list[int] = []
     if expire_keep_last is not None:
-        expired = expire_versions(spark, path, keep_last=expire_keep_last)
+        expired = expire_versions(
+            spark,
+            path,
+            keep_last=expire_keep_last,
+            min_age_seconds=expire_min_age_seconds,
+        )
     vacuumed: list[str] = []
     if vacuum:
         vacuumed = vacuum_table(spark, path)
     return {
         "dv_rows": dv_rows,
         "purged": purged,
+        "compacted": compacted,
         "expired": expired,
         "vacuumed": vacuumed,
+    }
+
+
+def compact_versioned_table(
+    spark: SparkSession,
+    path: str,
+    min_files: int = 4,
+    max_partition_bytes: int = 1 << 30,
+    zorder_by: list[str] | None = None,
+) -> dict:
+    """Small-file compaction as a COMMIT (the Iceberg rewrite-data-files /
+    Delta OPTIMIZE shape for `plans/timetravel.py` tables) — the remedy
+    for the file-per-micro-batch accretion every streaming commit sink
+    produces. Policy, all decided from `files_metadata` (one filesystem
+    stat per file, no data scan):
+
+    - a partition is a VICTIM when it holds >= `min_files` files and
+      <= `max_partition_bytes` total (a huge partition is many files for
+      a reason — compacting it into one task would serialize the write;
+      leave it to partition-split strategies);
+    - pre-evolution LEGACY files (partition values undecidable from the
+      path after `evolve_partitioning`) are always victims: compaction
+      doubles as spec migration, same rule as the COW upsert;
+    - victims' rows are read with delete vectors APPLIED (deletes
+      materialize for rewritten files, like `purge_deletes`), shuffled to
+      ONE task per partition (`repartition(partition_cols)` — output is
+      one file per compacted partition), optionally z-order-sorted within
+      (`zorder_by` → plans/zorder.py:zvalue), and committed under a new
+      version with every non-victim file CARRIED. Readers keep every
+      prior version; vacuum reclaims the small files when their last
+      referencing commit expires.
+
+    Returns {"version", "compacted_partitions", "files_before",
+    "files_after"} ("version" = current when nothing qualifies — no empty
+    commit)."""
+    from vptstools_spark.plans.timetravel import (
+        _commit,
+        _partition_of,
+        _read_commit,
+        _read_snapshot,
+        _resolve_version,
+        _write_snapshot_files,
+        files_metadata,
+    )
+    from vptstools_spark.plans.zorder import zvalue
+
+    prev_v = _resolve_version(spark, path, None)
+    prev = _read_commit(spark, path, prev_v)
+    pcols = prev["partition_cols"]
+    fm = files_metadata(spark, path, prev_v).collect()
+    by_part: dict[tuple, list] = {}
+    legacy: list[str] = []
+    for r in fm:
+        pt = _partition_of(r["file"], pcols)
+        if pcols and None in pt:
+            legacy.append(r["file"])
+        else:
+            by_part.setdefault(pt, []).append(r)
+    victims: list[str] = list(legacy)
+    n_parts = 0
+    for pt, rows in by_part.items():
+        if len(rows) >= min_files and sum(
+            r["size_bytes"] for r in rows
+        ) <= max_partition_bytes:
+            victims.extend(r["file"] for r in rows)
+            n_parts += 1
+    if not victims:
+        return {
+            "version": prev_v,
+            "compacted_partitions": 0,
+            "files_before": len(prev["files"]),
+            "files_after": len(prev["files"]),
+        }
+    snap = _read_snapshot(spark, path, prev_v, file_subset=set(victims))
+    # one output file per compacted partition; unpartitioned tables
+    # compact to a single file (they qualified under the byte bound)
+    snap = snap.repartition(*pcols) if pcols else snap.repartition(1)
+    if zorder_by:
+        snap = snap.sortWithinPartitions(zvalue(snap, zorder_by))
+    new_v = prev_v + 1
+    rels = _write_snapshot_files(snap, path, new_v, pcols)
+    carried = [f for f in prev["files"] if f not in set(victims)]
+    from vptstools_spark.plans.timetravel import _carry
+
+    _commit(
+        spark,
+        path,
+        new_v,
+        carried + rels,
+        pcols,
+        "compact",
+        prev.get("partition_types"),
+        # vectors that hit rewritten files were materialized; their
+        # entries now match nothing (harmless, purged on purge_deletes)
+        _carry(prev),
+    )
+    return {
+        "version": new_v,
+        "compacted_partitions": n_parts + (1 if legacy else 0),
+        "files_before": len(prev["files"]),
+        "files_after": len(carried) + len(rels),
     }

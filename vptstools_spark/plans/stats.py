@@ -370,7 +370,14 @@ def _read_stats_doc(spark: SparkSession, path: str) -> dict:
 #: would make the CDF an O(snapshot) diff, at which point a full
 #: re-analyze is the cheaper AND exact choice
 _MOR_OPS = {"append", "delete", "upsert_mor", "update"}
-_NOOP_OPS = {"set_constraints", "drop_constraints", "evolve_partitioning"}
+_NOOP_OPS = {
+    "set_constraints",
+    "drop_constraints",
+    "evolve_partitioning",
+    # row-preserving rewrites: files change, rows (and so stats) don't
+    "purge_deletes",
+    "compact",
+}
 
 
 def incremental_analyze(

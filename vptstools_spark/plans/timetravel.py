@@ -168,6 +168,8 @@ def _commit(
     two writers racing to the same version number produce exactly one
     winner (Delta-style optimistic concurrency on filesystems with atomic
     create; see io.create_text_exclusive for the object-store caveat)."""
+    import time
+
     ok = create_text_exclusive(
         spark,
         _log_path(path, version, log_dir),
@@ -175,6 +177,11 @@ def _commit(
             {
                 "version": version,
                 "op": op,
+                # wall-clock commit time (epoch seconds): powers
+                # TIMESTAMP AS OF reads and age-based retention; version
+                # numbers stay the ordering authority (clock skew between
+                # writers can't reorder history)
+                "ts": time.time(),
                 "partition_cols": partition_cols,
                 # declared types beat hive directory-name inference on read
                 # (inference can only guess numeric/date/string — a boolean
@@ -508,14 +515,48 @@ def _read_snapshot(
 
 
 def read_version(
-    spark: SparkSession, path: str, version: int | None = None
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    timestamp: float | None = None,
 ) -> DataFrame:
     """Read a pinned snapshot (default: latest). `basePath` keeps hive
     partition columns parsing even though the file list spans versions;
     position-delete vectors, if the commit carries any, are applied as a
-    broadcast anti-join on (file, row index)."""
+    broadcast anti-join on (file, row index). `timestamp` (epoch seconds)
+    is the TIMESTAMP AS OF form — the snapshot live at that instant."""
+    if timestamp is not None:
+        if version is not None:
+            raise ValueError("pass version OR timestamp, not both")
+        version = version_at_timestamp(spark, path, timestamp)
     v = _resolve_version(spark, path, version)
     return _read_snapshot(spark, path, v)
+
+
+def version_at_timestamp(
+    spark: SparkSession, path: str, timestamp: float
+) -> int:
+    """The version live at `timestamp` (epoch seconds): the LATEST commit
+    whose recorded commit time is <= it (Delta/Iceberg TIMESTAMP AS OF
+    resolution). Errors clearly when the timestamp predates the first
+    surviving commit (older history may have been expired) — never
+    silently serves a later snapshot. Pre-timestamp commits (written
+    before commit times were recorded) are treated as time 0."""
+    best: int | None = None
+    versions = _list_versions(spark, path)
+    if not versions:
+        raise ValueError(f"no table at {path}")
+    for v in versions:
+        c = _read_commit(spark, path, v)
+        if float(c.get("ts") or 0.0) <= timestamp:
+            best = v  # versions ascend; keep the latest qualifying
+    if best is None:
+        raise ValueError(
+            f"timestamp {timestamp} predates the first surviving commit "
+            f"of {path} (earliest version {versions[0]}); earlier history "
+            "may have been expired"
+        )
+    return best
 
 
 def delete_where(
@@ -1162,12 +1203,24 @@ def table_changes(
     scanned as inserts, its new delete vectors are joined (vector side
     broadcast) back to the files they hit to materialize the deleted
     rows. So consuming a CDC stream's history costs O(changed data), not
-    O(table). Copy-on-write commits (upsert/restore) rewrite whole
+    O(table). Copy-on-write commits (upsert/restore/overwrite, and any
+    branch merge whose staged history rewrote files) rewrite whole
     partitions without recording which rows changed, so they fall back
     to a keyless full-row `exceptAll` diff of the two snapshots scoped
     to... the whole table — precise, but O(snapshot); prefer MOR commits
     when the feed matters. `set_constraints`/`drop_constraints`/
-    `purge_deletes` commits change no rows and emit nothing."""
+    `evolve_partitioning`/`purge_deletes`/`compact` commits change no
+    rows and emit nothing.
+
+    Classification is by ARTIFACT DIFF, not op-name allowlist: a commit
+    that only ADDED files/vectors (whatever wrote it — append, MOR
+    delete/upsert/update, an append-only branch merge) takes the
+    O(changed data) path; a commit that removed or replaced any file or
+    dropped any vector (rows may have been rewritten or resurrected)
+    takes the exceptAll fallback — unknown future ops degrade to
+    correct-but-slower, never to silent omission. The explicitly
+    row-preserving rewrites (purge_deletes, compact) are the only
+    removal-shaped ops allowed to emit nothing."""
     to_v = _resolve_version(spark, path, to_version)
     # from_version is an EXCLUSIVE low bound and need not exist: -1 (or
     # anything below the first version) means "from the beginning,
@@ -1194,8 +1247,23 @@ def table_changes(
             else {"files": [], "delete_files": []}
         )
         op = commit["op"]
+        removed_files = set(prev["files"]) - set(commit["files"])
+        removed_dvs = set(prev.get("delete_files") or []) - set(
+            commit.get("delete_files") or []
+        )
         pieces: list[DataFrame] = []
-        if op in ("append", "delete", "upsert_mor", "update"):
+        if op in (
+            "set_constraints",
+            "drop_constraints",
+            "evolve_partitioning",
+            "purge_deletes",
+            "compact",
+        ):
+            pass  # metadata-only or row-preserving rewrite: no row changes
+        elif op != "initial" and not removed_files and not removed_dvs:
+            # additive-only artifacts (append / MOR delete/upsert/update /
+            # append-only branch merge / any future additive op): the feed
+            # IS the commit's own artifacts
             new_files = sorted(set(commit["files"]) - set(prev["files"]))
             if new_files:
                 pieces.append(
@@ -1238,7 +1306,7 @@ def table_changes(
                         "left_semi",
                     )
                     pieces.append(tag(deleted, "delete", v))
-        elif op == "initial" or op.startswith("restore") or op == "upsert":
+        else:
             if op == "initial":
                 pieces.append(tag(_read_snapshot(spark, path, v), "insert", v))
             else:
@@ -1255,7 +1323,6 @@ def table_changes(
                 old_s = old_s.select(*new_s.columns)
                 pieces.append(tag(new_s.exceptAll(old_s), "insert", v))
                 pieces.append(tag(old_s.exceptAll(new_s), "delete", v))
-        # set_constraints / drop_constraints / purge_deletes: no row changes
         for p in pieces:
             if snap_cols is None:
                 snap_cols = p.columns
@@ -1364,7 +1431,12 @@ def restore_version(spark: SparkSession, path: str, version: int) -> int:
     return new_v
 
 
-def expire_versions(spark: SparkSession, path: str, keep_last: int) -> list[int]:
+def expire_versions(
+    spark: SparkSession,
+    path: str,
+    keep_last: int,
+    min_age_seconds: float | None = None,
+) -> list[int]:
     """Explicitly drop the commit entries (NOT the data files) of all but
     the last `keep_last` versions; returns the expired version numbers.
     Physical file deletion is left to a separate vacuum that checks no
@@ -1386,6 +1458,19 @@ def expire_versions(spark: SparkSession, path: str, keep_last: int) -> list[int]
     versions = _list_versions(spark, path)
     tagged = _tagged_versions(spark, path)
     expired = [v for v in versions[:-keep_last] if v not in tagged]
+    if min_age_seconds is not None:
+        # age-based grace: never expire a commit younger than the window,
+        # however many newer versions exist — the operator's guarantee to
+        # sessions still holding recent pinned reads (commit times are
+        # epoch seconds; pre-timestamp commits count as infinitely old)
+        import time
+
+        cutoff = time.time() - min_age_seconds
+        expired = [
+            v
+            for v in expired
+            if float(_read_commit(spark, path, v).get("ts") or 0.0) <= cutoff
+        ]
     jvm = spark.sparkContext._jvm
     hconf = spark.sparkContext._jsc.hadoopConfiguration()
     for v in expired:
@@ -1503,6 +1588,7 @@ def history_metadata(spark: SparkSession, path: str) -> DataFrame:
             (
                 v,
                 c["op"],
+                float(c.get("ts") or 0.0),
                 len(c["files"]),
                 len(c.get("delete_files") or []),
                 len(c.get("constraints") or []),
@@ -1510,6 +1596,6 @@ def history_metadata(spark: SparkSession, path: str) -> DataFrame:
         )
     return spark.createDataFrame(
         rows,
-        "version int, op string, n_files int, n_delete_files int, "
-        "n_constraints int",
+        "version int, op string, commit_ts double, n_files int, "
+        "n_delete_files int, n_constraints int",
     )

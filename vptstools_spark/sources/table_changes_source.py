@@ -54,14 +54,14 @@ from pyspark.sql.types import StructType
 
 _LOG_DIR = "_log"
 _DATA_DIR = "data"
-#: merge-on-read ops whose feed derives from the commit's own artifacts
-_MOR_OPS = {"append", "delete", "upsert_mor", "update", "initial"}
-#: metadata-only ops that change no rows (purge rewrites files but not rows)
+#: ops that change no rows: metadata-only commits plus the explicitly
+#: row-preserving rewrites (purge folds vectors in, compact bin-packs)
 _NOOP_OPS = {
     "set_constraints",
     "drop_constraints",
     "evolve_partitioning",
     "purge_deletes",
+    "compact",
 }
 
 
@@ -177,7 +177,20 @@ class TableChangesStreamReader(DataSourceStreamReader):
             op = commit["op"]
             if op in _NOOP_OPS:
                 continue
-            if op not in _MOR_OPS:
+            prev = (
+                _read_commit(self.path, v - 1)
+                if v > 0
+                else {"files": [], "delete_files": []}
+            )
+            # artifact-diff classification (same rule as the batch
+            # table_changes): a commit that removed/replaced any file or
+            # dropped any vector rewrote or resurrected rows without
+            # recording them — a source task cannot derive that feed
+            if op != "initial" and (
+                set(prev["files"]) - set(commit["files"])
+                or set(prev.get("delete_files") or [])
+                - set(commit.get("delete_files") or [])
+            ):
                 if self.skip_change_commits:
                     continue
                 raise ValueError(
@@ -189,11 +202,6 @@ class TableChangesStreamReader(DataSourceStreamReader):
                     "semantics: those commits' changes are then NOT "
                     "emitted)."
                 )
-            prev = (
-                _read_commit(self.path, v - 1)
-                if v > 0
-                else {"files": [], "delete_files": []}
-            )
             new_files = sorted(set(commit["files"]) - set(prev["files"]))
             n = self.FILES_PER_TASK
             for i in range(0, len(new_files), n):

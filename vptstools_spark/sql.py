@@ -48,7 +48,11 @@ def register_query_views(
 
 
 def register_table_as_of(
-    spark: SparkSession, path: str, name: str, version: int | None = None
+    spark: SparkSession,
+    path: str,
+    name: str,
+    version: int | None = None,
+    timestamp: float | None = None,
 ) -> str:
     """Time travel's session-level face: pin a versioned table (written by
     `plans/timetravel.py`) at `version` (default: latest) as a temp view,
@@ -63,7 +67,11 @@ def register_table_as_of(
     expired-version error."""
     from vptstools_spark.plans.timetravel import read_version
 
-    read_version(spark, path, version).createOrReplaceTempView(name)
+    # `timestamp` (epoch seconds) is the TIMESTAMP AS OF form; mutually
+    # exclusive with `version` (read_version enforces it)
+    read_version(spark, path, version, timestamp=timestamp).createOrReplaceTempView(
+        name
+    )
     return name
 
 
