@@ -49,6 +49,7 @@ _MODULES = [
 #: (round-3 advice: bpe_encode/ann_filtered landed outside the sample).
 NEW_THIS_ROUND = [
     # round 5
+    "join_order_sales",
     "pe_evolved_scan",
     "stats_incremental_orders",
     "jv_orders_refresh",
