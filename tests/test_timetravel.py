@@ -1036,3 +1036,115 @@ def test_evolve_rejects_unknown_column(spark, tmp_path):
     commit_initial(_df(spark, [(1, 0, 1.0)]), path, [])
     with pytest.raises(ValueError, match="non-existent"):
         evolve_partitioning(spark, path, ["nope"])
+
+
+# ------------------------------------------------------------ column rename
+
+
+def test_rename_columns_metadata_only(spark, tmp_path):
+    """Rename rewrites nothing: same file list, reads fold old files'
+    names forward per their schema epoch, pinned pre-rename reads keep
+    the old names, and later writes use the new name."""
+    from vptstools_spark.plans.timetravel import (
+        _read_commit,
+        commit_append,
+        rename_columns,
+    )
+
+    path = str(tmp_path / "rn")
+    commit_initial(_df(spark, [(1, 0, 1.0), (2, 1, 2.0)]), path, ["day"])
+    v1 = rename_columns(spark, path, {"v": "val"})
+    assert v1 == 1
+    assert _read_commit(spark, path, 1)["files"] == _read_commit(spark, path, 0)["files"]
+    assert read_version(spark, path).columns == ["k", "day", "val"]
+    assert read_version(spark, path, 0).columns == ["k", "day", "v"]
+    got = sorted((r["k"], r["val"]) for r in read_version(spark, path).collect())
+    assert got == [(1, 1.0), (2, 2.0)]
+
+    commit_append(
+        spark,
+        path,
+        spark.createDataFrame([(3, 0, 3.0)], "k long, day int, val double"),
+    )
+    assert sorted(
+        (r["k"], r["val"]) for r in read_version(spark, path).collect()
+    ) == [(1, 1.0), (2, 2.0), (3, 3.0)]
+    # chained rename: epoch-0 files fold through both maps
+    rename_columns(spark, path, {"val": "value"})
+    assert sorted(
+        (r["k"], r["value"]) for r in read_version(spark, path).collect()
+    ) == [(1, 1.0), (2, 2.0), (3, 3.0)]
+
+
+def test_rename_then_reuse_freed_name(spark, tmp_path):
+    """After v->val, additive evolution may add a NEW column named v: old
+    files' physical `v` must still read as `val` while the new `v` reads
+    NULL for them — per-file epochs disambiguate what a name means."""
+    from vptstools_spark.plans.timetravel import (
+        commit_upsert,
+        rename_columns,
+    )
+
+    path = str(tmp_path / "rn2")
+    commit_initial(_df(spark, [(1, 0, 1.0), (2, 1, 2.0)]), path, ["day"])
+    rename_columns(spark, path, {"v": "val"})
+    delta = spark.createDataFrame(
+        [(3, 0, 3.0, 30.0)], "k long, day int, val double, v double"
+    )
+    commit_upsert(spark, path, delta, keys=["k"], evolve_schema=True)
+    rows = {
+        r["k"]: (r["val"], r["v"])
+        for r in read_version(spark, path).collect()
+    }
+    assert rows[1] == (1.0, None)  # old physical v -> val; new v NULL
+    assert rows[2] == (2.0, None)
+    assert rows[3] == (3.0, 30.0)
+
+
+def test_rename_rejections(spark, tmp_path):
+    from vptstools_spark.plans.timetravel import (
+        rename_columns,
+        set_constraints,
+    )
+
+    path = str(tmp_path / "rn3")
+    commit_initial(_df(spark, [(1, 0, 1.0)]), path, ["day"])
+    with pytest.raises(ValueError, match="partition"):
+        rename_columns(spark, path, {"day": "d"})
+    with pytest.raises(ValueError, match="non-existent"):
+        rename_columns(spark, path, {"nope": "x"})
+    with pytest.raises(ValueError, match="collides"):
+        rename_columns(spark, path, {"v": "k"})
+    set_constraints(
+        spark, path, [{"name": "v_pos", "kind": "check", "expr": "v >= 0"}]
+    )
+    with pytest.raises(ValueError, match="constraints"):
+        rename_columns(spark, path, {"v": "val"})
+
+
+def test_rename_cdf_and_cow_alignment(spark, tmp_path):
+    """The rename commit emits no feed rows; a COW upsert after a rename
+    diffs under the NEW names."""
+    from vptstools_spark.plans.timetravel import (
+        commit_upsert,
+        rename_columns,
+        table_changes,
+    )
+
+    path = str(tmp_path / "rn4")
+    commit_initial(_df(spark, [(1, 0, 1.0), (2, 1, 2.0)]), path, ["day"])
+    v1 = rename_columns(spark, path, {"v": "val"})
+    commit_upsert(
+        spark,
+        path,
+        spark.createDataFrame([(1, 0, 9.0)], "k long, day int, val double"),
+        keys=["k"],
+    )
+    ch = table_changes(spark, path, -1)
+    assert "val" in ch.columns and "v" not in ch.columns
+    assert ch.filter(f"_commit_version = {v1}").count() == 0
+    v2 = [
+        (r["k"], r["val"], r["_change_type"])
+        for r in ch.filter("_commit_version = 2").collect()
+    ]
+    assert sorted(v2) == [(1, 1.0, "delete"), (1, 9.0, "insert")]

@@ -324,6 +324,55 @@ def q_pe_evolved_scan(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_tt_rename_scan(spark: SparkSession, sf: str) -> DataFrame:
+    """Column RENAME under the value gate
+    (`plans/timetravel.py:rename_columns`): orders commit as v0, the
+    `o_totalprice` column renames to `price` (metadata-only — per-file
+    schema epochs, no rewrite), then an append lands under the NEW name —
+    so the final scan mixes files whose footers disagree on the column's
+    physical name and the epoch fold must reconcile them. The oracle
+    recomputes the final state from the raw table; a value match proves
+    no row read the wrong column (or NULL) across the rename boundary."""
+    import tempfile
+
+    from vptstools_spark.plans.timetravel import (
+        commit_append,
+        commit_initial,
+        read_version,
+        rename_columns,
+    )
+
+    key = ("tt_rename", sf)
+    if key not in _TT_CACHE:
+        o = table(spark, sf, "orders").select(
+            "o_orderkey",
+            "o_orderstatus",
+            "o_totalprice",
+            (F.col("o_orderkey") % 4).cast("int").alias("part"),
+        )
+        path = tempfile.mkdtemp(prefix="tt_rename_")
+        commit_initial(o, path, ["part"])
+        rename_columns(spark, path, {"o_totalprice": "price"})
+        delta = o.filter(F.col("o_orderkey") % 97 == 0).select(
+            (F.col("o_orderkey") + F.lit(1000000000)).alias("o_orderkey"),
+            "o_orderstatus",
+            (F.col("o_totalprice") + F.lit(1.0)).alias("price"),
+            "part",
+        )
+        commit_append(spark, path, delta)
+        _TT_CACHE[key] = path
+    t = read_version(spark, _TT_CACHE[key])
+    return (
+        t.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("o_orderkey").cast("long").alias("key_sum"),
+            F.round(F.sum("price"), 2).alias("price_sum"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
 def q_jv_orders_refresh(spark: SparkSession, sf: str) -> DataFrame:
     """Incrementally-maintained join view under the value gate
     (`plans/joinview.py`): orders ⋈ customer persisted at an initial
@@ -932,6 +981,7 @@ QUERIES = {
     "sync_segments": q_sync_segments,
     "tt_version_diff": q_tt_version_diff,
     "pe_evolved_scan": q_pe_evolved_scan,
+    "tt_rename_scan": q_tt_rename_scan,
     "wap_audit_publish": q_wap_audit_publish,
     "dv_delete_read": q_dv_delete_read,
     "cdf_order_changes": q_cdf_order_changes,
@@ -1066,6 +1116,21 @@ ORACLES = {
                CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
                2 AS n_versions
         FROM final GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    "tt_rename_scan": """
+        WITH final AS (
+            SELECT o_orderkey AS k, o_orderstatus AS st,
+                   o_totalprice AS price
+            FROM orders
+            UNION ALL
+            SELECT o_orderkey + 1000000000, o_orderstatus,
+                   o_totalprice + 1.0
+            FROM orders WHERE o_orderkey % 97 = 0
+        )
+        SELECT st AS o_orderstatus, COUNT(*) AS n_rows,
+               CAST(SUM(k) AS BIGINT) AS key_sum,
+               ROUND(SUM(price), 2) AS price_sum
+        FROM final GROUP BY st ORDER BY st
     """,
     "pe_evolved_scan": """
         WITH final AS (

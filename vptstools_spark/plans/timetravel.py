@@ -82,6 +82,11 @@ def _carry(prev: dict) -> dict:
         "columns": prev.get("columns"),
         "delete_files": prev.get("delete_files") or [],
         "constraints": prev.get("constraints") or [],
+        # column-rename support (rename_columns): the ordered rename maps
+        # and each file's schema EPOCH (how many renames preceded its
+        # write) — reads apply rename_history[epoch:] to that file
+        "rename_history": prev.get("rename_history") or [],
+        "file_epochs": prev.get("file_epochs") or {},
     }
 
 
@@ -170,6 +175,21 @@ def _commit(
     create; see io.create_text_exclusive for the object-store caveat)."""
     import time
 
+    extra = dict(extra or {})
+    hist = extra.get("rename_history") or []
+    if hist:
+        # COMPLETE per-file schema-epoch map: carried files keep their
+        # recorded epoch, files new to this commit get the current one
+        # (= number of renames that precede their write). Completeness is
+        # the invariant that lets successors tell carried from new.
+        prev_eps = extra.get("file_epochs") or {}
+        extra["file_epochs"] = {
+            f: prev_eps.get(f, len(hist)) for f in files
+        }
+    else:
+        # keep pre-rename commits clean of empty bookkeeping
+        extra.pop("rename_history", None)
+        extra.pop("file_epochs", None)
     ok = create_text_exclusive(
         spark,
         _log_path(path, version, log_dir),
@@ -468,9 +488,21 @@ def _read_snapshot(
     for f in files:
         vdir = f.split("/", 1)[0]
         by_vdir.setdefault(vdir, []).append(os.path.join(data_root, f))
+    hist = commit.get("rename_history") or []
+    eps = commit.get("file_epochs") or {}
     parts = []
     for vdir, fs in sorted(by_vdir.items()):
         p = spark.read.option("basePath", os.path.join(data_root, vdir)).parquet(*fs)
+        if hist:
+            # apply the renames committed AFTER this file group was
+            # written (a version dir is written by exactly one commit, so
+            # its files share one schema epoch); withColumnRenamed is a
+            # no-op for columns the old files never had
+            marker = f"/{_DATA_DIR}/"
+            rel0 = fs[0][fs[0].rindex(marker) + len(marker):]
+            for m in hist[eps.get(rel0, 0):]:
+                for old, new in m.items():
+                    p = p.withColumnRenamed(old, new)
         if want_pos:
             # rel path after the LAST '/data/' matches the commit's
             # relative file names regardless of scheme/prefix
@@ -731,6 +763,80 @@ def evolve_partitioning(
             **{c: fields[c] for c in pcols},
         },
         _carry(prev),
+    )
+    return prev_v + 1
+
+
+def rename_columns(
+    spark: SparkSession, path: str, mapping: dict[str, str]
+) -> int:
+    """Iceberg-style COLUMN RENAME as a metadata-only commit: no file is
+    rewritten; instead the commit appends `mapping` to the table's
+    rename history and every read applies, per file, exactly the renames
+    committed AFTER that file was written (each commit records a complete
+    file→schema-epoch map, maintained automatically by `_commit`). Old
+    snapshots read under their own commit's history, so pinned reads are
+    unaffected; new writes use the new names (schema checks go through
+    `read_version`, which renames transparently).
+
+    Refused with clear errors: renaming a PARTITION column (hive path
+    segments encode the name — that is a rewrite, use a COW cycle),
+    renaming to a name that exists after the rename, renaming a column an
+    active constraint references (drop and re-declare the constraint
+    around the rename). Returns the new version."""
+    import re
+
+    prev_v = _resolve_version(spark, path, None)
+    prev = _read_commit(spark, path, prev_v)
+    cols = prev.get("columns") or [
+        f.name for f in read_version(spark, path, prev_v).schema.fields
+    ]
+    pcols = prev["partition_cols"]
+    missing = [c for c in mapping if c not in cols]
+    if missing:
+        raise ValueError(f"cannot rename non-existent columns {missing}")
+    parts = [c for c in mapping if c in pcols]
+    if parts:
+        raise ValueError(
+            f"cannot rename partition columns {parts}: hive directory "
+            "names encode the column name — that is a data rewrite "
+            "(evolve_partitioning away, rename, evolve back, or overwrite)"
+        )
+    new_cols = [mapping.get(c, c) for c in cols]
+    if len(set(new_cols)) != len(new_cols):
+        raise ValueError(
+            f"rename {mapping} collides: resulting columns {new_cols}"
+        )
+    cons = prev.get("constraints") or []
+    if cons:
+        blob = json.dumps(cons)
+        hit = [
+            c for c in mapping if re.search(rf"\b{re.escape(c)}\b", blob)
+        ]
+        if hit:
+            raise ValueError(
+                f"columns {hit} are referenced by active constraints; "
+                "drop_constraints, rename, then re-declare with the new "
+                "names (a silently broken CHECK is worse than this error)"
+            )
+    hist = prev.get("rename_history") or []
+    # epochs are positions in the PRE-append history: every current file
+    # keeps its recorded epoch (0 when the table had no renames yet)
+    prev_eps = prev.get("file_epochs") or {}
+    _commit(
+        spark,
+        path,
+        prev_v + 1,
+        prev["files"],
+        pcols,
+        "rename_columns",
+        prev.get("partition_types"),
+        {
+            **_carry(prev),
+            "columns": new_cols,
+            "rename_history": hist + [dict(mapping)],
+            "file_epochs": {f: prev_eps.get(f, 0) for f in prev["files"]},
+        },
     )
     return prev_v + 1
 
@@ -1231,6 +1337,10 @@ def table_changes(
     data_root = os.path.join(path, _DATA_DIR)
     snap_cols: list[str] | None = None
     out: DataFrame | None = None
+    # the feed presents every change under the TO-version's column names
+    # (Delta CDF semantics): pieces read at earlier versions carry those
+    # versions' pre-rename names and fold forward here
+    to_hist = _read_commit(spark, path, to_v).get("rename_history") or []
 
     def tag(df: DataFrame, change: str, v: int) -> DataFrame:
         return df.select(
@@ -1324,6 +1434,9 @@ def table_changes(
                 pieces.append(tag(new_s.exceptAll(old_s), "insert", v))
                 pieces.append(tag(old_s.exceptAll(new_s), "delete", v))
         for p in pieces:
+            for m in to_hist[len(commit.get("rename_history") or []) :]:
+                for old, new in m.items():
+                    p = p.withColumnRenamed(old, new)
             if snap_cols is None:
                 snap_cols = p.columns
             p = p.select(*snap_cols) if set(p.columns) == set(snap_cols) else p

@@ -117,6 +117,34 @@ def _partition_values(rel_file: str, pcols: list[str]) -> dict[str, str | None]:
     return vals
 
 
+def _rename_fold(pin_hist: list[dict], epoch: int) -> dict[str, str]:
+    """Flattened write-time-name → PINNED-name map for a file written at
+    schema `epoch`, under the pinned commit's full rename history
+    (plans/timetravel.py rename_columns) — folded so chained renames
+    resolve in one hop. The pinned history (not the processing version's)
+    is the right frame: the stream presents every change under the names
+    its schema was pinned with."""
+    fold: dict[str, str] = {}  # original file column -> pinned name
+    for m in pin_hist[epoch:]:
+        # advance existing chains, then start chains for names the file
+        # may carry directly (a file at this epoch cannot contain a name
+        # an earlier rename freed, so plain setdefault is safe)
+        fold = {orig: m.get(cur, cur) for orig, cur in fold.items()}
+        for old, new in m.items():
+            fold.setdefault(old, new)
+    return {o: n for o, n in fold.items() if o != n}
+
+
+def _file_epoch(commit: dict, rel_file: str) -> int:
+    """A file's schema epoch per the commit that references it: recorded
+    in the commit's complete epoch map once renames exist; files of a
+    commit with no recorded history predate every rename (epoch 0), and
+    files absent from an existing map are new to that commit (= current
+    epoch)."""
+    hist = commit.get("rename_history") or []
+    return (commit.get("file_epochs") or {}).get(rel_file, len(hist))
+
+
 class _ChangeTask(InputPartition):
     """One executor task: either the INSERT rows of some added data files
     or the DELETE rows one data file lost to new vectors."""
@@ -127,11 +155,13 @@ class _ChangeTask(InputPartition):
         version: int,
         data_files: list[str],  # commit-relative
         positions: list[int],  # delete tasks: row indices within the file
+        renames: dict[str, str] | None = None,  # old->final column names
     ):
         self.kind = kind
         self.version = version
         self.data_files = data_files
         self.positions = positions
+        self.renames = renames or {}
 
 
 class TableChangesStreamReader(DataSourceStreamReader):
@@ -150,6 +180,10 @@ class TableChangesStreamReader(DataSourceStreamReader):
         )
         self.starting = str(options.get("startingVersion", "0"))
         self._schema_json = schema_json  # pinned; executors rebuild from it
+        # the version whose commit the pinned schema reflects: renames at
+        # or before it are already folded into the pinned names
+        vs = _list_versions(self.path)
+        self._pinned_at = vs[-1] if vs else -1
 
     # -------------------------------------------------------------- offsets
 
@@ -167,6 +201,11 @@ class TableChangesStreamReader(DataSourceStreamReader):
 
     def partitions(self, start: dict, end: dict) -> list[_ChangeTask]:
         tasks: list[_ChangeTask] = []
+        # rename folds target the PINNED schema's names
+        pin_hist = (
+            _read_commit(self.path, self._pinned_at).get("rename_history")
+            or []
+        ) if self._pinned_at >= 0 else []
         versions = [
             v
             for v in _list_versions(self.path)
@@ -177,6 +216,21 @@ class TableChangesStreamReader(DataSourceStreamReader):
             op = commit["op"]
             if op in _NOOP_OPS:
                 continue
+            if op == "rename_columns":
+                if v <= self._pinned_at:
+                    continue  # pinned schema already reflects this rename
+                # a rename AFTER the schema was pinned: silently
+                # NULL-filling renamed columns would corrupt the feed —
+                # fail like Delta does on a mid-stream schema change (NOT
+                # skippable: this changes interpretation, not content).
+                # On restart the schema re-pins with the new names, this
+                # commit is at or before the new pin, and the stream
+                # resumes from the checkpointed offset.
+                raise ValueError(
+                    f"version {v} of {self.path} renamed columns; restart "
+                    "the stream to adopt the new schema (the checkpointed "
+                    "offset is preserved)"
+                )
             prev = (
                 _read_commit(self.path, v - 1)
                 if v > 0
@@ -206,7 +260,17 @@ class TableChangesStreamReader(DataSourceStreamReader):
             n = self.FILES_PER_TASK
             for i in range(0, len(new_files), n):
                 tasks.append(
-                    _ChangeTask("insert", v, new_files[i : i + n], [])
+                    _ChangeTask(
+                        "insert",
+                        v,
+                        new_files[i : i + n],
+                        [],
+                        # one commit writes one version dir: its new files
+                        # share a schema epoch, so one fold map per chunk
+                        renames=_rename_fold(
+                            pin_hist, _file_epoch(commit, new_files[i])
+                        ),
+                    )
                 )
             new_dvs = sorted(
                 set(commit.get("delete_files") or [])
@@ -235,7 +299,13 @@ class TableChangesStreamReader(DataSourceStreamReader):
                     if f in live:
                         tasks.append(
                             _ChangeTask(
-                                "delete", v, [f], sorted(by_file[f])
+                                "delete",
+                                v,
+                                [f],
+                                sorted(by_file[f]),
+                                renames=_rename_fold(
+                                    pin_hist, _file_epoch(commit, f)
+                                ),
                             )
                         )
         return tasks
@@ -282,10 +352,17 @@ class TableChangesStreamReader(DataSourceStreamReader):
         pinned = [
             f["name"] for f in json.loads(self._schema_json)["fields"]
         ]
+        ren = partition.renames
+
+        def _apply_renames(t):
+            if not ren:
+                return t
+            return t.rename_columns([ren.get(c, c) for c in t.column_names])
+
         if partition.kind == "insert":
             for rel in partition.data_files:
                 fs, p = _fs_for(posixpath.join(data_root, rel))
-                t = pq.read_table(p, filesystem=fs)
+                t = _apply_renames(pq.read_table(p, filesystem=fs))
                 out = self._align(
                     t,
                     _partition_values(rel, pinned),
@@ -297,7 +374,7 @@ class TableChangesStreamReader(DataSourceStreamReader):
         # delete: take the planned positions from the one hit file
         rel = partition.data_files[0]
         fs, p = _fs_for(posixpath.join(data_root, rel))
-        t = pq.read_table(p, filesystem=fs)
+        t = _apply_renames(pq.read_table(p, filesystem=fs))
         taken = t.take(partition.positions)
         out = self._align(
             taken, _partition_values(rel, pinned), partition.version, "delete"
@@ -367,10 +444,14 @@ class TableChangesDataSource(DataSource):
         for rel in commit["files"]:
             fs, p = _fs_for(posixpath.join(path, _DATA_DIR, rel))
             sch = pq.read_schema(p, filesystem=fs)
+            fold = _rename_fold(
+                commit.get("rename_history") or [], _file_epoch(commit, rel)
+            )
             for f in sch:
-                if f.name not in fields:
-                    fields[f.name] = StructField(
-                        f.name, from_arrow_type(f.type), True
+                name = fold.get(f.name, f.name)  # footer holds write-time names
+                if name not in fields:
+                    fields[name] = StructField(
+                        name, from_arrow_type(f.type), True
                     )
             if set(commit.get("columns") or []) <= (
                 set(fields) | set(ptypes)
