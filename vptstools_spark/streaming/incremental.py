@@ -1007,3 +1007,114 @@ def catalog_publish_stream_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def derived_table_pipeline(
+    spark,
+    source_path: str,
+    target_path: str,
+    checkpoint: str,
+    keys: list[str],
+    transform=None,
+    partition_cols: list[str] | None = None,
+    mor: bool = True,
+) -> StreamingQuery:
+    """Packaged medallion hop: maintain a keyed DERIVED versioned table
+    from another versioned table's CHANGE FEED — readStream over the
+    `table_changes` source (`sources/table_changes_source.py`), one
+    commit per micro-batch into the target, exactly-once end to end
+    (source offsets are commit versions in the checkpoint; target
+    commits carry the batch-id replay guard). This is the bronze→silver
+    shape: the source churns via MOR commits, the pipeline advances the
+    target at O(changed data) — no re-join, no source rescan.
+
+    Per batch, the LAST event per key wins (a MOR upsert emits its
+    delete+insert pair in one commit version; ties break insert-last):
+    final inserts become upserts — run through `transform` (an optional
+    row-wise DataFrame→DataFrame mapping that must PRESERVE the key
+    columns; this is where the silver table's cleansing/projection
+    lives) — and final deletes become tombstones, so a row deleted at
+    the source disappears from the target. `mor=True` (default) commits
+    through position-delete vectors; the target is itself a versioned
+    table with the full maintenance surface (compact / purge / stats /
+    its own CDF for the next hop).
+
+    Registration of the source format is handled here; repeated calls
+    with the same checkpoint resume where the last run stopped."""
+    from vptstools_spark.plans.timetravel import (
+        _list_versions,
+        _read_commit,
+        commit_initial,
+        commit_upsert,
+        commit_upsert_mor,
+    )
+    from vptstools_spark.sources.table_changes_source import (
+        TableChangesDataSource,
+    )
+
+    try:
+        spark.dataSource.register(TableChangesDataSource)
+    except Exception:
+        pass  # already registered in this session
+
+    feed_cols = ["_change_type", "_commit_version"]
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        # last event per key: later commit version wins; within one
+        # version the insert of a delete+insert (MOR upsert) pair wins
+        pick = F.struct(
+            F.col("_commit_version"),
+            (F.col("_change_type") == "insert").cast("int").alias("_i"),
+        )
+        last = (
+            batch_df.groupBy(*keys)
+            .agg(F.max_by(F.struct("*"), pick).alias("_s"))
+            .select("_s.*")
+        )
+        ups = last.filter(F.col("_change_type") == "insert").drop(*feed_cols)
+        dels = last.filter(F.col("_change_type") == "delete").select(*keys)
+        t_ups = transform(ups) if transform else ups
+        missing = set(keys) - set(t_ups.columns)
+        if missing:
+            raise ValueError(
+                f"transform dropped key columns {sorted(missing)}; the "
+                "derived table is keyed — project them through"
+            )
+        versions = _list_versions(spark, target_path)
+        if not versions:
+            commit_initial(
+                t_ups, target_path, partition_cols, extra={"batch_id": batch_id}
+            )
+            return
+        lastc = _read_commit(spark, target_path, versions[-1])
+        if lastc.get("batch_id") is not None and batch_id <= lastc["batch_id"]:
+            return  # replayed batch: its commit already exists
+        # tombstones carry typed NULLs for non-key columns (an upsert
+        # replaces whole rows, so only the key matters on a delete)
+        non_key = [f for f in t_ups.schema.fields if f.name not in keys]
+        dels_full = dels.select(
+            *keys, *[F.lit(None).cast(f.dataType).alias(f.name) for f in non_key]
+        ).select(*t_ups.columns)
+        delta = t_ups.withColumn("_is_delete", F.lit(False)).unionByName(
+            dels_full.withColumn("_is_delete", F.lit(True))
+        )
+        commit = commit_upsert_mor if mor else commit_upsert
+        commit(
+            spark,
+            target_path,
+            delta,
+            keys=keys,
+            delete_col="_is_delete",
+            extra={"batch_id": batch_id},
+        )
+
+    return (
+        spark.readStream.format("table_changes")
+        .load(source_path)
+        .writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
