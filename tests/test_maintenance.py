@@ -274,3 +274,44 @@ def test_timestamp_as_of_and_age_retention(spark, tmp_path):
     # both commits are seconds old: a 1-hour grace expires nothing
     assert expire_versions(spark, path, keep_last=1, min_age_seconds=3600) == []
     assert expire_versions(spark, path, keep_last=1) == [0]
+
+
+def test_compact_with_zorder_and_vacuum_dry_run(spark, tmp_path):
+    """Compaction with a z-order sort inside each output file; vacuum
+    dry-run lists reclaimable files without touching them."""
+    from vptstools_spark.plans.maintenance import compact_versioned_table
+    from vptstools_spark.plans.timetravel import (
+        commit_append,
+        commit_initial,
+        expire_versions,
+        read_version,
+        vacuum_table,
+    )
+
+    path = str(tmp_path / "ctz")
+    df = lambda rows: spark.createDataFrame(
+        rows, "k long, day int, x double, y double"
+    )
+    commit_initial(df([(0, 0, 0.0, 9.0)]), path, ["day"])
+    for i in range(1, 5):
+        commit_append(spark, path, df([(i, 0, float(i), float(9 - i))]))
+    want = sorted(tuple(r) for r in read_version(spark, path).collect())
+    rep = compact_versioned_table(
+        spark, path, min_files=2, zorder_by=["x", "y"]
+    )
+    assert rep["compacted_partitions"] == 1
+    assert sorted(
+        tuple(r) for r in read_version(spark, path).collect()
+    ) == want
+
+    expire_versions(spark, path, keep_last=1)
+    would = vacuum_table(spark, path, dry_run=True)
+    assert would  # the pre-compaction small files are now unreferenced
+    # dry run deleted nothing: a second dry run sees the same set
+    assert vacuum_table(spark, path, dry_run=True) == would
+    gone = vacuum_table(spark, path)
+    assert gone == would
+    assert vacuum_table(spark, path, dry_run=True) == []
+    assert sorted(
+        tuple(r) for r in read_version(spark, path).collect()
+    ) == want

@@ -1592,7 +1592,9 @@ def expire_versions(
     return expired
 
 
-def vacuum_table(spark: SparkSession, path: str) -> list[str]:
+def vacuum_table(
+    spark: SparkSession, path: str, dry_run: bool = False
+) -> list[str]:
     """Physically delete data files referenced by NO surviving commit —
     the second half of the expiry story (`expire_versions` drops commit
     entries; this reclaims the storage) plus orphan cleanup for lost
@@ -1603,7 +1605,9 @@ def vacuum_table(spark: SparkSession, path: str) -> list[str]:
     referencing commit expires; a session holding a pinned plan to an
     expired version loses it only here — vacuum is the explicitly
     destructive step, separated from expiry exactly so operators can
-    sequence grace periods between the two. BRANCH commits
+    sequence grace periods between the two; `dry_run=True` returns the
+    same list WITHOUT deleting — audit what a vacuum would reclaim before
+    committing to it (the Delta `VACUUM ... DRY RUN` shape). BRANCH commits
     (plans/branches.py) reference files in the shared data dir too, so
     every surviving branch-log commit joins the reachability set — a
     file is reclaimable only when no main version AND no branch version
@@ -1630,8 +1634,9 @@ def vacuum_table(spark: SparkSession, path: str) -> list[str]:
         idx = f.rindex(marker)
         rel = f[idx + len(marker) :]
         if rel not in referenced:
-            p = jvm.org.apache.hadoop.fs.Path(f)
-            p.getFileSystem(hconf).delete(p, False)
+            if not dry_run:
+                p = jvm.org.apache.hadoop.fs.Path(f)
+                p.getFileSystem(hconf).delete(p, False)
             removed.append(rel)
     return removed
 
