@@ -1148,3 +1148,164 @@ def test_rename_cdf_and_cow_alignment(spark, tmp_path):
         for r in ch.filter("_commit_version = 2").collect()
     ]
     assert sorted(v2) == [(1, 1.0, "delete"), (1, 9.0, "insert")]
+
+
+# ------------------------------------------------------ hidden partitioning
+
+
+def _hp_df(spark, rows):
+    return spark.createDataFrame(
+        rows, "k long, ts string, v double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def test_hidden_partitioning_days_write_and_read(spark, tmp_path):
+    """days(ts) hidden partitioning: writers never supply the derived
+    column, readers never see it, every write path derives it, and the
+    layout is day-partitioned on disk."""
+    from vptstools_spark.plans.timetravel import (
+        _read_commit,
+        commit_append,
+        commit_upsert,
+    )
+
+    path = str(tmp_path / "hp")
+    base = _hp_df(spark, [
+        (1, "2024-01-01 10:00:00", 1.0),
+        (2, "2024-01-02 10:00:00", 2.0),
+        (3, "2024-01-03 10:00:00", 3.0),
+    ])
+    commit_initial(
+        base, path, ["p_day"],
+        partition_transforms={"p_day": ("days", "ts")},
+    )
+    rv = read_version(spark, path)
+    assert rv.columns == ["k", "ts", "v"]  # hidden
+    assert all(
+        "p_day=2024-01-0" in f for f in _read_commit(spark, path, 0)["files"]
+    )
+    commit_append(spark, path, _hp_df(spark, [(4, "2024-01-02 11:00:00", 4.0)]))
+    commit_upsert(
+        spark, path, _hp_df(spark, [(1, "2024-01-01 10:00:00", 9.0)]),
+        keys=["k"],
+    )
+    got = sorted((r["k"], r["v"]) for r in read_version(spark, path).collect())
+    assert got == [(1, 9.0), (2, 2.0), (3, 3.0), (4, 4.0)]
+    # the COW upsert rewrote ONLY the touched day's partition
+    f1 = set(_read_commit(spark, path, 1)["files"])
+    f2 = set(_read_commit(spark, path, 2)["files"])
+    assert all("p_day=2024-01-01" in f for f in f2 - f1)
+
+
+def test_read_version_pruned_transform_aware(spark, tmp_path):
+    """Predicates on the SOURCE column prune via the derived partition:
+    the plan carries a PartitionFilters entry on p_day, and values match
+    the plain row filter exactly (the residual restores granularity)."""
+    from vptstools_spark.plans.timetravel import read_version_pruned
+
+    path = str(tmp_path / "hp2")
+    rows = [
+        (i, f"2024-01-0{d} 0{i % 10}:30:00", float(i))
+        for i, d in [(1, 1), (2, 1), (3, 2), (4, 2), (5, 3), (6, 3)]
+    ]
+    commit_initial(
+        _hp_df(spark, rows), path, ["p_day"],
+        partition_transforms={"p_day": ("days", "ts")},
+    )
+    import datetime
+
+    cut = datetime.datetime(2024, 1, 2, 5, 0, 0)
+    got = read_version_pruned(spark, path, "ts", ">=", cut)
+    want = read_version(spark, path).filter(F.col("ts") >= F.lit(cut))
+    assert sorted(r["k"] for r in got.collect()) == sorted(
+        r["k"] for r in want.collect()
+    )
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "p_day" in plan  # the transform predicate reached the scan
+    # equality maps too; granularity restored by the residual
+    got_eq = read_version_pruned(
+        spark, path, "ts", "=", datetime.datetime(2024, 1, 2, 3, 30, 0)
+    )
+    assert [r["k"] for r in got_eq.collect()] == [3]
+
+
+def test_hidden_partitioning_bucket_and_truncate(spark, tmp_path):
+    from vptstools_spark.plans.timetravel import (
+        _read_commit,
+        read_version_pruned,
+    )
+
+    path = str(tmp_path / "hp3")
+    df = spark.createDataFrame(
+        [(i, f"user_{i % 7}", float(i)) for i in range(40)],
+        "k long, uid string, v double",
+    )
+    commit_initial(
+        df, path, ["p_bucket"],
+        partition_transforms={"p_bucket": ("bucket", "uid", 4)},
+    )
+    assert any(
+        "p_bucket=" in f for f in _read_commit(spark, path, 0)["files"]
+    )
+    got = read_version_pruned(spark, path, "uid", "=", "user_3")
+    assert sorted(r["k"] for r in got.collect()) == [
+        i for i in range(40) if i % 7 == 3
+    ]
+
+    path2 = str(tmp_path / "hp4")
+    commit_initial(
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(100)], "k long, v double"
+        ),
+        path2,
+        ["p_kband"],
+        partition_transforms={"p_kband": ("truncate_int", "k", 25)},
+    )
+    got = read_version_pruned(spark, path2, "k", "<", 30)
+    assert sorted(r["k"] for r in got.collect()) == list(range(30))
+
+
+def test_hidden_partitioning_follows_rename_and_compact(spark, tmp_path):
+    """Renaming the transform's source column re-points the spec; compact
+    re-derives; pruned reads keep working under the new name."""
+    from vptstools_spark.plans.maintenance import compact_versioned_table
+    from vptstools_spark.plans.timetravel import (
+        commit_append,
+        read_version_pruned,
+        rename_columns,
+    )
+
+    path = str(tmp_path / "hp5")
+    commit_initial(
+        _hp_df(spark, [(1, "2024-01-01 10:00:00", 1.0)]), path, ["p_day"],
+        partition_transforms={"p_day": ("days", "ts")},
+    )
+    rename_columns(spark, path, {"ts": "event_ts"})
+    def _ev(rows):
+        return spark.createDataFrame(
+            rows, "k long, event_ts string, v double"
+        ).withColumn("event_ts", F.col("event_ts").cast("timestamp"))
+
+    commit_append(spark, path, _ev([(2, "2024-01-02 10:00:00", 2.0)]))
+    for _ in range(3):
+        commit_append(spark, path, _ev([(10, "2024-01-02 12:00:00", 0.5)]))
+    compact_versioned_table(spark, path, min_files=2)
+    import datetime
+
+    got = read_version_pruned(
+        spark, path, "event_ts", ">=", datetime.datetime(2024, 1, 2)
+    )
+    assert sorted(r["k"] for r in got.collect()) == [2, 10, 10, 10]
+
+
+def test_hidden_partitioning_validation(spark, tmp_path):
+    path = str(tmp_path / "hp6")
+    df = _hp_df(spark, [(1, "2024-01-01 00:00:00", 1.0)])
+    with pytest.raises(ValueError, match="unknown transform"):
+        commit_initial(df, path, ["p"], partition_transforms={"p": ("weeks", "ts")})
+    with pytest.raises(ValueError, match="missing column"):
+        commit_initial(df, path, ["p"], partition_transforms={"p": ("days", "nope")})
+    with pytest.raises(ValueError, match="collides"):
+        commit_initial(df, path, ["v"], partition_transforms={"v": ("days", "ts")})
+    with pytest.raises(ValueError, match="must be listed"):
+        commit_initial(df, path, [], partition_transforms={"p": ("days", "ts")})

@@ -50,6 +50,7 @@ _MODULES = [
 NEW_THIS_ROUND = [
     # round 5
     "join_order_sales",
+    "hp_pruned_scan",
     "tt_rename_scan",
     "pe_evolved_scan",
     "stats_incremental_orders",

@@ -373,6 +373,65 @@ def q_tt_rename_scan(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_hp_pruned_scan(spark: SparkSession, sf: str) -> DataFrame:
+    """Hidden partitioning under the value gate
+    (`plans/timetravel.py` partition transforms): orders commit with a
+    months(o_orderdate) HIDDEN partition column — never supplied by the
+    writer, never visible to readers — then an append lands (derived
+    automatically) and `read_version_pruned` answers a date-range
+    predicate by mapping it onto the derived column (planning-time
+    partition pruning) plus the exact residual row filter. The oracle
+    recomputes from the raw table, so a value match proves the
+    transform mapping is boundary-exact (off-by-one at the partition
+    edge would show immediately)."""
+    import tempfile
+
+    from vptstools_spark.plans.timetravel import (
+        commit_append,
+        commit_initial,
+        read_version_pruned,
+    )
+
+    key = ("hp_orders", sf)
+    if key not in _TT_CACHE:
+        o = table(spark, sf, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_orderdate", "o_totalprice"
+        )
+        path = tempfile.mkdtemp(prefix="hp_orders_")
+        # months granularity: ~80 partitions over the 6.5-year testdata —
+        # the Iceberg partition-count discipline (days here would mint
+        # ~2400 directories of tiny files)
+        # cluster rows by the month BEFORE the partitioned write so each
+        # partition gets one file, not one per shuffle task
+        month = F.trunc(F.to_date(F.col("o_orderdate")), "month")
+        commit_initial(
+            o.filter(F.col("o_orderkey") % 5 != 0).repartition(16, month),
+            path,
+            ["p_month"],
+            partition_transforms={"p_month": ("months", "o_orderdate")},
+        )
+        commit_append(spark, path, o.filter(F.col("o_orderkey") % 5 == 0))
+        _TT_CACHE[key] = path
+    import datetime
+
+    t = read_version_pruned(
+        spark,
+        _TT_CACHE[key],
+        "o_orderdate",
+        ">=",
+        datetime.datetime(1997, 6, 15, 12, 0, 0),
+    )
+    return (
+        t.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum("o_orderkey").cast("long").alias("key_sum"),
+            F.round(F.sum("o_totalprice"), 2).alias("price_sum"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
 def q_jv_orders_refresh(spark: SparkSession, sf: str) -> DataFrame:
     """Incrementally-maintained join view under the value gate
     (`plans/joinview.py`): orders ⋈ customer persisted at an initial
@@ -982,6 +1041,7 @@ QUERIES = {
     "tt_version_diff": q_tt_version_diff,
     "pe_evolved_scan": q_pe_evolved_scan,
     "tt_rename_scan": q_tt_rename_scan,
+    "hp_pruned_scan": q_hp_pruned_scan,
     "wap_audit_publish": q_wap_audit_publish,
     "dv_delete_read": q_dv_delete_read,
     "cdf_order_changes": q_cdf_order_changes,
@@ -1116,6 +1176,14 @@ ORACLES = {
                CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
                2 AS n_versions
         FROM final GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    "hp_pruned_scan": """
+        SELECT o_orderstatus, COUNT(*) AS n_orders,
+               CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+               ROUND(SUM(o_totalprice), 2) AS price_sum
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1997-06-15 12:00:00'
+        GROUP BY o_orderstatus ORDER BY o_orderstatus
     """,
     "tt_rename_scan": """
         WITH final AS (

@@ -263,6 +263,12 @@ def compact_versioned_table(
             "files_after": len(prev["files"]),
         }
     snap = _read_snapshot(spark, path, prev_v, file_subset=set(victims))
+    # hidden-partitioning transforms: derive the partition columns before
+    # clustering on them (the logical read excludes them by design)
+    from vptstools_spark.plans.timetravel import _derive
+
+    transforms = prev.get("partition_transforms") or {}
+    snap = _derive(snap, transforms)
     # one output file per compacted partition; unpartitioned tables
     # compact to a single file (they qualified under the byte bound)
     snap = snap.repartition(*pcols) if pcols else snap.repartition(1)

@@ -87,6 +87,9 @@ def _carry(prev: dict) -> dict:
         # write) — reads apply rename_history[epoch:] to that file
         "rename_history": prev.get("rename_history") or [],
         "file_epochs": prev.get("file_epochs") or {},
+        # hidden-partitioning transforms: every write path re-derives the
+        # partition columns from these specs
+        "partition_transforms": prev.get("partition_transforms") or {},
     }
 
 
@@ -118,6 +121,54 @@ def _read_commit(
     )
 
 
+#: Iceberg-style partition TRANSFORMS — hidden partitioning: the table
+#: partitions by a DERIVED column (day of a timestamp, hash bucket,
+#: truncated prefix) that writers never supply and readers never see;
+#: every write path derives it automatically and `read_version_pruned`
+#: maps predicates on the SOURCE column to planning-time partition
+#: pruning on the derived one. Kinds:
+#:   ("years", src)           -> trunc(src, 'year')        (monotone)
+#:   ("months", src)          -> trunc(src, 'month')       (monotone)
+#:   ("days", src)            -> to_date(src)              (monotone)
+#:   ("bucket", src, n)       -> pmod(hash(src), n)        (equality)
+#:   ("truncate_int", src, w) -> src - pmod(src, w)        (monotone)
+#:   ("truncate_str", src, w) -> substring(src, 1, w)      (monotone)
+#: Pick granularity by partition-count budget, as in Iceberg: days on a
+#: year of data is ~365 directories; on a decade it is a small-files
+#: factory — months/years exist for exactly that reason.
+_TRANSFORM_KINDS = {
+    "years", "months", "days", "bucket", "truncate_int", "truncate_str"
+}
+#: kinds where T is order-preserving, so range predicates map to ranges
+_MONOTONE_KINDS = {"years", "months", "days", "truncate_int", "truncate_str"}
+
+
+def _transform_expr(spec: tuple, x: Column) -> Column:
+    kind = spec[0]
+    if kind == "years":
+        return F.trunc(F.to_date(x), "year")
+    if kind == "months":
+        return F.trunc(F.to_date(x), "month")
+    if kind == "days":
+        return F.to_date(x)
+    if kind == "bucket":
+        return F.pmod(F.hash(x), F.lit(int(spec[2])))
+    if kind == "truncate_int":
+        return (x - F.pmod(x, F.lit(int(spec[2])))).cast("long")
+    if kind == "truncate_str":
+        return F.substring(x, 1, int(spec[2]))
+    raise ValueError(f"unknown partition transform kind {kind!r}")
+
+
+def _derive(df: DataFrame, transforms: dict | None) -> DataFrame:
+    """Add each transform's derived partition column (idempotent: an
+    existing column of the same name is overwritten with the canonical
+    derivation, so a stale caller-supplied value can never disagree)."""
+    for name, spec in (transforms or {}).items():
+        df = df.withColumn(name, _transform_expr(tuple(spec), F.col(spec[1])))
+    return df
+
+
 def _partition_of(rel_file: str, partition_cols: list[str]) -> tuple:
     """Partition values parsed from a file's `col=value` path segments
     (hive layout, as written by partitionBy)."""
@@ -136,6 +187,7 @@ def _write_snapshot_files(
     version: int,
     partition_cols: list[str],
     vlabel: str | None = None,
+    transforms: dict | None = None,
 ) -> list[str]:
     """Write `df` as this version's new immutable files; return their
     paths RELATIVE to the table's data dir. `vlabel` overrides the
@@ -145,6 +197,7 @@ def _write_snapshot_files(
     and a fast-forward merge zero-copy metadata operations)."""
     vlabel = vlabel or f"v{version}"
     vdir = os.path.join(path, _DATA_DIR, vlabel)
+    df = _derive(df, transforms)
     w = df.write.mode("error")
     if partition_cols:
         w = w.partitionBy(*partition_cols)
@@ -224,13 +277,47 @@ def commit_initial(
     path: str,
     partition_cols: list[str] | None = None,
     extra: dict | None = None,
+    partition_transforms: dict | None = None,
 ) -> int:
-    """Version 0: full snapshot write + commit. Returns the version."""
+    """Version 0: full snapshot write + commit. Returns the version.
+
+    `partition_transforms` enables HIDDEN partitioning (Iceberg shape):
+    `{"p_day": ("days", "ts")}` partitions by a column DERIVED from
+    `ts` — writers never supply it (every later commit derives it from
+    the spec), readers never see it (the logical schema excludes it),
+    and `read_version_pruned` maps source-column predicates onto it for
+    planning-time partition pruning. Transform names must appear in
+    `partition_cols` and must not collide with data columns."""
     pcols = partition_cols or []
-    rels = _write_snapshot_files(df, path, 0, pcols)
+    transforms = dict(partition_transforms or {})
+    for name, spec in transforms.items():
+        spec = tuple(spec)
+        if spec[0] not in _TRANSFORM_KINDS:
+            raise ValueError(
+                f"unknown transform kind {spec[0]!r} for {name!r}; "
+                f"supported: {sorted(_TRANSFORM_KINDS)}"
+            )
+        if spec[1] not in df.columns:
+            raise ValueError(
+                f"transform {name!r} references missing column {spec[1]!r}"
+            )
+        if name in df.columns:
+            raise ValueError(
+                f"transform name {name!r} collides with a data column; "
+                "hidden partition columns live outside the logical schema"
+            )
+        if name not in pcols:
+            raise ValueError(
+                f"transform {name!r} must be listed in partition_cols"
+            )
+    derived = _derive(df, transforms)
+    missing = [c for c in pcols if c not in derived.columns]
+    if missing:
+        raise ValueError(f"partition columns {missing} not in the frame")
+    rels = _write_snapshot_files(derived, path, 0, pcols)
     ptypes = {
         f.name: f.dataType.simpleString()
-        for f in df.schema.fields
+        for f in derived.schema.fields
         if f.name in pcols
     }
     _commit(
@@ -241,7 +328,14 @@ def commit_initial(
         pcols,
         "initial",
         ptypes,
-        {"columns": df.columns, **(extra or {})},
+        {
+            # logical schema: the hidden derived columns stay out
+            "columns": df.columns,
+            "partition_transforms": {
+                k: list(v) for k, v in transforms.items()
+            },
+            **(extra or {}),
+        },
     )
     return 0
 
@@ -333,6 +427,7 @@ def commit_upsert(
         replace_keys=keys,
     )
 
+    transforms = prev.get("partition_transforms") or {}
     if pcols:
         # one collect yields BOTH forms of each touched partition tuple:
         # the typed values (drive the scope filter) and Spark's own
@@ -348,7 +443,7 @@ def commit_upsert(
         )
 
         rows = (
-            delta.select(*pcols)
+            _derive(delta, transforms).select(*pcols)
             .distinct()
             .select(
                 F.struct(*pcols).alias("t"),
@@ -372,7 +467,11 @@ def commit_upsert(
         legacy = {
             f for f in prev["files"] if None in _partition_of(f, pcols)
         }
-        cur = scope_to_partitions(read_version(spark, path, prev_v), pcols, raw)
+        # hidden partition columns re-derive from their source columns on
+        # the logical read, so scoping works without exposing them
+        cur = scope_to_partitions(
+            _derive(read_version(spark, path, prev_v), transforms), pcols, raw
+        )
         if legacy:
             from vptstools_spark.operators.merge import anti_scope_to_partitions
 
@@ -394,9 +493,13 @@ def commit_upsert(
             # allowMissingColumns fills their missing columns with NULL,
             # matching how read_version reads them in place
             cur = cur.unionByName(
-                anti_scope_to_partitions(legacy_rows, pcols, raw),
+                anti_scope_to_partitions(
+                    _derive(legacy_rows, transforms), pcols, raw
+                ),
                 allowMissingColumns=True,
             )
+        if transforms:
+            cur = cur.drop(*transforms.keys())
         carried = [
             f
             for f in prev["files"]
@@ -410,7 +513,9 @@ def commit_upsert(
     # above guarantee upserts ⊇ table columns): survivors read NULL for
     # newly added columns, exactly the additive-evolution semantics
     merged = survivors.unionByName(upserts, allowMissingColumns=True)
-    rels = _write_snapshot_files(merged, path, new_v, pcols)
+    rels = _write_snapshot_files(
+        merged, path, new_v, pcols, transforms=transforms
+    )
     _commit(
         spark,
         path,
@@ -464,6 +569,7 @@ def _read_snapshot(
     with_position: bool = False,
     file_subset: set[str] | None = None,
     log_dir: str = _LOG_DIR,
+    partition_filter: Column | None = None,
 ) -> DataFrame:
     """Assemble a commit's file list into one DataFrame, applying any
     position-delete vectors the commit carries. `with_position=True`
@@ -520,6 +626,12 @@ def _read_snapshot(
         # (carried old files never get rewritten); missing columns read
         # as NULL, and the commit's recorded column order aligns them
         out = out.unionByName(p, allowMissingColumns=True)
+    if partition_filter is not None:
+        # applied while hidden partition columns are still visible (hive
+        # discovery surfaces them here; the logical column select below
+        # drops them) — Catalyst folds the constant predicate into
+        # planning-time partition pruning
+        out = out.filter(partition_filter)
     if delete_files:
         dv = spark.read.parquet(
             *[os.path.join(data_root, f) for f in delete_files]
@@ -563,6 +675,58 @@ def read_version(
         version = version_at_timestamp(spark, path, timestamp)
     v = _resolve_version(spark, path, version)
     return _read_snapshot(spark, path, v)
+
+
+def read_version_pruned(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    op: str,
+    value,
+    version: int | None = None,
+) -> DataFrame:
+    """Hidden-partitioning read: `col op value` over a snapshot, with the
+    predicate ADDITIONALLY mapped onto every partition transform derived
+    from `col` — the Iceberg trick that makes `WHERE ts >= X` prune a
+    days(ts)-partitioned table without the user knowing the layout.
+    Mapping rules: `=` maps through any transform (T(col)=T(value));
+    range ops map through MONOTONE transforms only (days/truncate:
+    col <= v ⇒ T(col) <= T(v), at transform granularity — the residual
+    row filter restores exactness); bucket prunes equality only. The
+    transform predicate is a constant-foldable expression, so pruning
+    happens at planning time against the hive partition values. Tables
+    without a matching transform just get the row filter (same answer,
+    no pruning) — the call is always safe."""
+    _OPS = {
+        "=": lambda a, b: a == b,
+        "<": lambda a, b: a < b,
+        "<=": lambda a, b: a <= b,
+        ">": lambda a, b: a > b,
+        ">=": lambda a, b: a >= b,
+    }
+    if op not in _OPS:
+        raise ValueError(f"unsupported op {op!r}; one of {sorted(_OPS)}")
+    v = _resolve_version(spark, path, version)
+    commit = _read_commit(spark, path, v)
+    preds: list[Column] = []
+    for name, spec in (commit.get("partition_transforms") or {}).items():
+        spec = tuple(spec)
+        if spec[1] != col:
+            continue
+        t_val = _transform_expr(spec, F.lit(value))
+        p = F.col(name)
+        if op == "=":
+            preds.append(p.eqNullSafe(t_val))
+        elif spec[0] in _MONOTONE_KINDS:
+            # transform granularity: the boundary partition stays in
+            # (<= / >= at T-level for every range op); rows inside it
+            # are settled by the residual filter
+            preds.append(p <= t_val if op in ("<", "<=") else p >= t_val)
+    pf = None
+    for c in preds:
+        pf = c if pf is None else (pf & c)
+    out = _read_snapshot(spark, path, v, partition_filter=pf)
+    return out.filter(_OPS[op](F.col(col), F.lit(value)))
 
 
 def version_at_timestamp(
@@ -679,11 +843,17 @@ def commit_overwrite(
     pcols = (
         prev["partition_cols"] if partition_cols is None else partition_cols
     )
-    pcols = [c for c in pcols if c in df.columns]
-    rels = _write_snapshot_files(df, path, new_v, pcols)
+    # transforms survive an overwrite only while their source column does
+    transforms = {
+        k: v
+        for k, v in (prev.get("partition_transforms") or {}).items()
+        if v[1] in df.columns
+    }
+    pcols = [c for c in pcols if c in df.columns or c in transforms]
+    rels = _write_snapshot_files(df, path, new_v, pcols, transforms=transforms)
     ptypes = {
         f.name: f.dataType.simpleString()
-        for f in df.schema.fields
+        for f in _derive(df, transforms).schema.fields
         if f.name in pcols
     }
     _commit(
@@ -698,6 +868,7 @@ def commit_overwrite(
             "columns": df.columns,
             "delete_files": [],
             "constraints": prev.get("constraints") or [],
+            "partition_transforms": transforms,
             **(extra or {}),
         },
     )
@@ -738,16 +909,20 @@ def evolve_partitioning(
     pcols = list(partition_cols or [])
     if pcols == prev["partition_cols"]:
         return prev_v
+    transforms = prev.get("partition_transforms") or {}
     fields = {
         f.name: f.dataType.simpleString()
         for f in read_version(spark, path, prev_v).schema.fields
     }
-    missing = [c for c in pcols if c not in fields]
+    # hidden transform columns count as partitionable; specs for names
+    # the new spec drops are retired with it
+    missing = [c for c in pcols if c not in fields and c not in transforms]
     if missing:
         raise ValueError(
             f"cannot partition by non-existent columns {missing}; add them "
             "first via commit_upsert(evolve_schema=True)"
         )
+    kept_transforms = {n: s for n, s in transforms.items() if n in pcols}
     _commit(
         spark,
         path,
@@ -760,9 +935,10 @@ def evolve_partitioning(
         # inference (int/string only) needs the recorded cast on read
         {
             **(prev.get("partition_types") or {}),
-            **{c: fields[c] for c in pcols},
+            # transform columns keep their previously recorded types
+            **{c: fields[c] for c in pcols if c in fields},
         },
-        _carry(prev),
+        {**_carry(prev), "partition_transforms": kept_transforms},
     )
     return prev_v + 1
 
@@ -819,6 +995,20 @@ def rename_columns(
                 "drop_constraints, rename, then re-declare with the new "
                 "names (a silently broken CHECK is worse than this error)"
             )
+    transforms = prev.get("partition_transforms") or {}
+    clash = [n for n in mapping.values() if n in transforms]
+    if clash:
+        raise ValueError(
+            f"new names {clash} collide with hidden partition-transform "
+            "columns"
+        )
+    # a transform follows its renamed source column (Iceberg semantics:
+    # the spec tracks the field, not the name) — reads re-derive from the
+    # post-rename logical schema, so old files stay correct
+    new_transforms = {
+        n: [s[0], mapping.get(s[1], s[1]), *list(s)[2:]]
+        for n, s in transforms.items()
+    }
     hist = prev.get("rename_history") or []
     # epochs are positions in the PRE-append history: every current file
     # keeps its recorded epoch (0 when the table had no renames yet)
@@ -834,6 +1024,7 @@ def rename_columns(
         {
             **_carry(prev),
             "columns": new_cols,
+            "partition_transforms": new_transforms,
             "rename_history": hist + [dict(mapping)],
             "file_epochs": {f: prev_eps.get(f, 0) for f in prev["files"]},
         },
@@ -877,7 +1068,10 @@ def commit_append(
     # probe against the current snapshot — rejected BEFORE any file lands
     _enforce(df, prev, "append", table=read_version(spark, path, prev_v))
     pcols = prev["partition_cols"]
-    rels = _write_snapshot_files(df, path, new_v, pcols)
+    rels = _write_snapshot_files(
+        df, path, new_v, pcols,
+        transforms=prev.get("partition_transforms"),
+    )
     _commit(
         spark,
         path,
@@ -955,7 +1149,10 @@ def update_where(
         for f in list_data_files(spark, dv_dir)
     )
     pcols = prev["partition_cols"]
-    rels = _write_snapshot_files(updated, path, new_v, pcols)
+    rels = _write_snapshot_files(
+        updated, path, new_v, pcols,
+        transforms=prev.get("partition_transforms"),
+    )
     _commit(
         spark,
         path,
@@ -1039,7 +1236,10 @@ def commit_upsert_mor(
         for f in list_data_files(spark, dv_dir)
     )
     pcols = prev["partition_cols"]
-    rels = _write_snapshot_files(upserts, path, new_v, pcols)
+    rels = _write_snapshot_files(
+        upserts, path, new_v, pcols,
+        transforms=prev.get("partition_transforms"),
+    )
     _commit(
         spark,
         path,
@@ -1098,7 +1298,10 @@ def purge_deletes(spark: SparkSession, path: str) -> int:
                 if c not in snap.columns:
                     snap = snap.withColumn(c, F.lit(None).cast(full[c]))
             snap = snap.select(*cols)
-        rels = _write_snapshot_files(snap, path, new_v, pcols)
+        rels = _write_snapshot_files(
+            snap, path, new_v, pcols,
+            transforms=prev.get("partition_transforms"),
+        )
     else:
         rels = []
     carried = [f for f in prev["files"] if f not in set(dirty)]
@@ -1674,7 +1877,10 @@ def files_metadata(
         schema += f", `{c}` string"
     out = spark.createDataFrame(rows, schema)
     for c, dt in (commit.get("partition_types") or {}).items():
-        out = out.withColumn(c, F.col(c).cast(dt))
+        # retired spec columns (after evolve_partitioning) keep a type
+        # entry for carried files' reads but are absent here
+        if c in out.columns:
+            out = out.withColumn(c, F.col(c).cast(dt))
     return out
 
 
