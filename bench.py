@@ -135,6 +135,14 @@ HEADLINE = [
     "events_asof_nearest",
     "jv_orders_refresh",
     "table_stats_orders",
+    # round 5, second batch (lakehouse wave 2 + CBO). The versioned-table
+    # builders memoize per (query, sf) in _TT_CACHE, so medians measure
+    # steady-state reads, not the one-time table build.
+    "join_order_sales",
+    "pe_evolved_scan",
+    "tt_rename_scan",
+    "stats_incremental_orders",
+    "hp_pruned_scan",
 ]
 
 #: sf0.1-scale tier on the Zipf-vocabulary fixture (tools/gen_zipf.py):

@@ -196,7 +196,9 @@ def branch_append(
     new_v = head_v + 1
     pcols = head["partition_cols"]
     rels = _write_snapshot_files(
-        df, path, new_v, pcols, vlabel=f"b-{name}-{head['gen']}-v{new_v}"
+        df, path, new_v, pcols,
+        vlabel=f"b-{name}-{head['gen']}-v{new_v}",
+        transforms=head.get("partition_transforms"),
     )
     _commit(
         spark,
@@ -223,13 +225,26 @@ def branch_overwrite(
     head_v, head = _branch_head(spark, path, name)
     _enforce(df, head, f"overwrite@{name}", table=None)
     new_v = head_v + 1
-    pcols = [c for c in head["partition_cols"] if c in df.columns]
+    # hidden-partitioning transforms survive while their source column
+    # does, same rule as commit_overwrite
+    transforms = {
+        k: v
+        for k, v in (head.get("partition_transforms") or {}).items()
+        if v[1] in df.columns
+    }
+    pcols = [
+        c for c in head["partition_cols"] if c in df.columns or c in transforms
+    ]
     rels = _write_snapshot_files(
-        df, path, new_v, pcols, vlabel=f"b-{name}-{head['gen']}-v{new_v}"
+        df, path, new_v, pcols,
+        vlabel=f"b-{name}-{head['gen']}-v{new_v}",
+        transforms=transforms,
     )
+    from vptstools_spark.plans.timetravel import _derive
+
     ptypes = {
         f.name: f.dataType.simpleString()
-        for f in df.schema.fields
+        for f in _derive(df, transforms).schema.fields
         if f.name in pcols
     }
     _commit(
@@ -244,6 +259,7 @@ def branch_overwrite(
             "columns": df.columns,
             "delete_files": [],
             "constraints": head.get("constraints") or [],
+            "partition_transforms": transforms,
             "gen": head["gen"],
         },
         log_dir=_branch_log(name),
