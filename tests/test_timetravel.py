@@ -143,6 +143,16 @@ def test_register_table_as_of_sql_face(spark, tmp_path):
     register_table_as_of(spark, path, "tt9_latest")
     assert spark.sql("SELECT v FROM tt9_v0").collect()[0][0] == 1.0
     assert spark.sql("SELECT v FROM tt9_latest").collect()[0][0] == 2.0
+    # TIMESTAMP AS OF through the SQL face: pin between the two commits
+    import time
+
+    from vptstools_spark.plans.timetravel import _read_commit
+
+    t_mid = (_read_commit(spark, path, 0)["ts"] + _read_commit(spark, path, 1)["ts"]) / 2
+    register_table_as_of(spark, path, "tt9_asof", timestamp=t_mid)
+    assert spark.sql("SELECT v FROM tt9_asof").collect()[0][0] == 1.0
+    with pytest.raises(ValueError, match="not both"):
+        register_table_as_of(spark, path, "x", version=0, timestamp=time.time())
 
 
 def test_vacuum_reclaims_unreferenced_files_only(spark, tmp_path):
