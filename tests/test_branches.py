@@ -146,7 +146,7 @@ def test_tags_pin_protect_and_delete(spark, tmp_path):
     expired = expire_versions(spark, path, keep_last=1)
     assert expired == [1]  # v0 is tagged, v2 is latest
     assert read_tag(spark, path, "audit-2026q1").count() == 3
-    vacuum_table(spark, path)
+    vacuum_table(spark, path, min_age_seconds=0)
     assert read_version(spark, path, 0).count() == 3  # tag kept files live
 
     # delete the tag -> next sweep expires v0 too

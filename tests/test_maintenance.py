@@ -118,7 +118,8 @@ def test_optimize_versioned_table_lifecycle(spark, tmp_path):
 
     # full lifecycle: expire history + vacuum the now-orphaned artifacts
     rep = optimize_versioned_table(
-        spark, path, max_dv_rows=10**6, expire_keep_last=1, vacuum=True
+        spark, path, max_dv_rows=10**6, expire_keep_last=1, vacuum=True,
+        vacuum_min_age_seconds=0,
     )
     assert rep["expired"] and rep["vacuumed"]
     assert sorted(r["k"] for r in read_version(spark, path).collect()) == [
@@ -305,13 +306,13 @@ def test_compact_with_zorder_and_vacuum_dry_run(spark, tmp_path):
     ) == want
 
     expire_versions(spark, path, keep_last=1)
-    would = vacuum_table(spark, path, dry_run=True)
+    would = vacuum_table(spark, path, dry_run=True, min_age_seconds=0)
     assert would  # the pre-compaction small files are now unreferenced
     # dry run deleted nothing: a second dry run sees the same set
-    assert vacuum_table(spark, path, dry_run=True) == would
-    gone = vacuum_table(spark, path)
+    assert vacuum_table(spark, path, dry_run=True, min_age_seconds=0) == would
+    gone = vacuum_table(spark, path, min_age_seconds=0)
     assert gone == would
-    assert vacuum_table(spark, path, dry_run=True) == []
+    assert vacuum_table(spark, path, dry_run=True, min_age_seconds=0) == []
     assert sorted(
         tuple(r) for r in read_version(spark, path).collect()
     ) == want

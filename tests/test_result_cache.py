@@ -74,11 +74,30 @@ def test_hit_miss_invalidate_and_evict(spark, tmp_path, versioned_orders):
     )
     assert sorted(map(tuple, rp.collect())) == [("a", 10.0), ("b", 20.0)]
 
-    # evict_stale removes only entries whose pins drifted from latest
+    # evict_stale removes the FLOATING entry whose dep moved — but NOT
+    # the explicitly-pinned by_grp_v0 entry, which is still servable
+    # (ADVICE r5: evicting it forces a pointless rebuild on the next
+    # pinned call)
     evicted = evict_stale(spark, cache)
-    assert len(evicted) == 2  # the v0-pinned by_grp entry AND by_grp_v0
-    left = cache_entries(spark, cache)
-    assert len(left) == 1 and left[0]["deps"] == [[versioned_orders, 1]]
+    assert len(evicted) == 1  # only by_grp's stale v0-era floating entry
+    left = {e["key"]: e for e in cache_entries(spark, cache)}
+    assert left["by_grp"]["deps"] == [[versioned_orders, 1]]
+    assert left["by_grp_v0"]["deps"] == [[versioned_orders, 0]]
+    # the pinned entry still serves from cache (no rebuild)
+    n_before = len(cache_entries(spark, cache))
+    rp2 = cached_result(
+        spark, cache, "by_grp_v0", [(versioned_orders, 0)], build_v0
+    )
+    assert sorted(map(tuple, rp2.collect())) == [("a", 10.0), ("b", 20.0)]
+    assert len(cache_entries(spark, cache)) == n_before
+
+    # once the pinned version is EXPIRED out of history, the entry goes
+    from vptstools_spark.plans.timetravel import expire_versions
+
+    expire_versions(spark, versioned_orders, keep_last=1)
+    evicted = evict_stale(spark, cache)
+    assert any(e.startswith("by_grp_v0/") for e in evicted)
+    assert [e["key"] for e in cache_entries(spark, cache)] == ["by_grp"]
 
     # unversioned dependency is refused
     with pytest.raises(ValueError):

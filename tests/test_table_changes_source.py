@@ -317,3 +317,114 @@ def test_derived_table_pipeline_medallion_hop(spark, tmp_path):
     )
     q3.awaitTermination()
     assert len(_list_versions(spark, tgt)) == n
+
+
+def test_max_versions_per_trigger_bounds_cold_start(spark, tmp_path):
+    """Admission control (VERDICT r5 #2): a fresh stream against a
+    commit backlog drains in multiple bounded runs instead of one
+    unbounded micro-batch, exactly-once preserved across the restarts."""
+    _register(spark)
+    path = str(tmp_path / "t")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    commit_initial(_df(spark, [(0, 0, 0.0)]), path)
+    for i in range(1, 8):  # 8-commit backlog
+        commit_append(spark, path, _df(spark, [(i, i, float(i))]))
+
+    seen_versions: list[set[int]] = []
+    for _run_i in range(10):
+        df = _run(spark, path, out, ckpt, maxVersionsPerTrigger="3")
+        got = {r["_commit_version"] for r in df.collect()}
+        new = got - set().union(*seen_versions) if seen_versions else got
+        seen_versions.append(new)
+        if max(got) == 7:
+            break
+    # each availableNow run admitted at most 3 versions
+    assert all(len(s) <= 3 for s in seen_versions)
+    assert len([s for s in seen_versions if s]) >= 3  # >= ceil(8/3) runs
+    # exactly-once: every version exactly once across all runs
+    final = spark.read.parquet(out)
+    per_version = (
+        final.groupBy("_commit_version").count().collect()
+    )
+    assert sorted(r["_commit_version"] for r in per_version) == list(range(8))
+    assert all(r["count"] == 1 for r in per_version)
+
+
+def test_delete_positions_spill_to_sidecar(spark, tmp_path):
+    """Oversized delete-position lists are NOT inlined in task
+    descriptors: the executor re-derives them from the vector sidecars,
+    and the feed values are identical to the inline path."""
+    from vptstools_spark.sources.table_changes_source import (
+        TableChangesStreamReader,
+    )
+
+    _register(spark)
+    path = str(tmp_path / "t")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    rows = [(i, i % 3, float(i)) for i in range(50)]
+    commit_initial(_df(spark, rows).coalesce(1), path)
+    delete_where(spark, path, F.col("k") % 2 == 0)  # 25 deleted rows
+
+    old = TableChangesStreamReader.MAX_INLINE_POSITIONS
+    TableChangesStreamReader.MAX_INLINE_POSITIONS = 10  # force the spill
+    try:
+        got = _changes(_run(spark, path, out, ckpt))
+    finally:
+        TableChangesStreamReader.MAX_INLINE_POSITIONS = old
+    want = _changes(table_changes(spark, path, -1))
+    assert got == want
+
+
+def test_expired_gap_raises_contract_error(spark, tmp_path):
+    """History expired under a tag gap: both the batch feed and the
+    stream raise the clear contract error, not a raw sidecar miss."""
+    from vptstools_spark.plans.branches import create_tag
+    from vptstools_spark.plans.timetravel import expire_versions
+
+    _register(spark)
+    path = str(tmp_path / "t")
+    commit_initial(_df(spark, [(0, 0, 0.0)]), path)
+    for i in range(1, 5):
+        commit_append(spark, path, _df(spark, [(i, i, float(i))]))
+    create_tag(spark, path, "keep", version=1)
+    expire_versions(spark, path, keep_last=2)  # survivors: 1(tag), 3, 4
+    with pytest.raises(ValueError, match="expired"):
+        table_changes(spark, path, 0)
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    with pytest.raises(Exception, match="expired"):
+        _run(spark, path, out, ckpt)
+
+
+def test_vacuum_age_gate_protects_young_files(spark, tmp_path):
+    """vacuum_table skips unreferenced files younger than
+    min_age_seconds — an in-flight writer's not-yet-committed data
+    survives an automated vacuum (ADVICE r5 medium)."""
+    import os
+
+    from vptstools_spark.plans.timetravel import (
+        _DATA_DIR,
+        read_version,
+        vacuum_table,
+    )
+
+    path = str(tmp_path / "t")
+    commit_initial(_df(spark, [(0, 0, 0.0)]), path)
+    # simulate an in-flight writer: data written, commit JSON not yet
+    # published (every commit protocol here is write-files-then-publish)
+    staged = os.path.join(path, _DATA_DIR, "v1", "part-inflight.parquet")
+    os.makedirs(os.path.dirname(staged), exist_ok=True)
+    _df(spark, [(1, 1, 1.0)]).toPandas().to_parquet(staged)
+
+    # default gate: the young unreferenced file is untouched
+    assert vacuum_table(spark, path) == []
+    assert vacuum_table(spark, path, dry_run=True) == []
+    assert os.path.exists(staged)
+    # age the file below the cutoff -> reclaimable
+    os.utime(staged, (1, 1))
+    assert vacuum_table(spark, path, dry_run=True) == ["v1/part-inflight.parquet"]
+    assert vacuum_table(spark, path) == ["v1/part-inflight.parquet"]
+    assert not os.path.exists(staged)
+    assert read_version(spark, path).count() == 1

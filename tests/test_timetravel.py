@@ -166,9 +166,9 @@ def test_vacuum_reclaims_unreferenced_files_only(spark, tmp_path):
     )
     commit_upsert(spark, path, _df(spark, [(1, 0, 9.0)]), keys=["k"])
     # all commits alive -> vacuum is a no-op
-    assert vacuum_table(spark, path) == []
+    assert vacuum_table(spark, path, min_age_seconds=0) == []
     expire_versions(spark, path, keep_last=1)
-    removed = vacuum_table(spark, path)
+    removed = vacuum_table(spark, path, min_age_seconds=0)
     # v0's day=0 file is now unreferenced (v1 rewrote day=0); v0's day=1
     # file is CARRIED by v1 and must survive
     assert removed and all(r.startswith("v0/day=0") for r in removed)
@@ -330,7 +330,7 @@ def test_vacuum_respects_restore_references(spark, tmp_path):
     commit_upsert(spark, path, _df(spark, [(1, 0, 9.0)]), keys=["k"])  # v1
     restore_version(spark, path, 0)  # v2 -> references v0's files
     expire_versions(spark, path, keep_last=1)  # only v2 survives
-    removed = vacuum_table(spark, path)
+    removed = vacuum_table(spark, path, min_age_seconds=0)
     # v1's day=0 rewrite is the only unreferenced data
     assert removed and all(r.startswith("v1/") for r in removed)
     assert _rows(read_version(spark, path)) == [(1, 0, 1.0), (2, 1, 2.0)]
@@ -485,12 +485,12 @@ def test_vacuum_never_deletes_referenced_vectors(spark, tmp_path):
     commit_initial(_df(spark, [(1, 0, 1.0), (2, 0, 2.0)]), path, ["day"])
     delete_where(spark, path, "k = 2")
     # nothing is unreferenced: vacuum must keep data files AND vectors
-    assert vacuum_table(spark, path) == []
+    assert vacuum_table(spark, path, min_age_seconds=0) == []
     assert _rows(read_version(spark, path)) == [(1, 0, 1.0)]
     # after expiring the delete version's PREDECESSOR the vectors are
     # still referenced by the surviving commit
     expire_versions(spark, path, keep_last=1)
-    assert vacuum_table(spark, path) == []
+    assert vacuum_table(spark, path, min_age_seconds=0) == []
     assert _rows(read_version(spark, path)) == [(1, 0, 1.0)]
 
 
@@ -506,7 +506,7 @@ def test_vacuum_reclaims_orphaned_vectors_after_purge_and_expiry(spark, tmp_path
     delete_where(spark, path, "k = 2")
     purge_deletes(spark, path)
     expire_versions(spark, path, keep_last=1)
-    removed = vacuum_table(spark, path)
+    removed = vacuum_table(spark, path, min_age_seconds=0)
     # the purged commit references neither the old day=0 file nor the
     # vector sidecar — both reclaimed
     assert any(r.startswith("dv") for r in removed)

@@ -128,6 +128,7 @@ def optimize_versioned_table(
     vacuum: bool = False,
     compact_min_files: int | None = None,
     expire_min_age_seconds: float | None = None,
+    vacuum_min_age_seconds: float = 3600.0,
 ) -> dict:
     """Maintenance pass for a VERSIONED table (`plans/timetravel.py`):
     automates the merge-on-read lifecycle the way the ANN path automates
@@ -141,8 +142,10 @@ def optimize_versioned_table(
     order, so compaction reads vector-free snapshots. Optionally expire
     history (`expire_keep_last`, age-gated by `expire_min_age_seconds`)
     and, as the separate explicitly-destructive step, vacuum
-    unreferenced files. Returns {"dv_rows", "purged", "compacted",
-    "expired", "vacuumed"}."""
+    unreferenced files (age-gated by `vacuum_min_age_seconds` — default
+    1 h — so a concurrent writer's not-yet-committed files survive an
+    automated pass; see `vacuum_table`). Returns {"dv_rows", "purged",
+    "compacted", "expired", "vacuumed"}."""
     import os
 
     from vptstools_spark.plans.timetravel import (
@@ -182,7 +185,9 @@ def optimize_versioned_table(
         )
     vacuumed: list[str] = []
     if vacuum:
-        vacuumed = vacuum_table(spark, path)
+        vacuumed = vacuum_table(
+            spark, path, min_age_seconds=vacuum_min_age_seconds
+        )
     return {
         "dv_rows": dv_rows,
         "purged": purged,

@@ -106,7 +106,18 @@ def cached_result(
     won = create_text_exclusive(
         spark,
         meta_path,
-        json.dumps({"key": key, "deps": sorted(resolved), "data": data_name}),
+        json.dumps(
+            {
+                "key": key,
+                "deps": sorted(resolved),
+                # which deps FLOATED (None pin) at build time: an entry
+                # built from explicit pins stays valid however far its
+                # deps advance, so eviction must not touch it while the
+                # pinned versions remain readable
+                "floating": sorted(p for p, v in deps if v is None),
+                "data": data_name,
+            }
+        ),
     )
     if not won:
         jvm = spark.sparkContext._jvm
@@ -129,23 +140,45 @@ def cache_entries(spark: SparkSession, cache_dir: str) -> list[dict]:
                 meta = json.loads(read_text_sidecar(spark, meta_path))
             except Exception:
                 continue  # half-built loser entry, no meta published
-            out.append({"key": key, "fingerprint": fp, "deps": meta["deps"]})
+            out.append(
+                {
+                    "key": key,
+                    "fingerprint": fp,
+                    "deps": meta["deps"],
+                    # entries written before the floating field existed
+                    # are treated as all-floating (their pre-field
+                    # eviction behavior)
+                    "floating": meta.get(
+                        "floating", [p for p, _v in meta["deps"]]
+                    ),
+                }
+            )
     return out
 
 
 def evict_stale(spark: SparkSession, cache_dir: str) -> list[str]:
-    """Delete every entry whose dependency pins no longer match the
-    dependencies' CURRENT latest versions (or whose pinned version has
-    been expired) — the explicit reclaim step; serving correctness never
-    depends on running it. Returns evicted `key/fingerprint` ids."""
+    """Delete every entry that can no longer be SERVED: a FLOATING
+    dependency moved past the version the entry was built from (the next
+    `cached_result` call would rebuild under a new fingerprint anyway),
+    or a PINNED version was expired out of its table's history. An entry
+    built purely from still-readable explicit pins is valid and servable
+    however far its deps' heads advance — evicting it would only force a
+    pointless rebuild on the next pinned call. The explicit reclaim step;
+    serving correctness never depends on running it. Returns evicted
+    `key/fingerprint` ids."""
     jvm = spark.sparkContext._jvm
     hconf = spark.sparkContext._jsc.hadoopConfiguration()
     evicted = []
     for e in cache_entries(spark, cache_dir):
+        floating = set(e["floating"])
         fresh = True
         for path, v in e["deps"]:
             versions = _list_versions(spark, path)
-            if not versions or versions[-1] != v:
+            if path in floating:
+                if not versions or versions[-1] != v:
+                    fresh = False
+                    break
+            elif v not in versions:  # pinned version expired
                 fresh = False
                 break
         if not fresh:

@@ -1534,9 +1534,23 @@ def table_changes(
     # from_version is an EXCLUSIVE low bound and need not exist: -1 (or
     # anything below the first version) means "from the beginning,
     # including the initial commit"
-    versions = [
-        v for v in _list_versions(spark, path) if from_version < v <= to_v
-    ]
+    surviving = _list_versions(spark, path)
+    versions = [v for v in surviving if from_version < v <= to_v]
+    # expire_versions can leave gaps (tagged survivors below expired
+    # neighbors): the first version after a gap needs commit v-1 to
+    # classify its artifact diff, and that history is GONE — fail with
+    # the contract error, not a raw sidecar-read miss (Delta CDF raises
+    # the same way when requested history has been vacuumed)
+    surviving_set = set(surviving)
+    for v in versions:
+        if v > 0 and (v - 1) not in surviving_set:
+            raise ValueError(
+                f"change feed unavailable: commit {v - 1} (needed to "
+                f"derive changes of commit {v}) was expired — history "
+                f"between from_version={from_version} and {v} is gone; "
+                "re-baseline the consumer from a snapshot read "
+                "(read_version) instead"
+            )
     data_root = os.path.join(path, _DATA_DIR)
     snap_cols: list[str] | None = None
     out: DataFrame | None = None
@@ -1796,7 +1810,10 @@ def expire_versions(
 
 
 def vacuum_table(
-    spark: SparkSession, path: str, dry_run: bool = False
+    spark: SparkSession,
+    path: str,
+    dry_run: bool = False,
+    min_age_seconds: float = 3600.0,
 ) -> list[str]:
     """Physically delete data files referenced by NO surviving commit —
     the second half of the expiry story (`expire_versions` drops commit
@@ -1814,7 +1831,17 @@ def vacuum_table(
     (plans/branches.py) reference files in the shared data dir too, so
     every surviving branch-log commit joins the reachability set — a
     file is reclaimable only when no main version AND no branch version
-    lists it."""
+    lists it.
+
+    In-flight-writer guard: every commit protocol here writes its data
+    (and delete-vector) files BEFORE publishing the commit JSON, so a
+    concurrent writer's files look unreferenced during that window; a
+    vacuum running then would delete them and the writer would publish a
+    commit pointing at vanished files — an unreadable version. Delta's
+    VACUUM gates on file age for exactly this reason, so unreferenced
+    files younger than `min_age_seconds` (default 1 h, mirroring
+    `expire_versions`' grace window) are SKIPPED — pass 0 only when no
+    concurrent writer can exist (single-writer tests/maintenance)."""
     referenced: set[str] = set()
     logs = [_LOG_DIR] + [
         os.path.join(_BRANCH_LOG_ROOT, b)
@@ -1828,18 +1855,26 @@ def vacuum_table(
             # would silently RESURRECT rows in every surviving commit
             # that lists it
             referenced |= set(c.get("delete_files") or [])
+    import time
+
     data_root = os.path.join(path, _DATA_DIR)
     jvm = spark.sparkContext._jvm
     hconf = spark.sparkContext._jsc.hadoopConfiguration()
     marker = f"/{_DATA_DIR}/"
+    cutoff_ms = (time.time() - min_age_seconds) * 1000.0
     removed = []
     for f in sorted(list_data_files(spark, data_root)):
         idx = f.rindex(marker)
         rel = f[idx + len(marker) :]
         if rel not in referenced:
+            p = jvm.org.apache.hadoop.fs.Path(f)
+            fs = p.getFileSystem(hconf)
+            if min_age_seconds > 0:
+                mtime = fs.getFileStatus(p).getModificationTime()
+                if mtime > cutoff_ms:
+                    continue  # possibly an in-flight writer's file
             if not dry_run:
-                p = jvm.org.apache.hadoop.fs.Path(f)
-                p.getFileSystem(hconf).delete(p, False)
+                fs.delete(p, False)
             removed.append(rel)
     return removed
 
@@ -1856,6 +1891,8 @@ def files_metadata(
     filesystem stat per file (a metadata operation; no data scan). The
     `introduced_in` column is the version-dir label, so "which commit
     wrote this file" is answerable without walking history."""
+    from urllib.parse import unquote
+
     v = _resolve_version(spark, path, version)
     commit = _read_commit(spark, path, v)
     pcols = commit["partition_cols"]
@@ -1867,11 +1904,18 @@ def files_metadata(
             os.path.join(path, _DATA_DIR, rel)
         )
         size = int(p.getFileSystem(hconf).getFileStatus(p).getLen())
-        vals = _partition_of(rel, pcols)
-        rows.append(
-            (rel, rel.split("/", 1)[0], size)
-            + tuple(None if x is None else str(x) for x in vals)
+        # surface LOGICAL partition values, not raw hive dir renderings:
+        # unescape percent-escapes and map the null sentinel to None —
+        # the same inverse of merge.escape_partition_segment the
+        # streaming source's _partition_values applies, so the two
+        # metadata faces agree
+        vals = tuple(
+            None
+            if x is None or x == "__HIVE_DEFAULT_PARTITION__"
+            else unquote(x)
+            for x in _partition_of(rel, pcols)
         )
+        rows.append((rel, rel.split("/", 1)[0], size) + vals)
     schema = "file string, introduced_in string, size_bytes long"
     for c in pcols:
         schema += f", `{c}` string"

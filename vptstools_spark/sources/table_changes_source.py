@@ -154,19 +154,28 @@ class _ChangeTask(InputPartition):
         kind: str,  # "insert" | "delete"
         version: int,
         data_files: list[str],  # commit-relative
-        positions: list[int],  # delete tasks: row indices within the file
+        positions: list[int] | None,  # delete tasks: row indices in the file
         renames: dict[str, str] | None = None,  # old->final column names
+        dv_files: list[str] | None = None,  # spilled-positions sidecar refs
     ):
         self.kind = kind
         self.version = version
         self.data_files = data_files
+        # positions=None => the list was too large to inline in a task
+        # descriptor; the executor re-derives it from dv_files (the
+        # commit's vector parquets, filtered to this data file)
         self.positions = positions
         self.renames = renames or {}
+        self.dv_files = dv_files or []
 
 
 class TableChangesStreamReader(DataSourceStreamReader):
     #: added data files packed per insert task (delete tasks are per file)
     FILES_PER_TASK = 8
+    #: delete-position lists above this length are NOT inlined into the
+    #: task descriptor (task bytes ship through the driver); the executor
+    #: re-derives them from the commit's vector sidecars instead
+    MAX_INLINE_POSITIONS = 50_000
 
     def __init__(self, options: dict, schema_json: str):
         self.path = options.get("path")
@@ -178,6 +187,22 @@ class TableChangesStreamReader(DataSourceStreamReader):
         self.skip_change_commits = (
             str(options.get("skipChangeCommits", "false")).lower() == "true"
         )
+        # admission control (Delta's maxFilesPerTrigger shape, keyed on
+        # versions — the unit our offset advances by): without it a
+        # stream cold-starting against a long backlog plans ONE
+        # micro-batch spanning every pending commit
+        mvpt = options.get("maxVersionsPerTrigger")
+        self.max_versions_per_trigger = int(mvpt) if mvpt is not None else None
+        if self.max_versions_per_trigger is not None and (
+            self.max_versions_per_trigger < 1
+        ):
+            raise ValueError("maxVersionsPerTrigger must be >= 1")
+        # highest version known to be at-or-below the NEXT batch's start
+        # (learned from initialOffset on a fresh start, then kept current
+        # by partitions()/commit()); None after a restart until the first
+        # engine callback reveals the checkpointed position — that one
+        # batch is unclamped rather than risking an offset regression
+        self._known_base: int | None = None
         self.starting = str(options.get("startingVersion", "0"))
         self._schema_json = schema_json  # pinned; executors rebuild from it
         # the version whose commit the pinned schema reflects: renames at
@@ -190,12 +215,40 @@ class TableChangesStreamReader(DataSourceStreamReader):
     def initialOffset(self) -> dict:
         if self.starting == "latest":
             vs = _list_versions(self.path)
-            return {"version": vs[-1] if vs else -1}
-        return {"version": int(self.starting) - 1}
+            v = vs[-1] if vs else -1
+        else:
+            v = int(self.starting) - 1
+        self._known_base = v
+        return {"version": v}
 
     def latestOffset(self) -> dict:
         vs = _list_versions(self.path)
-        return {"version": vs[-1] if vs else -1}
+        head = vs[-1] if vs else -1
+        n = self.max_versions_per_trigger
+        if n is not None:
+            if self._known_base is None:
+                # the engine asks for availability BEFORE initialOffset
+                # on a fresh start — self-initialize the base from the
+                # starting option; on a RESTART the engine has already
+                # replayed partitions() of the last offset-log batch
+                # (MicroBatchExecution populateStartOffsets), which
+                # taught us the checkpointed position
+                self.initialOffset()
+            # admit at most n SURVIVING versions past the known base —
+            # count commits, not version numbers, so expiry gaps don't
+            # shrink the admitted work; never return below the base
+            # (an offset regression would replay committed versions)
+            pending = [v for v in vs if v > self._known_base]
+            if len(pending) > n:
+                head = pending[n - 1]
+        return {"version": head}
+
+    def commit(self, end: dict) -> None:
+        # the version offset in the checkpoint is the only durable state;
+        # remember it here so admission control knows the next start
+        v = int(end["version"])
+        if self._known_base is None or v > self._known_base:
+            self._known_base = v
 
     # ------------------------------------------------------------- planning
 
@@ -206,12 +259,23 @@ class TableChangesStreamReader(DataSourceStreamReader):
             _read_commit(self.path, self._pinned_at).get("rename_history")
             or []
         ) if self._pinned_at >= 0 else []
+        surviving = _list_versions(self.path)
+        surviving_set = set(surviving)
         versions = [
-            v
-            for v in _list_versions(self.path)
-            if start["version"] < v <= end["version"]
+            v for v in surviving if start["version"] < v <= end["version"]
         ]
+        # this batch ends at end["version"]; the next batch starts there —
+        # feed admission control even before commit() fires (also how a
+        # RESTART replanning its last logged batch re-teaches the base)
+        if self._known_base is None or end["version"] > self._known_base:
+            self._known_base = end["version"]
         for v in versions:
+            if v > 0 and (v - 1) not in surviving_set:
+                raise ValueError(
+                    f"change feed unavailable: commit {v - 1} (needed to "
+                    f"derive changes of commit {v} of {self.path}) was "
+                    "expired — restart the consumer from a snapshot read"
+                )
             commit = _read_commit(self.path, v)
             op = commit["op"]
             if op in _NOOP_OPS:
@@ -296,13 +360,33 @@ class TableChangesStreamReader(DataSourceStreamReader):
                         by_file.setdefault(f, []).append(pos)
                 live = set(prev["files"])
                 for f in sorted(by_file):
-                    if f in live:
+                    if f not in live:
+                        continue
+                    pos = sorted(by_file[f])
+                    if len(pos) > self.MAX_INLINE_POSITIONS:
+                        # spill: ship the vector-file REFS, not the
+                        # positions — the executor re-reads the sidecars
+                        # and filters to its file (task descriptor stays
+                        # KB-scale however large the delete)
                         tasks.append(
                             _ChangeTask(
                                 "delete",
                                 v,
                                 [f],
-                                sorted(by_file[f]),
+                                None,
+                                renames=_rename_fold(
+                                    pin_hist, _file_epoch(commit, f)
+                                ),
+                                dv_files=new_dvs,
+                            )
+                        )
+                    else:
+                        tasks.append(
+                            _ChangeTask(
+                                "delete",
+                                v,
+                                [f],
+                                pos,
                                 renames=_rename_fold(
                                     pin_hist, _file_epoch(commit, f)
                                 ),
@@ -375,16 +459,26 @@ class TableChangesStreamReader(DataSourceStreamReader):
         rel = partition.data_files[0]
         fs, p = _fs_for(posixpath.join(data_root, rel))
         t = _apply_renames(pq.read_table(p, filesystem=fs))
-        taken = t.take(partition.positions)
+        positions = partition.positions
+        if positions is None:
+            # spilled (oversized) position list: re-derive from the
+            # commit's vector sidecars, filtered to this data file
+            import pyarrow.compute as pc
+
+            pos: list[int] = []
+            for dv_rel in partition.dv_files:
+                dfs, dp = _fs_for(posixpath.join(data_root, dv_rel))
+                dv = pq.read_table(
+                    dp, filesystem=dfs, columns=["file", "pos"]
+                )
+                dv = dv.filter(pc.equal(dv.column("file"), rel))
+                pos.extend(dv.column("pos").to_pylist())
+            positions = sorted(set(pos))
+        taken = t.take(positions)
         out = self._align(
             taken, _partition_values(rel, pinned), partition.version, "delete"
         )
         yield from out.to_batches()
-
-    def commit(self, end: dict) -> None:
-        # the version offset in the checkpoint is the only state
-        pass
-
 
 class TableChangesDataSource(DataSource):
     """`spark.dataSource.register(TableChangesDataSource)` then

@@ -915,15 +915,19 @@ def catalog_publish_stream_sink(
     at scale, swap the recompute for an incremental refresh
     (plans/matview.py) — the publish protocol is unchanged.
 
-    Exactly-once across THREE commit levels: the fact commit records the
-    `_batch_id` replay guard (as `timetravel_stream_sink`); a replayed
-    batch skips the table commits it finds already done, then REPAIRS
-    the catalog — if the crash landed between table commits and the
-    catalog swap, the replay re-derives the desired pin set (every
-    table's latest version) and publishes the missing swap; if the swap
-    already happened, the pin set matches and the replay is a no-op.
-    Every publish is atomic create-exclusive, so replays racing a live
-    writer still produce exactly one commit per version."""
+    Exactly-once across THREE commit levels, with a PER-TABLE replay
+    guard: every table commit (fact AND each derived) records the
+    `batch_id`, and a replayed batch independently skips only the
+    commits it finds already done — a crash after the fact commit but
+    before a derived commit replays into "fact already there, recompute
+    the lagging derived tables from this batch's fact snapshot, then
+    swap". Guarding on the fact alone would skip the derived recomputes
+    on such a replay and then pin the NEW fact with STALE rollups in one
+    catalog commit — exactly the inconsistency this sink promises
+    readers never see. After the table commits converge, the catalog
+    REPAIR publishes the missing swap (or no-ops if the pin set already
+    matches). Every publish is atomic create-exclusive, so replays
+    racing a live writer still produce exactly one commit per version."""
     from vptstools_spark.plans.catalog import (
         catalog_commit,
         catalog_init,
@@ -941,20 +945,20 @@ def catalog_publish_stream_sink(
 
     derived = derived or {}
 
+    def _done_for_batch(spark: SparkSession, path: str, batch_id: int) -> bool:
+        """True iff the table's LATEST commit already covers batch_id."""
+        versions = _list_versions(spark, path)
+        if not versions:
+            return False
+        last = _read_commit(spark, path, versions[-1])
+        return last.get("batch_id") is not None and batch_id <= last["batch_id"]
+
     def process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
-        versions = _list_versions(spark, fact_path)
-        already = False
-        if versions:
-            last = _read_commit(spark, fact_path, versions[-1])
-            already = (
-                last.get("batch_id") is not None
-                and batch_id <= last["batch_id"]
-            )
-        if not already:
-            if not versions:
+        if not _done_for_batch(spark, fact_path, batch_id):
+            if not _list_versions(spark, fact_path):
                 commit_initial(
                     batch_df, fact_path, partition_cols,
                     extra={"batch_id": batch_id},
@@ -965,15 +969,22 @@ def catalog_publish_stream_sink(
                     spark, fact_path, batch_df, keys=keys,
                     extra={"batch_id": batch_id},
                 )
-            snapshot = read_version(spark, fact_path)
-            for _name, (dpath, derive) in derived.items():
-                out = derive(snapshot)
-                if _list_versions(spark, dpath):
-                    commit_overwrite(
-                        spark, dpath, out, extra={"batch_id": batch_id}
-                    )
-                else:
-                    commit_initial(out, dpath, extra={"batch_id": batch_id})
+        # Per-table guard: on replay, recompute any derived table whose
+        # latest commit lags this batch — from THIS batch's fact
+        # snapshot (the fact head, which the guard above just ensured).
+        snapshot = None
+        for _name, (dpath, derive) in derived.items():
+            if _done_for_batch(spark, dpath, batch_id):
+                continue
+            if snapshot is None:
+                snapshot = read_version(spark, fact_path)
+            out = derive(snapshot)
+            if _list_versions(spark, dpath):
+                commit_overwrite(
+                    spark, dpath, out, extra={"batch_id": batch_id}
+                )
+            else:
+                commit_initial(out, dpath, extra={"batch_id": batch_id})
         # catalog repair/swap: desired pins = every table's latest version
         desired = {fact_name: (fact_path, _list_versions(spark, fact_path)[-1])}
         for name, (dpath, _derive) in derived.items():
