@@ -48,6 +48,8 @@ _MODULES = [
 #: work must sort before the cutoff to ship with recorded verification
 #: (round-3 advice: bpe_encode/ann_filtered landed outside the sample).
 NEW_THIS_ROUND = [
+    # round 6
+    "occ_rebase_commits",
     # round 5
     "join_order_sales",
     "hp_pruned_scan",

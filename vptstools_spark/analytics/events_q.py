@@ -579,6 +579,84 @@ def q_wap_audit_publish(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_occ_rebase_commits(spark: SparkSession, sf: str) -> DataFrame:
+    """Concurrent writers under logical OCC (`plans/occ.py`): an appender
+    LOSES the physical commit race to an interleaved append and REBASES —
+    republishing its already-written files against the new head instead
+    of failing with `CommitConflictError` — then a compaction commits on
+    top via the same publish loop. The race is staged deterministically
+    (the loser's publish fires the winner first, the Delta conflict-
+    matrix shape), and the oracle proves the merged history equals the
+    SERIAL result: every row of all three writers present exactly once.
+    Output also pins n_versions (= 4: initial, winner, rebased loser,
+    compaction) and n_rebased (= 1 commit carrying a txn rebase record).
+    Reference: Delta Lake concurrency-control docs (Append vs Append
+    never conflicts); reference repo has no concurrency story."""
+    import tempfile
+
+    from vptstools_spark.plans import occ
+    from vptstools_spark.plans.timetravel import (
+        _list_versions,
+        _read_commit,
+        commit_append,
+        commit_initial,
+        read_version,
+    )
+
+    key = ("occ_orders", sf)
+    if key not in _TT_CACHE:
+        o = table(spark, sf, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice",
+            (F.col("o_orderkey") % 4).cast("int").alias("part"),
+        )
+        path = tempfile.mkdtemp(prefix="occ_orders_")
+        commit_initial(o.filter(F.col("o_orderkey") % 3 == 0), path, ["part"])
+        winner_df = o.filter(F.col("o_orderkey") % 3 == 2)
+        real_commit = occ._commit
+        state = {"fired": False}
+
+        def racing(sp, p, v, *a, **kw):
+            # the loser's first publish attempt: the winner commits
+            # first, so the original create-exclusive loses and the
+            # loop must rebase (tests/test_occ.py uses the same stage)
+            if not state["fired"]:
+                state["fired"] = True
+                commit_append(spark, path, winner_df)
+            return real_commit(sp, p, v, *a, **kw)
+
+        occ._commit = racing
+        try:
+            occ.append_atomic(
+                spark, path, o.filter(F.col("o_orderkey") % 3 == 1)
+            )
+        finally:
+            occ._commit = real_commit
+        occ.compact_atomic(spark, path, min_files=2)
+        _TT_CACHE[key] = path
+    path = _TT_CACHE[key]
+    vs = _list_versions(spark, path)
+    n_rebased = sum(
+        1 for v in vs if _read_commit(spark, path, v).get("txn") is not None
+    )
+    return (
+        read_version(spark, path)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("o_orderkey").cast("long").alias("key_sum"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast(
+                    "double"
+                ),
+                2,
+            ).alias("price_sum"),
+        )
+        .withColumn("n_versions", F.lit(len(vs)))
+        .withColumn("n_rebased", F.lit(n_rebased))
+        .orderBy("o_orderstatus")
+    )
+
+
 def q_dv_delete_read(spark: SparkSession, sf: str) -> DataFrame:
     """Merge-on-read deletes under the value gate
     (`plans/timetravel.py:delete_where`): commit orders as a versioned
@@ -1044,6 +1122,7 @@ QUERIES = {
     "hp_pruned_scan": q_hp_pruned_scan,
     "wap_audit_publish": q_wap_audit_publish,
     "dv_delete_read": q_dv_delete_read,
+    "occ_rebase_commits": q_occ_rebase_commits,
     "cdf_order_changes": q_cdf_order_changes,
     "jv_orders_refresh": q_jv_orders_refresh,
     "events_hourly": q_events_hourly,
@@ -1142,6 +1221,19 @@ ORACLES = {
                CAST(SUM(o_orderkey + 20000000) AS BIGINT)
         FROM orders WHERE o_orderkey % 101 = 0
         ORDER BY _commit_version, _change_type
+    """,
+    "occ_rebase_commits": """
+        SELECT o_orderstatus,
+               COUNT(*) AS n_rows,
+               CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+               ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                          AS DOUBLE), 2) AS price_sum,
+               -- v0 initial + winner append + REBASED loser + compaction
+               4 AS n_versions,
+               1 AS n_rebased
+        FROM orders
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
     """,
     "dv_delete_read": """
         WITH cur AS (

@@ -267,7 +267,9 @@ def branch_overwrite(
     return new_v
 
 
-def merge_branch(spark: SparkSession, path: str, name: str) -> int:
+def merge_branch(
+    spark: SparkSession, path: str, name: str, rebase: bool = False
+) -> int:
     """Fast-forward-squash the branch into main: ONE new main commit
     (op `merge(name)`) adopting the branch head's file list, delete
     vectors, column order, and constraints — O(metadata), zero data
@@ -275,7 +277,18 @@ def merge_branch(spark: SparkSession, path: str, name: str) -> int:
     commit. Refuses (`BranchConflictError`) if main has advanced past
     the branch's fork point: the branch head's file list embeds the
     fork-time snapshot, so publishing it would silently DROP every
-    main-line commit made since the fork."""
+    main-line commit made since the fork.
+
+    `rebase=True` relaxes the refusal with the `plans/occ.py` conflict
+    matrix: when BOTH sides diverged only ADDITIVELY from the fork
+    point — every fork-time file and vector survives in main's head AND
+    in the branch head, and neither side changed schema, constraints,
+    renames, or the partition spec — the three-way merge is just the
+    union of both sides' additions, still O(metadata): the merge commit
+    lists main-head files + branch-added files and main-head vectors +
+    branch-added vectors (branch vectors reference fork-time files,
+    which additivity proves survive). Any removal or metadata change on
+    either side still refuses — rewrites don't commute with anything."""
     blog = _branch_log(name)
     versions = _list_versions(spark, path, blog)
     if not versions:
@@ -283,22 +296,81 @@ def merge_branch(spark: SparkSession, path: str, name: str) -> int:
     fork = _read_commit(spark, path, versions[0], blog)
     head = _read_commit(spark, path, versions[-1], blog)
     main_versions = _list_versions(spark, path)
-    if main_versions[-1] != fork["forked_from"]:
-        raise BranchConflictError(
-            f"main is at version {main_versions[-1]} but branch {name!r} "
-            f"forked at {fork['forked_from']}; fast-forward is impossible "
-            "— re-fork from the new head and replay the delta"
+    main_head_v = main_versions[-1]
+    if main_head_v == fork["forked_from"]:
+        new_v = main_head_v + 1
+        _commit(
+            spark,
+            path,
+            new_v,
+            head["files"],
+            head["partition_cols"],
+            f"merge({name})",
+            head.get("partition_types"),
+            _carry(head),
         )
-    new_v = main_versions[-1] + 1
+        return new_v
+    if not rebase:
+        raise BranchConflictError(
+            f"main is at version {main_head_v} but branch {name!r} "
+            f"forked at {fork['forked_from']}; fast-forward is impossible "
+            "— re-fork from the new head and replay the delta, or pass "
+            "rebase=True to merge additive-only divergence"
+        )
+    fork_main = _read_commit(spark, path, fork["forked_from"])
+    main_head = _read_commit(spark, path, main_head_v)
+
+    def _endpoint_additive(base: dict, tip: dict) -> list[str]:
+        probs = []
+        if set(base["files"]) - set(tip["files"]):
+            probs.append("removed data files")
+        if set(base.get("delete_files") or []) - set(
+            tip.get("delete_files") or []
+        ):
+            probs.append("dropped delete vectors")
+        for k in (
+            "columns", "constraints", "rename_history",
+            "partition_cols", "partition_transforms",
+        ):
+            if (base.get(k) or None) != (tip.get(k) or None):
+                probs.append(f"changed {k}")
+        return probs
+
+    for side, tip in (("main", main_head), (f"branch {name!r}", head)):
+        probs = _endpoint_additive(fork_main, tip)
+        if probs:
+            raise BranchConflictError(
+                f"rebase merge of {name!r} refused: {side} diverged "
+                f"non-additively from fork version {fork['forked_from']} "
+                f"({', '.join(probs)}); re-fork and replay"
+            )
+    branch_added = [
+        f for f in head["files"] if f not in set(fork_main["files"])
+    ]
+    fork_dvs = set(fork_main.get("delete_files") or [])
+    branch_added_dvs = [
+        f for f in head.get("delete_files") or [] if f not in fork_dvs
+    ]
+    new_v = main_head_v + 1
     _commit(
         spark,
         path,
         new_v,
-        head["files"],
-        head["partition_cols"],
+        main_head["files"] + branch_added,
+        main_head["partition_cols"],
         f"merge({name})",
-        head.get("partition_types"),
-        _carry(head),
+        main_head.get("partition_types"),
+        {
+            **_carry(main_head),
+            "delete_files": (main_head.get("delete_files") or [])
+            + branch_added_dvs,
+            "txn": {
+                "base_version": fork["forked_from"],
+                "rebased_over": list(
+                    range(fork["forked_from"] + 1, main_head_v + 1)
+                ),
+            },
+        },
     )
     return new_v
 

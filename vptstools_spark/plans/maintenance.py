@@ -228,22 +228,70 @@ def compact_versioned_table(
 
     Returns {"version", "compacted_partitions", "files_before",
     "files_after"} ("version" = current when nothing qualifies — no empty
-    commit)."""
+    commit). For compaction racing live writers use
+    `plans/occ.py:compact_atomic`, which prepares through the same
+    `_plan_compaction`/`_rewrite_victims` halves and rebases the
+    publish."""
     from vptstools_spark.plans.timetravel import (
+        _carry,
         _commit,
-        _partition_of,
         _read_commit,
-        _read_snapshot,
         _resolve_version,
-        _write_snapshot_files,
-        files_metadata,
     )
-    from vptstools_spark.plans.zorder import zvalue
 
     prev_v = _resolve_version(spark, path, None)
     prev = _read_commit(spark, path, prev_v)
-    pcols = prev["partition_cols"]
-    fm = files_metadata(spark, path, prev_v).collect()
+    victims, n_parts = _plan_compaction(
+        spark, path, prev_v, min_files, max_partition_bytes
+    )
+    if not victims:
+        return {
+            "version": prev_v,
+            "compacted_partitions": 0,
+            "files_before": len(prev["files"]),
+            "files_after": len(prev["files"]),
+        }
+    new_v = prev_v + 1
+    rels = _rewrite_victims(spark, path, prev_v, victims, zorder_by, None)
+    carried = [f for f in prev["files"] if f not in set(victims)]
+    _commit(
+        spark,
+        path,
+        new_v,
+        carried + rels,
+        prev["partition_cols"],
+        "compact",
+        prev.get("partition_types"),
+        # vectors that hit rewritten files were materialized; their
+        # entries now match nothing (harmless, purged on purge_deletes)
+        _carry(prev),
+    )
+    return {
+        "version": new_v,
+        "compacted_partitions": n_parts,
+        "files_before": len(prev["files"]),
+        "files_after": len(carried) + len(rels),
+    }
+
+
+def _plan_compaction(
+    spark: SparkSession,
+    path: str,
+    version: int,
+    min_files: int,
+    max_partition_bytes: int,
+) -> tuple[list[str], int]:
+    """Victim selection for one snapshot — pure metadata (one stat per
+    file via files_metadata, no data scan). Returns (victim files,
+    compacted partition count incl. the legacy bucket)."""
+    from vptstools_spark.plans.timetravel import (
+        _partition_of,
+        _read_commit,
+        files_metadata,
+    )
+
+    pcols = _read_commit(spark, path, version)["partition_cols"]
+    fm = files_metadata(spark, path, version).collect()
     by_part: dict[tuple, list] = {}
     legacy: list[str] = []
     for r in fm:
@@ -260,45 +308,40 @@ def compact_versioned_table(
         ) <= max_partition_bytes:
             victims.extend(r["file"] for r in rows)
             n_parts += 1
-    if not victims:
-        return {
-            "version": prev_v,
-            "compacted_partitions": 0,
-            "files_before": len(prev["files"]),
-            "files_after": len(prev["files"]),
-        }
-    snap = _read_snapshot(spark, path, prev_v, file_subset=set(victims))
+    return victims, n_parts + (1 if legacy else 0)
+
+
+def _rewrite_victims(
+    spark: SparkSession,
+    path: str,
+    version: int,
+    victims: list[str],
+    zorder_by: list[str] | None,
+    vlabel: str | None,
+) -> list[str]:
+    """Rewrite the victims' rows (delete vectors APPLIED — deletes
+    materialize for rewritten files) into one file per compacted
+    partition under `vlabel` (default `v{version+1}`); returns the new
+    files' rels."""
+    from vptstools_spark.plans.timetravel import (
+        _derive,
+        _read_commit,
+        _read_snapshot,
+        _write_snapshot_files,
+    )
+    from vptstools_spark.plans.zorder import zvalue
+
+    prev = _read_commit(spark, path, version)
+    pcols = prev["partition_cols"]
+    snap = _read_snapshot(spark, path, version, file_subset=set(victims))
     # hidden-partitioning transforms: derive the partition columns before
     # clustering on them (the logical read excludes them by design)
-    from vptstools_spark.plans.timetravel import _derive
-
-    transforms = prev.get("partition_transforms") or {}
-    snap = _derive(snap, transforms)
+    snap = _derive(snap, prev.get("partition_transforms") or {})
     # one output file per compacted partition; unpartitioned tables
     # compact to a single file (they qualified under the byte bound)
     snap = snap.repartition(*pcols) if pcols else snap.repartition(1)
     if zorder_by:
         snap = snap.sortWithinPartitions(zvalue(snap, zorder_by))
-    new_v = prev_v + 1
-    rels = _write_snapshot_files(snap, path, new_v, pcols)
-    carried = [f for f in prev["files"] if f not in set(victims)]
-    from vptstools_spark.plans.timetravel import _carry
-
-    _commit(
-        spark,
-        path,
-        new_v,
-        carried + rels,
-        pcols,
-        "compact",
-        prev.get("partition_types"),
-        # vectors that hit rewritten files were materialized; their
-        # entries now match nothing (harmless, purged on purge_deletes)
-        _carry(prev),
+    return _write_snapshot_files(
+        snap, path, version + 1, pcols, vlabel=vlabel
     )
-    return {
-        "version": new_v,
-        "compacted_partitions": n_parts + (1 if legacy else 0),
-        "files_before": len(prev["files"]),
-        "files_after": len(carried) + len(rels),
-    }
