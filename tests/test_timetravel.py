@@ -1319,3 +1319,40 @@ def test_hidden_partitioning_validation(spark, tmp_path):
         commit_initial(df, path, ["v"], partition_transforms={"v": ("days", "ts")})
     with pytest.raises(ValueError, match="must be listed"):
         commit_initial(df, path, [], partition_transforms={"p": ("days", "ts")})
+
+
+def test_hidden_partitioning_hours(spark, tmp_path):
+    """hours(ts) transform: sub-daily partition dirs, range predicates
+    prune through the lexicographically-monotone rendering, boundary
+    hour restored by the residual filter."""
+    import datetime
+
+    from vptstools_spark.plans.timetravel import (
+        _read_commit,
+        read_version_pruned,
+    )
+
+    path = str(tmp_path / "hp_hours")
+    rows = [
+        (i, f"2024-01-01 {h:02d}:{m:02d}:00", float(i))
+        for i, (h, m) in enumerate(
+            [(8, 10), (8, 50), (9, 15), (9, 45), (10, 5), (11, 30)]
+        )
+    ]
+    commit_initial(
+        _hp_df(spark, rows), path, ["p_hour"],
+        partition_transforms={"p_hour": ("hours", "ts")},
+    )
+    files = _read_commit(spark, path, 0)["files"]
+    assert any("p_hour=2024-01-01-08" in f for f in files)
+    assert any("p_hour=2024-01-01-11" in f for f in files)
+    assert read_version(spark, path).columns == ["k", "ts", "v"]  # hidden
+
+    cut = datetime.datetime(2024, 1, 1, 9, 30, 0)
+    got = read_version_pruned(spark, path, "ts", ">=", cut)
+    # boundary hour 09 straddles the cut: 09:15 out, 09:45 in
+    assert sorted(r["k"] for r in got.collect()) == [3, 4, 5]
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "p_hour" in plan
+    got_lt = read_version_pruned(spark, path, "ts", "<", cut)
+    assert sorted(r["k"] for r in got_lt.collect()) == [0, 1, 2]

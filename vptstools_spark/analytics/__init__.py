@@ -50,6 +50,8 @@ _MODULES = [
 NEW_THIS_ROUND = [
     # round 6
     "occ_rebase_commits",
+    "dv_equality_read",
+    "hp_hours_scan",
     # round 5
     "join_order_sales",
     "hp_pruned_scan",

@@ -432,6 +432,60 @@ def q_hp_pruned_scan(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_hp_hours_scan(spark: SparkSession, sf: str) -> DataFrame:
+    """hours() hidden partitioning (`plans/timetravel.py` — the last
+    transform of the Iceberg set, for SUB-DAILY event tables): three
+    days of events commit under an hours(ts) derived partition column
+    (72 hour-directories — the partition-count discipline that makes
+    hours wrong for multi-month data and right for short hot windows),
+    and `read_version_pruned` maps a timestamp range predicate onto the
+    lexicographically-monotone 'yyyy-MM-dd-HH' rendering for
+    planning-time pruning plus the exact residual filter. The oracle
+    recomputes from the raw table — boundary-exactness at the partition
+    edge (the 09:xx hour straddles the 09:30 cut) is what the value
+    match proves."""
+    import datetime
+    import tempfile
+
+    from vptstools_spark.plans.timetravel import (
+        commit_initial,
+        read_version_pruned,
+    )
+
+    key = ("hp_hours_events", sf)
+    if key not in _TT_CACHE:
+        e = table(spark, sf, "events").filter(
+            (F.col("ts") >= F.lit("2024-01-10"))
+            & (F.col("ts") < F.lit("2024-01-13"))
+        ).select("event_id", "user_id", "event_type", "ts", "value")
+        path = tempfile.mkdtemp(prefix="hp_hours_events_")
+        # cluster by the hour before the partitioned write: one file per
+        # hour-partition, not one per shuffle task
+        commit_initial(
+            e.repartition(8, F.date_format("ts", "yyyy-MM-dd-HH")),
+            path,
+            ["p_hour"],
+            partition_transforms={"p_hour": ("hours", "ts")},
+        )
+        _TT_CACHE[key] = path
+    t = read_version_pruned(
+        spark,
+        _TT_CACHE[key],
+        "ts",
+        ">=",
+        datetime.datetime(2024, 1, 11, 9, 30, 0),
+    )
+    return (
+        t.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("user_id").cast("long").alias("user_sum"),
+            F.round(F.sum("value"), 2).alias("value_sum"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def q_jv_orders_refresh(spark: SparkSession, sf: str) -> DataFrame:
     """Incrementally-maintained join view under the value gate
     (`plans/joinview.py`): orders ⋈ customer persisted at an initial
@@ -577,6 +631,71 @@ def q_wap_audit_publish(spark: SparkSession, sf: str) -> DataFrame:
         .withColumn("n_versions", F.lit(n_versions))
         .orderBy("o_orderstatus")
     )
+
+
+def q_dv_equality_read(spark: SparkSession, sf: str) -> DataFrame:
+    """EQUALITY deletes under the value gate
+    (`plans/timetravel.py:delete_where_eq` — Iceberg-v2 equality
+    deletes): orders commit as a versioned table, every 59th key is
+    deleted by committing the KEY TUPLES alone (the commit scans no data
+    file — proven by `tests/test_eq_deletes.py` with the files moved
+    away), then an append RE-ADDS half of the deleted keys with new
+    totals — the sequence-scoping rule must keep the re-added rows while
+    the originals stay deleted. Both the merge-on-read snapshot
+    (broadcast anti-join with per-file seq eligibility) and the purged
+    snapshot (equality deletes folded into the files they hit) must
+    match the oracle's recomputation from the raw table."""
+    import tempfile
+
+    from vptstools_spark.plans.timetravel import (
+        commit_append,
+        commit_initial,
+        delete_where_eq,
+        purge_deletes,
+        read_version,
+    )
+
+    key = ("eq_orders", sf)
+    if key not in _TT_CACHE:
+        o = table(spark, sf, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice",
+            (F.col("o_orderkey") % 8).cast("int").alias("part"),
+        )
+        path = tempfile.mkdtemp(prefix="eq_orders_")
+        commit_initial(o, path, ["part"])                          # v0
+        delete_where_eq(                                            # v1
+            spark,
+            path,
+            o.filter(F.col("o_orderkey") % 59 == 0).select("o_orderkey"),
+            ["o_orderkey"],
+        )
+        readded = o.filter(
+            (F.col("o_orderkey") % 59 == 0) & (F.col("o_orderkey") % 2 == 0)
+        ).withColumn("o_totalprice", F.col("o_totalprice") + F.lit(1.0))
+        commit_append(spark, path, readded)                         # v2
+        purge_deletes(spark, path)                                  # v3
+        _TT_CACHE[key] = path
+    path = _TT_CACHE[key]
+
+    def agg(df: DataFrame, stage: str) -> DataFrame:
+        return (
+            df.groupBy("o_orderstatus")
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.sum("o_orderkey").cast("long").alias("key_sum"),
+                F.round(
+                    F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast(
+                        "double"
+                    ),
+                    2,
+                ).alias("price_sum"),
+            )
+            .withColumn("stage", F.lit(stage))
+        )
+
+    return agg(read_version(spark, path, 2), "mor").unionByName(
+        agg(read_version(spark, path, 3), "purged")
+    ).orderBy("stage", "o_orderstatus")
 
 
 def q_occ_rebase_commits(spark: SparkSession, sf: str) -> DataFrame:
@@ -1123,6 +1242,8 @@ QUERIES = {
     "wap_audit_publish": q_wap_audit_publish,
     "dv_delete_read": q_dv_delete_read,
     "occ_rebase_commits": q_occ_rebase_commits,
+    "dv_equality_read": q_dv_equality_read,
+    "hp_hours_scan": q_hp_hours_scan,
     "cdf_order_changes": q_cdf_order_changes,
     "jv_orders_refresh": q_jv_orders_refresh,
     "events_hourly": q_events_hourly,
@@ -1221,6 +1342,36 @@ ORACLES = {
                CAST(SUM(o_orderkey + 20000000) AS BIGINT)
         FROM orders WHERE o_orderkey % 101 = 0
         ORDER BY _commit_version, _change_type
+    """,
+    "dv_equality_read": """
+        WITH cur AS (
+            SELECT o_orderkey AS k, o_orderstatus AS st,
+                   CAST(o_totalprice AS DECIMAL(18,2)) AS p
+            FROM orders WHERE o_orderkey % 59 <> 0
+            UNION ALL
+            SELECT o_orderkey, o_orderstatus,
+                   CAST(o_totalprice AS DECIMAL(18,2)) + 1.0
+            FROM orders
+            WHERE o_orderkey % 59 = 0 AND o_orderkey % 2 = 0
+        ),
+        a AS (
+            SELECT st AS o_orderstatus, COUNT(*) AS n_rows,
+                   CAST(SUM(k) AS BIGINT) AS key_sum,
+                   ROUND(CAST(SUM(p) AS DOUBLE), 2) AS price_sum
+            FROM cur GROUP BY st
+        )
+        SELECT o_orderstatus, n_rows, key_sum, price_sum, stage
+        FROM a CROSS JOIN (VALUES ('mor'), ('purged')) s(stage)
+        ORDER BY stage, o_orderstatus
+    """,
+    "hp_hours_scan": """
+        SELECT event_type, COUNT(*) AS n_events,
+               CAST(SUM(user_id) AS BIGINT) AS user_sum,
+               ROUND(SUM(value), 2) AS value_sum
+        FROM events
+        WHERE ts >= TIMESTAMP '2024-01-11 09:30:00'
+          AND ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-13'
+        GROUP BY event_type ORDER BY event_type
     """,
     "occ_rebase_commits": """
         SELECT o_orderstatus,

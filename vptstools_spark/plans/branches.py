@@ -399,6 +399,8 @@ def drop_branch(spark: SparkSession, path: str, name: str) -> list[str]:
             c = _read_commit(spark, path, v, log_dir)
             referenced |= set(c["files"])
             referenced |= set(c.get("delete_files") or [])
+            for e in c.get("eq_deletes") or []:
+                referenced |= set(e["files"])
     prefix = f"b-{name}-"
     data_root = os.path.join(path, _DATA_DIR)
     marker = f"/{_DATA_DIR}/"

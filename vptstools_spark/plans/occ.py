@@ -85,9 +85,9 @@ class ConcurrentTransactionError(CommitConflictError):
     prepared write."""
 
 
-#: artifact-additive ops: add files and/or vectors, remove nothing —
-#: every pre-existing file and vector survives them
-_ADDITIVE_OPS = {"append", "delete", "update", "upsert_mor"}
+#: artifact-additive ops: add files/vectors/equality entries, remove
+#: nothing — every pre-existing file and vector survives them
+_ADDITIVE_OPS = {"append", "delete", "update", "upsert_mor", "delete_eq"}
 #: metadata loosening: can never invalidate a prepared write
 _SAFE_METADATA_OPS = {"drop_constraints"}
 #: row-preserving rewrites: remove files but never change row content
@@ -467,9 +467,18 @@ def compact_atomic(
         base = _read_commit(spark, path, base_v)
         if head_v != base_v:
             winners = _interleaved(spark, path, base_v, head_v)
-            rebase_ok = all(_is_additive(w) for w in winners) and not (
-                _dv_targets(spark, path, _new_dvs(base, winners))
-                & set(victims)
+            # a winner's new POSITION vectors must hit no victim, and a
+            # winner EQUALITY delete blocks outright: the prepared
+            # rewrite predates the entry, and its output files would
+            # carry seqs ABOVE the entry's version — the entry would
+            # stop masking the rewritten rows (resurrection)
+            rebase_ok = (
+                all(_is_additive(w) for w in winners)
+                and not any(w["op"] == "delete_eq" for w in winners)
+                and not (
+                    _dv_targets(spark, path, _new_dvs(base, winners))
+                    & set(victims)
+                )
             )
             if not rebase_ok:
                 base_v = head_v

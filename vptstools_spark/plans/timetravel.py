@@ -90,6 +90,12 @@ def _carry(prev: dict) -> dict:
         # hidden-partitioning transforms: every write path re-derives the
         # partition columns from these specs
         "partition_transforms": prev.get("partition_transforms") or {},
+        # equality-delete entries (delete_where_eq) and the per-file
+        # data SEQUENCE map that scopes them (Iceberg v2 sequence
+        # numbers): an entry deletes only from files whose seq <= the
+        # entry's commit version, so later appends are untouched
+        "eq_deletes": prev.get("eq_deletes") or [],
+        "file_seqs": prev.get("file_seqs") or {},
     }
 
 
@@ -130,6 +136,7 @@ def _read_commit(
 #:   ("years", src)           -> trunc(src, 'year')        (monotone)
 #:   ("months", src)          -> trunc(src, 'month')       (monotone)
 #:   ("days", src)            -> to_date(src)              (monotone)
+#:   ("hours", src)           -> 'yyyy-MM-dd-HH' render    (monotone)
 #:   ("bucket", src, n)       -> pmod(hash(src), n)        (equality)
 #:   ("truncate_int", src, w) -> src - pmod(src, w)        (monotone)
 #:   ("truncate_str", src, w) -> substring(src, 1, w)      (monotone)
@@ -137,10 +144,16 @@ def _read_commit(
 #: year of data is ~365 directories; on a decade it is a small-files
 #: factory — months/years exist for exactly that reason.
 _TRANSFORM_KINDS = {
-    "years", "months", "days", "bucket", "truncate_int", "truncate_str"
+    "years", "months", "days", "hours", "bucket",
+    "truncate_int", "truncate_str",
 }
-#: kinds where T is order-preserving, so range predicates map to ranges
-_MONOTONE_KINDS = {"years", "months", "days", "truncate_int", "truncate_str"}
+#: kinds where T is order-preserving, so range predicates map to ranges;
+#: bucket is the one non-monotone kind — it prunes EQUALITY only (a
+#: range over hash buckets is meaningless), which read_version_pruned's
+#: mapping rules state explicitly
+_MONOTONE_KINDS = {
+    "years", "months", "days", "hours", "truncate_int", "truncate_str"
+}
 
 
 def _transform_expr(spec: tuple, x: Column) -> Column:
@@ -151,6 +164,11 @@ def _transform_expr(spec: tuple, x: Column) -> Column:
         return F.trunc(F.to_date(x), "month")
     if kind == "days":
         return F.to_date(x)
+    if kind == "hours":
+        # Iceberg's hour() transform, rendered human-readable; the
+        # fixed-width zero-padded form is lexicographically monotone,
+        # so range predicates map through it like days/months
+        return F.date_format(x, "yyyy-MM-dd-HH")
     if kind == "bucket":
         return F.pmod(F.hash(x), F.lit(int(spec[2])))
     if kind == "truncate_int":
@@ -243,6 +261,19 @@ def _commit(
         # keep pre-rename commits clean of empty bookkeeping
         extra.pop("rename_history", None)
         extra.pop("file_epochs", None)
+    if extra.get("eq_deletes"):
+        # complete per-file sequence map: carried files keep their seq,
+        # files new to this commit get the current version — tracking
+        # starts at the first eq-delete commit, where assigning every
+        # then-existing file THAT version is exactly right (the entry
+        # applies to seq <= its version)
+        prev_seqs = extra.get("file_seqs") or {}
+        extra["file_seqs"] = {
+            f: prev_seqs.get(f, version) for f in files
+        }
+    else:
+        extra.pop("eq_deletes", None)
+        extra.pop("file_seqs", None)
     ok = create_text_exclusive(
         spark,
         _log_path(path, version, log_dir),
@@ -570,9 +601,12 @@ def _read_snapshot(
     file_subset: set[str] | None = None,
     log_dir: str = _LOG_DIR,
     partition_filter: Column | None = None,
+    apply_deletes: bool = True,
 ) -> DataFrame:
     """Assemble a commit's file list into one DataFrame, applying any
-    position-delete vectors the commit carries. `with_position=True`
+    position-delete vectors and equality-delete entries the commit
+    carries (`apply_deletes=False` reads the raw file contents — the
+    purge path probes eligibility that way). `with_position=True`
     keeps the (relative file, row index) scan columns (`_DV_FILE`,
     `_DV_POS`) for writers that derive new vectors; `file_subset`
     restricts the scan to the listed relative files (purge reads ONLY
@@ -585,8 +619,9 @@ def _read_snapshot(
         files = [f for f in files if f in file_subset]
     if not files:
         raise ValueError(f"version {version} is empty")
-    delete_files = commit.get("delete_files") or []
-    want_pos = with_position or bool(delete_files)
+    delete_files = (commit.get("delete_files") or []) if apply_deletes else []
+    eq_entries = (commit.get("eq_deletes") or []) if apply_deletes else []
+    want_pos = with_position or bool(delete_files) or bool(eq_entries)
     # a snapshot's files span several version dirs (carried + new), and
     # hive partition discovery can't cross the non-hive `vN` segment —
     # read each version dir with its own basePath and union
@@ -644,6 +679,34 @@ def _read_snapshot(
             (out[_DV_FILE] == dv["file"]) & (out[_DV_POS] == dv["pos"]),
             "left_anti",
         )
+    if eq_entries:
+        # EQUALITY deletes (Iceberg-v2 shape): each entry's key tuples
+        # anti-join the scan, scoped by data sequence — only rows from
+        # files whose seq <= the entry's commit version are eligible, so
+        # later-appended rows with the same key survive. The key files
+        # are broadcast-small by the same contract as position vectors.
+        seqs = commit.get("file_seqs") or {}
+        sdf = spark.createDataFrame(
+            [(f, int(seqs.get(f, 0))) for f in files],
+            "__eq_file string, __eq_seq int",
+        )
+        out = out.join(
+            F.broadcast(sdf), out[_DV_FILE] == sdf["__eq_file"], "left"
+        ).drop("__eq_file")
+        for e in eq_entries:
+            keys_df = (
+                spark.read.parquet(
+                    *[os.path.join(data_root, f) for f in e["files"]]
+                )
+                .select(*e.get("stored_keys", e["keys"]))
+                .toDF(*e["keys"])
+                .distinct()
+            )
+            cond = F.col("__eq_seq") <= F.lit(int(e["version"]))
+            for k in e["keys"]:
+                cond = cond & out[k].eqNullSafe(keys_df[k])
+            out = out.join(F.broadcast(keys_df), cond, "left_anti")
+        out = out.drop("__eq_seq")
     cols = commit.get("columns")
     if cols:
         keep = [c for c in cols if file_subset is None or c in out.columns]
@@ -816,6 +879,67 @@ def delete_where(
             **_carry(prev),
             "delete_files": (prev.get("delete_files") or []) + new_rels,
             "n_deleted": n_deleted,
+        },
+    )
+    return new_v
+
+
+def delete_where_eq(
+    spark: SparkSession,
+    path: str,
+    keys_df: DataFrame,
+    keys: list[str],
+    expected_version: int | None = None,
+) -> int:
+    """EQUALITY delete (Iceberg-v2 equality deletes): commit the KEY
+    TUPLES to delete — `keys_df` projected onto `keys` — without
+    scanning a single data file. Where `delete_where` derives position
+    vectors (one snapshot scan to find the rows), a CDC batch that
+    already knows its deleted primary keys commits them directly: the
+    write cost is the key file alone, and reads resolve the delete with
+    the same broadcast anti-join machinery as position vectors, scoped
+    by per-file data SEQUENCE numbers so rows appended AFTER this commit
+    with the same key are untouched (Iceberg's sequence-number rule).
+    `purge_deletes` folds equality deletes into the files they hit
+    (finding the dirty files is purge's scan, not the delete's).
+    Returns the new version."""
+    prev_v = _resolve_version(spark, path, None)
+    if expected_version is not None and prev_v != expected_version:
+        raise CommitConflictError(
+            f"table {path} is at version {prev_v}, not the expected "
+            f"{expected_version}; retry the equality delete"
+        )
+    prev = _read_commit(spark, path, prev_v)
+    missing = [k for k in keys if k not in keys_df.columns]
+    if missing:
+        raise ValueError(f"keys_df lacks key columns {missing}")
+    new_v = prev_v + 1
+    eq_dir = os.path.join(path, _DATA_DIR, f"eq{new_v}")
+    keys_df.select(*keys).distinct().write.mode("error").parquet(eq_dir)
+    marker = f"{_DATA_DIR}/eq{new_v}/"
+    rels = sorted(
+        f[f.index(marker) + len(_DATA_DIR) + 1 :]
+        for f in list_data_files(spark, eq_dir)
+    )
+    _commit(
+        spark,
+        path,
+        new_v,
+        prev["files"],
+        prev["partition_cols"],
+        "delete_eq",
+        prev.get("partition_types"),
+        {
+            **_carry(prev),
+            "eq_deletes": (prev.get("eq_deletes") or [])
+            + [
+                {
+                    "files": rels,
+                    "keys": list(keys),
+                    "stored_keys": list(keys),
+                    "version": new_v,
+                }
+            ],
         },
     )
     return new_v
@@ -1027,6 +1151,13 @@ def rename_columns(
             "partition_transforms": new_transforms,
             "rename_history": hist + [dict(mapping)],
             "file_epochs": {f: prev_eps.get(f, 0) for f in prev["files"]},
+            # equality-delete entries follow the rename: `keys` tracks
+            # the current names (the read applies them to the logical
+            # schema); `stored_keys` stays the write-time parquet names
+            "eq_deletes": [
+                {**e, "keys": [mapping.get(k, k) for k in e["keys"]]}
+                for e in (prev.get("eq_deletes") or [])
+            ],
         },
     )
     return prev_v + 1
@@ -1268,18 +1399,59 @@ def purge_deletes(spark: SparkSession, path: str) -> int:
     prev_v = _resolve_version(spark, path, None)
     prev = _read_commit(spark, path, prev_v)
     delete_files = prev.get("delete_files") or []
-    if not delete_files:
+    eq_entries = prev.get("eq_deletes") or []
+    if not delete_files and not eq_entries:
         return prev_v
     data_root = os.path.join(path, _DATA_DIR)
-    dv = spark.read.parquet(*[os.path.join(data_root, f) for f in delete_files])
     # vectors may reference files a later upsert already dropped — only
     # files still in the commit are dirty; |files|-scale driver state
     live = set(prev["files"])
-    dirty = sorted(
-        r["file"]
-        for r in dv.select("file").distinct().collect()
-        if r["file"] in live
-    )
+    dirty_set: set[str] = set()
+    if delete_files:
+        dv = spark.read.parquet(
+            *[os.path.join(data_root, f) for f in delete_files]
+        )
+        dirty_set |= {
+            r["file"]
+            for r in dv.select("file").distinct().collect()
+            if r["file"] in live
+        }
+    if eq_entries:
+        # THIS is where the equality deletes pay their scan: finding
+        # which eligible files actually hold a matching key (the delete
+        # commit itself scanned nothing). One raw read per entry,
+        # semi-joined, distinct file list back to the driver.
+        seqs = prev.get("file_seqs") or {}
+        # _read_snapshot already applied every entry, so surviving rows
+        # match NO entry — instead probe the raw eligible rows per entry
+        for e in eq_entries:
+            keys_df = (
+                spark.read.parquet(
+                    *[os.path.join(data_root, f) for f in e["files"]]
+                )
+                .select(*e.get("stored_keys", e["keys"]))
+                .toDF(*e["keys"])
+                .distinct()
+            )
+            eligible = sorted(
+                f
+                for f in prev["files"]
+                if int(seqs.get(f, 0)) <= int(e["version"])
+            )
+            if not eligible:
+                continue
+            raw = _read_snapshot(
+                spark, path, prev_v, with_position=True,
+                file_subset=set(eligible), apply_deletes=False,
+            )
+            hit = (
+                raw.join(F.broadcast(keys_df), e["keys"], "left_semi")
+                .select(_DV_FILE)
+                .distinct()
+                .collect()
+            )
+            dirty_set |= {r[_DV_FILE] for r in hit}
+    dirty = sorted(dirty_set)
     new_v = prev_v + 1
     pcols = prev["partition_cols"]
     if dirty:
@@ -1313,7 +1485,7 @@ def purge_deletes(spark: SparkSession, path: str) -> int:
         pcols,
         "purge_deletes",
         prev.get("partition_types"),
-        {**_carry(prev), "delete_files": []},
+        {**_carry(prev), "delete_files": [], "eq_deletes": []},
     )
     return new_v
 
@@ -1587,6 +1759,32 @@ def table_changes(
             "compact",
         ):
             pass  # metadata-only or row-preserving rewrite: no row changes
+        elif op == "delete_eq":
+            # equality delete: no artifact on the data files — derive the
+            # deleted rows by semi-joining the PRIOR snapshot (deletes
+            # applied, so already-gone rows don't re-emit) with the new
+            # entries' key tuples; at v-1 every file is seq-eligible
+            prev_entries = prev.get("eq_deletes") or []
+            old = read_version(spark, path, v - 1)
+            for e in commit.get("eq_deletes") or []:
+                if e in prev_entries:
+                    continue
+                keys_df = (
+                    spark.read.parquet(
+                        *[os.path.join(data_root, f) for f in e["files"]]
+                    )
+                    .select(*e.get("stored_keys", e["keys"]))
+                    .toDF(*e["keys"])
+                    .distinct()
+                )
+                cond = None
+                for k in e["keys"]:
+                    c = old[k].eqNullSafe(keys_df[k])
+                    cond = c if cond is None else (cond & c)
+                pieces.append(
+                    tag(old.join(F.broadcast(keys_df), cond, "left_semi"),
+                        "delete", v)
+                )
         elif op != "initial" and not removed_files and not removed_dvs:
             # additive-only artifacts (append / MOR delete/upsert/update /
             # append-only branch merge / any future additive op): the feed
@@ -1855,6 +2053,8 @@ def vacuum_table(
             # would silently RESURRECT rows in every surviving commit
             # that lists it
             referenced |= set(c.get("delete_files") or [])
+            for e in c.get("eq_deletes") or []:
+                referenced |= set(e["files"])
     import time
 
     data_root = os.path.join(path, _DATA_DIR)

@@ -300,6 +300,22 @@ class TableChangesStreamReader(DataSourceStreamReader):
                 if v > 0
                 else {"files": [], "delete_files": []}
             )
+            if (commit.get("eq_deletes") or []) != (
+                prev.get("eq_deletes") or []
+            ):
+                # EQUALITY-delete commit: deriving its row-level feed
+                # needs a distributed semi-join of the prior snapshot
+                # with the key tuples, which a source task cannot plan —
+                # same contract as COW commits (batch consumers get the
+                # feed from plans/timetravel.py:table_changes)
+                if self.skip_change_commits:
+                    continue
+                raise ValueError(
+                    f"version {v} of {self.path} is an equality-delete "
+                    "commit; its row-level changes require a snapshot "
+                    "semi-join. Use the batch table_changes feed, or "
+                    ".option('skipChangeCommits', 'true') to skip it."
+                )
             # artifact-diff classification (same rule as the batch
             # table_changes): a commit that removed/replaced any file or
             # dropped any vector rewrote or resurrected rows without
