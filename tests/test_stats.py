@@ -263,3 +263,99 @@ def test_incremental_analyze_fresh_is_noop(spark, tmp_path):
     s1 = incremental_analyze(spark, path)
     s2 = incremental_analyze(spark, path)  # same version: sidecar read only
     assert s2.version == s1.version and s2.n_rows == s1.n_rows
+
+
+def test_auto_analyze_refreshes_and_flips_strategy(spark, tmp_path):
+    """VERDICT r5 #7: commit → stale stats → the planner refreshes
+    automatically → the join strategy flips with the new sizes."""
+    import warnings
+
+    from vptstools_spark.plans.stats import (
+        StaleStatsWarning,
+        analyze_versioned_table,
+        fresh_stats,
+        read_stats,
+        stats_join_versioned,
+        stats_stale,
+    )
+    from vptstools_spark.plans.timetravel import commit_append, commit_initial
+
+    dim = str(tmp_path / "dim")
+    fact = str(tmp_path / "fact")
+    commit_initial(
+        spark.createDataFrame(
+            [(i, f"d{i}") for i in range(10)], "k long, name string"
+        ),
+        dim,
+    )
+    commit_initial(
+        spark.createDataFrame(
+            [(i % 10, float(i)) for i in range(500)], "k long, v double"
+        ),
+        fact,
+    )
+    analyze_versioned_table(spark, dim)
+    analyze_versioned_table(spark, fact)
+
+    # tiny thresholds so sizes land on either side of the broadcast cut
+    thresholds = dict(broadcast_bytes=3000, hash_build_bytes=10**9)
+    _, d1 = stats_join_versioned(spark, dim, fact, ["k"], **thresholds)
+    assert d1["strategy"] == "broadcast" and d1["side"] == "left"
+
+    # the dim grows past the broadcast budget; stats are now stale
+    commit_append(
+        spark,
+        dim,
+        spark.createDataFrame(
+            [(100 + i, f"x{i}") for i in range(3000)], "k long, name string"
+        ),
+    )
+    assert stats_stale(spark, dim)
+    _, d2 = stats_join_versioned(spark, dim, fact, ["k"], **thresholds)
+    # the planner refreshed (sidecar re-pinned to the new version) and
+    # the strategy flipped off broadcast-left
+    assert not stats_stale(spark, dim)
+    assert d2["left_stats_version"] == 1
+    assert read_stats(spark, dim).n_rows == 3010
+    assert (d2["strategy"], d2["side"]) != ("broadcast", "left")
+
+    # auto_refresh=False: stale stats are served with the warning
+    commit_append(
+        spark, dim,
+        spark.createDataFrame([(9999, "z")], "k long, name string"),
+    )
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        st = fresh_stats(spark, dim, auto_refresh=False)
+    assert any(issubclass(x.category, StaleStatsWarning) for x in w)
+    assert st.version == 1  # the stale pin, served as-is
+
+
+def test_ordered_join_versioned_auto_refresh(spark, tmp_path):
+    """The Selinger path re-derives order + strategy from refreshed
+    stats too."""
+    from vptstools_spark.plans.joinorder import JoinEdge, ordered_join_versioned
+    from vptstools_spark.plans.stats import analyze_versioned_table, stats_stale
+    from vptstools_spark.plans.timetravel import commit_append, commit_initial
+
+    a = str(tmp_path / "a")
+    b = str(tmp_path / "b")
+    commit_initial(
+        spark.createDataFrame([(i, i * 2) for i in range(20)], "k long, x long"), a
+    )
+    commit_initial(
+        spark.createDataFrame([(i % 20, i) for i in range(200)], "k long, y long"), b
+    )
+    analyze_versioned_table(spark, a)
+    analyze_versioned_table(spark, b)
+    commit_append(
+        spark, b,
+        spark.createDataFrame([(i % 20, -i) for i in range(300)], "k long, y long"),
+    )
+    assert stats_stale(spark, b)
+    df, plan = ordered_join_versioned(
+        spark, {"a": a, "b": b}, [JoinEdge("a", "b", ["k"])]
+    )
+    assert not stats_stale(spark, b)  # refreshed before enumeration
+    assert df.count() == 500  # 20-key fact side of 200+300 rows
+    assert plan["joins"][0]["rows_est"] > 0

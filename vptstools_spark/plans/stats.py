@@ -529,6 +529,83 @@ def incremental_analyze(
 # ---------------------------------------------------------------- estimates
 
 
+def fresh_stats(
+    spark: SparkSession,
+    path: str,
+    columns: list[str] | None = None,
+    auto_refresh: bool = True,
+) -> TableStats:
+    """Staleness-checked statistics for a versioned table — the
+    auto-ANALYZE hook the planners route through so CBO decisions can't
+    silently rot: if any commit landed since the sidecar was pinned
+    (`stats_stale`), refresh via `incremental_analyze` (O(changed data)
+    through the change feed; falls back to a full pass over COW gaps or
+    when no sketches exist). With `auto_refresh=False` a stale sidecar
+    is returned AS-IS after a `StaleStatsWarning` — for planners on a
+    read-only path that still want to surface the rot."""
+    if stats_stale(spark, path):
+        if auto_refresh:
+            return incremental_analyze(spark, path, columns)
+        import warnings
+
+        from vptstools_spark.plans.timetravel import _resolve_version
+
+        try:
+            stats = read_stats(spark, path)
+        except Exception as e:
+            raise ValueError(
+                f"no statistics sidecar for {path}; run "
+                "analyze_versioned_table or pass auto_refresh=True"
+            ) from e
+        warnings.warn(
+            f"statistics for {path} are stale (pinned at version "
+            f"{stats.version}, table at "
+            f"{_resolve_version(spark, path, None)}); CBO decisions may "
+            "be wrong — run incremental_analyze",
+            StaleStatsWarning,
+            stacklevel=2,
+        )
+        return stats
+    return read_stats(spark, path)
+
+
+class StaleStatsWarning(UserWarning):
+    """A planner consumed statistics pinned to an older table version."""
+
+
+def stats_join_versioned(
+    spark: SparkSession,
+    left_path: str,
+    right_path: str,
+    on: list[str],
+    how: str = "inner",
+    auto_refresh: bool = True,
+    **thresholds,
+) -> "tuple[DataFrame, dict]":
+    """`stats_join` over two VERSIONED tables with auto-ANALYZE: reads
+    both snapshots, routes their statistics through `fresh_stats` (stale
+    sidecars refresh incrementally before the strategy choice), and
+    returns (joined DataFrame, decision record). The decision records
+    each side's stats version so a test — or an operator — can see that
+    a commit flipped the plan."""
+    from vptstools_spark.plans.timetravel import read_version
+
+    ls = fresh_stats(spark, left_path, auto_refresh=auto_refresh)
+    rs = fresh_stats(spark, right_path, auto_refresh=auto_refresh)
+    df, decision = stats_join(
+        read_version(spark, left_path),
+        read_version(spark, right_path),
+        on,
+        ls,
+        rs,
+        how=how,
+        **thresholds,
+    )
+    decision["left_stats_version"] = ls.version
+    decision["right_stats_version"] = rs.version
+    return df, decision
+
+
 def estimate_equi_join(
     left: TableStats, right: TableStats, keys: list[str]
 ) -> float:
