@@ -138,3 +138,51 @@ def test_positional_filter_prunes_hopeless_pair(spark):
         for r in similarity_join(pdocs, threshold=0.5).collect()
     }
     assert got == brute_force(POS_DOCS, 0.5)
+
+
+def _sim_pairs(spark, rows, threshold):
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    return {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in similarity_join(df, threshold=threshold).collect()
+    }
+
+
+def test_router_bitmask_vs_prefix_same_answer(spark):
+    """The adaptive router (vocab <= 63 -> bitmask all-pairs; else prefix
+    index) is invisible in the answers: a corpus pushed over the vocab
+    cut by adding unique filler tokens yields the same pairs among the
+    original docs, and both routes equal brute force."""
+    import random
+
+    rng = random.Random(7)
+    base_vocab = [f"t{i}" for i in range(20)]  # low entropy: bitmask route
+    small_rows = [
+        (i, " ".join(sorted(rng.sample(base_vocab, rng.randint(5, 12)))))
+        for i in range(60)
+    ]
+    got_small = _sim_pairs(spark, small_rows, 0.7)
+    assert got_small == brute_force(small_rows, 0.7)
+
+    # widen the vocabulary past 63 with singleton-token docs: the router
+    # flips to the prefix route; pairs among the original docs unchanged
+    big_rows = small_rows + [
+        (1000 + j, f"unique_{j}_a unique_{j}_b unique_{j}_c")
+        for j in range(30)
+    ]
+    got_big = _sim_pairs(spark, big_rows, 0.7)
+    assert {p: j for p, j in got_big.items() if p[0] < 1000 and p[1] < 1000} == got_small
+    assert got_big == brute_force(big_rows, 0.7)
+
+
+def test_router_boundary_jaccard_agrees(spark):
+    """Boundary pairs (jaccard exactly at the threshold) survive both
+    routes — the exact test is the identical double-division form."""
+    rows = [
+        (0, " ".join(f"w{i}" for i in range(7))),           # {w0..w6}
+        (1, " ".join(f"w{i}" for i in range(10))),          # {w0..w9}: 7/10
+        (2, "w0 w1 w2 w3 w4 w5 w6"),                        # dup of 0
+    ]
+    got = _sim_pairs(spark, rows, 0.7)
+    assert got == brute_force(rows, 0.7)
+    assert got[(0, 1)] == 0.7 and got[(0, 2)] == 1.0

