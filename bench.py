@@ -200,6 +200,150 @@ SF1_EXEMPT_BASELINES: list[str] = []
 SF1_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "fixtures", "sf1")
 
 
+def _calibration(spark) -> dict:
+    """Fixed CPU-bound calibration kernels run with EVERY bench (VERDICT
+    r5 #4): this host's same-code timings drift ±25% between runs (see
+    PLANS.md variance note), so per-query comparisons across rounds
+    should be read as ratios NORMALIZED by the calibration — a query
+    that moved 1.5× while the kernel moved 1.5× is host noise, not a
+    regression. Two kernels bracket the two cost regimes: a whole-stage
+    -codegen aggregation (JVM ALU throughput — what most queries
+    bottleneck on) and a pure-Python loop (driver/PySpark overhead
+    paths). Both are IO-free and deterministic in size."""
+    import hashlib
+
+    def jvm_kernel():
+        spark.range(0, 100_000_000, 1, 32).selectExpr(
+            "sum(hash(id, id * 2654435761)) AS h"
+        ).collect()
+
+    def py_kernel():
+        h = hashlib.md5()
+        for i in range(400_000):
+            h.update(str(i).encode())
+        return h.hexdigest()
+
+    return {
+        "jvm_hash_agg_sec": round(_median_runs(jvm_kernel, 3), 3),
+        "python_md5_loop_sec": round(_median_runs(py_kernel, 3), 3),
+    }
+
+
+def _sf1_lakehouse(spark) -> dict:
+    """sf1 lakehouse mini-tier (VERDICT r5 #8): churn a fraction of a
+    VERSIONED sf1 fact table and measure the maintenance surfaces that
+    claim O(changed data) — MOR upsert, change-feed read, incremental
+    ANALYZE — against the O(table) contrasts (full re-analyze, initial
+    build). Churn is PARTITION-CLUSTERED (all rows of 1 vs 4 of the 16
+    partitions): the O(changed data) claim is really O(files the change
+    touches) — a MOR upsert's vectors hit every file holding a churned
+    key, so uniformly SCATTERED churn degrades the feed and the
+    incremental ANALYZE toward a full-table read (hit files = all
+    files); that shape is measured too (upsert_mor_scattered) rather
+    than hidden — clustered CDC is the layout contract, as in
+    Delta/Iceberg. The recorded claim: 4-partition churn ≈ 4× the
+    variable cost of 1-partition, and the feed / incremental ANALYZE
+    after clustered churn sit below their full-table counterparts.
+    Rebuilt fresh each run under a temp dir (the build itself is the
+    O(table) yardstick)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from vptstools_spark.plans.stats import (
+        analyze_table_sketched,
+        incremental_analyze,
+    )
+    from vptstools_spark.plans.maintenance import compact_versioned_table
+    from vptstools_spark.plans.timetravel import (
+        commit_initial,
+        commit_upsert_mor,
+        read_version,
+        table_changes,
+    )
+
+    out: dict[str, float] = {}
+    root = tempfile.mkdtemp(prefix="bench_sf1_lake_")
+    path = os.path.join(root, "orders")
+    try:
+        o = spark.read.parquet(os.path.join(SF1_DIR, "orders.parquet")).select(
+            "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            (F.col("o_orderkey") % 16).cast("int").alias("part"),
+        )
+
+        def timed(key, fn):
+            t0 = time.perf_counter()
+            fn()
+            out[key] = round(time.perf_counter() - t0, 3)
+
+        # cluster rows by partition before the write: one file per
+        # partition per commit, the layout the churn arithmetic assumes
+        timed(
+            "build_initial",
+            lambda: commit_initial(o.repartition("part"), path, ["part"]),
+        )
+
+        def delta(parts):  # every row of the given partitions, perturbed
+            return o.filter(F.col("part").isin(parts)).withColumn(
+                "o_totalprice", F.col("o_totalprice") + F.lit(1.0)
+            ).repartition("part")
+
+        timed(
+            "upsert_mor_1part",
+            lambda: commit_upsert_mor(spark, path, delta([3]), ["o_orderkey"]),
+        )
+        timed(
+            "upsert_mor_4part",
+            lambda: commit_upsert_mor(
+                spark, path, delta([1, 5, 9, 13]), ["o_orderkey"]
+            ),
+        )
+        timed(
+            "upsert_mor_scattered",  # the documented degraded shape
+            lambda: commit_upsert_mor(
+                spark,
+                path,
+                o.filter(F.col("o_orderkey") % 16 == 0).repartition("part"),
+                ["o_orderkey"],
+            ),
+        )
+        timed(
+            "cdf_feed_1part_commit",
+            lambda: table_changes(spark, path, 0, 1).count(),
+        )
+        incremental_analyze(spark, path)  # seed sketches (full pass, untimed)
+        commit_upsert_mor(
+            spark, path, delta([7]), ["o_orderkey"]
+        )  # 1-partition churn
+        timed(
+            "incremental_analyze_after_churn",
+            lambda: incremental_analyze(spark, path),  # the O(delta) claim
+        )
+        timed(
+            "full_reanalyze_contrast",
+            lambda: analyze_table_sketched(read_version(spark, path)),
+        )
+        timed(
+            "compact_pass",
+            lambda: compact_versioned_table(spark, path, min_files=2),
+        )
+        timed("snapshot_read", lambda: read_version(spark, path).count())
+        # reading guide, recorded with the numbers: at sf1 (1.5M rows,
+        # ~0.1 GB) fixed per-job constants (~0.5 s/job on this host, and
+        # the incremental path runs several jobs: feed assembly, sketch
+        # union, sidecar write) dominate every entry — the asymptotic
+        # content is the DIFFERENCES (4-part vs 1-part churn) and the
+        # feed reading only the churned partitions' files, not totals
+        # beating a 0.1 GB full scan.
+        out["table_rows"] = read_version(spark, path).count()
+    except Exception as e:  # visible failure, never silent
+        out["error"] = str(e)[:200]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
 def _median_runs(fn, n: int) -> float:
     """Median of n executions (n >= 3, odd). The FIRST run at a given sf
     includes JVM JIT/codegen compilation; the median of an odd sample is
@@ -222,10 +366,17 @@ def main() -> None:
     # local-iteration knob: comma-separated tier subset (default: all).
     # The driver runs `python bench.py` with no env → every tier runs.
     tiers = set(
-        os.environ.get("SPARK_GRAFT_BENCH_TIERS", "headline,zipf,sf1,sweep,sweep01").split(",")
+        os.environ.get(
+            "SPARK_GRAFT_BENCH_TIERS",
+            "headline,zipf,sf1,sf1lake,sweep,sweep01,calibration",
+        ).split(",")
     )
     spark = get_spark("vptstools_spark_bench")
     queries = all_queries()
+
+    # tier 0: calibration kernels — run FIRST (before any query warms
+    # caches) so the recorded host speed brackets the whole run
+    calibration = _calibration(spark) if "calibration" in tiers else {}
 
     # warmup: run every headline query once at the smallest sf
     warm_dir = "/root/testdata/sf0.001"
@@ -278,6 +429,15 @@ def main() -> None:
             except Exception:
                 sink[name] = -1.0  # visible failure marker, never silent
 
+    # tier 1d: sf1 lakehouse churn tier (needs the sf1 fixture from 1c)
+    sf1_lake: dict[str, float] = {}
+    if "sf1lake" in tiers:
+        if not os.path.isdir(SF1_DIR):
+            from tools.gen_sf1 import main as gen_sf1  # noqa: PLC0415
+
+            gen_sf1(out_dir=SF1_DIR)
+        sf1_lake = _sf1_lakehouse(spark)
+
     # tier 2: single-pass FULL sweep at sf0.01 — regression tracking for the
     # ~50 queries outside the headline set (round-over-round comparability,
     # not absolute throughput; one run each keeps the sweep under a minute)
@@ -320,6 +480,8 @@ def main() -> None:
         "sf1_probe_total": round(sum(t for t in sf1.values() if t > 0), 3),
         "sf1_probe_failures": sorted(n for n, t in sf1.items() if t < 0),
         "sf1_exempt_baselines": sf1_baselines,
+        "sf1_lakehouse": sf1_lake,
+        "calibration": calibration,
         "full_sweep_sf": 0.01,
         "full_sweep_total": round(sum(t for t in sweep.values() if t > 0), 3),
         "full_sweep_failures": sorted(n for n, t in sweep.items() if t < 0),
@@ -335,7 +497,7 @@ def main() -> None:
     print(json.dumps(sweep_line))
     sweep01_line = {"metric": "sweep_sf01_nonheadline", "sf": 0.1, "queries": sweep01}
     print(json.dumps(sweep01_line))
-    if tiers >= {"headline", "zipf", "sf1", "sweep", "sweep01"}:
+    if tiers >= {"headline", "zipf", "sf1", "sf1lake", "sweep", "sweep01", "calibration"}:
         # archive only COMPLETE runs — a tier-filtered local iteration must
         # not clobber the round's committed record
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_full.json"), "w") as fh:
