@@ -633,6 +633,66 @@ def q_wap_audit_publish(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_fs_skipped_scan(spark: SparkSession, sf: str) -> DataFrame:
+    """Commit-tracked FILE SKIPPING under the value gate
+    (`plans/timetravel.py` stats_cols / read_version_pruned): orders
+    commit range-clustered on o_orderkey with a footer-derived per-file
+    [min, max] manifest; an append extends the key range (its files get
+    stats automatically); then a key-range read cuts the file list at
+    planning time from the manifest alone and applies the exact residual
+    filter. The pytest suite proves files are actually skipped
+    (tests/test_file_skipping.py); the oracle here proves the pruned
+    read's VALUES equal a full-scan filter — skipping is purely I/O."""
+    import tempfile
+
+    from vptstools_spark.plans.timetravel import (
+        commit_append,
+        commit_initial,
+        read_version_pruned,
+    )
+
+    key = ("fs_orders", sf)
+    if key not in _TT_CACHE:
+        o = table(spark, sf, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+        path = tempfile.mkdtemp(prefix="fs_orders_")
+        # range-cluster so per-file key ranges are tight (the zorder/
+        # sort-before-write discipline that makes manifests useful)
+        commit_initial(
+            o.filter(F.col("o_orderkey") % 3 != 0).repartitionByRange(
+                8, "o_orderkey"
+            ),
+            path,
+            stats_cols=["o_orderkey", "o_totalprice"],
+        )
+        commit_append(
+            spark,
+            path,
+            o.filter(F.col("o_orderkey") % 3 == 0)
+            .withColumn("o_orderkey", F.col("o_orderkey") + F.lit(10_000_000))
+            .repartitionByRange(4, "o_orderkey"),
+        )
+        _TT_CACHE[key] = path
+    t = read_version_pruned(
+        spark, _TT_CACHE[key], "o_orderkey", ">=", 10_000_000
+    )
+    return (
+        t.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("o_orderkey").cast("long").alias("key_sum"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast(
+                    "double"
+                ),
+                2,
+            ).alias("price_sum"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
 def q_dv_equality_read(spark: SparkSession, sf: str) -> DataFrame:
     """EQUALITY deletes under the value gate
     (`plans/timetravel.py:delete_where_eq` — Iceberg-v2 equality
@@ -1243,6 +1303,7 @@ QUERIES = {
     "dv_delete_read": q_dv_delete_read,
     "occ_rebase_commits": q_occ_rebase_commits,
     "dv_equality_read": q_dv_equality_read,
+    "fs_skipped_scan": q_fs_skipped_scan,
     "hp_hours_scan": q_hp_hours_scan,
     "cdf_order_changes": q_cdf_order_changes,
     "jv_orders_refresh": q_jv_orders_refresh,
@@ -1342,6 +1403,15 @@ ORACLES = {
                CAST(SUM(o_orderkey + 20000000) AS BIGINT)
         FROM orders WHERE o_orderkey % 101 = 0
         ORDER BY _commit_version, _change_type
+    """,
+    "fs_skipped_scan": """
+        SELECT o_orderstatus, COUNT(*) AS n_rows,
+               CAST(SUM(o_orderkey + 10000000) AS BIGINT) AS key_sum,
+               ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                          AS DOUBLE), 2) AS price_sum
+        FROM orders
+        WHERE o_orderkey % 3 = 0
+        GROUP BY o_orderstatus ORDER BY o_orderstatus
     """,
     "dv_equality_read": """
         WITH cur AS (

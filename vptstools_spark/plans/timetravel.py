@@ -96,11 +96,116 @@ def _carry(prev: dict) -> dict:
         # entry's commit version, so later appends are untouched
         "eq_deletes": prev.get("eq_deletes") or [],
         "file_seqs": prev.get("file_seqs") or {},
+        # file-skipping statistics (Iceberg manifest min/max): declared
+        # tracked columns + the per-file [min, max] map every commit
+        # maintains for its new files from parquet FOOTERS (driver-side
+        # metadata reads, never a data scan)
+        "stats_cols": prev.get("stats_cols") or [],
+        "file_stats": prev.get("file_stats") or {},
     }
 
 
 def _log_path(path: str, version: int, log_dir: str = _LOG_DIR) -> str:
     return os.path.join(path, log_dir, f"{version:08d}.json")
+
+
+def _stat_render(v):
+    """JSON-able, ORDER-PRESERVING rendering of a parquet footer min/max
+    (or a query value): numbers stay numeric; date/datetime become
+    zero-padded ISO strings (lexicographic == chronological); strings
+    stay strings. None ⇒ the value class is not trackable — callers keep
+    the file conservatively."""
+    import datetime as _dt
+
+    if isinstance(v, bool) or v is None:
+        return None  # bool min/max prunes ~nothing; not worth the entry
+    if isinstance(v, (int, float)):
+        return v
+    if isinstance(v, _dt.datetime):
+        return v.strftime("%Y-%m-%dT%H:%M:%S.%f")
+    if isinstance(v, _dt.date):
+        return v.strftime("%Y-%m-%d") + "T00:00:00.000000"
+    if isinstance(v, str):
+        return v
+    if isinstance(v, bytes):
+        try:
+            return v.decode("utf-8")
+        except UnicodeDecodeError:
+            return None
+    return None
+
+
+def _footer_stats(abs_path: str, cols: list[str]) -> dict:
+    """Per-column [min, max] for one parquet file, from its FOOTER row-
+    group statistics (pyarrow metadata read — KB, not the data). Columns
+    with any stat-less or unrenderable row group are omitted (reads keep
+    the file conservatively); all-NULL files record a null marker so
+    range predicates can skip them."""
+    import pyarrow.fs as pafs
+    import pyarrow.parquet as pq
+
+    if "://" in abs_path:
+        fs, p = pafs.FileSystem.from_uri(abs_path)
+    else:
+        fs, p = pafs.LocalFileSystem(), abs_path
+    md = pq.read_metadata(p, filesystem=fs)
+    want = set(cols)
+    agg: dict[str, list] = {}
+    bad: set[str] = set()
+    nulls_only: dict[str, bool] = {}
+    for rg_i in range(md.num_row_groups):
+        rg = md.row_group(rg_i)
+        for ci in range(rg.num_columns):
+            cm = rg.column(ci)
+            name = cm.path_in_schema
+            if name not in want or name in bad:
+                continue
+            st = cm.statistics
+            if st is None:
+                bad.add(name)
+                continue
+            if not st.has_min_max:
+                # a row group with rows but no min/max: all-NULL is fine
+                # (no range can match), anything else is untrackable
+                if st.null_count == cm.num_values or cm.num_values == 0:
+                    nulls_only.setdefault(name, True)
+                    continue
+                bad.add(name)
+                continue
+            mn, mx = _stat_render(st.min), _stat_render(st.max)
+            if mn is None or mx is None:
+                bad.add(name)
+                continue
+            nulls_only[name] = False
+            if name not in agg:
+                agg[name] = [mn, mx]
+            else:
+                agg[name][0] = min(agg[name][0], mn)
+                agg[name][1] = max(agg[name][1], mx)
+    out = {c: v for c, v in agg.items() if c not in bad}
+    for c, only in nulls_only.items():
+        if only and c not in bad and c not in out:
+            out[c] = None  # explicit all-NULL marker: skippable for ranges
+    return out
+
+
+def _stats_keep_file(entry, op: str, qv) -> bool:
+    """Does a file's recorded [min, max] admit `col op value`? Missing
+    entry or type-family mismatch ⇒ keep (conservative); the all-NULL
+    marker (None) never matches a comparison."""
+    if entry is None:
+        return False  # all-NULL file: no comparison can be true
+    mn, mx = entry
+    numeric = isinstance(qv, (int, float)) and not isinstance(qv, bool)
+    if numeric != (isinstance(mn, (int, float)) and not isinstance(mn, bool)):
+        return True  # incomparable families: never skip on a guess
+    if op == "=":
+        return mn <= qv <= mx
+    if op in ("<", "<="):
+        return mn < qv if op == "<" else mn <= qv
+    if op in (">", ">="):
+        return mx > qv if op == ">" else mx >= qv
+    return True
 
 
 def _list_versions(
@@ -274,6 +379,26 @@ def _commit(
     else:
         extra.pop("eq_deletes", None)
         extra.pop("file_seqs", None)
+    if extra.get("stats_cols"):
+        # complete per-file skipping-stats map: carried files keep their
+        # recorded ranges; files NEW to this commit get footer-derived
+        # min/max for the tracked columns — one driver-side metadata
+        # read per new file, so every write path (append, upsert,
+        # compaction rewrite) keeps the manifest current for free
+        prev_fs = extra.get("file_stats") or {}
+        extra["file_stats"] = {
+            f: (
+                prev_fs[f]
+                if f in prev_fs
+                else _footer_stats(
+                    os.path.join(path, _DATA_DIR, f), extra["stats_cols"]
+                )
+            )
+            for f in files
+        }
+    else:
+        extra.pop("stats_cols", None)
+        extra.pop("file_stats", None)
     ok = create_text_exclusive(
         spark,
         _log_path(path, version, log_dir),
@@ -309,6 +434,7 @@ def commit_initial(
     partition_cols: list[str] | None = None,
     extra: dict | None = None,
     partition_transforms: dict | None = None,
+    stats_cols: list[str] | None = None,
 ) -> int:
     """Version 0: full snapshot write + commit. Returns the version.
 
@@ -318,8 +444,22 @@ def commit_initial(
     the spec), readers never see it (the logical schema excludes it),
     and `read_version_pruned` maps source-column predicates onto it for
     planning-time partition pruning. Transform names must appear in
-    `partition_cols` and must not collide with data columns."""
+    `partition_cols` and must not collide with data columns.
+
+    `stats_cols` declares the FILE-SKIPPING columns (Iceberg manifest
+    min/max): every commit records, per data file, the footer [min, max]
+    of each declared column, and `read_version_pruned` uses them to cut
+    the file list before any scan. Declare the columns queries range
+    over (sort/cluster by them — plans/zorder.py — to make per-file
+    ranges tight); partition columns are excluded (the hive path already
+    prunes them)."""
     pcols = partition_cols or []
+    s_cols = list(stats_cols or [])
+    for c in s_cols:
+        if c not in df.columns or c in pcols:
+            raise ValueError(
+                f"stats column {c!r} must be a non-partition data column"
+            )
     transforms = dict(partition_transforms or {})
     for name, spec in transforms.items():
         spec = tuple(spec)
@@ -365,6 +505,7 @@ def commit_initial(
             "partition_transforms": {
                 k: list(v) for k, v in transforms.items()
             },
+            "stats_cols": s_cols,
             **(extra or {}),
         },
     )
@@ -740,6 +881,75 @@ def read_version(
     return _read_snapshot(spark, path, v)
 
 
+def set_stats_cols(
+    spark: SparkSession, path: str, cols: list[str]
+) -> int:
+    """Declare (or change) the file-skipping statistics columns on an
+    EXISTING table as a metadata commit: every current data file gets
+    footer-derived [min, max] for the new column set (driver-side
+    metadata reads — one footer per file, no data scan), and every later
+    commit maintains the map for its new files automatically. Returns
+    the new version."""
+    prev_v = _resolve_version(spark, path, None)
+    prev = _read_commit(spark, path, prev_v)
+    pcols = prev["partition_cols"]
+    logical = prev.get("columns") or []
+    for c in cols:
+        if (logical and c not in logical) or c in pcols:
+            raise ValueError(
+                f"stats column {c!r} must be a non-partition data column"
+            )
+    new_v = prev_v + 1
+    _commit(
+        spark,
+        path,
+        new_v,
+        prev["files"],
+        pcols,
+        "set_stats_cols",
+        prev.get("partition_types"),
+        {
+            **_carry(prev),
+            "stats_cols": list(cols),
+            # re-stat everything under the NEW column set
+            "file_stats": {},
+        },
+    )
+    return new_v
+
+
+def skipped_files(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    op: str,
+    value,
+    version: int | None = None,
+) -> tuple[list[str], list[str]]:
+    """(kept, skipped) data files for `col op value` under the commit's
+    file-skipping stats — the inspectable face of the pruning
+    `read_version_pruned` applies. Files without a usable entry are
+    always kept (skipping must never be a guess)."""
+    v = _resolve_version(spark, path, version)
+    commit = _read_commit(spark, path, v)
+    fstats = commit.get("file_stats") or {}
+    if col not in (commit.get("stats_cols") or []):
+        return list(commit["files"]), []
+    qv = _stat_render(value)
+    if qv is None:
+        return list(commit["files"]), []
+    kept, skipped = [], []
+    for f in commit["files"]:
+        st = fstats.get(f) or {}
+        if col not in st:
+            kept.append(f)
+        elif _stats_keep_file(st[col], op, qv):
+            kept.append(f)
+        else:
+            skipped.append(f)
+    return kept, skipped
+
+
 def read_version_pruned(
     spark: SparkSession,
     path: str,
@@ -788,7 +998,22 @@ def read_version_pruned(
     pf = None
     for c in preds:
         pf = c if pf is None else (pf & c)
-    out = _read_snapshot(spark, path, v, partition_filter=pf)
+    # FILE-level skipping on top of directory-level transform pruning:
+    # the commit's footer [min, max] manifest cuts the file list before
+    # any scan plan exists (skipped_files keeps files without usable
+    # stats, so this is never a guess); the residual row filter below
+    # restores exactness either way
+    subset = None
+    if col in (commit.get("stats_cols") or []):
+        kept, skipped = skipped_files(spark, path, col, op, value, v)
+        if skipped:
+            subset = set(kept)
+    if subset is not None and not subset:
+        # every file provably excluded: empty result with the schema
+        return _read_snapshot(spark, path, v).filter(F.lit(False))
+    out = _read_snapshot(
+        spark, path, v, partition_filter=pf, file_subset=subset
+    )
     return out.filter(_OPS[op](F.col(col), F.lit(value)))
 
 
@@ -993,6 +1218,13 @@ def commit_overwrite(
             "delete_files": [],
             "constraints": prev.get("constraints") or [],
             "partition_transforms": transforms,
+            # skipping columns survive an overwrite while they exist in
+            # the new schema (the new files get fresh footer stats)
+            "stats_cols": [
+                c
+                for c in (prev.get("stats_cols") or [])
+                if c in df.columns and c not in pcols
+            ],
             **(extra or {}),
         },
     )
@@ -1158,6 +1390,16 @@ def rename_columns(
                 {**e, "keys": [mapping.get(k, k) for k in e["keys"]]}
                 for e in (prev.get("eq_deletes") or [])
             ],
+            # file-skipping stats follow too: entries are keyed by the
+            # LOGICAL column name at the file's commit time, so one
+            # remap keeps every lookup consistent post-rename
+            "stats_cols": [
+                mapping.get(c, c) for c in (prev.get("stats_cols") or [])
+            ],
+            "file_stats": {
+                f: {mapping.get(c, c): st for c, st in (m or {}).items()}
+                for f, m in (prev.get("file_stats") or {}).items()
+            },
         },
     )
     return prev_v + 1

@@ -42,6 +42,10 @@ def get_spark(app_name: str = "vptstools_spark", shuffle_partitions: int | None 
         # harness events.parquet stores TIMESTAMP(NANOS): read as long,
         # converted to microsecond timestamps in io.table (Spark has no ns)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # INT96 timestamps carry NO parquet footer statistics (and are
+        # deprecated); MICROS gives every written timestamp column the
+        # min/max the file-skipping manifest reads (plans/timetravel.py)
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
