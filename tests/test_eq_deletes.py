@@ -163,3 +163,83 @@ def test_eq_delete_vacuum_keeps_key_files(spark, tmp_path):
     delete_where_eq(spark, path, _keys(spark, [0]), ["k"])
     assert vacuum_table(spark, path, min_age_seconds=0) == []
     assert _ks(spark, path) == list(range(1, 10))
+
+
+def test_commit_upsert_eq_merge_semantics(spark, tmp_path):
+    """One atomic zero-scan merge commit: entry deletes old key rows,
+    the commit's OWN appended files are exempt (strict seq rule)."""
+    from vptstools_spark.plans.timetravel import commit_upsert_eq
+
+    path = _init(spark, tmp_path)
+    delta = spark.createDataFrame(
+        [(3, 1, 33.0, False), (50, 0, 5.0, False), (7, 1, 0.0, True)],
+        "k long, part int, v double, is_del boolean",
+    )
+    v = commit_upsert_eq(spark, path, delta, ["k"], delete_col="is_del")
+    assert v == 1
+    rows = {r["k"]: r["v"] for r in read_version(spark, path).collect()}
+    assert rows[3] == 33.0          # replaced, not duplicated
+    assert rows[50] == 5.0          # inserted
+    assert 7 not in rows            # tombstoned
+    assert len(rows) == 10          # 10 keys - deleted(7) + inserted(50)
+    # merge of a merge: second entry scoped after the first commit's files
+    delta2 = spark.createDataFrame([(3, 1, 44.0)], "k long, part int, v double")
+    commit_upsert_eq(spark, path, delta2, ["k"])
+    rows = {r["k"]: r["v"] for r in read_version(spark, path).collect()}
+    assert rows[3] == 44.0 and len(rows) == 10
+    # purge parity
+    before = sorted(map(tuple, read_version(spark, path).collect()))
+    purge_deletes(spark, path)
+    assert sorted(map(tuple, read_version(spark, path).collect())) == before
+
+
+def test_commit_upsert_eq_change_feed(spark, tmp_path):
+    """The merge commit's feed carries BOTH halves: deletes of the old
+    key rows (derived by semi-join) and inserts of the new files."""
+    from vptstools_spark.plans.timetravel import commit_upsert_eq
+
+    path = _init(spark, tmp_path, n=5)
+    delta = spark.createDataFrame(
+        [(2, 0, 22.0), (9, 1, 99.0)], "k long, part int, v double"
+    )
+    commit_upsert_eq(spark, path, delta, ["k"])
+    ch = sorted(
+        (r["k"], r["_change_type"], r["v"])
+        for r in table_changes(spark, path, 0).collect()
+    )
+    assert ch == [(2, "delete", 2.0), (2, "insert", 22.0), (9, "insert", 99.0)]
+
+
+def test_eq_stream_sink_mode(spark, tmp_path):
+    """timetravel_stream_sink(mode='eq'): CDC batches land as zero-scan
+    equality-merge commits, exactly-once across a quiet rerun."""
+    from vptstools_spark.plans.timetravel import _list_versions
+    from vptstools_spark.streaming.incremental import timetravel_stream_sink
+
+    src = str(tmp_path / "src")
+    path = str(tmp_path / "t")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "k long, part int, v double, is_del boolean"
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(src)
+        timetravel_stream_sink(
+            stream, path, ckpt, keys=["k"], partition_cols=["part"],
+            delete_col="is_del", mode="eq",
+        ).awaitTermination()
+
+    spark.createDataFrame(
+        [(1, 0, 1.0, False), (2, 1, 2.0, False)], schema
+    ).write.mode("append").parquet(src)
+    run()
+    spark.createDataFrame(
+        [(1, 0, 10.0, False), (2, 1, 0.0, True), (3, 0, 3.0, False)], schema
+    ).write.mode("append").parquet(src)
+    run()
+    rows = {r["k"]: r["v"] for r in read_version(spark, path).collect()}
+    assert rows == {1: 10.0, 3: 3.0}
+    c = _read_commit(spark, path, 1)
+    assert c["op"] == "upsert_eq" and len(c["eq_deletes"]) == 1
+    n = len(_list_versions(spark, path))
+    run()  # quiet rerun: nothing new
+    assert len(_list_versions(spark, path)) == n

@@ -50,6 +50,7 @@ _MODULES = [
 NEW_THIS_ROUND = [
     # round 6
     "occ_rebase_commits",
+    "cdc_eq_merge",
     "fs_skipped_scan",
     "auto_analyze_join",
     "dv_equality_read",

@@ -633,6 +633,61 @@ def q_wap_audit_publish(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_cdc_eq_merge(spark: SparkSession, sf: str) -> DataFrame:
+    """Zero-scan CDC merge under the value gate
+    (`plans/timetravel.py:commit_upsert_eq`): one atomic commit applies
+    a CDC batch — updates (every 97th key re-priced), deletes (every
+    59th key tombstoned), inserts (key-shifted copies of every 101st
+    row) — by recording an equality-delete ENTRY plus the appended
+    files, scanning no data file at write (the no-scan property is
+    pytest-proven with the data files moved away). The strict sequence
+    rule keeps the commit's own inserts exempt from its own entry; the
+    oracle recomputes the merged state from the raw table."""
+    import tempfile
+
+    from vptstools_spark.plans.timetravel import (
+        commit_initial,
+        commit_upsert_eq,
+        read_version,
+    )
+
+    key = ("cdc_eq_orders", sf)
+    if key not in _TT_CACHE:
+        o = table(spark, sf, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice",
+            (F.col("o_orderkey") % 8).cast("int").alias("part"),
+        )
+        path = tempfile.mkdtemp(prefix="cdc_eq_orders_")
+        commit_initial(o, path, ["part"])
+        updates = o.filter(F.col("o_orderkey") % 97 == 0).withColumn(
+            "o_totalprice", F.col("o_totalprice") + F.lit(5.0)
+        ).withColumn("is_del", F.lit(False))
+        deletes = o.filter(F.col("o_orderkey") % 59 == 0).withColumn(
+            "is_del", F.lit(True)
+        )
+        inserts = o.filter(F.col("o_orderkey") % 101 == 0).withColumn(
+            "o_orderkey", F.col("o_orderkey") + F.lit(30_000_000)
+        ).withColumn("is_del", F.lit(False))
+        cdc = updates.unionByName(deletes).unionByName(inserts)
+        commit_upsert_eq(spark, path, cdc, ["o_orderkey"], delete_col="is_del")
+        _TT_CACHE[key] = path
+    return (
+        read_version(spark, _TT_CACHE[key])
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("o_orderkey").cast("long").alias("key_sum"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast(
+                    "double"
+                ),
+                2,
+            ).alias("price_sum"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
 def q_fs_skipped_scan(spark: SparkSession, sf: str) -> DataFrame:
     """Commit-tracked FILE SKIPPING under the value gate
     (`plans/timetravel.py` stats_cols / read_version_pruned): orders
@@ -1304,6 +1359,7 @@ QUERIES = {
     "occ_rebase_commits": q_occ_rebase_commits,
     "dv_equality_read": q_dv_equality_read,
     "fs_skipped_scan": q_fs_skipped_scan,
+    "cdc_eq_merge": q_cdc_eq_merge,
     "hp_hours_scan": q_hp_hours_scan,
     "cdf_order_changes": q_cdf_order_changes,
     "jv_orders_refresh": q_jv_orders_refresh,
@@ -1403,6 +1459,24 @@ ORACLES = {
                CAST(SUM(o_orderkey + 20000000) AS BIGINT)
         FROM orders WHERE o_orderkey % 101 = 0
         ORDER BY _commit_version, _change_type
+    """,
+    "cdc_eq_merge": """
+        WITH merged AS (
+            SELECT o_orderkey, o_orderstatus,
+                   CAST(o_totalprice AS DECIMAL(18,2))
+                   + CASE WHEN o_orderkey % 97 = 0 THEN 5.0 ELSE 0 END AS p
+            FROM orders
+            -- deleted unless the update half re-inserts the key
+            WHERE o_orderkey % 59 <> 0 OR o_orderkey % 97 = 0
+            UNION ALL
+            SELECT o_orderkey + 30000000, o_orderstatus,
+                   CAST(o_totalprice AS DECIMAL(18,2))
+            FROM orders WHERE o_orderkey % 101 = 0
+        )
+        SELECT o_orderstatus, COUNT(*) AS n_rows,
+               CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+               ROUND(CAST(SUM(p) AS DOUBLE), 2) AS price_sum
+        FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus
     """,
     "fs_skipped_scan": """
         SELECT o_orderstatus, COUNT(*) AS n_rows,

@@ -92,8 +92,9 @@ def _carry(prev: dict) -> dict:
         "partition_transforms": prev.get("partition_transforms") or {},
         # equality-delete entries (delete_where_eq) and the per-file
         # data SEQUENCE map that scopes them (Iceberg v2 sequence
-        # numbers): an entry deletes only from files whose seq <= the
-        # entry's commit version, so later appends are untouched
+        # numbers): an entry deletes only from files whose seq is
+        # STRICTLY below the entry's commit version, so later appends —
+        # and a merge commit's own files — are untouched
         "eq_deletes": prev.get("eq_deletes") or [],
         "file_seqs": prev.get("file_seqs") or {},
         # file-skipping statistics (Iceberg manifest min/max): declared
@@ -747,7 +748,11 @@ def _read_snapshot(
     """Assemble a commit's file list into one DataFrame, applying any
     position-delete vectors and equality-delete entries the commit
     carries (`apply_deletes=False` reads the raw file contents — the
-    purge path probes eligibility that way). `with_position=True`
+    purge path probes eligibility that way). Equality entries follow
+    Iceberg's STRICT sequence rule: they delete only from files whose
+    data sequence is LESS than the entry's commit version, so a commit
+    that pairs an entry with its own appended files (commit_upsert_eq)
+    never deletes its own rows. `with_position=True`
     keeps the (relative file, row index) scan columns (`_DV_FILE`,
     `_DV_POS`) for writers that derive new vectors; `file_subset`
     restricts the scan to the listed relative files (purge reads ONLY
@@ -843,7 +848,7 @@ def _read_snapshot(
                 .toDF(*e["keys"])
                 .distinct()
             )
-            cond = F.col("__eq_seq") <= F.lit(int(e["version"]))
+            cond = F.col("__eq_seq") < F.lit(int(e["version"]))
             for k in e["keys"]:
                 cond = cond & out[k].eqNullSafe(keys_df[k])
             out = out.join(F.broadcast(keys_df), cond, "left_anti")
@@ -1017,6 +1022,61 @@ def read_version_pruned(
     return out.filter(_OPS[op](F.col(col), F.lit(value)))
 
 
+def read_version_where(
+    spark: SparkSession,
+    path: str,
+    predicates: list[tuple],
+    version: int | None = None,
+) -> DataFrame:
+    """Conjunction form of `read_version_pruned`: `predicates` is a list
+    of (col, op, value) ANDed together. Partition-transform predicates
+    union across the conjuncts; file subsets INTERSECT (a file must be
+    admissible to every conjunct to be read); the residual row filter
+    applies the full conjunction exactly. One scan plan, however many
+    conjuncts prune."""
+    v = _resolve_version(spark, path, version)
+    commit = _read_commit(spark, path, v)
+    _OPS = {
+        "=": lambda a, b: a == b,
+        "<": lambda a, b: a < b,
+        "<=": lambda a, b: a <= b,
+        ">": lambda a, b: a > b,
+        ">=": lambda a, b: a >= b,
+    }
+    preds: list[Column] = []
+    subset: set[str] | None = None
+    for col, op, value in predicates:
+        if op not in _OPS:
+            raise ValueError(f"unsupported op {op!r}; one of {sorted(_OPS)}")
+        for name, spec in (commit.get("partition_transforms") or {}).items():
+            spec = tuple(spec)
+            if spec[1] != col:
+                continue
+            t_val = _transform_expr(spec, F.lit(value))
+            p = F.col(name)
+            if op == "=":
+                preds.append(p.eqNullSafe(t_val))
+            elif spec[0] in _MONOTONE_KINDS:
+                preds.append(p <= t_val if op in ("<", "<=") else p >= t_val)
+        if col in (commit.get("stats_cols") or []):
+            kept, skipped = skipped_files(spark, path, col, op, value, v)
+            if skipped:
+                kept_set = set(kept)
+                subset = kept_set if subset is None else (subset & kept_set)
+    if subset is not None and not subset:
+        out = _read_snapshot(spark, path, v).filter(F.lit(False))
+    else:
+        pf = None
+        for c in preds:
+            pf = c if pf is None else (pf & c)
+        out = _read_snapshot(
+            spark, path, v, partition_filter=pf, file_subset=subset
+        )
+    for col, op, value in predicates:
+        out = out.filter(_OPS[op](F.col(col), F.lit(value)))
+    return out
+
+
 def version_at_timestamp(
     spark: SparkSession, path: str, timestamp: float
 ) -> int:
@@ -1165,6 +1225,105 @@ def delete_where_eq(
                     "version": new_v,
                 }
             ],
+            # carried files predate this commit: seed their sequence at
+            # prev_v so the STRICT rule (seq < entry version) still
+            # covers them when tracking starts here
+            "file_seqs": {
+                **{f: prev_v for f in prev["files"]},
+                **(prev.get("file_seqs") or {}),
+            },
+        },
+    )
+    return new_v
+
+
+def commit_upsert_eq(
+    spark: SparkSession,
+    path: str,
+    delta: DataFrame,
+    keys: list[str],
+    delete_col: str | None = None,
+    expected_version: int | None = None,
+    extra: dict | None = None,
+) -> int:
+    """MERGE via EQUALITY deletes — the zero-scan CDC ingestion commit:
+    ONE atomic commit that (a) records an equality-delete entry for
+    every delta key and (b) appends the delta's non-tombstone rows as
+    new files. Unlike `commit_upsert_mor`, whose position-vector pass
+    scans the current snapshot to locate replaced rows, this commit's
+    write cost is the delta alone — the key resolution happens at READ
+    (broadcast anti-join, sequence-scoped so the commit's own files are
+    exempt under the strict Iceberg rule) and is folded away by
+    `purge_deletes`, which is where the scan is actually paid, once,
+    instead of on every ingest batch. The trade: reads carry one more
+    broadcast anti-join per un-purged entry, so schedule purges by
+    entry count like vectors by row count. Tombstones via `delete_col`
+    contribute their key only. Returns the new version."""
+    prev_v = _resolve_version(spark, path, None)
+    if expected_version is not None and prev_v != expected_version:
+        raise CommitConflictError(
+            f"table {path} is at version {prev_v}, not the expected "
+            f"{expected_version}; re-derive the delta and retry"
+        )
+    prev = _read_commit(spark, path, prev_v)
+    new_v = prev_v + 1
+    upserts = delta.filter(~F.col(delete_col)) if delete_col else delta
+    upserts = upserts.drop(*([delete_col] if delete_col else []))
+    cur_schema = {
+        f.name: f.dataType.simpleString()
+        for f in read_version(spark, path, prev_v).schema.fields
+    }
+    new_schema = {
+        f.name: f.dataType.simpleString() for f in upserts.schema.fields
+    }
+    if cur_schema != new_schema:
+        raise ValueError(
+            f"equality upsert schema {sorted(new_schema.items())} does "
+            f"not match table schema {sorted(cur_schema.items())}"
+        )
+    _enforce(
+        upserts,
+        prev,
+        "upsert_eq",
+        table=read_version(spark, path, prev_v),
+        replace_keys=keys,
+    )
+    eq_dir = os.path.join(path, _DATA_DIR, f"eq{new_v}")
+    delta.select(*keys).distinct().write.mode("error").parquet(eq_dir)
+    marker = f"{_DATA_DIR}/eq{new_v}/"
+    eq_rels = sorted(
+        f[f.index(marker) + len(_DATA_DIR) + 1 :]
+        for f in list_data_files(spark, eq_dir)
+    )
+    pcols = prev["partition_cols"]
+    rels = _write_snapshot_files(
+        upserts, path, new_v, pcols,
+        transforms=prev.get("partition_transforms"),
+    )
+    _commit(
+        spark,
+        path,
+        new_v,
+        prev["files"] + rels,
+        pcols,
+        "upsert_eq",
+        prev.get("partition_types"),
+        {
+            **_carry(prev),
+            "eq_deletes": (prev.get("eq_deletes") or [])
+            + [
+                {
+                    "files": eq_rels,
+                    "keys": list(keys),
+                    "stored_keys": list(keys),
+                    "version": new_v,
+                }
+            ],
+            "file_seqs": {
+                **{f: prev_v for f in prev["files"]},
+                **(prev.get("file_seqs") or {}),
+            },
+            **(extra or {}),
         },
     )
     return new_v
@@ -1678,7 +1837,7 @@ def purge_deletes(spark: SparkSession, path: str) -> int:
             eligible = sorted(
                 f
                 for f in prev["files"]
-                if int(seqs.get(f, 0)) <= int(e["version"])
+                if int(seqs.get(f, 0)) < int(e["version"])
             )
             if not eligible:
                 continue
@@ -1993,24 +2152,21 @@ def table_changes(
             commit.get("delete_files") or []
         )
         pieces: list[DataFrame] = []
-        if op in (
-            "set_constraints",
-            "drop_constraints",
-            "evolve_partitioning",
-            "purge_deletes",
-            "compact",
-        ):
-            pass  # metadata-only or row-preserving rewrite: no row changes
-        elif op == "delete_eq":
-            # equality delete: no artifact on the data files — derive the
-            # deleted rows by semi-joining the PRIOR snapshot (deletes
-            # applied, so already-gone rows don't re-emit) with the new
-            # entries' key tuples; at v-1 every file is seq-eligible
-            prev_entries = prev.get("eq_deletes") or []
+        # equality-delete entries NEW to this commit (delete_where_eq and
+        # the entry half of commit_upsert_eq): no artifact on the data
+        # files — derive the deleted rows by semi-joining the PRIOR
+        # snapshot (deletes applied, so already-gone rows don't re-emit;
+        # the strict seq rule exempts this commit's own files, and every
+        # v-1 file is eligible by construction) with the key tuples
+        prev_entries = prev.get("eq_deletes") or []
+        new_eqs = [
+            e
+            for e in commit.get("eq_deletes") or []
+            if e not in prev_entries
+        ]
+        if new_eqs:
             old = read_version(spark, path, v - 1)
-            for e in commit.get("eq_deletes") or []:
-                if e in prev_entries:
-                    continue
+            for e in new_eqs:
                 keys_df = (
                     spark.read.parquet(
                         *[os.path.join(data_root, f) for f in e["files"]]
@@ -2027,6 +2183,15 @@ def table_changes(
                     tag(old.join(F.broadcast(keys_df), cond, "left_semi"),
                         "delete", v)
                 )
+        if op in (
+            "set_constraints",
+            "drop_constraints",
+            "evolve_partitioning",
+            "purge_deletes",
+            "compact",
+            "delete_eq",
+        ):
+            pass  # metadata-only / row-preserving / eq-entry-only commits
         elif op != "initial" and not removed_files and not removed_dvs:
             # additive-only artifacts (append / MOR delete/upsert/update /
             # append-only branch merge / any future additive op): the feed

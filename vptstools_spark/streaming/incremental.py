@@ -825,6 +825,7 @@ def timetravel_stream_sink(
     partition_cols: list[str] | None = None,
     delete_col: str | None = None,
     mor: bool = False,
+    mode: str | None = None,
 ) -> StreamingQuery:
     """Stream into a VERSIONED table (`plans/timetravel.py`): each
     availableNow micro-batch becomes one commit — version 0 is the first
@@ -845,14 +846,33 @@ def timetravel_stream_sink(
     carries its id and skips — the same foreachBatch replay guard as
     `matview_stream_sink`, moved into the commit log itself. Commit
     publish is atomic create-exclusive, so a replay racing a live writer
-    still yields exactly one version per number."""
+    still yields exactly one version per number.
+
+    `mode` picks the per-batch commit explicitly: "cow" (default,
+    partition-scoped rewrite), "mor" (position vectors — one snapshot
+    pass per batch to locate replaced rows), or "eq" (equality-delete
+    entries via `commit_upsert_eq` — the ZERO-SCAN CDC ingestion: each
+    batch's write cost is the batch alone, keys resolve at read, and
+    `purge_deletes` pays the scan once instead of per batch; schedule it
+    by entry count). The `mor` bool stays as the pre-round-6 spelling of
+    mode="mor"."""
     from vptstools_spark.plans.timetravel import (
         _list_versions,
         _read_commit,
         commit_initial,
         commit_upsert,
+        commit_upsert_eq,
         commit_upsert_mor,
     )
+
+    mode = mode or ("mor" if mor else "cow")
+    commits = {
+        "cow": commit_upsert,
+        "mor": commit_upsert_mor,
+        "eq": commit_upsert_eq,
+    }
+    if mode not in commits:
+        raise ValueError(f"mode must be one of {sorted(commits)}; got {mode!r}")
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -872,8 +892,7 @@ def timetravel_stream_sink(
         last = _read_commit(spark, path, versions[-1])
         if last.get("batch_id") is not None and batch_id <= last["batch_id"]:
             return  # replayed batch: its commit already exists
-        commit = commit_upsert_mor if mor else commit_upsert
-        commit(
+        commits[mode](
             spark,
             path,
             batch_df,
@@ -1111,8 +1130,7 @@ def derived_table_pipeline(
         delta = t_ups.withColumn("_is_delete", F.lit(False)).unionByName(
             dels_full.withColumn("_is_delete", F.lit(True))
         )
-        commit = commit_upsert_mor if mor else commit_upsert
-        commit(
+        commits[mode](
             spark,
             target_path,
             delta,
