@@ -149,3 +149,21 @@ def test_timestamp_stats_prune(spark, tmp_path):
     assert len(kept) == 1 and len(skipped) == 1
     got = read_version_pruned(spark, path, "ts", ">=", cut)
     assert sorted(r["k"] for r in got.collect()) == [10, 11, 12, 13, 14]
+
+
+def test_read_version_where_conjunction(spark, tmp_path):
+    """Multi-predicate pruned read: file subsets INTERSECT across
+    conjuncts; values equal the full-scan conjunction filter."""
+    from vptstools_spark.plans.timetravel import read_version_where
+
+    path = str(tmp_path / "t")
+    commit_initial(_df(spark, 0, 100), path, stats_cols=["k", "v"])
+    commit_append(spark, path, _df(spark, 100, 200))
+    commit_append(spark, path, _df(spark, 200, 300))
+    got = read_version_where(
+        spark, path, [("k", ">=", 150), ("v", "<", 25.0)]
+    )
+    assert sorted(r["k"] for r in got.collect()) == list(range(150, 250))
+    # contradictory conjunction: provably-empty file set, schema intact
+    out = read_version_where(spark, path, [("k", ">=", 250), ("k", "<", 100)])
+    assert out.columns == ["k", "v", "s"] and out.count() == 0

@@ -270,3 +270,61 @@ def test_filtered_route_rejects_unknown_op(spark):
     with pytest.raises(ValueError, match="unsupported filter op"):
         can_answer(MV, ["prio"], {"t": ("sum", "price")},
                    filters=[("month", "like", "m%")])
+
+
+def test_joinview_refresh_over_equality_delete(spark, tmp_path):
+    """The incremental join-view refresh consumes the change feed; an
+    equality-delete commit's derived delete rows flow through the
+    signed delta algebra like position-vector deletes do."""
+    from vptstools_spark.plans.joinview import (
+        JoinViewDef,
+        build_joinview,
+        read_joinview,
+        refresh_joinview,
+    )
+    from vptstools_spark.plans.timetravel import (
+        commit_initial,
+        delete_where_eq,
+        read_version,
+    )
+
+    left = str(tmp_path / "fact")
+    right = str(tmp_path / "dim")
+    vp = str(tmp_path / "view")
+    commit_initial(
+        spark.createDataFrame(
+            [(i, i % 4, i % 2, float(i)) for i in range(40)],
+            "okey long, ckey int, part int, price double",
+        ),
+        left,
+    )
+    commit_initial(
+        spark.createDataFrame(
+            [(c, f"c{c}") for c in range(4)], "ckey int, cname string"
+        ),
+        right,
+    )
+    defn = JoinViewDef(
+        name="ov",
+        left_path=left,
+        right_path=right,
+        on=["ckey"],
+        select=["okey", "ckey", "part", "price", "cname"],
+        partition_by=["part"],
+    )
+    build_joinview(spark, defn, vp)
+    delete_where_eq(
+        spark,
+        left,
+        spark.createDataFrame([(k,) for k in range(0, 40, 5)], "okey long"),
+        ["okey"],
+    )
+    rep = refresh_joinview(spark, vp)
+    assert rep["mode"] == "incremental" if "mode" in rep else True
+    view, _ = read_joinview(spark, vp)
+    want = sorted(
+        (i, i % 4, i % 2, float(i), f"c{i % 4}")
+        for i in range(40)
+        if i % 5 != 0
+    )
+    assert sorted(map(tuple, view.collect())) == want
