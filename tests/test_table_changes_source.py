@@ -428,3 +428,29 @@ def test_vacuum_age_gate_protects_young_files(spark, tmp_path):
     assert vacuum_table(spark, path) == ["v1/part-inflight.parquet"]
     assert not os.path.exists(staged)
     assert read_version(spark, path).count() == 1
+
+
+def test_max_files_per_trigger_bounds_batches(spark, tmp_path):
+    """File-count admission shaping: versions admit until their
+    cumulative new files pass the budget; the first pending version
+    always admits (progress guarantee)."""
+    _register(spark)
+    path = str(tmp_path / "t")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    commit_initial(_df(spark, [(0, 0, 0.0)]).coalesce(1), path)
+    for i in range(1, 6):  # each append adds 2 files
+        commit_append(
+            spark, path,
+            _df(spark, [(10 * i, 0, 1.0), (10 * i + 1, 1, 1.0)]).repartition(2),
+        )
+    runs = 0
+    for _ in range(10):
+        df = _run(spark, path, out, ckpt, maxFilesPerTrigger="3")
+        runs += 1
+        if max(r["_commit_version"] for r in df.collect()) == 5:
+            break
+    assert runs >= 3  # 10 new files / 3-file budget, first-always rule
+    final = spark.read.parquet(out)
+    per_version = final.groupBy("_commit_version").count().collect()
+    assert sorted(r["_commit_version"] for r in per_version) == list(range(6))

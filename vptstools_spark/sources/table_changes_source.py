@@ -197,6 +197,15 @@ class TableChangesStreamReader(DataSourceStreamReader):
             self.max_versions_per_trigger < 1
         ):
             raise ValueError("maxVersionsPerTrigger must be >= 1")
+        # byte-shaped admission: stop admitting versions once their
+        # cumulative NEW data files exceed this (the first pending
+        # version always admits, however large — progress guarantee)
+        mfpt = options.get("maxFilesPerTrigger")
+        self.max_files_per_trigger = int(mfpt) if mfpt is not None else None
+        if self.max_files_per_trigger is not None and (
+            self.max_files_per_trigger < 1
+        ):
+            raise ValueError("maxFilesPerTrigger must be >= 1")
         # highest version known to be at-or-below the NEXT batch's start
         # (learned from initialOffset on a fresh start, then kept current
         # by partitions()/commit()); None after a restart until the first
@@ -225,7 +234,8 @@ class TableChangesStreamReader(DataSourceStreamReader):
         vs = _list_versions(self.path)
         head = vs[-1] if vs else -1
         n = self.max_versions_per_trigger
-        if n is not None:
+        nf = self.max_files_per_trigger
+        if n is not None or nf is not None:
             if self._known_base is None:
                 # the engine asks for availability BEFORE initialOffset
                 # on a fresh start — self-initialize the base from the
@@ -239,8 +249,32 @@ class TableChangesStreamReader(DataSourceStreamReader):
             # shrink the admitted work; never return below the base
             # (an offset regression would replay committed versions)
             pending = [v for v in vs if v > self._known_base]
-            if len(pending) > n:
-                head = pending[n - 1]
+            if n is not None and len(pending) > n:
+                pending = pending[:n]
+            if nf is not None and len(pending) > 1:
+                # file-count shaping: commit JSONs are KB-scale driver
+                # reads; admit versions until their cumulative NEW files
+                # pass the budget (first version always admits)
+                admitted, total = [], 0
+                prev_files: set[str] | None = None
+                for v in pending:
+                    c = _read_commit(self.path, v)
+                    if prev_files is None:
+                        pc = (
+                            _read_commit(self.path, v - 1)
+                            if v > 0
+                            else {"files": []}
+                        )
+                        prev_files = set(pc["files"])
+                    new_files = len(set(c["files"]) - prev_files)
+                    if admitted and total + new_files > nf:
+                        break
+                    admitted.append(v)
+                    total += new_files
+                    prev_files = set(c["files"])
+                pending = admitted
+            if pending:
+                head = pending[-1]
         return {"version": head}
 
     def commit(self, end: dict) -> None:
