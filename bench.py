@@ -143,6 +143,15 @@ HEADLINE = [
     "tt_rename_scan",
     "stats_incremental_orders",
     "hp_pruned_scan",
+    # round 6 (OCC rebase, equality deletes, file skipping, auto-ANALYZE,
+    # hours transform, zero-scan CDC merge) — table builders memoized in
+    # _TT_CACHE as before, so medians measure steady-state reads
+    "occ_rebase_commits",
+    "dv_equality_read",
+    "cdc_eq_merge",
+    "fs_skipped_scan",
+    "hp_hours_scan",
+    "auto_analyze_join",
 ]
 
 #: sf0.1-scale tier on the Zipf-vocabulary fixture (tools/gen_zipf.py):
