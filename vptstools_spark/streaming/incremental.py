@@ -1130,7 +1130,7 @@ def derived_table_pipeline(
         delta = t_ups.withColumn("_is_delete", F.lit(False)).unionByName(
             dels_full.withColumn("_is_delete", F.lit(True))
         )
-        commits[mode](
+        commit_upsert_mor(
             spark,
             target_path,
             delta,
