@@ -124,6 +124,7 @@ def optimize_versioned_table(
     spark: SparkSession,
     path: str,
     max_dv_rows: int = 1_000_000,
+    max_eq_entries: int = 8,
     expire_keep_last: int | None = None,
     vacuum: bool = False,
     compact_min_files: int | None = None,
@@ -137,6 +138,10 @@ def optimize_versioned_table(
     when the live commit's vectors exceed `max_dv_rows` (default 1M ≈
     comfortably broadcastable), `purge_deletes` folds them into the
     dirty files; below it the pass is a metadata peek and no-op.
+    EQUALITY deletes cost one extra read-side anti-join per ENTRY, so
+    their health bound is the entry COUNT (`max_eq_entries`, default 8)
+    — exceeding it also triggers the purge, which is where equality
+    deletes pay their deferred scan.
     `compact_min_files` additionally runs `compact_versioned_table`
     (small-file bin-packing) at that threshold — purge-then-compact
     order, so compaction reads vector-free snapshots. Optionally expire
@@ -166,8 +171,9 @@ def optimize_versioned_table(
         if delete_files
         else 0
     )
+    eq_entries = len(_read_commit(spark, path, v).get("eq_deletes") or [])
     purged = False
-    if dv_rows > max_dv_rows:
+    if dv_rows > max_dv_rows or eq_entries > max_eq_entries:
         purge_deletes(spark, path)
         purged = True
     compacted = None
@@ -190,6 +196,7 @@ def optimize_versioned_table(
         )
     return {
         "dv_rows": dv_rows,
+        "eq_entries": eq_entries,
         "purged": purged,
         "compacted": compacted,
         "expired": expired,
