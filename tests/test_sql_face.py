@@ -49,3 +49,20 @@ def test_register_table_changes_view(spark, tmp_path):
         "SELECT _change_type, k FROM cdf_sql_feed"
     ).collect()
     assert [(r["_change_type"], r["k"]) for r in got] == [("delete", 2)]
+
+
+def test_register_table_pruned_view(spark, tmp_path):
+    from vptstools_spark.plans.timetravel import commit_initial
+    from vptstools_spark.sql import register_table_pruned
+
+    path = str(tmp_path / "t")
+    commit_initial(
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(100)], "k long, v double"
+        ).coalesce(1),
+        path,
+        stats_cols=["k"],
+    )
+    register_table_pruned(spark, path, "t_hi", [("k", ">=", 90)])
+    assert spark.sql("SELECT count(*) n FROM t_hi").collect()[0]["n"] == 10
+    assert spark.sql("SELECT min(k) m FROM t_hi").collect()[0]["m"] == 90

@@ -98,6 +98,31 @@ def register_table_changes(
     return name
 
 
+def register_table_pruned(
+    spark: SparkSession,
+    path: str,
+    name: str,
+    predicates: list[tuple],
+    version: int | None = None,
+) -> str:
+    """Pruned reads' SQL face (`plans/timetravel.py:read_version_where`):
+    a versioned-table scan with the conjunction of (col, op, value)
+    predicates pushed through hidden-partition transforms AND the
+    commit's file-skipping manifest, registered as a temp view — SQL
+    consumers get the planning-time pruning without the Python API:
+
+        >>> register_table_pruned(spark, "/data/orders_tt", "o_recent",
+        ...                       [("o_orderdate", ">=", "1997-06-15")])
+        >>> spark.sql("SELECT count(*) FROM o_recent")
+    """
+    from vptstools_spark.plans.timetravel import read_version_where
+
+    read_version_where(
+        spark, path, predicates, version=version
+    ).createOrReplaceTempView(name)
+    return name
+
+
 def register_table_branch(
     spark: SparkSession, path: str, branch: str, name: str
 ) -> str:
