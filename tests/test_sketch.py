@@ -158,3 +158,63 @@ def test_kmv_jaccard_estimates_overlap(spark):
     inter = ku.join(ka, "h", "left_semi").join(kb, "h", "left_semi").count()
     j = inter / ku.count()
     assert abs(j - 1.0 / 3.0) < 0.12
+
+
+def test_qhist_bucket_roundtrip_and_error_bound(spark):
+    # every value maps into a bucket whose [lower, next-lower) range
+    # contains it, with relative width < 2^-sub_bits
+    vals = list(range(0, 4096)) + [2**k + d for k in range(12, 40) for d in (0, 1, 2**(k - 1), 2**k - 1)]
+    df = spark.createDataFrame([(v,) for v in vals], "x long")
+    b = 4
+    out = (
+        df.select("x", sketch.qhist_bucket(F.col("x"), b).alias("i"))
+        .select("x", "i", sketch.qhist_lower_bound(F.col("i"), b).alias("lb"))
+        .collect()
+    )
+    for r in out:
+        assert r["lb"] <= r["x"], r
+        if r["x"] >= 32:  # coarse zone: one-sided relative error < 2^-b
+            assert (r["x"] - r["lb"]) / r["x"] < 2.0**-b, r
+        else:  # exact zone
+            assert r["lb"] == r["x"], r
+
+
+def test_qhist_bucket_is_monotone(spark):
+    # order-preserving: x < y implies idx(x) <= idx(y) — required for
+    # the cumulative-rank quantile rule to be valid
+    df = spark.range(0, 100000).selectExpr("id * 7 AS x")
+    rows = df.select(sketch.qhist_bucket(F.col("x"), 4).alias("i")).collect()
+    idx = [r["i"] for r in rows]
+    assert idx == sorted(idx)
+
+
+def test_qhist_merge_equals_direct(spark):
+    df = spark.range(1, 20001).selectExpr(
+        "CAST(id % 5 AS INT) g",
+        "CAST(id % 2 AS INT) h",
+        "CAST((id * id) % 999983 AS LONG) x",
+    )
+    fine = sketch.qhist_sketch(df, "x", ["g", "h"], sub_bits=4)
+    merged = sketch.qhist_quantiles(
+        sketch.qhist_merge(fine, ["g"]), ["g"], [0.5, 0.9, 0.99], sub_bits=4
+    )
+    direct = sketch.qhist_quantiles(
+        sketch.qhist_sketch(df, "x", ["g"], sub_bits=4),
+        ["g"],
+        [0.5, 0.9, 0.99],
+        sub_bits=4,
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+
+
+def test_qhist_quantiles_near_exact_percentiles(spark):
+    df = spark.range(1, 50001).selectExpr("CAST((id * 131) % 1000003 AS LONG) x")
+    got = sketch.qhist_quantiles(
+        sketch.qhist_sketch(df, "x", [], sub_bits=6), [], [0.5, 0.9], sub_bits=6
+    ).collect()[0]
+    exact = df.selectExpr("percentile(x, array(0.5, 0.9)) p").collect()[0]["p"]
+    # lower-bound estimate: within 2^-6 ≈ 1.6% below the exact quantile
+    assert got["q_5"] <= exact[0] and (exact[0] - got["q_5"]) / exact[0] < 0.025
+    assert got["q_9"] <= exact[1] and (exact[1] - got["q_9"]) / exact[1] < 0.025

@@ -374,7 +374,71 @@ FROM m ORDER BY l_returnflag
 """
 
 
+
+
+def q_sketch_qhist_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """Mergeable quantile histogram with the rollup identity under the
+    value gate (`operators/sketch.py:qhist_sketch` — HdrHistogram /
+    DDSketch family, integer-exact buckets): sketch l_extendedprice in
+    CENTS per (returnflag, linestatus) — one hash aggregation of
+    log-bucketed counts — MERGE the sketches down to returnflag (counts
+    add; the fact table is never re-read), and answer p50/p90/p99 as the
+    bucket lower bound at cumulative rank ceil(q*n). The oracle rebuilds
+    the identical integer bucket algebra (bin-length exponent, shifts)
+    DIRECTLY from raw rows at the coarse level, so the gate proves
+    merge-then-estimate == direct AND that the bucketing is
+    engine-portable — the property that lets a 100 TB deployment keep
+    per-cell latency histograms in an MV and answer any-percentile
+    queries at any rollup level without a fact scan, at < 2^-4 relative
+    error."""
+    l = table(spark, sf, "lineitem")
+    cents = (F.col("l_extendedprice") * 100).cast("long")
+    fine = sketch.qhist_sketch(
+        l.select("l_returnflag", "l_linestatus", cents.alias("cents")),
+        "cents",
+        ["l_returnflag", "l_linestatus"],
+        sub_bits=4,
+    )
+    merged = sketch.qhist_merge(fine, ["l_returnflag"])
+    return sketch.qhist_quantiles(
+        merged, ["l_returnflag"], [0.5, 0.9, 0.99], sub_bits=4
+    ).orderBy("l_returnflag")
+
+
+_QHIST_ORACLE = """
+WITH x AS (
+    SELECT l_returnflag, CAST(l_extendedprice * 100 AS BIGINT) AS v
+    FROM lineitem
+), b AS (
+    SELECT l_returnflag,
+           CASE WHEN v < 32 THEN v
+                ELSE (length(bin(v)) - 1 - 4) * 16 + (v >> (length(bin(v)) - 1 - 4))
+           END AS idx
+    FROM x
+), c AS (
+    SELECT l_returnflag, idx, COUNT(*) AS cnt FROM b GROUP BY 1, 2
+), cum AS (
+    SELECT l_returnflag, idx,
+           SUM(cnt) OVER (PARTITION BY l_returnflag ORDER BY idx) AS cum,
+           SUM(cnt) OVER (PARTITION BY l_returnflag) AS n
+    FROM c
+), pick AS (
+    SELECT l_returnflag, CAST(MAX(n) AS BIGINT) AS n,
+           MIN(CASE WHEN cum >= CEIL(0.5 * n) THEN idx END) AS i50,
+           MIN(CASE WHEN cum >= CEIL(0.9 * n) THEN idx END) AS i90,
+           MIN(CASE WHEN cum >= CEIL(0.99 * n) THEN idx END) AS i99
+    FROM cum GROUP BY 1
+)
+SELECT l_returnflag, n,
+       CASE WHEN i50 < 32 THEN i50 ELSE (i50 - (i50 // 16 - 1) * 16) << (i50 // 16 - 1) END AS q_5,
+       CASE WHEN i90 < 32 THEN i90 ELSE (i90 - (i90 // 16 - 1) * 16) << (i90 // 16 - 1) END AS q_9,
+       CASE WHEN i99 < 32 THEN i99 ELSE (i99 - (i99 // 16 - 1) * 16) << (i99 // 16 - 1) END AS q_99
+FROM pick ORDER BY l_returnflag
+"""
+
+
 QUERIES = {
+    "sketch_qhist_rollup": q_sketch_qhist_rollup,
     "sketch_moments_rollup": q_sketch_moments_rollup,
     "sketch_hll_distinct": q_sketch_hll_distinct,
     "hll_rollup": q_hll_rollup,
@@ -413,6 +477,7 @@ ORDER BY l_returnflag
 """
 
 ORACLES = {
+    "sketch_qhist_rollup": _QHIST_ORACLE,
     "sketch_moments_rollup": _MOMENTS_ORACLE,
     "hll_rollup": _HLL_ROLLUP_ORACLE,
     "sketch_hll_distinct": _HLL_ORACLE,

@@ -25,7 +25,7 @@ over object listings are the scale path.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 # ---------------------------------------------------------------------------
 # HyperLogLog (Flajolet et al. 2007), m = 2^p registers, md5-derived hash.
@@ -396,3 +396,113 @@ def moments_stats(sketch: DataFrame, group_cols: list[str]) -> DataFrame:
         F.round(m3 / F.pow(m2, F.lit(1.5)), 6).alias("skewness"),
         F.round(m4 / (m2 * m2) - F.lit(3.0), 6).alias("kurtosis_excess"),
     )
+
+
+# ---------------------------------------------------------------- quantiles
+
+#: Mergeable quantile histogram (public design family: HdrHistogram /
+#: DDSketch, Masson-Lee-Khanna VLDB 2019 — log-bucketed counts with a
+#: bounded RELATIVE error, mergeable by adding counts). This variant is
+#: INTEGER-EXACT so two engines bucket identically: for a positive
+#: integer measure x with e = floor(log2 x) (computed as
+#: length(bin(x)) - 1 — pure string/integer ops, no floating log) and
+#: `sub_bits` = b sub-bucket bits,
+#:
+#:     idx(x) = x                               for x < 2^(b+1)
+#:            = (e - b) * 2^b + (x >> (e - b))  otherwise
+#:
+#: i.e. exact buckets below 2^(b+1), then 2^b buckets per octave keyed by
+#: the top b+1 bits — continuous at the seam (e = b gives idx = x). The
+#: bucket's LOWER BOUND is reported as the quantile estimate, so the
+#: relative error is < 2^-b one-sided (never overestimates). Zero gets
+#: bucket 0. Everything is a plain count per (group, idx): building is
+#: ONE map-side-combinable aggregation, state per group is at most
+#: 2^(b+1) + b·2^b + 64·2^b buckets (≈ a few KB), and merging sketches —
+#: across partitions, shards, or rollup levels — is summing counts, the
+#: same rollup-identity contract as the HLL/moments sketches above. The
+#: quantile rule is the deterministic lower discrete quantile: the value
+#: at cumulative rank ceil(q·n), which the SQL oracle reproduces verbatim
+#: (no interpolation, no floating bucket boundaries).
+
+
+def qhist_bucket(value: Column, sub_bits: int = 4) -> Column:
+    """Bucket index of a non-negative BIGINT value — codegen'd integer
+    ops only (bin-length exponent, shifts), portable across engines."""
+    x = value.cast("long")
+    e = (F.length(F.bin(x)) - F.lit(1)).cast("int")
+    sub = 1 << sub_bits
+    coarse = (
+        (e - F.lit(sub_bits)).cast("long") * F.lit(sub)
+        + F.call_function("shiftright", x, e - F.lit(sub_bits))
+    )
+    return F.when(x < F.lit(2 * sub), x).otherwise(coarse)
+
+
+def qhist_lower_bound(idx: Column, sub_bits: int = 4) -> Column:
+    """Inverse of `qhist_bucket`: the smallest value in the bucket."""
+    sub = 1 << sub_bits
+    k = (idx / F.lit(sub)).cast("long")  # = (e - b) + 1 in the coarse zone
+    m = idx - (k - F.lit(1)) * F.lit(sub)
+    return F.when(idx < F.lit(2 * sub), idx).otherwise(
+        F.call_function("shiftleft", m, (k - F.lit(1)).cast("int"))
+    )
+
+
+def qhist_sketch(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    sub_bits: int = 4,
+) -> DataFrame:
+    """(group_cols…, idx, cnt) — one hash aggregation over the data; the
+    value column must be a non-negative integer measure (scale decimals
+    to integer units first, e.g. money → cents)."""
+    return (
+        df.select(
+            *group_cols,
+            qhist_bucket(F.col(value_col), sub_bits).alias("idx"),
+        )
+        .groupBy(*group_cols, "idx")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def qhist_merge(sketches: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Merge sketches to a coarser grouping: counts add — the histogram
+    of a union is the sum of histograms, exactly."""
+    return sketches.groupBy(*group_cols, "idx").agg(
+        F.sum("cnt").alias("cnt")
+    )
+
+
+def qhist_quantiles(
+    sketch: DataFrame,
+    group_cols: list[str],
+    qs: list[float],
+    sub_bits: int = 4,
+) -> DataFrame:
+    """Per-group quantile estimates from a sketch: for each q, the lower
+    bound of the bucket holding cumulative rank ceil(q·n). The window
+    input is BUCKET COUNTS (≤ a few thousand rows per group by
+    construction), never the data — safe at any data scale. Output:
+    (group_cols…, n, q_<q> …) with q columns named like q_50/q_99."""
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy("idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = sketch.select(
+        *group_cols,
+        "idx",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(Window.partitionBy(*group_cols)).alias("n"),
+    )
+    aggs = [F.max("n").alias("n")]
+    for q in qs:
+        name = f"q_{str(q).replace('0.', '').rstrip('0') or '0'}"
+        rank = F.ceil(F.lit(q) * F.col("n"))
+        hit = F.when(F.col("cum") >= rank, F.col("idx"))
+        aggs.append(
+            qhist_lower_bound(F.min(hit), sub_bits).alias(name)
+        )
+    return cum.groupBy(*group_cols).agg(*aggs)
