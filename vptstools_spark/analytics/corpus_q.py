@@ -770,7 +770,111 @@ FROM w ORDER BY weight DESC, doc_id LIMIT {_DSIR_TOPN}
 """
 
 
+
+
+# ---------------------------------------------------------------------------
+# Incrementally-maintained BM25 index
+# ---------------------------------------------------------------------------
+
+_TIX_CACHE: dict = {}
+
+
+def q_text_index_search(spark: SparkSession, sf: str) -> DataFrame:
+    """The incrementally-maintained full-text index end-to-end under the
+    value gate (`operators/text_index.py`): commit `documents` as a
+    versioned corpus (v0) and build the postings index; churn the corpus
+    through the MOR DML surface — DELETE every doc_id % 10 == 3, UPDATE
+    every % 10 == 4 (append ' spark spark spark'), blind-APPEND a
+    key-shifted spark-prefixed copy of every % 10 == 7 — then
+    `refresh_text_index` (one change-feed read: equality-tombstone the
+    churned docs' postings, append re-tokenized postings, signed-algebra
+    the BM25 corpus stats) and search ['spark','hash','window'] top-15.
+    The oracle recomputes BM25 from scratch over the FINAL corpus state
+    expressed as SQL over the raw table, so a wrong tombstone scope, a
+    stale sidecar stat, or a missed posting breaks the value hash."""
+    import tempfile
+
+    from vptstools_spark.operators import text_index as tix
+    from vptstools_spark.plans.timetravel import (
+        commit_append,
+        commit_initial,
+        delete_where,
+        update_where,
+    )
+
+    key = ("tix", sf)
+    if key not in _TIX_CACHE:
+        d = table(spark, sf, "documents").select("doc_id", "text")
+        corpus = tempfile.mkdtemp(prefix="tix_corpus_")
+        idx = tempfile.mkdtemp(prefix="tix_idx_")
+        import shutil
+
+        shutil.rmtree(idx)  # build_text_index commits fresh
+        commit_initial(d, corpus, [])                                # v0
+        tix.build_text_index(spark, corpus, idx)
+        delete_where(spark, corpus, "doc_id % 10 = 3")               # v1
+        update_where(                                                # v2
+            spark,
+            corpus,
+            "doc_id % 10 = 4",
+            {"text": "concat(text, ' spark spark spark')"},
+        )
+        appended = d.filter(F.col("doc_id") % 10 == 7).select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.concat(F.lit("spark window hash "), F.col("text")).alias(
+                "text"
+            ),
+        )
+        commit_append(spark, corpus, appended)                       # v3
+        tix.refresh_text_index(spark, corpus, idx)
+        _TIX_CACHE[key] = idx
+    return tix.search_text_index(
+        spark, _TIX_CACHE[key], ["spark", "hash", "window"], 15
+    )
+
+
+_TIX_ORACLE = """
+WITH final_corpus AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 10 = 4 THEN text || ' spark spark spark'
+                ELSE text END AS text
+    FROM documents WHERE doc_id % 10 <> 3
+    UNION ALL
+    SELECT doc_id + 100000 AS doc_id, 'spark window hash ' || text AS text
+    FROM documents WHERE doc_id % 10 = 7
+), toks AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM final_corpus
+), toks_nz AS (
+    SELECT * FROM toks WHERE w <> ''
+), tf AS (
+    SELECT doc_id, w, COUNT(*) AS tf FROM toks_nz
+    WHERE w IN ('spark', 'hash', 'window') GROUP BY 1, 2
+), df_t AS (
+    SELECT w, COUNT(DISTINCT doc_id) AS df FROM toks_nz
+    WHERE w IN ('spark', 'hash', 'window') GROUP BY 1
+), dl AS (
+    SELECT doc_id, COUNT(*) AS dl FROM toks_nz GROUP BY 1
+), stats AS (
+    SELECT COUNT(*) AS n_docs, SUM(dl) AS tot_dl FROM dl
+), scored AS (
+    SELECT tf.doc_id,
+           CAST(ROUND(
+               ln((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0)
+               * ((CAST(tf AS DOUBLE) * (1.2 + 1.0))
+                  / (CAST(tf AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75
+                     * (CAST(dl AS DOUBLE) / (CAST(tot_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))),
+               8) AS DECIMAL(20,8)) AS s
+    FROM tf JOIN df_t USING (w) JOIN dl USING (doc_id) CROSS JOIN stats
+)
+SELECT doc_id, ROUND(CAST(SUM(s) AS DOUBLE), 6) AS bm25
+FROM scored GROUP BY 1
+ORDER BY bm25 DESC, doc_id
+LIMIT 15
+"""
+
+
 QUERIES = {
+    "text_index_search": q_text_index_search,
     "dq_orders": q_dq_orders,
     "hybrid_rrf": q_hybrid_rrf,
     "dsir_select": q_dsir_select,
@@ -785,6 +889,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "text_index_search": _TIX_ORACLE,
     "dq_orders": _DQ_ORDERS_ORACLE,
     "curation_report": _curation_oracle(),
     "entity_resolution": _ENTITY_ORACLE,
