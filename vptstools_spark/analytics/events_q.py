@@ -1344,7 +1344,75 @@ def q_revenue_mom(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+
+
+def q_feature_pit_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Feature-store point-in-time join (`operators/asof.py:
+    point_in_time_join` — Feast-style leakage-free feature assembly):
+    each purchase (the label row) is enriched with two feature tables AS
+    OF the purchase moment — click engagement features (last click value
+    + cumulative click count, with a 30-day TTL: staler matches come
+    back NULL rather than silently training) and view recency features
+    (no TTL). Whole-row as-of semantics: all columns of one feature
+    table come from the SAME feature row. Oracle: DuckDB native ASOF
+    LEFT JOINs + the TTL CASE, microsecond-exact at the boundary."""
+    from vptstools_spark.operators.asof import point_in_time_join
+
+    e = table(spark, sf, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id",
+        F.round("value", 2).alias("purchase_value"),
+    )
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("cval"), F.count("*").alias("nc"))
+    )
+    wc = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    clickf = clicks.select(
+        "user_id", "ts",
+        F.round("cval", 2).alias("cvalue"),
+        F.sum("nc").over(wc).alias("clicks_cum"),
+    )
+    views = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.round(F.max("value"), 2).alias("vvalue"))
+    )
+    out = point_in_time_join(
+        purchases,
+        [
+            {
+                "df": clickf,
+                "on": "user_id",
+                "ts_col": "ts",
+                "payload_cols": ["cvalue", "clicks_cum"],
+                "prefix": "clk_",
+                "ttl_seconds": 30 * 86400,
+            },
+            {
+                "df": views,
+                "on": "user_id",
+                "ts_col": "ts",
+                "payload_cols": ["vvalue"],
+                "prefix": "vw_",
+            },
+        ],
+        label_ts_col="ts",
+    )
+    return out.select(
+        "event_id", "user_id", "purchase_value",
+        "clk_cvalue", "clk_clicks_cum", "vw_vvalue",
+    )
+
+
+
 QUERIES = {
+    "feature_pit_join": q_feature_pit_join,
     "events_dwell_time": q_events_dwell_time,
     "attribution_last_touch": q_attribution_last_touch,
     "revenue_mom": q_revenue_mom,
@@ -1982,4 +2050,30 @@ ORACLES["retention_cohorts"] = """
            COUNT(DISTINCT uw.user_id) AS n_users
     FROM uw JOIN c USING (user_id)
     GROUP BY 1, 2
+"""
+
+ORACLES["feature_pit_join"] = """
+    WITH purchases AS (
+        SELECT user_id, ts, event_id, ROUND(value, 2) AS purchase_value
+        FROM events WHERE event_type = 'purchase'
+    ), clicks AS (
+        SELECT user_id, ts, MAX(value) AS cval, COUNT(*) AS nc
+        FROM events WHERE event_type = 'click' GROUP BY 1, 2
+    ), clickf AS (
+        SELECT user_id, ts, ROUND(cval, 2) AS cvalue,
+               CAST(SUM(nc) OVER (PARTITION BY user_id ORDER BY ts) AS BIGINT) AS clicks_cum
+        FROM clicks
+    ), views AS (
+        SELECT user_id, ts, ROUND(MAX(value), 2) AS vvalue
+        FROM events WHERE event_type = 'view' GROUP BY 1, 2
+    )
+    SELECT p.event_id, p.user_id, p.purchase_value,
+           CASE WHEN date_diff('microsecond', c.ts, p.ts) <= 2592000000000
+                THEN c.cvalue END AS clk_cvalue,
+           CASE WHEN date_diff('microsecond', c.ts, p.ts) <= 2592000000000
+                THEN c.clicks_cum END AS clk_clicks_cum,
+           v.vvalue AS vw_vvalue
+    FROM purchases p
+    ASOF LEFT JOIN clickf c ON p.user_id = c.user_id AND p.ts >= c.ts
+    ASOF LEFT JOIN views v ON p.user_id = v.user_id AND p.ts >= v.ts
 """
