@@ -359,3 +359,82 @@ def test_ordered_join_versioned_auto_refresh(spark, tmp_path):
     assert not stats_stale(spark, b)  # refreshed before enumeration
     assert df.count() == 500  # 20-key fact side of 200+300 rows
     assert plan["joins"][0]["rows_est"] > 0
+
+
+def test_hist_roundtrip_and_exact_incremental(spark, tmp_path):
+    """Histogram bucket counts survive the sidecar round-trip and are
+    maintained EXACTLY (not bounded) through MOR churn with deletes —
+    the property NDV sketches cannot have."""
+    from vptstools_spark.plans.stats import (
+        analyze_table_sketched,
+        incremental_analyze,
+        read_stats,
+        write_stats_sketched,
+    )
+    from vptstools_spark.plans.timetravel import (
+        commit_append,
+        commit_initial,
+        delete_where,
+        read_version,
+    )
+
+    path = str(tmp_path / "t")
+    df = spark.range(0, 5000).selectExpr(
+        "id AS k", "CAST((id * id) % 1000 AS LONG) AS x"
+    )
+    commit_initial(df, path, [])
+    st, sk = analyze_table_sketched(read_version(spark, path))
+    write_stats_sketched(spark, path, st, sk, version=0)
+    assert read_stats(spark, path).columns["x"].hist == st.columns["x"].hist
+    delete_where(spark, path, "k % 3 = 0")
+    commit_append(
+        spark,
+        path,
+        spark.range(9000, 9500).selectExpr(
+            "id AS k", "CAST(id % 7 AS LONG) AS x"
+        ),
+    )
+    inc = incremental_analyze(spark, path)
+    full, _ = analyze_table_sketched(read_version(spark, path))
+    assert inc.columns["x"].hist == full.columns["x"].hist
+    assert inc.columns["k"].hist == full.columns["k"].hist
+
+
+def test_hist_selectivity_beats_interpolation_on_skew(spark):
+    """Exponential-ish skew: uniform interpolation misestimates a median
+    threshold badly; the histogram lands within its bucket-width bound."""
+    from vptstools_spark.plans.stats import (
+        analyze_table_sketched,
+        estimate_filter_selectivity,
+    )
+    import dataclasses
+
+    # 10k rows, 99% below 100, 1% up to 1e6 — range estimate for
+    # x <= 100 from [min, max] interpolation is ~1e-4; truth is ~0.99
+    df = spark.range(0, 10000).selectExpr(
+        "CASE WHEN id % 100 = 0 THEN 1000000 - id ELSE id % 100 END AS x"
+    )
+    st, _ = analyze_table_sketched(df)
+    actual = df.filter("x <= 100").count() / 10000
+    est = estimate_filter_selectivity(st, "x", "<=", 100)
+    assert abs(est - actual) < 0.07  # one bucket of slack
+    # strip the histogram: the uniform fallback is off by > 10x
+    bare = dataclasses.replace(st.columns["x"], hist=None)
+    st_bare = dataclasses.replace(st, columns={**st.columns, "x": bare})
+    fallback = estimate_filter_selectivity(st_bare, "x", "<=", 100)
+    assert fallback < actual / 10
+
+
+def test_hist_negative_underflow_bucket(spark):
+    from vptstools_spark.plans.stats import (
+        analyze_table_sketched,
+        estimate_filter_selectivity,
+    )
+
+    df = spark.range(0, 1000).selectExpr("CAST(id - 500 AS LONG) AS x")
+    st, _ = analyze_table_sketched(df)
+    assert st.columns["x"].hist[-1] == 500  # all negatives, one bucket
+    est = estimate_filter_selectivity(st, "x", "<=", 0)
+    assert abs(est - 0.501) < 0.05
+    est_gt = estimate_filter_selectivity(st, "x", ">", 250)
+    assert abs(est_gt - 249 / 1000) < 0.07

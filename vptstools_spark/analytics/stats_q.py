@@ -661,7 +661,116 @@ def q_auto_analyze_join(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_HIST_SEL_CACHE: dict = {}
+
+
+def q_hist_selectivity_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """Histogram-based range selectivity under the value gate
+    (`plans/stats.py:_hist_pass` + `estimate_filter_selectivity`): the
+    sketched ANALYZE stores per-numeric-column quantile-histogram bucket
+    counts (integer-exact log buckets — `operators/sketch.py:
+    qhist_bucket` — one extra stacked aggregation, signed-maintainable
+    through the change feed), and the CBO answers `o_totalprice <= t`
+    selectivities from them instead of [min, max] interpolation. For
+    three thresholds the query emits the library's ESTIMATE next to the
+    ACTUAL fraction; the oracle rebuilds the identical bucket algebra
+    and interpolation arithmetic in SQL, so the gate proves the stored
+    histogram, the cumulative rule, and the within-bucket interpolation
+    are all engine-portable — the statistics a 100 TB planner trusts for
+    skewed columns where uniform interpolation is orders of magnitude
+    off."""
+    from vptstools_spark.plans.stats import (
+        analyze_table_sketched,
+        estimate_filter_selectivity,
+    )
+
+    o = table(spark, sf, "orders")
+    key = ("hist_sel", sf)
+    if key not in _HIST_SEL_CACHE:
+        _HIST_SEL_CACHE[key], _ = analyze_table_sketched(
+            o, ["o_totalprice"]
+        )
+    st = _HIST_SEL_CACHE[key]
+    thresholds = [50000, 150000, 400000]
+    ests = {
+        t: estimate_filter_selectivity(st, "o_totalprice", "<=", t)
+        for t in thresholds
+    }
+    aggs = [F.count(F.lit(1)).alias("__n")] + [
+        F.count_if(F.col("o_totalprice") <= F.lit(t)).alias(f"__c{i}")
+        for i, t in enumerate(thresholds)
+    ]
+    one = o.agg(*aggs)
+    stack_args = []
+    for i, t in enumerate(thresholds):
+        stack_args += [
+            F.lit(t),
+            F.round(F.lit(ests[t]), 6),
+            F.round(F.col(f"__c{i}") / F.col("__n"), 6),
+        ]
+    return one.select(
+        F.stack(F.lit(len(thresholds)), *stack_args).alias(
+            "threshold", "est_frac", "actual_frac"
+        )
+    ).orderBy("threshold")
+
+
+_HIST_SEL_ORACLE = """
+WITH x AS (
+    SELECT CAST(FLOOR(o_totalprice) AS BIGINT) AS v FROM orders
+), b AS (
+    SELECT CASE WHEN v < 0 THEN -1
+                WHEN v < 32 THEN v
+                ELSE (length(bin(v)) - 1 - 4) * 16 + (v >> (length(bin(v)) - 1 - 4))
+           END AS idx
+    FROM x
+), c AS (
+    SELECT idx, COUNT(*) AS cnt FROM b GROUP BY 1
+), n AS (
+    SELECT COUNT(*) AS n FROM orders
+), t(threshold) AS (
+    VALUES (50000), (150000), (400000)
+), params AS (
+    SELECT threshold,
+           CASE WHEN threshold < 32 THEN threshold
+                ELSE (length(bin(threshold)) - 1 - 4) * 16
+                     + (threshold >> (length(bin(threshold)) - 1 - 4))
+           END AS bidx
+    FROM t
+), p2 AS (
+    SELECT threshold, bidx,
+           CASE WHEN bidx < 32 THEN bidx
+                ELSE (bidx - (bidx // 16 - 1) * 16) << (bidx // 16 - 1)
+           END AS lb,
+           CASE WHEN bidx + 1 < 32 THEN bidx + 1
+                ELSE ((bidx + 1) - ((bidx + 1) // 16 - 1) * 16) << ((bidx + 1) // 16 - 1)
+           END AS ub
+    FROM params
+), est AS (
+    SELECT p2.threshold,
+           ((SELECT COALESCE(SUM(cnt), 0) FROM c WHERE c.idx < p2.bidx)
+            + COALESCE((SELECT cnt FROM c WHERE c.idx = p2.bidx), 0)
+              * LEAST(1.0, CAST(p2.threshold + 1 - p2.lb AS DOUBLE)
+                           / CAST(p2.ub - p2.lb AS DOUBLE)))
+           / CAST(n.n AS DOUBLE) AS est_raw
+    FROM p2, n
+), act AS (
+    SELECT t.threshold,
+           (SELECT COUNT(*) FROM orders WHERE o_totalprice <= t.threshold)
+           / CAST(n.n AS DOUBLE) AS act_raw
+    FROM t, n
+)
+SELECT est.threshold,
+       ROUND(LEAST(GREATEST(est_raw, 0.0), 1.0), 6) AS est_frac,
+       ROUND(act_raw, 6) AS actual_frac
+FROM est JOIN act USING (threshold)
+ORDER BY threshold
+"""
+
+
+
 QUERIES = {
+    "hist_selectivity_orders": q_hist_selectivity_orders,
     "table_stats_orders": q_table_stats_orders,
     "stats_incremental_orders": q_stats_incremental_orders,
     "auto_analyze_join": q_auto_analyze_join,
@@ -688,6 +797,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "hist_selectivity_orders": _HIST_SEL_ORACLE,
     "stats_incremental_orders": """
         WITH final AS (
             SELECT o_orderkey, o_orderstatus FROM orders

@@ -79,6 +79,14 @@ class ColumnStats:
     min: object = None
     max: object = None
     avg_len: float | None = None  # strings only
+    #: quantile-histogram bucket counts (numeric columns): qhist bucket
+    #: index (operators/sketch.py:qhist_bucket over floor(x), sub_bits
+    #: = _HIST_SUB_BITS) → row count; key -1 is the underflow bucket
+    #: holding every negative value. Counts are SIGNED-maintainable —
+    #: inserts add, deletes subtract, exactly — so unlike the NDV
+    #: sketch the histogram stays EXACT through incremental ANALYZE
+    #: over deletes.
+    hist: dict[int, int] | None = None
 
 
 @dataclass(frozen=True)
@@ -222,7 +230,16 @@ def read_stats(spark: SparkSession, path: str) -> TableStats:
         n_rows=doc["n_rows"],
         version=doc.get("version"),
         columns={
-            name: ColumnStats(name=name, **c)
+            name: ColumnStats(
+                name=name,
+                **{k: v for k, v in c.items() if k != "hist"},
+                # JSON stringifies dict keys; histogram indices are ints
+                hist=(
+                    {int(k): v for k, v in c["hist"].items()}
+                    if c.get("hist")
+                    else None
+                ),
+            )
             for name, c in doc["columns"].items()
         },
     )
@@ -271,16 +288,77 @@ def _sketch_col(c: str, dt: T.DataType) -> Column:
     return F.col(c).cast("string")
 
 
+
+#: quantile-histogram precision: 2^-4 relative bucket width
+_HIST_SUB_BITS = 4
+
+_NUMERIC_TYPES = (
+    T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+    T.FloatType, T.DoubleType, T.DecimalType,
+)
+
+
+def _hist_bucket_expr(c: str) -> Column:
+    """qhist bucket of floor(col) with every negative value folded into
+    the -1 underflow bucket — integer-granularity histogram, exact
+    signed maintenance (see ColumnStats.hist)."""
+    from vptstools_spark.operators.sketch import qhist_bucket
+
+    v = F.floor(F.col(c)).cast("long")
+    return F.when(F.col(c).isNull(), F.lit(None)).when(
+        v < 0, F.lit(-1)
+    ).otherwise(qhist_bucket(v, _HIST_SUB_BITS))
+
+
+def _hist_pass(
+    df: DataFrame,
+    cols: list[str],
+    types: dict[str, T.DataType],
+    sign: Column | None = None,
+) -> dict[str, dict[int, int]]:
+    """Per-column quantile-histogram counts in ONE extra aggregation:
+    stack every numeric column's bucket expression into (col, idx) rows,
+    group, and (signed-)count. Output rows are bounded by
+    |cols| × buckets (a few thousand), so the collect is metadata-scale.
+    `sign` (+1 insert / -1 delete) makes the same pass compute EXACT
+    deltas from a change feed."""
+    hcols = [c for c in cols if isinstance(types[c], _NUMERIC_TYPES)]
+    if not hcols:
+        return {}
+    stack_args: list[Column] = []
+    for c in hcols:
+        stack_args += [F.lit(c), _hist_bucket_expr(c)]
+    pairs = df.select(
+        F.stack(F.lit(len(hcols)), *stack_args).alias("__hc", "__hi"),
+        (sign if sign is not None else F.lit(1)).alias("__hs"),
+    ).filter(F.col("__hi").isNotNull())
+    rows = (
+        pairs.groupBy("__hc", "__hi")
+        .agg(F.sum("__hs").alias("__hn"))
+        .collect()
+    )
+    out: dict[str, dict[int, int]] = {c: {} for c in hcols}
+    for r in rows:
+        if r["__hn"]:
+            out[r["__hc"]][int(r["__hi"])] = int(r["__hn"])
+    return out
+
+
 def analyze_table_sketched(
     df: DataFrame, columns: list[str] | None = None
 ) -> tuple[TableStats, dict[str, bytes]]:
-    """`analyze_table`, plus the per-column Datasketches HLL binaries the
-    NDV estimates came from — still ONE aggregation pass. Persisting the
-    sketches (write_stats_sketched) is what makes later ANALYZE runs
-    incremental: a delta's sketch UNIONS with the stored one, where a
-    scalar NDV can only be recomputed from scratch."""
+    """`analyze_table`, plus the mergeable state behind the estimates:
+    per-column Datasketches HLL binaries (NDV) in the same single
+    aggregation pass, and per-numeric-column quantile-histogram bucket
+    counts (`_hist_pass` — one extra stacked aggregation, the same
+    two-pass shape as Spark's own `ANALYZE ... FOR COLUMNS` with
+    histograms). Persisting both (write_stats_sketched) is what makes
+    later ANALYZE runs incremental: a delta's sketch UNIONS into the
+    stored one, and histogram counts are SIGNED — exact through
+    deletes."""
     cols = columns or df.columns
     types = {f.name: f.dataType for f in df.schema.fields}
+    hists = _hist_pass(df, cols, types)
     aggs: list[Column] = [F.count(F.lit(1)).alias("__n")]
     for c in cols:
         aggs.append(F.count(F.col(c)).alias(f"nn__{c}"))
@@ -318,6 +396,7 @@ def analyze_table_sketched(
             min=_jsonable(rd.get(f"min__{c}")),
             max=_jsonable(rd.get(f"max__{c}")),
             avg_len=(float(sum_len) / nn if sum_len is not None and nn else None),
+            hist=hists.get(c),
         )
         sketches[c] = bytes(rd[f"hll__{c}"])
     return TableStats(n_rows=rd["__n"], columns=out), sketches
@@ -345,6 +424,7 @@ def write_stats_sketched(
                 "min": c.min,
                 "max": c.max,
                 "avg_len": c.avg_len,
+                "hist": c.hist,
             }
             for c in stats.columns.values()
         },
@@ -467,6 +547,16 @@ def incremental_analyze(
                 )
             )
     rd = ch.agg(*aggs).first().asDict()
+    # signed histogram deltas: same stacked pass as the full build, so
+    # incremental counts are EXACT (inserts add, deletes subtract);
+    # columns with no stored histogram stay histogram-less until the
+    # next full ANALYZE (merging into nothing would under-count)
+    hist_deltas = _hist_pass(
+        ch,
+        [c for c in cols if (doc["columns"][c].get("hist")) is not None],
+        types,
+        sign=sign,
+    )
 
     out: dict[str, ColumnStats] = {}
     merged_sk: dict[str, bytes] = {}
@@ -509,6 +599,15 @@ def incremental_analyze(
         if f"dlen__{c}" in rd and old_sum is not None:
             sum_lens[c] = float(old_sum) + float(rd[f"dlen__{c}"])
             avg_len = sum_lens[c] / nn if nn else None
+        hist = None
+        if oc.get("hist") is not None:
+            hist = {int(k): v for k, v in oc["hist"].items()}
+            for idx, dcnt in (hist_deltas.get(c) or {}).items():
+                nv = hist.get(idx, 0) + dcnt
+                if nv:
+                    hist[idx] = nv
+                else:
+                    hist.pop(idx, None)
         out[c] = ColumnStats(
             name=c,
             n_nonnull=nn,
@@ -516,6 +615,7 @@ def incremental_analyze(
             min=_merge_bound(oc["min"], rd.get(f"min__{c}"), min),
             max=_merge_bound(oc["max"], rd.get(f"max__{c}"), max),
             avg_len=avg_len,
+            hist=hist,
         )
     stats = TableStats(
         n_rows=doc["n_rows"] + rd["__dn"], columns=out, version=v_now
@@ -617,16 +717,79 @@ def estimate_equi_join(
     return left.n_rows * right.n_rows / denom
 
 
+def _py_qhist_bucket(v: int, b: int = _HIST_SUB_BITS) -> int:
+    """Driver-side mirror of `operators/sketch.py:qhist_bucket` over a
+    non-negative integer (callers floor first; negatives are bucket -1)."""
+    if v < 0:
+        return -1
+    sub = 1 << b
+    if v < 2 * sub:
+        return v
+    e = v.bit_length() - 1
+    return (e - b) * sub + (v >> (e - b))
+
+
+def _py_qhist_lower(idx: int, b: int = _HIST_SUB_BITS) -> int:
+    sub = 1 << b
+    if idx < 2 * sub:
+        return idx
+    k = idx // sub
+    return (idx - (k - 1) * sub) << (k - 1)
+
+
+def hist_cum_le(hist: dict[int, int], value: float) -> float:
+    """Estimated count of rows with x <= value from quantile-histogram
+    bucket counts: full buckets below value's bucket, plus linear
+    interpolation across the integer values inside it (floor
+    granularity; the -1 underflow bucket counts whole for any
+    value >= 0). Exact to within one bucket's width."""
+    import math
+
+    fv = math.floor(value)
+    if fv < 0:
+        return 0.0  # unknown shape below zero: conservative floor
+    bidx = _py_qhist_bucket(fv)
+    total = float(hist.get(-1, 0))
+    inside = 0.0
+    for idx, cnt in hist.items():
+        if idx == -1:
+            continue
+        if idx < bidx:
+            total += cnt
+        elif idx == bidx:
+            lb = _py_qhist_lower(idx)
+            ub = _py_qhist_lower(idx + 1)
+            inside = cnt * min(1.0, (fv + 1 - lb) / (ub - lb))
+    return total + inside
+
+
 def estimate_filter_selectivity(
     stats: TableStats, col: str, op: str, value
 ) -> float:
-    """Classic uniformity selectivities: '=' → 1/ndv; '<'/'<='/'>'/'>='
-    → linear interpolation over [min, max] (numeric only; non-numeric or
-    missing bounds fall back to 1/3, Selinger's default). Clamped to
-    [0, 1]."""
+    """Range/equality selectivity. With a stored quantile histogram
+    (sketched ANALYZE) ranges use `hist_cum_le` — exact to one bucket
+    (< 2^-4 relative), robust to skew; without one, the classic
+    uniformity fallbacks apply: '=' → 1/ndv; ranges → linear
+    interpolation over [min, max] (non-numeric or missing bounds →
+    1/3, Selinger's default). Clamped to [0, 1]."""
     c = stats.columns[col]
     if op == "=":
         return 1.0 / max(c.ndv, 1)
+    if op not in ("<", "<=", ">", ">="):
+        raise ValueError(f"unsupported op {op!r}")
+    if c.hist and isinstance(value, (int, float)) and stats.n_rows > 0:
+        # integer-granularity histogram: <= v and < v differ only for
+        # integral v, where < v excludes v's own unit interval
+        import math
+
+        bound = (
+            float(value) - 1.0
+            if op in ("<", ">=") and float(value) == math.floor(value)
+            else float(value)
+        )
+        frac_le = hist_cum_le(c.hist, bound) / stats.n_rows
+        frac_le = min(max(frac_le, 0.0), 1.0)
+        return frac_le if op in ("<", "<=") else 1.0 - frac_le
     lo, hi = c.min, c.max
     if not isinstance(lo, (int, float)) or not isinstance(hi, (int, float)) or hi <= lo:
         return 1.0 / 3.0
