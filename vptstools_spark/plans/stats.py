@@ -521,7 +521,11 @@ def incremental_analyze(
     if not gap_ops <= (_MOR_OPS | _NOOP_OPS):
         return _full()
 
-    ch = table_changes(spark, path, v_old, v_now)
+    # the feed is consumed by TWO actions (the signed scalar aggregate
+    # and the histogram-delta pass); localCheckpoint materializes the
+    # assembly once — it is bounded by the changed data, and without it
+    # every action re-runs the vector joins behind the feed
+    ch = table_changes(spark, path, v_old, v_now).localCheckpoint()
     types = {f.name: f.dataType for f in ch.schema.fields}
     ins = F.col("_change_type") == "insert"
     sign = F.when(ins, F.lit(1)).otherwise(F.lit(-1))
@@ -546,7 +550,21 @@ def incremental_analyze(
                     f"dlen__{c}"
                 )
             )
-    rd = ch.agg(*aggs).first().asDict()
+    # fold the stored-sketch UNION + estimate into the same job: the old
+    # binaries ride as plan literals (8 KB/column), so the delta agg and
+    # the merge are ONE action instead of agg + a union job
+    union_sel = []
+    old_bytes = {c: base64.b64decode(sk64[c]) for c in cols}
+    for c in cols:
+        u = F.when(
+            F.col(f"hll__{c}").isNull(), F.lit(old_bytes[c])
+        ).otherwise(F.hll_union(F.lit(old_bytes[c]), F.col(f"hll__{c}")))
+        union_sel.append(u.alias(f"u__{c}"))
+        union_sel.append(F.hll_sketch_estimate(u).alias(f"ndv__{c}"))
+    rd = ch.agg(*aggs).select("*", *union_sel).first().asDict()
+    unioned = {
+        c: (bytes(rd[f"u__{c}"]), int(rd[f"ndv__{c}"])) for c in cols
+    }
     # signed histogram deltas: same stacked pass as the full build, so
     # incremental counts are EXACT (inserts add, deletes subtract);
     # columns with no stored histogram stay histogram-less until the
@@ -561,26 +579,6 @@ def incremental_analyze(
     out: dict[str, ColumnStats] = {}
     merged_sk: dict[str, bytes] = {}
     sum_lens: dict[str, float] = {}
-    sketch_df_rows = []
-    for c in cols:
-        old_b = base64.b64decode(sk64[c])
-        new_b = bytes(rd[f"hll__{c}"]) if rd[f"hll__{c}"] is not None else None
-        sketch_df_rows.append((c, old_b, new_b))
-    # union + estimate all columns' sketches in one local 1-row-per-col job
-    est_rows = (
-        spark.createDataFrame(
-            sketch_df_rows, "col string, old binary, new binary"
-        )
-        .select(
-            "col",
-            F.when(
-                F.col("new").isNull(), F.col("old")
-            ).otherwise(F.hll_union("old", "new")).alias("u"),
-        )
-        .select("col", "u", F.hll_sketch_estimate("u").alias("ndv"))
-        .collect()
-    )
-    unioned = {r["col"]: (bytes(r["u"]), int(r["ndv"])) for r in est_rows}
 
     def _merge_bound(old, delta, fn):
         if delta is None:
