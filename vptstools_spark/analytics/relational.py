@@ -733,7 +733,28 @@ def q_join_order_sales(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_skyline_parts(spark: SparkSession, sf: str) -> DataFrame:
+    """Skyline / Pareto frontier (`operators/skyline.py` — Börzsönyi et
+    al. ICDE 2001): the parts no other part dominates on (cheaper
+    retail price, larger size). Distributed two-phase: per-partition
+    local skylines via a vectorized Arrow-batched dominance check (a
+    cross-row predicate Catalyst cannot state), then the exact global
+    skyline over their broadcast-scale union. The oracle states
+    dominance directly as NOT EXISTS."""
+    from vptstools_spark.operators.skyline import skyline
+
+    p = table(spark, sf, "part").select(
+        "p_partkey", "p_size", F.col("p_retailprice").cast("double").alias("p_retailprice")
+    )
+    out = skyline(p, {"p_retailprice": "min", "p_size": "max"})
+    return out.select(
+        "p_partkey", "p_size", F.round("p_retailprice", 2).alias("price")
+    ).orderBy("p_partkey")
+
+
+
 QUERIES = {
+    "skyline_parts": q_skyline_parts,
     "join_order_sales": q_join_order_sales,
     "promo_revenue": q_promo_revenue,
     "nation_volume_shipping": q_nation_volume_shipping,
@@ -1098,4 +1119,16 @@ ORACLES["product_profit"] = """
     JOIN supplier ON l_suppkey = s_suppkey
     JOIN nation   ON s_nationkey = n_nationkey
     GROUP BY 1, 2
+"""
+
+ORACLES["skyline_parts"] = """
+    SELECT p_partkey, p_size, ROUND(CAST(p_retailprice AS DOUBLE), 2) AS price
+    FROM part a
+    WHERE NOT EXISTS (
+        SELECT 1 FROM part b
+        WHERE b.p_retailprice <= a.p_retailprice
+          AND b.p_size >= a.p_size
+          AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size)
+    )
+    ORDER BY p_partkey
 """
