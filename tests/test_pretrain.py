@@ -221,3 +221,35 @@ def test_temperature_weights_flatten_head(spark):
     assert w["small"]["w_doc"] > w["big"]["w_doc"]
     # shares always sum to 1
     assert abs(w["big"]["p_source"] + w["small"]["p_source"] - 1.0) < 1e-12
+
+
+def test_materialize_mixture_deterministic_and_upsamples(spark):
+    from vptstools_spark.operators.pretrain import materialize_mixture
+
+    # head source: 9000 docs; tail source: 16 docs — sqrt temperature
+    # gives the tail ~4.5% of a 2000-doc mix (90 instances), forcing
+    # multi-epoch upsampling of the 16 docs
+    head = spark.range(0, 9000).selectExpr("'head' AS source", "id AS doc_id")
+    tail = spark.range(100000, 100016).selectExpr(
+        "'tail' AS source", "id AS doc_id"
+    )
+    d = head.unionByName(tail)
+    a = materialize_mixture(d, total_docs=2000)
+    b = materialize_mixture(d.repartition(13), total_docs=2000)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    census = {
+        r["source"]: r
+        for r in a.groupBy("source")
+        .agg(
+            F.count("*").alias("n"),
+            F.count_distinct("doc_id").alias("u"),
+            F.max("copy_i").alias("mc"),
+        )
+        .collect()
+    }
+    assert census["tail"]["n"] > 16  # quota above one epoch
+    assert census["tail"]["u"] == 16  # every tail doc participates
+    assert census["tail"]["mc"] >= 2  # real epoch copies drawn
+    assert census["head"]["mc"] == 1  # head never upsampled
+    total = census["head"]["n"] + census["tail"]["n"]
+    assert abs(total - 2000) <= 2  # floor rounding only

@@ -294,7 +294,78 @@ def q_sample_temperature(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("source")
 
 
+def q_mixture_materialize(spark: SparkSession, sf: str) -> DataFrame:
+    """Temperature mixture MATERIALIZED (`operators/pretrain.py:
+    materialize_mixture`): draw a 10,000-instance training mix over the
+    document sources at alpha = 0.5, upsampling tail sources past one
+    epoch where their quota demands it, and report the per-source
+    census — quota, drawn instances, distinct documents, deepest epoch
+    copy. Quotas are fixed-point integer arithmetic (floor(sqrt(n)*1e6)
+    masses, integer normalizer) and survivors are the smallest
+    md5-ranked (doc, copy) pairs, so the oracle re-draws the IDENTICAL
+    multiset in SQL — sampling with zero RNG, reproducible across
+    engines and repartitionings."""
+    from vptstools_spark.operators.pretrain import materialize_mixture
+
+    d = table(spark, sf, "documents")
+    mix = materialize_mixture(d, total_docs=10_000, by="source")
+    return (
+        mix.groupBy("source")
+        .agg(
+            F.count("*").alias("sampled"),
+            F.count_distinct("doc_id").alias("distinct_docs"),
+            F.max("copy_i").alias("max_copy"),
+            F.sum("doc_id").cast("long").alias("id_sum"),
+        )
+        .orderBy("source")
+    )
+
+
+_MIX_ORACLE = """
+WITH counts AS (
+    SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY 1
+), scored AS (
+    SELECT source, n_docs,
+           CAST(FLOOR(SQRT(n_docs) * 1000000) AS BIGINT) AS mass_fp
+    FROM counts
+), tot AS (
+    SELECT SUM(mass_fp) AS t_fp FROM scored
+), quotas AS (
+    SELECT source, n_docs,
+           GREATEST(1, CAST(mass_fp * 10000 // t_fp AS BIGINT)) AS k_s
+    FROM scored, tot
+), q2 AS (
+    SELECT source, n_docs, k_s,
+           (k_s + n_docs - 1) // n_docs AS copies
+    FROM quotas
+), ex AS (
+    SELECT d.source, d.doc_id, q2.k_s, u.copy_i
+    FROM documents d
+    JOIN q2 USING (source),
+    UNNEST(GENERATE_SERIES(1, q2.copies)) AS u(copy_i)
+), ranked AS (
+    SELECT source, doc_id, copy_i, k_s,
+           ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY md5('mx#' || CAST(doc_id AS VARCHAR) || '#' || CAST(copy_i AS VARCHAR))
+           ) AS rn
+    FROM ex
+)
+SELECT source,
+       COUNT(*) AS sampled,
+       COUNT(DISTINCT doc_id) AS distinct_docs,
+       CAST(MAX(copy_i) AS BIGINT) AS max_copy,
+       CAST(SUM(doc_id) AS BIGINT) AS id_sum
+FROM ranked
+WHERE rn <= k_s
+GROUP BY source
+ORDER BY source
+"""
+
+
+
 QUERIES = {
+    "mixture_materialize": q_mixture_materialize,
     "doc_chunks": q_doc_chunks,
     "sample_temperature": q_sample_temperature,
     "url_host_stats": q_url_host_stats,
@@ -318,6 +389,7 @@ for _name, _pat in PII_PATTERNS.items():
     )
 
 ORACLES = {
+    "mixture_materialize": _MIX_ORACLE,
     "sample_temperature": """
         WITH c AS (
             SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source

@@ -257,3 +257,73 @@ def temperature_weights(
         (F.col("mass") / F.col("t")).alias("p_source"),
         ((F.col("mass") / F.col("t")) / F.col("n_docs")).alias("w_doc"),
     )
+
+
+def materialize_mixture(
+    df: DataFrame,
+    total_docs: int,
+    by: str = "source",
+    id_col: str = "doc_id",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Materialize a temperature-mixed training set: draw per-source
+    quotas k_s ∝ n_s^alpha summing to ~`total_docs`, UPSAMPLING tail
+    sources past one epoch where the quota demands it (the piece
+    `temperature_weights` leaves to the sampler). Deterministic end to
+    end — re-running on re-partitioned input yields the identical
+    multiset:
+
+    - quotas are exact integer arithmetic: per-source fixed-point mass
+      floor(sqrt(n_s)·1e6) (sqrt is IEEE-exact; the floor makes the
+      normalizing SUM an integer, so no cross-engine double-sum-order
+      hazard — the `mixture_weights` fixed-point trick), then
+      k_s = mass_fp · total // Σmass_fp;
+    - each document is replicated ceil(k_s / n_s) times (epoch copies),
+      and the k_s survivors per source are the smallest md5-ranked
+      (doc, copy) pairs — a salted-md5 total order, no RNG.
+
+    Output: one row per sampled instance — (by, id_col, copy_i) — ready
+    to join back to the corpus for shard writing. Scale shape: quota
+    arithmetic is a sources-sized broadcast; the explode is a narrow
+    map emitting n_s·copies ≈ max(n_s, 2·k_s) rows per source; the one
+    shuffle is the per-source md5-rank window over those rows — the
+    same keyed exchange the stratified sampler (`q_sample_stratified`)
+    pays, skew-bounded by the largest source."""
+    counts = df.groupBy(by).agg(F.count("*").alias("n_docs"))
+    mass = F.floor(F.sqrt(F.col("n_docs")) * F.lit(1_000_000)).cast("long")
+    scored = counts.select(by, "n_docs", mass.alias("mass_fp"))
+    tot = scored.agg(F.sum("mass_fp").alias("t_fp"))
+    quotas = scored.crossJoin(F.broadcast(tot)).select(
+        by,
+        "n_docs",
+        F.greatest(
+            F.lit(1),
+            (F.col("mass_fp") * F.lit(int(total_docs)) / F.col("t_fp"))
+            .cast("long"),
+        ).alias("k_s"),
+    ).withColumn(
+        "copies",
+        ((F.col("k_s") + F.col("n_docs") - 1) / F.col("n_docs")).cast("long"),
+    )
+    docs = df.select(by, id_col).join(F.broadcast(quotas), by)
+    exploded = docs.select(
+        by,
+        id_col,
+        "k_s",
+        F.explode(F.sequence(F.lit(1), F.col("copies"))).alias("copy_i"),
+    )
+    w = Window.partitionBy(by).orderBy(
+        F.md5(
+            F.concat(
+                F.lit("mx#"),
+                F.col(id_col).cast("string"),
+                F.lit("#"),
+                F.col("copy_i").cast("string"),
+            )
+        )
+    )
+    return (
+        exploded.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= F.col("k_s"))
+        .select(by, id_col, "copy_i")
+    )
