@@ -152,6 +152,15 @@ HEADLINE = [
     "fs_skipped_scan",
     "hp_hours_scan",
     "auto_analyze_join",
+    # round 6, second batch (mergeable quantile sketch, incremental BM25
+    # index, feature-store PIT join, histogram CBO, skyline, mixture
+    # materialization)
+    "sketch_qhist_rollup",
+    "text_index_search",
+    "feature_pit_join",
+    "hist_selectivity_orders",
+    "skyline_parts",
+    "mixture_materialize",
 ]
 
 #: sf0.1-scale tier on the Zipf-vocabulary fixture (tools/gen_zipf.py):
