@@ -1356,3 +1356,39 @@ def test_hidden_partitioning_hours(spark, tmp_path):
     assert "p_hour" in plan
     got_lt = read_version_pruned(spark, path, "ts", "<", cut)
     assert sorted(r["k"] for r in got_lt.collect()) == [0, 1, 2]
+
+
+def test_snapshot_rowcount_metadata_only(spark, tmp_path):
+    """snapshot_rowcount equals the real count across initial / append /
+    MOR delete / update / purge — and takes the documented fallback only
+    while un-purged equality entries exist."""
+    from vptstools_spark.plans.timetravel import (
+        commit_append,
+        commit_initial,
+        delete_where,
+        delete_where_eq,
+        purge_deletes,
+        read_version,
+        snapshot_rowcount,
+        update_where,
+    )
+
+    path = str(tmp_path / "rc")
+    df = spark.range(0, 5000).selectExpr(
+        "id AS k", "id % 7 AS x", "CAST(id % 4 AS INT) AS part"
+    )
+    commit_initial(df, path, ["part"])
+    commit_append(
+        spark, path, df.filter("k < 50").selectExpr("k + 90000 AS k", "x", "part")
+    )
+    delete_where(spark, path, "k % 9 = 0")
+    update_where(spark, path, "k % 500 = 3", {"x": "x + 1"})
+    for v in range(4):
+        assert snapshot_rowcount(spark, path, v) == read_version(
+            spark, path, v
+        ).count()
+    keys = spark.createDataFrame([(4,), (13,)], "k long")
+    delete_where_eq(spark, path, keys, ["k"])
+    assert snapshot_rowcount(spark, path) == read_version(spark, path).count()
+    purge_deletes(spark, path)
+    assert snapshot_rowcount(spark, path) == read_version(spark, path).count()

@@ -967,6 +967,29 @@ def q_cdf_order_changes(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_metadata_rowcount(spark: SparkSession, sf: str) -> DataFrame:
+    """Metadata-only COUNT(*) under the value gate
+    (`plans/timetravel.py:snapshot_rowcount` — the Iceberg
+    manifests-answer-count trick): every commit records per-file footer
+    row counts, so counting any version of the shared dv_orders history
+    (v0 initial / v1 MOR delete / v2 append / v3 purge) is commit-JSON
+    arithmetic plus a driver-side read of the broadcast-small delete
+    vectors — the data files are never scanned. The oracle recomputes
+    each version's cardinality from the raw table, so a stale file_rows
+    map, a mis-scoped vector subtraction, or a purge that changed row
+    content would all break the match."""
+    q_dv_delete_read(spark, sf)  # ensure the versioned table is built
+    from vptstools_spark.plans.timetravel import snapshot_rowcount
+
+    path = _TT_CACHE[("dv_orders", sf)]
+    rows = [
+        (v, snapshot_rowcount(spark, path, v)) for v in (0, 1, 2, 3)
+    ]
+    return spark.createDataFrame(rows, "version int, n_rows long").orderBy(
+        "version"
+    )
+
+
 def q_events_funnel_windowed(spark: SparkSession, sf: str) -> DataFrame:
     """Conversion-window funnel — the time-boxed variant of
     `events_funnel`: each stage must land within 7 days of the PREVIOUS
@@ -1424,6 +1447,7 @@ QUERIES = {
     "hp_pruned_scan": q_hp_pruned_scan,
     "wap_audit_publish": q_wap_audit_publish,
     "dv_delete_read": q_dv_delete_read,
+    "metadata_rowcount": q_metadata_rowcount,
     "occ_rebase_commits": q_occ_rebase_commits,
     "dv_equality_read": q_dv_equality_read,
     "fs_skipped_scan": q_fs_skipped_scan,
@@ -2076,4 +2100,18 @@ ORACLES["feature_pit_join"] = """
     FROM purchases p
     ASOF LEFT JOIN clickf c ON p.user_id = c.user_id AND p.ts >= c.ts
     ASOF LEFT JOIN views v ON p.user_id = v.user_id AND p.ts >= v.ts
+"""
+
+ORACLES["metadata_rowcount"] = """
+    WITH n0 AS (SELECT COUNT(*) AS c FROM orders),
+    nd AS (SELECT COUNT(*) AS c FROM orders WHERE o_orderkey % 59 = 0),
+    na AS (SELECT COUNT(*) AS c FROM orders WHERE o_orderkey % 101 = 0)
+    SELECT 0 AS version, n0.c AS n_rows FROM n0
+    UNION ALL
+    SELECT 1, n0.c - nd.c FROM n0, nd
+    UNION ALL
+    SELECT 2, n0.c - nd.c + na.c FROM n0, nd, na
+    UNION ALL
+    SELECT 3, n0.c - nd.c + na.c FROM n0, nd, na
+    ORDER BY version
 """

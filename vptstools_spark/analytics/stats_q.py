@@ -769,7 +769,93 @@ ORDER BY threshold
 
 
 
+def q_mv_percentile_route(spark: SparkSession, sf: str) -> DataFrame:
+    """Percentile dashboards FROM a summary table (`plans/matview.py` ×
+    `operators/sketch.py:qhist`): the MV's dims are (month, qhist
+    bucket of o_totalprice cents) with a count measure — bucket counts
+    are sum-mergeable, so the MV algebra that re-aggregates sums makes
+    the histogram valid at ANY rollup level. A quarter's p50/p95 then
+    reads three month partitions of the |months × buckets|-row summary
+    (planning-time partition pruning via the month filter), rolls the
+    counts up, and answers from bucket lower bounds — the fact table is
+    never scanned. Oracle: the identical bucket + cumulative-rank
+    algebra over raw orders restricted to the same months."""
+    import tempfile
+
+    from vptstools_spark.operators.sketch import qhist_bucket, qhist_quantiles
+    from vptstools_spark.plans.matview import (
+        MatViewDef,
+        Measure,
+        answer_from_mv,
+        create_matview,
+        read_matview,
+    )
+
+    key = ("orders_pct_mv", sf)
+    if key not in _MV_CACHE:
+        o = table(spark, sf, "orders")
+        base = o.select(
+            F.date_format(
+                F.date_trunc("month", "o_orderdate"), "yyyy-MM"
+            ).alias("month"),
+            qhist_bucket(
+                (F.col("o_totalprice") * 100).cast("long"), 4
+            ).alias("idx"),
+        )
+        mv = MatViewDef(
+            name="orders_price_hist",
+            dims=("month", "idx"),
+            measures={"cnt": Measure("count", "*")},
+            partition_dim="month",
+        )
+        path = tempfile.mkdtemp(prefix="mv_pct_")
+        create_matview(base, path, mv)
+        _MV_CACHE[key] = path
+    mv_df, mv = read_matview(spark, _MV_CACHE[key])
+    sketch = answer_from_mv(
+        mv_df,
+        mv,
+        ["idx"],
+        {"cnt": ("count", "*")},
+        filters=[("month", ">=", "1995-01"), ("month", "<=", "1995-03")],
+    )
+    return qhist_quantiles(sketch, [], [0.5, 0.95], sub_bits=4)
+
+
+_MV_PCT_ORACLE = """
+WITH x AS (
+    SELECT CAST(o_totalprice * 100 AS BIGINT) AS v
+    FROM orders
+    WHERE strftime(CAST(date_trunc('month', o_orderdate) AS DATE), '%Y-%m')
+          BETWEEN '1995-01' AND '1995-03'
+), b AS (
+    SELECT CASE WHEN v < 32 THEN v
+                ELSE (length(bin(v)) - 1 - 4) * 16 + (v >> (length(bin(v)) - 1 - 4))
+           END AS idx
+    FROM x
+), c AS (
+    SELECT idx, COUNT(*) AS cnt FROM b GROUP BY 1
+), cum AS (
+    SELECT idx,
+           SUM(cnt) OVER (ORDER BY idx) AS cum,
+           SUM(cnt) OVER () AS n
+    FROM c
+), pick AS (
+    SELECT CAST(MAX(n) AS BIGINT) AS n,
+           MIN(CASE WHEN cum >= CEIL(0.5 * n) THEN idx END) AS i50,
+           MIN(CASE WHEN cum >= CEIL(0.95 * n) THEN idx END) AS i95
+    FROM cum
+)
+SELECT n,
+       CASE WHEN i50 < 32 THEN i50 ELSE (i50 - (i50 // 16 - 1) * 16) << (i50 // 16 - 1) END AS q_5,
+       CASE WHEN i95 < 32 THEN i95 ELSE (i95 - (i95 // 16 - 1) * 16) << (i95 // 16 - 1) END AS q_95
+FROM pick
+"""
+
+
+
 QUERIES = {
+    "mv_percentile_route": q_mv_percentile_route,
     "hist_selectivity_orders": q_hist_selectivity_orders,
     "table_stats_orders": q_table_stats_orders,
     "stats_incremental_orders": q_stats_incremental_orders,
@@ -797,6 +883,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "mv_percentile_route": _MV_PCT_ORACLE,
     "hist_selectivity_orders": _HIST_SEL_ORACLE,
     "stats_incremental_orders": """
         WITH final AS (

@@ -103,6 +103,10 @@ def _carry(prev: dict) -> dict:
         # metadata reads, never a data scan)
         "stats_cols": prev.get("stats_cols") or [],
         "file_stats": prev.get("file_stats") or {},
+        # per-file ROW COUNTS (Iceberg manifest record counts): carried
+        # files keep theirs; _commit footer-reads new files' — powers
+        # metadata-only COUNT(*) (snapshot_rowcount)
+        "file_rows": prev.get("file_rows") or {},
     }
 
 
@@ -134,6 +138,19 @@ def _stat_render(v):
         except UnicodeDecodeError:
             return None
     return None
+
+
+def _footer_rowcount(abs_path: str) -> int:
+    """Row count of one parquet file from its footer (pyarrow metadata
+    read — KB, never the data)."""
+    import pyarrow.fs as pafs
+    import pyarrow.parquet as pq
+
+    if "://" in abs_path:
+        fs, p = pafs.FileSystem.from_uri(abs_path)
+    else:
+        fs, p = pafs.LocalFileSystem(), abs_path
+    return int(pq.read_metadata(p, filesystem=fs).num_rows)
 
 
 def _footer_stats(abs_path: str, cols: list[str]) -> dict:
@@ -400,6 +417,18 @@ def _commit(
     else:
         extra.pop("stats_cols", None)
         extra.pop("file_stats", None)
+    # complete per-file row-count map, maintained UNCONDITIONALLY: one
+    # pyarrow footer read per file NEW to this commit (KB, driver-side)
+    # buys metadata-only COUNT(*) at any table size (snapshot_rowcount)
+    prev_rows = extra.get("file_rows") or {}
+    extra["file_rows"] = {
+        f: (
+            prev_rows[f]
+            if f in prev_rows
+            else _footer_rowcount(os.path.join(path, _DATA_DIR, f))
+        )
+        for f in files
+    }
     ok = create_text_exclusive(
         spark,
         _log_path(path, version, log_dir),
@@ -2533,6 +2562,50 @@ def files_metadata(
         if c in out.columns:
             out = out.withColumn(c, F.col(c).cast(dt))
     return out
+
+
+def snapshot_rowcount(
+    spark: SparkSession, path: str, version: int | None = None
+) -> int:
+    """COUNT(*) of a snapshot from COMMIT METADATA — no data scan (the
+    Iceberg manifests-answer-count trick): every commit records per-file
+    footer row counts (`file_rows`, maintained by `_commit`), so the
+    count is Σ file rows − the position-delete rows that still reference
+    a live file. Vector contents are read driver-side (they are
+    broadcast-small by table contract) and deduplicated on (file, pos),
+    and positions pointing at files no longer in the snapshot (e.g. a
+    compaction rewrote the victim but carried the vector) are ignored —
+    over-subtraction is structurally impossible. Un-purged EQUALITY
+    delete entries make the count data-dependent (their matches live in
+    row values, not metadata); that one case falls back to the real
+    scan, and `purge_deletes` restores the metadata path."""
+    import pyarrow.fs as pafs
+    import pyarrow.parquet as pq
+
+    v = _resolve_version(spark, path, version)
+    commit = _read_commit(spark, path, v)
+    if commit.get("eq_deletes"):
+        return read_version(spark, path, v).count()
+    file_rows = commit.get("file_rows") or {}
+    total = 0
+    for f in commit["files"]:
+        total += (
+            file_rows[f]
+            if f in file_rows
+            else _footer_rowcount(os.path.join(path, _DATA_DIR, f))
+        )
+    live = set(commit["files"])
+    seen: set[tuple[str, int]] = set()
+    fs = pafs.LocalFileSystem()
+    for vf in commit.get("delete_files") or []:
+        abs_vf = os.path.join(path, _DATA_DIR, vf)
+        t = pq.read_table(abs_vf, filesystem=fs)
+        for file_, pos in zip(
+            t.column("file").to_pylist(), t.column("pos").to_pylist()
+        ):
+            if file_ in live:
+                seen.add((file_, int(pos)))
+    return total - len(seen)
 
 
 def partitions_metadata(
