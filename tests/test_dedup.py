@@ -139,3 +139,25 @@ def test_incremental_dedup_registry_across_runs(spark, tmp_path):
     fresh, rep = incremental_dedup(spark, reg, batch([(20, "aaa")]))
     assert rep["n_fresh"] == 0 and fresh.count() == 0
     assert len(history(spark, reg)) == n_versions
+
+
+def test_dedup_keep_best_argmax_and_ties(spark):
+    from vptstools_spark.operators.dedup import dedup_keep_best
+
+    # one group of 3 copies: scores 5, 9, 9 → keep id 2 (high score,
+    # lowest id on the tie); one singleton
+    d = spark.createDataFrame(
+        [
+            (1, "same text", 5),
+            (2, "same text", 9),
+            (3, "same text", 9),
+            (4, "unique", 1),
+        ],
+        "doc_id long, text string, q long",
+    )
+    kept = {
+        r["kept_id"]: r
+        for r in dedup_keep_best(d, F.col("q")).collect()
+    }
+    assert set(kept) == {2, 4}
+    assert kept[2]["n_copies"] == 3 and kept[2]["kept_score"] == 9

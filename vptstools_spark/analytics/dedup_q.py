@@ -282,7 +282,29 @@ FROM pairs GROUP BY 1 ORDER BY band
 """
 
 
+def q_dedup_keep_best(spark: SparkSession, sf: str) -> DataFrame:
+    """Keep-best exact dedup (`operators/dedup.py:dedup_keep_best`):
+    duplicate groups keep the copy with the highest quality score
+    (token count here), lowest-id on ties — the production selection
+    rule (min-id dedup throws away the richer copy whenever ingest
+    order is unlucky). Census over the kept set; the oracle re-derives
+    the same argmax with a window in SQL."""
+    from vptstools_spark.operators.dedup import dedup_keep_best
+
+    d = table(spark, sf, "documents")
+    score = F.size(F.filter(F.split("text", " "), lambda t: t != F.lit("")))
+    kept = dedup_keep_best(d, score.cast("long"))
+    return kept.agg(
+        F.count("*").alias("n_kept"),
+        F.sum("kept_id").cast("long").alias("kept_id_sum"),
+        F.sum("kept_score").cast("long").alias("score_sum"),
+        F.sum("n_copies").cast("long").alias("n_docs"),
+    )
+
+
+
 QUERIES = {
+    "dedup_keep_best": q_dedup_keep_best,
     "dedup_exact": q_dedup_exact,
     "simjoin_prefix": q_simjoin_prefix,
     "dedup_canonical": q_dedup_canonical,
@@ -317,6 +339,25 @@ ORACLES = {
                COUNT(*) AS n_kept,
                CAST(SUM(n_copies - 1) AS BIGINT) AS n_removed
         FROM s GROUP BY source
+    """,
+    "dedup_keep_best": """
+        WITH h AS (
+            SELECT doc_id, md5(lower(trim(text))) AS fp,
+                   len(list_filter(string_split(text, ' '), x -> x <> '')) AS score
+            FROM documents
+        ), r AS (
+            SELECT fp, doc_id, score,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY fp ORDER BY score DESC, doc_id ASC
+                   ) AS rn,
+                   COUNT(*) OVER (PARTITION BY fp) AS nc
+            FROM h
+        )
+        SELECT COUNT(*) AS n_kept,
+               CAST(SUM(doc_id) AS BIGINT) AS kept_id_sum,
+               CAST(SUM(score) AS BIGINT) AS score_sum,
+               CAST(SUM(nc) AS BIGINT) AS n_docs
+        FROM r WHERE rn = 1
     """,
     "dedup_exact": """
         WITH h AS (SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents),

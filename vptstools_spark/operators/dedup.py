@@ -35,6 +35,41 @@ def exact_dedup_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     )
 
 
+def dedup_keep_best(
+    df: DataFrame,
+    score,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact dedup keeping the BEST copy per duplicate group instead of
+    the min-id one — what a production corpus pipeline actually wants
+    (among byte-identical normalized texts, metadata still differs:
+    keep the copy from the higher-quality source / with the richer
+    provenance). `score` is any Column; ties break on the lowest id so
+    the winner is deterministic. One fingerprint groupBy + one
+    max_by-style struct aggregation — same cost as min-id dedup, no
+    window over the corpus."""
+    scored = df.select(
+        fingerprint(F.col(text_col)).alias("fp"),
+        F.col(id_col),
+        score.alias("__score"),
+    )
+    # max_by with deterministic ties: order structs (score, -id) — the
+    # struct MAX is the argmax with lowest-id tiebreak
+    best = scored.groupBy("fp").agg(
+        F.max(
+            F.struct(F.col("__score"), (-F.col(id_col)).alias("__negid"))
+        ).alias("__best"),
+        F.count("*").alias("n_copies"),
+    )
+    return best.select(
+        "fp",
+        (-F.col("__best.__negid")).alias("kept_id"),
+        F.col("__best.__score").alias("kept_score"),
+        "n_copies",
+    )
+
+
 def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3) -> DataFrame:
     """Distinct k-word shingles per document, exploded to (id, shingle) rows.
 
