@@ -49,6 +49,7 @@ _MODULES = [
 #: (round-3 advice: bpe_encode/ann_filtered landed outside the sample).
 NEW_THIS_ROUND = [
     # round 6
+    "clone_divergence",
     "occ_rebase_commits",
     "cdc_eq_merge",
     "fs_skipped_scan",

@@ -275,6 +275,66 @@ def q_tt_version_diff(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_clone_divergence(spark: SparkSession, sf: str) -> DataFrame:
+    """Shallow clone under the value gate (`plans/clone.py`): commit
+    orders as a versioned table, zero-copy clone it (hard links — no
+    data bytes rewritten), then DIVERGE the two: the clone MOR-deletes
+    every third key, the source appends a shifted copy of every 97th
+    order. Reading both sides and aggregating proves (a) the clone
+    equalled the snapshot, (b) mutations on either side are invisible
+    to the other — the oracle recomputes both final states analytically
+    from the raw table, so any cross-contamination (shared delete
+    vectors, leaked appends, clobbered files) breaks the value match.
+    At 100 TB a clone is O(file-list) driver metadata: fork cost is
+    independent of table size."""
+    import tempfile
+
+    from vptstools_spark.plans.clone import shallow_clone
+    from vptstools_spark.plans.timetravel import (
+        commit_append,
+        commit_initial,
+        delete_where,
+        read_version,
+    )
+
+    key = ("clone_orders", sf)
+    if key not in _TT_CACHE:
+        o = table(spark, sf, "orders").select(
+            "o_orderkey",
+            "o_totalprice",
+            (F.col("o_orderkey") % 8).cast("int").alias("part"),
+        )
+        src = tempfile.mkdtemp(prefix="clone_src_")
+        commit_initial(o, src, ["part"])
+        dst = tempfile.mkdtemp(prefix="clone_dst_") + "/t"
+        shallow_clone(spark, src, dst)
+        delete_where(spark, dst, "o_orderkey % 3 = 0")
+        commit_append(
+            spark,
+            src,
+            o.filter(F.col("o_orderkey") % 97 == 0)
+            .withColumn("o_orderkey", F.col("o_orderkey") + F.lit(200_000_000))
+            .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(1.0)),
+        )
+        _TT_CACHE[key] = (src, dst)
+    src, dst = _TT_CACHE[key]
+    sides = [("source", src), ("clone", dst)]
+    parts = [
+        read_version(spark, p).select(F.lit(name).alias("side"), "o_orderkey", "o_totalprice")
+        for name, p in sides
+    ]
+    both = parts[0].unionByName(parts[1])
+    return (
+        both.groupBy("side")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("o_orderkey").cast("long").alias("key_sum"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .orderBy("side")
+    )
+
+
 def q_pe_evolved_scan(spark: SparkSession, sf: str) -> DataFrame:
     """Partition-spec evolution under the value gate
     (`plans/timetravel.py:evolve_partitioning`): orders commit
@@ -1442,6 +1502,7 @@ QUERIES = {
     "snapshot_diff": q_snapshot_diff,
     "sync_segments": q_sync_segments,
     "tt_version_diff": q_tt_version_diff,
+    "clone_divergence": q_clone_divergence,
     "pe_evolved_scan": q_pe_evolved_scan,
     "tt_rename_scan": q_tt_rename_scan,
     "hp_pruned_scan": q_hp_pruned_scan,
@@ -1690,6 +1751,28 @@ ORACLES = {
                CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
                ROUND(SUM(p), 2) AS price_sum
         FROM final GROUP BY part ORDER BY part
+    """,
+    "clone_divergence": """
+        WITH src AS (
+            SELECT o_orderkey, o_totalprice FROM orders
+            UNION ALL
+            SELECT o_orderkey + 200000000, o_totalprice + 1.0
+            FROM orders WHERE o_orderkey % 97 = 0
+        ),
+        cl AS (
+            SELECT o_orderkey, o_totalprice FROM orders
+            WHERE o_orderkey % 3 <> 0
+        )
+        SELECT 'clone' AS side, COUNT(*) AS n_rows,
+               CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+               ROUND(SUM(o_totalprice), 2) AS revenue
+        FROM cl
+        UNION ALL
+        SELECT 'source', COUNT(*),
+               CAST(SUM(o_orderkey) AS BIGINT),
+               ROUND(SUM(o_totalprice), 2)
+        FROM src
+        ORDER BY side
     """,
     "tt_version_diff": """
         WITH j AS (
