@@ -218,3 +218,62 @@ def test_qhist_quantiles_near_exact_percentiles(spark):
     # lower-bound estimate: within 2^-6 ≈ 1.6% below the exact quantile
     assert got["q_5"] <= exact[0] and (exact[0] - got["q_5"]) / exact[0] < 0.025
     assert got["q_9"] <= exact[1] and (exact[1] - got["q_9"]) / exact[1] < 0.025
+
+
+# ---------------------------------------------------------------------------
+# exact-distinct bitmaps
+# ---------------------------------------------------------------------------
+
+
+def test_bitmap_rollup_is_exact(spark):
+    from pyspark.sql import functions as F
+
+    from vptstools_spark.operators import sketch
+
+    df = spark.range(0, 60_000).select(
+        (F.col("id") % 7919).alias("k"),
+        (F.col("id") % 4).cast("int").alias("g"),
+        (F.col("id") % 8).cast("int").alias("h"),
+    )
+    fine = sketch.bitmap_distinct_sketch(df, F.col("k"), ["g", "h"])
+    merged = sketch.bitmap_merge(fine, ["g"])
+    got = {
+        r.g: r.n_distinct
+        for r in sketch.bitmap_distinct_count(merged, ["g"]).collect()
+    }
+    want = {
+        r.g: r.e
+        for r in df.groupBy("g").agg(F.countDistinct("k").alias("e")).collect()
+    }
+    assert got == want
+
+
+def test_bitmap_handles_negative_and_boundary_keys(spark):
+    from pyspark.sql import functions as F
+
+    from vptstools_spark.operators import sketch
+
+    keys = [-32768, -1, 0, 1, 32767, 32768, 32769, 2**40]
+    df = spark.createDataFrame([(k, 1) for k in keys] * 3, "k long, g int")
+    out = sketch.bitmap_distinct_count(
+        sketch.bitmap_distinct_sketch(df, F.col("k"), ["g"]), ["g"]
+    ).collect()
+    assert out[0].n_distinct == len(keys)
+
+
+def test_bitmap_merge_of_disjoint_partitions_equals_whole(spark):
+    """The persisted-MV property: sketch two halves separately, OR them,
+    and the count equals sketching the union directly."""
+    from pyspark.sql import functions as F
+
+    from vptstools_spark.operators import sketch
+
+    df = spark.range(0, 10_000).select(
+        (F.col("id") % 997).alias("k"),
+        F.lit(0).alias("g"),
+        (F.col("id") < 5000).cast("int").alias("half"),
+    )
+    per_half = sketch.bitmap_distinct_sketch(df, F.col("k"), ["g", "half"])
+    merged = sketch.bitmap_merge(per_half, ["g"])
+    n = sketch.bitmap_distinct_count(merged, ["g"]).collect()[0].n_distinct
+    assert n == 997

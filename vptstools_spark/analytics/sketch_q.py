@@ -437,7 +437,46 @@ FROM pick ORDER BY l_returnflag
 """
 
 
+def q_bitmap_distinct_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """EXACT mergeable distinct-count via dense bitmaps (Spark's
+    `bitmap_*` builtins): per (priority × status) bitmaps of o_custkey
+    roll up to per-priority distinct customers by bit-OR — set union, so
+    merge-then-count IS the direct count, loss-free (the HLL rollup's
+    exact sibling). The oracle computes COUNT(DISTINCT) directly; the
+    value match proves the bitmap algebra end-to-end. At 100 TB: the
+    shuffle carries ≤ groups × occupied-buckets 4 KB rows instead of
+    every distinct key, and persisted bitmaps answer any-rollup distinct
+    questions without rescanning the fact (the BigQuery/Delta bitmap-MV
+    pattern)."""
+    o = table(spark, sf, "orders")
+    fine = sketch.bitmap_distinct_sketch(
+        o, F.col("o_custkey"), ["o_orderpriority", "o_orderstatus"]
+    )
+    merged = sketch.bitmap_merge(fine, ["o_orderpriority"])
+    counted = sketch.bitmap_distinct_count(merged, ["o_orderpriority"]).select(
+        "o_orderpriority",
+        F.col("n_distinct").cast("long").alias("bitmap_distinct"),
+    )
+    exact = o.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("exact_distinct")
+    )
+    return counted.join(F.broadcast(exact), "o_orderpriority").orderBy(
+        "o_orderpriority"
+    )
+
+
+_BITMAP_ORACLE = """
+SELECT o_orderpriority,
+       COUNT(DISTINCT o_custkey) AS bitmap_distinct,
+       COUNT(DISTINCT o_custkey) AS exact_distinct
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
 QUERIES = {
+    "bitmap_distinct_rollup": q_bitmap_distinct_rollup,
     "sketch_qhist_rollup": q_sketch_qhist_rollup,
     "sketch_moments_rollup": q_sketch_moments_rollup,
     "sketch_hll_distinct": q_sketch_hll_distinct,
@@ -477,6 +516,7 @@ ORDER BY l_returnflag
 """
 
 ORACLES = {
+    "bitmap_distinct_rollup": _BITMAP_ORACLE,
     "sketch_qhist_rollup": _QHIST_ORACLE,
     "sketch_moments_rollup": _MOMENTS_ORACLE,
     "hll_rollup": _HLL_ROLLUP_ORACLE,

@@ -506,3 +506,50 @@ def qhist_quantiles(
             qhist_lower_bound(F.min(hit), sub_bits).alias(name)
         )
     return cum.groupBy(*group_cols).agg(*aggs)
+
+
+# ---------------------------------------------------------------------------
+# Exact-distinct bitmaps (Spark's bitmap_* builtins, Spark 3.5+): the
+# EXACT, mergeable companion to HLL. One bitmap covers a bucket of 32768
+# consecutive integers (4 KB dense), so per (group, bucket) state is
+# bounded; distinct-count is SUM over buckets of popcount, and rolling a
+# fine grouping up to a coarse one is a bit-OR — associative, loss-FREE.
+# This is the "exact distinct at scale" pattern (Delta/BigQuery bitmap
+# rollup tables): the shuffle carries ≤ groups × occupied-buckets rows of
+# ≤ 4 KB instead of every distinct key, and a persisted bitmap MV answers
+# any-granularity COUNT(DISTINCT) without rescanning the fact. All four
+# steps (bucket, position, construct, OR, popcount) are JVM expressions
+# inside whole-stage codegen. Keys must be integral (hash non-integers
+# first — then "exact" means exact-on-the-hash).
+# ---------------------------------------------------------------------------
+
+
+def bitmap_distinct_sketch(
+    df: DataFrame, key: Column, group_cols: list[str]
+) -> DataFrame:
+    """Per (group, bucket) dense bitmap of an integral key: one
+    partial→final aggregate, output rows = groups × occupied buckets."""
+    return (
+        df.select(*group_cols, key.alias("__k"))
+        .groupBy(*group_cols, F.bitmap_bucket_number("__k").alias("bucket"))
+        .agg(
+            F.bitmap_construct_agg(F.bitmap_bit_position("__k")).alias("bitmap")
+        )
+    )
+
+
+def bitmap_merge(sketches: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Roll fine-grained bitmaps up to `group_cols` by bit-OR per bucket
+    — exact by construction (set union), never rescans the data."""
+    return sketches.groupBy(*group_cols, "bucket").agg(
+        F.bitmap_or_agg("bitmap").alias("bitmap")
+    )
+
+
+def bitmap_distinct_count(
+    sketches: DataFrame, group_cols: list[str]
+) -> DataFrame:
+    """EXACT distinct count from bitmap state: Σ popcount over buckets."""
+    return sketches.groupBy(*group_cols).agg(
+        F.sum(F.bitmap_count("bitmap")).alias("n_distinct")
+    )
