@@ -290,3 +290,47 @@ def test_adamic_adar_hub_guard_drops_promiscuous_neighbors(spark):
     out = adamic_adar(edges, max_hub_degree=3).collect()
     # the hub (degree 4 > 3) is excluded -> only u1's single pair remains
     assert [(r["node_a"], r["node_b"], r["n_common"]) for r in out] == [("A", "B", 1)]
+
+
+# ---------------------------------------------------------------------------
+# bounded weighted SSSP
+# ---------------------------------------------------------------------------
+
+
+def test_sssp_hand_graph(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from vptstools_spark.operators.graph import sssp_bounded
+
+    #    a -1- b -1- c -1- d        a -10- d  (direct but heavy)
+    edges = spark.createDataFrame(
+        [("a", "b", 1), ("b", "c", 1), ("c", "d", 1), ("a", "d", 10),
+         ("a", "b", 5)],  # parallel edge, must collapse to the cheaper
+        "src string, dst string, weight long",
+    )
+    seeds = spark.createDataFrame([("a",)], "node string")
+    got = {r.node: r.dist for r in sssp_bounded(edges, seeds, depth=4).collect()}
+    assert got == {"a": 0, "b": 1, "c": 2, "d": 3}
+    # hop bound binds: with depth=1 only the direct heavy edge reaches d
+    got1 = {r.node: r.dist for r in sssp_bounded(edges, seeds, depth=1).collect()}
+    assert got1 == {"a": 0, "b": 1, "d": 10}
+    with pytest.raises(ValueError, match="non-negative"):
+        bad = spark.createDataFrame(
+            [("a", "b", -1)], "src string, dst string, weight long"
+        )
+        sssp_bounded(bad, seeds, depth=2)
+
+
+def test_sssp_early_exit_and_multi_source(spark):
+    from vptstools_spark.operators.graph import sssp_bounded
+
+    edges = spark.createDataFrame(
+        [("a", "b", 2), ("x", "y", 3)],
+        "src string, dst string, weight long",
+    )
+    seeds = spark.createDataFrame([("a",), ("x",)], "node string")
+    # depth far larger than the graph diameter: the frontier empties and
+    # the loop exits without running 50 rounds
+    got = {r.node: r.dist for r in sssp_bounded(edges, seeds, depth=50).collect()}
+    assert got == {"a": 0, "x": 0, "b": 2, "y": 3}

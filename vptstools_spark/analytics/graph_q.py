@@ -262,6 +262,69 @@ SELECT hops, COUNT(*) AS n_nodes FROM dist GROUP BY hops ORDER BY hops
 """
 
 
+def q_sssp_trade(spark: SparkSession, sf: str) -> DataFrame:
+    """Multi-source WEIGHTED shortest paths, 4-hop bound, over the
+    undirected trade graph (`operators/graph.py:sssp_bounded` —
+    frontier Bellman-Ford). Edge weights are a deterministic function
+    of the (custkey, suppkey) pair so the DuckDB oracle reproduces them
+    exactly; integral weights make min-of-path-sums engine-exact. The
+    result is the distance histogram: nodes per minimum cost. The hop
+    bound is the operator contract (scale-safe transitive closure), and
+    the frontier carries only improved nodes — settled regions never
+    re-join."""
+    from vptstools_spark.operators.graph import sssp_bounded
+
+    o = table(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    l = table(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .select("o_custkey", "l_suppkey")
+        .distinct()
+    )
+    e = pairs.select(
+        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        ((F.col("o_custkey") * 31 + F.col("l_suppkey")) % 7 + 1)
+        .cast("long")
+        .alias("weight"),
+    )
+    sym = e.unionByName(
+        e.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "weight"
+        )
+    )
+    seeds = spark.range(1, 4).select(
+        F.concat(F.lit("s"), F.col("id").cast("string")).alias("node")
+    )
+    d = sssp_bounded(sym, seeds, depth=4)
+    return d.groupBy("dist").agg(F.count("*").alias("n_nodes")).orderBy("dist")
+
+
+_SSSP_ORACLE = """
+WITH RECURSIVE trade AS (
+    SELECT DISTINCT o_custkey AS ck, l_suppkey AS sk
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+we AS (
+    SELECT 'c' || CAST(ck AS VARCHAR) AS u,
+           's' || CAST(sk AS VARCHAR) AS v,
+           CAST((ck * 31 + sk) % 7 + 1 AS BIGINT) AS w
+    FROM trade
+),
+sym AS (SELECT u, v, w FROM we UNION SELECT v, u, w FROM we),
+reach(node, d, h) AS (
+    SELECT 's' || CAST(i AS VARCHAR), CAST(0 AS BIGINT), 0
+    FROM unnest([1, 2, 3]) AS t(i)
+    UNION
+    SELECT s.v, r.d + s.w, r.h + 1
+    FROM reach r JOIN sym s ON s.u = r.node
+    WHERE r.h < 4
+),
+dist AS (SELECT node, MIN(d) AS dist FROM reach GROUP BY node)
+SELECT dist, COUNT(*) AS n_nodes FROM dist GROUP BY dist ORDER BY dist
+"""
+
+
 def q_link_prediction(spark: SparkSession, sf: str) -> DataFrame:
     """Top-20 predicted supplier–supplier links by Adamic–Adar score over
     the bipartite trade graph (`operators/graph.py:adamic_adar`): supplier
@@ -276,6 +339,7 @@ def q_link_prediction(spark: SparkSession, sf: str) -> DataFrame:
 
 
 QUERIES = {
+    "sssp_trade": q_sssp_trade,
     "triangle_parts": q_triangle_parts,
     "link_prediction": q_link_prediction,
     "trade_reachability": q_trade_reachability,
@@ -349,6 +413,7 @@ ORACLES = {
         FROM p ORDER BY score DESC, node_a, node_b LIMIT 20
     """,
     "triangle_parts": _TRIANGLE_ORACLE,
+    "sssp_trade": _SSSP_ORACLE,
     "trade_reachability": _REACH_ORACLE,
     "label_prop_communities": _LABEL_PROP_ORACLE,
     "pagerank_trade": _pagerank_sql(),

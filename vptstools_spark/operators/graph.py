@@ -483,6 +483,71 @@ def kcore(
     return cur.groupBy(F.col("u").alias("node")).agg(F.count("*").alias("deg"))
 
 
+def sssp_bounded(
+    edges: DataFrame,
+    sources: DataFrame,
+    depth: int,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "weight",
+) -> DataFrame:
+    """Multi-source WEIGHTED shortest paths with a hop bound: (node,
+    dist) where dist is the minimum total edge weight over paths of at
+    most `depth` edges from any source (Bellman-Ford, frontier form).
+
+    Like `bounded_reachability`, the hop bound is the scale contract —
+    it makes the cost O(depth) rounds of (frontier⋈edges + min-agg) and
+    lets a DuckDB depth-guarded recursive CTE oracle the exact values.
+    The frontier carries only nodes whose tentative distance IMPROVED
+    last round (delta-stepping's work-skipping property): settled
+    regions of a 100 TB graph are never re-joined, and the loop exits
+    early when no distance improves. Weights should be integral (long)
+    so min-of-path-sums is exact across engines.
+
+    Negative weights are rejected: with the hop bound they would be
+    well-defined, but the early-exit then loses paths a longer horizon
+    would still improve — fail loudly rather than silently under-relax.
+    """
+    e = edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("v"), F.col(weight).alias("w")
+    )
+    if e.filter(F.col("w") < 0).limit(1).count() > 0:
+        raise ValueError("sssp_bounded requires non-negative weights")
+    # parallel edges collapse to their cheapest — fewer rows per round
+    e = e.groupBy("u", "v").agg(F.min("w").alias("w"))
+    e = e.localCheckpoint(eager=True)
+    dist = (
+        sources.select("node")
+        .distinct()
+        .withColumn("dist", F.lit(0).cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = dist
+    for _ in range(depth):
+        cand = (
+            e.join(frontier.withColumnRenamed("node", "u"), "u")
+            .select(F.col("v").alias("node"), (F.col("dist") + F.col("w")).alias("cand"))
+            .groupBy("node")
+            .agg(F.min("cand").alias("cand"))
+        )
+        improved = (
+            cand.join(dist, "node", "left")
+            .filter(F.col("dist").isNull() | (F.col("cand") < F.col("dist")))
+            .select("node", F.col("cand").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        if improved.isEmpty():
+            break
+        dist = (
+            dist.unionByName(improved)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        frontier = improved
+    return dist
+
+
 def adamic_adar(
     edges: DataFrame,
     src: str = "src",
