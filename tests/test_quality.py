@@ -82,3 +82,44 @@ def test_duplicate_names_rejected(df):
         quality.run_suite(df, [quality.row_count("x"), quality.row_count("x")])
     with pytest.raises(ValueError, match="empty"):
         quality.run_suite(df, [])
+
+
+# ---------------------------------------------------------------------------
+# privacy: k-anonymity / l-diversity / suppression
+# ---------------------------------------------------------------------------
+
+
+def test_k_anonymity_report_and_suppression(spark):
+    from pyspark.sql import functions as F
+
+    from vptstools_spark.operators.privacy import (
+        k_anonymity_report,
+        suppress_small_classes,
+    )
+
+    rows = (
+        [("a", 1, i) for i in range(6)]      # class of 6 — safe
+        + [("b", 1, i % 2) for i in range(3)]  # class of 3 — violating
+        + [("c", 2, 0)]                       # class of 1 — violating
+    )
+    df = spark.createDataFrame(rows, "q1 string, q2 int, s int")
+    rep = {
+        r.metric: r.value
+        for r in k_anonymity_report(df, ["q1", "q2"], k=5, sensitive="s", l=3).collect()
+    }
+    assert rep["n_classes"] == 3
+    assert rep["n_violating_classes"] == 2
+    assert rep["n_rows_at_risk"] == 4
+    assert rep["min_class_size"] == 1
+    assert rep["min_l_diversity"] == 1
+    assert rep["n_low_diversity_classes"] == 2  # b has 2 values, c has 1
+
+    kept = suppress_small_classes(df, ["q1", "q2"], k=5)
+    assert kept.count() == 6
+    assert kept.select("q1").distinct().collect()[0].q1 == "a"
+    # remediated table is k-anonymous
+    rep2 = {
+        r.metric: r.value
+        for r in k_anonymity_report(kept, ["q1", "q2"], k=5).collect()
+    }
+    assert rep2["min_class_size"] >= 5

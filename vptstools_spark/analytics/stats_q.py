@@ -854,7 +854,72 @@ FROM pick
 
 
 
+def q_k_anonymity_customer(spark: SparkSession, sf: str) -> DataFrame:
+    """Privacy release gate (`operators/privacy.py`): k-anonymity (k=5)
+    and l-diversity (l=3, sensitive = a 10-valued attribute) of customer
+    under the quasi-identifier set (nation, market segment, 1000-unit
+    balance bucket), plus the row count after suppressing sub-k classes
+    — the remediated table is k-anonymous by construction. Two hash
+    aggregations, no windows: the shuffle carries one row per
+    equivalence class, so the gate costs the same as a group-count at
+    any scale."""
+    from vptstools_spark.operators.privacy import (
+        k_anonymity_report,
+        suppress_small_classes,
+    )
+
+    c = table(spark, sf, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000).cast("long").alias("bal_bucket"),
+        (F.col("c_custkey") % 10).cast("int").alias("cc"),
+    )
+    quasi = ["c_nationkey", "c_mktsegment", "bal_bucket"]
+    rep = k_anonymity_report(c, quasi, k=5, sensitive="cc", l=3)
+    after = suppress_small_classes(c, quasi, k=5).agg(
+        F.lit("rows_after_suppression").alias("metric"),
+        F.count("*").alias("value"),
+    )
+    return rep.unionByName(after).orderBy("metric")
+
+
+_K_ANON_ORACLE = """
+WITH q AS (
+    SELECT c_nationkey, c_mktsegment,
+           CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS b,
+           CAST(c_custkey % 10 AS INT) AS cc
+    FROM customer
+),
+cl AS (
+    SELECT c_nationkey, c_mktsegment, b,
+           COUNT(*) AS cs, COUNT(DISTINCT cc) AS ld
+    FROM q GROUP BY 1, 2, 3
+)
+SELECT metric, value FROM (
+    SELECT 'n_classes' AS metric, CAST(COUNT(*) AS BIGINT) AS value FROM cl
+    UNION ALL
+    SELECT 'n_violating_classes',
+           CAST(SUM(CASE WHEN cs < 5 THEN 1 ELSE 0 END) AS BIGINT) FROM cl
+    UNION ALL
+    SELECT 'n_rows_at_risk',
+           CAST(SUM(CASE WHEN cs < 5 THEN cs ELSE 0 END) AS BIGINT) FROM cl
+    UNION ALL
+    SELECT 'min_class_size', CAST(MIN(cs) AS BIGINT) FROM cl
+    UNION ALL
+    SELECT 'min_l_diversity', CAST(MIN(ld) AS BIGINT) FROM cl
+    UNION ALL
+    SELECT 'n_low_diversity_classes',
+           CAST(SUM(CASE WHEN ld < 3 THEN 1 ELSE 0 END) AS BIGINT) FROM cl
+    UNION ALL
+    SELECT 'rows_after_suppression',
+           CAST(COALESCE(SUM(CASE WHEN cs >= 5 THEN cs END), 0) AS BIGINT)
+    FROM cl
+) ORDER BY metric
+"""
+
+
 QUERIES = {
+    "k_anonymity_customer": q_k_anonymity_customer,
     "mv_percentile_route": q_mv_percentile_route,
     "hist_selectivity_orders": q_hist_selectivity_orders,
     "table_stats_orders": q_table_stats_orders,
@@ -883,6 +948,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "k_anonymity_customer": _K_ANON_ORACLE,
     "mv_percentile_route": _MV_PCT_ORACLE,
     "hist_selectivity_orders": _HIST_SEL_ORACLE,
     "stats_incremental_orders": """
