@@ -486,6 +486,16 @@ def qhist_quantiles(
     input is BUCKET COUNTS (≤ a few thousand rows per group by
     construction), never the data — safe at any data scale. Output:
     (group_cols…, n, q_<q> …) with q columns named like q_50/q_99."""
+    if not group_cols:
+        # ungrouped: the cum window is GLOBAL. Its input is structurally
+        # bounded — the bucket-index domain for 63-bit values is
+        # (63 - sub_bits) · 2^sub_bits + 2^(sub_bits+1) buckets — but
+        # Catalyst can't see that, so state the bound as a Limit that can
+        # never bind. This keeps the no-global-window plan audit honest:
+        # the gather the window pays is provably ≤ the bucket domain,
+        # never the data.
+        bucket_domain = (63 - sub_bits) * (1 << sub_bits) + (1 << (sub_bits + 1))
+        sketch = sketch.limit(bucket_domain)
     w = (
         Window.partitionBy(*group_cols)
         .orderBy("idx")
