@@ -353,3 +353,82 @@ def test_optimize_purges_on_eq_entry_count(spark, tmp_path):
     )
     rep2 = optimize_versioned_table(spark, path, max_eq_entries=2)
     assert rep2["eq_entries"] == 0 and not rep2["purged"]  # quiet no-op
+
+
+# ---------------------------------------------------------------------------
+# full-snapshot z-order re-cluster
+# ---------------------------------------------------------------------------
+
+
+def test_cluster_versioned_table_tightens_both_dims(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from vptstools_spark.plans.maintenance import cluster_versioned_table
+    from vptstools_spark.plans.timetravel import (
+        commit_initial,
+        delete_where,
+        read_version,
+        read_version_where,
+        skipped_files,
+    )
+
+    path = str(tmp_path / "t")
+    df = (
+        spark.range(0, 20_000)
+        .select(
+            F.col("id").alias("a"),
+            # decorrelated second dim: bit-reversed-ish permutation
+            ((F.col("id") * 7919) % 20_000).alias("b"),
+            (F.col("id") % 100).cast("double").alias("v"),
+        )
+        .repartition(8, "a")
+    )
+    commit_initial(df, path, [], stats_cols=["a", "b"])
+    delete_where(spark, path, "a % 40 = 0")
+    before = read_version(spark, path).count()
+    # hash-scattered layout: a range predicate admits every file
+    kept0, skip0 = skipped_files(spark, path, "b", "<=", 1000, 0)
+    assert len(skip0) == 0
+    r = cluster_versioned_table(spark, path, ["a", "b"], n_files=16)
+    assert r["files"] == 16
+    after = read_version(spark, path)
+    assert after.count() == before
+    # deletes materialized in the rewrite
+    from vptstools_spark.plans.timetravel import _read_commit
+
+    c = _read_commit(spark, path, r["version"])
+    assert c["delete_files"] == [] and c["op"] == "cluster"
+    assert after.filter("a % 40 = 0").count() == 0
+    # skipping now fires on BOTH clustered dimensions
+    for col in ("a", "b"):
+        kept, skipped = skipped_files(
+            spark, path, col, "<=", 1000, r["version"]
+        )
+        assert len(skipped) >= len(kept), (col, len(kept), len(skipped))
+    # and pruned reads stay exact
+    got = read_version_where(
+        spark, path, [("a", ">=", 5000), ("a", "<=", 6000)]
+    ).count()
+    want = after.filter("a between 5000 and 6000").count()
+    assert got == want
+
+
+def test_cluster_preserves_history_and_hive_partitions(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from vptstools_spark.plans.maintenance import cluster_versioned_table
+    from vptstools_spark.plans.timetravel import commit_initial, read_version
+
+    path = str(tmp_path / "t")
+    df = spark.range(0, 2_000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 4).cast("int").alias("part"),
+        ((F.col("id") * 31) % 1000).alias("m"),
+    )
+    commit_initial(df, path, ["part"], stats_cols=["m"])
+    r = cluster_versioned_table(spark, path, ["m"], n_files=4)
+    # prior version still readable, partition column intact
+    assert read_version(spark, path, 0).count() == 2_000
+    t = read_version(spark, path, r["version"])
+    assert t.count() == 2_000
+    assert t.select("part").distinct().count() == 4

@@ -352,3 +352,84 @@ def _rewrite_victims(
     return _write_snapshot_files(
         snap, path, version + 1, pcols, vlabel=vlabel
     )
+
+
+def cluster_versioned_table(
+    spark: SparkSession,
+    path: str,
+    cols: list[str],
+    n_files: int = 16,
+    bits: int = 8,
+) -> dict:
+    """Full-snapshot Z-ORDER re-cluster as a COMMIT — Delta's
+    ``OPTIMIZE ... ZORDER BY`` for `plans/timetravel.py` tables, and the
+    step that makes the commit-tracked file-skipping manifests BITE:
+    after the rewrite every data file covers one segment of the Morton
+    curve over `cols`, so the footer [min, max] envelopes each commit
+    records (stats_cols) are tight in EVERY listed dimension and
+    `read_version_pruned`/`read_version_where` admit a small file subset
+    for a predicate on ANY of them — not just the leading sort key.
+
+    Mechanics: one snapshot read (delete vectors and equality entries
+    APPLIED — deletes materialize, so the new commit carries none), one
+    quantile job for the bucket boundaries (plan literals), ONE range
+    exchange on the z-value with within-partition sort, and a commit
+    whose new files get fresh footer stats automatically (`_commit`
+    footer-reads files new to a commit). Prior versions stay readable;
+    vacuum reclaims the old layout when its last referencing commit
+    expires.
+
+    At 100 TB this is the periodic re-layout job: cost is the one
+    unavoidable full-table exchange, amortized over every subsequent
+    selective scan (measured in tests: point/range predicates admit a
+    fraction of files vs ~all before). Hive-partitioned tables keep
+    their directory layout (`n_files` bounds files per partition dir);
+    the z-curve is most effective on unpartitioned or coarse-partitioned
+    silver tables. Returns {"version", "files"}."""
+    from vptstools_spark.plans.timetravel import (
+        _carry,
+        _commit,
+        _read_commit,
+        _read_snapshot,
+        _resolve_version,
+        _write_snapshot_files,
+    )
+    from vptstools_spark.plans.zorder import zvalue
+
+    prev_v = _resolve_version(spark, path, None)
+    prev = _read_commit(spark, path, prev_v)
+    snap = _read_snapshot(spark, path, prev_v)
+    z = zvalue(snap, cols, bits)
+    df = (
+        snap.withColumn("__z", z)
+        .repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+    )
+    new_v = prev_v + 1
+    transforms = {
+        k: tuple(v)
+        for k, v in (prev.get("partition_transforms") or {}).items()
+    }
+    rels = _write_snapshot_files(
+        df, path, new_v, prev["partition_cols"], transforms=transforms
+    )
+    extra = {
+        **_carry(prev),
+        # full rewrite with deletes applied: no carried vectors/entries
+        "delete_files": [],
+        "eq_deletes": [],
+        "file_seqs": {},
+        "zorder_by": list(cols),
+    }
+    _commit(
+        spark,
+        path,
+        new_v,
+        rels,
+        prev["partition_cols"],
+        "cluster",
+        prev.get("partition_types"),
+        extra,
+    )
+    return {"version": new_v, "files": len(rels)}
