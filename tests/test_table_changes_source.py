@@ -243,7 +243,7 @@ def test_rename_mid_stream_fails_then_restart_adopts(spark, tmp_path):
         path,
         spark.createDataFrame([(2, 1, 2.0)], "k long, day int, val double"),
     )
-    with pytest.raises(ValueError, match="renamed columns"):
+    with pytest.raises(ValueError, match="changed the schema"):
         live_reader.partitions({"version": 0}, {"version": 2})
     # restart = new reader (schema re-pins at construction); resume from
     # the same checkpoint: only the post-rename append arrives, renamed.

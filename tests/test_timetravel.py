@@ -1392,3 +1392,100 @@ def test_snapshot_rowcount_metadata_only(spark, tmp_path):
     assert snapshot_rowcount(spark, path) == read_version(spark, path).count()
     purge_deletes(spark, path)
     assert snapshot_rowcount(spark, path) == read_version(spark, path).count()
+
+
+# ---------------------------------------------------------------------------
+# type widening (widen_column_types)
+# ---------------------------------------------------------------------------
+
+
+def test_widen_int_to_long_reads_old_files_and_accepts_big_appends(spark, tmp_path):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from vptstools_spark.plans.timetravel import (
+        commit_append,
+        commit_initial,
+        read_version,
+        widen_column_types,
+    )
+
+    path = str(tmp_path / "t")
+    df = spark.range(0, 100).select(
+        F.col("id").cast("int").alias("k"), (F.col("id") * 2.0).alias("v")
+    )
+    commit_initial(df, path, [])
+    widen_column_types(spark, path, {"k": "bigint"})
+    t = read_version(spark, path)
+    assert dict((f.name, f.dataType.simpleString()) for f in t.schema.fields)[
+        "k"
+    ] == "bigint"
+    # appends in the wide type, with values beyond int range
+    commit_append(
+        spark,
+        path,
+        spark.createDataFrame([(2**40, 1.0)], "k bigint, v double"),
+    )
+    t2 = read_version(spark, path)
+    assert t2.count() == 101
+    assert t2.agg(F.max("k")).collect()[0][0] == 2**40
+    # pinned pre-widen snapshot keeps the narrow type
+    t0 = read_version(spark, path, 0)
+    assert dict((f.name, f.dataType.simpleString()) for f in t0.schema.fields)[
+        "k"
+    ] == "int"
+    # narrowing and lossy promotions refused
+    with pytest.raises(ValueError, match="not a loss-free widening"):
+        widen_column_types(spark, path, {"k": "int"})
+    with pytest.raises(ValueError, match="not a loss-free widening"):
+        widen_column_types(spark, path, {"k": "double"})
+
+
+def test_widen_refuses_partition_and_transform_columns(spark, tmp_path):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from vptstools_spark.plans.timetravel import (
+        commit_initial,
+        widen_column_types,
+    )
+
+    path = str(tmp_path / "t")
+    df = spark.range(0, 10).select(
+        F.col("id").cast("int").alias("k"),
+        (F.col("id") % 2).cast("int").alias("part"),
+    )
+    commit_initial(df, path, ["part"])
+    with pytest.raises(ValueError, match="partition columns"):
+        widen_column_types(spark, path, {"part": "bigint"})
+    path2 = str(tmp_path / "t2")
+    df2 = spark.range(0, 10).select(
+        F.col("id").cast("int").alias("k"),
+        F.col("id").cast("int").alias("b"),
+    )
+    commit_initial(
+        df2, path2, ["pb"], partition_transforms={"pb": ("bucket", "b", 4)}
+    )
+    with pytest.raises(ValueError, match="hidden partition transforms"):
+        widen_column_types(spark, path2, {"b": "bigint"})
+
+
+def test_widen_and_cluster_are_noop_in_change_feed(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from vptstools_spark.plans.maintenance import cluster_versioned_table
+    from vptstools_spark.plans.timetravel import (
+        commit_initial,
+        table_changes,
+        widen_column_types,
+    )
+
+    path = str(tmp_path / "t")
+    df = spark.range(0, 500).select(
+        F.col("id").cast("int").alias("k"), (F.col("id") % 7).alias("m")
+    )
+    commit_initial(df, path, [], stats_cols=["m"])
+    v1 = widen_column_types(spark, path, {"k": "bigint"})
+    v2 = cluster_versioned_table(spark, path, ["m"], n_files=4)["version"]
+    feed = table_changes(spark, path, v1, v2)
+    assert feed.count() == 0

@@ -335,6 +335,52 @@ def q_clone_divergence(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_tt_widen_scan(spark: SparkSession, sf: str) -> DataFrame:
+    """Metadata-only TYPE WIDENING
+    (`plans/timetravel.py:widen_column_types`, Iceberg-v3 shape): orders
+    commit with o_custkey narrowed to int, the column widens to bigint
+    (no file rewritten), then an append lands keys beyond the int range
+    — the final scan spans one narrow-typed and one wide-typed file
+    generation, unified by the recorded cast. The oracle recomputes the
+    union analytically, so the value match proves the widened read is
+    loss-free across both generations."""
+    import tempfile
+
+    from vptstools_spark.plans.timetravel import (
+        commit_append,
+        commit_initial,
+        read_version,
+        widen_column_types,
+    )
+
+    key = ("widen_orders", sf)
+    if key not in _TT_CACHE:
+        o = table(spark, sf, "orders").select(
+            F.col("o_orderkey").cast("int").alias("k"),
+            "o_totalprice",
+        )
+        path = tempfile.mkdtemp(prefix="widen_orders_")
+        commit_initial(o, path, [])
+        widen_column_types(spark, path, {"k": "bigint"})
+        big = table(spark, sf, "orders").filter(
+            F.col("o_orderkey") % 131 == 0
+        ).select(
+            (F.col("o_orderkey") + F.lit(2**40)).alias("k"),
+            (F.col("o_totalprice") + F.lit(0.5)).alias("o_totalprice"),
+        )
+        commit_append(spark, path, big)
+        _TT_CACHE[key] = path
+    t = read_version(spark, _TT_CACHE[key])
+    return t.agg(
+        F.count("*").alias("n_rows"),
+        F.sum("k").cast("decimal(38,0)").cast("double").alias("key_sum"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+        .cast("double")
+        .alias("revenue"),
+        F.max("k").alias("max_key"),
+    )
+
+
 def q_cluster_pruned_scan(spark: SparkSession, sf: str) -> DataFrame:
     """OPTIMIZE ZORDER as a commit
     (`plans/maintenance.py:cluster_versioned_table`): orders commit in a
@@ -1552,6 +1598,7 @@ QUERIES = {
     "tt_version_diff": q_tt_version_diff,
     "clone_divergence": q_clone_divergence,
     "cluster_pruned_scan": q_cluster_pruned_scan,
+    "tt_widen_scan": q_tt_widen_scan,
     "pe_evolved_scan": q_pe_evolved_scan,
     "tt_rename_scan": q_tt_rename_scan,
     "hp_pruned_scan": q_hp_pruned_scan,
@@ -1800,6 +1847,19 @@ ORACLES = {
                CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
                ROUND(SUM(p), 2) AS price_sum
         FROM final GROUP BY part ORDER BY part
+    """,
+    "tt_widen_scan": """
+        WITH both_gen AS (
+            SELECT CAST(o_orderkey AS BIGINT) AS k, o_totalprice FROM orders
+            UNION ALL
+            SELECT o_orderkey + 1099511627776, o_totalprice + 0.5
+            FROM orders WHERE o_orderkey % 131 = 0
+        )
+        SELECT COUNT(*) AS n_rows,
+               CAST(SUM(k) AS DOUBLE) AS key_sum,
+               CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue,
+               MAX(k) AS max_key
+        FROM both_gen
     """,
     "cluster_pruned_scan": """
         SELECT COUNT(*) AS n_rows,

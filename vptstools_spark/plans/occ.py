@@ -91,7 +91,7 @@ _ADDITIVE_OPS = {"append", "delete", "update", "upsert_mor", "delete_eq"}
 #: metadata loosening: can never invalidate a prepared write
 _SAFE_METADATA_OPS = {"drop_constraints"}
 #: row-preserving rewrites: remove files but never change row content
-_REWRITE_OPS = {"purge_deletes", "compact"}
+_REWRITE_OPS = {"purge_deletes", "compact", "cluster"}
 
 
 def _interleaved(
@@ -340,7 +340,7 @@ def delete_where_eq_atomic(
         f[f.index(marker) + len(_DATA_DIR) + 1 :]
         for f in list_data_files(spark, eq_dir)
     )
-    _SCHEMA_BEARING = {"rename_columns", "overwrite", "restore"}
+    _SCHEMA_BEARING = {"rename_columns", "widen_types", "overwrite", "restore"}
     for _ in range(max_retries + 1):
         head_v = _resolve_version(spark, path, None)
         head = _read_commit(spark, path, head_v)

@@ -103,6 +103,10 @@ def _carry(prev: dict) -> dict:
         # metadata reads, never a data scan)
         "stats_cols": prev.get("stats_cols") or [],
         "file_stats": prev.get("file_stats") or {},
+        # widened logical column types (widen_column_types): reads cast
+        # every file's column up to the recorded type — metadata-only
+        # type evolution, old files never rewritten
+        "cast_types": prev.get("cast_types") or {},
         # per-file ROW COUNTS (Iceberg manifest record counts): carried
         # files keep theirs; _commit footer-reads new files' — powers
         # metadata-only COUNT(*) (snapshot_rowcount)
@@ -888,6 +892,11 @@ def _read_snapshot(
         out = out.select(*keep, *([_DV_FILE, _DV_POS] if with_position else []))
     elif want_pos and not with_position:
         out = out.drop(_DV_FILE, _DV_POS)
+    for c, dt in (commit.get("cast_types") or {}).items():
+        # widened logical types (widen_column_types): every file reads
+        # up to the recorded type; files already written wide are no-ops
+        if c in out.columns:
+            out = out.withColumn(c, F.col(c).cast(dt))
     for c, dt in (commit.get("partition_types") or {}).items():
         # a file_subset of pre-evolution files can lack a partition column
         # entirely (added by later schema evolution); nothing to cast then
@@ -1593,6 +1602,96 @@ def rename_columns(
     return prev_v + 1
 
 
+#: loss-free type promotions (Iceberg v3 type-widening set, minus the
+#: date→timestamp case our tables don't need): value domains embed
+#: exactly, so reading an old narrow file through a cast is identity
+_WIDEN_OK = {
+    ("tinyint", "smallint"),
+    ("tinyint", "int"),
+    ("tinyint", "bigint"),
+    ("smallint", "int"),
+    ("smallint", "bigint"),
+    ("int", "bigint"),
+    ("int", "double"),
+    ("float", "double"),
+}
+
+
+def _is_widening(old: str, new: str) -> bool:
+    if (old, new) in _WIDEN_OK:
+        return True
+    if old.startswith("decimal(") and new.startswith("decimal("):
+        po, so = map(int, old[8:-1].split(","))
+        pn, sn = map(int, new[8:-1].split(","))
+        # same scale, more precision: every old value representable
+        return sn == so and pn > po
+    return False
+
+
+def widen_column_types(
+    spark: SparkSession, path: str, mapping: dict[str, str]
+) -> int:
+    """Iceberg-v3-style TYPE WIDENING as a metadata-only commit: record
+    `{column: wider_type}` and let every read cast files up to it — no
+    rewrite, however many petabytes sit in the narrow layout. Appends
+    may write either width (narrow files cast on read, wide files pass
+    through); pinned pre-widen snapshots keep their original types
+    (each commit carries its own cast map).
+
+    Only loss-free promotions are allowed (`_WIDEN_OK` + decimal
+    precision growth at equal scale) — anything else is a data rewrite
+    and is refused, as is widening a partition column (hive directory
+    values are rendered in the declared type) or a hidden-transform
+    source column (transform rendering would shift). Returns the new
+    version."""
+    prev_v = _resolve_version(spark, path, None)
+    prev = _read_commit(spark, path, prev_v)
+    schema = {
+        f.name: f.dataType.simpleString()
+        for f in _read_snapshot(spark, path, prev_v).schema.fields
+    }
+    missing = [c for c in mapping if c not in schema]
+    if missing:
+        raise ValueError(f"cannot widen non-existent columns {missing}")
+    parts = [c for c in mapping if c in prev["partition_cols"]]
+    if parts:
+        raise ValueError(
+            f"cannot widen partition columns {parts}: hive path values "
+            "are rendered in the declared type"
+        )
+    tsrc = {
+        tuple(s)[1] for s in (prev.get("partition_transforms") or {}).values()
+    }
+    hits = [c for c in mapping if c in tsrc]
+    if hits:
+        raise ValueError(
+            f"columns {hits} feed hidden partition transforms; widening "
+            "them would shift transform rendering — evolve the spec first"
+        )
+    for c, new in mapping.items():
+        old = schema[c]
+        if old == new:
+            continue
+        if not _is_widening(old, new):
+            raise ValueError(
+                f"{c}: {old} -> {new} is not a loss-free widening "
+                f"(allowed: {sorted(_WIDEN_OK)} + decimal precision "
+                "growth at equal scale)"
+            )
+    merged = {**(prev.get("cast_types") or {}), **mapping}
+    _commit(
+        spark,
+        path,
+        prev_v + 1,
+        prev["files"],
+        prev["partition_cols"],
+        "widen_types",
+        prev.get("partition_types"),
+        {**_carry(prev), "cast_types": merged},
+    )
+    return prev_v + 1
+
+
 def commit_append(
     spark: SparkSession,
     path: str,
@@ -2218,6 +2317,8 @@ def table_changes(
             "evolve_partitioning",
             "purge_deletes",
             "compact",
+            "cluster",
+            "widen_types",
             "delete_eq",
         ):
             pass  # metadata-only / row-preserving / eq-entry-only commits

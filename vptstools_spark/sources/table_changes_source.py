@@ -62,6 +62,8 @@ _NOOP_OPS = {
     "evolve_partitioning",
     "purge_deletes",
     "compact",
+    # full-snapshot z-order re-cluster: row-preserving rewrite
+    "cluster",
 }
 
 
@@ -314,9 +316,9 @@ class TableChangesStreamReader(DataSourceStreamReader):
             op = commit["op"]
             if op in _NOOP_OPS:
                 continue
-            if op == "rename_columns":
+            if op in ("rename_columns", "widen_types"):
                 if v <= self._pinned_at:
-                    continue  # pinned schema already reflects this rename
+                    continue  # pinned schema already reflects this change
                 # a rename AFTER the schema was pinned: silently
                 # NULL-filling renamed columns would corrupt the feed —
                 # fail like Delta does on a mid-stream schema change (NOT
@@ -325,9 +327,9 @@ class TableChangesStreamReader(DataSourceStreamReader):
                 # commit is at or before the new pin, and the stream
                 # resumes from the checkpointed offset.
                 raise ValueError(
-                    f"version {v} of {self.path} renamed columns; restart "
-                    "the stream to adopt the new schema (the checkpointed "
-                    "offset is preserved)"
+                    f"version {v} of {self.path} changed the schema "
+                    f"({op}); restart the stream to adopt it (the "
+                    "checkpointed offset is preserved)"
                 )
             prev = (
                 _read_commit(self.path, v - 1)
