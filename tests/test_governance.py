@@ -113,3 +113,87 @@ def test_register_secure_view_sql_face(spark):
         "SELECT phone FROM people_masked WHERE id = 3"
     ).collect()[0][0]
     assert got == "****1906"
+
+
+# ---------------------------------------------------------------------------
+# GDPR erase-and-forget lifecycle
+# ---------------------------------------------------------------------------
+
+
+def _walk_parquet_values(data_dir, column):
+    """Byte-level probe: every value of `column` in every parquet file
+    still on disk under the table's data dir."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    vals = set()
+    for root, _dirs, files in os.walk(data_dir):
+        for f in files:
+            if not f.endswith(".parquet"):
+                continue
+            t = pq.read_table(os.path.join(root, f))
+            if column in t.column_names:
+                vals |= set(t[column].to_pylist())
+    return vals
+
+
+def test_erase_and_forget_removes_bytes_and_history(spark, tmp_path):
+    import os
+
+    from pyspark.sql import functions as F
+
+    from vptstools_spark.plans.governance import erase_and_forget
+    from vptstools_spark.plans.timetravel import (
+        commit_append,
+        commit_initial,
+        read_version,
+    )
+
+    path = str(tmp_path / "t")
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 4).cast("int").alias("part"),
+        (F.col("id") * 1.5).alias("v"),
+    )
+    commit_initial(df, path, ["part"])
+    commit_append(spark, path, df.withColumn("k", F.col("k") + 1000))
+    subjects = spark.createDataFrame([(7,), (1007,), (500,)], "k long")
+
+    proof = erase_and_forget(spark, path, subjects, ["k"])
+    assert proof["n_residual_raw"] == 0
+    assert proof["expired"]  # pre-erasure history gone
+    assert proof["vacuumed_files"] > 0
+    t = read_version(spark, path)
+    assert t.count() == 1997
+    assert t.filter("k in (7, 1007, 500)").count() == 0
+    # byte-level: no parquet file on disk still holds the subjects
+    on_disk = _walk_parquet_values(os.path.join(path, "data"), "k")
+    assert not ({7, 1007, 500} & on_disk)
+    # and old versions can no longer resurrect them
+    import pytest
+
+    with pytest.raises(Exception):
+        read_version(spark, path, 0).collect()
+
+
+def test_erase_without_forget_keeps_history(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from vptstools_spark.plans.governance import erase_and_forget
+    from vptstools_spark.plans.timetravel import commit_initial, read_version
+
+    path = str(tmp_path / "t")
+    df = spark.range(0, 100).select(
+        F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")
+    )
+    commit_initial(df, path, [])
+    proof = erase_and_forget(
+        spark, path, spark.createDataFrame([(5,)], "k long"), ["k"],
+        expire=False, vacuum=False,
+    )
+    # logically erased, physically purged from the live snapshot…
+    assert proof["n_residual_raw"] == 0
+    assert read_version(spark, path).filter("k = 5").count() == 0
+    # …but the pinned pre-erasure snapshot still serves (no expiry)
+    assert read_version(spark, path, 0).filter("k = 5").count() == 1

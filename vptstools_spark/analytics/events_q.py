@@ -335,6 +335,59 @@ def q_clone_divergence(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_gdpr_erasure(spark: SparkSession, sf: str) -> DataFrame:
+    """Right-to-be-forgotten lifecycle
+    (`plans/governance.py:erase_and_forget`): orders commit as a
+    versioned table, every customer with custkey % 37 == 0 demands
+    erasure — equality tombstones land instantly (zero-scan commit),
+    the purge rewrites only the files holding subject rows, history
+    expires, vacuum removes the bytes. The result carries the surviving
+    aggregate AND the lifecycle's own proof metrics (raw-byte residual
+    = 0, surviving version count = 1), all recomputed analytically by
+    the oracle — a value match proves erasure was exact: nothing extra
+    deleted, nothing left behind."""
+    import tempfile
+
+    from vptstools_spark.plans.governance import erase_and_forget
+    from vptstools_spark.plans.timetravel import (
+        _list_versions,
+        commit_initial,
+        read_version,
+    )
+
+    key = ("gdpr_orders", sf)
+    if key not in _TT_CACHE:
+        o = table(spark, sf, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        path = tempfile.mkdtemp(prefix="gdpr_orders_")
+        commit_initial(o, path, [])
+        subjects = (
+            o.select("o_custkey")
+            .filter(F.col("o_custkey") % 37 == 0)
+            .distinct()
+        )
+        proof = erase_and_forget(spark, path, subjects, ["o_custkey"])
+        _TT_CACHE[key] = (path, proof)
+    path, proof = _TT_CACHE[key]
+    t = read_version(spark, path)
+    agg = t.agg(
+        F.count("*").alias("v_n_rows"),
+        F.sum("o_orderkey").cast("long").alias("v_key_sum"),
+    ).selectExpr(
+        "stack(2, 'n_rows', v_n_rows, 'key_sum', v_key_sum) "
+        "as (metric, value)"
+    )
+    proof_rows = spark.createDataFrame(
+        [
+            ("n_residual_raw", int(proof["n_residual_raw"])),
+            ("n_versions", len(_list_versions(spark, path))),
+        ],
+        "metric string, value long",
+    )
+    return agg.unionByName(proof_rows).orderBy("metric")
+
+
 def q_tt_widen_scan(spark: SparkSession, sf: str) -> DataFrame:
     """Metadata-only TYPE WIDENING
     (`plans/timetravel.py:widen_column_types`, Iceberg-v3 shape): orders
@@ -1599,6 +1652,7 @@ QUERIES = {
     "clone_divergence": q_clone_divergence,
     "cluster_pruned_scan": q_cluster_pruned_scan,
     "tt_widen_scan": q_tt_widen_scan,
+    "gdpr_erasure": q_gdpr_erasure,
     "pe_evolved_scan": q_pe_evolved_scan,
     "tt_rename_scan": q_tt_rename_scan,
     "hp_pruned_scan": q_hp_pruned_scan,
@@ -1847,6 +1901,20 @@ ORACLES = {
                CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
                ROUND(SUM(p), 2) AS price_sum
         FROM final GROUP BY part ORDER BY part
+    """,
+    "gdpr_erasure": """
+        WITH kept AS (
+            SELECT o_orderkey FROM orders WHERE o_custkey % 37 <> 0
+        )
+        SELECT metric, value FROM (
+            SELECT 'n_rows' AS metric, CAST(COUNT(*) AS BIGINT) AS value FROM kept
+            UNION ALL
+            SELECT 'key_sum', CAST(SUM(o_orderkey) AS BIGINT) FROM kept
+            UNION ALL
+            SELECT 'n_residual_raw', 0
+            UNION ALL
+            SELECT 'n_versions', 1
+        ) ORDER BY metric
     """,
     "tt_widen_scan": """
         WITH both_gen AS (

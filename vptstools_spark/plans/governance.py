@@ -86,3 +86,71 @@ def register_secure_view(
     only handle on the data. Returns the view name."""
     apply_policies(df, policies).createOrReplaceTempView(name)
     return name
+
+
+# ---------------------------------------------------------------------------
+# GDPR right-to-be-forgotten: erasure as a lifecycle, not just a DELETE
+# ---------------------------------------------------------------------------
+
+
+def erase_and_forget(
+    spark,
+    path: str,
+    keys_df,
+    keys: list[str],
+    expire: bool = True,
+    vacuum: bool = True,
+) -> dict:
+    """Subject erasure on a versioned table, END TO END. A plain DELETE
+    is not erasure on a time-travel table — old versions still serve the
+    rows and the bytes stay on disk — so this runs the full lifecycle:
+
+    1. `delete_where_eq`: equality tombstones — the subjects disappear
+       from every NEW read instantly, the commit scans NOTHING (the
+       legally-urgent step is metadata-speed at any table size);
+    2. `purge_deletes`: rewrite ONLY the files that actually hold
+       subject rows (file-scoped, bounded by the subjects' spread);
+    3. `expire_versions(keep_last=1)`: drop the history that could
+       resurrect them (tagged versions refuse expiry — release the tag
+       first; that refusal is the audit trail working);
+    4. `vacuum_table(min_age_seconds=0)`: delete the unreferenced bytes.
+
+    Steps 3-4 are destructive and explicit (`expire`/`vacuum` flags);
+    with both on, the returned `n_residual_raw` — a RAW probe of the
+    surviving snapshot's bytes with delete vectors NOT applied — proves
+    physical erasure, and tests additionally byte-walk the data dir.
+    Returns {"tombstone_version", "purge_version", "expired",
+    "vacuumed_files", "n_residual_raw"}."""
+    from pyspark.sql import functions as F
+
+    from vptstools_spark.plans.timetravel import (
+        _read_snapshot,
+        _resolve_version,
+        delete_where_eq,
+        expire_versions,
+        purge_deletes,
+        vacuum_table,
+    )
+
+    keys_df = keys_df.select(*keys).distinct()
+    v1 = delete_where_eq(spark, path, keys_df, keys)
+    v2 = purge_deletes(spark, path)
+    expired = (
+        expire_versions(spark, path, keep_last=1, min_age_seconds=0)
+        if expire
+        else []
+    )
+    vacuumed = (
+        vacuum_table(spark, path, min_age_seconds=0) if vacuum else []
+    )
+    raw = _read_snapshot(
+        spark, path, _resolve_version(spark, path, None), apply_deletes=False
+    )
+    residual = raw.join(F.broadcast(keys_df), keys, "left_semi").count()
+    return {
+        "tombstone_version": v1,
+        "purge_version": v2,
+        "expired": expired,
+        "vacuumed_files": len(vacuumed),
+        "n_residual_raw": residual,
+    }
