@@ -1489,3 +1489,50 @@ def test_widen_and_cluster_are_noop_in_change_feed(spark, tmp_path):
     v2 = cluster_versioned_table(spark, path, ["m"], n_files=4)["version"]
     feed = table_changes(spark, path, v1, v2)
     assert feed.count() == 0
+
+
+# ---------------------------------------------------------------------------
+# O(1)-open _latest hint
+# ---------------------------------------------------------------------------
+
+
+def test_latest_hint_written_verified_and_stale_safe(spark, tmp_path):
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from vptstools_spark.plans.timetravel import (
+        _resolve_latest_fast,
+        commit_append,
+        commit_initial,
+        expire_versions,
+        read_version,
+    )
+
+    path = str(tmp_path / "t")
+    df = spark.range(0, 50).select(F.col("id").alias("k"))
+    commit_initial(df, path, [])
+    hint = os.path.join(path, "_log", "_latest")
+    assert json.loads(open(hint).read())["version"] == 0
+    commit_append(spark, path, df)
+    commit_append(spark, path, df)
+    assert _resolve_latest_fast(spark, path) == 2
+
+    # stale hint (lost overwrite race): forward probe recovers the head
+    from vptstools_spark.io import write_text_overwrite
+
+    write_text_overwrite(spark, hint, json.dumps({"version": 0}))
+    assert _resolve_latest_fast(spark, path) == 2
+
+    # expiry refreshes the hint BEFORE removing entries, so the probe
+    # can never stop below an expiry gap
+    write_text_overwrite(spark, hint, json.dumps({"version": 0}))
+    expire_versions(spark, path, keep_last=1)
+    assert json.loads(open(hint).read())["version"] == 2
+    assert read_version(spark, path).count() == 150
+
+    # corrupt hint: clean fallback to the listing
+    write_text_overwrite(spark, hint, "not json")
+    assert _resolve_latest_fast(spark, path) is None
+    assert read_version(spark, path).count() == 150

@@ -111,3 +111,22 @@ def read_text_sidecar(spark: SparkSession, path: str) -> str:
     finally:
         stream.close()
     return data.decode("utf-8")
+
+
+def write_text_overwrite(spark: SparkSession, path: str, text: str) -> bool:
+    """Best-effort overwrite of a small sidecar (hint files — e.g. the
+    commit log's `_latest` pointer). Never authoritative: readers must
+    treat the content as a HINT and verify against the log itself.
+    Returns False on any failure (callers proceed without the hint)."""
+    try:
+        jvm = spark.sparkContext._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = jpath.getFileSystem(
+            spark.sparkContext._jsc.hadoopConfiguration()
+        )
+        out = fs.create(jpath, True)
+        out.write(bytearray(text.encode("utf-8")))
+        out.close()
+        return True
+    except Exception:
+        return False

@@ -460,6 +460,15 @@ def _commit(
             f"version {version} of {path} was committed by another writer; "
             "re-read the latest version and retry the upsert"
         )
+    if log_dir == _LOG_DIR:
+        # best-effort O(1)-open hint (never authoritative: readers verify
+        # and probe forward; a lost overwrite race just means one extra
+        # probe). Expiry maintains the "no gap above the hint" invariant.
+        from vptstools_spark.io import write_text_overwrite
+
+        write_text_overwrite(
+            spark, _latest_hint_path(path), json.dumps({"version": version})
+        )
 
 
 def commit_initial(
@@ -752,7 +761,44 @@ _DV_FILE = "__dv_file"
 _DV_POS = "__dv_pos"
 
 
+def _latest_hint_path(path: str) -> str:
+    return os.path.join(path, _LOG_DIR, "_latest")
+
+
+def _resolve_latest_fast(spark: SparkSession, path: str) -> int | None:
+    """O(1) latest-version resolution via the `_latest` hint sidecar
+    (Delta's `_last_checkpoint` idea): read the hinted version, verify
+    its commit exists, then probe FORWARD until the first gap — correct
+    even when the hint is stale (a racing writer's hint lost the
+    overwrite race), because commits are dense above the head the hint
+    names. Returns None when there is no usable hint (caller falls back
+    to the O(#versions) listing). At scale this replaces an object-store
+    LIST of the whole log with ~2 point reads per table open."""
+    try:
+        hinted = int(json.loads(
+            read_text_sidecar(spark, _latest_hint_path(path))
+        )["version"])
+    except Exception:
+        return None
+    jvm = spark.sparkContext._jvm
+    fs = jvm.org.apache.hadoop.fs.Path(path).getFileSystem(
+        spark.sparkContext._jsc.hadoopConfiguration()
+    )
+    def _exists(v: int) -> bool:
+        return fs.exists(jvm.org.apache.hadoop.fs.Path(_log_path(path, v)))
+    if hinted < 0 or not _exists(hinted):
+        return None  # hint predates expiry or is corrupt: fall back
+    v = hinted
+    while _exists(v + 1):
+        v += 1
+    return v
+
+
 def _resolve_version(spark: SparkSession, path: str, version: int | None) -> int:
+    if version is None:
+        fast = _resolve_latest_fast(spark, path)
+        if fast is not None:
+            return fast
     versions = _list_versions(spark, path)
     if not versions:
         raise ValueError(f"no table at {path}")
@@ -2536,6 +2582,24 @@ def expire_versions(
             for v in expired
             if float(_read_commit(spark, path, v).get("ts") or 0.0) <= cutoff
         ]
+    if expired:
+        # the O(1)-open hint's safety invariant: expiry may create gaps
+        # BELOW the head, so the hint must name the head (or newer)
+        # before any commit entry disappears — otherwise a stale hint's
+        # forward probe could stop at a pre-gap survivor. Refuse to
+        # expire if the hint cannot be pinned.
+        from vptstools_spark.io import write_text_overwrite
+
+        if not write_text_overwrite(
+            spark,
+            _latest_hint_path(path),
+            json.dumps({"version": versions[-1]}),
+        ):
+            raise RuntimeError(
+                f"could not update the _latest hint of {path}; refusing "
+                "to expire history (a stale hint over an expiry gap "
+                "would misresolve the head)"
+            )
     jvm = spark.sparkContext._jvm
     hconf = spark.sparkContext._jsc.hadoopConfiguration()
     for v in expired:
