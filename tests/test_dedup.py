@@ -161,3 +161,78 @@ def test_dedup_keep_best_argmax_and_ties(spark):
     }
     assert set(kept) == {2, 4}
     assert kept[2]["n_copies"] == 3 and kept[2]["kept_score"] == 9
+
+
+# ---------------------------------------------------------------------------
+# incremental LSH registry
+# ---------------------------------------------------------------------------
+
+
+def _ilsh_docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_incremental_lsh_rejects_cross_run_neardups(spark, tmp_path):
+    from vptstools_spark.operators.dedup import incremental_lsh_dedup
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    b0 = _ilsh_docs(spark, [(1, base), (2, "completely different words here about spark engines")])
+    # doc 11 is a near-dup of admitted doc 1 (one token changed);
+    # doc 12 is fresh
+    b1 = _ilsh_docs(spark, [
+        (11, base.replace("dog", "cat")),
+        (12, "unrelated third text with its own vocabulary entirely"),
+    ])
+    reg = str(tmp_path / "reg")
+    a0, r0 = incremental_lsh_dedup(spark, reg, b0, threshold=0.5)
+    assert r0["n_admitted"] == 2
+    a1, r1 = incremental_lsh_dedup(spark, reg, b1, threshold=0.5)
+    assert r1["n_rejected"] == 1 and r1["n_admitted"] == 1
+    assert [r.doc_id for r in a1.collect()] == [12]
+
+
+def test_incremental_lsh_replay_admits_nothing(spark, tmp_path):
+    from vptstools_spark.operators.dedup import incremental_lsh_dedup
+
+    b = _ilsh_docs(spark, [(1, "alpha beta gamma delta epsilon zeta"),
+                           (2, "one two three four five six seven")])
+    reg = str(tmp_path / "reg")
+    incremental_lsh_dedup(spark, reg, b)
+    a, r = incremental_lsh_dedup(spark, reg, b)
+    assert r["n_seen_ids"] == 2 and r["n_admitted"] == 0
+    assert a.count() == 0
+
+
+def test_incremental_lsh_registry_stores_no_text(spark, tmp_path):
+    from vptstools_spark.operators.dedup import incremental_lsh_dedup
+    from vptstools_spark.plans.timetravel import read_version
+
+    b = _ilsh_docs(spark, [(1, "alpha beta gamma delta epsilon zeta")])
+    reg = str(tmp_path / "reg")
+    incremental_lsh_dedup(spark, reg, b)
+    bands = read_version(spark, str(tmp_path / "reg" / "bands"))
+    sh = read_version(spark, str(tmp_path / "reg" / "shingles"))
+    assert set(bands.columns) == {"id", "band_id", "bh"}
+    assert set(sh.columns) == {"id", "sh"}
+    # derived state only: no string column carries source text
+    assert all(t != "string" or c == "bh" for c, t in bands.dtypes)
+    assert dict(sh.dtypes)["sh"] == "bigint"
+
+
+def test_incremental_lsh_rejected_doc_leaves_no_state(spark, tmp_path):
+    """A shard-2 doc similar only to a shard-1 REJECT must be admitted:
+    rejects leave no registry state (the oracle replays this too)."""
+    from vptstools_spark.operators.dedup import incremental_lsh_dedup
+    from vptstools_spark.plans.timetravel import read_version
+
+    t = "lorem ipsum dolor sit amet consectetur adipiscing elit sed do"
+    b0 = _ilsh_docs(spark, [(1, t), (2, t)])  # 2 rejected (dup of 1)
+    b1 = _ilsh_docs(spark, [(11, t)])         # dup of 1 → rejected
+    reg = str(tmp_path / "reg")
+    _, r0 = incremental_lsh_dedup(spark, reg, b0)
+    assert r0["n_rejected"] == 1
+    _, r1 = incremental_lsh_dedup(spark, reg, b1)
+    assert r1["n_rejected"] == 1
+    assert read_version(
+        spark, str(tmp_path / "reg" / "bands")
+    ).select("id").distinct().count() == 1

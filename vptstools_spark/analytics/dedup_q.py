@@ -303,7 +303,55 @@ def q_dedup_keep_best(spark: SparkSession, sf: str) -> DataFrame:
 
 
 
+
+
+_ILSH_CACHE: dict = {}
+
+
+def q_dedup_incremental_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-run NEAR-dup admission
+    (`operators/dedup.py:incremental_lsh_dedup`): the corpus ingests in
+    two id-ordered shards against a persistent LSH registry holding only
+    derived state (band rows + 64-bit shingle hashes) for ADMITTED docs.
+    Shard 2's probe joins the registry's band rows — admitted history is
+    never re-shingled — and a doc is rejected iff exact-verified similar
+    to a smaller-id doc in its shard or the registry (min-id dominance).
+    The oracle replays both phases analytically, including the subtlety
+    that a shard-2 doc similar ONLY to a shard-1 REJECT must be admitted
+    (rejects leave no registry state). Per-run cost is O(batch +
+    collisions), independent of corpus age — the production ingest-dedup
+    shape at 100 TB."""
+    import tempfile
+
+    from vptstools_spark.operators.dedup import incremental_lsh_dedup
+
+    key = ("ilsh", sf)
+    if key not in _ILSH_CACHE:
+        docs = table(spark, sf, "documents")
+        reg = tempfile.mkdtemp(prefix="ilsh_reg_")
+        a0, r0 = incremental_lsh_dedup(
+            spark, reg, docs.filter(F.col("doc_id") < 300)
+        )
+        a1, r1 = incremental_lsh_dedup(
+            spark, reg, docs.filter(F.col("doc_id") >= 300)
+        )
+        s0 = a0.agg(F.sum("doc_id")).collect()[0][0] or 0
+        s1 = a1.agg(F.sum("doc_id")).collect()[0][0] or 0
+        _ILSH_CACHE[key] = [
+            ("b0_admitted", int(r0["n_admitted"])),
+            ("b0_rejected", int(r0["n_rejected"])),
+            ("b0_id_sum", int(s0)),
+            ("b1_admitted", int(r1["n_admitted"])),
+            ("b1_rejected", int(r1["n_rejected"])),
+            ("b1_id_sum", int(s1)),
+        ]
+    return spark.createDataFrame(
+        _ILSH_CACHE[key], "metric string, value long"
+    ).orderBy("metric")
+
+
 QUERIES = {
+    "dedup_incremental_lsh": q_dedup_incremental_lsh,
     "dedup_keep_best": q_dedup_keep_best,
     "dedup_exact": q_dedup_exact,
     "simjoin_prefix": q_simjoin_prefix,
@@ -319,6 +367,62 @@ QUERIES = {
 }
 
 ORACLES = {
+    "dedup_incremental_lsh": f"""
+        WITH {_bands_cte_body()},
+        sz AS (SELECT doc_id AS id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        allpairs AS (
+            SELECT a.id AS doc_a, b.id AS doc_b
+            FROM bands a
+            JOIN bands b ON a.band_id = b.band_id AND a.bh = b.bh
+                        AND a.id < b.id
+            GROUP BY 1, 2
+        ),
+        jac AS (
+            SELECT p.doc_a, p.doc_b,
+                   CAST(COUNT(*) AS DOUBLE)
+                       / (x.n + y.n - COUNT(*)) AS j
+            FROM allpairs p
+            JOIN sh a ON a.doc_id = p.doc_a
+            JOIN sh b ON b.doc_id = p.doc_b AND b.shingle = a.shingle
+            JOIN sz x ON x.id = p.doc_a
+            JOIN sz y ON y.id = p.doc_b
+            GROUP BY p.doc_a, p.doc_b, x.n, y.n
+        ),
+        ver AS (SELECT doc_a, doc_b FROM jac WHERE j >= 0.8),
+        rej0 AS (
+            SELECT DISTINCT doc_b AS id FROM ver
+            WHERE doc_a < 300 AND doc_b < 300
+        ),
+        adm0 AS (
+            SELECT doc_id AS id FROM documents
+            WHERE doc_id < 300
+              AND doc_id NOT IN (SELECT id FROM rej0)
+        ),
+        rej1 AS (
+            SELECT DISTINCT doc_b AS id FROM ver
+            WHERE doc_b >= 300
+              AND (doc_a >= 300 OR doc_a IN (SELECT id FROM adm0))
+        ),
+        adm1 AS (
+            SELECT doc_id AS id FROM documents
+            WHERE doc_id >= 300
+              AND doc_id NOT IN (SELECT id FROM rej1)
+        )
+        SELECT metric, value FROM (
+            SELECT 'b0_admitted' AS metric,
+                   CAST((SELECT COUNT(*) FROM adm0) AS BIGINT) AS value
+            UNION ALL SELECT 'b0_rejected',
+                   CAST((SELECT COUNT(*) FROM rej0) AS BIGINT)
+            UNION ALL SELECT 'b0_id_sum',
+                   CAST((SELECT COALESCE(SUM(id), 0) FROM adm0) AS BIGINT)
+            UNION ALL SELECT 'b1_admitted',
+                   CAST((SELECT COUNT(*) FROM adm1) AS BIGINT)
+            UNION ALL SELECT 'b1_rejected',
+                   CAST((SELECT COUNT(*) FROM rej1) AS BIGINT)
+            UNION ALL SELECT 'b1_id_sum',
+                   CAST((SELECT COALESCE(SUM(id), 0) FROM adm1) AS BIGINT)
+        ) ORDER BY metric
+    """,
     "simjoin_prefix": _SIMJOIN_ORACLE,
     "dedup_canonical": """
         WITH h AS (

@@ -237,14 +237,14 @@ def minhash_signatures(sh: DataFrame, num_hashes: int = 8) -> DataFrame:
     return sliced.groupBy("id").agg(*aggs)
 
 
-def lsh_candidates(sigs: DataFrame, num_hashes: int = 8, rows_per_band: int = 2) -> DataFrame:
-    """LSH banding: hash each band of the signature, equi-join on
-    (band_id, band_hash) → candidate pairs (doc_a, doc_b, n_shared_bands).
-
-    The join key is 32-byte md5 — collisions are the similarity signal, not
-    accidents. At 100 TB the per-band join is a plain shuffle join whose
-    cardinality is controlled by banding parameters (r ↑ → fewer candidates).
-    """
+def band_table(
+    sigs: DataFrame, num_hashes: int = 8, rows_per_band: int = 2
+) -> DataFrame:
+    """LSH band rows (id, band_id, bh) from signatures — the persistable
+    half of banding: `lsh_candidates` self-joins it, and the incremental
+    registry (`incremental_lsh_dedup`) STORES it so future batches probe
+    admitted docs at band-row cost (docs × bands), never re-shingling the
+    corpus."""
     n_bands = num_hashes // rows_per_band
     bands = F.array(
         *[
@@ -259,11 +259,25 @@ def lsh_candidates(sigs: DataFrame, num_hashes: int = 8, rows_per_band: int = 2)
             for b in range(n_bands)
         ]
     )
+    return sigs.select("id", F.explode(bands).alias("band")).select(
+        "id",
+        F.col("band.band_id").alias("band_id"),
+        F.col("band.bh").alias("bh"),
+    )
+
+
+def lsh_candidates(sigs: DataFrame, num_hashes: int = 8, rows_per_band: int = 2) -> DataFrame:
+    """LSH banding: hash each band of the signature, equi-join on
+    (band_id, band_hash) → candidate pairs (doc_a, doc_b, n_shared_bands).
+
+    The join key is 32-byte md5 — collisions are the similarity signal, not
+    accidents. At 100 TB the per-band join is a plain shuffle join whose
+    cardinality is controlled by banding parameters (r ↑ → fewer candidates).
+    """
     from pyspark import StorageLevel
 
     exploded = (
-        sigs.select("id", F.explode(bands).alias("band"))
-        .select("id", F.col("band.band_id").alias("band_id"), F.col("band.bh").alias("bh"))
+        band_table(sigs, num_hashes, rows_per_band)
         # both sides of the candidate self-join read this (tiny: docs×bands
         # rows) — persist so the shingle→minhash lineage runs once
         .persist(StorageLevel.MEMORY_AND_DISK)
@@ -367,6 +381,21 @@ def jaccard_verify(sh: DataFrame, pairs: DataFrame, threshold: float = 0.8) -> D
     """
     from pyspark import StorageLevel
 
+    hashed = sh.select("id", F.xxhash64("shingle").alias("sh")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    return jaccard_verify_hashed(hashed, pairs, threshold)
+
+
+def jaccard_verify_hashed(
+    hashed: DataFrame, pairs: DataFrame, threshold: float = 0.8
+) -> DataFrame:
+    """`jaccard_verify` over an already-HASHED shingle table (id, sh) —
+    the form the incremental LSH registry stores (64-bit hashes, never
+    raw text). Semantics identical: exact Jaccard restricted to the
+    candidate pairs."""
+    from pyspark import StorageLevel
+
     p = pairs.select("doc_a", "doc_b")
     ids = (
         p.select(F.col("doc_a").alias("id"))
@@ -374,8 +403,7 @@ def jaccard_verify(sh: DataFrame, pairs: DataFrame, threshold: float = 0.8) -> D
         .distinct()
     )
     hashed = (
-        sh.select("id", F.xxhash64("shingle").alias("sh"))
-        .join(F.broadcast(ids), "id", "left_semi")
+        hashed.join(F.broadcast(ids), "id", "left_semi")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     sizes = hashed.groupBy("id").agg(F.count("*").alias("n"))
@@ -480,4 +508,158 @@ def incremental_dedup(
         "n_in_batch_dups": n_batch - n_in_batch,
         "n_seen_dups": n_in_batch - n_fresh,
         "n_fresh": n_fresh,
+    }
+
+
+def incremental_lsh_dedup(
+    spark,
+    registry_path: str,
+    batch: DataFrame,
+    k: int = 3,
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, dict]:
+    """Cross-run NEAR-dup admission against a persistent LSH registry —
+    `incremental_dedup`'s sibling for the corpus-ingest case where new
+    shards must not duplicate *approximately* what any earlier run
+    admitted. The registry is two versioned tables
+    (`plans/timetravel.py`) holding only DERIVED state for admitted
+    docs: LSH band rows (id, band_id, bh — docs × bands rows) and
+    64-bit shingle hashes (id, sh) for the exact-verify stage. Raw text
+    is never stored and never rescanned: a new batch probes admitted
+    history via an equi-join on (band_id, bh), verifies exact Jaccard
+    only on colliding pairs, and appends its own admitted state — cost
+    per run is O(batch + collisions), independent of corpus age.
+
+    Admission rule (deterministic, order-free): a batch doc is REJECTED
+    iff some verified-similar doc with a SMALLER id exists in the batch
+    or in the admitted registry — min-id dominance, the parallel-safe
+    form of greedy admission (a rejected doc can still dominate a
+    larger near-twin; documented, and what the value oracle replays).
+    Doc ids must be globally unique and ingest batches id-ordered for
+    the rule to equal sequential greedy admission.
+
+    Returns (admitted_rows, report) with report counts
+    {"n_batch", "n_candidate_pairs", "n_rejected", "n_admitted"}."""
+    import os as _os
+
+    from pyspark import StorageLevel
+
+    from vptstools_spark.plans.timetravel import (
+        _list_versions,
+        commit_append,
+        commit_initial,
+        read_version,
+    )
+
+    bands_path = _os.path.join(registry_path, "bands")
+    sh_path = _os.path.join(registry_path, "shingles")
+
+    n_submitted = batch.count()
+    have_registry = bool(_list_versions(spark, bands_path))
+    if have_registry:
+        # id-level replay guard: a re-delivered shard (at-least-once
+        # ingest) carries ids the registry already admitted — drop them
+        # before any shingling (their near-dup state is already stored;
+        # without this a replayed doc self-pairs, the doc_a != doc_b
+        # filter discards it, and the registry double-admits)
+        seen_ids = (
+            read_version(spark, bands_path)
+            .select(F.col("id").alias(id_col))
+            .distinct()
+        )
+        batch = batch.join(seen_ids, id_col, "left_anti").localCheckpoint()
+    n_after_replay = batch.count()
+
+    sh_new = shingles(batch, text_col=text_col, id_col=id_col, k=k).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    hashed_new = sh_new.select(
+        "id", F.xxhash64("shingle").alias("sh")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    sigs = minhash_signatures(sh_new, num_hashes)
+    bands_new = band_table(sigs, num_hashes, rows_per_band).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+
+    a, b = bands_new.alias("a"), bands_new.alias("b")
+    pairs_in = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
+        .distinct()
+    )
+    if have_registry:
+        bands_old = read_version(spark, bands_path)
+        # cross probe: admitted history joins the NEW batch's band rows —
+        # shuffle carries band rows, never shingles or text
+        n, o = bands_new.alias("n"), bands_old.alias("o")
+        pairs_cross = (
+            n.join(
+                o,
+                (F.col("n.band_id") == F.col("o.band_id"))
+                & (F.col("n.bh") == F.col("o.bh")),
+            )
+            .select(
+                F.least(F.col("o.id"), F.col("n.id")).alias("doc_a"),
+                F.greatest(F.col("o.id"), F.col("n.id")).alias("doc_b"),
+            )
+            .filter(F.col("doc_a") != F.col("doc_b"))
+            .distinct()
+        )
+        pairs = pairs_in.unionByName(pairs_cross).distinct()
+        old_ids = pairs_cross.select(F.col("doc_a").alias("id")).unionByName(
+            pairs_cross.select(F.col("doc_b").alias("id"))
+        ).distinct().join(
+            hashed_new.select("id").distinct(), "id", "left_anti"
+        )
+        hashed_old = read_version(spark, sh_path).join(
+            F.broadcast(old_ids), "id", "left_semi"
+        )
+        hashed_all = hashed_new.unionByName(hashed_old)
+    else:
+        pairs = pairs_in
+        hashed_all = hashed_new
+    n_pairs = pairs.count()
+    verified = jaccard_verify_hashed(hashed_all, pairs, threshold)
+    # min-id dominance: the larger side of any verified pair is rejected
+    # when it belongs to THIS batch (registry docs are already admitted)
+    batch_ids = batch.select(F.col(id_col).alias("id")).distinct()
+    rejected = (
+        verified.select(
+            F.greatest("doc_a", "doc_b").alias("id")
+        )
+        .distinct()
+        .join(batch_ids, "id", "left_semi")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    n_rejected = rejected.count()
+    admitted = batch.join(
+        rejected.withColumnRenamed("id", id_col), id_col, "left_anti"
+    ).localCheckpoint()
+    n_admitted = admitted.count()
+    adm_ids = admitted.select(F.col(id_col).alias("id"))
+    bands_admit = bands_new.join(adm_ids, "id", "left_semi")
+    hashed_admit = hashed_new.join(adm_ids, "id", "left_semi")
+    if have_registry:
+        commit_append(spark, bands_path, bands_admit)
+        commit_append(spark, sh_path, hashed_admit)
+    else:
+        commit_initial(bands_admit, bands_path, [])
+        commit_initial(hashed_admit, sh_path, [])
+    for c in (sh_new, hashed_new, bands_new, rejected):
+        c.unpersist()
+    return admitted, {
+        "n_batch": n_submitted,
+        "n_seen_ids": n_submitted - n_after_replay,
+        "n_candidate_pairs": n_pairs,
+        "n_rejected": n_rejected,
+        "n_admitted": n_admitted,
     }
