@@ -236,3 +236,42 @@ def test_incremental_lsh_rejected_doc_leaves_no_state(spark, tmp_path):
     assert read_version(
         spark, str(tmp_path / "reg" / "bands")
     ).select("id").distinct().count() == 1
+
+
+def test_containment_catches_subset_jaccard_misses(spark):
+    from pyspark.sql import functions as F
+
+    from vptstools_spark.operators.dedup import (
+        containment_pairs,
+        jaccard_pairs,
+        shingles,
+    )
+
+    small = "alpha beta gamma delta epsilon"
+    big = small + " " + " ".join(f"tok{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [(1, small), (2, big)], "doc_id long, text string"
+    )
+    sh = shingles(df, k=3)
+    cont = containment_pairs(sh, threshold=0.9).collect()
+    assert len(cont) == 1 and cont[0].containment == 1.0
+    # Jaccard at the same bar misses the embedding entirely
+    assert jaccard_pairs(sh, threshold=0.9).count() == 0
+
+
+def test_containment_replica_collapse_expansion(spark):
+    from vptstools_spark.operators.dedup import containment_pairs, shingles
+
+    t = "one two three four five six"
+    df = spark.createDataFrame(
+        [(1, t), (2, t), (3, t + " seven eight nine ten eleven twelve")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_a, r.doc_b): r.containment
+        for r in containment_pairs(shingles(df, k=3), threshold=0.9).collect()
+    }
+    # identical pair exactly 1.0; both replicas pair with the superset
+    assert got[(1, 2)] == 1.0
+    assert (1, 3) in got and (2, 3) in got
+    assert got[(1, 3)] == got[(2, 3)] == 1.0

@@ -305,6 +305,20 @@ def q_dedup_keep_best(spark: SparkSession, sf: str) -> DataFrame:
 
 
 
+def q_dedup_containment(spark: SparkSession, sf: str) -> DataFrame:
+    """Asymmetric near-SUBSET dedup
+    (`operators/dedup.py:containment_pairs`): containment
+    |A∩B|/min(|A|,|B|) ≥ 0.7 over 3-shingle sets — the web-corpus
+    signal Jaccard misses when one document embeds another. Shares the
+    exact-pair plan (replica collapse, df>1 pruning); the oracle
+    recomputes the asymmetric score directly."""
+    from vptstools_spark.operators.dedup import containment_pairs
+
+    return containment_pairs(
+        shingles(fan_out(table(spark, sf, "documents")), k=3), threshold=0.7
+    )
+
+
 _ILSH_CACHE: dict = {}
 
 
@@ -352,6 +366,7 @@ def q_dedup_incremental_lsh(spark: SparkSession, sf: str) -> DataFrame:
 
 QUERIES = {
     "dedup_incremental_lsh": q_dedup_incremental_lsh,
+    "dedup_containment": q_dedup_containment,
     "dedup_keep_best": q_dedup_keep_best,
     "dedup_exact": q_dedup_exact,
     "simjoin_prefix": q_simjoin_prefix,
@@ -367,6 +382,21 @@ QUERIES = {
 }
 
 ORACLES = {
+    "dedup_containment": f"""
+        WITH {_SHINGLE_SQL},
+        sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b,
+               ROUND(CAST(c AS DOUBLE) / LEAST(x.n, y.n), 4) AS containment
+        FROM pairs
+        JOIN sz x ON x.doc_id = doc_a
+        JOIN sz y ON y.doc_id = doc_b
+        WHERE CAST(c AS DOUBLE) / LEAST(x.n, y.n) >= 0.7
+    """,
     "dedup_incremental_lsh": f"""
         WITH {_bands_cte_body()},
         sz AS (SELECT doc_id AS id, COUNT(*) AS n FROM sh GROUP BY doc_id),

@@ -101,6 +101,7 @@ def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: i
 def jaccard_pairs(
     sh: DataFrame,
     threshold: float = 0.8,
+    measure: str = "jaccard",
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs from a (id, shingle) table.
 
@@ -171,16 +172,26 @@ def jaccard_pairs(
         .groupBy(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
         .agg(F.count("*").alias("c"))
     )
+    if measure == "jaccard":
+        score = F.col("c").cast("double") / (
+            F.col("na") + F.col("nb") - F.col("c")
+        )
+    elif measure == "containment":
+        # |A∩B| / min(|A|,|B|): the ASYMMETRIC near-subset signal — a
+        # page embedded verbatim inside a larger page scores ~1.0 here
+        # while its Jaccard can be arbitrarily low. Same plan, same
+        # collapse/pruning validity (identical sets are interchangeable
+        # in intersection and min-size alike).
+        score = F.col("c").cast("double") / F.least(F.col("na"), F.col("nb"))
+    else:
+        raise ValueError(f"unknown measure {measure!r}")
     jac = (
         common.join(F.broadcast(sizes.withColumnsRenamed({"id": "doc_a", "n": "na"})), on="doc_a")
         .join(F.broadcast(sizes.withColumnsRenamed({"id": "doc_b", "n": "nb"})), on="doc_b")
-        .withColumn(
-            "jaccard",
-            F.col("c").cast("double") / (F.col("na") + F.col("nb") - F.col("c")),
-        )
+        .withColumn(measure, score)
     )
-    rep_pairs = jac.filter(F.col("jaccard") >= threshold).select(
-        "doc_a", "doc_b", F.col("jaccard")
+    rep_pairs = jac.filter(F.col(measure) >= threshold).select(
+        "doc_a", "doc_b", F.col(measure)
     )
     # re-expand representatives to members: cross-group pairs inherit the
     # rep pair's jaccard (identical sets are interchangeable in both the
@@ -192,13 +203,13 @@ def jaccard_pairs(
     cross = (
         rep_pairs.join(ra, "doc_a")
         .join(rb, "doc_b")
-        .select("fpa", "fpb", "jaccard")
+        .select("fpa", "fpb", measure)
         .join(ma, "fpa")
         .join(mb, "fpb")
         .select(
             F.least("ia", "ib").alias("doc_a"),
             F.greatest("ia", "ib").alias("doc_b"),
-            F.round("jaccard", 4).alias("jaccard"),
+            F.round(measure, 4).alias(measure),
         )
     )
     if threshold > 1.0:
@@ -209,10 +220,20 @@ def jaccard_pairs(
         .select(
             F.col("ia").alias("doc_a"),
             F.col("ib").alias("doc_b"),
-            F.round(F.lit(1.0), 4).alias("jaccard"),
+            F.round(F.lit(1.0), 4).alias(measure),
         )
     )
     return cross.unionByName(intra)
+
+
+def containment_pairs(sh: DataFrame, threshold: float = 0.8) -> DataFrame:
+    """Near-SUBSET duplicate pairs: containment = |A∩B| / min(|A|,|B|)
+    over shingle sets — catches the web-corpus shape Jaccard misses (a
+    document embedded inside a larger one: intersection ≈ the smaller
+    set, union ≈ the larger, so Jaccard ≈ size ratio while containment
+    ≈ 1). Same plan as `jaccard_pairs` (replica collapse + df>1 prune +
+    one equi-join), just the asymmetric score."""
+    return jaccard_pairs(sh, threshold, measure="containment")
 
 
 def minhash_signatures(sh: DataFrame, num_hashes: int = 8) -> DataFrame:
