@@ -49,6 +49,7 @@ _MODULES = [
 #: (round-3 advice: bpe_encode/ann_filtered landed outside the sample).
 NEW_THIS_ROUND = [
     # round 6
+    "events_hop_window",
     "dedup_containment",
     "dedup_incremental_lsh",
     "gdpr_erasure",

@@ -31,6 +31,33 @@ def q_events_hourly(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_events_hop_window(spark: SparkSession, sf: str) -> DataFrame:
+    """HOPPING window aggregation (2-hour windows sliding every hour) via
+    Spark's native `window()` — the overlapping-window primitive behind
+    trend monitors; each event expands map-side to its two covering
+    windows, then one partial→final aggregate (same shape streaming uses
+    with a watermark). The oracle derives the covering window starts
+    arithmetically."""
+    e = table(spark, sf, "events")
+    return (
+        e.groupBy(
+            F.window("ts", "2 hours", "1 hour").alias("w"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd'T'HH:mm:ss").alias(
+                "win_start"
+            ),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 def q_events_sessionize(spark: SparkSession, sf: str) -> DataFrame:
     """Gap-based sessionization via lag window (30-min inactivity gap):
     sessions-per-user. Batch twin of applyInPandasWithState sessionization."""
@@ -1667,6 +1694,7 @@ QUERIES = {
     "cdf_order_changes": q_cdf_order_changes,
     "jv_orders_refresh": q_jv_orders_refresh,
     "events_hourly": q_events_hourly,
+    "events_hop_window": q_events_hop_window,
     "scd2_event_types": q_scd2_event_types,
     "retention_cohorts": q_retention_cohorts,
     "events_interval_join": q_events_interval_join,
@@ -2244,6 +2272,18 @@ ORACLES = {
                ) AS filled_val
         FROM spine s
         LEFT JOIN daily ON s.user_id = daily.user_id AND s.day = daily.day
+    """,
+    "events_hop_window": """
+        WITH x AS (
+            SELECT event_type, value,
+                   date_trunc('hour', ts) - h * INTERVAL 1 HOUR AS win_start
+            FROM events, UNNEST([0, 1]) AS t(h)
+        )
+        SELECT strftime(win_start, '%Y-%m-%dT%H:%M:%S') AS win_start,
+               event_type,
+               COUNT(*) AS n_events,
+               ROUND(SUM(value), 2) AS total_value
+        FROM x GROUP BY 1, 2
     """,
     "events_hourly": """
         SELECT strftime(date_trunc('hour', ts), '%Y-%m-%dT%H:%M:%S') AS hour_ts,
