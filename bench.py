@@ -161,6 +161,22 @@ HEADLINE = [
     "hist_selectivity_orders",
     "skyline_parts",
     "mixture_materialize",
+    "mv_percentile_route",
+    "metadata_rowcount",
+    "dedup_keep_best",
+    # round 6, third batch (clone, z-order cluster commit, type widening,
+    # GDPR lifecycle, exact bitmaps, weighted SSSP, privacy gate,
+    # containment dedup, hopping windows). Versioned fixtures memoize per
+    # (query, sf) as before: medians measure steady-state reads.
+    "clone_divergence",
+    "cluster_pruned_scan",
+    "tt_widen_scan",
+    "gdpr_erasure",
+    "bitmap_distinct_rollup",
+    "sssp_trade",
+    "k_anonymity_customer",
+    "dedup_containment",
+    "events_hop_window",
 ]
 
 #: sf0.1-scale tier on the Zipf-vocabulary fixture (tools/gen_zipf.py):
@@ -183,6 +199,8 @@ ZIPF_QUERIES = [
     # counts here are governed by real shingle df, not the harness's
     # degenerate vocab or the sf1 fixture's exact-replica pairs
     "dedup_lsh_verified",
+    # round 6: the asymmetric near-subset score on realistic df
+    "dedup_containment",
 ]
 ZIPF_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "fixtures", "zipf0.1")
 

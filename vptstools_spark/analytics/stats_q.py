@@ -918,7 +918,40 @@ SELECT metric, value FROM (
 """
 
 
+
+
+def q_chi2_nation_segment(spark: SparkSession, sf: str) -> DataFrame:
+    """Chi-square test of independence on the (nation × market segment)
+    contingency table — the categorical-drift/association test next to
+    the numeric KS/PSI monitors. One count aggregate + broadcast margin
+    joins; E = row_tot · col_tot / N, χ² = Σ (O−E)²/E computed in a
+    fixed op order (engine-identical IEEE), dof = (r−1)(c−1)."""
+    c = table(spark, sf, "customer")
+    obs = c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count("*").alias("o")
+    )
+    row_m = obs.groupBy("c_nationkey").agg(F.sum("o").alias("rt"))
+    col_m = obs.groupBy("c_mktsegment").agg(F.sum("o").alias("ct"))
+    n = c.count()
+    terms = (
+        obs.join(F.broadcast(row_m), "c_nationkey")
+        .join(F.broadcast(col_m), "c_mktsegment")
+        .withColumn("e", F.col("rt") * F.col("ct") / F.lit(float(n)))
+        .withColumn(
+            "t", (F.col("o") - F.col("e")) * (F.col("o") - F.col("e")) / F.col("e")
+        )
+    )
+    r = c.select("c_nationkey").distinct().count()
+    k = c.select("c_mktsegment").distinct().count()
+    return terms.agg(
+        F.round(F.sum("t"), 4).alias("chi2"),
+        F.lit((r - 1) * (k - 1)).cast("long").alias("dof"),
+        F.lit(n).cast("long").alias("n"),
+    )
+
+
 QUERIES = {
+    "chi2_nation_segment": q_chi2_nation_segment,
     "k_anonymity_customer": q_k_anonymity_customer,
     "mv_percentile_route": q_mv_percentile_route,
     "hist_selectivity_orders": q_hist_selectivity_orders,
@@ -948,6 +981,28 @@ QUERIES = {
 }
 
 ORACLES = {
+    "chi2_nation_segment": """
+        WITH obs AS (
+            SELECT c_nationkey, c_mktsegment, COUNT(*) AS o
+            FROM customer GROUP BY 1, 2
+        ),
+        rm AS (SELECT c_nationkey, SUM(o) AS rt FROM obs GROUP BY 1),
+        cm AS (SELECT c_mktsegment, SUM(o) AS ct FROM obs GROUP BY 1),
+        n AS (SELECT COUNT(*) AS n FROM customer),
+        terms AS (
+            SELECT o,
+                   CAST(rt AS DOUBLE) * ct / n.n AS e
+            FROM obs JOIN rm USING (c_nationkey)
+                     JOIN cm USING (c_mktsegment)
+                     CROSS JOIN n
+        )
+        SELECT ROUND(SUM((o - e) * (o - e) / e), 4) AS chi2,
+               CAST((SELECT COUNT(DISTINCT c_nationkey) - 1 FROM customer)
+                    * (SELECT COUNT(DISTINCT c_mktsegment) - 1 FROM customer)
+                    AS BIGINT) AS dof,
+               (SELECT CAST(n AS BIGINT) FROM n) AS n
+        FROM terms
+    """,
     "k_anonymity_customer": _K_ANON_ORACLE,
     "mv_percentile_route": _MV_PCT_ORACLE,
     "hist_selectivity_orders": _HIST_SEL_ORACLE,

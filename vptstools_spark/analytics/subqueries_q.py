@@ -144,6 +144,25 @@ def q_except_open_customers(spark: SparkSession, sf: str) -> DataFrame:
     return all_c.subtract(open_c)
 
 
+def q_intersect_loyal_customers(spark: SparkSession, sf: str) -> DataFrame:
+    """INTERSECT (set intersection, dedup semantics): customers active in
+    BOTH 1996 and 1997 — completes the set-operator family next to
+    UNION (U1-U3) and EXCEPT. Spark plans intersect as a left-semi
+    aggregate join; the aggregate proves value parity."""
+    o = table(spark, sf, "orders")
+    y96 = o.filter(F.year("o_orderdate") == 1996).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    y97 = o.filter(F.year("o_orderdate") == 1997).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    both = y96.intersect(y97)
+    return both.agg(
+        F.count("*").alias("n_customers"),
+        F.sum("custkey").cast("long").alias("key_sum"),
+    )
+
+
 def q_unpivot_part_stats(spark: SparkSession, sf: str) -> DataFrame:
     """UNPIVOT (wide→long reshaping): per-brand averages melted into
     (brand, metric, value) rows — `DataFrame.unpivot`, the inverse of the
@@ -373,6 +392,7 @@ def q_idle_rich_by_prefix(spark: SparkSession, sf: str) -> DataFrame:
 
 
 QUERIES = {
+    "intersect_loyal_customers": q_intersect_loyal_customers,
     "idle_rich_by_prefix": q_idle_rich_by_prefix,
     "exists_late_shipment": q_exists_late_shipment,
     "not_exists_idle_rich": q_not_exists_idle_rich,
@@ -392,6 +412,17 @@ QUERIES = {
 }
 
 ORACLES = {
+    "intersect_loyal_customers": """
+        WITH both_years AS (
+            SELECT o_custkey AS custkey FROM orders
+            WHERE year(o_orderdate) = 1996
+            INTERSECT
+            SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+        )
+        SELECT COUNT(*) AS n_customers,
+               CAST(SUM(custkey) AS BIGINT) AS key_sum
+        FROM both_years
+    """,
     "idle_rich_by_prefix": """
         WITH ab AS (SELECT AVG(c_acctbal) AS ab FROM customer WHERE c_acctbal > 0.0)
         SELECT substring(c_name, 17, 2) AS code,
