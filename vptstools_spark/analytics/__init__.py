@@ -61,6 +61,17 @@ NEW_THIS_ROUND = [
     "sssp_trade",
     "bitmap_distinct_rollup",
     "clone_divergence",
+    # round 6, second batch
+    "dedup_keep_best",
+    "metadata_rowcount",
+    "mv_percentile_route",
+    "sketch_qhist_rollup",
+    "text_index_search",
+    "feature_pit_join",
+    "hist_selectivity_orders",
+    "skyline_parts",
+    "mixture_materialize",
+    # round 6, first batch
     "occ_rebase_commits",
     "cdc_eq_merge",
     "fs_skipped_scan",
