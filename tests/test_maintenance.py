@@ -432,3 +432,51 @@ def test_cluster_preserves_history_and_hive_partitions(spark, tmp_path):
     t = read_version(spark, path, r["version"])
     assert t.count() == 2_000
     assert t.select("part").distinct().count() == 4
+
+
+def test_incremental_cluster_rewrites_only_accretion(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from vptstools_spark.plans.maintenance import cluster_versioned_table
+    from vptstools_spark.plans.timetravel import (
+        _read_commit,
+        commit_append,
+        commit_initial,
+        delete_where,
+        read_version,
+        skipped_files,
+    )
+
+    path = str(tmp_path / "t")
+    df = spark.range(0, 10_000).select(
+        F.col("id").alias("a"), ((F.col("id") * 7919) % 10_000).alias("b")
+    ).repartition(4, "a")
+    commit_initial(df, path, [], stats_cols=["a", "b"])
+    r1 = cluster_versioned_table(spark, path, ["a", "b"], n_files=8)
+    clustered = set(_read_commit(spark, path, r1["version"])["clustered_files"])
+    assert len(clustered) == 8
+    # accretion: two appends + a MOR delete on the clustered bulk
+    extra = spark.range(20_000, 24_000).select(
+        F.col("id").alias("a"), ((F.col("id") * 7919) % 10_000).alias("b")
+    ).repartition(3, "a")
+    commit_append(spark, path, extra)
+    delete_where(spark, path, "a % 100 = 7")
+    before = read_version(spark, path).count()
+    r2 = cluster_versioned_table(
+        spark, path, ["a", "b"], n_files=4, incremental=True
+    )
+    c2 = _read_commit(spark, path, r2["version"])
+    # the clustered bulk was CARRIED, only the appended files rewritten
+    assert clustered <= set(c2["files"])
+    assert r2["rewritten"] == 4
+    assert read_version(spark, path).count() == before
+    # vectors on carried files still apply
+    assert read_version(spark, path).filter("a % 100 = 7").count() == 0
+    # a further incremental pass with no accretion is a no-op
+    r3 = cluster_versioned_table(
+        spark, path, ["a", "b"], n_files=4, incremental=True
+    )
+    assert r3["rewritten"] == 0 and r3["version"] == r2["version"]
+    # skipping still fires across old + new clustered generations
+    kept, skipped = skipped_files(spark, path, "a", ">=", 20_000, r2["version"])
+    assert len(skipped) > 0

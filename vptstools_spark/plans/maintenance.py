@@ -360,6 +360,7 @@ def cluster_versioned_table(
     cols: list[str],
     n_files: int = 16,
     bits: int = 8,
+    incremental: bool = False,
 ) -> dict:
     """Full-snapshot Z-ORDER re-cluster as a COMMIT — Delta's
     ``OPTIMIZE ... ZORDER BY`` for `plans/timetravel.py` tables, and the
@@ -398,7 +399,31 @@ def cluster_versioned_table(
 
     prev_v = _resolve_version(spark, path, None)
     prev = _read_commit(spark, path, prev_v)
-    snap = _read_snapshot(spark, path, prev_v)
+    live = set(prev["files"])
+    clustered = [f for f in (prev.get("clustered_files") or []) if f in live]
+    if incremental and clustered:
+        # liquid-style incremental pass: rewrite ONLY the unclustered
+        # accretion (streaming/append churn since the last cluster
+        # commit); the already-clustered bulk is CARRIED — at 100 TB
+        # this is the difference between an OPTIMIZE that costs
+        # O(new data) and one that rewrites the table. The new files
+        # get tight footer envelopes of their own; the bulk keeps its
+        # curve. Vectors that hit rewritten victims are materialized
+        # (their entries then match nothing — same contract as
+        # compaction); vectors on carried files keep applying.
+        victims = sorted(live - set(clustered))
+        if not victims:
+            return {
+                "version": prev_v,
+                "files": len(prev["files"]),
+                "rewritten": 0,
+            }
+        snap = _read_snapshot(spark, path, prev_v, file_subset=set(victims))
+        carried = clustered
+    else:
+        victims = sorted(live)
+        snap = _read_snapshot(spark, path, prev_v)
+        carried = []
     z = zvalue(snap, cols, bits)
     df = (
         snap.withColumn("__z", z)
@@ -416,20 +441,25 @@ def cluster_versioned_table(
     )
     extra = {
         **_carry(prev),
-        # full rewrite with deletes applied: no carried vectors/entries
-        "delete_files": [],
-        "eq_deletes": [],
-        "file_seqs": {},
         "zorder_by": list(cols),
+        "clustered_files": carried + rels,
     }
+    if not carried:
+        # full rewrite with deletes applied: no carried vectors/entries.
+        # (Incremental passes carry them: vectors on carried files keep
+        # applying; victim-referencing vector rows are inert because the
+        # rewrite materialized those deletes.)
+        extra["delete_files"] = []
+        extra["eq_deletes"] = []
+        extra["file_seqs"] = {}
     _commit(
         spark,
         path,
         new_v,
-        rels,
+        carried + rels,
         prev["partition_cols"],
         "cluster",
         prev.get("partition_types"),
         extra,
     )
-    return {"version": new_v, "files": len(rels)}
+    return {"version": new_v, "files": len(carried) + len(rels), "rewritten": len(rels)}

@@ -107,6 +107,11 @@ def _carry(prev: dict) -> dict:
         # every file's column up to the recorded type — metadata-only
         # type evolution, old files never rewritten
         "cast_types": prev.get("cast_types") or {},
+        # files written z-clustered (cluster_versioned_table): lets the
+        # INCREMENTAL cluster pass rewrite only the unclustered accretion;
+        # consumers intersect with the live file list (entries for files a
+        # later commit dropped are inert)
+        "clustered_files": prev.get("clustered_files") or [],
         # per-file ROW COUNTS (Iceberg manifest record counts): carried
         # files keep theirs; _commit footer-reads new files' — powers
         # metadata-only COUNT(*) (snapshot_rowcount)
