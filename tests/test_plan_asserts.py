@@ -67,8 +67,10 @@ def test_no_row_python_anywhere_vectorized_only_where_documented(spark):
         "dedup_semantic",         # same blocked-BLAS candidate stage
         "dedup_minhash_lsh",      # Arrow shingle generation
         "dedup_ngram_jaccard",
+        "dedup_containment",      # same Arrow shingle path as the Jaccard form
         "dedup_lsh_verified",
         "decontam_ngrams",
+        "skyline_parts",          # cross-row dominance (numpy per Arrow batch)
         "mm_wav_features",        # binary container decode (RIFF walk + numpy PCM)
         "mm_bmp_stats",           # binary container decode (DIB + numpy pixels)
         "mm_pcm_frames",          # raw int16 PCM framing (numpy)

@@ -49,6 +49,8 @@ _MODULES = [
 #: (round-3 advice: bpe_encode/ann_filtered landed outside the sample).
 NEW_THIS_ROUND = [
     # round 6
+    "text_readability",
+    "seasonal_revenue",
     "intersect_loyal_customers",
     "chi2_nation_segment",
     "events_hop_window",

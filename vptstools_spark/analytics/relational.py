@@ -84,6 +84,41 @@ def q_forecast_revenue(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_seasonal_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """Multiplicative seasonal indices of monthly revenue: per calendar
+    month, mean monthly revenue over the year range divided by the
+    overall monthly mean — the decomposition step a forecasting
+    pipeline runs before de-seasonalizing. All sums are DECIMAL (money
+    rule), so engines agree bit-for-bit until the final two divisions."""
+    o = table(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    monthly = o.groupBy(
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias("ym"),
+        F.month("o_orderdate").alias("m"),
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"))
+    overall = monthly.agg(
+        (F.sum("rev") / F.count("*")).alias("mean_all")
+    )
+    per_m = monthly.groupBy("m").agg(
+        (F.sum("rev") / F.count("*")).alias("mean_m"),
+        F.count("*").alias("n_months"),
+    )
+    return (
+        per_m.crossJoin(F.broadcast(overall))
+        .select(
+            "m",
+            "n_months",
+            F.round(F.col("mean_m").cast("double"), 2).alias("mean_revenue"),
+            F.round(
+                (F.col("mean_m") / F.col("mean_all")).cast("double"), 6
+            ).alias("seasonal_index"),
+        )
+        .orderBy("m")
+    )
+
+
 def q_top_unshipped(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q3-style: 3-way join + agg + deterministic top-10."""
     c = table(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
@@ -754,6 +789,7 @@ def q_skyline_parts(spark: SparkSession, sf: str) -> DataFrame:
 
 
 QUERIES = {
+    "seasonal_revenue": q_seasonal_revenue,
     "skyline_parts": q_skyline_parts,
     "join_order_sales": q_join_order_sales,
     "promo_revenue": q_promo_revenue,
@@ -788,6 +824,27 @@ QUERIES = {
 }
 
 ORACLES = {
+    "seasonal_revenue": """
+        WITH monthly AS (
+            SELECT strftime(CAST(date_trunc('month', o_orderdate) AS DATE), '%Y-%m') AS ym,
+                   month(o_orderdate) AS m,
+                   SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+              AND o_orderdate < TIMESTAMP '1998-01-01'
+            GROUP BY 1, 2
+        ),
+        overall AS (SELECT SUM(rev) / COUNT(*) AS mean_all FROM monthly),
+        per_m AS (
+            SELECT m, SUM(rev) / COUNT(*) AS mean_m, COUNT(*) AS n_months
+            FROM monthly GROUP BY m
+        )
+        SELECT m, n_months,
+               ROUND(CAST(mean_m AS DOUBLE), 2) AS mean_revenue,
+               ROUND(CAST(mean_m / mean_all AS DOUBLE), 6) AS seasonal_index
+        FROM per_m CROSS JOIN overall
+        ORDER BY m
+    """,
     "returned_item_report": """
 SELECT c_custkey, c_name, n_name, c_acctbal,
        ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))

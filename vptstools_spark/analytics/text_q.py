@@ -50,6 +50,39 @@ def q_text_langid(spark: SparkSession, sf: str) -> DataFrame:
     return d.select("doc_id", predict_language(F.col("text")).alias("pred_lang"))
 
 
+def q_text_readability(spark: SparkSession, sf: str) -> DataFrame:
+    """Flesch reading-ease per source — readability as a quality-filter
+    feature (classic curation signal next to stopword/length ratios).
+    Syllables = vowel-group count per token (≥1), sentences = terminal-
+    punctuation count (≥1); the whole formula is JVM regexp + one array
+    fold inside codegen, aggregated per source. Oracle rebuilds the
+    identical heuristic in SQL."""
+    d = table(spark, sf, "documents")
+    words = F.filter(F.split(F.col("text"), " "), lambda w: w != F.lit(""))
+    nw = F.greatest(F.size(words), F.lit(1))
+    syl = F.aggregate(
+        F.transform(
+            words,
+            lambda w: F.greatest(F.regexp_count(w, F.lit("[aeiouy]+")), F.lit(1)),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    sent = F.greatest(F.regexp_count(F.col("text"), F.lit("[.!?]")), F.lit(1))
+    flesch = (
+        F.lit(206.835)
+        - F.lit(1.015) * (nw.cast("double") / sent.cast("double"))
+        - F.lit(84.6) * (syl.cast("double") / nw.cast("double"))
+    )
+    per = d.select("source", flesch.alias("fl"), nw.alias("nw"), syl.alias("syl"))
+    return per.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("fl"), 3).alias("flesch"),
+        F.sum("nw").cast("long").alias("n_words"),
+        F.sum("syl").cast("long").alias("n_syllables"),
+    ).orderBy("source")
+
+
 def q_text_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
     d = table(spark, sf, "documents")
     return d.groupBy("source").agg(
@@ -568,6 +601,7 @@ def q_inverted_index(spark: SparkSession, sf: str) -> DataFrame:
 
 
 QUERIES = {
+    "text_readability": q_text_readability,
     "inverted_index": q_inverted_index,
     "profile_documents": q_profile_documents,
     "quality_classifier": q_quality_classifier,
@@ -605,6 +639,30 @@ def _langid_confusion_sql() -> str:
 
 
 ORACLES = {
+    "text_readability": """
+        WITH t AS (
+            SELECT source,
+                   list_filter(string_split(text, ' '), x -> x <> '') AS w,
+                   GREATEST(len(regexp_extract_all(text, '[.!?]')), 1) AS s
+            FROM documents
+        ),
+        m AS (
+            SELECT source, s,
+                   GREATEST(len(w), 1) AS nw,
+                   list_aggregate(
+                       list_transform(w, x ->
+                           GREATEST(len(regexp_extract_all(x, '[aeiouy]+')), 1)),
+                       'sum') AS syl
+            FROM t
+        )
+        SELECT source,
+               COUNT(*) AS n_docs,
+               ROUND(AVG(206.835 - 1.015 * (CAST(nw AS DOUBLE) / s)
+                         - 84.6 * (CAST(syl AS DOUBLE) / nw)), 3) AS flesch,
+               CAST(SUM(nw) AS BIGINT) AS n_words,
+               CAST(SUM(syl) AS BIGINT) AS n_syllables
+        FROM m GROUP BY source ORDER BY source
+    """,
     "mm_bmp_patches": """
         WITH ids AS (
             SELECT DISTINCT doc_id AS id FROM documents WHERE doc_id < 200
