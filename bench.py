@@ -177,6 +177,10 @@ HEADLINE = [
     "k_anonymity_customer",
     "dedup_containment",
     "events_hop_window",
+    "intersect_loyal_customers",
+    "chi2_nation_segment",
+    "text_readability",
+    "seasonal_revenue",
 ]
 
 #: sf0.1-scale tier on the Zipf-vocabulary fixture (tools/gen_zipf.py):
@@ -224,6 +228,11 @@ SF1_QUERIES = [
     "lone_late_supplier",
     "top_unshipped",
     "ann_filtered",
+    # round 6: weighted SSSP and the asymmetric exact-dedup form join the
+    # linear-contract tier (frontier rounds / replica collapse argue the
+    # asymptotics; this measures them)
+    "sssp_trade",
+    "dedup_containment",
 ]
 #: quadratic-by-construction exact baselines, explicitly EXEMPT from the
 #: linear-scaling contract of the sf1 probe (VERDICT r4 #1/#3): still run
