@@ -33,6 +33,7 @@ TS_QUERIES = [
     "scd2_event_types",
     "events_interval_join",
     "retention_cohorts",
+    "events_hop_window",
 ]
 
 
