@@ -157,3 +157,51 @@ def test_clone_refuses_existing_destination(spark, tmp_path):
     shallow_clone(spark, src, dst)
     with pytest.raises(ValueError, match="already a table"):
         shallow_clone(spark, src, dst)
+
+
+def test_clone_preserves_hidden_partitioning_and_skipping(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from vptstools_spark.plans.timetravel import (
+        commit_append,
+        read_version_pruned,
+        skipped_files,
+    )
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    df = spark.range(0, 2_000).select(
+        F.col("id").alias("k"),
+        F.to_timestamp(
+            F.concat(
+                F.lit("2024-01-"),
+                F.lpad(((F.col("id") % 28) + 1).cast("string"), 2, "0"),
+                F.lit(" 12:00:00"),
+            )
+        ).alias("ts"),
+        (F.col("id") * 3).alias("m"),
+    )
+    commit_initial(
+        df,
+        src,
+        ["p_day"],
+        partition_transforms={"p_day": ("days", "ts")},
+        stats_cols=["m"],
+    )
+    shallow_clone(spark, src, dst)
+    # hidden-transform pruning works through the clone
+    got = read_version_pruned(spark, dst, "ts", ">=", "2024-01-27 00:00:00")
+    want = read_version(spark, dst).filter("ts >= '2024-01-27 00:00:00'")
+    assert got.count() == want.count() > 0
+    assert "p_day" not in got.columns
+    # footer-stats skipping manifests survived the relabeling
+    kept, skipped = skipped_files(spark, dst, "m", "<=", 50, 0)
+    assert len(skipped) > 0
+    # and clone-side appends re-derive the hidden column from the spec
+    commit_append(
+        spark,
+        dst,
+        spark.createDataFrame(
+            [(99_999, None, 1)], "k long, ts timestamp, m long"
+        ).withColumn("ts", F.lit("2024-02-05 08:00:00").cast("timestamp")),
+    )
+    assert read_version(spark, dst).filter("k = 99999").count() == 1
