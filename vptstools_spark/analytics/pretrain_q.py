@@ -71,6 +71,60 @@ def q_sample_stratified(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_sample_neyman(spark: SparkSession, sf: str) -> DataFrame:
+    """Neyman-allocation stratified sampling: a 1000-row budget split
+    across order-priority strata ∝ N_s·σ_s (variance-optimal for
+    estimating mean revenue — the statistically-grounded upgrade over
+    proportional allocation). Determinism end to end: σ_s comes from
+    EXACT decimal Σx/Σx² (cast to double once, fixed op order — IEEE
+    identical in any engine), allocation masses are floored to integer
+    micro-units so the quota arithmetic is pure integer, and each
+    stratum keeps its quota-smallest md5(orderkey) rows. The oracle
+    replays every step."""
+    o = table(spark, sf, "orders")
+    pri = "o_orderpriority"
+    x = F.col("o_totalprice")
+    stats = o.groupBy(pri).agg(
+        F.count("*").alias("n"),
+        F.sum(x.cast("decimal(18,2)")).alias("sx"),
+        F.sum((x.cast("decimal(18,2)") * x.cast("decimal(18,2)"))).alias("sxx"),
+    )
+    sx_d = F.col("sx").cast("double")
+    sxx_d = F.col("sxx").cast("double")
+    n_d = F.col("n").cast("double")
+    var = (sxx_d - sx_d * sx_d / n_d) / (n_d - F.lit(1.0))
+    mass = F.floor(F.col("n") * F.sqrt(var) * F.lit(1e6)).cast("long")
+    alloc = stats.withColumn("mass", mass)
+    total = alloc.agg(F.sum("mass").alias("tm"))
+    quota = (
+        alloc.crossJoin(F.broadcast(total))
+        .withColumn(
+            "n_target",
+            F.expr("(1000 * mass) div tm").cast("long"),
+        )
+        .select(pri, "n_target")
+    )
+    w = Window.partitionBy(pri).orderBy(
+        F.md5(F.col("o_orderkey").cast("string")).asc(), F.col("o_orderkey").asc()
+    )
+    picked = (
+        o.withColumn("rn", F.row_number().over(w))
+        .join(F.broadcast(quota), pri)
+        .filter(F.col("rn") <= F.col("n_target"))
+    )
+    return (
+        picked.groupBy(pri, "n_target")
+        .agg(
+            F.count("*").alias("n_sampled"),
+            F.sum("o_orderkey").cast("long").alias("key_sum"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy(pri)
+    )
+
+
 def q_domain_caps(spark: SparkSession, sf: str) -> DataFrame:
     """Per-source document cap at DOMAIN_CAP by hash order (domain balancing:
     no source may dominate the mix). Reports survivor count and the kept
@@ -374,6 +428,7 @@ QUERIES = {
     "decontam_ngrams": q_decontam_ngrams,
     "pii_scrub": q_pii_scrub,
     "sample_stratified": q_sample_stratified,
+    "sample_neyman": q_sample_neyman,
     "domain_caps": q_domain_caps,
     "dedup_semantic": q_dedup_semantic,
     "text_perplexity": q_text_perplexity,
@@ -389,6 +444,47 @@ for _name, _pat in PII_PATTERNS.items():
     )
 
 ORACLES = {
+    "sample_neyman": """
+        WITH stats AS (
+            SELECT o_orderpriority,
+                   COUNT(*) AS n,
+                   SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS sx,
+                   SUM(CAST(o_totalprice AS DECIMAL(18,2))
+                       * CAST(o_totalprice AS DECIMAL(18,2))) AS sxx
+            FROM orders GROUP BY 1
+        ),
+        alloc AS (
+            SELECT o_orderpriority, n,
+                   CAST(FLOOR(n * sqrt(
+                       (CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                       / (CAST(n AS DOUBLE) - 1.0)
+                   ) * 1e6) AS BIGINT) AS mass
+            FROM stats
+        ),
+        quota AS (
+            SELECT o_orderpriority,
+                   CAST((1000 * mass) // (SELECT SUM(mass) FROM alloc) AS BIGINT)
+                       AS n_target
+            FROM alloc
+        ),
+        ranked AS (
+            SELECT o_orderpriority, o_orderkey, o_totalprice,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY o_orderpriority
+                       ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey
+                   ) AS rn
+            FROM orders
+        )
+        SELECT r.o_orderpriority, q.n_target,
+               COUNT(*) AS n_sampled,
+               CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+               CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+                   AS revenue
+        FROM ranked r JOIN quota q USING (o_orderpriority)
+        WHERE rn <= q.n_target
+        GROUP BY 1, 2 ORDER BY 1
+    """,
     "mixture_materialize": _MIX_ORACLE,
     "sample_temperature": """
         WITH c AS (
