@@ -58,6 +58,42 @@ def q_events_hop_window(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_events_streaks(spark: SparkSession, sf: str) -> DataFrame:
+    """Gaps-and-islands: longest run of CONSECUTIVE active days per user
+    (day − dense rank = island id — the canonical SQL islands trick),
+    reported as top-20 users by streak with deterministic tie-break.
+    Windows are user-partitioned; the top-20 is TakeOrderedAndProject,
+    never a global sort."""
+    e = table(spark, sf, "events").filter(F.col("user_id") < 200)
+    days = e.select(
+        "user_id", F.to_date("ts").alias("d")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    islands = days.withColumn(
+        "island",
+        F.datediff(F.col("d"), F.lit("1970-01-01").cast("date"))
+        - F.row_number().over(w),
+    )
+    streaks = islands.groupBy("user_id", "island").agg(
+        F.count("*").alias("streak"),
+        F.min("d").alias("start_d"),
+    )
+    best = streaks.groupBy("user_id").agg(
+        F.max(F.struct("streak", F.col("start_d").cast("string").alias("sd"))).alias("b"),
+        F.count("*").alias("n_islands"),
+    )
+    return (
+        best.select(
+            "user_id",
+            F.col("b.streak").alias("longest_streak"),
+            F.col("b.sd").alias("streak_start"),
+            "n_islands",
+        )
+        .orderBy(F.col("longest_streak").desc(), "user_id")
+        .limit(20)
+    )
+
+
 def q_events_sessionize(spark: SparkSession, sf: str) -> DataFrame:
     """Gap-based sessionization via lag window (30-min inactivity gap):
     sessions-per-user. Batch twin of applyInPandasWithState sessionization."""
@@ -1695,6 +1731,7 @@ QUERIES = {
     "jv_orders_refresh": q_jv_orders_refresh,
     "events_hourly": q_events_hourly,
     "events_hop_window": q_events_hop_window,
+    "events_streaks": q_events_streaks,
     "scd2_event_types": q_scd2_event_types,
     "retention_cohorts": q_retention_cohorts,
     "events_interval_join": q_events_interval_join,
@@ -2272,6 +2309,37 @@ ORACLES = {
                ) AS filled_val
         FROM spine s
         LEFT JOIN daily ON s.user_id = daily.user_id AND s.day = daily.day
+    """,
+    "events_streaks": """
+        WITH days AS (
+            SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+            FROM events WHERE user_id < 200
+        ),
+        isl AS (
+            SELECT user_id, d,
+                   CAST(d - DATE '1970-01-01' AS BIGINT)
+                       - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d)
+                       AS island
+            FROM days
+        ),
+        st AS (
+            SELECT user_id, island, COUNT(*) AS streak,
+                   CAST(MIN(d) AS VARCHAR) AS sd
+            FROM isl GROUP BY 1, 2
+        ),
+        best AS (
+            SELECT user_id,
+                   MAX({'streak': streak, 'sd': sd}) AS b,
+                   COUNT(*) AS n_islands
+            FROM st GROUP BY user_id
+        )
+        SELECT user_id,
+               CAST(b.streak AS BIGINT) AS longest_streak,
+               b.sd AS streak_start,
+               n_islands
+        FROM best
+        ORDER BY longest_streak DESC, user_id
+        LIMIT 20
     """,
     "events_hop_window": """
         WITH x AS (
