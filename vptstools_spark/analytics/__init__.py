@@ -49,6 +49,7 @@ _MODULES = [
 #: (round-3 advice: bpe_encode/ann_filtered landed outside the sample).
 NEW_THIS_ROUND = [
     # round 6
+    "market_concentration",
     "events_streaks",
     "abc_parts",
     "sample_neyman",

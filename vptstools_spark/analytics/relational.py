@@ -160,6 +160,37 @@ def q_abc_parts(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_market_concentration(spark: SparkSession, sf: str) -> DataFrame:
+    """Herfindahl-Hirschman concentration index per region: Σ (nation
+    revenue share)² over customer order revenue — the standard market-
+    concentration statistic. Shares divide DECIMAL-exact sums in fixed
+    order; the per-region Σ share² runs over ≤ nations-per-region rows."""
+    o = table(spark, sf, "orders")
+    c = table(spark, sf, "customer")
+    n = table(spark, sf, "nation")
+    r = table(spark, sf, "region")
+    rev = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("r_name", "n_name")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"))
+    )
+    tot = rev.groupBy("r_name").agg(F.sum("rev").alias("tot"))
+    share = rev.join(F.broadcast(tot), "r_name").withColumn(
+        "sh", F.col("rev").cast("double") / F.col("tot").cast("double")
+    )
+    return (
+        share.groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_nations"),
+            F.round(F.sum(F.col("sh") * F.col("sh")), 6).alias("hhi"),
+            F.round(F.max("sh"), 6).alias("top_share"),
+        )
+        .orderBy("r_name")
+    )
+
+
 def q_top_unshipped(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q3-style: 3-way join + agg + deterministic top-10."""
     c = table(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
@@ -830,6 +861,7 @@ def q_skyline_parts(spark: SparkSession, sf: str) -> DataFrame:
 
 
 QUERIES = {
+    "market_concentration": q_market_concentration,
     "abc_parts": q_abc_parts,
     "seasonal_revenue": q_seasonal_revenue,
     "skyline_parts": q_skyline_parts,
@@ -866,6 +898,27 @@ QUERIES = {
 }
 
 ORACLES = {
+    "market_concentration": """
+        WITH rev AS (
+            SELECT r_name, n_name,
+                   SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY 1, 2
+        ),
+        t AS (SELECT r_name, SUM(rev) AS tot FROM rev GROUP BY 1),
+        sh AS (
+            SELECT rev.r_name,
+                   CAST(rev AS DOUBLE) / CAST(tot AS DOUBLE) AS sh
+            FROM rev JOIN t ON rev.r_name = t.r_name
+        )
+        SELECT r_name, COUNT(*) AS n_nations,
+               ROUND(SUM(sh * sh), 6) AS hhi,
+               ROUND(MAX(sh), 6) AS top_share
+        FROM sh GROUP BY r_name ORDER BY r_name
+    """,
     "abc_parts": """
         WITH rev AS (
             SELECT p_brand,
