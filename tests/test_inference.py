@@ -1,0 +1,51 @@
+"""Invariant tests for the statistical-inference / pattern-mining queries
+(analytics/inference_q.py). The value gate against DuckDB runs in the
+correctness harness; these assert the mathematical invariants the closed
+forms must satisfy on the sf0.001 tables."""
+
+import math
+
+from vptstools_spark.analytics import inference_q
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_welch_t_test_closed_form(spark):
+    row = inference_q.q_ab_test_welch(spark, SF).collect()[0]
+    assert row.n1 > 1 and row.n2 > 1
+    assert math.isfinite(row.t_stat)
+    # Welch-Satterthwaite df is bounded by [min(n)-1, n1+n2-2]
+    assert min(row.n1, row.n2) - 1 <= row.welch_df <= row.n1 + row.n2 - 2
+
+
+def test_benford_digit_distribution(spark):
+    rows = inference_q.q_benford_prices(spark, SF).collect()
+    digits = {r.digit for r in rows}
+    assert digits <= set(range(1, 10))
+    # observed shares sum to 1; Benford shares sum to 1 over full support
+    assert abs(sum(r.p_obs for r in rows) - 1.0) < 1e-4
+    full_benford = sum(math.log10(1 + 1 / d) for d in range(1, 10))
+    assert abs(full_benford - 1.0) < 1e-12
+    assert all(r.chi2_term >= 0 for r in rows)
+
+
+def test_kaplan_meier_monotone(spark):
+    rows = inference_q.q_kaplan_meier(spark, SF).collect()
+    assert rows, "expected at least one churn event at sf0.001"
+    by_t = sorted(rows, key=lambda r: r.tenure)
+    last = 1.0
+    for r in by_t:
+        assert 0.0 < r.survival <= 1.0
+        assert r.survival <= last + 1e-9  # product-limit is non-increasing
+        last = r.survival
+        assert r.d >= 1 and r.n_risk >= r.d
+
+
+def test_basket_lift_rule_invariants(spark):
+    rows = inference_q.q_basket_lift(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.brand_a < r.brand_b  # unordered pairs, canonical order
+        assert r.n_pair >= 5  # min-support filter
+        assert 0 < r.support <= r.confidence <= 1.0
+        assert r.lift > 0

@@ -34,6 +34,7 @@ TS_QUERIES = [
     "events_interval_join",
     "retention_cohorts",
     "events_hop_window",
+    "kaplan_meier",
 ]
 
 

@@ -13,6 +13,7 @@ from vptstools_spark.analytics import (
     dedup_q,
     events_q,
     graph_q,
+    inference_q,
     inventory_q,
     pretrain_q,
     relational,
@@ -40,6 +41,7 @@ _MODULES = [
     ts_q,
     sketch_q,
     corpus_q,
+    inference_q,
 ]
 
 
@@ -48,6 +50,11 @@ _MODULES = [
 #: work must sort before the cutoff to ship with recorded verification
 #: (round-3 advice: bpe_encode/ann_filtered landed outside the sample).
 NEW_THIS_ROUND = [
+    # round 6, fifth batch
+    "ab_test_welch",
+    "kaplan_meier",
+    "basket_lift",
+    "benford_prices",
     # round 6
     "market_concentration",
     "events_streaks",

@@ -1,0 +1,319 @@
+"""Statistical-inference / pattern-mining queries: Welch two-sample
+A/B test, Benford first-digit audit, Kaplan-Meier survival over user
+activity, and market-basket association rules (support/confidence/lift).
+
+Scale notes (100 TB): every query here is one fact-table scan folding
+into a partial->final aggregate; the post-aggregate shapes (2 arms,
+9 digits, <=366 tenure days, <=25^2 brand pairs) are constant-size, so
+the windows/self-joins that finish them run over provably tiny inputs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from vptstools_spark.io import table
+
+
+def q_ab_test_welch(spark: SparkSession, sf: str) -> DataFrame:
+    """Welch's unequal-variance two-sample t-test: URGENT vs LOW order
+    totals. One conditional partial->final aggregate produces per-arm
+    (n, mean, var); the t statistic and Welch-Satterthwaite degrees of
+    freedom are closed-form expressions over that 1-row result - the
+    canonical A/B-experiment readout as a single fact scan."""
+    o = table(spark, sf, "orders").filter(
+        F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
+    )
+    a = F.col("o_orderpriority") == "1-URGENT"
+    agg = o.agg(
+        F.count(F.when(a, 1)).alias("n1"),
+        F.count(F.when(~a, 1)).alias("n2"),
+        F.avg(F.when(a, F.col("o_totalprice"))).alias("m1"),
+        F.avg(F.when(~a, F.col("o_totalprice"))).alias("m2"),
+        F.var_samp(F.when(a, F.col("o_totalprice"))).alias("v1"),
+        F.var_samp(F.when(~a, F.col("o_totalprice"))).alias("v2"),
+    )
+    se1 = F.col("v1") / F.col("n1")
+    se2 = F.col("v2") / F.col("n2")
+    t = (F.col("m1") - F.col("m2")) / F.sqrt(se1 + se2)
+    df = (se1 + se2) ** 2 / (
+        se1**2 / (F.col("n1") - 1) + se2**2 / (F.col("n2") - 1)
+    )
+    return agg.select(
+        "n1",
+        "n2",
+        F.round("m1", 4).alias("mean_urgent"),
+        F.round("m2", 4).alias("mean_low"),
+        F.round(t, 4).alias("t_stat"),
+        F.round(df, 2).alias("welch_df"),
+    )
+
+
+_AB_WELCH_ORACLE = """
+    WITH agg AS (
+        SELECT
+            COUNT(*) FILTER (o_orderpriority = '1-URGENT') AS n1,
+            COUNT(*) FILTER (o_orderpriority = '5-LOW') AS n2,
+            AVG(o_totalprice) FILTER (o_orderpriority = '1-URGENT') AS m1,
+            AVG(o_totalprice) FILTER (o_orderpriority = '5-LOW') AS m2,
+            VAR_SAMP(o_totalprice) FILTER (o_orderpriority = '1-URGENT') AS v1,
+            VAR_SAMP(o_totalprice) FILTER (o_orderpriority = '5-LOW') AS v2
+        FROM orders
+        WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+    )
+    SELECT
+        n1, n2,
+        ROUND(m1, 4) AS mean_urgent,
+        ROUND(m2, 4) AS mean_low,
+        ROUND((m1 - m2) / SQRT(v1 / n1 + v2 / n2), 4) AS t_stat,
+        ROUND(
+            POW(v1 / n1 + v2 / n2, 2)
+            / (POW(v1 / n1, 2) / (n1 - 1) + POW(v2 / n2, 2) / (n2 - 1)),
+            2
+        ) AS welch_df
+    FROM agg
+"""
+
+
+def q_benford_prices(spark: SparkSession, sf: str) -> DataFrame:
+    """Benford's-law first-significant-digit audit of order totals: the
+    fraud-detection screen. One scan groups by leading digit; expected
+    frequencies log10(1 + 1/d) and the per-digit chi-square contribution
+    are literals over the 9-row aggregate (the total re-joins as a 1-row
+    broadcast, so the fact table never reshuffles)."""
+    o = table(spark, sf, "orders").filter(F.col("o_totalprice") > 0)
+    digit = F.floor(
+        F.col("o_totalprice")
+        / F.pow(F.lit(10.0), F.floor(F.log10("o_totalprice")))
+    ).alias("digit")
+    obs = o.select(digit).groupBy("digit").agg(F.count("*").alias("n_obs"))
+    total = obs.agg(F.sum("n_obs").alias("n_total"))
+    p_ben = F.log10(F.lit(1.0) + 1.0 / F.col("digit"))
+    exp_n = F.col("n_total") * p_ben
+    return (
+        obs.crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            "n_obs",
+            F.round(F.col("n_obs") / F.col("n_total"), 6).alias("p_obs"),
+            F.round(p_ben, 6).alias("p_benford"),
+            F.round(
+                (F.col("n_obs") - exp_n) ** 2 / exp_n, 6
+            ).alias("chi2_term"),
+        )
+    )
+
+
+_BENFORD_ORACLE = """
+    WITH obs AS (
+        SELECT
+            CAST(FLOOR(o_totalprice
+                       / POW(10, FLOOR(LOG10(o_totalprice)))) AS BIGINT)
+                AS digit,
+            COUNT(*) AS n_obs
+        FROM orders
+        WHERE o_totalprice > 0
+        GROUP BY 1
+    ),
+    tot AS (SELECT SUM(n_obs) AS n_total FROM obs)
+    SELECT
+        digit,
+        n_obs,
+        ROUND(CAST(n_obs AS DOUBLE) / n_total, 6) AS p_obs,
+        ROUND(LOG10(1.0 + 1.0 / digit), 6) AS p_benford,
+        ROUND(POW(n_obs - n_total * LOG10(1.0 + 1.0 / digit), 2)
+              / (n_total * LOG10(1.0 + 1.0 / digit)), 6) AS chi2_term
+    FROM obs CROSS JOIN tot
+"""
+
+
+def q_kaplan_meier(spark: SparkSession, sf: str) -> DataFrame:
+    """Kaplan-Meier survival estimate of user activity lifetime. Per-user
+    tenure (whole hours between first and last event) folds out of one
+    events scan; a user whose last event predates the corpus horizon by
+    >24h is a churn event, later users are right-censored. The life
+    table (at-risk counts via reverse cumulative sums) and the
+    product-limit estimator S(t) = prod(1 - d/n) = exp(sum(ln)) run over
+    the distinct-tenure aggregate - windows on provably tiny input
+    (distinct tenures are bounded by the corpus time span in hours, not
+    by user count)."""
+    e = table(spark, sf, "events")
+    horizon = e.agg(F.max("ts").alias("t_max"))
+    users = (
+        e.groupBy("user_id")
+        .agg(F.min("ts").alias("t0"), F.max("ts").alias("t1"))
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            # timestampdiff is defined for both LTZ and NTZ ts columns
+            # (the parquet annotation has flipped between driver rounds)
+            F.expr("timestampdiff(HOUR, t0, t1)").alias("tenure"),
+            (
+                F.col("t1") < F.col("t_max") - F.expr("INTERVAL 24 HOURS")
+            ).cast("int").alias("churned"),
+        )
+    )
+    life = users.groupBy("tenure").agg(
+        F.sum("churned").alias("d"),
+        F.count("*").alias("c"),
+    )
+    w_risk = (
+        Window.orderBy("tenure")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    w_surv = Window.orderBy("tenure").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    at_risk = life.withColumn("n_risk", F.sum("c").over(w_risk))
+    return (
+        at_risk.filter(F.col("d") > 0)
+        .withColumn(
+            "survival",
+            F.round(
+                F.exp(
+                    F.sum(
+                        F.log(1.0 - F.col("d") / F.col("n_risk"))
+                    ).over(w_surv)
+                ),
+                6,
+            ),
+        )
+        .select("tenure", "d", "n_risk", "survival")
+    )
+
+
+_KM_ORACLE = """
+    WITH horizon AS (SELECT MAX(ts) AS t_max FROM events),
+    users AS (
+        SELECT
+            CAST(FLOOR(DATE_DIFF('second', MIN(ts), MAX(ts)) / 3600.0)
+                 AS BIGINT) AS tenure,
+            CASE WHEN MAX(ts) < (SELECT t_max FROM horizon)
+                               - INTERVAL 24 HOUR
+                 THEN 1 ELSE 0 END AS churned
+        FROM events
+        GROUP BY user_id
+    ),
+    life AS (
+        SELECT tenure, CAST(SUM(churned) AS BIGINT) AS d, COUNT(*) AS c
+        FROM users GROUP BY tenure
+    ),
+    risk AS (
+        SELECT tenure, d,
+               CAST(SUM(c) OVER (ORDER BY tenure
+                                 ROWS BETWEEN CURRENT ROW
+                                 AND UNBOUNDED FOLLOWING) AS BIGINT)
+                   AS n_risk
+        FROM life
+    )
+    SELECT tenure, d, n_risk,
+           ROUND(EXP(SUM(LN(1.0 - CAST(d AS DOUBLE) / n_risk))
+                     OVER (ORDER BY tenure
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW)), 6) AS survival
+    FROM risk
+    WHERE d > 0
+"""
+
+
+def q_basket_lift(spark: SparkSession, sf: str) -> DataFrame:
+    """Market-basket association rules over brands co-purchased in one
+    order: support, confidence, and lift per unordered brand pair. The
+    part dimension broadcasts onto lineitem; baskets collapse to
+    DISTINCT (order, brand) before the pair self-join, so pair volume is
+    bounded by basket width (brand vocabulary is 25 -> <=300 pairs), not
+    by fact cardinality. min-support filter n_pair >= 5 keeps the rule
+    set deterministic."""
+    li = table(spark, sf, "lineitem")
+    p = table(spark, sf, "part").select("p_partkey", "p_brand")
+    baskets = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    n_orders = baskets.agg(
+        F.countDistinct("l_orderkey").alias("n_orders")
+    )
+    brand_n = baskets.groupBy("p_brand").agg(F.count("*").alias("n_brand"))
+    a = baskets.select(
+        F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("brand_a")
+    )
+    b = baskets.select(
+        F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("brand_b")
+    )
+    pairs = (
+        a.join(b, "ok")
+        .filter(F.col("brand_a") < F.col("brand_b"))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count("*").alias("n_pair"))
+        .filter(F.col("n_pair") >= 5)
+    )
+    na = brand_n.select(
+        F.col("p_brand").alias("brand_a"), F.col("n_brand").alias("n_a")
+    )
+    nb = brand_n.select(
+        F.col("p_brand").alias("brand_b"), F.col("n_brand").alias("n_b")
+    )
+    return (
+        pairs.join(F.broadcast(na), "brand_a")
+        .join(F.broadcast(nb), "brand_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "brand_a",
+            "brand_b",
+            "n_pair",
+            F.round(F.col("n_pair") / F.col("n_orders"), 6).alias("support"),
+            F.round(F.col("n_pair") / F.col("n_a"), 6).alias("confidence"),
+            F.round(
+                F.col("n_pair")
+                * F.col("n_orders")
+                / (F.col("n_a") * F.col("n_b").cast("double")),
+                4,
+            ).alias("lift"),
+        )
+    )
+
+
+_BASKET_ORACLE = """
+    WITH baskets AS (
+        SELECT DISTINCT l_orderkey, p_brand
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+    ),
+    n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM baskets),
+    brand_n AS (
+        SELECT p_brand, COUNT(*) AS n_brand FROM baskets GROUP BY 1
+    ),
+    pairs AS (
+        SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+               COUNT(*) AS n_pair
+        FROM baskets a JOIN baskets b ON a.l_orderkey = b.l_orderkey
+        WHERE a.p_brand < b.p_brand
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= 5
+    )
+    SELECT
+        brand_a, brand_b, n_pair,
+        ROUND(CAST(n_pair AS DOUBLE) / n.n_orders, 6) AS support,
+        ROUND(CAST(n_pair AS DOUBLE) / na.n_brand, 6) AS confidence,
+        ROUND(CAST(n_pair AS DOUBLE) * n.n_orders
+              / (na.n_brand * CAST(nb.n_brand AS DOUBLE)), 4) AS lift
+    FROM pairs
+    JOIN brand_n na ON na.p_brand = pairs.brand_a
+    JOIN brand_n nb ON nb.p_brand = pairs.brand_b
+    CROSS JOIN n
+"""
+
+
+QUERIES = {
+    "ab_test_welch": q_ab_test_welch,
+    "benford_prices": q_benford_prices,
+    "kaplan_meier": q_kaplan_meier,
+    "basket_lift": q_basket_lift,
+}
+
+ORACLES = {
+    "ab_test_welch": _AB_WELCH_ORACLE,
+    "benford_prices": _BENFORD_ORACLE,
+    "kaplan_meier": _KM_ORACLE,
+    "basket_lift": _BASKET_ORACLE,
+}
