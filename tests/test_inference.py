@@ -5,6 +5,8 @@ forms must satisfy on the sf0.001 tables."""
 
 import math
 
+import pytest
+
 from vptstools_spark.analytics import inference_q
 
 SF = "/root/testdata/sf0.001"
@@ -49,3 +51,62 @@ def test_basket_lift_rule_invariants(spark):
         assert r.n_pair >= 5  # min-support filter
         assert 0 < r.support <= r.confidence <= 1.0
         assert r.lift > 0
+
+
+def test_hits_scores_normalized(spark):
+    from vptstools_spark.analytics.graph_q import q_hits_nation
+
+    rows = q_hits_nation(spark, SF).collect()
+    assert rows
+    assert abs(sum(r.hub for r in rows) - 1.0) < 1e-3   # L1-normalized
+    assert abs(sum(r.auth for r in rows) - 1.0) < 1e-3
+    assert all(r.hub >= 0 and r.auth >= 0 for r in rows)
+
+
+def test_ewma_bounded_by_series_range(spark):
+    from vptstools_spark.analytics.ts_q import q_ewma_revenue
+
+    rows = q_ewma_revenue(spark, SF).collect()
+    assert rows
+    lo = min(r.revenue for r in rows)
+    hi = max(r.revenue for r in rows)
+    for r in sorted(rows, key=lambda r: r.month):
+        assert lo - 1e-6 <= r.ewma <= hi + 1e-6  # convex combination
+    first = min(rows, key=lambda r: r.month)
+    assert first.ewma == pytest.approx(first.revenue, abs=1e-3)
+
+
+def test_attribution_linear_conserves_value(spark):
+    """Total credit across channels equals the summed value of every
+    purchase that has at least one preceding touch in its segment."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from vptstools_spark.analytics.events_q import q_attribution_linear
+    from vptstools_spark.io import table
+
+    got = q_attribution_linear(spark, SF).collect()
+    total_credit = sum(r.credit for r in got)
+
+    e = table(spark, SF, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seg = e.withColumn(
+        "seg", F.count(F.when(F.col("event_type") == "purchase", 1)).over(w)
+    ).withColumn(
+        "n_prev_touch",
+        F.count(F.when(F.col("event_type") != "purchase", 1)).over(
+            Window.partitionBy("user_id", "seg")
+        ),
+    )
+    want = (
+        seg.filter(
+            (F.col("event_type") == "purchase") & (F.col("n_prev_touch") > 0)
+        )
+        .agg(F.sum(F.col("value").cast("double")))
+        .collect()[0][0]
+    )
+    assert total_credit == pytest.approx(want, rel=1e-6)

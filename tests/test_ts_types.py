@@ -35,6 +35,7 @@ TS_QUERIES = [
     "retention_cohorts",
     "events_hop_window",
     "kaplan_meier",
+    "attribution_linear",
 ]
 
 

@@ -55,6 +55,10 @@ NEW_THIS_ROUND = [
     "kaplan_meier",
     "basket_lift",
     "benford_prices",
+    "emb_covariance",
+    "ewma_revenue",
+    "hits_nation",
+    "attribution_linear",
     # round 6
     "market_concentration",
     "events_streaks",

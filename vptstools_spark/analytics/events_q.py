@@ -1704,7 +1704,54 @@ def q_feature_pit_join(spark: SparkSession, sf: str) -> DataFrame:
 
 
 
+def q_attribution_linear(spark: SparkSession, sf: str) -> DataFrame:
+    """Linear multi-touch attribution: every touch (non-purchase event)
+    between two purchases shares the NEXT purchase's value equally —
+    the fractional-credit counterpart of `attribution_last_touch`.
+
+    One per-user window assigns each event its purchase-segment index
+    (count of strictly-preceding purchases); touches and purchases then
+    re-join on (user, segment) — two aggregates and one equi-join on a
+    key that subdivides users, so the plan parallelizes beyond user
+    cardinality and holds no per-user state. Purchases with no preceding
+    touch in their segment drop (no credit to assign)."""
+    e = table(spark, sf, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seg = e.withColumn(
+        "seg", F.count(F.when(F.col("event_type") == "purchase", 1)).over(w)
+    )
+    touches = (
+        seg.filter(F.col("event_type") != "purchase")
+        .groupBy("user_id", "seg", "event_type")
+        .agg(F.count("*").alias("n_et"))
+    )
+    seg_tot = touches.groupBy("user_id", "seg").agg(
+        F.sum("n_et").alias("n_touch")
+    )
+    purchases = seg.filter(F.col("event_type") == "purchase").select(
+        "user_id", "seg", F.col("value").cast("double").alias("pval")
+    )
+    credited = (
+        purchases.join(seg_tot, ["user_id", "seg"])
+        .join(touches, ["user_id", "seg"])
+        .select(
+            "event_type",
+            "n_et",
+            (F.col("pval") * F.col("n_et") / F.col("n_touch")).alias("credit"),
+        )
+    )
+    return credited.groupBy(F.col("event_type").alias("channel")).agg(
+        F.sum("n_et").alias("n_touches"),
+        F.round(F.sum("credit"), 4).alias("credit"),
+    )
+
+
 QUERIES = {
+    "attribution_linear": q_attribution_linear,
     "feature_pit_join": q_feature_pit_join,
     "events_dwell_time": q_events_dwell_time,
     "attribution_last_touch": q_attribution_last_touch,
@@ -2489,4 +2536,35 @@ ORACLES["metadata_rowcount"] = """
     UNION ALL
     SELECT 3, n0.c - nd.c + na.c FROM n0, nd, na
     ORDER BY version
+"""
+
+ORACLES["attribution_linear"] = """
+    WITH seg AS (
+        SELECT user_id, event_type, CAST(value AS DOUBLE) AS value,
+               COUNT(*) FILTER (event_type = 'purchase') OVER
+                   (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS seg
+        FROM events
+    ),
+    touches AS (
+        SELECT user_id, seg, event_type, COUNT(*) AS n_et
+        FROM seg WHERE event_type <> 'purchase'
+        GROUP BY 1, 2, 3
+    ),
+    seg_tot AS (
+        SELECT user_id, seg, SUM(n_et) AS n_touch
+        FROM touches GROUP BY 1, 2
+    ),
+    purchases AS (
+        SELECT user_id, seg, value AS pval
+        FROM seg WHERE event_type = 'purchase'
+    )
+    SELECT t.event_type AS channel,
+           CAST(SUM(t.n_et) AS BIGINT) AS n_touches,
+           ROUND(SUM(p.pval * t.n_et / st.n_touch), 4) AS credit
+    FROM purchases p
+    JOIN seg_tot st ON st.user_id = p.user_id AND st.seg = p.seg
+    JOIN touches t ON t.user_id = p.user_id AND t.seg = p.seg
+    GROUP BY 1
 """

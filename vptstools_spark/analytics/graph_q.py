@@ -338,7 +338,57 @@ def q_link_prediction(spark: SparkSession, sf: str) -> DataFrame:
     return out.orderBy(F.col("score").desc(), "node_a", "node_b").limit(20)
 
 
+def q_hits_nation(spark: SparkSession, sf: str) -> DataFrame:
+    """HITS hubs/authorities over the nation-level trade graph: an edge
+    supplier-nation → customer-nation weighted by shipped revenue. The
+    fact joins collapse to a ≤25×25 weighted edge list BEFORE the
+    iterations, so each of the 2 HITS rounds is a join+aggregate over a
+    constant-size table (`operators/graph.py:hits`); fixed iterations +
+    L1 normalization keep it value-oracle-checkable by CTE unrolling."""
+    from vptstools_spark.operators.graph import hits
+
+    li = table(spark, sf, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    s = table(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    o = table(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    c = table(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    n = table(spark, sf, "nation").select("n_nationkey", "n_name")
+    edges = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("s_nationkey").alias("src_key"),
+            F.col("c_nationkey").alias("dst_key"),
+        )
+        .agg(
+            F.sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("w")
+        )
+        .join(
+            F.broadcast(n.select(F.col("n_nationkey").alias("src_key"),
+                                 F.col("n_name").alias("src"))),
+            "src_key",
+        )
+        .join(
+            F.broadcast(n.select(F.col("n_nationkey").alias("dst_key"),
+                                 F.col("n_name").alias("dst"))),
+            "dst_key",
+        )
+        .select("src", "dst", "w")
+    )
+    out = hits(edges, iters=2, weight_col="w")
+    return out.select(
+        F.col("node").alias("nation"),
+        F.round("hub", 6).alias("hub"),
+        F.round("auth", 6).alias("auth"),
+    )
+
+
 QUERIES = {
+    "hits_nation": q_hits_nation,
     "sssp_trade": q_sssp_trade,
     "triangle_parts": q_triangle_parts,
     "link_prediction": q_link_prediction,
@@ -419,3 +469,51 @@ ORACLES = {
     "pagerank_trade": _pagerank_sql(),
     "kcore_parts": _KCORE_ORACLE,
 }
+
+# HITS unrolled: 2 rounds of (auth from hubs, hub from auths), each
+# half-step L1-normalized — mirrors operators/graph.py:hits exactly.
+ORACLES["hits_nation"] = """
+    WITH edges AS (
+        SELECT ns.n_name AS src, nc.n_name AS dst,
+               SUM(l_extendedprice * (1 - l_discount)) AS w
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ns ON s_nationkey = ns.n_nationkey
+        JOIN nation nc ON c_nationkey = nc.n_nationkey
+        GROUP BY 1, 2
+    ),
+    nodes AS (
+        SELECT src AS node FROM edges
+        UNION
+        SELECT dst FROM edges
+    ),
+    h0 AS (SELECT DISTINCT src AS node, 1.0 AS h FROM edges),
+    a1r AS (
+        SELECT e.dst AS node, SUM(e.w * h0.h) AS a
+        FROM edges e JOIN h0 ON h0.node = e.src GROUP BY 1
+    ),
+    a1 AS (SELECT node, a / (SELECT SUM(a) FROM a1r) AS a FROM a1r),
+    h1r AS (
+        SELECT e.src AS node, SUM(e.w * a1.a) AS h
+        FROM edges e JOIN a1 ON a1.node = e.dst GROUP BY 1
+    ),
+    h1 AS (SELECT node, h / (SELECT SUM(h) FROM h1r) AS h FROM h1r),
+    a2r AS (
+        SELECT e.dst AS node, SUM(e.w * h1.h) AS a
+        FROM edges e JOIN h1 ON h1.node = e.src GROUP BY 1
+    ),
+    a2 AS (SELECT node, a / (SELECT SUM(a) FROM a2r) AS a FROM a2r),
+    h2r AS (
+        SELECT e.src AS node, SUM(e.w * a2.a) AS h
+        FROM edges e JOIN a2 ON a2.node = e.dst GROUP BY 1
+    ),
+    h2 AS (SELECT node, h / (SELECT SUM(h) FROM h2r) AS h FROM h2r)
+    SELECT n.node AS nation,
+           ROUND(COALESCE(h2.h, 0.0), 6) AS hub,
+           ROUND(COALESCE(a2.a, 0.0), 6) AS auth
+    FROM nodes n
+    LEFT JOIN h2 ON h2.node = n.node
+    LEFT JOIN a2 ON a2.node = n.node
+"""

@@ -10,7 +10,7 @@ the windows/self-joins that finish them run over provably tiny inputs.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from vptstools_spark.io import table
@@ -134,10 +134,9 @@ def q_kaplan_meier(spark: SparkSession, sf: str) -> DataFrame:
     events scan; a user whose last event predates the corpus horizon by
     >24h is a churn event, later users are right-censored. The life
     table (at-risk counts via reverse cumulative sums) and the
-    product-limit estimator S(t) = prod(1 - d/n) = exp(sum(ln)) run over
-    the distinct-tenure aggregate - windows on provably tiny input
-    (distinct tenures are bounded by the corpus time span in hours, not
-    by user count)."""
+    product-limit estimator S(t) = prod(1 - d/n) = exp(sum(ln)) run as
+    conditional self-joins over the distinct-tenure aggregate - a table
+    bounded by the corpus time span in hours, not by user count."""
     e = table(spark, sf, "events")
     horizon = e.agg(F.max("ts").alias("t_max"))
     users = (
@@ -157,28 +156,30 @@ def q_kaplan_meier(spark: SparkSession, sf: str) -> DataFrame:
         F.sum("churned").alias("d"),
         F.count("*").alias("c"),
     )
-    w_risk = (
-        Window.orderBy("tenure")
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    # cumulative sums as conditional self-joins, NOT global windows: the
+    # life table is tiny but Catalyst cannot prove it, and the registry
+    # convention bans empty-partition windows over unproven input
+    a, b = life.alias("a"), life.alias("b")
+    risk = (
+        a.join(b, F.col("b.tenure") >= F.col("a.tenure"))
+        .groupBy(F.col("a.tenure").alias("tenure"), F.col("a.d").alias("d"))
+        .agg(F.sum("b.c").alias("n_risk"))
+        .filter(F.col("d") > 0)
     )
-    w_surv = Window.orderBy("tenure").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    at_risk = life.withColumn("n_risk", F.sum("c").over(w_risk))
+    x, y = risk.alias("x"), risk.alias("y")
     return (
-        at_risk.filter(F.col("d") > 0)
-        .withColumn(
-            "survival",
-            F.round(
-                F.exp(
-                    F.sum(
-                        F.log(1.0 - F.col("d") / F.col("n_risk"))
-                    ).over(w_surv)
-                ),
-                6,
-            ),
+        x.join(y, F.col("y.tenure") <= F.col("x.tenure"))
+        .groupBy(
+            F.col("x.tenure").alias("tenure"),
+            F.col("x.d").alias("d"),
+            F.col("x.n_risk").alias("n_risk"),
         )
-        .select("tenure", "d", "n_risk", "survival")
+        .agg(
+            F.round(
+                F.exp(F.sum(F.log(1.0 - F.col("y.d") / F.col("y.n_risk")))),
+                6,
+            ).alias("survival")
+        )
     )
 
 

@@ -22,6 +22,21 @@ from vptstools_spark.operators.similarity import (
 N_QUERIES = 5
 K = 5
 N_ANCHORS = 4
+COV_DIMS = 8
+
+
+def q_emb_covariance(spark: SparkSession, sf: str) -> DataFrame:
+    """Population covariance matrix of the first COV_DIMS embedding
+    dimensions via the mergeable mapInPandas Gramian
+    (operators/linalg.py): blocked numpy X^T X per Arrow batch ->
+    constant-size moment rows -> one partial->final SUM -> closed form.
+    The dimension slice is pushed INTO the kernel, so the full 64x64
+    Gramian is never materialized."""
+    from vptstools_spark.operators.linalg import covariance_matrix
+
+    emb = table(spark, sf, "embeddings")
+    out = covariance_matrix(emb, "embedding", dims=COV_DIMS)
+    return out.select("i", "j", F.round("cov", 6).alias("cov"))
 
 
 def q_knn_bruteforce(spark: SparkSession, sf: str) -> DataFrame:
@@ -334,6 +349,7 @@ QUERIES = {
     "ann_kmeans_cells": q_ann_kmeans_cells,
     "ann_recall": q_ann_recall,
     "embedding_stats": q_embedding_stats,
+    "emb_covariance": q_emb_covariance,
 }
 
 ORACLES = {
@@ -834,3 +850,15 @@ ORACLES["pq_recall"] = f"""
 # the persisted index must return exactly what the inline operator returns,
 # so it shares knn_ivfpq's oracle verbatim
 ORACLES["knn_ivfpq_persisted"] = ORACLES["knn_ivfpq"]
+
+ORACLES["emb_covariance"] = f"""
+    WITH x AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+               CAST(unnest(embedding) AS DOUBLE) AS xi
+        FROM embeddings
+    )
+    SELECT a.i AS i, b.i AS j, ROUND(COVAR_POP(a.xi, b.xi), 6) AS cov
+    FROM x a JOIN x b ON a.vec_id = b.vec_id
+    WHERE a.i <= b.i AND b.i <= {COV_DIMS}
+    GROUP BY 1, 2
+"""

@@ -72,11 +72,51 @@ def q_ts_cusum(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("user_id")
 
 
+def q_ewma_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """Exponentially-weighted moving average of monthly revenue
+    (pandas' adjust=True form: ewma_t = sum w^(t-i) x_i / sum w^(t-i)).
+    The fact table folds to one DECIMAL-exact monthly aggregate first;
+    the weighting is a self-join over that <=100-row series, so the
+    quadratic term is over months, never rows. Decay w = 0.5 because
+    2^-k is EXACT in binary floating point — cross-engine-reproducible
+    where pow(0.7, k) is not (verify skill, round-3 gotchas)."""
+    o = table(spark, sf, "orders")
+    monthly = o.groupBy(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("rev")
+    )
+    cur = monthly.select(F.col("month").alias("m"), F.col("rev").alias("x"))
+    past = monthly.select(
+        F.col("month").alias("m0"), F.col("rev").alias("x0")
+    )
+    k = F.months_between(F.col("m"), F.col("m0"))
+    w = F.pow(F.lit(0.5), k)
+    return (
+        cur.join(past, F.col("m0") <= F.col("m"))
+        .groupBy("m")
+        .agg(
+            F.round(F.sum(w * F.col("x0")) / F.sum(w), 4).alias("ewma"),
+            F.round(F.max(F.col("x")), 2).alias("revenue"),
+            F.count("*").alias("n_months"),
+        )
+        .select(
+            F.date_format("m", "yyyy-MM").alias("month"),
+            "ewma",
+            "revenue",
+            "n_months",
+        )
+    )
+
+
 QUERIES = {
     "ts_subseq_match": q_ts_subseq_match,
     "ts_anomaly_zscore": q_ts_anomaly_zscore,
     "ts_paa_sax": q_ts_paa_sax,
     "ts_cusum": q_ts_cusum,
+    "ewma_revenue": q_ewma_revenue,
 }
 
 # Oracle notes: window-list folds use list_reduce (sequential, same FP
@@ -207,3 +247,22 @@ ORACLES = {
         FROM g
     """,
 }
+
+ORACLES["ewma_revenue"] = """
+    WITH monthly AS (
+        SELECT DATE_TRUNC('month', o_orderdate) AS month,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS rev
+        FROM orders GROUP BY 1
+    )
+    SELECT
+        STRFTIME(cur.month, '%Y-%m') AS month,
+        ROUND(SUM(POW(0.5, DATEDIFF('month', past.month, cur.month))
+                  * past.rev)
+              / SUM(POW(0.5, DATEDIFF('month', past.month, cur.month))),
+              4) AS ewma,
+        ROUND(MAX(cur.rev), 2) AS revenue,
+        COUNT(*) AS n_months
+    FROM monthly cur JOIN monthly past ON past.month <= cur.month
+    GROUP BY 1
+"""

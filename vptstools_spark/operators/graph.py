@@ -278,6 +278,75 @@ def pagerank(
     return ranks
 
 
+def hits(
+    edges: DataFrame,
+    iters: int = 2,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Fixed-iteration HITS (Kleinberg 1999) over a (weighted) edge list:
+    returns (node, hub, auth) after `iters` synchronous rounds of
+    ``auth(v) = Σ_{u→v} w·hub(u)`` then ``hub(u) = Σ_{u→v} w·auth(v)``,
+    each half-step L1-normalized (sum of scores = 1) so the scale stays
+    engine-exact without the usual L2 norm's sqrt.
+
+    Distributed shape per round: two edge⋈score equi-joins + two
+    aggregations, shuffling on node ids only; the normalizer is a 1-row
+    aggregate broadcast back (never a driver round-trip). Deterministic
+    fixed-iteration form — oracle-checkable by CTE unrolling, same
+    convention as `pagerank`. Nodes that never occur as a source (or
+    destination) report hub (auth) = 0.
+    """
+    w = F.col(weight_col) if weight_col else F.lit(1.0)
+    e = (
+        edges.select(
+            F.col(src_col).alias("e_src"),
+            F.col(dst_col).alias("e_dst"),
+            w.cast("double").alias("e_w"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("e_src").alias("node"))
+        .unionByName(e.select(F.col("e_dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    hubs = e.select(F.col("e_src").alias("node")).distinct().withColumn(
+        "h", F.lit(1.0)
+    )
+    auths = None
+    for _ in range(iters):
+        a_raw = (
+            e.join(hubs, e.e_src == hubs.node)
+            .groupBy(F.col("e_dst").alias("node"))
+            .agg(F.sum(F.col("e_w") * F.col("h")).alias("a"))
+        )
+        a_tot = a_raw.agg(F.sum("a").alias("a_tot"))
+        auths = a_raw.crossJoin(F.broadcast(a_tot)).select(
+            "node", (F.col("a") / F.col("a_tot")).alias("a")
+        )
+        h_raw = (
+            e.join(auths, e.e_dst == auths.node)
+            .groupBy(F.col("e_src").alias("node"))
+            .agg(F.sum(F.col("e_w") * F.col("a")).alias("h"))
+        )
+        h_tot = h_raw.agg(F.sum("h").alias("h_tot"))
+        hubs = h_raw.crossJoin(F.broadcast(h_tot)).select(
+            "node", (F.col("h") / F.col("h_tot")).alias("h")
+        )
+    return (
+        nodes.join(hubs, "node", "left")
+        .join(auths, "node", "left")
+        .select(
+            "node",
+            F.coalesce("h", F.lit(0.0)).alias("hub"),
+            F.coalesce("a", F.lit(0.0)).alias("auth"),
+        )
+    )
+
+
 def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
     """Per-node triangle counts via degree-ordered wedge closing
     ("compact-forward" / Schank-Wagner).

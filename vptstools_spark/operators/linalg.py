@@ -1,0 +1,83 @@
+"""Distributed dense linear algebra over embedding columns.
+
+The pattern: per-Arrow-batch PARTIAL moments (numpy X^T X — the blocked-BLAS
+hot loop Spark's built-ins can't express) emitted as mergeable rows, then a
+plain partial->final Spark aggregate sums them and a closed-form JVM
+expression finalizes. No driver-side data path: the only thing that ever
+leaves an executor is d(d+1)/2 moment rows per batch, so a 100 TB embedding
+table reduces through the same constant-size shuffle as the sf0.01 fixture.
+
+This is the same map-side-combine shape as `operators/sketch.py`'s mergeable
+sketches, specialized to second-order moments: Gramian, per-dimension sums,
+and row count are each exactly mergeable by addition, and covariance /
+correlation are functions of the merged triple (cov_ij = G_ij/n - m_i m_j).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_MOMENT_SCHEMA = (
+    "i int, j int, g double, si double, sj double, n long"
+)
+
+
+def gramian_moments(
+    df: DataFrame, vec_col: str = "embedding", dims: int | None = None
+) -> DataFrame:
+    """Mergeable second-order moments of a vector column: one row per
+    dimension pair i <= j (1-based) carrying the partial Gramian entry
+    sum(x_i * x_j), the per-dimension sums, and the batch row count.
+
+    `dims` truncates every vector to its first `dims` coordinates BEFORE
+    the outer product — push the projection into the kernel, never
+    compute a 4096-entry Gramian to keep 36 of its cells. Output volume
+    is dims*(dims+1)/2 rows per Arrow batch regardless of input size.
+    """
+    import numpy as np
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            if dims is not None:
+                x = x[:, :dims]
+            d = x.shape[1]
+            g = x.T @ x
+            s = x.sum(axis=0)
+            iu, ju = np.triu_indices(d)
+            yield pd.DataFrame(
+                {
+                    "i": (iu + 1).astype("int32"),
+                    "j": (ju + 1).astype("int32"),
+                    "g": g[iu, ju],
+                    "si": s[iu],
+                    "sj": s[ju],
+                    "n": np.full(len(iu), len(x), dtype="int64"),
+                }
+            )
+
+    return df.select(vec_col).mapInPandas(kernel, _MOMENT_SCHEMA)
+
+
+def covariance_matrix(
+    df: DataFrame, vec_col: str = "embedding", dims: int | None = None
+) -> DataFrame:
+    """Population covariance matrix of a vector column as (i, j, cov)
+    rows for i <= j (1-based), computed as one mapInPandas moment pass +
+    one partial->final SUM aggregate + a JVM closed form. Mergeable end
+    to end: the same moments also serve correlation or a PCA Gramian."""
+    mom = gramian_moments(df, vec_col, dims)
+    agg = mom.groupBy("i", "j").agg(
+        F.sum("g").alias("g"),
+        F.sum("si").alias("si"),
+        F.sum("sj").alias("sj"),
+        F.sum("n").alias("n"),
+    )
+    cov = (F.col("g") - F.col("si") * F.col("sj") / F.col("n")) / F.col("n")
+    return agg.select("i", "j", cov.alias("cov"))
