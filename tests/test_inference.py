@@ -110,3 +110,40 @@ def test_attribution_linear_conserves_value(spark):
         .collect()[0][0]
     )
     assert total_credit == pytest.approx(want, rel=1e-6)
+
+
+def test_gini_range_and_equality_case(spark):
+    from vptstools_spark.analytics.stats_q import q_gini_by_nation
+
+    rows = q_gini_by_nation(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert -0.01 <= r.gini < 1.0  # rank-formula Gini is in [0, 1)
+
+
+def test_time_decay_conserves_value_per_segment(spark):
+    """Time-decay credit shares sum to each purchase's full value, so the
+    channel totals must match attribution_linear's totals exactly."""
+    from vptstools_spark.analytics.events_q import (
+        q_attribution_linear,
+        q_attribution_time_decay,
+    )
+
+    lin = {r.channel: r for r in q_attribution_linear(spark, SF).collect()}
+    dec = {r.channel: r for r in q_attribution_time_decay(spark, SF).collect()}
+    assert set(lin) == set(dec)
+    assert sum(r.credit for r in dec.values()) == pytest.approx(
+        sum(r.credit for r in lin.values()), rel=1e-6
+    )
+    for ch in lin:
+        assert dec[ch].n_touches == lin[ch].n_touches
+
+
+def test_trigrams_counts(spark):
+    from vptstools_spark.analytics.events_q import q_events_trigrams
+
+    rows = q_events_trigrams(spark, SF).collect()
+    assert 0 < len(rows) <= 20
+    assert all(r.n >= 1 for r in rows)
+    ns = [r.n for r in rows]
+    assert ns == sorted(ns, reverse=True)

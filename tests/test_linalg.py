@@ -62,3 +62,29 @@ def test_dims_slice_pushed_into_kernel(spark, vec_df):
     want = x[:, :3].T @ x[:, :3]
     for (i, j), g in tot.items():
         assert g == pytest.approx(want[i - 1, j - 1], rel=1e-12)
+
+
+def test_power_iteration_approaches_top_eigenvector(spark):
+    """On a spiked covariance (one dominant direction), 3 power-iteration
+    rounds must align with numpy's leading eigenvector."""
+    rng = np.random.default_rng(11)
+    direction = np.array([3.0, 1.0, 0.5, 0.0])
+    x = (
+        rng.normal(size=(200, 1)) * direction[None, :]
+        + rng.normal(scale=0.05, size=(200, 4))
+    ).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in x[i]]) for i in range(len(x))],
+        "vec_id long, embedding array<float>",
+    )
+    from vptstools_spark.operators.linalg import pca_top_component
+
+    got = np.array(
+        [r.loading for r in pca_top_component(df, "embedding", iters=3)
+         .orderBy("i").collect()]
+    )
+    assert np.linalg.norm(got) == pytest.approx(1.0, abs=1e-9)
+    cov = np.cov(x.astype(np.float64), rowvar=False, bias=True)
+    evals, evecs = np.linalg.eigh(cov)
+    top = evecs[:, -1]
+    assert abs(float(got @ top)) > 0.999  # aligned up to sign

@@ -36,6 +36,8 @@ TS_QUERIES = [
     "events_hop_window",
     "kaplan_meier",
     "attribution_linear",
+    "attribution_time_decay",
+    "events_trigrams",
 ]
 
 

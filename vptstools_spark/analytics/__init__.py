@@ -59,6 +59,10 @@ NEW_THIS_ROUND = [
     "ewma_revenue",
     "hits_nation",
     "attribution_linear",
+    "pca_loadings",
+    "gini_by_nation",
+    "attribution_time_decay",
+    "events_trigrams",
     # round 6
     "market_concentration",
     "events_streaks",

@@ -1750,8 +1750,83 @@ def q_attribution_linear(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_attribution_time_decay(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-decay multi-touch attribution: each touch's share of the next
+    purchase's value is weighted by 2^(-age_in_days) relative to that
+    purchase (day-granular halving). Decay base 2 with an INTEGER day
+    exponent is exact in binary floating point, so the weights are
+    engine-reproducible where pow(0.7, x) would not be (same argument as
+    ewma_revenue). Plan shape = `attribution_linear`: one per-user
+    segment window, then (user, segment)-keyed joins - no per-user
+    serialization."""
+    e = table(spark, sf, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seg = e.withColumn(
+        "seg", F.count(F.when(F.col("event_type") == "purchase", 1)).over(w)
+    )
+    touches = seg.filter(F.col("event_type") != "purchase").select(
+        "user_id", "seg", "event_type", F.col("ts").alias("t_touch")
+    )
+    purchases = seg.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "seg",
+        F.col("ts").alias("t_purchase"),
+        F.col("value").cast("double").alias("pval"),
+    )
+    # whole days as floor(seconds/86400): Spark's timestampdiff(DAY,...)
+    # counts complete 24h periods but DuckDB's date_diff('day',...) counts
+    # calendar-midnight crossings - the second-based floor is the one
+    # rendering both engines define identically
+    age_days = F.floor(
+        F.expr("timestampdiff(SECOND, t_touch, t_purchase)") / 86400
+    )
+    weighted = purchases.join(touches, ["user_id", "seg"]).withColumn(
+        "w", F.pow(F.lit(2.0), -age_days.cast("double"))
+    )
+    seg_tot = weighted.groupBy("user_id", "seg").agg(
+        F.sum("w").alias("w_tot")
+    )
+    return (
+        weighted.join(seg_tot, ["user_id", "seg"])
+        .groupBy(F.col("event_type").alias("channel"))
+        .agg(
+            F.count("*").alias("n_touches"),
+            F.round(
+                F.sum(F.col("pval") * F.col("w") / F.col("w_tot")), 4
+            ).alias("credit"),
+        )
+    )
+
+
+def q_events_trigrams(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-20 behavioral trigrams: consecutive event-type triples inside
+    each user's timeline (lead x2 over the per-user window), counted
+    corpus-wide - the sequential-pattern complement of `events_markov`'s
+    first-order transitions. Two-phase top-k (TakeOrderedAndProject), no
+    global sort."""
+    e = table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tri = e.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).filter(F.col("e3").isNotNull())
+    return (
+        tri.groupBy("e1", "e2", "e3")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "e1", "e2", "e3")
+        .limit(20)
+    )
+
+
 QUERIES = {
     "attribution_linear": q_attribution_linear,
+    "attribution_time_decay": q_attribution_time_decay,
+    "events_trigrams": q_events_trigrams,
     "feature_pit_join": q_feature_pit_join,
     "events_dwell_time": q_events_dwell_time,
     "attribution_last_touch": q_attribution_last_touch,
@@ -2567,4 +2642,55 @@ ORACLES["attribution_linear"] = """
     JOIN seg_tot st ON st.user_id = p.user_id AND st.seg = p.seg
     JOIN touches t ON t.user_id = p.user_id AND t.seg = p.seg
     GROUP BY 1
+"""
+
+ORACLES["attribution_time_decay"] = """
+    WITH seg AS (
+        SELECT user_id, event_type, ts, CAST(value AS DOUBLE) AS value,
+               COUNT(*) FILTER (event_type = 'purchase') OVER
+                   (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS seg
+        FROM events
+    ),
+    touches AS (
+        SELECT user_id, seg, event_type, ts AS t_touch
+        FROM seg WHERE event_type <> 'purchase'
+    ),
+    purchases AS (
+        SELECT user_id, seg, ts AS t_purchase, value AS pval
+        FROM seg WHERE event_type = 'purchase'
+    ),
+    weighted AS (
+        SELECT t.user_id, t.seg, t.event_type, p.pval,
+               POW(2.0, -FLOOR(DATE_DIFF('second', t.t_touch, p.t_purchase)
+                               / 86400.0)) AS w
+        FROM purchases p
+        JOIN touches t ON t.user_id = p.user_id AND t.seg = p.seg
+    ),
+    seg_tot AS (
+        SELECT user_id, seg, SUM(w) AS w_tot
+        FROM weighted GROUP BY 1, 2
+    )
+    SELECT w.event_type AS channel,
+           COUNT(*) AS n_touches,
+           ROUND(SUM(w.pval * w.w / st.w_tot), 4) AS credit
+    FROM weighted w
+    JOIN seg_tot st ON st.user_id = w.user_id AND st.seg = w.seg
+    GROUP BY 1
+"""
+
+ORACLES["events_trigrams"] = """
+    WITH tri AS (
+        SELECT event_type AS e1,
+               LEAD(event_type, 1) OVER w AS e2,
+               LEAD(event_type, 2) OVER w AS e3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    )
+    SELECT e1, e2, e3, COUNT(*) AS n
+    FROM tri WHERE e3 IS NOT NULL
+    GROUP BY 1, 2, 3
+    ORDER BY n DESC, e1, e2, e3
+    LIMIT 20
 """

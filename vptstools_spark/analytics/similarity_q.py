@@ -39,6 +39,18 @@ def q_emb_covariance(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("i", "j", F.round("cov", 6).alias("cov"))
 
 
+def q_pca_loadings(spark: SparkSession, sf: str) -> DataFrame:
+    """Leading principal component of the first COV_DIMS embedding dims:
+    power iteration (3 fixed rounds, e_1 init) over the mergeable
+    covariance (`operators/linalg.py:pca_top_component`). One data pass;
+    iterations run on the d x d matrix only."""
+    from vptstools_spark.operators.linalg import pca_top_component
+
+    emb = table(spark, sf, "embeddings")
+    out = pca_top_component(emb, "embedding", dims=COV_DIMS, iters=3)
+    return out.select("i", F.round("loading", 6).alias("loading"))
+
+
 def q_knn_bruteforce(spark: SparkSession, sf: str) -> DataFrame:
     emb = table(spark, sf, "embeddings")
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
@@ -350,6 +362,7 @@ QUERIES = {
     "ann_recall": q_ann_recall,
     "embedding_stats": q_embedding_stats,
     "emb_covariance": q_emb_covariance,
+    "pca_loadings": q_pca_loadings,
 }
 
 ORACLES = {
@@ -861,4 +874,40 @@ ORACLES["emb_covariance"] = f"""
     FROM x a JOIN x b ON a.vec_id = b.vec_id
     WHERE a.i <= b.i AND b.i <= {COV_DIMS}
     GROUP BY 1, 2
+"""
+
+# power iteration unrolled: full covariance matrix, then 3 rounds of
+# matrix-vector product + L2 normalization (sqrt is IEEE-exact)
+ORACLES["pca_loadings"] = f"""
+    WITH x AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+               CAST(unnest(embedding) AS DOUBLE) AS xi
+        FROM embeddings
+    ),
+    cov AS (
+        SELECT a.i AS i, b.i AS j, COVAR_POP(a.xi, b.xi) AS cov
+        FROM x a JOIN x b ON a.vec_id = b.vec_id
+        WHERE a.i <= {COV_DIMS} AND b.i <= {COV_DIMS}
+        GROUP BY 1, 2
+    ),
+    v0 AS (
+        SELECT DISTINCT i, CASE WHEN i = 1 THEN 1.0 ELSE 0.0 END AS v
+        FROM cov
+    ),
+    w1 AS (
+        SELECT c.i, SUM(c.cov * v0.v) AS w
+        FROM cov c JOIN v0 ON v0.i = c.j GROUP BY c.i
+    ),
+    v1 AS (SELECT i, w / (SELECT SQRT(SUM(w * w)) FROM w1) AS v FROM w1),
+    w2 AS (
+        SELECT c.i, SUM(c.cov * v1.v) AS w
+        FROM cov c JOIN v1 ON v1.i = c.j GROUP BY c.i
+    ),
+    v2 AS (SELECT i, w / (SELECT SQRT(SUM(w * w)) FROM w2) AS v FROM w2),
+    w3 AS (
+        SELECT c.i, SUM(c.cov * v2.v) AS w
+        FROM cov c JOIN v2 ON v2.i = c.j GROUP BY c.i
+    ),
+    v3 AS (SELECT i, w / (SELECT SQRT(SUM(w * w)) FROM w3) AS v FROM w3)
+    SELECT i, ROUND(v, 6) AS loading FROM v3
 """

@@ -13,6 +13,46 @@ from vptstools_spark.plans.skew import salted_agg
 EVENT_TYPES = ("click", "view", "purchase", "signup", "error")
 
 
+def q_gini_by_nation(spark: SparkSession, sf: str) -> DataFrame:
+    """Gini inequality coefficient of positive customer account balances
+    per nation, by the rank formula G = (2*sum(r_i x_i))/(n*sum(x)) -
+    (n+1)/n with ranks ascending inside each nation (custkey breaks
+    ties deterministically). The rank window partitions by nation, so
+    the plan subdivides the customer table instead of serializing it -
+    the scale-safe form of a sorted-cumulative statistic."""
+    c = table(spark, sf, "customer").filter(F.col("c_acctbal") > 0)
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    r = c.withColumn("r", F.row_number().over(w))
+    return (
+        r.groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(
+                2.0
+                * F.sum(F.col("r") * F.col("c_acctbal"))
+                / (F.count("*") * F.sum("c_acctbal"))
+                - (F.count("*") + 1.0) / F.count("*"),
+                6,
+            ).alias("gini"),
+        )
+    )
+
+
+_GINI_ORACLE = """
+    WITH r AS (
+        SELECT c_nationkey, c_acctbal,
+               ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                                  ORDER BY c_acctbal, c_custkey) AS r
+        FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c_nationkey AS nationkey,
+           COUNT(*) AS n_customers,
+           ROUND(2.0 * SUM(r * c_acctbal) / (COUNT(*) * SUM(c_acctbal))
+                 - (COUNT(*) + 1.0) / COUNT(*), 6) AS gini
+    FROM r GROUP BY 1
+"""
+
+
 def q_quantiles_price(spark: SparkSession, sf: str) -> DataFrame:
     """Exact linear-interpolated percentiles per group (percentile ↔
     quantile_cont — same interpolation rule in both engines)."""
@@ -951,6 +991,7 @@ def q_chi2_nation_segment(spark: SparkSession, sf: str) -> DataFrame:
 
 
 QUERIES = {
+    "gini_by_nation": q_gini_by_nation,
     "chi2_nation_segment": q_chi2_nation_segment,
     "k_anonymity_customer": q_k_anonymity_customer,
     "mv_percentile_route": q_mv_percentile_route,
@@ -981,6 +1022,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "gini_by_nation": _GINI_ORACLE,
     "chi2_nation_segment": """
         WITH obs AS (
             SELECT c_nationkey, c_mktsegment, COUNT(*) AS o

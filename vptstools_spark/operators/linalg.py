@@ -81,3 +81,41 @@ def covariance_matrix(
     )
     cov = (F.col("g") - F.col("si") * F.col("sj") / F.col("n")) / F.col("n")
     return agg.select("i", "j", cov.alias("cov"))
+
+
+def pca_top_component(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dims: int | None = None,
+    iters: int = 3,
+) -> DataFrame:
+    """Leading principal component by fixed-iteration power iteration
+    over the mergeable covariance: v_{k+1} = C v_k / ||C v_k||_2,
+    starting from e_1. Returns (i, loading), 1-based.
+
+    The data-scale work is ONE covariance pass (`covariance_matrix` —
+    mapInPandas moments + one aggregate); every iteration after that is
+    a join+aggregate over the d(d+1)/2-row matrix, so iteration cost is
+    independent of row count. Fixed iterations + an L2 norm (sqrt is
+    IEEE-exact, unlike pow) keep the result value-oracle-checkable by
+    CTE unrolling. Deterministic: no randomized init."""
+    upper = covariance_matrix(df, vec_col, dims)
+    full = upper.unionByName(
+        upper.filter(F.col("i") < F.col("j")).select(
+            F.col("j").alias("i"), F.col("i").alias("j"), "cov"
+        )
+    ).localCheckpoint(eager=True)
+    v = full.select("i").distinct().select(
+        "i", F.when(F.col("i") == 1, 1.0).otherwise(0.0).alias("v")
+    )
+    for _ in range(iters):
+        w = (
+            full.join(v.select(F.col("i").alias("j"), "v"), "j")
+            .groupBy("i")
+            .agg(F.sum(F.col("cov") * F.col("v")).alias("w"))
+        )
+        norm = w.agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+        v = w.crossJoin(F.broadcast(norm)).select(
+            "i", (F.col("w") / F.col("nrm")).alias("v")
+        )
+    return v.select("i", F.col("v").alias("loading"))
