@@ -181,6 +181,29 @@ HEADLINE = [
     "chi2_nation_segment",
     "text_readability",
     "seasonal_revenue",
+    # round 6, statistical-inference / ML-analytics batch: one fact scan
+    # each (Welch/Benford/KM/Gini), pair mining over collapsed baskets,
+    # fixed-iteration HITS/PCA, mapInPandas Gramian, windowed attribution
+    "ab_test_welch",
+    "benford_prices",
+    "kaplan_meier",
+    "basket_lift",
+    "gini_by_nation",
+    "emb_covariance",
+    "pca_loadings",
+    "hits_nation",
+    "ewma_revenue",
+    "attribution_linear",
+    "attribution_time_decay",
+    "events_trigrams",
+    # round 6, ML-prep batch: hash-Poisson bootstrap (32x explode,
+    # map-side collapse), LOO target encoding, per-group OLS + outliers,
+    # inter-source KL, Zipf fit
+    "bootstrap_ci_revenue",
+    "target_encoding",
+    "regr_residual_outliers",
+    "kl_sources",
+    "zipf_fit",
 ]
 
 #: sf0.1-scale tier on the Zipf-vocabulary fixture (tools/gen_zipf.py):

@@ -147,3 +147,63 @@ def test_trigrams_counts(spark):
     assert all(r.n >= 1 for r in rows)
     ns = [r.n for r in rows]
     assert ns == sorted(ns, reverse=True)
+
+
+def test_bootstrap_ci_brackets_mean(spark):
+    from vptstools_spark.analytics.mlprep_q import q_bootstrap_ci_revenue
+
+    r = q_bootstrap_ci_revenue(spark, SF).collect()[0]
+    assert r.n_resamples == 32
+    assert r.lo_95 < r.hi_95
+    assert r.lo_95 <= r.mean <= r.hi_95
+
+
+def test_target_encoding_loo_average_is_category_mean(spark):
+    """avg_i (S - x_i)/(n-1) == S/n algebraically - the audit row's mean
+    must equal the plain category mean."""
+    from pyspark.sql import functions as F
+
+    from vptstools_spark.analytics.mlprep_q import q_target_encoding
+    from vptstools_spark.io import table
+
+    got = {r.priority: r for r in q_target_encoding(spark, SF).collect()}
+    want = {
+        r.o_orderpriority: r.m
+        for r in table(spark, SF, "orders")
+        .groupBy("o_orderpriority")
+        .agg(F.avg("o_totalprice").alias("m"))
+        .collect()
+    }
+    for prio, r in got.items():
+        assert r.enc_mean == pytest.approx(want[prio], abs=1e-3)
+        assert r.enc_min <= r.enc_mean <= r.enc_max
+
+
+def test_regr_residual_outliers_bounds(spark):
+    from vptstools_spark.analytics.mlprep_q import q_regr_residual_outliers
+
+    rows = q_regr_residual_outliers(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.r2 <= 1.0
+        # 2-sigma outliers are <~5% for anything unimodal (Chebyshev: <25%)
+        assert 0 <= r.n_outliers <= 0.25 * r.n
+
+
+def test_kl_nonnegative_and_asymmetric_pairs(spark):
+    from vptstools_spark.analytics.mlprep_q import q_kl_sources
+
+    rows = q_kl_sources(spark, SF).collect()
+    assert rows
+    pairs = {(r.src_p, r.src_q) for r in rows}
+    for r in rows:
+        assert r.kl >= -1e-9  # Gibbs' inequality
+        assert (r.src_q, r.src_p) in pairs  # both directions reported
+
+
+def test_zipf_slope_negative(spark):
+    from vptstools_spark.analytics.mlprep_q import q_zipf_fit
+
+    r = q_zipf_fit(spark, SF).collect()[0]
+    assert r.slope < 0
+    assert 0.0 <= r.r2 <= 1.0

@@ -15,6 +15,7 @@ from vptstools_spark.analytics import (
     graph_q,
     inference_q,
     inventory_q,
+    mlprep_q,
     pretrain_q,
     relational,
     similarity_q,
@@ -42,6 +43,7 @@ _MODULES = [
     sketch_q,
     corpus_q,
     inference_q,
+    mlprep_q,
 ]
 
 
@@ -63,6 +65,11 @@ NEW_THIS_ROUND = [
     "gini_by_nation",
     "attribution_time_decay",
     "events_trigrams",
+    "bootstrap_ci_revenue",
+    "target_encoding",
+    "regr_residual_outliers",
+    "kl_sources",
+    "zipf_fit",
     # round 6
     "market_concentration",
     "events_streaks",

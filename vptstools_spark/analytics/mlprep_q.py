@@ -1,0 +1,428 @@
+"""ML feature-prep / resampling queries: deterministic hash-Poisson
+bootstrap confidence intervals, leave-one-out target encoding, per-group
+OLS with residual-outlier counts, inter-source token-distribution KL
+divergence, and a Zipf-law fit of the corpus vocabulary.
+
+Determinism contract: anything "random" derives from md5 of row keys (the
+repo-wide no-RNG rule — repartition-stable, engine-reproducible), and every
+regression/divergence closed form is computed from the same aggregate
+moments on both engines.
+
+Scale notes: bootstrap explodes B=32 replicate ids per row but aggregates
+map-side (each partition emits <=B partial rows); encodings/regressions are
+one fact aggregate + one broadcast join back; KL and Zipf operate on the
+vocabulary aggregate, never the corpus rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from vptstools_spark.io import table
+
+#: number of bootstrap replicates
+N_BOOT = 32
+
+#: cumulative Poisson(1) thresholds for the inverse-CDF lookup: a hash
+#: uniform below threshold k gets weight k. Written as exact double
+#: literals so both engines compare against bit-identical constants.
+_POIS_CDF = (
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238462,
+    0.9963401531726563,
+    0.9994058151824183,
+)
+
+
+def _poisson_weight(u):
+    """Inverse-CDF Poisson(1) draw from a uniform column (0..6)."""
+    w = F.lit(6)
+    for k in range(len(_POIS_CDF) - 1, -1, -1):
+        w = F.when(u < F.lit(_POIS_CDF[k]), F.lit(k)).otherwise(w)
+    return w
+
+
+def _pois_case_sql(u: str) -> str:
+    lines = [
+        f"WHEN {u} < {t!r} THEN {k}" for k, t in enumerate(_POIS_CDF)
+    ]
+    return "CASE " + " ".join(lines) + " ELSE 6 END"
+
+
+def q_bootstrap_ci_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """95% bootstrap confidence interval for the mean order total, by the
+    Poisson(1) multiplier approximation of multinomial resampling
+    (Chamandy et al., "Estimating Uncertainty for Massive Data Streams"):
+    each (row, replicate) weight is an inverse-CDF Poisson draw from
+    md5(orderkey, b) — deterministic, repartition-stable, no RNG. One
+    scan explodes B=32 replicate ids; partial aggregation collapses each
+    partition to <=B rows before the single shuffle, so the resampling
+    never rewrites the data. The replicate means reduce to a percentile
+    CI on a 32-row aggregate."""
+    o = table(spark, sf, "orders")
+    rows = o.select(
+        F.col("o_orderkey"),
+        F.col("o_totalprice").alias("x"),
+        F.explode(F.sequence(F.lit(1), F.lit(N_BOOT))).alias("b"),
+    )
+    h = F.md5(
+        F.concat(
+            F.col("o_orderkey").cast("string"),
+            F.lit("_"),
+            F.col("b").cast("string"),
+        )
+    )
+    u = F.conv(F.substring(h, 1, 4), 16, 10).cast("long") / F.lit(65536.0)
+    w = _poisson_weight(u).cast("double")
+    reps = (
+        rows.withColumn("w", w)
+        .groupBy("b")
+        .agg((F.sum(F.col("w") * F.col("x")) / F.sum("w")).alias("mean_b"))
+    )
+    point = o.agg(F.avg("o_totalprice").alias("mean"))
+    ci = reps.agg(
+        F.percentile("mean_b", F.lit(0.025)).alias("lo"),
+        F.percentile("mean_b", F.lit(0.975)).alias("hi"),
+        F.count("*").alias("n_resamples"),
+    )
+    return ci.crossJoin(F.broadcast(point)).select(
+        "n_resamples",
+        F.round("mean", 4).alias("mean"),
+        F.round("lo", 4).alias("lo_95"),
+        F.round("hi", 4).alias("hi_95"),
+    )
+
+
+_BOOT_ORACLE = f"""
+    WITH rows AS (
+        SELECT o_orderkey, o_totalprice AS x, b
+        FROM orders, UNNEST(GENERATE_SERIES(1, {N_BOOT})) AS t(b)
+    ),
+    u AS (
+        SELECT x, b,
+               (
+                 (instr('0123456789abcdef',
+                        substr(md5(CAST(o_orderkey AS VARCHAR) || '_'
+                                   || CAST(b AS VARCHAR)), 1, 1)) - 1)
+                     * 4096
+               + (instr('0123456789abcdef',
+                        substr(md5(CAST(o_orderkey AS VARCHAR) || '_'
+                                   || CAST(b AS VARCHAR)), 2, 1)) - 1)
+                     * 256
+               + (instr('0123456789abcdef',
+                        substr(md5(CAST(o_orderkey AS VARCHAR) || '_'
+                                   || CAST(b AS VARCHAR)), 3, 1)) - 1)
+                     * 16
+               + (instr('0123456789abcdef',
+                        substr(md5(CAST(o_orderkey AS VARCHAR) || '_'
+                                   || CAST(b AS VARCHAR)), 4, 1)) - 1)
+               ) / 65536.0 AS u
+        FROM rows
+    ),
+    reps AS (
+        SELECT b,
+               SUM(CAST({_pois_case_sql('u')} AS DOUBLE) * x)
+                   / SUM(CAST({_pois_case_sql('u')} AS DOUBLE)) AS mean_b
+        FROM u GROUP BY b
+    )
+    SELECT
+        (SELECT COUNT(*) FROM reps) AS n_resamples,
+        ROUND((SELECT AVG(o_totalprice) FROM orders), 4) AS mean,
+        ROUND(QUANTILE_CONT(mean_b, 0.025), 4) AS lo_95,
+        ROUND(QUANTILE_CONT(mean_b, 0.975), 4) AS hi_95
+    FROM reps
+"""
+
+
+def q_target_encoding(spark: SparkSession, sf: str) -> DataFrame:
+    """Leave-one-out target encoding of order priority against order
+    total — the feature-engineering staple whose naive form leaks the
+    label: enc_i = (S_c - x_i) / (n_c - 1). One category aggregate
+    broadcasts back onto the fact rows; the per-row encodings re-fold to
+    a per-category audit (mean/min/max) so the result is verifiable
+    without shipping the fact table."""
+    o = table(spark, sf, "orders")
+    cat = o.groupBy("o_orderpriority").agg(
+        F.sum("o_totalprice").alias("s"), F.count("*").alias("n")
+    )
+    enc = (
+        o.join(F.broadcast(cat), "o_orderpriority")
+        .withColumn(
+            "enc",
+            (F.col("s") - F.col("o_totalprice")) / (F.col("n") - 1),
+        )
+    )
+    return enc.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("enc"), 4).alias("enc_mean"),
+        F.round(F.min("enc"), 4).alias("enc_min"),
+        F.round(F.max("enc"), 4).alias("enc_max"),
+    )
+
+
+_TARGET_ENC_ORACLE = """
+    WITH cat AS (
+        SELECT o_orderpriority, SUM(o_totalprice) AS s, COUNT(*) AS n
+        FROM orders GROUP BY 1
+    ),
+    enc AS (
+        SELECT o.o_orderpriority,
+               (c.s - o.o_totalprice) / (c.n - 1) AS enc
+        FROM orders o JOIN cat c USING (o_orderpriority)
+    )
+    SELECT o_orderpriority AS priority,
+           COUNT(*) AS n,
+           ROUND(AVG(enc), 4) AS enc_mean,
+           ROUND(MIN(enc), 4) AS enc_min,
+           ROUND(MAX(enc), 4) AS enc_max
+    FROM enc GROUP BY 1
+"""
+
+
+def q_regr_residual_outliers(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-brand OLS of extended price on quantity with residual-outlier
+    counts: slope/intercept/r2 from one covariance aggregate (the
+    closed-form moments, identical on both engines — not the engine's
+    regr_* built-ins, whose internal FP order may differ), residual
+    sigma from sigma_y*sqrt(1-r2) (no second moment pass), outliers =
+    rows with |residual| > 2 sigma counted under a broadcast join of the
+    25-row stats table back onto the fact."""
+    li = table(spark, sf, "lineitem")
+    p = table(spark, sf, "part").select("p_partkey", "p_brand")
+    rows = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
+        "p_brand",
+        F.col("l_quantity").alias("x"),
+        F.col("l_extendedprice").alias("y"),
+    )
+    stats = rows.groupBy("p_brand").agg(
+        F.covar_pop("x", "y").alias("cxy"),
+        F.var_pop("x").alias("vx"),
+        F.var_pop("y").alias("vy"),
+        F.avg("x").alias("mx"),
+        F.avg("y").alias("my"),
+        F.count("*").alias("n"),
+    )
+    stats = stats.select(
+        "p_brand",
+        "n",
+        (F.col("cxy") / F.col("vx")).alias("slope"),
+        (F.col("my") - F.col("cxy") / F.col("vx") * F.col("mx")).alias(
+            "intercept"
+        ),
+        (F.col("cxy") * F.col("cxy") / (F.col("vx") * F.col("vy"))).alias(
+            "r2"
+        ),
+        F.sqrt(
+            F.col("vy")
+            * (1.0 - F.col("cxy") * F.col("cxy") / (F.col("vx") * F.col("vy")))
+        ).alias("sigma"),
+    )
+    out = (
+        rows.join(F.broadcast(stats), "p_brand")
+        .withColumn(
+            "resid",
+            F.col("y") - (F.col("intercept") + F.col("slope") * F.col("x")),
+        )
+        .groupBy("p_brand")
+        .agg(
+            F.count(
+                F.when(F.abs(F.col("resid")) > 2.0 * F.col("sigma"), 1)
+            ).alias("n_outliers")
+        )
+    )
+    return stats.join(out, "p_brand").select(
+        F.col("p_brand").alias("brand"),
+        "n",
+        F.round("slope", 6).alias("slope"),
+        F.round("intercept", 4).alias("intercept"),
+        F.round("r2", 6).alias("r2"),
+        "n_outliers",
+    )
+
+
+_REGR_ORACLE = """
+    WITH rows AS (
+        SELECT p_brand, l_quantity AS x, l_extendedprice AS y
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+    ),
+    stats AS (
+        SELECT p_brand, COUNT(*) AS n,
+               COVAR_POP(x, y) / VAR_POP(x) AS slope,
+               AVG(y) - COVAR_POP(x, y) / VAR_POP(x) * AVG(x) AS intercept,
+               COVAR_POP(x, y) * COVAR_POP(x, y)
+                   / (VAR_POP(x) * VAR_POP(y)) AS r2,
+               SQRT(VAR_POP(y) * (1.0 - COVAR_POP(x, y) * COVAR_POP(x, y)
+                                  / (VAR_POP(x) * VAR_POP(y)))) AS sigma
+        FROM rows GROUP BY 1
+    ),
+    outliers AS (
+        SELECT r.p_brand,
+               COUNT(*) FILTER (
+                   ABS(r.y - (s.intercept + s.slope * r.x)) > 2.0 * s.sigma
+               ) AS n_outliers
+        FROM rows r JOIN stats s USING (p_brand)
+        GROUP BY 1
+    )
+    SELECT s.p_brand AS brand, s.n,
+           ROUND(s.slope, 6) AS slope,
+           ROUND(s.intercept, 4) AS intercept,
+           ROUND(s.r2, 6) AS r2,
+           o.n_outliers
+    FROM stats s JOIN outliers o USING (p_brand)
+"""
+
+
+def q_kl_sources(spark: SparkSession, sf: str) -> DataFrame:
+    """Unigram-distribution KL divergence between every pair of document
+    sources — the data-mixing diagnostic for LLM corpus curation (which
+    sources are interchangeable, which add novelty). Token counts fold
+    per (source, word) in one pass; add-one smoothing over the union
+    vocabulary keeps KL finite; the pair computation runs on the
+    (sources x vocab)-sized aggregate, never the corpus."""
+    d = table(spark, sf, "documents")
+    words = d.select(
+        "source", F.explode(F.split(F.col("text"), " ")).alias("w")
+    )
+    counts = words.groupBy("source", "w").agg(F.count("*").alias("c"))
+    vocab = counts.select("w").distinct()
+    vocab_n = vocab.agg(F.count("*").cast("double").alias("vn"))
+    totals = counts.groupBy("source").agg(F.sum("c").alias("tot"))
+    # smoothed P(w|source) over the UNION vocabulary: missing words get
+    # count 0 and still contribute via the +1 smoothing mass
+    srcs = counts.select("source").distinct()
+    grid = srcs.crossJoin(vocab)
+    dist = (
+        grid.join(counts, ["source", "w"], "left")
+        .join(F.broadcast(totals), "source")
+        .crossJoin(F.broadcast(vocab_n))
+        .select(
+            "source",
+            "w",
+            (
+                (F.coalesce(F.col("c"), F.lit(0)) + 1.0)
+                / (F.col("tot") + F.col("vn"))
+            ).alias("p"),
+        )
+    )
+    p = dist.select(
+        F.col("source").alias("src_p"), "w", F.col("p").alias("pp")
+    )
+    q = dist.select(
+        F.col("source").alias("src_q"), "w", F.col("p").alias("pq")
+    )
+    return (
+        p.join(q, "w")
+        .filter(F.col("src_p") != F.col("src_q"))
+        .groupBy("src_p", "src_q")
+        .agg(
+            F.round(
+                F.sum(F.col("pp") * F.log(F.col("pp") / F.col("pq"))), 6
+            ).alias("kl")
+        )
+    )
+
+
+_KL_ORACLE = """
+    WITH words AS (
+        SELECT source, UNNEST(string_split(text, ' ')) AS w
+        FROM documents
+    ),
+    counts AS (
+        SELECT source, w, COUNT(*) AS c FROM words GROUP BY 1, 2
+    ),
+    vocab AS (SELECT DISTINCT w FROM counts),
+    vn AS (SELECT COUNT(*) AS n FROM vocab),
+    totals AS (SELECT source, SUM(c) AS tot FROM counts GROUP BY 1),
+    srcs AS (SELECT DISTINCT source FROM counts),
+    dist AS (
+        SELECT s.source, v.w,
+               (COALESCE(c.c, 0) + 1.0)
+                   / (t.tot + (SELECT CAST(n AS DOUBLE) FROM vn)) AS p
+        FROM srcs s
+        CROSS JOIN vocab v
+        LEFT JOIN counts c ON c.source = s.source AND c.w = v.w
+        JOIN totals t ON t.source = s.source
+    )
+    SELECT a.source AS src_p, b.source AS src_q,
+           ROUND(SUM(a.p * LN(a.p / b.p)), 6) AS kl
+    FROM dist a JOIN dist b ON a.w = b.w AND a.source <> b.source
+    GROUP BY 1, 2
+"""
+
+
+def q_zipf_fit(spark: SparkSession, sf: str) -> DataFrame:
+    """Zipf-law fit of the corpus vocabulary: OLS slope of log(freq) on
+    log(rank) over the top-200 terms. The rank window runs AFTER a
+    two-phase top-k (TakeOrderedAndProject bounds the input, so the
+    global window is over provably <=200 rows); the regression is the
+    same closed-form moment arithmetic as `regr_residual_outliers`.
+    A healthy natural-language corpus fits slope ~ -1."""
+    d = table(spark, sf, "documents")
+    top = (
+        d.select(F.explode(F.split(F.col("text"), " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.col("c").desc(), "w")
+        .limit(200)
+    )
+    ranked = top.withColumn(
+        "r", F.row_number().over(Window.orderBy(F.col("c").desc(), "w"))
+    ).select(F.log("r").alias("x"), F.log("c").alias("y"))
+    return ranked.agg(
+        F.count("*").alias("n_terms"),
+        F.round(F.covar_pop("x", "y") / F.var_pop("x"), 6).alias("slope"),
+        F.round(
+            F.avg("y") - F.covar_pop("x", "y") / F.var_pop("x") * F.avg("x"),
+            6,
+        ).alias("intercept"),
+        F.round(
+            F.covar_pop("x", "y")
+            * F.covar_pop("x", "y")
+            / (F.var_pop("x") * F.var_pop("y")),
+            6,
+        ).alias("r2"),
+    )
+
+
+_ZIPF_ORACLE = """
+    WITH counts AS (
+        SELECT w, COUNT(*) AS c FROM (
+            SELECT UNNEST(string_split(text, ' ')) AS w FROM documents
+        ) GROUP BY w
+    ),
+    top AS (
+        SELECT w, c FROM counts ORDER BY c DESC, w LIMIT 200
+    ),
+    ranked AS (
+        SELECT LN(ROW_NUMBER() OVER (ORDER BY c DESC, w)) AS x,
+               LN(c) AS y
+        FROM top
+    )
+    SELECT COUNT(*) AS n_terms,
+           ROUND(COVAR_POP(x, y) / VAR_POP(x), 6) AS slope,
+           ROUND(AVG(y) - COVAR_POP(x, y) / VAR_POP(x) * AVG(x), 6)
+               AS intercept,
+           ROUND(COVAR_POP(x, y) * COVAR_POP(x, y)
+                 / (VAR_POP(x) * VAR_POP(y)), 6) AS r2
+    FROM ranked
+"""
+
+
+QUERIES = {
+    "bootstrap_ci_revenue": q_bootstrap_ci_revenue,
+    "target_encoding": q_target_encoding,
+    "regr_residual_outliers": q_regr_residual_outliers,
+    "kl_sources": q_kl_sources,
+    "zipf_fit": q_zipf_fit,
+}
+
+ORACLES = {
+    "bootstrap_ci_revenue": _BOOT_ORACLE,
+    "target_encoding": _TARGET_ENC_ORACLE,
+    "regr_residual_outliers": _REGR_ORACLE,
+    "kl_sources": _KL_ORACLE,
+    "zipf_fit": _ZIPF_ORACLE,
+}
