@@ -204,6 +204,9 @@ HEADLINE = [
     "regr_residual_outliers",
     "kl_sources",
     "zipf_fit",
+    # round 6, spatial: grid-binned proximity join (3x3 neighbor
+    # replication + haversine verify — never the cross product)
+    "geo_proximity_join",
 ]
 
 #: sf0.1-scale tier on the Zipf-vocabulary fixture (tools/gen_zipf.py):

@@ -1,0 +1,76 @@
+"""operators/spatial.py — grid-binned proximity join: must return exactly
+the brute-force haversine pair set (cell binning is an optimization, never
+a semantics change), including pairs straddling cell boundaries."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from vptstools_spark.operators.spatial import (
+    EARTH_RADIUS_KM,
+    haversine_km,
+    proximity_join,
+)
+
+
+def _hav(lat1, lon1, lat2, lon2):
+    dlat = math.radians(lat2 - lat1)
+    dlon = math.radians(lon2 - lon1)
+    a = (
+        math.sin(dlat / 2) ** 2
+        + math.cos(math.radians(lat1))
+        * math.cos(math.radians(lat2))
+        * math.sin(dlon / 2) ** 2
+    )
+    return 2 * EARTH_RADIUS_KM * math.asin(math.sqrt(a))
+
+
+@pytest.fixture(scope="module")
+def points(spark):
+    # deterministic scatter over ~100x100 km, including boundary-straddlers
+    pts = [
+        (i, (i * 37 % 100) / 100.0, (i * 61 % 100) / 100.0)
+        for i in range(80)
+    ]
+    a = spark.createDataFrame(pts[:50], "id long, lat double, lon double")
+    b = spark.createDataFrame(pts[50:], "id long, lat double, lon double")
+    return a, b, pts
+
+
+def test_matches_bruteforce(spark, points):
+    a, b, pts = points
+    r = 15.0
+    got = {
+        (x.id_a, x.id_b)
+        for x in proximity_join(a, b, r).collect()
+    }
+    want = {
+        (i, j)
+        for i, la, lo in pts[:50]
+        for j, lb, lb2 in pts[50:]
+        if _hav(la, lo, lb, lb2) <= r
+    }
+    assert got == want
+    assert want  # non-vacuous
+
+
+def test_distance_column_exact(spark, points):
+    a, b, pts = points
+    rows = proximity_join(a, b, 15.0).collect()
+    by_id = {p[0]: p for p in pts}
+    for x in rows:
+        pa, pb = by_id[x.id_a], by_id[x.id_b]
+        assert x.dist_km == pytest.approx(
+            _hav(pa[1], pa[2], pb[1], pb[2]), abs=1e-9
+        )
+
+
+def test_haversine_known_value(spark):
+    # Paris -> London ~ 343.5 km
+    df = spark.range(1).select(
+        haversine_km(
+            F.lit(48.8566), F.lit(2.3522), F.lit(51.5074), F.lit(-0.1278)
+        ).alias("d")
+    )
+    assert df.collect()[0].d == pytest.approx(343.5, abs=1.0)

@@ -20,6 +20,7 @@ from vptstools_spark.analytics import (
     relational,
     similarity_q,
     sketch_q,
+    spatial_q,
     stats_q,
     subqueries_q,
     text_q,
@@ -44,6 +45,7 @@ _MODULES = [
     corpus_q,
     inference_q,
     mlprep_q,
+    spatial_q,
 ]
 
 
@@ -70,6 +72,7 @@ NEW_THIS_ROUND = [
     "regr_residual_outliers",
     "kl_sources",
     "zipf_fit",
+    "geo_proximity_join",
     # round 6
     "market_concentration",
     "events_streaks",
