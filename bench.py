@@ -207,6 +207,9 @@ HEADLINE = [
     # round 6, spatial: grid-binned proximity join (3x3 neighbor
     # replication + haversine verify — never the cross product)
     "geo_proximity_join",
+    # round 6: in-engine Naive Bayes train+score (two training aggregates,
+    # broadcast likelihood table, per-doc argmax)
+    "nb_langid",
 ]
 
 #: sf0.1-scale tier on the Zipf-vocabulary fixture (tools/gen_zipf.py):

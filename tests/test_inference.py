@@ -207,3 +207,39 @@ def test_zipf_slope_negative(spark):
     r = q_zipf_fit(spark, SF).collect()[0]
     assert r.slope < 0
     assert 0.0 <= r.r2 <= 1.0
+
+
+def test_nb_confusion_matrix_complete(spark):
+    """Every held-out document appears exactly once in the confusion
+    matrix and every prediction is a training class (the harness corpus
+    carries no text->lang signal, so accuracy is not asserted here)."""
+    from pyspark.sql import functions as F
+
+    from vptstools_spark.analytics.mlprep_q import q_nb_langid
+    from vptstools_spark.io import table
+
+    rows = q_nb_langid(spark, SF).collect()
+    d = table(spark, SF, "documents")
+    n_test = d.filter(F.col("doc_id") % 5 == 0).count()
+    langs = {r.lang for r in d.select("lang").distinct().collect()}
+    assert sum(r.n_docs for r in rows) == n_test
+    assert {r.pred for r in rows} <= langs
+
+
+def test_nb_separable_corpus(spark):
+    """On a corpus whose vocabulary actually separates the classes, the
+    in-engine Naive Bayes must classify every held-out doc correctly."""
+    from vptstools_spark.analytics.mlprep_q import nb_train_score
+
+    words = {"en": "the and of cat", "de": "der und von katze",
+             "fr": "le et de chat"}
+    rows = []
+    for i in range(60):
+        lang = ["en", "de", "fr"][i % 3]
+        rows.append((i, lang, (words[lang] + " ") * 3 + "common"))
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    train = df.filter("doc_id % 5 != 0")
+    test = df.filter("doc_id % 5 = 0")
+    pred = nb_train_score(train, test).collect()
+    assert len(pred) == 12
+    assert all(r.lang == r.pred for r in pred)

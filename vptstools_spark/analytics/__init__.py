@@ -73,6 +73,7 @@ NEW_THIS_ROUND = [
     "kl_sources",
     "zipf_fit",
     "geo_proximity_join",
+    "nb_langid",
     # round 6
     "market_concentration",
     "events_streaks",

@@ -426,3 +426,179 @@ ORACLES = {
     "kl_sources": _KL_ORACLE,
     "zipf_fit": _ZIPF_ORACLE,
 }
+
+
+def nb_train_score(
+    train: DataFrame,
+    test: DataFrame,
+    label_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Multinomial Naive Bayes trained AND scored in-engine: word-given-
+    class log-likelihoods with add-one smoothing over the train
+    vocabulary, class log-priors, argmax per test document - the classic
+    "train a classifier as a GROUP BY" (no RNG, no driver-side model).
+    Returns (<label_col>, pred) per test document.
+
+    Plan shape: training is two aggregates (class totals, (class, word)
+    counts); scoring joins test tokens to the per-class likelihood table
+    on the word key (AQE broadcasts it at vocabulary scale), sums
+    log-scores per (doc, class), and takes the per-doc argmax with a
+    rounded score + class-name tie-break so the decision is
+    FP-order-independent across engines."""
+    train = train.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(label_col).alias("lang"),
+        F.col(text_col).alias("text"),
+    )
+    test = test.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(label_col).alias("lang"),
+        F.col(text_col).alias("text"),
+    )
+    tr_words = train.select(
+        "lang", F.explode(F.split("text", " ")).alias("w")
+    )
+    cls = tr_words.groupBy("lang").agg(F.count("*").alias("tot"))
+    prior = train.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    n_train = train.agg(F.count("*").alias("n_all"))
+    vocab_n = tr_words.select("w").distinct().agg(
+        F.count("*").cast("double").alias("vn")
+    )
+    wc = tr_words.groupBy("lang", "w").agg(F.count("*").alias("c"))
+    # per-class smoothed log-likelihood for every (train-vocab word, class)
+    grid = (
+        wc.select("w").distinct()
+        .crossJoin(cls)
+        .join(wc, ["lang", "w"], "left")
+        .crossJoin(F.broadcast(vocab_n))
+        .select(
+            "w",
+            F.col("lang").alias("cand"),
+            F.log(
+                (F.coalesce(F.col("c"), F.lit(0)) + 1.0)
+                / (F.col("tot") + F.col("vn"))
+            ).alias("ll"),
+        )
+    )
+    # unseen-word fallback per class: log(1 / (tot + V))
+    fallback = (
+        cls.crossJoin(F.broadcast(vocab_n))
+        .select(
+            F.col("lang").alias("cand"),
+            F.log(1.0 / (F.col("tot") + F.col("vn"))).alias("ll0"),
+        )
+    )
+    te_words = test.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("w")
+    )
+    scored = (
+        te_words.crossJoin(F.broadcast(fallback.select("cand")))
+        .join(grid, ["w", "cand"], "left")
+        .join(F.broadcast(fallback), "cand")
+        .groupBy("doc_id", "lang", "cand")
+        .agg(F.sum(F.coalesce(F.col("ll"), F.col("ll0"))).alias("s"))
+    )
+    logprior = (
+        prior.crossJoin(F.broadcast(n_train))
+        .select(
+            F.col("lang").alias("cand"),
+            F.log(F.col("n_docs") / F.col("n_all")).alias("lp"),
+        )
+    )
+    return (
+        scored.join(F.broadcast(logprior), "cand")
+        .select(
+            "doc_id",
+            "lang",
+            "cand",
+            F.round(F.col("s") + F.col("lp"), 6).alias("score"),
+        )
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.max(
+                F.struct(F.col("score"), F.col("cand").alias("pred"))
+            ).alias("best")
+        )
+        .select(F.col("lang").alias(label_col), F.col("best.pred").alias("pred"))
+    )
+
+
+def q_nb_langid(spark: SparkSession, sf: str) -> DataFrame:
+    """Confusion matrix of the in-engine Naive Bayes (`nb_train_score`)
+    on the documents table, deterministic doc_id %% 5 held-out split.
+    NOTE: the harness corpus draws text and lang independently, so the
+    matrix here verifies the TRAINING/SCORING mechanics (the oracle
+    replays every aggregate, smoothing term, and argmax in SQL);
+    `tests/test_inference.py::test_nb_separable_corpus` proves accuracy
+    on a corpus that actually carries signal."""
+    d = table(spark, sf, "documents")
+    train = d.filter(F.col("doc_id") % 5 != 0)
+    test = d.filter(F.col("doc_id") % 5 == 0)
+    pred = nb_train_score(train, test)
+    return pred.groupBy("lang", "pred").agg(F.count("*").alias("n_docs"))
+
+
+_NB_ORACLE = """
+    WITH train AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
+    test AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
+    tr_words AS (
+        SELECT lang, UNNEST(string_split(text, ' ')) AS w FROM train
+    ),
+    cls AS (SELECT lang, COUNT(*) AS tot FROM tr_words GROUP BY 1),
+    prior AS (SELECT lang, COUNT(*) AS n_docs FROM train GROUP BY 1),
+    n_train AS (SELECT COUNT(*) AS n_all FROM train),
+    vocab AS (SELECT DISTINCT w FROM tr_words),
+    vn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS vn FROM vocab),
+    wc AS (SELECT lang, w, COUNT(*) AS c FROM tr_words GROUP BY 1, 2),
+    grid AS (
+        SELECT v.w, c.lang AS cand,
+               LN((COALESCE(wc.c, 0) + 1.0)
+                  / (c.tot + (SELECT vn FROM vn))) AS ll
+        FROM vocab v
+        CROSS JOIN cls c
+        LEFT JOIN wc ON wc.lang = c.lang AND wc.w = v.w
+    ),
+    fallback AS (
+        SELECT lang AS cand,
+               LN(1.0 / (tot + (SELECT vn FROM vn))) AS ll0
+        FROM cls
+    ),
+    te_words AS (
+        SELECT doc_id, lang, UNNEST(string_split(text, ' ')) AS w
+        FROM test
+    ),
+    scored AS (
+        SELECT t.doc_id, t.lang, f.cand,
+               SUM(COALESCE(g.ll, f.ll0)) AS s
+        FROM te_words t
+        CROSS JOIN (SELECT cand, ll0 FROM fallback) f
+        LEFT JOIN grid g ON g.w = t.w AND g.cand = f.cand
+        GROUP BY 1, 2, 3
+    ),
+    logprior AS (
+        SELECT p.lang AS cand,
+               LN(CAST(p.n_docs AS DOUBLE) / (SELECT n_all FROM n_train))
+                   AS lp
+        FROM prior p
+    ),
+    pred AS (
+        SELECT doc_id, lang, cand,
+               ROUND(s + lp, 6) AS score
+        FROM scored JOIN logprior USING (cand)
+    ),
+    best AS (
+        SELECT lang, cand AS pred FROM (
+            SELECT lang, cand,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id
+                                      ORDER BY score DESC, cand DESC) AS rk
+            FROM pred
+        ) WHERE rk = 1
+    )
+    SELECT lang, pred, COUNT(*) AS n_docs
+    FROM best GROUP BY 1, 2
+"""
+
+QUERIES["nb_langid"] = q_nb_langid
+ORACLES["nb_langid"] = _NB_ORACLE
