@@ -210,6 +210,9 @@ HEADLINE = [
     # round 6: in-engine Naive Bayes train+score (two training aggregates,
     # broadcast likelihood table, per-doc argmax)
     "nb_langid",
+    # round 6: ALS alternation — one aggregate + closed-form 2x2 solve per
+    # entity per half-step, two shuffles per iteration at any matrix size
+    "als_factors",
 ]
 
 #: sf0.1-scale tier on the Zipf-vocabulary fixture (tools/gen_zipf.py):

@@ -243,3 +243,46 @@ def test_nb_separable_corpus(spark):
     pred = nb_train_score(train, test).collect()
     assert len(pred) == 12
     assert all(r.lang == r.pred for r in pred)
+
+
+def test_als_reconstruction_beats_mean_predictor(spark):
+    """After one alternation, u.v must reconstruct the rating matrix
+    better (lower RMSE) than the constant global-mean predictor."""
+    from pyspark.sql import functions as F
+
+    from vptstools_spark.analytics.mlprep_q import (
+        _als_solve,
+        q_als_factors,
+    )
+    from vptstools_spark.io import table
+
+    li = table(spark, SF, "lineitem")
+    p = table(spark, SF, "part").select("p_partkey", "p_brand")
+    o = table(spark, SF, "orders").select("o_orderkey", "o_custkey")
+    ratings = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(F.col("o_custkey").alias("cust"), F.col("p_brand").alias("brand"))
+        .agg(F.log(1.0 + F.count("*")).alias("r"))
+    )
+    items = q_als_factors(spark, SF)
+    # recompute the matching user factors from the item init
+    bnum = F.regexp_extract(F.col("brand"), "#(\\d+)", 1).cast("int")
+    v0 = ratings.select("brand").distinct().select(
+        "brand", F.lit(1.0).alias("f1"),
+        ((bnum * 37 % 97) / F.lit(97.0)).alias("f2"),
+    )
+    users = _als_solve(ratings.join(F.broadcast(v0), "brand"), "cust", "f1", "f2")
+    joined = (
+        ratings.join(users.withColumnRenamed("f1", "u1").withColumnRenamed("f2", "u2"), "cust")
+        .join(items.withColumnRenamed("f1", "v1").withColumnRenamed("f2", "v2"), "brand")
+        .withColumn("pred", F.col("u1") * F.col("v1") + F.col("u2") * F.col("v2"))
+    )
+    row = joined.agg(
+        F.sqrt(F.avg((F.col("r") - F.col("pred")) ** 2)).alias("rmse_als")
+    ).collect()[0]
+    mean_r = ratings.agg(F.avg("r")).collect()[0][0]
+    rmse_mean = ratings.agg(
+        F.sqrt(F.avg((F.col("r") - F.lit(mean_r)) ** 2))
+    ).collect()[0][0]
+    assert row.rmse_als < rmse_mean

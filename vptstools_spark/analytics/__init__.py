@@ -74,6 +74,7 @@ NEW_THIS_ROUND = [
     "zipf_fit",
     "geo_proximity_join",
     "nb_langid",
+    "als_factors",
     # round 6
     "market_concentration",
     "events_streaks",

@@ -602,3 +602,126 @@ _NB_ORACLE = """
 
 QUERIES["nb_langid"] = q_nb_langid
 ORACLES["nb_langid"] = _NB_ORACLE
+
+
+#: ALS hyperparameters: 2 latent factors (closed-form 2x2 solves), one
+#: U-then-V alternation, L2 regularization
+_ALS_LAMBDA = 0.1
+
+
+def _als_solve(joined: DataFrame, key: str, f1: str, f2: str) -> DataFrame:
+    """One ALS half-step: per `key`, solve the regularized 2x2 normal
+    equations (A + lambda*I) x = b in closed form from one aggregate.
+    Factors are rounded to 6 dp so every downstream step sees identical
+    values in any engine (the ts_cusum pre-rounding discipline)."""
+    agg = joined.groupBy(key).agg(
+        F.sum(F.col(f1) * F.col(f1)).alias("a11"),
+        F.sum(F.col(f1) * F.col(f2)).alias("a12"),
+        F.sum(F.col(f2) * F.col(f2)).alias("a22"),
+        F.sum(F.col("r") * F.col(f1)).alias("b1"),
+        F.sum(F.col("r") * F.col(f2)).alias("b2"),
+    )
+    lam = F.lit(_ALS_LAMBDA)
+    det = (F.col("a11") + lam) * (F.col("a22") + lam) - F.col("a12") * F.col("a12")
+    x1 = ((F.col("a22") + lam) * F.col("b1") - F.col("a12") * F.col("b2")) / det
+    x2 = ((F.col("a11") + lam) * F.col("b2") - F.col("a12") * F.col("b1")) / det
+    return agg.select(
+        key, F.round(x1, 6).alias("f1"), F.round(x2, 6).alias("f2")
+    )
+
+
+def q_als_factors(spark: SparkSession, sf: str) -> DataFrame:
+    """One alternation of ALS matrix factorization (k=2) over the
+    implicit customer x brand purchase matrix — the collaborative-
+    filtering training step in-engine. Ratings r = ln(1 + purchase
+    count); item factors init deterministically from the brand number;
+    each half-step is ONE aggregate per entity + a closed-form 2x2 solve
+    (no gradient loop, no RNG, no driver-side model), so an iteration
+    costs two shuffles regardless of matrix size. Factors pre-round to
+    6 dp per half-step, making the alternation engine-exact. Returns the
+    per-brand factor table."""
+    li = table(spark, sf, "lineitem")
+    p = table(spark, sf, "part").select("p_partkey", "p_brand")
+    o = table(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    ratings = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("o_custkey").alias("cust"), F.col("p_brand").alias("brand")
+        )
+        .agg(F.log(1.0 + F.count("*")).alias("r"))
+    )
+    bnum = F.regexp_extract(F.col("brand"), "#(\\d+)", 1).cast("int")
+    v0 = ratings.select("brand").distinct().select(
+        "brand",
+        F.lit(1.0).alias("f1"),
+        ((bnum * 37 % 97) / F.lit(97.0)).alias("f2"),
+    )
+    users = _als_solve(ratings.join(F.broadcast(v0), "brand"), "cust", "f1", "f2")
+    items = _als_solve(
+        ratings.join(
+            users.select(
+                "cust", F.col("f1").alias("u1"), F.col("f2").alias("u2")
+            ),
+            "cust",
+        ),
+        "brand",
+        "u1",
+        "u2",
+    )
+    return items.select("brand", "f1", "f2")
+
+
+_ALS_ORACLE = f"""
+    WITH ratings AS (
+        SELECT o_custkey AS cust, p_brand AS brand,
+               LN(1.0 + COUNT(*)) AS r
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1, 2
+    ),
+    v0 AS (
+        SELECT DISTINCT brand, 1.0 AS f1,
+               (CAST(regexp_extract(brand, '#(\\d+)', 1) AS INT) * 37 % 97)
+                   / 97.0 AS f2
+        FROM ratings
+    ),
+    uagg AS (
+        SELECT cust,
+               SUM(f1 * f1) AS a11, SUM(f1 * f2) AS a12,
+               SUM(f2 * f2) AS a22,
+               SUM(r * f1) AS b1, SUM(r * f2) AS b2
+        FROM ratings JOIN v0 USING (brand)
+        GROUP BY 1
+    ),
+    users AS (
+        SELECT cust,
+               ROUND(((a22 + {_ALS_LAMBDA}) * b1 - a12 * b2)
+                     / ((a11 + {_ALS_LAMBDA}) * (a22 + {_ALS_LAMBDA})
+                        - a12 * a12), 6) AS u1,
+               ROUND(((a11 + {_ALS_LAMBDA}) * b2 - a12 * b1)
+                     / ((a11 + {_ALS_LAMBDA}) * (a22 + {_ALS_LAMBDA})
+                        - a12 * a12), 6) AS u2
+        FROM uagg
+    ),
+    iagg AS (
+        SELECT brand,
+               SUM(u1 * u1) AS a11, SUM(u1 * u2) AS a12,
+               SUM(u2 * u2) AS a22,
+               SUM(r * u1) AS b1, SUM(r * u2) AS b2
+        FROM ratings JOIN users USING (cust)
+        GROUP BY 1
+    )
+    SELECT brand,
+           ROUND(((a22 + {_ALS_LAMBDA}) * b1 - a12 * b2)
+                 / ((a11 + {_ALS_LAMBDA}) * (a22 + {_ALS_LAMBDA})
+                    - a12 * a12), 6) AS f1,
+           ROUND(((a11 + {_ALS_LAMBDA}) * b2 - a12 * b1)
+                 / ((a11 + {_ALS_LAMBDA}) * (a22 + {_ALS_LAMBDA})
+                    - a12 * a12), 6) AS f2
+    FROM iagg
+"""
+
+QUERIES["als_factors"] = q_als_factors
+ORACLES["als_factors"] = _ALS_ORACLE
