@@ -213,6 +213,8 @@ HEADLINE = [
     # round 6: ALS alternation — one aggregate + closed-form 2x2 solve per
     # entity per half-step, two shuffles per iteration at any matrix size
     "als_factors",
+    "conversion_ztest",
+    "markov_next_event_eval",
 ]
 
 #: sf0.1-scale tier on the Zipf-vocabulary fixture (tools/gen_zipf.py):

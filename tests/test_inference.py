@@ -286,3 +286,26 @@ def test_als_reconstruction_beats_mean_predictor(spark):
         F.sqrt(F.avg((F.col("r") - F.lit(mean_r)) ** 2))
     ).collect()[0][0]
     assert row.rmse_als < rmse_mean
+
+
+def test_conversion_ztest_consistency(spark):
+    from vptstools_spark.analytics.inference_q import q_conversion_ztest
+
+    r = q_conversion_ztest(spark, SF).collect()[0]
+    assert r.n1 > 0 and r.n2 > 0
+    assert 0.0 <= r.rate_a <= 1.0 and 0.0 <= r.rate_b <= 1.0
+    # z sign must agree with the rate difference
+    if r.rate_a > r.rate_b:
+        assert r.z_stat > 0
+    elif r.rate_a < r.rate_b:
+        assert r.z_stat < 0
+
+
+def test_markov_eval_counts(spark):
+    from vptstools_spark.analytics.events_q import q_markov_next_event_eval
+
+    rows = q_markov_next_event_eval(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_correct <= r.n_transitions
+        assert abs(r.accuracy - r.n_correct / r.n_transitions) < 1e-6

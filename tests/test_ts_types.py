@@ -38,6 +38,7 @@ TS_QUERIES = [
     "attribution_linear",
     "attribution_time_decay",
     "events_trigrams",
+    "markov_next_event_eval",
 ]
 
 

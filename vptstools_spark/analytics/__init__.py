@@ -75,6 +75,8 @@ NEW_THIS_ROUND = [
     "geo_proximity_join",
     "nb_langid",
     "als_factors",
+    "conversion_ztest",
+    "markov_next_event_eval",
     # round 6
     "market_concentration",
     "events_streaks",

@@ -2694,3 +2694,84 @@ ORACLES["events_trigrams"] = """
     ORDER BY n DESC, e1, e2, e3
     LIMIT 20
 """
+
+
+def q_markov_next_event_eval(spark: SparkSession, sf: str) -> DataFrame:
+    """Sequence-model evaluation: train a first-order Markov next-event
+    predictor on 80% of users (user_id % 5 != 0), predict argmax
+    P(next | current) for the held-out users, report per-state accuracy.
+    Training and prediction are two aggregates over lead() pairs; the
+    argmax uses a count + state tie-break struct max so the decision is
+    deterministic in any engine - the train/held-out evaluation pattern
+    next to `nb_langid`'s classifier."""
+    e = table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = e.select(
+        "user_id",
+        F.col("event_type").alias("cur"),
+        F.lead("event_type", 1).over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    train = pairs.filter(F.col("user_id") % 5 != 0)
+    test = pairs.filter(F.col("user_id") % 5 == 0)
+    pred = (
+        train.groupBy("cur", "nxt")
+        .agg(F.count("*").alias("c"))
+        .groupBy("cur")
+        .agg(
+            F.max(
+                F.struct(F.col("c"), F.col("nxt").alias("p"))
+            ).alias("best")
+        )
+        .select("cur", F.col("best.p").alias("pred"))
+    )
+    return (
+        test.join(F.broadcast(pred), "cur")
+        .groupBy("cur")
+        .agg(
+            F.count("*").alias("n_transitions"),
+            F.sum(
+                (F.col("nxt") == F.col("pred")).cast("int")
+            ).alias("n_correct"),
+            F.round(
+                F.avg((F.col("nxt") == F.col("pred")).cast("int")), 6
+            ).alias("accuracy"),
+        )
+    )
+
+
+ORACLES["markov_next_event_eval"] = """
+    WITH pairs AS (
+        SELECT user_id, event_type AS cur,
+               LEAD(event_type, 1) OVER
+                   (PARTITION BY user_id
+                    ORDER BY epoch_us(ts), event_id) AS nxt
+        FROM events
+    ),
+    train AS (
+        SELECT * FROM pairs WHERE nxt IS NOT NULL AND user_id % 5 <> 0
+    ),
+    test AS (
+        SELECT * FROM pairs WHERE nxt IS NOT NULL AND user_id % 5 = 0
+    ),
+    counts AS (
+        SELECT cur, nxt, COUNT(*) AS c FROM train GROUP BY 1, 2
+    ),
+    pred AS (
+        SELECT cur, nxt AS pred FROM (
+            SELECT cur, nxt,
+                   ROW_NUMBER() OVER (PARTITION BY cur
+                                      ORDER BY c DESC, nxt DESC) AS rk
+            FROM counts
+        ) WHERE rk = 1
+    )
+    SELECT t.cur,
+           COUNT(*) AS n_transitions,
+           CAST(SUM(CASE WHEN t.nxt = p.pred THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_correct,
+           ROUND(AVG(CASE WHEN t.nxt = p.pred THEN 1.0 ELSE 0.0 END), 6)
+               AS accuracy
+    FROM test t JOIN pred p USING (cur)
+    GROUP BY 1
+"""
+
+QUERIES["markov_next_event_eval"] = q_markov_next_event_eval

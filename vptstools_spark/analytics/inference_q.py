@@ -318,3 +318,61 @@ ORACLES = {
     "kaplan_meier": _KM_ORACLE,
     "basket_lift": _BASKET_ORACLE,
 }
+
+
+def q_conversion_ztest(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-proportion z-test on conversion rates (share of events that
+    are purchases) between the even/odd user-id cohorts - the funnel
+    A/B readout next to `ab_test_welch`'s continuous-metric one. One
+    conditional aggregate per cohort folds from a single events scan;
+    the pooled-variance z statistic is a closed form over the 1-row
+    result."""
+    e = table(spark, sf, "events")
+    coh = e.select(
+        (F.col("user_id") % 2 == 0).alias("is_a"),
+        (F.col("event_type") == "purchase").cast("int").alias("conv"),
+    )
+    agg = coh.agg(
+        F.count(F.when(F.col("is_a"), 1)).alias("n1"),
+        F.count(F.when(~F.col("is_a"), 1)).alias("n2"),
+        F.sum(F.when(F.col("is_a"), F.col("conv"))).alias("c1"),
+        F.sum(F.when(~F.col("is_a"), F.col("conv"))).alias("c2"),
+    )
+    p1 = F.col("c1") / F.col("n1")
+    p2 = F.col("c2") / F.col("n2")
+    pp = (F.col("c1") + F.col("c2")) / (F.col("n1") + F.col("n2"))
+    z = (p1 - p2) / F.sqrt(
+        pp * (1.0 - pp) * (1.0 / F.col("n1") + 1.0 / F.col("n2"))
+    )
+    return agg.select(
+        "n1",
+        "n2",
+        F.round(p1, 6).alias("rate_a"),
+        F.round(p2, 6).alias("rate_b"),
+        F.round(z, 4).alias("z_stat"),
+    )
+
+
+_ZTEST_ORACLE = """
+    WITH agg AS (
+        SELECT
+            COUNT(*) FILTER (user_id % 2 = 0) AS n1,
+            COUNT(*) FILTER (user_id % 2 <> 0) AS n2,
+            COUNT(*) FILTER (user_id % 2 = 0
+                             AND event_type = 'purchase') AS c1,
+            COUNT(*) FILTER (user_id % 2 <> 0
+                             AND event_type = 'purchase') AS c2
+        FROM events
+    )
+    SELECT n1, n2,
+           ROUND(CAST(c1 AS DOUBLE) / n1, 6) AS rate_a,
+           ROUND(CAST(c2 AS DOUBLE) / n2, 6) AS rate_b,
+           ROUND((CAST(c1 AS DOUBLE) / n1 - CAST(c2 AS DOUBLE) / n2)
+                 / SQRT((CAST(c1 + c2 AS DOUBLE) / (n1 + n2))
+                        * (1.0 - CAST(c1 + c2 AS DOUBLE) / (n1 + n2))
+                        * (1.0 / n1 + 1.0 / n2)), 4) AS z_stat
+    FROM agg
+"""
+
+QUERIES["conversion_ztest"] = q_conversion_ztest
+ORACLES["conversion_ztest"] = _ZTEST_ORACLE
