@@ -215,6 +215,8 @@ HEADLINE = [
     "als_factors",
     "conversion_ztest",
     "markov_next_event_eval",
+    # round 6: exact rolling distinct from mergeable day-bitmaps
+    "rolling_distinct_users",
 ]
 
 #: sf0.1-scale tier on the Zipf-vocabulary fixture (tools/gen_zipf.py):

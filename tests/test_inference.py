@@ -309,3 +309,26 @@ def test_markov_eval_counts(spark):
     for r in rows:
         assert 0 <= r.n_correct <= r.n_transitions
         assert abs(r.accuracy - r.n_correct / r.n_transitions) < 1e-6
+
+
+def test_rolling_distinct_monotone_vs_daily(spark):
+    """The 7-day rolling distinct count is >= any single day's distinct
+    count inside the window and <= total distinct users."""
+    from pyspark.sql import functions as F
+
+    from vptstools_spark.analytics.sketch_q import q_rolling_distinct_users
+    from vptstools_spark.io import table
+
+    rows = {r.day: r.n_users_7d for r in
+            q_rolling_distinct_users(spark, SF).collect()}
+    assert rows
+    e = table(spark, SF, "events").withColumn("day", F.to_date("ts"))
+    daily = {
+        r.day.isoformat(): r.n
+        for r in e.groupBy("day").agg(
+            F.countDistinct("user_id").alias("n")
+        ).collect()
+    }
+    total = e.agg(F.countDistinct("user_id")).collect()[0][0]
+    for day, n7 in rows.items():
+        assert daily[day] <= n7 <= total

@@ -39,6 +39,7 @@ TS_QUERIES = [
     "attribution_time_decay",
     "events_trigrams",
     "markov_next_event_eval",
+    "rolling_distinct_users",
 ]
 
 

@@ -77,6 +77,7 @@ NEW_THIS_ROUND = [
     "als_factors",
     "conversion_ztest",
     "markov_next_event_eval",
+    "rolling_distinct_users",
     # round 6
     "market_concentration",
     "events_streaks",

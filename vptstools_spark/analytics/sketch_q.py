@@ -525,3 +525,42 @@ ORACLES = {
     "sketch_cm_tokens": _CM_ORACLE,
     "sketch_bloom_join": _BLOOM_ORACLE,
 }
+
+
+def q_rolling_distinct_users(spark: SparkSession, sf: str) -> DataFrame:
+    """EXACT 7-day rolling distinct users from mergeable day-bitmaps:
+    the fact table folds ONCE into per-(day, bucket) bitmaps; every
+    window then bit-ORs <=7 day sketches instead of rescanning events -
+    the window-over-distinct problem SQL engines can't express as a
+    window function (COUNT(DISTINCT) OVER is unsupported everywhere).
+    The day spine self-join is bounded by calendar days, not rows; the
+    oracle recomputes each window's COUNT(DISTINCT) directly from the
+    data - algorithm-independent agreement."""
+    e = table(spark, sf, "events").withColumn("day", F.to_date("ts"))
+    fine = sketch.bitmap_distinct_sketch(e, F.col("user_id"), ["day"])
+    days = fine.select(F.col("day").alias("d")).distinct()
+    window = days.join(
+        fine,
+        (F.datediff(F.col("d"), F.col("day")) >= 0)
+        & (F.datediff(F.col("d"), F.col("day")) <= 6),
+    )
+    merged = sketch.bitmap_merge(window.drop("day"), ["d"])
+    out = sketch.bitmap_distinct_count(merged, ["d"])
+    return out.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.col("n_distinct").cast("long").alias("n_users_7d"),
+    )
+
+
+ORACLES["rolling_distinct_users"] = """
+    WITH e AS (
+        SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+    ),
+    days AS (SELECT DISTINCT day AS d FROM e)
+    SELECT STRFTIME(d, '%Y-%m-%d') AS day,
+           COUNT(DISTINCT user_id) AS n_users_7d
+    FROM days JOIN e ON e.day BETWEEN d - 6 AND d
+    GROUP BY d
+"""
+
+QUERIES["rolling_distinct_users"] = q_rolling_distinct_users
