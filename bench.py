@@ -269,6 +269,13 @@ SF1_QUERIES = [
     # asymptotics; this measures them)
     "sssp_trade",
     "dedup_containment",
+    # round 6, analytics wave: the 32x-explode bootstrap (map-side
+    # collapse), basket pair mining (basket-width-bounded), one ALS
+    # alternation (2 shuffles at any matrix size), vocabulary-bounded KL
+    "bootstrap_ci_revenue",
+    "basket_lift",
+    "als_factors",
+    "kl_sources",
 ]
 #: quadratic-by-construction exact baselines, explicitly EXEMPT from the
 #: linear-scaling contract of the sf1 probe (VERDICT r4 #1/#3): still run
