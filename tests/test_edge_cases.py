@@ -97,3 +97,34 @@ def test_bpe_empty_vocab(spark):
     e = _empty(spark, "word string, freq bigint")
     merges, seg = bpe_train(e, iters=3)
     assert merges == [] and seg.count() == 0
+
+
+def test_hits_empty_edges(spark):
+    from vptstools_spark.operators.graph import hits
+
+    edges = spark.createDataFrame([], "src string, dst string, w double")
+    assert hits(edges, iters=2, weight_col="w").collect() == []
+
+
+def test_proximity_join_no_pairs(spark):
+    from vptstools_spark.operators.spatial import proximity_join
+
+    a = spark.createDataFrame([(1, 0.0, 0.0)], "id long, lat double, lon double")
+    b = spark.createDataFrame([(2, 50.0, 50.0)], "id long, lat double, lon double")
+    assert proximity_join(a, b, 10.0).collect() == []
+
+
+def test_covariance_empty_vectors(spark):
+    from vptstools_spark.operators.linalg import covariance_matrix
+
+    df = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert covariance_matrix(df, "embedding").collect() == []
+
+
+def test_nb_empty_test_split(spark):
+    from vptstools_spark.analytics.mlprep_q import nb_train_score
+
+    rows = [(i, "en", "a b c") for i in range(1, 5)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    empty = df.filter("doc_id < 0")
+    assert nb_train_score(df, empty).collect() == []
