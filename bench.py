@@ -217,6 +217,8 @@ HEADLINE = [
     "markov_next_event_eval",
     # round 6: exact rolling distinct from mergeable day-bitmaps
     "rolling_distinct_users",
+    # round 6: per-key ordered EWMA fold (explicit fold order, engine-exact)
+    "user_value_ewma",
 ]
 
 #: sf0.1-scale tier on the Zipf-vocabulary fixture (tools/gen_zipf.py):

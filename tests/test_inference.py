@@ -332,3 +332,24 @@ def test_rolling_distinct_monotone_vs_daily(spark):
     total = e.agg(F.countDistinct("user_id")).collect()[0][0]
     for day, n7 in rows.items():
         assert daily[day] <= n7 <= total
+
+
+def test_user_ewma_within_series_range(spark):
+    from pyspark.sql import functions as F
+
+    from vptstools_spark.analytics.ts_q import q_user_value_ewma
+    from vptstools_spark.io import table
+
+    rows = {r.user_id: r for r in q_user_value_ewma(spark, SF).collect()}
+    assert rows
+    bounds = {
+        r.user_id: (r.lo, r.hi)
+        for r in table(spark, SF, "events")
+        .filter(F.col("user_id") < 60)
+        .groupBy("user_id")
+        .agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+        .collect()
+    }
+    for uid, r in rows.items():
+        lo, hi = bounds[uid]
+        assert lo - 1e-6 <= r.ewma <= hi + 1e-6  # convex combination

@@ -40,6 +40,7 @@ TS_QUERIES = [
     "events_trigrams",
     "markov_next_event_eval",
     "rolling_distinct_users",
+    "user_value_ewma",
 ]
 
 

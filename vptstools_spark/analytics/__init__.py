@@ -78,6 +78,7 @@ NEW_THIS_ROUND = [
     "conversion_ztest",
     "markov_next_event_eval",
     "rolling_distinct_users",
+    "user_value_ewma",
     # round 6
     "market_concentration",
     "events_streaks",

@@ -111,7 +111,41 @@ def q_ewma_revenue(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_user_value_ewma(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user EWMA (alpha=0.5) of event values as an ORDERED JVM fold:
+    each user's series collects into a ts-sorted array (one exchange on
+    user_id), and F.aggregate folds s <- 0.5*s + 0.5*x sequentially -
+    bit-identical in any engine because the fold order is explicit, the
+    per-key streaming-smoother primitive (the batch twin of a stateful
+    stream). Array length is bounded by per-user activity; users
+    partition the work."""
+    e = table(spark, sf, "events").filter(F.col("user_id") < 60)
+    series = e.groupBy("user_id").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    "ts",
+                    "event_id",
+                    F.col("value").cast("double").alias("value"),
+                )
+            )
+        ).alias("s")
+    )
+    vals = F.col("s.value")
+    folded = F.aggregate(
+        F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0))),
+        F.element_at(vals, 1),
+        lambda acc, x: 0.5 * acc + 0.5 * x,
+    )
+    return series.select(
+        "user_id",
+        F.size("s").alias("n_events"),
+        F.round(folded, 6).alias("ewma"),
+    )
+
+
 QUERIES = {
+    "user_value_ewma": q_user_value_ewma,
     "ts_subseq_match": q_ts_subseq_match,
     "ts_anomaly_zscore": q_ts_anomaly_zscore,
     "ts_paa_sax": q_ts_paa_sax,
@@ -265,4 +299,22 @@ ORACLES["ewma_revenue"] = """
         COUNT(*) AS n_months
     FROM monthly cur JOIN monthly past ON past.month <= cur.month
     GROUP BY 1
+"""
+
+# ordered fold replayed with list_reduce over the same ts-sorted list:
+# sequential order explicit on both sides, so the doubles are bit-equal
+ORACLES["user_value_ewma"] = """
+    WITH series AS (
+        SELECT user_id,
+               list(CAST(value AS DOUBLE)
+                    ORDER BY epoch_us(ts), event_id) AS s
+        FROM events
+        WHERE user_id < 60
+        GROUP BY user_id
+    )
+    SELECT user_id,
+           len(s) AS n_events,
+           ROUND(list_reduce(s, (acc, x) -> 0.5 * acc + 0.5 * x), 6)
+               AS ewma
+    FROM series
 """
