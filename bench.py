@@ -219,6 +219,9 @@ HEADLINE = [
     "rolling_distinct_users",
     # round 6: per-key ordered EWMA fold (explicit fold order, engine-exact)
     "user_value_ewma",
+    # round 6: DiD causal readout + Hill heavy-tail index
+    "did_estimate",
+    "hill_tail_index",
 ]
 
 #: sf0.1-scale tier on the Zipf-vocabulary fixture (tools/gen_zipf.py):

@@ -353,3 +353,23 @@ def test_user_ewma_within_series_range(spark):
     for uid, r in rows.items():
         lo, hi = bounds[uid]
         assert lo - 1e-6 <= r.ewma <= hi + 1e-6  # convex combination
+
+
+def test_did_closed_form(spark):
+    from vptstools_spark.analytics.inference_q import q_did_estimate
+
+    r = q_did_estimate(spark, SF).collect()[0]
+    assert r.did == pytest.approx(
+        (r.treated_post - r.treated_pre)
+        - (r.control_post - r.control_pre),
+        abs=2e-4,  # the cells are pre-rounded to 4 dp
+    )
+
+
+def test_hill_estimator_positive(spark):
+    from vptstools_spark.analytics.inference_q import q_hill_tail_index
+
+    r = q_hill_tail_index(spark, SF).collect()[0]
+    assert r.k > 0
+    assert r.hill_inv_alpha >= 0
+    assert r.alpha > 0

@@ -41,6 +41,7 @@ TS_QUERIES = [
     "markov_next_event_eval",
     "rolling_distinct_users",
     "user_value_ewma",
+    "did_estimate",
 ]
 
 

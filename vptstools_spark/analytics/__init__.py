@@ -79,6 +79,8 @@ NEW_THIS_ROUND = [
     "markov_next_event_eval",
     "rolling_distinct_users",
     "user_value_ewma",
+    "did_estimate",
+    "hill_tail_index",
     # round 6
     "market_concentration",
     "events_streaks",

@@ -376,3 +376,120 @@ _ZTEST_ORACLE = """
 
 QUERIES["conversion_ztest"] = q_conversion_ztest
 ORACLES["conversion_ztest"] = _ZTEST_ORACLE
+
+
+def q_did_estimate(spark: SparkSession, sf: str) -> DataFrame:
+    """Difference-in-differences: change in mean event value for the
+    treated cohort (even user ids) vs control, before/after the corpus
+    midpoint - the quasi-experimental causal readout. The midpoint is a
+    1-row min/max aggregate broadcast back; the four cell means fold
+    from ONE conditional aggregate; DiD is a closed form over that row."""
+    e = table(spark, sf, "events")
+    span = e.agg(
+        F.min("ts").alias("t0"), F.max("ts").alias("t1")
+    ).select(
+        F.timestamp_micros(
+            (
+                (F.unix_micros(F.col("t0").cast("timestamp"))
+                 + F.unix_micros(F.col("t1").cast("timestamp"))) / 2
+            ).cast("long")
+        ).alias("mid")
+    )
+    cells = (
+        e.crossJoin(F.broadcast(span))
+        .select(
+            (F.col("user_id") % 2 == 0).alias("treated"),
+            (F.col("ts") >= F.col("mid")).alias("post"),
+            F.col("value").cast("double").alias("v"),
+        )
+        .agg(
+            F.avg(F.when(F.col("treated") & F.col("post"), F.col("v"))).alias("tp"),
+            F.avg(F.when(F.col("treated") & ~F.col("post"), F.col("v"))).alias("tb"),
+            F.avg(F.when(~F.col("treated") & F.col("post"), F.col("v"))).alias("cp"),
+            F.avg(F.when(~F.col("treated") & ~F.col("post"), F.col("v"))).alias("cb"),
+        )
+    )
+    return cells.select(
+        F.round("tp", 4).alias("treated_post"),
+        F.round("tb", 4).alias("treated_pre"),
+        F.round("cp", 4).alias("control_post"),
+        F.round("cb", 4).alias("control_pre"),
+        F.round(
+            (F.col("tp") - F.col("tb")) - (F.col("cp") - F.col("cb")), 4
+        ).alias("did"),
+    )
+
+
+_DID_ORACLE = """
+    WITH span AS (
+        SELECT to_timestamp(
+                   CAST((epoch_us(MIN(ts)) + epoch_us(MAX(ts))) / 2
+                        AS BIGINT) / 1000000.0) AS mid
+        FROM events
+    ),
+    cells AS (
+        SELECT
+            AVG(value) FILTER (user_id % 2 = 0
+                               AND ts >= (SELECT mid FROM span)) AS tp,
+            AVG(value) FILTER (user_id % 2 = 0
+                               AND ts < (SELECT mid FROM span)) AS tb,
+            AVG(value) FILTER (user_id % 2 <> 0
+                               AND ts >= (SELECT mid FROM span)) AS cp,
+            AVG(value) FILTER (user_id % 2 <> 0
+                               AND ts < (SELECT mid FROM span)) AS cb
+        FROM events
+    )
+    SELECT ROUND(tp, 4) AS treated_post,
+           ROUND(tb, 4) AS treated_pre,
+           ROUND(cp, 4) AS control_post,
+           ROUND(cb, 4) AS control_pre,
+           ROUND((tp - tb) - (cp - cb), 4) AS did
+    FROM cells
+"""
+
+QUERIES["did_estimate"] = q_did_estimate
+ORACLES["did_estimate"] = _DID_ORACLE
+
+
+def q_hill_tail_index(spark: SparkSession, sf: str) -> DataFrame:
+    """Hill estimator of the right-tail index of order totals over the
+    top-200 order statistics: mean(ln(x_i / x_k)) for the k largest
+    values - the heavy-tail diagnostic behind skew-aware planning. The
+    k-th order statistic comes from a two-phase top-k
+    (TakeOrderedAndProject), so no global sort touches the fact."""
+    k = 200
+    o = table(spark, sf, "orders")
+    top = (
+        o.select(F.col("o_totalprice").alias("x"))
+        .orderBy(F.col("x").desc(), "x")
+        .limit(k)
+    )
+    xk = top.agg(F.min("x").alias("xk"))
+    return (
+        top.crossJoin(F.broadcast(xk))
+        .agg(
+            F.count("*").alias("k"),
+            F.round(F.avg(F.log(F.col("x") / F.col("xk"))), 6).alias(
+                "hill_inv_alpha"
+            ),
+            F.round(
+                1.0 / F.avg(F.log(F.col("x") / F.col("xk"))), 4
+            ).alias("alpha"),
+        )
+    )
+
+
+_HILL_ORACLE = """
+    WITH top AS (
+        SELECT o_totalprice AS x FROM orders
+        ORDER BY x DESC LIMIT 200
+    ),
+    xk AS (SELECT MIN(x) AS xk FROM top)
+    SELECT COUNT(*) AS k,
+           ROUND(AVG(LN(x / xk.xk)), 6) AS hill_inv_alpha,
+           ROUND(1.0 / AVG(LN(x / xk.xk)), 4) AS alpha
+    FROM top CROSS JOIN xk
+"""
+
+QUERIES["hill_tail_index"] = q_hill_tail_index
+ORACLES["hill_tail_index"] = _HILL_ORACLE
