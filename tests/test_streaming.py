@@ -661,3 +661,57 @@ def test_matview_stream_sink_matches_batch_build_and_serves(spark, tmp_path):
     assert {(r["event_type"], r["n_rows"], r["total"]) for r in served} == {
         ("click", 3, 13.0), ("view", 2, 18.0),
     }
+
+
+def test_ab_monitor_merge_equals_direct(spark, tmp_path):
+    """Streaming A/B monitor: cumulative moments merged across N
+    micro-batches must equal the single-pass computation over all data
+    (merge ≡ direct), and replaying with the same checkpoint no-ops."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from vptstools_spark.streaming.incremental import ab_monitor_sink
+
+    landing = str(tmp_path / "ab")
+    log = str(tmp_path / "log")
+    ckpt = str(tmp_path / "ck")
+    schema = "uid long, treated boolean, v double"
+
+    rows1 = [(i, i % 2 == 0, float(10 + (i * 7) % 5)) for i in range(40)]
+    rows2 = [(i, i % 2 == 0, float(12 + (i * 3) % 4)) for i in range(40, 90)]
+    spark.createDataFrame(rows1, schema).write.mode("append").parquet(landing)
+    q = ab_monitor_sink(
+        spark.readStream.schema(schema).parquet(landing),
+        "treated", "v", log, ckpt,
+    )
+    q.awaitTermination()
+    spark.createDataFrame(rows2, schema).write.mode("append").parquet(landing)
+    q2 = ab_monitor_sink(
+        spark.readStream.schema(schema).parquet(landing),
+        "treated", "v", log, ckpt,
+    )
+    q2.awaitTermination()
+
+    latest = (
+        spark.read.parquet(log).orderBy(F.col("b_id").desc()).limit(1).collect()[0]
+    )
+    allrows = rows1 + rows2
+    xs1 = [v for _, t, v in allrows if t]
+    xs2 = [v for _, t, v in allrows if not t]
+    assert latest.c_n1 == len(xs1) and latest.c_n2 == len(xs2)
+    assert latest.c_s1 == pytest.approx(sum(xs1), rel=1e-12)
+    m1, m2 = sum(xs1) / len(xs1), sum(xs2) / len(xs2)
+    v1 = sum((x - m1) ** 2 for x in xs1) / (len(xs1) - 1)
+    v2 = sum((x - m2) ** 2 for x in xs2) / (len(xs2) - 1)
+    want_t = (m1 - m2) / math.sqrt(v1 / len(xs1) + v2 / len(xs2))
+    assert latest.t_stat == pytest.approx(want_t, rel=1e-9)
+
+    # replay with the same checkpoint: no new batches, log unchanged
+    n_rows = spark.read.parquet(log).count()
+    q3 = ab_monitor_sink(
+        spark.readStream.schema(schema).parquet(landing),
+        "treated", "v", log, ckpt,
+    )
+    q3.awaitTermination()
+    assert spark.read.parquet(log).count() == n_rows

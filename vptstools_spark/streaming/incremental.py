@@ -1147,3 +1147,89 @@ def derived_table_pipeline(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def ab_monitor_sink(
+    stream: DataFrame,
+    arm_col: str,
+    value_col: str,
+    log_path: str,
+    checkpoint: str,
+) -> StreamingQuery:
+    """Streaming A/B experiment monitor: maintain EXACT cumulative
+    per-arm moments (n, Σx, Σx²) across micro-batches and append the
+    running Welch t statistic after every batch — the sequential-testing
+    face of `analytics/inference_q.py:q_ab_test_welch`. Moments are
+    exactly mergeable (plain sums), so the cumulative readout after N
+    batches is bit-for-bit the single-batch answer over all data — the
+    same merge≡direct contract as the sketch sinks.
+
+    Exactly-once via the b_id partition: a replayed batch sees its
+    partition and skips (the `dq_gated_sink` recipe); the cumulative row
+    carries the raw sums, so each batch reads ONE ≤(batches)-row log,
+    never the data again. `arm_col` must be boolean (True = treatment)."""
+    import math
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        if _hadoop_path_exists(spark, f"{log_path}/b_id={batch_id}"):
+            return
+        a = F.col(arm_col)
+        v = F.col(value_col).cast("double")
+        row = batch_df.agg(
+            F.count(F.when(a, 1)).alias("n1"),
+            F.coalesce(F.sum(F.when(a, v)), F.lit(0.0)).alias("s1"),
+            F.coalesce(F.sum(F.when(a, v * v)), F.lit(0.0)).alias("q1"),
+            F.count(F.when(~a, 1)).alias("n2"),
+            F.coalesce(F.sum(F.when(~a, v)), F.lit(0.0)).alias("s2"),
+            F.coalesce(F.sum(F.when(~a, v * v)), F.lit(0.0)).alias("q2"),
+        ).collect()[0]
+        cum = [row.n1, row.s1, row.q1, row.n2, row.s2, row.q2]
+        if _hadoop_path_exists(spark, log_path):
+            prev = (
+                spark.read.parquet(log_path)
+                .orderBy(F.col("b_id").desc())
+                .limit(1)
+                .collect()
+            )
+            if prev:
+                p = prev[0]
+                cum = [
+                    cum[0] + p.c_n1, cum[1] + p.c_s1, cum[2] + p.c_q1,
+                    cum[3] + p.c_n2, cum[4] + p.c_s2, cum[5] + p.c_q2,
+                ]
+        n1, s1, q1, n2, s2, q2 = cum
+        t = df_w = None
+        if n1 > 1 and n2 > 1:
+            m1, m2 = s1 / n1, s2 / n2
+            v1 = (q1 - n1 * m1 * m1) / (n1 - 1)
+            v2 = (q2 - n2 * m2 * m2) / (n2 - 1)
+            se1, se2 = v1 / n1, v2 / n2
+            if se1 + se2 > 0:
+                t = (m1 - m2) / math.sqrt(se1 + se2)
+                df_w = (se1 + se2) ** 2 / (
+                    se1 ** 2 / (n1 - 1) + se2 ** 2 / (n2 - 1)
+                )
+        out = spark.createDataFrame(
+            [(
+                int(n1), float(s1), float(q1),
+                int(n2), float(s2), float(q2),
+                float(t) if t is not None else None,
+                float(df_w) if df_w is not None else None,
+            )],
+            "c_n1 long, c_s1 double, c_q1 double, "
+            "c_n2 long, c_s2 double, c_q2 double, "
+            "t_stat double, welch_df double",
+        ).withColumn("b_id", F.lit(batch_id))
+        out.coalesce(1).write.mode("append").partitionBy("b_id").parquet(
+            log_path
+        )
+
+    return (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
