@@ -286,7 +286,13 @@ def q_kl_sources(spark: SparkSession, sf: str) -> DataFrame:
     words = d.select(
         "source", F.explode(F.split(F.col("text"), " ")).alias("w")
     )
-    counts = words.groupBy("source", "w").agg(F.count("*").alias("c"))
+    counts = (
+        words.groupBy("source", "w")
+        .agg(F.count("*").alias("c"))
+        # dist is consumed TWICE (as P and as Q): checkpoint the
+        # vocabulary-sized aggregate so the corpus folds exactly once
+        .localCheckpoint(eager=True)
+    )
     vocab = counts.select("w").distinct()
     vocab_n = vocab.agg(F.count("*").cast("double").alias("vn"))
     totals = counts.groupBy("source").agg(F.sum("c").alias("tot"))
@@ -650,6 +656,9 @@ def q_als_factors(spark: SparkSession, sf: str) -> DataFrame:
             F.col("o_custkey").alias("cust"), F.col("p_brand").alias("brand")
         )
         .agg(F.log(1.0 + F.count("*")).alias("r"))
+        # referenced by the init, the user solve, and the item solve:
+        # checkpoint so the fact joins run once, not three times
+        .localCheckpoint(eager=True)
     )
     bnum = F.regexp_extract(F.col("brand"), "#(\\d+)", 1).cast("int")
     v0 = ratings.select("brand").distinct().select(

@@ -336,6 +336,12 @@ def hits(
         hubs = h_raw.crossJoin(F.broadcast(h_tot)).select(
             "node", (F.col("h") / F.col("h_tot")).alias("h")
         )
+        # truncate per-iteration lineage: hubs/auths are node-sized, but
+        # each is referenced by the NEXT half-step and the final join, so
+        # without a barrier the plan tree (and recompute count) grows
+        # multiplicatively with iterations (same discipline as pagerank)
+        auths = auths.localCheckpoint(eager=True)
+        hubs = hubs.localCheckpoint(eager=True)
     return (
         nodes.join(hubs, "node", "left")
         .join(auths, "node", "left")
