@@ -222,6 +222,7 @@ HEADLINE = [
     # round 6: DiD causal readout + Hill heavy-tail index
     "did_estimate",
     "hill_tail_index",
+    "mahalanobis_outliers",
 ]
 
 #: sf0.1-scale tier on the Zipf-vocabulary fixture (tools/gen_zipf.py):

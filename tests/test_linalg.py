@@ -88,3 +88,14 @@ def test_power_iteration_approaches_top_eigenvector(spark):
     evals, evecs = np.linalg.eigh(cov)
     top = evecs[:, -1]
     assert abs(float(got @ top)) > 0.999  # aligned up to sign
+
+
+def test_mahalanobis_outlier_rate_sane(spark):
+    from vptstools_spark.analytics.similarity_q import q_mahalanobis_outliers
+
+    r = q_mahalanobis_outliers(spark, "/root/testdata/sf0.001").collect()[0]
+    assert r.n_vectors > 0
+    # 99% chi-square threshold: outlier rate should be small but the
+    # max distance must exceed typical values
+    assert 0 <= r.n_outliers <= 0.1 * r.n_vectors
+    assert r.max_d2 > 2.0

@@ -77,6 +77,7 @@ def test_no_row_python_anywhere_vectorized_only_where_documented(spark):
         "mm_bmp_patches",         # binary decode + ViT tiling (numpy)
         "emb_covariance",         # blocked BLAS X^T X moments in mapInPandas
         "pca_loadings",           # same moment kernel feeds power iteration
+        "mahalanobis_outliers",   # same moment kernel feeds the 2x2 inverse
     }
     sf = "/root/testdata/sf0.001"
     row_offenders, vec_offenders = {}, {}

@@ -81,6 +81,7 @@ NEW_THIS_ROUND = [
     "user_value_ewma",
     "did_estimate",
     "hill_tail_index",
+    "mahalanobis_outliers",
     # round 6
     "market_concentration",
     "events_streaks",

@@ -911,3 +911,80 @@ ORACLES["pca_loadings"] = f"""
     v3 AS (SELECT i, w / (SELECT SQRT(SUM(w * w)) FROM w3) AS v FROM w3)
     SELECT i, ROUND(v, 6) AS loading FROM v3
 """
+
+
+def q_mahalanobis_outliers(spark: SparkSession, sf: str) -> DataFrame:
+    """Multivariate outlier detection on the first two embedding dims:
+    Mahalanobis distance under the moment-derived covariance
+    (closed-form 2x2 inverse), counting vectors beyond the chi-square
+    99% threshold (2 dof = 9.21034). The covariance comes from the same
+    mergeable Gramian pass as `emb_covariance`; the stats broadcast back
+    as a 1-row join, so scoring is a narrow map over the corpus."""
+    from vptstools_spark.operators.linalg import covariance_matrix
+
+    emb = table(spark, sf, "embeddings")
+    cov = covariance_matrix(emb, "embedding", dims=2)
+    # flatten the 2x2: c11=(1,1), c12=(1,2), c22=(2,2)
+    flat = cov.agg(
+        F.sum(F.when((F.col("i") == 1) & (F.col("j") == 1), F.col("cov"))).alias("c11"),
+        F.sum(F.when((F.col("i") == 1) & (F.col("j") == 2), F.col("cov"))).alias("c12"),
+        F.sum(F.when((F.col("i") == 2) & (F.col("j") == 2), F.col("cov"))).alias("c22"),
+    )
+    means = emb.agg(
+        F.avg(F.element_at("embedding", 1).cast("double")).alias("m1"),
+        F.avg(F.element_at("embedding", 2).cast("double")).alias("m2"),
+    )
+    scored = (
+        emb.select(
+            F.element_at("embedding", 1).cast("double").alias("x1"),
+            F.element_at("embedding", 2).cast("double").alias("x2"),
+        )
+        .crossJoin(F.broadcast(flat))
+        .crossJoin(F.broadcast(means))
+        .select(
+            (
+                (
+                    F.col("c22") * (F.col("x1") - F.col("m1")) ** 2
+                    - 2.0 * F.col("c12") * (F.col("x1") - F.col("m1"))
+                    * (F.col("x2") - F.col("m2"))
+                    + F.col("c11") * (F.col("x2") - F.col("m2")) ** 2
+                )
+                / (F.col("c11") * F.col("c22") - F.col("c12") * F.col("c12"))
+            ).alias("d2")
+        )
+    )
+    thr = 9.21034  # chi2.ppf(0.99, df=2)
+    return scored.agg(
+        F.count("*").alias("n_vectors"),
+        F.sum((F.col("d2") > thr).cast("int")).alias("n_outliers"),
+        F.round(F.max("d2"), 4).alias("max_d2"),
+    )
+
+
+ORACLES["mahalanobis_outliers"] = """
+    WITH x AS (
+        SELECT CAST(embedding[1] AS DOUBLE) AS x1,
+               CAST(embedding[2] AS DOUBLE) AS x2
+        FROM embeddings
+    ),
+    stats AS (
+        SELECT COVAR_POP(x1, x1) AS c11, COVAR_POP(x1, x2) AS c12,
+               COVAR_POP(x2, x2) AS c22,
+               AVG(x1) AS m1, AVG(x2) AS m2
+        FROM x
+    ),
+    scored AS (
+        SELECT (c22 * (x1 - m1) * (x1 - m1)
+                - 2.0 * c12 * (x1 - m1) * (x2 - m2)
+                + c11 * (x2 - m2) * (x2 - m2))
+               / (c11 * c22 - c12 * c12) AS d2
+        FROM x CROSS JOIN stats
+    )
+    SELECT COUNT(*) AS n_vectors,
+           CAST(SUM(CASE WHEN d2 > 9.21034 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_outliers,
+           ROUND(MAX(d2), 4) AS max_d2
+    FROM scored
+"""
+
+QUERIES["mahalanobis_outliers"] = q_mahalanobis_outliers
