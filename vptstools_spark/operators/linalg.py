@@ -99,7 +99,10 @@ def pca_top_component(
     independent of row count. Fixed iterations + an L2 norm (sqrt is
     IEEE-exact, unlike pow) keep the result value-oracle-checkable by
     CTE unrolling. Deterministic: no randomized init."""
-    upper = covariance_matrix(df, vec_col, dims)
+    # the union below references the moment aggregate TWICE; checkpoint
+    # so the corpus pass runs once (the direct covariance_matrix callers
+    # are single-reference and skip this barrier)
+    upper = covariance_matrix(df, vec_col, dims).localCheckpoint(eager=True)
     full = upper.unionByName(
         upper.filter(F.col("i") < F.col("j")).select(
             F.col("j").alias("i"), F.col("i").alias("j"), "cov"
@@ -115,7 +118,12 @@ def pca_top_component(
             .agg(F.sum(F.col("cov") * F.col("v")).alias("w"))
         )
         norm = w.agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
-        v = w.crossJoin(F.broadcast(norm)).select(
-            "i", (F.col("w") / F.col("nrm")).alias("v")
+        v = (
+            w.crossJoin(F.broadcast(norm))
+            .select("i", (F.col("w") / F.col("nrm")).alias("v"))
+            # d-row table referenced by the matvec AND the norm of the
+            # next round: checkpoint per iteration or the plan tree (and
+            # recompute count) doubles every round (HITS discipline)
+            .localCheckpoint(eager=True)
         )
     return v.select("i", F.col("v").alias("loading"))
