@@ -223,6 +223,9 @@ HEADLINE = [
     "did_estimate",
     "hill_tail_index",
     "mahalanobis_outliers",
+    # round 6: PMI collocations + min-plus APSP squaring
+    "pmi_bigrams",
+    "apsp_nations",
 ]
 
 #: sf0.1-scale tier on the Zipf-vocabulary fixture (tools/gen_zipf.py):

@@ -373,3 +373,29 @@ def test_hill_estimator_positive(spark):
     assert r.k > 0
     assert r.hill_inv_alpha >= 0
     assert r.alpha > 0
+
+
+def test_apsp_triangle_inequality(spark):
+    """Shortest-path distances must satisfy d(i,k) <= d(i,j) + d(j,k)
+    and be bounded above by the direct edge where one exists."""
+    from vptstools_spark.analytics.graph_q import q_apsp_nations
+
+    rows = q_apsp_nations(spark, SF).collect()
+    d = {(r.src, r.dst): r.dist_days for r in rows}
+    assert d
+    nodes = {a for a, _ in d} | {b for _, b in d}
+    import itertools
+
+    for i, j, k in itertools.islice(itertools.permutations(sorted(nodes), 3), 2000):
+        if (i, j) in d and (j, k) in d and (i, k) in d:
+            assert d[(i, k)] <= d[(i, j)] + d[(j, k)] + 1e-6
+
+
+def test_pmi_bigram_floor(spark):
+    from vptstools_spark.analytics.text_q import q_pmi_bigrams
+
+    rows = q_pmi_bigrams(spark, SF).collect()
+    assert 0 < len(rows) <= 20
+    assert all(r.c_xy >= 5 for r in rows)
+    pmis = [r.pmi for r in rows]
+    assert pmis == sorted(pmis, reverse=True)

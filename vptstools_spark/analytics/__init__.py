@@ -82,6 +82,8 @@ NEW_THIS_ROUND = [
     "did_estimate",
     "hill_tail_index",
     "mahalanobis_outliers",
+    "pmi_bigrams",
+    "apsp_nations",
     # round 6
     "market_concentration",
     "events_streaks",

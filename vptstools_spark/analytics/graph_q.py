@@ -517,3 +517,115 @@ ORACLES["hits_nation"] = """
     LEFT JOIN h2 ON h2.node = n.node
     LEFT JOIN a2 ON a2.node = n.node
 """
+
+
+def q_apsp_nations(spark: SparkSession, sf: str) -> DataFrame:
+    """All-pairs shortest paths over the nation logistics graph (edge =
+    mean order→ship latency in days between supplier and customer
+    nation), by min-plus matrix SQUARING: 5 doublings cover paths of up
+    to 32 hops on the ≤25-node graph. The fact joins collapse to the
+    edge matrix FIRST; every squaring is then one self-join + MIN
+    aggregate over a ≤625-row checkpointed table — relational algebra as
+    linear algebra, with iteration cost independent of fact size. Edge
+    weights pre-round to 6 dp, and each squaring adds exactly two
+    level-(k-1) values, so the doubles are engine-identical by
+    construction."""
+    li = table(spark, sf, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    s = table(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    o = table(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    c = table(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    n = table(spark, sf, "nation").select("n_nationkey", "n_name")
+    edges = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("s_nationkey").alias("sk"), F.col("c_nationkey").alias("ck")
+        )
+        .agg(
+            # |latency|: the synthetic fixture contains ship-before-order
+            # rows, and negative edges would give min-plus a negative
+            # cycle (distances diverge with the hop cap)
+            F.round(
+                F.avg(F.abs(F.datediff("l_shipdate", "o_orderdate"))), 6
+            ).alias("w")
+        )
+        .join(F.broadcast(n.select(F.col("n_nationkey").alias("sk"),
+                                   F.col("n_name").alias("src"))), "sk")
+        .join(F.broadcast(n.select(F.col("n_nationkey").alias("ck"),
+                                   F.col("n_name").alias("dst"))), "ck")
+        .select("src", "dst", "w")
+    )
+    nodes = (
+        edges.select(F.col("src").alias("x"))
+        .unionByName(edges.select(F.col("dst").alias("x")))
+        .distinct()
+    )
+    diag = nodes.select(
+        F.col("x").alias("src"), F.col("x").alias("dst"), F.lit(0.0).alias("w")
+    )
+    d = edges.unionByName(diag).localCheckpoint(eager=True)
+    for _ in range(5):  # 2^5 = 32 hops >= any 25-node diameter
+        a = d.select(F.col("src"), F.col("dst").alias("m"), F.col("w").alias("wa"))
+        b = d.select(F.col("src").alias("m"), F.col("dst"), F.col("w").alias("wb"))
+        d = (
+            a.join(b, "m")
+            .groupBy("src", "dst")
+            .agg(F.min(F.col("wa") + F.col("wb")).alias("w"))
+            .localCheckpoint(eager=True)
+        )
+    return d.filter(F.col("src") != F.col("dst")).select(
+        "src", "dst", F.round("w", 4).alias("dist_days")
+    )
+
+
+ORACLES["apsp_nations"] = """
+    WITH edges AS (
+        SELECT ns.n_name AS src, nc.n_name AS dst,
+               ROUND(AVG(ABS(DATE_DIFF('day', CAST(o_orderdate AS DATE),
+                                       CAST(l_shipdate AS DATE)))), 6) AS w
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ns ON s_nationkey = ns.n_nationkey
+        JOIN nation nc ON c_nationkey = nc.n_nationkey
+        GROUP BY 1, 2
+    ),
+    nodes AS (
+        SELECT src AS x FROM edges UNION SELECT dst FROM edges
+    ),
+    d0 AS (
+        SELECT src, dst, w FROM edges
+        UNION ALL
+        SELECT x, x, 0.0 FROM nodes
+    ),
+    d1 AS (
+        SELECT a.src, b.dst, MIN(a.w + b.w) AS w
+        FROM d0 a JOIN d0 b ON a.dst = b.src GROUP BY 1, 2
+    ),
+    d2 AS (
+        SELECT a.src, b.dst, MIN(a.w + b.w) AS w
+        FROM d1 a JOIN d1 b ON a.dst = b.src GROUP BY 1, 2
+    ),
+    d3 AS (
+        SELECT a.src, b.dst, MIN(a.w + b.w) AS w
+        FROM d2 a JOIN d2 b ON a.dst = b.src GROUP BY 1, 2
+    ),
+    d4 AS (
+        SELECT a.src, b.dst, MIN(a.w + b.w) AS w
+        FROM d3 a JOIN d3 b ON a.dst = b.src GROUP BY 1, 2
+    ),
+    d5 AS (
+        SELECT a.src, b.dst, MIN(a.w + b.w) AS w
+        FROM d4 a JOIN d4 b ON a.dst = b.src GROUP BY 1, 2
+    )
+    SELECT src, dst, ROUND(w, 4) AS dist_days
+    FROM d5 WHERE src <> dst
+"""
+
+QUERIES["apsp_nations"] = q_apsp_nations

@@ -931,3 +931,89 @@ ORACLES["profile_documents"] = """
     FROM documents
     GROUP BY source
 """
+
+
+def q_pmi_bigrams(spark: SparkSession, sf: str) -> DataFrame:
+    """Collocation mining: top-20 bigrams by pointwise mutual information
+    PMI = ln(c_xy * N / (c_x * c_y)) with a min-count floor — the
+    keyphrase signal raw frequency misses (frequent pairs of rare words).
+    One tokenized pass feeds both the unigram and bigram counts; the
+    unigram table broadcasts onto the bigram aggregate, and N re-joins
+    as a 1-row broadcast, so PMI costs one corpus fold + vocab-sized
+    joins."""
+    d = table(spark, sf, "documents")
+    toks = d.select(F.split(F.col("text"), " ").alias("a"))
+    uni = toks.select(F.explode("a").alias("w")).groupBy("w").agg(
+        F.count("*").alias("c")
+    )
+    n_tok = uni.agg(F.sum("c").cast("double").alias("n"))
+    bi = (
+        toks.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(a) - 1),"
+                    " i -> struct(element_at(a, i) AS w1,"
+                    "             element_at(a, i + 1) AS w2))"
+                )
+            ).alias("b")
+        )
+        .select("b.w1", "b.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("c_xy"))
+        .filter(F.col("c_xy") >= 5)
+    )
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    return (
+        bi.join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(n_tok))
+        .select(
+            "w1",
+            "w2",
+            "c_xy",
+            F.round(
+                F.log(
+                    F.col("c_xy") * F.col("n")
+                    / (F.col("c1") * F.col("c2").cast("double"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+        .orderBy(F.col("pmi").desc(), "w1", "w2")
+        .limit(20)
+    )
+
+
+ORACLES["pmi_bigrams"] = """
+    WITH toks AS (
+        SELECT string_split(text, ' ') AS a FROM documents
+    ),
+    uni AS (
+        SELECT w, COUNT(*) AS c FROM (
+            SELECT UNNEST(a) AS w FROM toks
+        ) GROUP BY w
+    ),
+    n_tok AS (SELECT CAST(SUM(c) AS DOUBLE) AS n FROM uni),
+    bi AS (
+        SELECT w1, w2, COUNT(*) AS c_xy FROM (
+            SELECT UNNEST(list_transform(generate_series(1, len(a) - 1),
+                                         i -> a[i])) AS w1,
+                   UNNEST(list_transform(generate_series(1, len(a) - 1),
+                                         i -> a[i + 1])) AS w2
+            FROM toks
+        )
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= 5
+    )
+    SELECT w1, w2, c_xy,
+           ROUND(LN(c_xy * (SELECT n FROM n_tok)
+                    / (u1.c * CAST(u2.c AS DOUBLE))), 6) AS pmi
+    FROM bi
+    JOIN uni u1 ON u1.w = bi.w1
+    JOIN uni u2 ON u2.w = bi.w2
+    ORDER BY pmi DESC, w1, w2
+    LIMIT 20
+"""
+
+QUERIES["pmi_bigrams"] = q_pmi_bigrams
