@@ -226,6 +226,7 @@ HEADLINE = [
     # round 6: PMI collocations + min-plus APSP squaring
     "pmi_bigrams",
     "apsp_nations",
+    "qq_event_values",
 ]
 
 #: sf0.1-scale tier on the Zipf-vocabulary fixture (tools/gen_zipf.py):

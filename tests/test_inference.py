@@ -399,3 +399,17 @@ def test_pmi_bigram_floor(spark):
     assert all(r.c_xy >= 5 for r in rows)
     pmis = [r.pmi for r in rows]
     assert pmis == sorted(pmis, reverse=True)
+
+
+def test_qq_deciles_monotone(spark):
+    from vptstools_spark.analytics.stats_q import q_qq_event_values
+
+    rows = q_qq_event_values(spark, SF).collect()
+    assert rows
+    by_grp = {}
+    for r in rows:
+        by_grp.setdefault(r.event_type, []).append((r.pct, r.group_val))
+        assert abs(r.shift - (r.group_val - r.global_val)) < 2e-4
+    for grp, pairs in by_grp.items():
+        vals = [v for _, v in sorted(pairs)]
+        assert vals == sorted(vals)  # quantiles are non-decreasing

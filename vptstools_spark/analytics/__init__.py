@@ -84,6 +84,7 @@ NEW_THIS_ROUND = [
     "mahalanobis_outliers",
     "pmi_bigrams",
     "apsp_nations",
+    "qq_event_values",
     # round 6
     "market_concentration",
     "events_streaks",

@@ -1390,3 +1390,68 @@ GROUP BY 1 ORDER BY 1
         FROM events GROUP BY event_type
     """,
 }
+
+
+def q_qq_event_values(spark: SparkSession, sf: str) -> DataFrame:
+    """Q-Q table: per-event-type deciles of `value` against the global
+    deciles - the distribution-alignment diagnostic behind quantile
+    normalization (which group's feature distribution deviates, and
+    where). Both sides are ONE exact-percentile aggregate (array form);
+    the 9-row-per-group tables join on the decile index. Same
+    linear-interpolation rule as DuckDB's quantile_cont."""
+    e = table(spark, sf, "events")
+    qs = [i / 10.0 for i in range(1, 10)]
+    grp = (
+        e.groupBy("event_type")
+        .agg(
+            F.percentile(
+                F.col("value"), F.array(*[F.lit(q) for q in qs])
+            ).alias("v")
+        )
+        .select(
+            "event_type",
+            F.posexplode("v").alias("qi", "group_val"),
+        )
+    )
+    glob = e.agg(
+        F.percentile(
+            F.col("value"), F.array(*[F.lit(q) for q in qs])
+        ).alias("v")
+    ).select(F.posexplode("v").alias("qi", "global_val"))
+    return (
+        grp.join(F.broadcast(glob), "qi")
+        .select(
+            "event_type",
+            ((F.col("qi") + 1) * 10).alias("pct"),
+            F.round("group_val", 4).alias("group_val"),
+            F.round("global_val", 4).alias("global_val"),
+            F.round(F.col("group_val") - F.col("global_val"), 4).alias("shift"),
+        )
+    )
+
+
+ORACLES["qq_event_values"] = """
+    WITH grp AS (
+        SELECT event_type,
+               UNNEST(quantile_cont(value, [0.1, 0.2, 0.3, 0.4, 0.5,
+                                            0.6, 0.7, 0.8, 0.9])) AS gv,
+               GENERATE_SUBSCRIPTS(quantile_cont(value,
+                   [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]), 1) AS qi
+        FROM events GROUP BY event_type
+    ),
+    g_all AS (
+        SELECT UNNEST(quantile_cont(value, [0.1, 0.2, 0.3, 0.4, 0.5,
+                                            0.6, 0.7, 0.8, 0.9])) AS ov,
+               GENERATE_SUBSCRIPTS(quantile_cont(value,
+                   [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]), 1) AS qi
+        FROM events
+    )
+    SELECT g.event_type,
+           g.qi * 10 AS pct,
+           ROUND(g.gv, 4) AS group_val,
+           ROUND(o.ov, 4) AS global_val,
+           ROUND(g.gv - o.ov, 4) AS shift
+    FROM grp g JOIN g_all o USING (qi)
+"""
+
+QUERIES["qq_event_values"] = q_qq_event_values
