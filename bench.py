@@ -227,6 +227,8 @@ HEADLINE = [
     "pmi_bigrams",
     "apsp_nations",
     "qq_event_values",
+    "info_gain_features",
+    "negative_samples",
 ]
 
 #: sf0.1-scale tier on the Zipf-vocabulary fixture (tools/gen_zipf.py):

@@ -413,3 +413,29 @@ def test_qq_deciles_monotone(spark):
     for grp, pairs in by_grp.items():
         vals = [v for _, v in sorted(pairs)]
         assert vals == sorted(vals)  # quantiles are non-decreasing
+
+
+def test_info_gain_bounds(spark):
+    """0 <= IG(Y;X) <= H(Y) for every feature (Jensen)."""
+    from vptstools_spark.analytics.mlprep_q import q_info_gain_features
+
+    rows = q_info_gain_features(spark, SF).collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert r.info_gain >= -1e-6
+        assert r.h_conditional >= -1e-6
+
+
+def test_negative_samples_disjoint_and_quota(spark):
+    from vptstools_spark.analytics.mlprep_q import q_negative_samples
+
+    rows = q_negative_samples(spark, SF).collect()
+    pos = {(r.cust, r.brand) for r in rows if r.label == 1}
+    neg = {(r.cust, r.brand) for r in rows if r.label == 0}
+    assert pos and neg
+    assert not (pos & neg)  # negatives never overlap positives
+    from collections import Counter
+
+    per_cust = Counter(c for c, _ in neg)
+    assert all(n <= 2 for n in per_cust.values())
+    assert {c for c, _ in neg} <= {c for c, _ in pos}

@@ -85,6 +85,8 @@ NEW_THIS_ROUND = [
     "pmi_bigrams",
     "apsp_nations",
     "qq_event_values",
+    "info_gain_features",
+    "negative_samples",
     # round 6
     "market_concentration",
     "events_streaks",

@@ -734,3 +734,179 @@ _ALS_ORACLE = f"""
 
 QUERIES["als_factors"] = q_als_factors
 ORACLES["als_factors"] = _ALS_ORACLE
+
+
+def q_info_gain_features(spark: SparkSession, sf: str) -> DataFrame:
+    """Information gain of candidate categorical features against the
+    order-status label - the aggregate-only feature-selection ranking:
+    IG(Y; X) = H(Y) - sum_x p(x) H(Y|X=x). Each feature costs one
+    (feature, label) count aggregate; entropies are closed forms over
+    the count tables, so the fact is scanned once per feature and
+    nothing leaves the plan."""
+    o = table(spark, sf, "orders")
+    feats = {
+        "priority": F.col("o_orderpriority"),
+        "year": F.year("o_orderdate").cast("string"),
+        "price_band": (F.floor(F.col("o_totalprice") / 100000)).cast("string"),
+    }
+    n_all = o.count()
+
+    def entropy_from(counts: DataFrame, keys: list[str]) -> DataFrame:
+        tot = counts.groupBy(*keys).agg(F.sum("c").alias("t"))
+        return (
+            counts.join(tot, keys)
+            .groupBy(*keys)
+            .agg(
+                (-F.sum(
+                    (F.col("c") / F.col("t"))
+                    * F.log(F.col("c") / F.col("t"))
+                )).alias("h"),
+                F.first("t").alias("t"),
+            )
+        )
+
+    label_counts = o.groupBy("o_orderstatus").agg(F.count("*").alias("c"))
+    h_y = label_counts.agg(
+        (-F.sum(
+            (F.col("c") / F.lit(float(n_all)))
+            * F.log(F.col("c") / F.lit(float(n_all)))
+        )).alias("h_y")
+    )
+    outs = []
+    for name, expr in feats.items():
+        fc = o.select(expr.alias("x"), F.col("o_orderstatus").alias("y")) \
+              .groupBy("x", "y").agg(F.count("*").alias("c"))
+        cond = entropy_from(fc, ["x"])
+        h_cond = cond.agg(
+            F.sum(F.col("t") / F.lit(float(n_all)) * F.col("h")).alias("h_c")
+        )
+        outs.append(
+            h_cond.crossJoin(F.broadcast(h_y)).select(
+                F.lit(name).alias("feature"),
+                F.round(F.col("h_y") - F.col("h_c"), 6).alias("info_gain"),
+                F.round("h_c", 6).alias("h_conditional"),
+            )
+        )
+    res = outs[0]
+    for x in outs[1:]:
+        res = res.unionByName(x)
+    return res
+
+
+_IG_ORACLE = """
+    WITH n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM orders),
+    hy AS (
+        SELECT -SUM((c / n.n) * LN(c / n.n)) AS h_y FROM (
+            SELECT o_orderstatus, COUNT(*) AS c FROM orders GROUP BY 1
+        ) CROSS JOIN n
+    ),
+    f AS (
+        SELECT 'priority' AS feature, o_orderpriority AS x,
+               o_orderstatus AS y
+        FROM orders
+        UNION ALL
+        SELECT 'year', CAST(YEAR(o_orderdate) AS VARCHAR), o_orderstatus
+        FROM orders
+        UNION ALL
+        SELECT 'price_band',
+               CAST(CAST(FLOOR(o_totalprice / 100000) AS BIGINT) AS VARCHAR),
+               o_orderstatus
+        FROM orders
+    ),
+    fc AS (
+        SELECT feature, x, y, COUNT(*) AS c FROM f GROUP BY 1, 2, 3
+    ),
+    tot AS (
+        SELECT feature, x, SUM(c) AS t FROM fc GROUP BY 1, 2
+    ),
+    cond AS (
+        SELECT fc.feature, fc.x,
+               -SUM((fc.c / tot.t) * LN(fc.c / tot.t)) AS h,
+               MIN(tot.t) AS t
+        FROM fc JOIN tot ON fc.feature = tot.feature AND fc.x = tot.x
+        GROUP BY 1, 2
+    ),
+    hc AS (
+        SELECT feature, SUM(t / n.n * h) AS h_c
+        FROM cond CROSS JOIN n GROUP BY feature, n.n
+    )
+    SELECT feature,
+           ROUND(hy.h_y - hc.h_c, 6) AS info_gain,
+           ROUND(hc.h_c, 6) AS h_conditional
+    FROM hc CROSS JOIN hy
+"""
+
+QUERIES["info_gain_features"] = q_info_gain_features
+ORACLES["info_gain_features"] = _IG_ORACLE
+
+
+def q_negative_samples(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic negative sampling for contrastive/recsys training:
+    for each customer (< 30, to bound the audit), the purchased brands
+    are positives and the 2 md5-smallest non-purchased brands are
+    negatives - hash-ranked, not RNG, so resampling is repartition- and
+    rerun-stable. The candidate grid is customers x brand vocabulary
+    (broadcast dimension), positives drop out via an anti-join shape
+    (left join + null filter), and the per-customer rank window
+    partitions by customer."""
+    li = table(spark, sf, "lineitem")
+    o = table(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    p = table(spark, sf, "part").select("p_partkey", "p_brand")
+    pos = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("o_custkey") < 30)
+        .select(F.col("o_custkey").alias("cust"), F.col("p_brand").alias("brand"))
+        .distinct()
+    )
+    custs = pos.select("cust").distinct()
+    brands = p.select(F.col("p_brand").alias("brand")).distinct()
+    grid = custs.crossJoin(F.broadcast(brands))
+    neg_pool = grid.join(pos, ["cust", "brand"], "left_anti")
+    w = Window.partitionBy("cust").orderBy(
+        F.md5(F.concat(F.col("cust").cast("string"), F.lit("_"), F.col("brand"))),
+        "brand",
+    )
+    negs = (
+        neg_pool.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 2)
+        .select("cust", "brand", F.lit(0).alias("label"))
+    )
+    return pos.select("cust", "brand", F.lit(1).alias("label")).unionByName(
+        negs
+    )
+
+
+_NEGSAMP_ORACLE = """
+    WITH pos AS (
+        SELECT DISTINCT o_custkey AS cust, p_brand AS brand
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_custkey < 30
+    ),
+    custs AS (SELECT DISTINCT cust FROM pos),
+    brands AS (SELECT DISTINCT p_brand AS brand FROM part),
+    grid AS (SELECT cust, brand FROM custs CROSS JOIN brands),
+    neg_pool AS (
+        SELECT g.cust, g.brand FROM grid g
+        ANTI JOIN pos USING (cust, brand)
+    ),
+    negs AS (
+        SELECT cust, brand FROM (
+            SELECT cust, brand,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY cust
+                       ORDER BY md5(CAST(cust AS VARCHAR) || '_' || brand),
+                                brand
+                   ) AS rk
+            FROM neg_pool
+        ) WHERE rk <= 2
+    )
+    SELECT cust, brand, 1 AS label FROM pos
+    UNION ALL
+    SELECT cust, brand, 0 AS label FROM negs
+"""
+
+QUERIES["negative_samples"] = q_negative_samples
+ORACLES["negative_samples"] = _NEGSAMP_ORACLE
