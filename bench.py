@@ -229,6 +229,7 @@ HEADLINE = [
     "qq_event_values",
     "info_gain_features",
     "negative_samples",
+    "theil_sen_trend",
 ]
 
 #: sf0.1-scale tier on the Zipf-vocabulary fixture (tools/gen_zipf.py):

@@ -439,3 +439,15 @@ def test_negative_samples_disjoint_and_quota(spark):
     per_cust = Counter(c for c, _ in neg)
     assert all(n <= 2 for n in per_cust.values())
     assert {c for c, _ in neg} <= {c for c, _ in pos}
+
+
+def test_theil_sen_pair_count(spark):
+    import math
+
+    from vptstools_spark.analytics.ts_q import q_theil_sen_trend
+
+    r = q_theil_sen_trend(spark, SF).collect()[0]
+    # n_pairs = C(months, 2)
+    months = int((1 + math.isqrt(1 + 8 * r.n_pairs)) / 2)
+    assert months * (months - 1) // 2 == r.n_pairs
+    assert math.isfinite(r.theil_sen_slope)

@@ -87,6 +87,7 @@ NEW_THIS_ROUND = [
     "qq_event_values",
     "info_gain_features",
     "negative_samples",
+    "theil_sen_trend",
     # round 6
     "market_concentration",
     "events_streaks",

@@ -318,3 +318,58 @@ ORACLES["user_value_ewma"] = """
                AS ewma
     FROM series
 """
+
+
+def q_theil_sen_trend(spark: SparkSession, sf: str) -> DataFrame:
+    """Theil-Sen robust trend of monthly revenue: the MEDIAN of all
+    pairwise slopes - outlier-resistant where OLS is not (breakdown
+    point 29%). The fact folds to the DECIMAL-exact monthly series
+    first; the pairwise-slope join is quadratic only in months (<=100
+    rows -> <=5k pairs), the registry's standard bounded-aggregate
+    shape. Month index via months_between, so slopes are per-month
+    revenue deltas."""
+    o = table(spark, sf, "orders")
+    monthly = o.groupBy(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("m")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("rev")
+    )
+    a = monthly.select(F.col("m").alias("ma"), F.col("rev").alias("ra"))
+    b = monthly.select(F.col("m").alias("mb"), F.col("rev").alias("rb"))
+    slopes = (
+        a.join(b, F.col("ma") < F.col("mb"))
+        .select(
+            (
+                (F.col("rb") - F.col("ra"))
+                / F.months_between(F.col("mb"), F.col("ma"))
+            ).alias("slope")
+        )
+    )
+    return slopes.agg(
+        F.count("*").alias("n_pairs"),
+        F.round(F.percentile("slope", F.lit(0.5)), 4).alias("theil_sen_slope"),
+        F.round(F.avg("slope"), 4).alias("mean_slope"),
+    )
+
+
+ORACLES["theil_sen_trend"] = """
+    WITH monthly AS (
+        SELECT DATE_TRUNC('month', o_orderdate) AS m,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS rev
+        FROM orders GROUP BY 1
+    ),
+    slopes AS (
+        SELECT (b.rev - a.rev)
+               / DATEDIFF('month', a.m, b.m) AS slope
+        FROM monthly a JOIN monthly b ON a.m < b.m
+    )
+    SELECT COUNT(*) AS n_pairs,
+           ROUND(QUANTILE_CONT(slope, 0.5), 4) AS theil_sen_slope,
+           ROUND(AVG(slope), 4) AS mean_slope
+    FROM slopes
+"""
+
+QUERIES["theil_sen_trend"] = q_theil_sen_trend
