@@ -230,6 +230,7 @@ HEADLINE = [
     "info_gain_features",
     "negative_samples",
     "theil_sen_trend",
+    "cohort_ltv",
 ]
 
 #: sf0.1-scale tier on the Zipf-vocabulary fixture (tools/gen_zipf.py):

@@ -451,3 +451,16 @@ def test_theil_sen_pair_count(spark):
     months = int((1 + math.isqrt(1 + 8 * r.n_pairs)) / 2)
     assert months * (months - 1) // 2 == r.n_pairs
     assert math.isfinite(r.theil_sen_slope)
+
+
+def test_cohort_ltv_monotone_in_offset(spark):
+    from vptstools_spark.analytics.events_q import q_cohort_ltv
+
+    rows = q_cohort_ltv(spark, SF).collect()
+    assert rows
+    by_cohort = {}
+    for r in rows:
+        by_cohort.setdefault(r.cohort, []).append((r.offset, r.ltv_per_user))
+    for cohort, pairs in by_cohort.items():
+        vals = [v for _, v in sorted(pairs)]
+        assert vals == sorted(vals)  # cumulative LTV never decreases

@@ -88,6 +88,7 @@ NEW_THIS_ROUND = [
     "info_gain_features",
     "negative_samples",
     "theil_sen_trend",
+    "cohort_ltv",
     # round 6
     "market_concentration",
     "events_streaks",

@@ -2775,3 +2775,94 @@ ORACLES["markov_next_event_eval"] = """
 """
 
 QUERIES["markov_next_event_eval"] = q_markov_next_event_eval
+
+
+def q_cohort_ltv(spark: SparkSession, sf: str) -> DataFrame:
+    """Cohort LTV curve: average CUMULATIVE revenue per customer by
+    months-since-first-order, per signup cohort (first-order month) -
+    the growth analytic behind payback-period decisions, and the
+    cumulative extension of `retention_cohorts`. Per-customer first
+    months come from one aggregate; the cumulative-by-offset sum is a
+    bounded self-join over the (cohort, offset) aggregate (offsets <=
+    corpus months), so nothing re-sorts the fact. Restricted to the
+    first 4 cohorts x offsets 0-5 for a stable audit surface."""
+    o = table(spark, sf, "orders")
+    first = o.groupBy("o_custkey").agg(
+        F.date_trunc("month", F.min("o_orderdate")).cast("date").alias("m0")
+    )
+    facts = (
+        o.join(first, "o_custkey")
+        .select(
+            "o_custkey",
+            "m0",
+            F.months_between(
+                F.date_trunc("month", "o_orderdate").cast("date"), F.col("m0")
+            ).cast("int").alias("offset"),
+            F.col("o_totalprice").cast("decimal(18,2)").alias("rev"),
+        )
+        .filter(F.col("offset") <= 5)
+    )
+    cohort_n = first.groupBy("m0").agg(F.countDistinct("o_custkey").alias("n_users"))
+    per_off = facts.groupBy("m0", "offset").agg(F.sum("rev").alias("rev"))
+    a = per_off.select("m0", F.col("offset").alias("o1"), "rev")
+    cum = (
+        a.join(
+            per_off.select("m0", F.col("offset").alias("o2")).distinct(),
+            "m0",
+        )
+        .filter(F.col("o1") <= F.col("o2"))
+        .groupBy("m0", F.col("o2").alias("offset"))
+        .agg(F.sum("rev").alias("cum_rev"))
+    )
+    return (
+        cum.join(F.broadcast(cohort_n), "m0")
+        .select(
+            F.date_format("m0", "yyyy-MM").alias("cohort"),
+            "offset",
+            F.round(
+                (F.col("cum_rev") / F.col("n_users")).cast("double"), 4
+            ).alias("ltv_per_user"),
+            "n_users",
+        )
+        .filter(F.col("cohort") < "1995-05")
+    )
+
+
+ORACLES["cohort_ltv"] = """
+    WITH first AS (
+        SELECT o_custkey,
+               DATE_TRUNC('month', MIN(o_orderdate)) AS m0
+        FROM orders GROUP BY 1
+    ),
+    facts AS (
+        SELECT o.o_custkey, f.m0,
+               DATEDIFF('month', f.m0,
+                        DATE_TRUNC('month', o.o_orderdate)) AS off,
+               CAST(o.o_totalprice AS DECIMAL(18,2)) AS rev
+        FROM orders o JOIN first f USING (o_custkey)
+        WHERE DATEDIFF('month', f.m0,
+                       DATE_TRUNC('month', o.o_orderdate)) <= 5
+    ),
+    cohort_n AS (
+        SELECT m0, COUNT(DISTINCT o_custkey) AS n_users
+        FROM first GROUP BY 1
+    ),
+    per_off AS (
+        SELECT m0, off, SUM(rev) AS rev FROM facts GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT a.m0, b.off AS offset, SUM(a.rev) AS cum_rev
+        FROM per_off a
+        JOIN (SELECT DISTINCT m0, off FROM per_off) b
+          ON a.m0 = b.m0 AND a.off <= b.off
+        GROUP BY 1, 2
+    )
+    SELECT STRFTIME(c.m0, '%Y-%m') AS cohort,
+           c.offset,
+           ROUND(CAST(c.cum_rev / n.n_users AS DOUBLE), 4) AS ltv_per_user,
+           n.n_users
+    FROM cum c JOIN cohort_n n USING (m0)
+    WHERE STRFTIME(c.m0, '%Y-%m') < '1995-05'
+"""
+
+QUERIES["cohort_ltv"] = q_cohort_ltv
