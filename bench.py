@@ -231,6 +231,7 @@ HEADLINE = [
     "negative_samples",
     "theil_sen_trend",
     "cohort_ltv",
+    "als_recommend",
 ]
 
 #: sf0.1-scale tier on the Zipf-vocabulary fixture (tools/gen_zipf.py):

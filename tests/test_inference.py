@@ -464,3 +464,20 @@ def test_cohort_ltv_monotone_in_offset(spark):
     for cohort, pairs in by_cohort.items():
         vals = [v for _, v in sorted(pairs)]
         assert vals == sorted(vals)  # cumulative LTV never decreases
+
+
+def test_als_recommendations_exclude_purchased(spark):
+    from pyspark.sql import functions as F
+
+    from vptstools_spark.analytics.mlprep_q import _als_fit, q_als_recommend
+
+    recs = q_als_recommend(spark, SF).collect()
+    assert recs
+    ratings, _, _ = _als_fit(spark, SF)
+    seen = {
+        (r.cust, r.brand)
+        for r in ratings.filter(F.col("cust") < 10).collect()
+    }
+    for r in recs:
+        assert (r.cust, r.brand) not in seen
+        assert 1 <= r.rank <= 3

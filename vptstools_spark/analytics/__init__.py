@@ -89,6 +89,7 @@ NEW_THIS_ROUND = [
     "negative_samples",
     "theil_sen_trend",
     "cohort_ltv",
+    "als_recommend",
     # round 6
     "market_concentration",
     "events_streaks",

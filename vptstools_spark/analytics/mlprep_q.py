@@ -636,16 +636,9 @@ def _als_solve(joined: DataFrame, key: str, f1: str, f2: str) -> DataFrame:
     )
 
 
-def q_als_factors(spark: SparkSession, sf: str) -> DataFrame:
-    """One alternation of ALS matrix factorization (k=2) over the
-    implicit customer x brand purchase matrix — the collaborative-
-    filtering training step in-engine. Ratings r = ln(1 + purchase
-    count); item factors init deterministically from the brand number;
-    each half-step is ONE aggregate per entity + a closed-form 2x2 solve
-    (no gradient loop, no RNG, no driver-side model), so an iteration
-    costs two shuffles regardless of matrix size. Factors pre-round to
-    6 dp per half-step, making the alternation engine-exact. Returns the
-    per-brand factor table."""
+def _als_fit(spark: SparkSession, sf: str):
+    """Shared ALS pipeline: (ratings, user factors, item factors) after
+    one alternation - used by the factor audit and the recommender."""
     li = table(spark, sf, "lineitem")
     p = table(spark, sf, "part").select("p_partkey", "p_brand")
     o = table(spark, sf, "orders").select("o_orderkey", "o_custkey")
@@ -666,7 +659,9 @@ def q_als_factors(spark: SparkSession, sf: str) -> DataFrame:
         F.lit(1.0).alias("f1"),
         ((bnum * 37 % 97) / F.lit(97.0)).alias("f2"),
     )
-    users = _als_solve(ratings.join(F.broadcast(v0), "brand"), "cust", "f1", "f2")
+    users = _als_solve(
+        ratings.join(F.broadcast(v0), "brand"), "cust", "f1", "f2"
+    )
     items = _als_solve(
         ratings.join(
             users.select(
@@ -678,6 +673,20 @@ def q_als_factors(spark: SparkSession, sf: str) -> DataFrame:
         "u1",
         "u2",
     )
+    return ratings, users, items
+
+
+def q_als_factors(spark: SparkSession, sf: str) -> DataFrame:
+    """One alternation of ALS matrix factorization (k=2) over the
+    implicit customer x brand purchase matrix — the collaborative-
+    filtering training step in-engine. Ratings r = ln(1 + purchase
+    count); item factors init deterministically from the brand number;
+    each half-step is ONE aggregate per entity + a closed-form 2x2 solve
+    (no gradient loop, no RNG, no driver-side model), so an iteration
+    costs two shuffles regardless of matrix size. Factors pre-round to
+    6 dp per half-step, making the alternation engine-exact. Returns the
+    per-brand factor table."""
+    _ratings, _users, items = _als_fit(spark, sf)
     return items.select("brand", "f1", "f2")
 
 
@@ -910,3 +919,108 @@ _NEGSAMP_ORACLE = """
 
 QUERIES["negative_samples"] = q_negative_samples
 ORACLES["negative_samples"] = _NEGSAMP_ORACLE
+
+
+def q_als_recommend(spark: SparkSession, sf: str) -> DataFrame:
+    """ALS top-3 recommendations for customers < 10: score every brand
+    the customer has NOT purchased by u.v over the one-alternation
+    factors and rank per customer - the serving step that closes the
+    train->recommend loop. Scores pre-round to 6 dp with a brand
+    tie-break, so the ranking is FP-order-independent; the candidate
+    grid is (selected users) x (25-brand factor table, broadcast) minus
+    the interaction anti-join."""
+    ratings, users, items = _als_fit(spark, sf)
+    u = users.filter(F.col("cust") < 10).select(
+        "cust", F.col("f1").alias("u1"), F.col("f2").alias("u2")
+    )
+    cand = (
+        u.crossJoin(
+            F.broadcast(
+                items.select("brand", F.col("f1").alias("v1"), F.col("f2").alias("v2"))
+            )
+        )
+        .join(ratings.select("cust", "brand"), ["cust", "brand"], "left_anti")
+        .select(
+            "cust",
+            "brand",
+            F.round(
+                F.col("u1") * F.col("v1") + F.col("u2") * F.col("v2"), 6
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("cust").orderBy(F.col("score").desc(), "brand")
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("cust", "brand", "score", "rank")
+    )
+
+
+_ALS_REC_ORACLE = f"""
+    WITH ratings AS (
+        SELECT o_custkey AS cust, p_brand AS brand,
+               LN(1.0 + COUNT(*)) AS r
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1, 2
+    ),
+    v0 AS (
+        SELECT DISTINCT brand, 1.0 AS f1,
+               (CAST(regexp_extract(brand, '#(\\d+)', 1) AS INT) * 37 % 97)
+                   / 97.0 AS f2
+        FROM ratings
+    ),
+    uagg AS (
+        SELECT cust,
+               SUM(f1 * f1) AS a11, SUM(f1 * f2) AS a12,
+               SUM(f2 * f2) AS a22,
+               SUM(r * f1) AS b1, SUM(r * f2) AS b2
+        FROM ratings JOIN v0 USING (brand)
+        GROUP BY 1
+    ),
+    users AS (
+        SELECT cust,
+               ROUND(((a22 + {_ALS_LAMBDA}) * b1 - a12 * b2)
+                     / ((a11 + {_ALS_LAMBDA}) * (a22 + {_ALS_LAMBDA})
+                        - a12 * a12), 6) AS u1,
+               ROUND(((a11 + {_ALS_LAMBDA}) * b2 - a12 * b1)
+                     / ((a11 + {_ALS_LAMBDA}) * (a22 + {_ALS_LAMBDA})
+                        - a12 * a12), 6) AS u2
+        FROM uagg
+    ),
+    iagg AS (
+        SELECT brand,
+               SUM(u1 * u1) AS a11, SUM(u1 * u2) AS a12,
+               SUM(u2 * u2) AS a22,
+               SUM(r * u1) AS b1, SUM(r * u2) AS b2
+        FROM ratings JOIN users USING (cust)
+        GROUP BY 1
+    ),
+    items AS (
+        SELECT brand,
+               ROUND(((a22 + {_ALS_LAMBDA}) * b1 - a12 * b2)
+                     / ((a11 + {_ALS_LAMBDA}) * (a22 + {_ALS_LAMBDA})
+                        - a12 * a12), 6) AS v1,
+               ROUND(((a11 + {_ALS_LAMBDA}) * b2 - a12 * b1)
+                     / ((a11 + {_ALS_LAMBDA}) * (a22 + {_ALS_LAMBDA})
+                        - a12 * a12), 6) AS v2
+        FROM iagg
+    ),
+    cand AS (
+        SELECT u.cust, i.brand,
+               ROUND(u.u1 * i.v1 + u.u2 * i.v2, 6) AS score
+        FROM users u CROSS JOIN items i
+        ANTI JOIN ratings r2 ON r2.cust = u.cust AND r2.brand = i.brand
+        WHERE u.cust < 10
+    )
+    SELECT cust, brand, score, rank FROM (
+        SELECT cust, brand, score,
+               ROW_NUMBER() OVER (PARTITION BY cust
+                                  ORDER BY score DESC, brand) AS rank
+        FROM cand
+    ) WHERE rank <= 3
+"""
+
+QUERIES["als_recommend"] = q_als_recommend
+ORACLES["als_recommend"] = _ALS_REC_ORACLE
