@@ -232,6 +232,8 @@ HEADLINE = [
     "theil_sen_trend",
     "cohort_ltv",
     "als_recommend",
+    "mann_kendall",
+    "segment_migration",
 ]
 
 #: sf0.1-scale tier on the Zipf-vocabulary fixture (tools/gen_zipf.py):

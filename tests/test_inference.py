@@ -481,3 +481,33 @@ def test_als_recommendations_exclude_purchased(spark):
     for r in recs:
         assert (r.cust, r.brand) not in seen
         assert 1 <= r.rank <= 3
+
+
+def test_mann_kendall_pairs_consistent_with_theil_sen(spark):
+    from vptstools_spark.analytics.ts_q import q_mann_kendall, q_theil_sen_trend
+
+    mk = q_mann_kendall(spark, SF).collect()[0]
+    ts = q_theil_sen_trend(spark, SF).collect()[0]
+    assert mk.n_pairs == ts.n_pairs
+    assert abs(mk.s) <= mk.n_pairs
+    # the trend direction must agree between the two statistics
+    if mk.s > 0:
+        assert ts.theil_sen_slope >= 0
+    elif mk.s < 0:
+        assert ts.theil_sen_slope <= 0
+
+
+def test_segment_migration_counts_conserved(spark):
+    from pyspark.sql import functions as F
+
+    from vptstools_spark.analytics.events_q import q_segment_migration
+    from vptstools_spark.io import table
+
+    rows = q_segment_migration(spark, SF).collect()
+    o = table(spark, SF, "orders")
+    n95 = (
+        o.filter(F.year("o_orderdate") == 1995)
+        .select("o_custkey").distinct().count()
+    )
+    got95 = sum(r.n_customers for r in rows if r.seg_1995 != "none")
+    assert got95 == n95

@@ -90,6 +90,8 @@ NEW_THIS_ROUND = [
     "theil_sen_trend",
     "cohort_ltv",
     "als_recommend",
+    "mann_kendall",
+    "segment_migration",
     # round 6
     "market_concentration",
     "events_streaks",

@@ -2866,3 +2866,82 @@ ORACLES["cohort_ltv"] = """
 """
 
 QUERIES["cohort_ltv"] = q_cohort_ltv
+
+
+def q_segment_migration(spark: SparkSession, sf: str) -> DataFrame:
+    """Customer value-segment migration matrix: each customer's revenue
+    tercile in 1995 vs 1996 (high/mid/low against the year's revenue
+    tercile boundaries), counted as a transition matrix - the
+    churn/upsell diagnostic. Boundaries are ONE percentile aggregate per
+    year broadcast back (a ranking window would be a per-year global
+    sort at lake scale); the migration join is per-customer. Customers
+    absent in a year report as 'none'."""
+    o = table(spark, sf, "orders")
+    yearly = (
+        o.filter(F.year("o_orderdate").isin(1995, 1996))
+        .groupBy(
+            F.year("o_orderdate").alias("yr"),
+            F.col("o_custkey").alias("cust"),
+        )
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"))
+    )
+    # tercile BOUNDARIES per year (2 numbers, broadcast back) instead of
+    # an ntile ranking: a per-year ranking window is a two-task global
+    # sort at lake scale, thresholds are one aggregate + a narrow map
+    bounds = yearly.groupBy("yr").agg(
+        F.percentile(F.col("rev").cast("double"), F.lit(1.0 / 3)).alias("b_lo"),
+        F.percentile(F.col("rev").cast("double"), F.lit(2.0 / 3)).alias("b_hi"),
+    )
+    seg = yearly.join(F.broadcast(bounds), "yr").withColumn(
+        "segment",
+        F.when(F.col("rev").cast("double") > F.col("b_hi"), "high")
+        .when(F.col("rev").cast("double") > F.col("b_lo"), "mid")
+        .otherwise("low"),
+    )
+    a = seg.filter(F.col("yr") == 1995).select(
+        "cust", F.col("segment").alias("seg_1995")
+    )
+    b = seg.filter(F.col("yr") == 1996).select(
+        "cust", F.col("segment").alias("seg_1996")
+    )
+    return (
+        a.join(b, "cust", "full_outer")
+        .groupBy(
+            F.coalesce("seg_1995", F.lit("none")).alias("seg_1995"),
+            F.coalesce("seg_1996", F.lit("none")).alias("seg_1996"),
+        )
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+ORACLES["segment_migration"] = """
+    WITH yearly AS (
+        SELECT YEAR(o_orderdate) AS yr, o_custkey AS cust,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        FROM orders
+        WHERE YEAR(o_orderdate) IN (1995, 1996)
+        GROUP BY 1, 2
+    ),
+    bounds AS (
+        SELECT yr,
+               QUANTILE_CONT(CAST(rev AS DOUBLE), 1.0 / 3) AS b_lo,
+               QUANTILE_CONT(CAST(rev AS DOUBLE), 2.0 / 3) AS b_hi
+        FROM yearly GROUP BY 1
+    ),
+    seg AS (
+        SELECT y.yr, y.cust,
+               CASE WHEN CAST(y.rev AS DOUBLE) > b.b_hi THEN 'high'
+                    WHEN CAST(y.rev AS DOUBLE) > b.b_lo THEN 'mid'
+                    ELSE 'low' END AS segment
+        FROM yearly y JOIN bounds b USING (yr)
+    )
+    SELECT COALESCE(a.segment, 'none') AS seg_1995,
+           COALESCE(b.segment, 'none') AS seg_1996,
+           COUNT(*) AS n_customers
+    FROM (SELECT cust, segment FROM seg WHERE yr = 1995) a
+    FULL OUTER JOIN (SELECT cust, segment FROM seg WHERE yr = 1996) b
+        USING (cust)
+    GROUP BY 1, 2
+"""
+
+QUERIES["segment_migration"] = q_segment_migration

@@ -373,3 +373,68 @@ ORACLES["theil_sen_trend"] = """
 """
 
 QUERIES["theil_sen_trend"] = q_theil_sen_trend
+
+
+def q_mann_kendall(spark: SparkSession, sf: str) -> DataFrame:
+    """Mann-Kendall nonparametric trend test on monthly revenue: S =
+    sum of sign(x_j - x_i) over ordered pairs, with the no-ties normal
+    approximation z = (S -+ 1) / sqrt(n(n-1)(2n+5)/18) - the
+    significance readout next to `theil_sen_trend`'s magnitude. Pairs
+    are quadratic in months only (the registry's bounded-aggregate
+    shape); DECIMAL month sums make the sign comparisons engine-exact."""
+    o = table(spark, sf, "orders")
+    monthly = o.groupBy(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("m")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev")
+    )
+    a = monthly.select(F.col("m").alias("ma"), F.col("rev").alias("ra"))
+    b = monthly.select(F.col("m").alias("mb"), F.col("rev").alias("rb"))
+    pairs = a.join(b, F.col("ma") < F.col("mb")).select(
+        F.signum((F.col("rb") - F.col("ra")).cast("double")).alias("sgn")
+    )
+    agg = pairs.agg(F.sum("sgn").cast("long").alias("s"), F.count("*").alias("n_pairs"))
+    # n months from pair count: n_pairs = n(n-1)/2
+    n = (1 + F.sqrt(1.0 + 8.0 * F.col("n_pairs"))) / 2.0
+    var = n * (n - 1) * (2 * n + 5) / 18.0
+    z = (
+        F.when(F.col("s") > 0, (F.col("s") - 1) / F.sqrt(var))
+        .when(F.col("s") < 0, (F.col("s") + 1) / F.sqrt(var))
+        .otherwise(F.lit(0.0))
+    )
+    return agg.select(
+        "s",
+        "n_pairs",
+        F.round(z, 4).alias("z_stat"),
+    )
+
+
+ORACLES["mann_kendall"] = """
+    WITH monthly AS (
+        SELECT DATE_TRUNC('month', o_orderdate) AS m,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        FROM orders GROUP BY 1
+    ),
+    pairs AS (
+        SELECT SIGN(CAST(b.rev - a.rev AS DOUBLE)) AS sgn
+        FROM monthly a JOIN monthly b ON a.m < b.m
+    ),
+    agg AS (
+        SELECT CAST(SUM(sgn) AS BIGINT) AS s, COUNT(*) AS n_pairs
+        FROM pairs
+    )
+    SELECT s, n_pairs,
+           ROUND(CASE
+               WHEN s > 0 THEN (s - 1) / SQRT(
+                   ((1 + SQRT(1.0 + 8.0 * n_pairs)) / 2.0)
+                   * ((1 + SQRT(1.0 + 8.0 * n_pairs)) / 2.0 - 1)
+                   * (2 * ((1 + SQRT(1.0 + 8.0 * n_pairs)) / 2.0) + 5) / 18.0)
+               WHEN s < 0 THEN (s + 1) / SQRT(
+                   ((1 + SQRT(1.0 + 8.0 * n_pairs)) / 2.0)
+                   * ((1 + SQRT(1.0 + 8.0 * n_pairs)) / 2.0 - 1)
+                   * (2 * ((1 + SQRT(1.0 + 8.0 * n_pairs)) / 2.0) + 5) / 18.0)
+               ELSE 0.0 END, 4) AS z_stat
+    FROM agg
+"""
+
+QUERIES["mann_kendall"] = q_mann_kendall
