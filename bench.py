@@ -234,6 +234,9 @@ HEADLINE = [
     "als_recommend",
     "mann_kendall",
     "segment_migration",
+    "jackknife_ratio",
+    "lexical_diversity",
+    "event_burstiness",
 ]
 
 #: sf0.1-scale tier on the Zipf-vocabulary fixture (tools/gen_zipf.py):

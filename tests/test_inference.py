@@ -511,3 +511,33 @@ def test_segment_migration_counts_conserved(spark):
     )
     got95 = sum(r.n_customers for r in rows if r.seg_1995 != "none")
     assert got95 == n95
+
+
+def test_jackknife_near_plugin_estimate(spark):
+    from vptstools_spark.analytics.mlprep_q import q_jackknife_ratio
+
+    r = q_jackknife_ratio(spark, SF).collect()[0]
+    assert r.var_jack >= 0
+    # LOO mean stays within a tiny relative distance of the plug-in ratio
+    assert abs(r.theta_jack - r.ratio) / r.ratio < 0.01
+
+
+def test_lexical_diversity_bounds(spark):
+    from vptstools_spark.analytics.text_q import q_lexical_diversity
+
+    rows = q_lexical_diversity(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r.ttr <= 1.0
+        assert 0 <= r.hapax_share <= 1.0
+        assert r.n_types <= r.n_tokens
+
+
+def test_burstiness_nonnegative(spark):
+    from vptstools_spark.analytics.events_q import q_event_burstiness
+
+    rows = q_event_burstiness(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.fano >= 0
+        assert r.mean_daily > 0

@@ -42,6 +42,7 @@ TS_QUERIES = [
     "rolling_distinct_users",
     "user_value_ewma",
     "did_estimate",
+    "event_burstiness",
 ]
 
 

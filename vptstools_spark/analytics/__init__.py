@@ -92,6 +92,9 @@ NEW_THIS_ROUND = [
     "als_recommend",
     "mann_kendall",
     "segment_migration",
+    "jackknife_ratio",
+    "lexical_diversity",
+    "event_burstiness",
     # round 6
     "market_concentration",
     "events_streaks",

@@ -2945,3 +2945,36 @@ ORACLES["segment_migration"] = """
 """
 
 QUERIES["segment_migration"] = q_segment_migration
+
+
+def q_event_burstiness(spark: SparkSession, sf: str) -> DataFrame:
+    """Burstiness (Fano factor: variance/mean of daily counts) per event
+    type - Poisson traffic scores ~1, batchy/bursty pipelines score
+    higher. Two stacked aggregates (day then type), both vocabulary-
+    sized after the first fold."""
+    e = table(spark, sf, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count("*").alias("n"))
+    return daily.groupBy("event_type").agg(
+        F.count("*").alias("n_days"),
+        F.round(F.avg("n"), 4).alias("mean_daily"),
+        F.round(F.var_pop("n"), 4).alias("var_daily"),
+        F.round(F.var_pop("n") / F.avg("n"), 4).alias("fano"),
+    )
+
+
+ORACLES["event_burstiness"] = """
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+        FROM events GROUP BY 1, 2
+    )
+    SELECT event_type,
+           COUNT(*) AS n_days,
+           ROUND(AVG(n), 4) AS mean_daily,
+           ROUND(VAR_POP(n), 4) AS var_daily,
+           ROUND(VAR_POP(n) / AVG(n), 4) AS fano
+    FROM daily GROUP BY 1
+"""
+
+QUERIES["event_burstiness"] = q_event_burstiness

@@ -1024,3 +1024,89 @@ _ALS_REC_ORACLE = f"""
 
 QUERIES["als_recommend"] = q_als_recommend
 ORACLES["als_recommend"] = _ALS_REC_ORACLE
+
+
+def q_jackknife_ratio(spark: SparkSession, sf: str) -> DataFrame:
+    """Delete-one-month jackknife for the revenue-per-order ratio: the
+    deterministic resampling family next to the hash-Poisson bootstrap.
+    Leave-one-out estimates are closed forms over the monthly aggregate
+    joined to its own 1-row total, so the whole procedure is two
+    aggregates on the months table - no replicated data."""
+    o = table(spark, sf, "orders")
+    monthly = o.groupBy(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("m")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("rev"),
+        F.count("*").alias("cnt"),
+    )
+    tot = monthly.agg(
+        F.sum("rev").alias("s_rev"),
+        F.sum("cnt").alias("s_cnt"),
+        F.count("*").alias("n_m"),
+    )
+    loo = monthly.crossJoin(F.broadcast(tot)).select(
+        "n_m",
+        (
+            (F.col("s_rev") - F.col("rev"))
+            / (F.col("s_cnt") - F.col("cnt"))
+        ).alias("theta_i"),
+        (F.col("s_rev") / F.col("s_cnt")).alias("theta"),
+    )
+    # centered two-stage variance: the uncentered sum-of-squares form
+    # cancels catastrophically at theta ~ 2.5e5 (1e-3 absolute engine
+    # disagreement); deviations are O(1) and round-stable
+    tbar = loo.agg(F.round(F.avg("theta_i"), 10).alias("tbar"))
+    return (
+        loo.crossJoin(F.broadcast(tbar))
+        .groupBy("n_m", "theta", "tbar")
+        .agg(
+            F.round(
+                (F.max("n_m") - 1)
+                / F.max("n_m")
+                * F.sum(
+                    (F.col("theta_i") - F.col("tbar"))
+                    * (F.col("theta_i") - F.col("tbar"))
+                ),
+                6,
+            ).alias("var_jack")
+        )
+        .select(
+            "n_m",
+            F.round("theta", 6).alias("ratio"),
+            F.round("tbar", 6).alias("theta_jack"),
+            "var_jack",
+        )
+    )
+
+
+ORACLES["jackknife_ratio"] = """
+    WITH monthly AS (
+        SELECT DATE_TRUNC('month', o_orderdate) AS m,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS rev,
+               COUNT(*) AS cnt
+        FROM orders GROUP BY 1
+    ),
+    tot AS (
+        SELECT SUM(rev) AS s_rev, SUM(cnt) AS s_cnt, COUNT(*) AS n_m
+        FROM monthly
+    ),
+    loo AS (
+        SELECT t.n_m,
+               (t.s_rev - m.rev) / (t.s_cnt - m.cnt) AS theta_i,
+               t.s_rev / t.s_cnt AS theta
+        FROM monthly m CROSS JOIN tot t
+    )
+    , tbar AS (SELECT ROUND(AVG(theta_i), 10) AS tbar FROM loo)
+    SELECT n_m, ROUND(theta, 6) AS ratio,
+           ROUND(tbar, 6) AS theta_jack,
+           ROUND((MAX(n_m) - 1.0) / MAX(n_m)
+                 * SUM((theta_i - tbar) * (theta_i - tbar)), 6)
+               AS var_jack
+    FROM loo CROSS JOIN tbar
+    GROUP BY n_m, theta, tbar
+"""
+
+QUERIES["jackknife_ratio"] = q_jackknife_ratio

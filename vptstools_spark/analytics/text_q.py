@@ -1017,3 +1017,44 @@ ORACLES["pmi_bigrams"] = """
 """
 
 QUERIES["pmi_bigrams"] = q_pmi_bigrams
+
+
+def q_lexical_diversity(spark: SparkSession, sf: str) -> DataFrame:
+    """Lexical diversity per source: type-token ratio and hapax share
+    (words occurring once) - corpus-quality features that catch
+    template/boilerplate sources (low TTR) and OCR noise (high hapax).
+    One tokenized pass -> per-(source, word) counts -> per-source
+    closed forms; everything is vocabulary-sized after the first fold."""
+    d = table(spark, sf, "documents")
+    counts = (
+        d.select("source", F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count("*").alias("c"))
+    )
+    return counts.groupBy("source").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count("*").alias("n_types"),
+        F.round(F.count("*") / F.sum("c"), 6).alias("ttr"),
+        F.round(
+            F.count(F.when(F.col("c") == 1, 1)) / F.count("*"), 6
+        ).alias("hapax_share"),
+    )
+
+
+ORACLES["lexical_diversity"] = """
+    WITH counts AS (
+        SELECT source, w, COUNT(*) AS c FROM (
+            SELECT source, UNNEST(string_split(text, ' ')) AS w
+            FROM documents
+        ) GROUP BY 1, 2
+    )
+    SELECT source,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           COUNT(*) AS n_types,
+           ROUND(COUNT(*) / CAST(SUM(c) AS DOUBLE), 6) AS ttr,
+           ROUND(COUNT(*) FILTER (c = 1) / CAST(COUNT(*) AS DOUBLE), 6)
+               AS hapax_share
+    FROM counts GROUP BY 1
+"""
+
+QUERIES["lexical_diversity"] = q_lexical_diversity
