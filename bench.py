@@ -237,6 +237,7 @@ HEADLINE = [
     "jackknife_ratio",
     "lexical_diversity",
     "event_burstiness",
+    "geo_nearest_supplier",
 ]
 
 #: sf0.1-scale tier on the Zipf-vocabulary fixture (tools/gen_zipf.py):

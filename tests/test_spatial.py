@@ -74,3 +74,22 @@ def test_haversine_known_value(spark):
         ).alias("d")
     )
     assert df.collect()[0].d == pytest.approx(343.5, abs=1.0)
+
+
+def test_nearest_supplier_is_argmin(spark):
+    from vptstools_spark.analytics.spatial_q import (
+        q_geo_nearest_supplier,
+        q_geo_proximity_join,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    pairs = q_geo_proximity_join(spark, sf).collect()
+    nearest = q_geo_nearest_supplier(spark, sf).collect()
+    best = {}
+    for p in pairs:
+        cur = best.get(p.custkey)
+        if cur is None or (p.dist_km, p.suppkey) < (cur.dist_km, cur.suppkey):
+            best[p.custkey] = p
+    assert {(r.custkey, r.suppkey) for r in nearest} == {
+        (p.custkey, p.suppkey) for p in best.values()
+    }

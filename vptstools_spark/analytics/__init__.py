@@ -95,6 +95,7 @@ NEW_THIS_ROUND = [
     "jackknife_ratio",
     "lexical_diversity",
     "event_burstiness",
+    "geo_nearest_supplier",
     # round 6
     "market_concentration",
     "events_streaks",

@@ -91,3 +91,48 @@ QUERIES = {
 ORACLES = {
     "geo_proximity_join": _GEO_ORACLE,
 }
+
+
+def q_geo_nearest_supplier(spark: SparkSession, sf: str) -> DataFrame:
+    """Nearest supplier within RADIUS_KM per customer (1-NN): the
+    proximity join's candidate pairs ranked per customer - the
+    store-assignment / nearest-facility query. Candidates stay bounded
+    by the cell join; the rank window partitions by customer. Customers
+    with no supplier inside the radius drop (documented contract: 1-NN
+    under a search radius, not global nearest)."""
+    from pyspark.sql import Window
+
+    cust = _points(table(spark, sf, "customer"), "c_custkey")
+    supp = _points(table(spark, sf, "supplier"), "s_suppkey")
+    pairs = proximity_join(cust, supp, RADIUS_KM)
+    w = Window.partitionBy("id_a").orderBy(
+        F.col("dist_km").asc(), F.col("id_b").asc()
+    )
+    return (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            F.col("id_a").alias("custkey"),
+            F.col("id_b").alias("suppkey"),
+            F.round("dist_km", 4).alias("dist_km"),
+        )
+    )
+
+
+ORACLES["geo_nearest_supplier"] = (
+    _GEO_ORACLE.replace(
+        """    SELECT custkey, suppkey, ROUND(dist_km, 4) AS dist_km
+    FROM pairs WHERE dist_km <= """
+        + str(RADIUS_KM),
+        """    SELECT custkey, suppkey, ROUND(dist_km, 4) AS dist_km FROM (
+        SELECT custkey, suppkey, dist_km,
+               ROW_NUMBER() OVER (PARTITION BY custkey
+                                  ORDER BY dist_km ASC, suppkey ASC) AS rk
+        FROM pairs WHERE dist_km <= """
+        + str(RADIUS_KM)
+        + """
+    ) WHERE rk = 1""",
+    )
+)
+
+QUERIES["geo_nearest_supplier"] = q_geo_nearest_supplier
