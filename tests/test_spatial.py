@@ -93,3 +93,21 @@ def test_nearest_supplier_is_argmin(spark):
     assert {(r.custkey, r.suppkey) for r in nearest} == {
         (p.custkey, p.suppkey) for p in best.values()
     }
+
+
+def test_high_latitude_pairs_not_missed(spark):
+    """Longitude degrees shrink by cos(lat): two points at lat 60 deg
+    separated by almost the full radius IN LONGITUDE must still pair
+    (the bug the lon-cell widening fixes)."""
+    from vptstools_spark.operators.spatial import proximity_join
+
+    # at lat 60, 10 km east-west is ~0.1799 deg of longitude: ~2 equator
+    # cells wide for r=10 (cell 0.0899 deg)
+    a = spark.createDataFrame(
+        [(1, 60.0, 10.00001)], "id long, lat double, lon double"
+    )
+    b = spark.createDataFrame(
+        [(2, 60.0, 10.17)], "id long, lat double, lon double"
+    )
+    got = proximity_join(a, b, 10.0).collect()
+    assert len(got) == 1 and got[0].dist_km <= 10.0

@@ -45,27 +45,34 @@ def proximity_join(
     lat_col: str = "lat",
     lon_col: str = "lon",
     suffixes: tuple[str, str] = ("_a", "_b"),
+    max_abs_lat_deg: float = 66.0,
 ) -> DataFrame:
     """All (left, right) pairs within `radius_km`, by grid binning +
     neighbor replication + exact haversine verify. Returns both sides'
     columns (suffixed) plus `dist_km`.
 
-    Cell edge in degrees is sized from the radius at the equator
-    (1 deg latitude ~ 111.195 km); longitude cells use the same edge, so
-    toward the poles cells narrow and the 3x3 neighborhood still covers
-    the radius for |lat| <= ~60 deg — callers working polar data should
-    widen `cell_deg` themselves. LEFT is replicated 9x (the 3x3
+    Latitude cells are sized from the radius at the equator (1 deg
+    latitude ~ 111.195 km). Longitude degrees SHRINK by cos(lat), so a
+    pair within the radius could sit 2 lon cells apart at nonzero
+    latitude if lon cells used the same edge — the classic missed-pair
+    bug. Longitude cells are therefore widened by 1/cos(max_abs_lat_deg)
+    (default covers |lat| <= 66 deg; raise it for polar data at the cost
+    of more candidates per cell), which restores the 3x3-neighborhood
+    completeness guarantee. LEFT is replicated 9x (the 3x3
     neighborhood); RIGHT maps to its single home cell — replicating one
     side only halves the shuffle volume vs replicating both.
     """
+    import math
+
     # one degree of latitude in km: pi * R / 180
     deg_km = 3.141592653589793 * EARTH_RADIUS_KM / 180.0
     cell_deg = radius_km / deg_km
+    lon_cell_deg = cell_deg / math.cos(math.radians(max_abs_lat_deg))
 
     def cell(lat: Column, lon: Column) -> tuple[Column, Column]:
         return (
             F.floor(lat / F.lit(cell_deg)).cast("long"),
-            F.floor(lon / F.lit(cell_deg)).cast("long"),
+            F.floor(lon / F.lit(lon_cell_deg)).cast("long"),
         )
 
     la, lb = suffixes
