@@ -238,6 +238,7 @@ HEADLINE = [
     "lexical_diversity",
     "event_burstiness",
     "geo_nearest_supplier",
+    "funnel_time_percentiles",
 ]
 
 #: sf0.1-scale tier on the Zipf-vocabulary fixture (tools/gen_zipf.py):

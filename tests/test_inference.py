@@ -541,3 +541,11 @@ def test_burstiness_nonnegative(spark):
     for r in rows:
         assert r.fano >= 0
         assert r.mean_daily > 0
+
+
+def test_funnel_time_percentiles_ordered(spark):
+    from vptstools_spark.analytics.events_q import q_funnel_time_percentiles
+
+    r = q_funnel_time_percentiles(spark, SF).collect()[0]
+    assert r.n_converted > 0
+    assert 0 <= r.p25_min <= r.p50_min <= r.p90_min

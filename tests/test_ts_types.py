@@ -43,6 +43,7 @@ TS_QUERIES = [
     "user_value_ewma",
     "did_estimate",
     "event_burstiness",
+    "funnel_time_percentiles",
 ]
 
 

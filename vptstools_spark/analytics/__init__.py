@@ -96,6 +96,7 @@ NEW_THIS_ROUND = [
     "lexical_diversity",
     "event_burstiness",
     "geo_nearest_supplier",
+    "funnel_time_percentiles",
     # round 6
     "market_concentration",
     "events_streaks",

@@ -2978,3 +2978,60 @@ ORACLES["event_burstiness"] = """
 """
 
 QUERIES["event_burstiness"] = q_event_burstiness
+
+
+def q_funnel_time_percentiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-to-convert distribution: minutes from each user's FIRST
+    click to their first purchase AFTER it, summarized as exact
+    quartiles + conversion count - the latency readout behind funnel
+    SLAs. Two per-user min-aggregates and one join; no windows at all,
+    so the plan is two shuffles on user_id regardless of scale."""
+    e = table(spark, sf, "events")
+    first_click = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("t_buy")
+    )
+    conv = (
+        first_click.join(purchases, "user_id")
+        .filter(F.col("t_buy") >= F.col("t_click"))
+        .groupBy("user_id")
+        .agg(
+            F.min(
+                F.expr("timestampdiff(MINUTE, t_click, t_buy)")
+            ).alias("mins")
+        )
+    )
+    return conv.agg(
+        F.count("*").alias("n_converted"),
+        F.round(F.percentile("mins", F.lit(0.25)), 4).alias("p25_min"),
+        F.round(F.percentile("mins", F.lit(0.5)), 4).alias("p50_min"),
+        F.round(F.percentile("mins", F.lit(0.9)), 4).alias("p90_min"),
+    )
+
+
+ORACLES["funnel_time_percentiles"] = """
+    WITH first_click AS (
+        SELECT user_id, MIN(ts) AS t_click
+        FROM events WHERE event_type = 'click'
+        GROUP BY 1
+    ),
+    conv AS (
+        SELECT e.user_id,
+               MIN(CAST(FLOOR(DATE_DIFF('second', f.t_click, e.ts) / 60.0)
+                        AS BIGINT)) AS mins
+        FROM events e JOIN first_click f USING (user_id)
+        WHERE e.event_type = 'purchase' AND e.ts >= f.t_click
+        GROUP BY 1
+    )
+    SELECT COUNT(*) AS n_converted,
+           ROUND(QUANTILE_CONT(mins, 0.25), 4) AS p25_min,
+           ROUND(QUANTILE_CONT(mins, 0.5), 4) AS p50_min,
+           ROUND(QUANTILE_CONT(mins, 0.9), 4) AS p90_min
+    FROM conv
+"""
+
+QUERIES["funnel_time_percentiles"] = q_funnel_time_percentiles
