@@ -239,6 +239,7 @@ HEADLINE = [
     "event_burstiness",
     "geo_nearest_supplier",
     "funnel_time_percentiles",
+    "odds_ratio",
 ]
 
 #: sf0.1-scale tier on the Zipf-vocabulary fixture (tools/gen_zipf.py):

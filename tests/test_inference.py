@@ -549,3 +549,12 @@ def test_funnel_time_percentiles_ordered(spark):
     r = q_funnel_time_percentiles(spark, SF).collect()[0]
     assert r.n_converted > 0
     assert 0 <= r.p25_min <= r.p50_min <= r.p90_min
+
+
+def test_odds_ratio_ci_brackets_point(spark):
+    from vptstools_spark.analytics.inference_q import q_odds_ratio
+
+    r = q_odds_ratio(spark, SF).collect()[0]
+    assert min(r.a, r.b, r.c, r.d) > 0
+    assert r.ci_lo <= r.odds_ratio <= r.ci_hi
+    assert r.ci_lo > 0

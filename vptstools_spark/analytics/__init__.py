@@ -97,6 +97,7 @@ NEW_THIS_ROUND = [
     "event_burstiness",
     "geo_nearest_supplier",
     "funnel_time_percentiles",
+    "odds_ratio",
     # round 6
     "market_concentration",
     "events_streaks",

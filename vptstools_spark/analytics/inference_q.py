@@ -493,3 +493,65 @@ _HILL_ORACLE = """
 
 QUERIES["hill_tail_index"] = q_hill_tail_index
 ORACLES["hill_tail_index"] = _HILL_ORACLE
+
+
+def q_odds_ratio(spark: SparkSession, sf: str) -> DataFrame:
+    """2x2 odds ratio with 95% CI: odds of an URGENT order being
+    high-value (> 150k) vs a LOW order - the effect-size readout the
+    z-test family lacks. One conditional aggregate builds the table;
+    ln OR +/- 1.96 * sqrt(sum 1/n_ij) is a closed form over the 1-row
+    result (Woolf's method)."""
+    o = table(spark, sf, "orders").filter(
+        F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
+    )
+    urgent = F.col("o_orderpriority") == "1-URGENT"
+    hi = F.col("o_totalprice") > 150000
+    agg = o.agg(
+        F.count(F.when(urgent & hi, 1)).alias("a"),
+        F.count(F.when(urgent & ~hi, 1)).alias("b"),
+        F.count(F.when(~urgent & hi, 1)).alias("c"),
+        F.count(F.when(~urgent & ~hi, 1)).alias("d"),
+    )
+    orx = (F.col("a") * F.col("d")) / (F.col("b") * F.col("c"))
+    se = F.sqrt(
+        1.0 / F.col("a") + 1.0 / F.col("b") + 1.0 / F.col("c") + 1.0 / F.col("d")
+    )
+    return agg.select(
+        "a",
+        "b",
+        "c",
+        "d",
+        F.round(orx, 6).alias("odds_ratio"),
+        F.round(F.exp(F.log(orx) - 1.96 * se), 6).alias("ci_lo"),
+        F.round(F.exp(F.log(orx) + 1.96 * se), 6).alias("ci_hi"),
+    )
+
+
+_ODDS_ORACLE = """
+    WITH agg AS (
+        SELECT
+            COUNT(*) FILTER (o_orderpriority = '1-URGENT'
+                             AND o_totalprice > 150000) AS a,
+            COUNT(*) FILTER (o_orderpriority = '1-URGENT'
+                             AND o_totalprice <= 150000) AS b,
+            COUNT(*) FILTER (o_orderpriority = '5-LOW'
+                             AND o_totalprice > 150000) AS c,
+            COUNT(*) FILTER (o_orderpriority = '5-LOW'
+                             AND o_totalprice <= 150000) AS d
+        FROM orders
+        WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+    )
+    SELECT a, b, c, d,
+           ROUND((CAST(a AS DOUBLE) * d) / (CAST(b AS DOUBLE) * c), 6)
+               AS odds_ratio,
+           ROUND(EXP(LN((CAST(a AS DOUBLE) * d) / (CAST(b AS DOUBLE) * c))
+                     - 1.96 * SQRT(1.0/a + 1.0/b + 1.0/c + 1.0/d)), 6)
+               AS ci_lo,
+           ROUND(EXP(LN((CAST(a AS DOUBLE) * d) / (CAST(b AS DOUBLE) * c))
+                     + 1.96 * SQRT(1.0/a + 1.0/b + 1.0/c + 1.0/d)), 6)
+               AS ci_hi
+    FROM agg
+"""
+
+QUERIES["odds_ratio"] = q_odds_ratio
+ORACLES["odds_ratio"] = _ODDS_ORACLE
