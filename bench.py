@@ -240,6 +240,7 @@ HEADLINE = [
     "geo_nearest_supplier",
     "funnel_time_percentiles",
     "odds_ratio",
+    "repeat_purchase_interval",
 ]
 
 #: sf0.1-scale tier on the Zipf-vocabulary fixture (tools/gen_zipf.py):

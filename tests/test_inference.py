@@ -558,3 +558,11 @@ def test_odds_ratio_ci_brackets_point(spark):
     assert min(r.a, r.b, r.c, r.d) > 0
     assert r.ci_lo <= r.odds_ratio <= r.ci_hi
     assert r.ci_lo > 0
+
+
+def test_repeat_purchase_interval_quartiles(spark):
+    from vptstools_spark.analytics.events_q import q_repeat_purchase_interval
+
+    r = q_repeat_purchase_interval(spark, SF).collect()[0]
+    assert r.n_intervals > 0
+    assert 0 <= r.p25_h <= r.p50_h <= r.p75_h

@@ -44,6 +44,7 @@ TS_QUERIES = [
     "did_estimate",
     "event_burstiness",
     "funnel_time_percentiles",
+    "repeat_purchase_interval",
 ]
 
 

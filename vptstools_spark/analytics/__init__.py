@@ -98,6 +98,7 @@ NEW_THIS_ROUND = [
     "geo_nearest_supplier",
     "funnel_time_percentiles",
     "odds_ratio",
+    "repeat_purchase_interval",
     # round 6
     "market_concentration",
     "events_streaks",

@@ -3035,3 +3035,48 @@ ORACLES["funnel_time_percentiles"] = """
 """
 
 QUERIES["funnel_time_percentiles"] = q_funnel_time_percentiles
+
+
+def q_repeat_purchase_interval(spark: SparkSession, sf: str) -> DataFrame:
+    """Inter-purchase interval distribution: hours between consecutive
+    purchases per user (lag over the per-user purchase stream), exact
+    quartiles + count - the repeat-engagement cadence behind retention
+    targets. One user-partitioned window over the purchase subset, one
+    global aggregate."""
+    e = table(spark, sf, "events").filter(F.col("event_type") == "purchase")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = e.select(
+        "user_id",
+        F.expr(
+            "timestampdiff(HOUR, lag(ts, 1) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id), ts)"
+        ).alias("gap_h"),
+    ).filter(F.col("gap_h").isNotNull())
+    return gaps.agg(
+        F.count("*").alias("n_intervals"),
+        F.round(F.percentile("gap_h", F.lit(0.25)), 4).alias("p25_h"),
+        F.round(F.percentile("gap_h", F.lit(0.5)), 4).alias("p50_h"),
+        F.round(F.percentile("gap_h", F.lit(0.75)), 4).alias("p75_h"),
+    )
+
+
+ORACLES["repeat_purchase_interval"] = """
+    WITH p AS (
+        SELECT user_id, ts, event_id FROM events
+        WHERE event_type = 'purchase'
+    ),
+    gaps AS (
+        SELECT CAST(FLOOR(DATE_DIFF('second',
+                   LAG(ts, 1) OVER (PARTITION BY user_id
+                                    ORDER BY epoch_us(ts), event_id),
+                   ts) / 3600.0) AS BIGINT) AS gap_h
+        FROM p
+    )
+    SELECT COUNT(*) AS n_intervals,
+           ROUND(QUANTILE_CONT(gap_h, 0.25), 4) AS p25_h,
+           ROUND(QUANTILE_CONT(gap_h, 0.5), 4) AS p50_h,
+           ROUND(QUANTILE_CONT(gap_h, 0.75), 4) AS p75_h
+    FROM gaps WHERE gap_h IS NOT NULL
+"""
+
+QUERIES["repeat_purchase_interval"] = q_repeat_purchase_interval
