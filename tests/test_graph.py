@@ -334,3 +334,19 @@ def test_sssp_early_exit_and_multi_source(spark):
     # the loop exits without running 50 rounds
     got = {r.node: r.dist for r in sssp_bounded(edges, seeds, depth=50).collect()}
     assert got == {"a": 0, "x": 0, "b": 2, "y": 3}
+
+
+def test_hits_zero_iters_rejected(spark):
+    from vptstools_spark.operators.graph import hits
+
+    e = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with pytest.raises(ValueError, match="iters"):
+        hits(e, iters=0)
+
+
+def test_connected_components_zero_iters_rejected(spark):
+    from vptstools_spark.operators.graph import connected_components
+
+    e = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with pytest.raises(ValueError, match="max_iter"):
+        connected_components(e, max_iter=0)

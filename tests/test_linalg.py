@@ -99,3 +99,24 @@ def test_mahalanobis_outlier_rate_sane(spark):
     # max distance must exceed typical values
     assert 0 <= r.n_outliers <= 0.1 * r.n_vectors
     assert r.max_d2 > 2.0
+
+
+def test_covariance_stable_on_shifted_data(spark):
+    """|mean| >> std is the catastrophic-cancellation regime for the raw
+    (G - S_i S_j / n)/n closed form: at mean 1e7, std 1, float64 keeps
+    ~16 digits and G ~ 1e14 * n eats all of cov's significant digits.
+    The global-pivot shift must hold the numpy-direct answer anyway."""
+    rng = np.random.default_rng(11)
+    x = rng.normal(loc=1e7, scale=1.0, size=(60, 4))
+    rows = [(i, [float(v) for v in x[i]]) for i in range(len(x))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        (r.i, r.j): r.cov
+        for r in covariance_matrix(df.repartition(6), "embedding").collect()
+    }
+    want = np.cov(x, rowvar=False, bias=True)
+    for i in range(4):
+        for j in range(i, 4):
+            assert got[(i + 1, j + 1)] == pytest.approx(
+                want[i, j], rel=1e-9, abs=1e-9
+            )

@@ -111,3 +111,68 @@ def test_high_latitude_pairs_not_missed(spark):
     )
     got = proximity_join(a, b, 10.0).collect()
     assert len(got) == 1 and got[0].dist_km <= 10.0
+
+
+def test_antimeridian_pairs_found(spark):
+    """A pair straddling ±180° sits in lon cells at opposite ends of the
+    index range; the modular wrap must still pair them."""
+    from vptstools_spark.operators.spatial import proximity_join
+
+    a = spark.createDataFrame(
+        [(1, 10.0, 179.99)], "id long, lat double, lon double"
+    )
+    b = spark.createDataFrame(
+        [(2, 10.0, -179.99)], "id long, lat double, lon double"
+    )
+    got = proximity_join(a, b, 10.0).collect()
+    # 0.02 deg of lon at lat 10 ~ 2.2 km < 10 km
+    assert len(got) == 1 and got[0].dist_km <= 10.0
+
+
+def test_antimeridian_no_duplicate_pairs(spark):
+    """The wrap must not double-count: each qualifying pair exactly once
+    even when a left cell's ±1 neighbors alias under pmod."""
+    from vptstools_spark.operators.spatial import proximity_join
+
+    a = spark.createDataFrame(
+        [(1, 0.0, 0.0), (2, 0.0, 179.95)], "id long, lat double, lon double"
+    )
+    b = spark.createDataFrame(
+        [(3, 0.0, 0.05), (4, 0.0, -179.95)], "id long, lat double, lon double"
+    )
+    got = proximity_join(a, b, 20.0).collect()
+    keys = sorted((r.id_a, r.id_b) for r in got)
+    assert keys == [(1, 3), (2, 4)]
+
+
+def test_lat_bound_enforced(spark):
+    """|lat| beyond max_abs_lat_deg would silently MISS true pairs (lon
+    cells too narrow there) — the join must raise, not drop."""
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+    from vptstools_spark.operators.spatial import proximity_join
+
+    a = spark.createDataFrame(
+        [(1, 80.0, 0.0)], "id long, lat double, lon double"
+    )
+    b = spark.createDataFrame(
+        [(2, 80.0, 0.01)], "id long, lat double, lon double"
+    )
+    with pytest.raises(Exception) as ei:
+        proximity_join(a, b, 10.0).collect()
+    assert "max_abs_lat_deg" in str(ei.value)
+
+
+def test_huge_radius_single_lon_cell(spark):
+    """Radius so large the circle has <3 lon cells: offsets collapse to
+    the distinct residues — correct pairs, no duplicates."""
+    from vptstools_spark.operators.spatial import proximity_join
+
+    a = spark.createDataFrame(
+        [(1, 0.0, -170.0)], "id long, lat double, lon double"
+    )
+    b = spark.createDataFrame(
+        [(2, 0.0, 170.0)], "id long, lat double, lon double"
+    )
+    # 20 deg across the antimeridian ~ 2224 km
+    got = proximity_join(a, b, 3000.0).collect()
+    assert len(got) == 1

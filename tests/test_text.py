@@ -51,3 +51,37 @@ def test_fingerprint_normalizes(spark):
     fps = [r["fp"] for r in df.select(fingerprint(F.col("text")).alias("fp")).collect()]
     assert fps[0] == fps[1]
     assert len(fps[0]) == 32
+
+
+def test_bigram_generators_survive_single_token_docs(spark):
+    """sequence(1, 0) DESCENDS in Spark, so an unguarded adjacent-pair
+    transform hits element_at(a, 0) — a runtime error — on any one-token
+    document. All three bigram generators must simply emit no bigrams."""
+    from vptstools_spark.operators.pretrain import doc_bigrams
+
+    df = spark.createDataFrame(
+        [(1, "solo"), (2, "two words here"), (3, "pair up")],
+        "doc_id long, text string",
+    )
+    got = doc_bigrams(df).collect()
+    assert sorted(r.bigram for r in got) == [
+        "pair up", "two words", "words here",
+    ]
+
+
+def test_pmi_and_bigram_queries_survive_single_token_docs(spark, tmp_path):
+    """End-to-end: registry queries over a corpus containing a one-token
+    document must run (the sf fixtures are all multi-token, so this is
+    the only coverage of the guard at the query layer)."""
+    import pyspark.sql.functions as F
+    from vptstools_spark.analytics.text_q import q_bigram_counts, q_pmi_bigrams
+
+    docs = spark.createDataFrame(
+        [(i, "alpha" if i % 2 else "alpha beta gamma", "s") for i in range(20)],
+        "doc_id long, text string, source string",
+    )
+    docs.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    bg = q_bigram_counts(spark, str(tmp_path)).collect()
+    assert {r.bigram for r in bg} == {"alpha beta", "beta gamma"}
+    pmi = q_pmi_bigrams(spark, str(tmp_path)).collect()
+    assert len(pmi) == 2

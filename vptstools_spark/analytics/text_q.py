@@ -322,7 +322,11 @@ def q_bigram_counts(spark: SparkSession, sf: str) -> DataFrame:
     d = table(spark, sf, "documents")
     # split once per row; the pair transform then indexes the materialized
     # array instead of re-tokenizing three times inside one expression
-    bigrams = d.select(F.split(F.col("text"), " ").alias("a")).select(
+    # guard single-token docs: sequence(1, 0) is DESCENDING in Spark and
+    # element_at(a, 0) raises; DuckDB's generate_series(1, 0) is just empty
+    bigrams = d.select(F.split(F.col("text"), " ").alias("a")).filter(
+        F.size("a") >= 2
+    ).select(
         F.explode(
             F.expr(
                 "transform(sequence(1, size(a) - 1),"
@@ -948,7 +952,10 @@ def q_pmi_bigrams(spark: SparkSession, sf: str) -> DataFrame:
     )
     n_tok = uni.agg(F.sum("c").cast("double").alias("n"))
     bi = (
-        toks.select(
+        # size(a) < 2 would make sequence(1, size(a)-1) DESCENDING ([1, 0])
+        # and element_at(a, 0) is a runtime error — filter, don't transform
+        toks.filter(F.size("a") >= 2)
+        .select(
             F.explode(
                 F.expr(
                     "transform(sequence(1, size(a) - 1),"

@@ -43,6 +43,8 @@ def connected_components(
     emitted — callers union them back if singleton clusters matter.
     """
     import warnings
+    if max_iter < 1:
+        raise ValueError(f"connected_components needs max_iter >= 1, got {max_iter}")
     e = edges.select(
         F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
     )
@@ -298,6 +300,8 @@ def hits(
     convention as `pagerank`. Nodes that never occur as a source (or
     destination) report hub (auth) = 0.
     """
+    if iters < 1:
+        raise ValueError(f"hits() needs iters >= 1, got {iters}")
     w = F.col(weight_col) if weight_col else F.lit(1.0)
     e = (
         edges.select(

@@ -27,7 +27,10 @@ _MOMENT_SCHEMA = (
 
 
 def gramian_moments(
-    df: DataFrame, vec_col: str = "embedding", dims: int | None = None
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dims: int | None = None,
+    pivot: "list[float] | None" = None,
 ) -> DataFrame:
     """Mergeable second-order moments of a vector column: one row per
     dimension pair i <= j (1-based) carrying the partial Gramian entry
@@ -37,8 +40,18 @@ def gramian_moments(
     the outer product — push the projection into the kernel, never
     compute a 4096-entry Gramian to keep 36 of its cells. Output volume
     is dims*(dims+1)/2 rows per Arrow batch regardless of input size.
+
+    `pivot` (a global constant vector, same for EVERY batch so the SUM
+    merge stays exact) is subtracted before the outer product. Moments of
+    (x - pivot) feed the same covariance closed form — covariance is
+    shift-invariant — but with |mean - pivot| ~ std the subtraction
+    G_ij - S_i*S_j/n no longer cancels catastrophically when |mean| >>
+    std. Raw (pivot=None) moments are kept for callers that need the
+    true uncentered Gramian.
     """
     import numpy as np
+
+    piv = None if pivot is None else np.asarray(pivot, dtype=np.float64)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -47,6 +60,8 @@ def gramian_moments(
             x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             if dims is not None:
                 x = x[:, :dims]
+            if piv is not None:
+                x = x - piv[: x.shape[1]]
             d = x.shape[1]
             g = x.T @ x
             s = x.sum(axis=0)
@@ -66,13 +81,30 @@ def gramian_moments(
 
 
 def covariance_matrix(
-    df: DataFrame, vec_col: str = "embedding", dims: int | None = None
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dims: int | None = None,
+    center: bool = True,
 ) -> DataFrame:
     """Population covariance matrix of a vector column as (i, j, cov)
     rows for i <= j (1-based), computed as one mapInPandas moment pass +
     one partial->final SUM aggregate + a JVM closed form. Mergeable end
-    to end: the same moments also serve correlation or a PCA Gramian."""
-    mom = gramian_moments(df, vec_col, dims)
+    to end: the same moments also serve correlation or a PCA Gramian.
+
+    With `center=True` (default) an arbitrary data row is fetched first
+    (one limit-1 job, metadata-scale) and used as a global pivot: the
+    moments are taken of (x - pivot), which covariance is invariant to,
+    so the (G - S_i*S_j/n)/n finalize stays cancellation-free even when
+    |mean| >> std — the shifted-data hazard where the uncentered closed
+    form loses all significant digits while an oracle's COVAR_POP does
+    not. Pass center=False to skip the extra job on data known to be
+    near-zero-mean."""
+    pivot = None
+    if center:
+        first = df.select(vec_col).limit(1).collect()
+        if first and first[0][0] is not None:
+            pivot = list(first[0][0])
+    mom = gramian_moments(df, vec_col, dims, pivot=pivot)
     agg = mom.groupBy("i", "j").agg(
         F.sum("g").alias("g"),
         F.sum("si").alias("si"),

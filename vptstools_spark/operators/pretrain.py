@@ -83,6 +83,9 @@ def doc_bigrams(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     split per row, no self-join, no Python)."""
     return (
         df.select(id_col, F.split(F.col(text_col), " ").alias("a"))
+        # single-token docs: sequence(1, 0) descends to [1, 0] and
+        # element_at(a, 0) raises — they simply have no bigrams
+        .filter(F.size("a") >= 2)
         .select(
             id_col,
             F.explode(

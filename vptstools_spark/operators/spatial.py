@@ -61,18 +61,47 @@ def proximity_join(
     completeness guarantee. LEFT is replicated 9x (the 3x3
     neighborhood); RIGHT maps to its single home cell — replicating one
     side only halves the shuffle volume vs replicating both.
+
+    The latitude bound is ENFORCED: any row with |lat| > max_abs_lat_deg
+    raises at execution time (a silently dropped true pair is the worst
+    failure mode a join can have). Longitude cells tile the full circle
+    with a uniform width that divides 360 exactly, and neighbor
+    replication wraps modulo the cell count — pairs straddling the
+    ±180° antimeridian are found like any others.
     """
     import math
 
     # one degree of latitude in km: pi * R / 180
     deg_km = 3.141592653589793 * EARTH_RADIUS_KM / 180.0
     cell_deg = radius_km / deg_km
-    lon_cell_deg = cell_deg / math.cos(math.radians(max_abs_lat_deg))
+    lon_cell_min = cell_deg / math.cos(math.radians(max_abs_lat_deg))
+    # round the cell width UP to 360/n so n uniform cells tile the circle
+    # exactly (a non-dividing seam cell would be narrower than the radius
+    # and break the ±1-neighbor completeness guarantee at the wrap)
+    n_lon = max(1, int(360.0 // lon_cell_min))
+    lon_cell_deg = 360.0 / n_lon
 
     def cell(lat: Column, lon: Column) -> tuple[Column, Column]:
+        lat_ok = F.when(
+            F.abs(lat) <= F.lit(float(max_abs_lat_deg)), lat
+        ).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "proximity_join: |lat| exceeds max_abs_lat_deg="
+                        f"{max_abs_lat_deg} (got "
+                    ),
+                    lat.cast("string"),
+                    F.lit(") — raise max_abs_lat_deg for polar data"),
+                )
+            )
+        )
         return (
-            F.floor(lat / F.lit(cell_deg)).cast("long"),
-            F.floor(lon / F.lit(lon_cell_deg)).cast("long"),
+            F.floor(lat_ok / F.lit(cell_deg)).cast("long"),
+            F.pmod(
+                F.floor((lon + F.lit(180.0)) / F.lit(lon_cell_deg)),
+                F.lit(n_lon),
+            ).cast("long"),
         )
 
     la, lb = suffixes
@@ -80,7 +109,11 @@ def proximity_join(
     rcols = [F.col(c).alias(f"{c}{lb}") for c in right.columns]
     cy, cx = cell(F.col(lat_col), F.col(lon_col))
     dy = F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))).alias("dy")
-    dx = F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))).alias("dx")
+    # with <=3 lon cells on the whole circle, ±1 offsets alias under pmod
+    # and would emit duplicate candidate pairs — replicate distinct
+    # residues only
+    dx_offsets = [-1, 0, 1] if n_lon >= 3 else list(range(n_lon))
+    dx = F.explode(F.array(*[F.lit(o) for o in dx_offsets])).alias("dx")
     lrep = (
         left.select(*lcols, cy.alias("cy"), cx.alias("cx"))
         .select("*", dy)
@@ -88,7 +121,11 @@ def proximity_join(
         .select(
             *[f"{c}{la}" for c in left.columns],
             (F.col("cy") + F.col("dy")).alias("cell_y"),
-            (F.col("cx") + F.col("dx")).alias("cell_x"),
+            # wrap the lon neighbor modulo the cell count so the 3x3
+            # neighborhood is contiguous across the antimeridian seam
+            F.pmod(F.col("cx") + F.col("dx"), F.lit(n_lon))
+            .cast("long")
+            .alias("cell_x"),
         )
     )
     rrep = right.select(
