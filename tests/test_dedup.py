@@ -275,3 +275,84 @@ def test_containment_replica_collapse_expansion(spark):
     assert got[(1, 2)] == 1.0
     assert (1, 3) in got and (2, 3) in got
     assert got[(1, 3)] == got[(2, 3)] == 1.0
+
+
+def _brute_pairs(texts, k, threshold, measure):
+    """Reference: all-pairs shingle similarity in plain Python."""
+    sets = {}
+    for i, t in texts:
+        toks = t.split(" ") if t else []
+        if len(toks) >= k:
+            sets[i] = {" ".join(toks[j : j + k]) for j in range(len(toks) - k + 1)}
+    out = []
+    ids = sorted(sets)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = sets[ids[x]], sets[ids[y]]
+            c = len(a & b)
+            denom = len(a | b) if measure == "jaccard" else min(len(a), len(b))
+            s = c / denom if denom else 0.0
+            if s >= threshold:
+                out.append((ids[x], ids[y], round(s, 4)))
+    return sorted(out)
+
+
+def test_bitmask_route_matches_bruteforce(spark):
+    """A corpus whose SHARED-shingle domain is <= 63 takes the bitmask
+    route (bit_count over per-doc masks); the pairs must equal the
+    all-pairs reference exactly — the router must never change answers."""
+    from vptstools_spark.operators.dedup import jaccard_pairs, shingles
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    texts = [
+        (1, base),
+        (2, base + " tonight"),
+        (3, "the quick brown fox jumps over the lazy dog"),
+        (4, "completely different words forming another sentence entirely here"),
+        (5, "completely different words forming another sentence entirely"),
+        (6, "one two"),  # < k tokens: no shingles, pairs with nothing
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    sh = shingles(df, k=3)
+    got = sorted(
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in jaccard_pairs(sh, threshold=0.3).collect()
+    )
+    assert got == _brute_pairs(texts, 3, 0.3, "jaccard")
+
+
+def test_near_dup_pairs_matches_shingle_table_path(spark):
+    """near_dup_pairs (text collapse hoisted above shingling) must emit
+    pair-for-pair what jaccard_pairs(shingles(docs)) emits, replicas and
+    sub-k-token docs included, for both measures."""
+    from vptstools_spark.operators.dedup import (
+        jaccard_pairs,
+        near_dup_pairs,
+        shingles,
+    )
+
+    texts = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma delta epsilon zeta"),      # exact copy of 1
+        (3, "alpha beta gamma delta epsilon"),            # near-dup
+        (4, "unrelated totally different text body here"),
+        (5, "alpha beta gamma delta epsilon zeta"),      # another copy
+        (6, "tiny doc"),                                  # no 3-shingles
+        (7, "tiny doc"),                                  # exact copy, still no pairs
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    for measure, thr in [("jaccard", 0.5), ("containment", 0.5)]:
+        want = sorted(
+            (r.doc_a, r.doc_b, r[measure])
+            for r in jaccard_pairs(
+                shingles(df, k=3), threshold=thr, measure=measure
+            ).collect()
+        )
+        got = sorted(
+            (r.doc_a, r.doc_b, r[measure])
+            for r in near_dup_pairs(
+                df, k=3, threshold=thr, measure=measure
+            ).collect()
+        )
+        assert got == want, measure
+        assert got == _brute_pairs(texts, 3, thr, measure), measure

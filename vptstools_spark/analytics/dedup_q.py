@@ -33,8 +33,16 @@ def q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
-    sh = shingles(fan_out(table(spark, sf, "documents")), k=3)
-    return jaccard_pairs(sh, threshold=0.8)
+    """Exact 3-shingle Jaccard >= 0.8 pairs via `near_dup_pairs`: exact-
+    text collapse BEFORE shingling (replica factor never reaches the
+    Python kernel or the stats aggregate), then the routed exact core
+    (operators/dedup.py:jaccard_pairs — bitmask when the shared-shingle
+    domain is <= 63, per-shingle equi-join otherwise)."""
+    from vptstools_spark.operators.dedup import near_dup_pairs
+
+    return near_dup_pairs(
+        fan_out(table(spark, sf, "documents")), k=3, threshold=0.8
+    )
 
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
@@ -312,10 +320,13 @@ def q_dedup_containment(spark: SparkSession, sf: str) -> DataFrame:
     signal Jaccard misses when one document embeds another. Shares the
     exact-pair plan (replica collapse, df>1 pruning); the oracle
     recomputes the asymmetric score directly."""
-    from vptstools_spark.operators.dedup import containment_pairs
+    from vptstools_spark.operators.dedup import near_dup_pairs
 
-    return containment_pairs(
-        shingles(fan_out(table(spark, sf, "documents")), k=3), threshold=0.7
+    return near_dup_pairs(
+        fan_out(table(spark, sf, "documents")),
+        k=3,
+        measure="containment",
+        threshold=0.7,
     )
 
 

@@ -165,13 +165,55 @@ def jaccard_pairs(
         .select("sh")
     )
     hashed = hashed.join(shared, on="sh", how="left_semi")
-    a = hashed.alias("a")
-    b = hashed.alias("b")
-    common = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
-        .agg(F.count("*").alias("c"))
-    )
+    # ADAPTIVE ROUTING (same rule family as simjoin.similarity_join,
+    # simjoin.py:22-30): when the SHARED-shingle domain — the only
+    # shingles that can contribute to an intersection — fits in one
+    # signed 64-bit word (≤ 63 distinct hashes after replica collapse +
+    # df>1 pruning), every doc's shared-shingle set folds to a BITMASK
+    # and the overlap count c becomes bit_count(ma & mb): an
+    # all-unique-pairs loop at a couple of ALU ops per pair in
+    # whole-stage codegen, instead of the per-common-shingle exploded
+    # equi-join rows + groupBy shuffle. Unshared shingles still count in
+    # na/nb (from `sizes`) but never intersect, so c is exact. The probe
+    # is one limit-64 job over the (persisted-lineage) df table. Both
+    # routes are EXACT — the router changes cost, never answers. Larger
+    # shared domains keep the equi-join, whose cost is Σ df² over shared
+    # shingles — bounded by shingle selectivity, the standard exact-join
+    # shape.
+    shared_probe = [r["sh"] for r in shared.limit(64).collect()]
+    if len(shared_probe) <= 63:
+        bit = F.create_map(
+            *[
+                x
+                for i, h in enumerate(sorted(shared_probe))
+                for x in (F.lit(h).cast("long"), F.lit(1 << i).cast("long"))
+            ]
+        )
+        masked = (
+            hashed.withColumn("bitv", F.element_at(bit, F.col("sh")))
+            .groupBy("id")
+            .agg(F.expr("bit_or(bitv)").alias("mask"))
+        )
+        ma_ = masked.select(
+            F.col("id").alias("doc_a"), F.col("mask").alias("m_a")
+        )
+        mb_ = masked.select(
+            F.col("id").alias("doc_b"), F.col("mask").alias("m_b")
+        )
+        common = (
+            ma_.join(F.broadcast(mb_), F.col("doc_a") < F.col("doc_b"))
+            .withColumn("c", F.bit_count(F.col("m_a").bitwiseAND(F.col("m_b"))))
+            .filter(F.col("c") > 0)
+            .select("doc_a", "doc_b", F.col("c").cast("long").alias("c"))
+        )
+    else:
+        a = hashed.alias("a")
+        b = hashed.alias("b")
+        common = (
+            a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
+            .groupBy(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
+            .agg(F.count("*").alias("c"))
+        )
     if measure == "jaccard":
         score = F.col("c").cast("double") / (
             F.col("na") + F.col("nb") - F.col("c")
@@ -234,6 +276,108 @@ def containment_pairs(sh: DataFrame, threshold: float = 0.8) -> DataFrame:
     ≈ 1). Same plan as `jaccard_pairs` (replica collapse + df>1 prune +
     one equi-join), just the asymmetric score."""
     return jaccard_pairs(sh, threshold, measure="containment")
+
+
+def near_dup_pairs(
+    docs: DataFrame,
+    k: int = 3,
+    threshold: float = 0.8,
+    measure: str = "jaccard",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact shingle-similarity pairs straight from documents, with the
+    EXACT-TEXT collapse hoisted ABOVE shingling: byte-identical texts are
+    represented by their min-id member before any shingle is generated,
+    `jaccard_pairs` runs on unique texts only (its own set-fingerprint
+    collapse still catches different texts with identical shingle SETS),
+    and text-group members are re-expanded afterward — cross-group pairs
+    inherit the representatives' score, intra-group pairs are exactly 1.0.
+
+    This is the scale-correct pipeline order (exact dedup BEFORE near-dup,
+    the CCNet/Fineweb shape): on an N×-replicated corpus the Python
+    shingle kernel, the per-doc stats aggregation, and the df table all
+    shrink by N, where `jaccard_pairs(shingles(docs))` pays the replica
+    factor through every pre-join stage and only collapses it at the
+    set-fingerprint step. Result identical pair-for-pair (identical text
+    ⇒ identical shingle set ⇒ interchangeable in intersection and union).
+
+    Documents whose text yields no k-shingle (under k tokens) pair with
+    nothing — including their own exact copies — matching the
+    (id, shingle)-table contract where such docs simply never appear.
+    """
+    from pyspark import StorageLevel
+
+    # ONE groupBy does the whole collapse: min-id representative AND the
+    # group's text (any member's — they are byte-identical) in the same
+    # shuffle, so the corpus is scanned once for the rep side and once for
+    # the member mapping below — never a rep⋉docs semi-join re-scan.
+    grouped = (
+        docs.select(
+            F.col(id_col).alias("id"),
+            F.col(text_col).alias("__text"),
+            F.md5(F.col(text_col)).alias("tfp"),
+        )
+        .groupBy("tfp")
+        .agg(
+            F.min("id").alias("id"), F.any_value("__text").alias("__text")
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    rep_pairs = jaccard_pairs(
+        shingles(
+            grouped.select("id", F.col("__text").alias(text_col)),
+            text_col=text_col,
+            id_col="id",
+            k=k,
+        ),
+        threshold,
+        measure=measure,
+    )
+    # a text has >= 1 k-shingle iff its space-split has >= k elements (the
+    # kernel's len(toks) >= k test, JVM-side on the group-count-sized
+    # frame) — cheaper than re-deriving the shingle table
+    elig_tfp = grouped.filter(
+        F.size(F.split(F.col("__text"), " ")) >= k
+    ).select("tfp")
+    members = (
+        docs.select(
+            F.col(id_col).alias("id"), F.md5(F.col(text_col)).alias("tfp")
+        )
+        # semi-join sized by the unique-text count — AQE picks broadcast
+        # when it fits, shuffle otherwise (billions of groups at 100 TB)
+        .join(elig_tfp, "tfp", "left_semi")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    rep2fp = grouped.select(F.col("id").alias("rid"), "tfp")
+    ma = members.select(F.col("tfp").alias("tfa"), F.col("id").alias("ia"))
+    mb = members.select(F.col("tfp").alias("tfb"), F.col("id").alias("ib"))
+    cross = (
+        rep_pairs.join(
+            rep2fp.withColumnsRenamed({"rid": "doc_a", "tfp": "tfa"}), "doc_a"
+        )
+        .join(rep2fp.withColumnsRenamed({"rid": "doc_b", "tfp": "tfb"}), "doc_b")
+        .select("tfa", "tfb", measure)
+        .join(ma, "tfa")
+        .join(mb, "tfb")
+        .select(
+            F.least("ia", "ib").alias("doc_a"),
+            F.greatest("ia", "ib").alias("doc_b"),
+            F.col(measure),
+        )
+    )
+    if threshold > 1.0:
+        return cross
+    intra = (
+        ma.join(mb.withColumnRenamed("tfb", "tfa"), "tfa")
+        .filter(F.col("ia") < F.col("ib"))
+        .select(
+            F.col("ia").alias("doc_a"),
+            F.col("ib").alias("doc_b"),
+            F.round(F.lit(1.0), 4).alias(measure),
+        )
+    )
+    return cross.unionByName(intra)
 
 
 def minhash_signatures(sh: DataFrame, num_hashes: int = 8) -> DataFrame:
