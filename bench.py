@@ -300,6 +300,14 @@ SF1_QUERIES = [
     "basket_lift",
     "als_factors",
     "kl_sources",
+    # round 7 (VERDICT r6 #8): the heaviest remaining analytics with
+    # nontrivial shuffle profiles — iteration-heavy HITS, the moments+
+    # stats-back-join OLS outlier scan, vocabulary-likelihood NB, and the
+    # train/test transition-matrix eval
+    "hits_nation",
+    "regr_residual_outliers",
+    "nb_langid",
+    "markov_next_event_eval",
 ]
 #: quadratic-by-construction exact baselines, explicitly EXEMPT from the
 #: linear-scaling contract of the sf1 probe (VERDICT r4 #1/#3): still run
@@ -425,6 +433,14 @@ def _sf1_lakehouse(spark) -> dict:
             lambda: table_changes(spark, path, 0, 1).count(),
         )
         incremental_analyze(spark, path)  # seed sketches (full pass, untimed)
+        # one untimed churn+refresh cycle warms the incremental plan
+        # shape (codegen + vdir schema memo) — the timed number below is
+        # the STEADY state, which is what a repeatedly-run maintenance
+        # pass actually costs (same reasoning as the probe tier's
+        # median-of-3; the full-contrast side is already warm from the
+        # seed pass)
+        commit_upsert_mor(spark, path, delta([11]), ["o_orderkey"])
+        incremental_analyze(spark, path)
         commit_upsert_mor(
             spark, path, delta([7]), ["o_orderkey"]
         )  # 1-partition churn
@@ -522,8 +538,11 @@ def main() -> None:
                 _median_runs(lambda: queries[name](spark, ZIPF_DIR).count(), 3), 3
             )
 
-    # tier 1c: sf1.0 scale probe — single-run (these are multi-second
-    # queries; JIT noise is proportionally small), generated on demand
+    # tier 1c: sf1.0 scale probe — MEDIAN-OF-3 per query (VERDICT r6 #2:
+    # four probe queries moved 1.5-2.6x on unchanged code under the old
+    # single-run protocol; the first run at sf1 carries JIT/codegen
+    # compilation and Python-worker spin-up that the median discards),
+    # generated on demand
     sf1: dict[str, float] = {}
     sf1_baselines: dict[str, float] = {}
     if "sf1" in tiers:
@@ -534,10 +553,13 @@ def main() -> None:
         for name, sink in [(n, sf1) for n in SF1_QUERIES] + [
             (n, sf1_baselines) for n in SF1_EXEMPT_BASELINES
         ]:
-            t0 = time.perf_counter()
             try:
-                queries[name](spark, SF1_DIR).count()
-                sink[name] = round(time.perf_counter() - t0, 3)
+                sink[name] = round(
+                    _median_runs(
+                        lambda: queries[name](spark, SF1_DIR).count(), 3
+                    ),
+                    3,
+                )
             except Exception:
                 sink[name] = -1.0  # visible failure marker, never silent
 
@@ -580,6 +602,35 @@ def main() -> None:
             except Exception:
                 sweep01[name] = -1.0  # visible failure marker, never silent
 
+    # calibration-normalized probe ratios vs the PREVIOUS committed
+    # bench_full.json (read before this run overwrites it): ratio =
+    # (cur/prev) / (jvm_kernel_cur/jvm_kernel_prev). A probe query whose
+    # raw ratio tracks the kernel ratio moved with the HOST, not the code
+    # — only normalized ratios > ~1.4 deserve a plan diff (VERDICT r6 #2).
+    sf1_ratios: dict[str, float] = {}
+    cal_ratio = None
+    prev_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_full.json"
+    )
+    if sf1 and calibration and os.path.exists(prev_path):
+        try:
+            with open(prev_path) as fh:
+                prev = json.load(fh)
+            prev_cal = (prev.get("calibration") or {}).get("jvm_hash_agg_sec")
+            cur_cal = calibration.get("jvm_hash_agg_sec")
+            if prev_cal and cur_cal:
+                cal_ratio = round(cur_cal / prev_cal, 3)
+            prev_sf1 = prev.get("sf1_probe") or {}
+            for name, t in sf1.items():
+                p = prev_sf1.get(name)
+                if p and p > 0 and t > 0:
+                    raw = t / p
+                    sf1_ratios[name] = round(
+                        raw / cal_ratio if cal_ratio else raw, 3
+                    )
+        except Exception:
+            pass  # a malformed prior artifact must not fail the bench
+
     headline = {
         "metric": "headline_queries_total",
         "value": round(sum(timings.values()), 3),
@@ -591,6 +642,8 @@ def main() -> None:
         "sf1_probe": sf1,
         "sf1_probe_total": round(sum(t for t in sf1.values() if t > 0), 3),
         "sf1_probe_failures": sorted(n for n, t in sf1.items() if t < 0),
+        "sf1_probe_ratio_vs_prev_calnorm": sf1_ratios,
+        "sf1_calibration_ratio_vs_prev": cal_ratio,
         "sf1_exempt_baselines": sf1_baselines,
         "sf1_lakehouse": sf1_lake,
         "calibration": calibration,
@@ -599,7 +652,7 @@ def main() -> None:
         "full_sweep_failures": sorted(n for n, t in sweep.items() if t < 0),
         "sweep_sf01_total": round(sum(t for t in sweep01.values() if t > 0), 3),
         "sweep_sf01_failures": sorted(n for n, t in sweep01.items() if t < 0),
-        "timing_protocol": "headline=median-of-5, zipf=median-of-3, probes/sweeps=single-run",
+        "timing_protocol": "headline=median-of-5, zipf+sf1_probe=median-of-3, sweeps=single-run",
     }
     # The driver records only the TAIL of stdout, so the big per-query sweep
     # dict goes on its own line FIRST and the compact headline line is printed
@@ -614,7 +667,44 @@ def main() -> None:
         # not clobber the round's committed record
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_full.json"), "w") as fh:
             json.dump({**headline, "full_sweep": sweep, "sweep_sf01_nonheadline": sweep01}, fh, indent=1)
+        _sync_plans_note(headline)
     print(json.dumps(headline))
+
+
+#: PLANS.md carries a machine-written one-line summary of the committed
+#: bench artifact between these markers; bench.py rewrites it whenever it
+#: archives bench_full.json, and tools/bench_compare.py --plans-check
+#: fails loudly if the two ever drift (VERDICT r6 #3: a hand-written
+#: variance note described a bench that was not the committed artifact).
+PLANS_NOTE_BEGIN = "<!-- BENCH-NOTE:BEGIN (machine-written by bench.py; do not edit by hand) -->"
+PLANS_NOTE_END = "<!-- BENCH-NOTE:END -->"
+
+
+def plans_note_line(headline: dict) -> str:
+    return (
+        f"Committed artifact: {len(headline['queries'])} headline queries "
+        f"totaling {headline['value']} s; zipf tier "
+        f"{headline['zipf_text_total']} s; sf1 probe "
+        f"{headline['sf1_probe_total']} s (median-of-3, "
+        f"{len(headline['sf1_probe_failures'])} failures); full sweep "
+        f"{headline['full_sweep_total']} s."
+    )
+
+
+def _sync_plans_note(headline: dict) -> None:
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "PLANS.md")
+    if not os.path.exists(path):
+        return
+    text = open(path).read()
+    block = f"{PLANS_NOTE_BEGIN}\n{plans_note_line(headline)}\n{PLANS_NOTE_END}"
+    if PLANS_NOTE_BEGIN in text and PLANS_NOTE_END in text:
+        head, rest = text.split(PLANS_NOTE_BEGIN, 1)
+        _, tail = rest.split(PLANS_NOTE_END, 1)
+        text = head + block + tail
+    else:
+        text = text.rstrip() + "\n\n## Committed bench summary\n\n" + block + "\n"
+    with open(path, "w") as fh:
+        fh.write(text)
 
 
 if __name__ == "__main__":

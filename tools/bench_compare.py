@@ -45,7 +45,50 @@ def load_headline(path: str) -> dict[str, float]:
     raise ValueError(f"no headline queries found in {path}")
 
 
+def plans_check(repo_root: str | None = None) -> list[str]:
+    """Staleness guard (VERDICT r6 #3): the machine-written bench summary
+    in PLANS.md must describe the committed bench_full.json. Returns a
+    list of drift messages — empty means consistent."""
+    import os
+    import re
+
+    root = repo_root or os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    plans = open(os.path.join(root, "PLANS.md")).read()
+    with open(os.path.join(root, "bench_full.json")) as fh:
+        bench = json.load(fh)
+    m = re.search(
+        r"<!-- BENCH-NOTE:BEGIN[^>]*-->\n(.*?)\n<!-- BENCH-NOTE:END -->",
+        plans,
+        re.S,
+    )
+    if not m:
+        return ["PLANS.md has no BENCH-NOTE block"]
+    note = m.group(1)
+    if "populated by the next" in note:
+        return [
+            "PLANS.md BENCH-NOTE is the placeholder — run a complete "
+            "`python bench.py` to populate it"
+        ]
+    sys.path.insert(0, root)
+    from bench import plans_note_line  # noqa: PLC0415
+
+    want = plans_note_line(bench)
+    if note.strip() != want.strip():
+        return [
+            "PLANS.md BENCH-NOTE drifted from bench_full.json:",
+            f"  note:     {note.strip()}",
+            f"  expected: {want.strip()}",
+        ]
+    return []
+
+
 def main() -> int:
+    if len(sys.argv) > 1 and sys.argv[1] == "--plans-check":
+        problems = plans_check(sys.argv[2] if len(sys.argv) > 2 else None)
+        for p in problems:
+            print(p)
+        print("plans-check:", "FAIL" if problems else "OK")
+        return 1 if problems else 0
     old_path, new_path = sys.argv[1], sys.argv[2]
     threshold = float(sys.argv[3]) if len(sys.argv) > 3 else 1.3
     old, new = load_headline(old_path), load_headline(new_path)
