@@ -287,3 +287,83 @@ def test_eq_delete_atomic_blocked_by_rename(spark, tmp_path, monkeypatch):
         delete_where_eq_atomic(
             spark, path, spark.createDataFrame([(1,)], "k long"), ["k"]
         )
+
+
+def test_vacuum_never_reaps_inflight_writer_files(spark, tmp_path, monkeypatch):
+    """VERDICT r6 #5: a vacuum with min_age=0 injected INTO the
+    prepare→publish window (files written, commit JSON not yet) must not
+    delete the writer's files — the write-intent sidecar protects them
+    regardless of the age gate. The vacuum fires inside the publish loop
+    via the patched _commit, which is exactly the rebase window."""
+    from vptstools_spark.plans.timetravel import vacuum_table
+
+    path = _init(spark, tmp_path)
+    real = occ._commit
+    vacuumed = {}
+
+    def vacuum_then_commit(spark_, path_, version, *a, **kw):
+        if "removed" not in vacuumed:
+            vacuumed["removed"] = vacuum_table(
+                spark_, path_, min_age_seconds=0.0
+            )
+        return real(spark_, path_, version, *a, **kw)
+
+    monkeypatch.setattr(occ, "_commit", vacuum_then_commit)
+    v = append_atomic(spark, path, _df(spark, [(100, 0, 1.0)]))
+    assert vacuumed["removed"] == []  # nothing reclaimed mid-flight
+    assert v == 1
+    got = _rows(spark, path)
+    assert (100, 0, 1.0) in got and len(got) == 9  # commit fully readable
+
+
+def test_vacuum_reaps_after_intent_cleared(spark, tmp_path):
+    """The flip side: once a transaction clears its intent WITHOUT
+    publishing (abort), its files are ordinary orphans — age-gated but
+    reclaimable at min_age=0."""
+    from vptstools_spark.plans.timetravel import (
+        _DATA_DIR,
+        clear_write_intent,
+        register_write_intent,
+        vacuum_table,
+    )
+    import os
+
+    path = _init(spark, tmp_path)
+    label = "v99-tdeadbeef"
+    register_write_intent(spark, path, label)
+    _df(spark, [(7, 0, 7.0)]).write.parquet(
+        os.path.join(path, _DATA_DIR, label)
+    )
+    assert vacuum_table(spark, path, min_age_seconds=0.0) == []  # protected
+    clear_write_intent(spark, path, label)
+    removed = vacuum_table(spark, path, min_age_seconds=0.0)
+    assert removed and all(r.startswith(label + "/") for r in removed)
+
+
+def test_clean_stale_intents_age_gate(spark, tmp_path):
+    from vptstools_spark.plans.timetravel import (
+        clean_stale_intents,
+        register_write_intent,
+    )
+
+    path = _init(spark, tmp_path)
+    register_write_intent(spark, path, "v5-tcafe0001")
+    # fresh intent survives a 1-hour sweep, dies at min_age 0
+    assert clean_stale_intents(spark, path, min_age_seconds=3600) == []
+    assert clean_stale_intents(spark, path, min_age_seconds=0) == [
+        "v5-tcafe0001"
+    ]
+
+
+def test_upsert_and_compact_clear_intents(spark, tmp_path):
+    """Every atomic op must leave the intent dir empty on success — a
+    leaked intent permanently shields garbage from vacuum."""
+    from vptstools_spark.plans.timetravel import _active_intent_labels
+
+    path = _init(spark, tmp_path)
+    upsert_mor_atomic(
+        spark, path, _df(spark, [(0, 0, 99.0), (200, 0, 2.0)]), ["k"]
+    )
+    compact_atomic(spark, path, min_files=1)
+    delete_where_atomic(spark, path, "k = 200")
+    assert _active_intent_labels(spark, path) == set()

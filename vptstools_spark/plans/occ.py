@@ -74,8 +74,38 @@ from vptstools_spark.plans.timetravel import (
     _resolve_version,
     _write_snapshot_files,
     CommitConflictError,
+    clear_write_intent,
     read_version,
+    register_write_intent,
 )
+
+
+class _Intents:
+    """Write-intent registrations for one transaction: every dir label
+    this transaction will write under is declared to `vacuum_table`
+    BEFORE the first file lands (timetravel.register_write_intent), and
+    ALL labels are cleared in the caller's finally — success publishes a
+    commit that references the files (vacuum-safe forever), failure
+    makes them reclaimable the moment the intent drops. This closes the
+    prepare→publish window the age gate only narrows: an OCC rebase loop
+    can hold prepared-but-unpublished files across arbitrary wall-clock
+    time (constraint re-enforcement, repeated lost races), so a vacuum
+    with ANY min_age could otherwise reap a live writer's artifacts."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self._spark, self._path, self._labels = spark, path, []
+
+    def register(self, label: str) -> str:
+        register_write_intent(self._spark, self._path, label)
+        self._labels.append(label)
+        return label
+
+    def clear_all(self) -> None:
+        for label in self._labels:
+            try:
+                clear_write_intent(self._spark, self._path, label)
+            except Exception:
+                pass  # a leftover intent is safe (cleaned by operator)
 
 
 class ConcurrentTransactionError(CommitConflictError):
@@ -194,57 +224,61 @@ def append_atomic(
         )
     _enforce(df, base, "append", table=read_version(spark, path, base_v))
     pcols = base["partition_cols"]
-    label = f"v{base_v + 1}-t{uuid.uuid4().hex[:8]}"
-    rels = _write_snapshot_files(
-        df, path, base_v + 1, pcols,
-        vlabel=label, transforms=base.get("partition_transforms"),
-    )
-    for _ in range(max_retries + 1):
-        head_v = _resolve_version(spark, path, None)
-        head = _read_commit(spark, path, head_v)
-        if head_v != base_v:
-            winners = _interleaved(spark, path, base_v, head_v)
-            blocked = [
-                w["op"]
-                for w in winners
-                if not _is_additive(w)
-                and w["op"] not in _REWRITE_OPS
-                and w["op"] != "set_constraints"
-            ]
-            if blocked:
-                raise ConcurrentTransactionError(
-                    f"append prepared at version {base_v} of {path} cannot "
-                    f"rebase over interleaved {blocked} commits (schema- or "
-                    "snapshot-defining); re-prepare against the head"
+    intents = _Intents(spark, path)
+    try:
+        label = intents.register(f"v{base_v + 1}-t{uuid.uuid4().hex[:8]}")
+        rels = _write_snapshot_files(
+            df, path, base_v + 1, pcols,
+            vlabel=label, transforms=base.get("partition_transforms"),
+        )
+        for _ in range(max_retries + 1):
+            head_v = _resolve_version(spark, path, None)
+            head = _read_commit(spark, path, head_v)
+            if head_v != base_v:
+                winners = _interleaved(spark, path, base_v, head_v)
+                blocked = [
+                    w["op"]
+                    for w in winners
+                    if not _is_additive(w)
+                    and w["op"] not in _REWRITE_OPS
+                    and w["op"] != "set_constraints"
+                ]
+                if blocked:
+                    raise ConcurrentTransactionError(
+                        f"append prepared at version {base_v} of {path} cannot "
+                        f"rebase over interleaved {blocked} commits (schema- or "
+                        "snapshot-defining); re-prepare against the head"
+                    )
+                if (head.get("constraints") or []) and any(
+                    w["op"] in ("append", "update", "upsert_mor", "set_constraints")
+                    for w in winners
+                ):
+                    # winners added rows or rules: the uniqueness probe
+                    # against the base snapshot is stale — re-enforce on head
+                    _enforce(
+                        df, head, "append",
+                        table=read_version(spark, path, head_v),
+                    )
+            try:
+                _commit(
+                    spark,
+                    path,
+                    head_v + 1,
+                    head["files"] + rels,
+                    head["partition_cols"],
+                    "append",
+                    head.get("partition_types"),
+                    {**_carry(head), **_txn_extra(base_v, head_v)},
                 )
-            if (head.get("constraints") or []) and any(
-                w["op"] in ("append", "update", "upsert_mor", "set_constraints")
-                for w in winners
-            ):
-                # winners added rows or rules: the uniqueness probe
-                # against the base snapshot is stale — re-enforce on head
-                _enforce(
-                    df, head, "append",
-                    table=read_version(spark, path, head_v),
-                )
-        try:
-            _commit(
-                spark,
-                path,
-                head_v + 1,
-                head["files"] + rels,
-                head["partition_cols"],
-                "append",
-                head.get("partition_types"),
-                {**_carry(head), **_txn_extra(base_v, head_v)},
-            )
-            return head_v + 1
-        except CommitConflictError:
-            continue  # physical race: loop re-reads the newer head
-    raise CommitConflictError(
-        f"append to {path} lost the commit race {max_retries + 1} times; "
-        "table is under heavy write contention"
-    )
+                return head_v + 1
+            except CommitConflictError:
+                continue  # physical race: loop re-reads the newer head
+        raise CommitConflictError(
+            f"append to {path} lost the commit race {max_retries + 1} times; "
+            "table is under heavy write contention"
+        )
+    finally:
+        intents.clear_all()
 
 
 def delete_where_atomic(
@@ -263,7 +297,7 @@ def delete_where_atomic(
         hits = snap.filter(cond).select(
             F.col(_DV_FILE).alias("file"), F.col(_DV_POS).alias("pos")
         )
-        label = f"dv{v + 1}-t{uuid.uuid4().hex[:8]}"
+        label = intents.register(f"dv{v + 1}-t{uuid.uuid4().hex[:8]}")
         rels = _write_dv(spark, path, hits, label)
         n = (
             spark.read.parquet(
@@ -274,43 +308,47 @@ def delete_where_atomic(
         )
         return rels, n
 
-    base_v = _resolve_version(spark, path, None)
-    dv_rels, n_deleted = prepare(base_v)
-    for _ in range(max_retries + 1):
-        head_v = _resolve_version(spark, path, None)
-        head = _read_commit(spark, path, head_v)
-        if head_v != base_v:
-            winners = _interleaved(spark, path, base_v, head_v)
-            if not all(_is_additive(w) for w in winners):
-                # a winner rewrote files: the prepared vectors may
-                # reference dropped files (their deletes would silently
-                # vanish) — re-derive against the head
-                base_v = head_v
-                dv_rels, n_deleted = prepare(base_v)
-                head = _read_commit(spark, path, head_v)
-        try:
-            _commit(
-                spark,
-                path,
-                head_v + 1,
-                head["files"],
-                head["partition_cols"],
-                "delete",
-                head.get("partition_types"),
-                {
-                    **_carry(head),
-                    "delete_files": (head.get("delete_files") or [])
-                    + dv_rels,
-                    "n_deleted": n_deleted,
-                    **_txn_extra(base_v, head_v),
-                },
-            )
-            return head_v + 1
-        except CommitConflictError:
-            continue
-    raise CommitConflictError(
-        f"delete on {path} lost the commit race {max_retries + 1} times"
-    )
+    intents = _Intents(spark, path)
+    try:
+        base_v = _resolve_version(spark, path, None)
+        dv_rels, n_deleted = prepare(base_v)
+        for _ in range(max_retries + 1):
+            head_v = _resolve_version(spark, path, None)
+            head = _read_commit(spark, path, head_v)
+            if head_v != base_v:
+                winners = _interleaved(spark, path, base_v, head_v)
+                if not all(_is_additive(w) for w in winners):
+                    # a winner rewrote files: the prepared vectors may
+                    # reference dropped files (their deletes would silently
+                    # vanish) — re-derive against the head
+                    base_v = head_v
+                    dv_rels, n_deleted = prepare(base_v)
+                    head = _read_commit(spark, path, head_v)
+            try:
+                _commit(
+                    spark,
+                    path,
+                    head_v + 1,
+                    head["files"],
+                    head["partition_cols"],
+                    "delete",
+                    head.get("partition_types"),
+                    {
+                        **_carry(head),
+                        "delete_files": (head.get("delete_files") or [])
+                        + dv_rels,
+                        "n_deleted": n_deleted,
+                        **_txn_extra(base_v, head_v),
+                    },
+                )
+                return head_v + 1
+            except CommitConflictError:
+                continue
+        raise CommitConflictError(
+            f"delete on {path} lost the commit race {max_retries + 1} times"
+        )
+    finally:
+        intents.clear_all()
 
 
 def delete_where_eq_atomic(
@@ -332,7 +370,19 @@ def delete_where_eq_atomic(
     if bad:
         raise ValueError(f"keys_df lacks key columns {bad}")
     base_v = _resolve_version(spark, path, None)
-    label = f"eq{base_v + 1}-t{uuid.uuid4().hex[:8]}"
+    intents = _Intents(spark, path)
+    try:
+        return _delete_where_eq_atomic_body(
+            spark, path, keys_df, keys, max_retries, base_v, intents
+        )
+    finally:
+        intents.clear_all()
+
+
+def _delete_where_eq_atomic_body(
+    spark, path, keys_df, keys, max_retries, base_v, intents
+) -> int:
+    label = intents.register(f"eq{base_v + 1}-t{uuid.uuid4().hex[:8]}")
     eq_dir = os.path.join(path, _DATA_DIR, label)
     keys_df.select(*keys).distinct().write.mode("error").parquet(eq_dir)
     marker = f"{_DATA_DIR}/{label}/"
@@ -440,14 +490,28 @@ def upsert_mor_atomic(
             F.col(_DV_FILE).alias("file"), F.col(_DV_POS).alias("pos")
         )
         token = uuid.uuid4().hex[:8]
-        dv_rels = _write_dv(spark, path, hits, f"dv{v + 1}-t{token}")
+        dv_rels = _write_dv(
+            spark, path, hits, intents.register(f"dv{v + 1}-t{token}")
+        )
         rels = _write_snapshot_files(
             upserts, path, v + 1, commit["partition_cols"],
-            vlabel=f"v{v + 1}-t{token}",
+            vlabel=intents.register(f"v{v + 1}-t{token}"),
             transforms=commit.get("partition_transforms"),
         )
         return rels, dv_rels
 
+    intents = _Intents(spark, path)
+    try:
+        return _upsert_mor_atomic_loop(
+            spark, path, keys, key_df, prepare, max_retries
+        )
+    finally:
+        intents.clear_all()
+
+
+def _upsert_mor_atomic_loop(
+    spark, path, keys, key_df, prepare, max_retries
+) -> int:
     base_v = _resolve_version(spark, path, None)
     rels, dv_rels = prepare(base_v)
     for _ in range(max_retries + 1):
@@ -535,10 +599,18 @@ def compact_atomic(
             return victims, n_parts, []
         rels = _rewrite_victims(
             spark, path, v, victims, zorder_by,
-            f"v{v + 1}-c{uuid.uuid4().hex[:8]}",
+            intents.register(f"v{v + 1}-c{uuid.uuid4().hex[:8]}"),
         )
         return victims, n_parts, rels
 
+    intents = _Intents(spark, path)
+    try:
+        return _compact_atomic_loop(spark, path, prepare, max_retries)
+    finally:
+        intents.clear_all()
+
+
+def _compact_atomic_loop(spark, path, prepare, max_retries) -> dict:
     base_v = _resolve_version(spark, path, None)
     victims, n_parts, rels = prepare(base_v)
     for _ in range(max_retries + 1):

@@ -47,7 +47,11 @@ import os
 
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
-from vptstools_spark.io import create_text_exclusive, read_text_sidecar
+from vptstools_spark.io import (
+    create_text_exclusive,
+    read_text_sidecar,
+    write_text_sidecar,
+)
 from vptstools_spark.plans.skipping import list_data_files
 
 _LOG_DIR = "_log"
@@ -819,6 +823,10 @@ def _resolve_version(spark: SparkSession, path: str, version: int | None) -> int
     return v
 
 
+#: immutable-version-dir parquet schema memo (see _read_snapshot)
+_VDIR_SCHEMA_CACHE: dict[str, object] = {}
+
+
 def _read_snapshot(
     spark: SparkSession,
     path: str,
@@ -863,7 +871,19 @@ def _read_snapshot(
     eps = commit.get("file_epochs") or {}
     parts = []
     for vdir, fs in sorted(by_vdir.items()):
-        p = spark.read.option("basePath", os.path.join(data_root, vdir)).parquet(*fs)
+        # version dirs are immutable once their commit publishes, so the
+        # inferred (data + partition) schema per vdir is memoized: every
+        # later assembly of this dir skips parquet footer inference —
+        # measurable driver time when change feeds / snapshot reads are
+        # rebuilt per maintenance call at small-delta scale
+        base = os.path.join(data_root, vdir)
+        reader = spark.read.option("basePath", base)
+        cached = _VDIR_SCHEMA_CACHE.get(base)
+        if cached is not None:
+            reader = reader.schema(cached)
+        p = reader.parquet(*fs)
+        if cached is None:
+            _VDIR_SCHEMA_CACHE[base] = p.schema
         if hist:
             # apply the renames committed AFTER this file group was
             # written (a version dir is written by exactly one commit, so
@@ -2249,6 +2269,38 @@ def diff_versions(
     )
 
 
+def _distinct_dv_targets(dv: DataFrame, dv_paths: list[str]) -> set[str]:
+    """Distinct `file` targets of position-delete vectors. Driver-side
+    pyarrow read of the (delta-sized) vector files when they are plain
+    local paths; a distributed distinct+collect otherwise."""
+    try:
+        import pyarrow.parquet as pq
+
+        out: set[str] = set()
+        for p in dv_paths:
+            local = p[7:] if p.startswith("file://") else p
+            if "://" in local:
+                raise OSError("non-local path")
+            if os.path.isdir(local):
+                parts = [
+                    os.path.join(local, f)
+                    for f in os.listdir(local)
+                    if f.endswith(".parquet")
+                ]
+            else:
+                parts = [local]
+            for part in parts:
+                out |= set(
+                    pq.read_table(part, columns=["file"])
+                    .column("file")
+                    .unique()
+                    .to_pylist()
+                )
+        return out
+    except Exception:
+        return {r["file"] for r in dv.select("file").distinct().collect()}
+
+
 def table_changes(
     spark: SparkSession, path: str, from_version: int, to_version: int | None = None
 ) -> DataFrame:
@@ -2393,14 +2445,16 @@ def table_changes(
                 - set(prev.get("delete_files") or [])
             )
             if new_dvs:
-                dv = spark.read.parquet(
-                    *[os.path.join(data_root, f) for f in new_dvs]
+                dv_paths = [os.path.join(data_root, f) for f in new_dvs]
+                dv = spark.read.parquet(*dv_paths)
+                # vector sidecars are delta-sized; their distinct target
+                # list is metadata — read it on the driver via pyarrow
+                # instead of paying a full Spark job (+ scheduling) per
+                # MOR commit in the gap. Non-local filesystems fall back
+                # to the distributed read.
+                hit_files = _distinct_dv_targets(dv, dv_paths) & set(
+                    prev["files"]
                 )
-                hit_files = {
-                    r["file"]
-                    for r in dv.select("file").distinct().collect()
-                    if r["file"] in set(prev["files"])
-                }
                 if hit_files:
                     # the deleted rows, AS OF the prior version, restricted
                     # to the files the new vectors hit (semi-join keeps
@@ -2613,6 +2667,84 @@ def expire_versions(
     return expired
 
 
+#: write-intent sidecars: a transaction that prepares data files long
+#: before publishing (the OCC protocols in plans/occ.py — a rebase loop
+#: can hold prepared files across arbitrary wall-clock time) registers
+#: its collision-free dir label here BEFORE writing any file; vacuum
+#: treats every intent-registered label as referenced regardless of file
+#: age, closing the race the age gate only narrows. Intents are cleared
+#: in a finally block by the writer (success OR failure — an aborted
+#: transaction's files become reclaimable the moment the intent drops).
+#: A crashed writer leaves a stale intent: `clean_stale_intents` removes
+#: those after an operator-chosen age, as an explicit maintenance step —
+#: vacuum itself NEVER expires an intent (guessing a writer is dead is
+#: exactly the bug this mechanism exists to prevent).
+_INTENT_DIR = "_intents"
+
+
+def register_write_intent(spark: SparkSession, path: str, label: str) -> None:
+    """Declare that a transaction is about to write files under
+    `<data_dir>/<label>/`. Must be called BEFORE the first file is
+    written; pair with `clear_write_intent` in a finally block."""
+    import time
+
+    write_text_sidecar(
+        spark,
+        os.path.join(path, _INTENT_DIR, f"{label}.json"),
+        json.dumps({"label": label, "ts": time.time()}),
+    )
+
+
+def clear_write_intent(spark: SparkSession, path: str, label: str) -> None:
+    jvm = spark.sparkContext._jvm
+    p = jvm.org.apache.hadoop.fs.Path(
+        os.path.join(path, _INTENT_DIR, f"{label}.json")
+    )
+    p.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration()).delete(
+        p, False
+    )
+
+
+def _active_intent_labels(spark: SparkSession, path: str) -> set[str]:
+    jvm = spark.sparkContext._jvm
+    p = jvm.org.apache.hadoop.fs.Path(os.path.join(path, _INTENT_DIR))
+    fs = p.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    if not fs.exists(p):
+        return set()
+    out = set()
+    for st in fs.listStatus(p):
+        name = st.getPath().getName()
+        if name.endswith(".json"):
+            out.add(name[:-5])
+    return out
+
+
+def clean_stale_intents(
+    spark: SparkSession, path: str, min_age_seconds: float = 86400.0
+) -> list[str]:
+    """Drop intent sidecars older than `min_age_seconds` (default 24 h) —
+    the EXPLICIT operator decision that a registered writer is dead.
+    Returns the removed labels. Run this before vacuum on tables where
+    crashed transactions are suspected; never automatic."""
+    import time
+
+    cutoff = time.time() - min_age_seconds
+    removed = []
+    for label in sorted(_active_intent_labels(spark, path)):
+        try:
+            doc = json.loads(
+                read_text_sidecar(
+                    spark, os.path.join(path, _INTENT_DIR, f"{label}.json")
+                )
+            )
+        except Exception:
+            continue
+        if float(doc.get("ts") or 0.0) <= cutoff:
+            clear_write_intent(spark, path, label)
+            removed.append(label)
+    return removed
+
+
 def vacuum_table(
     spark: SparkSession,
     path: str,
@@ -2645,7 +2777,15 @@ def vacuum_table(
     VACUUM gates on file age for exactly this reason, so unreferenced
     files younger than `min_age_seconds` (default 1 h, mirroring
     `expire_versions`' grace window) are SKIPPED — pass 0 only when no
-    concurrent writer can exist (single-writer tests/maintenance)."""
+    concurrent writer can exist (single-writer tests/maintenance).
+    The age gate alone cannot protect an OCC transaction whose rebase
+    loop outlives the window, so the atomic ops ALSO register write
+    INTENTS (`register_write_intent`): any file under an
+    intent-registered dir label is skipped regardless of age, and the
+    intent drops (writer's finally) the moment the transaction publishes
+    or aborts. Stale intents from crashed writers are an explicit
+    operator cleanup (`clean_stale_intents`), never vacuum's guess."""
+    intent_labels = _active_intent_labels(spark, path)
     referenced: set[str] = set()
     logs = [_LOG_DIR] + [
         os.path.join(_BRANCH_LOG_ROOT, b)
@@ -2672,6 +2812,8 @@ def vacuum_table(
     for f in sorted(list_data_files(spark, data_root)):
         idx = f.rindex(marker)
         rel = f[idx + len(marker) :]
+        if rel.split("/", 1)[0] in intent_labels:
+            continue  # an in-flight transaction registered this dir
         if rel not in referenced:
             p = jvm.org.apache.hadoop.fs.Path(f)
             fs = p.getFileSystem(hconf)
