@@ -715,3 +715,104 @@ def test_ab_monitor_merge_equals_direct(spark, tmp_path):
     )
     q3.awaitTermination()
     assert spark.read.parquet(log).count() == n_rows
+
+
+def test_stat_monitor_conversion_z_merge_equals_direct(spark, tmp_path):
+    """Parameterized 2x2 monitor, conversion z: cumulative counts merged
+    across two micro-batches must reproduce the oracled batch query
+    (q_conversion_ztest) on the same data — merge ≡ direct."""
+    from pyspark.sql import functions as F
+
+    from vptstools_spark.analytics.inference_q import q_conversion_ztest
+    from vptstools_spark.streaming.incremental import stat_monitor_sink
+
+    sf = "/root/testdata/sf0.001"
+    e = spark.read.parquet(f"{sf}/events.parquet").select(
+        (F.col("user_id") % 2 == 0).alias("is_a"),
+        (F.col("event_type") == "purchase").alias("conv"),
+        F.col("event_id"),
+    )
+    landing = str(tmp_path / "landing")
+    log, ckpt = str(tmp_path / "log"), str(tmp_path / "ck")
+    e.filter(F.col("event_id") % 2 == 0).write.mode("append").parquet(landing)
+    schema = "is_a boolean, conv boolean, event_id long"
+
+    def run():
+        stat_monitor_sink(
+            spark.readStream.schema(schema).parquet(landing),
+            "is_a", "conv", log, ckpt, statistic="conversion_z",
+        ).awaitTermination()
+
+    run()
+    e.filter(F.col("event_id") % 2 == 1).write.mode("append").parquet(landing)
+    run()
+    latest = (
+        spark.read.parquet(log).orderBy(F.col("b_id").desc()).limit(1).collect()[0]
+    )
+    want = q_conversion_ztest(spark, sf).collect()[0]
+    assert latest.c_a + latest.c_b == want.n1
+    assert latest.c_c + latest.c_d == want.n2
+    assert round(latest.rate_a, 6) == want.rate_a
+    assert round(latest.rate_b, 6) == want.rate_b
+    assert round(latest.z_stat, 4) == want.z_stat
+
+
+def test_stat_monitor_odds_ratio_merge_equals_direct(spark, tmp_path):
+    """Same monitor, odds-ratio statistic: cumulative 2x2 across batches
+    must reproduce q_odds_ratio (Woolf CI included), and a replay with
+    the same checkpoint appends nothing."""
+    from pyspark.sql import functions as F
+
+    from vptstools_spark.analytics.inference_q import q_odds_ratio
+    from vptstools_spark.streaming.incremental import stat_monitor_sink
+
+    sf = "/root/testdata/sf0.001"
+    o = spark.read.parquet(f"{sf}/orders.parquet").filter(
+        F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
+    ).select(
+        (F.col("o_orderpriority") == "1-URGENT").alias("urgent"),
+        (F.col("o_totalprice") > 150000).alias("hi"),
+        F.col("o_orderkey"),
+    )
+    landing = str(tmp_path / "landing")
+    log, ckpt = str(tmp_path / "log"), str(tmp_path / "ck")
+    schema = "urgent boolean, hi boolean, o_orderkey long"
+    o.filter(F.col("o_orderkey") % 3 == 0).write.mode("append").parquet(landing)
+
+    def run():
+        stat_monitor_sink(
+            spark.readStream.schema(schema).parquet(landing),
+            "urgent", "hi", log, ckpt, statistic="odds_ratio",
+        ).awaitTermination()
+
+    run()
+    o.filter(F.col("o_orderkey") % 3 != 0).write.mode("append").parquet(landing)
+    run()
+    latest = (
+        spark.read.parquet(log).orderBy(F.col("b_id").desc()).limit(1).collect()[0]
+    )
+    want = q_odds_ratio(spark, sf).collect()[0]
+    assert (latest.c_a, latest.c_b, latest.c_c, latest.c_d) == (
+        want.a, want.b, want.c, want.d,
+    )
+    assert round(latest.odds_ratio, 6) == want.odds_ratio
+    assert round(latest.ci_lo, 6) == want.ci_lo
+    assert round(latest.ci_hi, 6) == want.ci_hi
+    n = spark.read.parquet(log).count()
+    run()  # replay: checkpoint consumed, log unchanged
+    assert spark.read.parquet(log).count() == n
+
+
+def test_stat_monitor_rejects_unknown_statistic(spark, tmp_path):
+    from vptstools_spark.streaming.incremental import stat_monitor_sink
+
+    landing = str(tmp_path / "x")
+    spark.createDataFrame(
+        [(True, False)], "g boolean, o boolean"
+    ).write.parquet(landing)
+    with pytest.raises(ValueError, match="unknown statistic"):
+        stat_monitor_sink(
+            spark.readStream.schema("g boolean, o boolean").parquet(landing),
+            "g", "o", str(tmp_path / "l"), str(tmp_path / "c"),
+            statistic="chi2",
+        )

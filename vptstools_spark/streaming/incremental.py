@@ -1233,3 +1233,109 @@ def ab_monitor_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+#: closed-form statistics over a cumulative 2x2 count table
+#: (a = group&outcome, b = group&~outcome, c = ~group&outcome,
+#: d = ~group&~outcome) — both are pure count algebra, so the cumulative
+#: merge across micro-batches (integer sums) is EXACT and the running
+#: readout is bit-for-bit the single-pass answer (merge ≡ direct).
+_STAT_2X2 = ("conversion_z", "odds_ratio")
+
+
+def stat_monitor_sink(
+    stream: DataFrame,
+    group_col: str,
+    outcome_col: str,
+    log_path: str,
+    checkpoint: str,
+    statistic: str = "conversion_z",
+) -> StreamingQuery:
+    """Streaming 2x2 statistic monitor — the parameterized sequential
+    face of `analytics/inference_q.py:q_conversion_ztest` and
+    `q_odds_ratio` (VERDICT r6 #6), same construction as
+    `ab_monitor_sink`: each micro-batch folds to its 2x2 counts in one
+    aggregate, the cumulative table is maintained by plain integer sums
+    (exactly mergeable), and the chosen statistic is re-evaluated from
+    the cumulative counts after every batch:
+
+    - ``conversion_z``: pooled two-proportion z on outcome rate between
+      the group_col=True and False cohorts (rate_a, rate_b, z_stat);
+    - ``odds_ratio``: odds ratio with Woolf 95% CI (odds_ratio, ci_lo,
+      ci_hi).
+
+    Exactly-once via the b_id partition (replayed batches skip); each
+    batch reads ONE <=(batches)-row log, never historical data. Both
+    `group_col` and `outcome_col` must be boolean columns (project /
+    cast upstream)."""
+    import math
+
+    if statistic not in _STAT_2X2:
+        raise ValueError(
+            f"unknown statistic {statistic!r}; pick one of {_STAT_2X2}"
+        )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        if _hadoop_path_exists(spark, f"{log_path}/b_id={batch_id}"):
+            return
+        g, o = F.col(group_col), F.col(outcome_col)
+        row = batch_df.agg(
+            F.count(F.when(g & o, 1)).alias("a"),
+            F.count(F.when(g & ~o, 1)).alias("b"),
+            F.count(F.when(~g & o, 1)).alias("c"),
+            F.count(F.when(~g & ~o, 1)).alias("d"),
+        ).collect()[0]
+        cum = [row.a, row.b, row.c, row.d]
+        if _hadoop_path_exists(spark, log_path):
+            prev = (
+                spark.read.parquet(log_path)
+                .orderBy(F.col("b_id").desc())
+                .limit(1)
+                .collect()
+            )
+            if prev:
+                p = prev[0]
+                cum = [
+                    cum[0] + p.c_a, cum[1] + p.c_b,
+                    cum[2] + p.c_c, cum[3] + p.c_d,
+                ]
+        a, b, c, d = cum
+        s1 = s2 = s3 = None
+        if statistic == "conversion_z":
+            n1, n2 = a + b, c + d
+            if n1 and n2:
+                p1, p2 = a / n1, c / n2
+                pp = (a + c) / (n1 + n2)
+                denom = pp * (1.0 - pp) * (1.0 / n1 + 1.0 / n2)
+                s1, s2 = p1, p2
+                if denom > 0:
+                    s3 = (p1 - p2) / math.sqrt(denom)
+            names = "rate_a double, rate_b double, z_stat double"
+        else:  # odds_ratio
+            if a and b and c and d:
+                orx = (a * d) / (b * c)
+                se = math.sqrt(1 / a + 1 / b + 1 / c + 1 / d)
+                s1 = orx
+                s2 = math.exp(math.log(orx) - 1.96 * se)
+                s3 = math.exp(math.log(orx) + 1.96 * se)
+            names = "odds_ratio double, ci_lo double, ci_hi double"
+        out = spark.createDataFrame(
+            [(int(a), int(b), int(c), int(d),
+              None if s1 is None else float(s1),
+              None if s2 is None else float(s2),
+              None if s3 is None else float(s3))],
+            f"c_a long, c_b long, c_c long, c_d long, {names}",
+        ).withColumn("b_id", F.lit(batch_id))
+        out.coalesce(1).write.mode("append").partitionBy("b_id").parquet(
+            log_path
+        )
+
+    return (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
