@@ -176,7 +176,122 @@ def vpts_to_csv(df: DataFrame, path: str, single_file: bool = True, gzip: bool =
         shutil.move(tmp, path)
 
 
-def validate_vpts(df: DataFrame, vpts_csv_version: str = "v1.0") -> DataFrame:
+def load_vendored_descriptor(vpts_csv_version: str = "v1.0") -> dict:
+    """The vendored frictionless Table Schema for a VPTS CSV version
+    (vptstools_spark/resources/) — the no-network stand-in for the
+    reference's remote fetch (src/vptstools/vpts.py:320-343, which reads
+    raw.githubusercontent.com/aloftdata/vpts-csv/<version>/...). Swap the
+    file for the canonical download where network exists; the parity
+    check below is format-compatible with the real descriptor."""
+    import json as _json
+    import os as _os
+
+    p = _os.path.join(
+        _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+        "resources",
+        f"vpts_csv_{vpts_csv_version}_table_schema.json",
+    )
+    if not _os.path.exists(p):
+        raise FileNotFoundError(
+            f"no vendored Table Schema for VPTS CSV {vpts_csv_version!r} "
+            f"(expected {p}); vendor the published descriptor there"
+        )
+    with open(p) as fh:
+        return _json.load(fh)
+
+
+def descriptor_field_rules(
+    descriptor: dict,
+) -> dict[str, tuple[str, bool, float | None, float | None]]:
+    """Project a frictionless Table Schema descriptor onto the engine's
+    rule shape {col: (kind, required, min, max)} — the common ground on
+    which `check_descriptor_parity` compares."""
+    out = {}
+    for f in descriptor.get("fields", []):
+        cons = f.get("constraints") or {}
+        out[f["name"]] = (
+            f.get("type", "string"),
+            bool(cons.get("required", False)),
+            cons.get("minimum"),
+            cons.get("maximum"),
+        )
+    return out
+
+
+def check_descriptor_parity(
+    descriptor: dict | None = None, vpts_csv_version: str = "v1.0"
+) -> list[str]:
+    """Mechanical drift detector between a (vendored or downloaded)
+    frictionless Table Schema and the engine's native constraint set
+    (schemas.V1_FIELD_RULES + the version spec): returns a list of
+    mismatch descriptions — empty means the Spark validator enforces
+    exactly the descriptor's field/constraint list. A future VPTS CSV
+    v2 whose descriptor gains/renames/re-bounds a field is caught here
+    before the validator silently under-checks (VERDICT r6 #7;
+    reference behavior: src/vptstools/vpts.py:297-343 delegates to
+    frictionless against the published schema)."""
+    from vptstools_spark.schemas import V1_FIELD_RULES
+
+    desc = descriptor or load_vendored_descriptor(vpts_csv_version)
+    spec = get_vpts_version(vpts_csv_version)
+    problems: list[str] = []
+    desc_rules = descriptor_field_rules(desc)
+    desc_order = [f["name"] for f in desc.get("fields", [])]
+    if desc_order != list(spec.columns):
+        problems.append(
+            f"column order differs: descriptor {desc_order} vs spec "
+            f"{list(spec.columns)}"
+        )
+    for name in sorted(set(desc_rules) | set(V1_FIELD_RULES)):
+        if name not in V1_FIELD_RULES:
+            problems.append(f"descriptor field {name!r} has no engine rule")
+            continue
+        if name not in desc_rules:
+            problems.append(f"engine rule {name!r} absent from descriptor")
+            continue
+        dk, dr, dmn, dmx = desc_rules[name]
+        ek, er, emn, emx = V1_FIELD_RULES[name]
+        if dk != ek:
+            problems.append(f"{name}: type {dk!r} != engine {ek!r}")
+        if dr != er:
+            problems.append(f"{name}: required {dr} != engine {er}")
+        for label, d, e in (("minimum", dmn, emn), ("maximum", dmx, emx)):
+            if (d is None) != (e is None) or (
+                d is not None and float(d) != float(e)
+            ):
+                problems.append(f"{name}: {label} {d} != engine {e}")
+    # per-field missingValues ["", "NaN"] must mark exactly the spec's
+    # tri-state measurement columns
+    desc_nan = {
+        f["name"]
+        for f in desc.get("fields", [])
+        if "NaN" in (f.get("missingValues") or [])
+    }
+    if desc_nan != set(spec.measurement_columns):
+        problems.append(
+            "NaN-missing fields differ: descriptor "
+            f"{sorted(desc_nan)} vs spec {sorted(spec.measurement_columns)}"
+        )
+    pat = next(
+        (
+            (f.get("constraints") or {}).get("pattern")
+            for f in desc.get("fields", [])
+            if f["name"] == "source_file"
+        ),
+        None,
+    )
+    if pat is not None and pat != spec.source_file_regex:
+        problems.append(
+            f"source_file pattern {pat!r} != engine {spec.source_file_regex!r}"
+        )
+    return problems
+
+
+def validate_vpts(
+    df: DataFrame,
+    vpts_csv_version: str = "v1.0",
+    descriptor: dict | None = None,
+) -> DataFrame:
     """Schema-conformance check K5: the FULL VPTS CSV v1.0 Table Schema
     re-expressed as Spark constraints (reference delegates to frictionless
     against the published vpts-csv v1.0 schema, src/vptstools/vpts.py:297-343;
@@ -196,6 +311,18 @@ def validate_vpts(df: DataFrame, vpts_csv_version: str = "v1.0") -> DataFrame:
     """
     from vptstools_spark.schemas import V1_FIELD_RULES
 
+    if descriptor is not None:
+        # caller supplied a Table Schema (vendored or downloaded): refuse
+        # to validate with rules that don't match it — silent
+        # under-checking against a drifted standard is the failure mode
+        # the reference avoids by always fetching the schema it validates
+        # against (src/vptstools/vpts.py:297-343)
+        drift = check_descriptor_parity(descriptor, vpts_csv_version)
+        if drift:
+            raise ValueError(
+                "engine constraint set does not match the supplied "
+                "descriptor:\n  " + "\n  ".join(drift)
+            )
     spec = get_vpts_version(vpts_csv_version)
     measurements = set(spec.measurement_columns)
     checks: list[tuple[str, Column]] = [
