@@ -54,6 +54,26 @@ _MODULES = [
 #: work must sort before the cutoff to ship with recorded verification
 #: (round-3 advice: bpe_encode/ann_filtered landed outside the sample).
 NEW_THIS_ROUND = [
+    # round 7: rank/nonparametric statistics, engagement analytics,
+    # time-series diagnostics, graph structure, cluster QA
+    "anova_priority",
+    "levene_priority",
+    "spearman_qty_discount",
+    "roc_auc_size",
+    "cramers_v_nation_segment",
+    "dau_wau_stickiness",
+    "gap_histogram",
+    "pareto_users",
+    "session_length_hist",
+    "calibration_curve",
+    "gains_table",
+    "acf_daily_revenue",
+    "seasonal_strength",
+    "mad_outlier_days",
+    "assortativity_trade",
+    "modularity_regions",
+    "hapax_ratio",
+    "silhouette_labels",
     # round 6, fifth batch
     "ab_test_welch",
     "kaplan_meier",

@@ -902,3 +902,56 @@ ORACLES = {
     "hybrid_rrf": _HYBRID_ORACLE,
     "dsir_select": _DSIR_ORACLE,
 }
+
+
+# ---------------------------------------------------------------- round 7
+
+
+def q_hapax_ratio(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source hapax legomena share: fraction of a source's
+    vocabulary seen exactly once, plus type/token ratio — the quick
+    lexical-richness fingerprint a corpus-mix report leads with. One
+    corpus fold to (source, word) counts (map-side partial agg), then a
+    vocabulary-sized rollup."""
+    d = table(spark, sf, "documents")
+    wc = (
+        d.select("source", F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("source", "w")
+        .agg(F.count("*").alias("c"))
+    )
+    return (
+        wc.groupBy("source")
+        .agg(
+            F.count("*").alias("n_types"),
+            F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).cast("long").alias("n_hapax"),
+            F.sum("c").cast("long").alias("n_tokens"),
+        )
+        .select(
+            "source",
+            "n_types",
+            "n_hapax",
+            F.round(F.col("n_hapax") / F.col("n_types"), 6).alias("hapax_ratio"),
+            F.round(F.col("n_types") / F.col("n_tokens"), 6).alias("ttr"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLES["hapax_ratio"] = """
+    WITH wc AS (
+        SELECT source, w, COUNT(*) AS c
+        FROM (SELECT source, UNNEST(string_split(text, ' ')) AS w
+              FROM documents)
+        WHERE w <> ''
+        GROUP BY source, w
+    )
+    SELECT source,
+           COUNT(*) AS n_types,
+           CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+           ROUND(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6)
+               AS hapax_ratio,
+           ROUND(COUNT(*) * 1.0 / SUM(c), 6) AS ttr
+    FROM wc GROUP BY source ORDER BY source
+"""
+QUERIES["hapax_ratio"] = q_hapax_ratio

@@ -3080,3 +3080,324 @@ ORACLES["repeat_purchase_interval"] = """
 """
 
 QUERIES["repeat_purchase_interval"] = q_repeat_purchase_interval
+
+
+# ---------------------------------------------------------------- round 7
+
+
+def q_dau_wau_stickiness(spark: SparkSession, sf: str) -> DataFrame:
+    """Weekly engagement stickiness: avg daily active users / weekly
+    active users per ISO week — the DAU/MAU ratio at the granularity the
+    30-day fixture supports. Two exact-distinct aggregates, each a plain
+    two-level shuffle on (period, user); no windows, no collect."""
+    e = table(spark, sf, "events").select(
+        F.date_trunc("week", "ts").alias("wk"),
+        F.to_date("ts").alias("day"),
+        "user_id",
+    )
+    dau = (
+        e.groupBy("wk", "day")
+        .agg(F.count_distinct("user_id").alias("dau"))
+        .groupBy("wk")
+        .agg((F.sum("dau") / F.count("*")).alias("avg_dau"))
+    )
+    wau = e.groupBy("wk").agg(F.count_distinct("user_id").alias("wau"))
+    return (
+        dau.join(wau, "wk")
+        .select(
+            F.date_format("wk", "yyyy-MM-dd").alias("week"),
+            F.round("avg_dau", 4).alias("avg_dau"),
+            "wau",
+            F.round(F.col("avg_dau") / F.col("wau"), 6).alias("stickiness"),
+        )
+        .orderBy("week")
+    )
+
+
+ORACLES["dau_wau_stickiness"] = """
+    WITH e AS (
+        SELECT date_trunc('week', ts) AS wk, date_trunc('day', ts) AS day,
+               user_id
+        FROM events
+    ), dau AS (
+        SELECT wk, SUM(d) * 1.0 / COUNT(*) AS avg_dau
+        FROM (SELECT wk, day, COUNT(DISTINCT user_id) AS d
+              FROM e GROUP BY wk, day)
+        GROUP BY wk
+    ), wau AS (
+        SELECT wk, COUNT(DISTINCT user_id) AS wau FROM e GROUP BY wk
+    )
+    SELECT strftime(dau.wk, '%Y-%m-%d') AS week,
+           ROUND(avg_dau, 4) AS avg_dau, wau,
+           ROUND(avg_dau / wau, 6) AS stickiness
+    FROM dau JOIN wau USING (wk)
+    ORDER BY week
+"""
+QUERIES["dau_wau_stickiness"] = q_dau_wau_stickiness
+
+
+#: fixed human-scale boundaries for inter-event gaps — CASE comparisons
+#: on integer seconds, never log-binning (floor(log2(x)) lands ON bucket
+#: edges for exact powers and is the classic cross-engine flake)
+_GAP_BUCKETS = [
+    (60, "lt_1m"),
+    (300, "1m_5m"),
+    (1800, "5m_30m"),
+    (7200, "30m_2h"),
+    (86400, "2h_1d"),
+]
+
+
+def q_gap_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    """Inter-event-time distribution: per-user lag gaps bucketed on
+    fixed boundaries. The window is per-user (state = one user's
+    history); the histogram is a 6-row aggregate."""
+    from pyspark.sql import Window
+
+    e = table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_s = F.expr(
+        "timestampdiff(SECOND, lag(ts) over "
+        "(partition by user_id order by ts, event_id), ts)"
+    )
+    bucket = F.when(F.col("gap_s").isNull(), None)
+    for hi, name in _GAP_BUCKETS:
+        bucket = bucket.when(F.col("gap_s") < hi, name)
+    bucket = bucket.otherwise("ge_1d")
+    return (
+        e.select(gap_s.alias("gap_s"))
+        .filter(F.col("gap_s").isNotNull())
+        .select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"))
+        .orderBy("bucket")
+    )
+
+
+ORACLES["gap_histogram"] = """
+    WITH gaps AS (
+        SELECT datediff('second',
+                        lag(ts) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id),
+                        ts) AS gap_s
+        FROM events
+    )
+    SELECT CASE WHEN gap_s < 60 THEN 'lt_1m'
+                WHEN gap_s < 300 THEN '1m_5m'
+                WHEN gap_s < 1800 THEN '5m_30m'
+                WHEN gap_s < 7200 THEN '30m_2h'
+                WHEN gap_s < 86400 THEN '2h_1d'
+                ELSE 'ge_1d' END AS bucket,
+           COUNT(*) AS n
+    FROM gaps WHERE gap_s IS NOT NULL
+    GROUP BY 1 ORDER BY 1
+"""
+QUERIES["gap_histogram"] = q_gap_histogram
+
+
+def q_pareto_users(spark: SparkSession, sf: str) -> DataFrame:
+    """Value concentration: share of total event value contributed by
+    each user-decile (deciles over per-user totals, ordered total desc
+    with user-id tiebreak so ntile is deterministic). The global sort is
+    DIMENSION-sized (one row per user), never event-sized."""
+    from pyspark.sql import Window
+
+    e = table(spark, sf, "events")
+    per_user = e.groupBy("user_id").agg(F.sum("value").alias("tot"))
+    w = Window.orderBy(F.col("tot").desc(), "user_id")
+    deciles = per_user.select(
+        "tot", F.ntile(10).over(w).alias("decile")
+    )
+    g = deciles.groupBy("decile").agg(
+        F.count("*").alias("n_users"), F.sum("tot").alias("v")
+    )
+    total = g.agg(F.sum("v").alias("tv"))
+    return (
+        g.crossJoin(F.broadcast(total))
+        .select(
+            "decile",
+            "n_users",
+            F.round(F.col("v") / F.col("tv"), 6).alias("value_share"),
+        )
+        .orderBy("decile")
+    )
+
+
+ORACLES["pareto_users"] = """
+    WITH pu AS (
+        SELECT user_id, SUM(value) AS tot FROM events GROUP BY user_id
+    ), d AS (
+        SELECT tot, ntile(10) OVER (ORDER BY tot DESC, user_id) AS decile
+        FROM pu
+    ), g AS (
+        SELECT decile, COUNT(*) AS n_users, SUM(tot) AS v FROM d GROUP BY decile
+    )
+    SELECT decile, n_users,
+           ROUND(v / (SELECT SUM(v) FROM g), 6) AS value_share
+    FROM g ORDER BY decile
+"""
+QUERIES["pareto_users"] = q_pareto_users
+
+
+def q_session_length_hist(spark: SparkSession, sf: str) -> DataFrame:
+    """Histogram of events-per-session under the 30-minute-gap
+    definition (`events_sessionize`'s sessions, one level deeper): the
+    session id is a running sum of session starts per user (bounded by
+    one user's history), sessions collapse to lengths, lengths to a
+    5-row histogram."""
+    from pyspark.sql import Window
+
+    e = table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.expr("timestampdiff(MICROSECOND, prev_ts, ts)")
+    new_sess = F.when(
+        gap_us.isNull() | (gap_us > SESSION_GAP_US), 1
+    ).otherwise(0)
+    sess = (
+        e.withColumn("prev_ts", F.lag("ts").over(w))
+        .withColumn("new_sess", new_sess)
+        .withColumn("sess_id", F.sum("new_sess").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ))
+        .groupBy("user_id", "sess_id")
+        .agg(F.count("*").alias("len"))
+    )
+    bucket = (
+        F.when(F.col("len") == 1, "1")
+        .when(F.col("len") == 2, "2")
+        .when(F.col("len") <= 5, "3_5")
+        .when(F.col("len") <= 10, "6_10")
+        .otherwise("gt_10")
+    )
+    return (
+        sess.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_sessions"))
+        .orderBy("bucket")
+    )
+
+
+ORACLES["session_length_hist"] = """
+    WITH marked AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR datediff('microsecond', lag(ts) OVER w, ts)
+                            > 30 * 60 * 1000000
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+        SELECT user_id,
+               SUM(new_sess) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS sess_id
+        FROM marked
+    ), lens AS (
+        SELECT COUNT(*) AS len FROM sess GROUP BY user_id, sess_id
+    )
+    SELECT CASE WHEN len = 1 THEN '1'
+                WHEN len = 2 THEN '2'
+                WHEN len <= 5 THEN '3_5'
+                WHEN len <= 10 THEN '6_10'
+                ELSE 'gt_10' END AS bucket,
+           COUNT(*) AS n_sessions
+    FROM lens GROUP BY 1 ORDER BY 1
+"""
+QUERIES["session_length_hist"] = q_session_length_hist
+
+
+def q_calibration_curve(spark: SparkSession, sf: str) -> DataFrame:
+    """Reliability curve for a naive propensity score (value/100, capped
+    at 1) predicting purchase events: per fixed decile bin, mean
+    predicted vs observed purchase rate. The bin edges are exact integer
+    thresholds on value (k*10), so bucketing is reproducible; everything
+    folds to a 10-row aggregate in one pass."""
+    e = table(spark, sf, "events")
+    score = F.least(F.col("value") / 100.0, F.lit(1.0))
+    bin_ = F.least(F.floor(F.col("value") / 10.0), F.lit(9)).cast("int")
+    return (
+        e.select(
+            bin_.alias("bin"),
+            score.alias("score"),
+            (F.col("event_type") == "purchase").cast("int").alias("y"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("score") / F.count("*"), 6).alias("mean_pred"),
+            F.round(F.sum("y") / F.count("*"), 6).alias("purchase_rate"),
+        )
+        .orderBy("bin")
+    )
+
+
+ORACLES["calibration_curve"] = """
+    SELECT CAST(LEAST(FLOOR(value / 10.0), 9) AS INT) AS bin,
+           COUNT(*) AS n,
+           ROUND(SUM(LEAST(value / 100.0, 1.0)) / COUNT(*), 6) AS mean_pred,
+           ROUND(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                 * 1.0 / COUNT(*), 6) AS purchase_rate
+    FROM events GROUP BY 1 ORDER BY 1
+"""
+QUERIES["calibration_curve"] = q_calibration_curve
+
+
+def q_gains_table(spark: SparkSession, sf: str) -> DataFrame:
+    """Cumulative-gains table over customers scored by total spend:
+    decile (spend desc, custkey tiebreak) -> cumulative share of
+    revenue and of customers — the 'top 20% of customers drive X% of
+    revenue' readout. Global sort is customer-dimension-sized; the
+    cumulative window runs over 10 rows."""
+    from pyspark.sql import Window
+
+    o = table(spark, sf, "orders")
+    per_c = o.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("spend"))
+    w = Window.orderBy(F.col("spend").desc(), "o_custkey")
+    g = (
+        per_c.select("spend", F.ntile(10).over(w).alias("decile"))
+        .groupBy("decile")
+        .agg(F.count("*").alias("n_cust"), F.sum("spend").alias("v"))
+    )
+    tot = g.agg(
+        F.sum("v").alias("tv"), F.sum("n_cust").alias("tc")
+    )
+    wcum = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        g.crossJoin(F.broadcast(tot))
+        .select(
+            "decile",
+            "n_cust",
+            F.round(
+                F.sum("v").over(wcum) / F.col("tv"), 6
+            ).alias("cum_revenue_share"),
+            F.round(
+                F.sum("n_cust").over(wcum) / F.col("tc"), 6
+            ).alias("cum_customer_share"),
+        )
+        .orderBy("decile")
+    )
+
+
+ORACLES["gains_table"] = """
+    WITH pc AS (
+        SELECT o_custkey, SUM(o_totalprice) AS spend
+        FROM orders GROUP BY o_custkey
+    ), d AS (
+        SELECT spend,
+               ntile(10) OVER (ORDER BY spend DESC, o_custkey) AS decile
+        FROM pc
+    ), g AS (
+        SELECT decile, COUNT(*) AS n_cust, SUM(spend) AS v
+        FROM d GROUP BY decile
+    )
+    SELECT decile, n_cust,
+           ROUND(SUM(v) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING)
+                 / (SELECT SUM(v) FROM g), 6) AS cum_revenue_share,
+           ROUND(SUM(n_cust) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING)
+                 * 1.0 / (SELECT SUM(n_cust) FROM g), 6)
+               AS cum_customer_share
+    FROM g ORDER BY decile
+"""
+QUERIES["gains_table"] = q_gains_table

@@ -629,3 +629,160 @@ ORACLES["apsp_nations"] = """
 """
 
 QUERIES["apsp_nations"] = q_apsp_nations
+
+
+# ---------------------------------------------------------------- round 7
+
+
+def q_assortativity_trade(spark: SparkSession, sf: str) -> DataFrame:
+    """Degree assortativity of the (bipartite) customer-supplier trade
+    graph: Pearson correlation, over distinct trade edges, between the
+    customer's degree and the supplier's degree — do busy buyers trade
+    with busy sellers? Degrees are one groupBy over the edge list,
+    broadcast back; the statistic is one integer-exact moment fold (all
+    sums < 2^53, so the closed form is bit-identical cross-engine)."""
+    o = table(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    l = table(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .select("o_custkey", "l_suppkey")
+        .distinct()
+        .localCheckpoint(eager=False)  # consumed by 2 degree tables + join
+    )
+    dc = edges.groupBy("o_custkey").agg(F.count("*").alias("dx"))
+    ds = edges.groupBy("l_suppkey").agg(F.count("*").alias("dy"))
+    m = (
+        edges.join(dc, "o_custkey")
+        .join(F.broadcast(ds), "l_suppkey")
+        .agg(
+            # cast the moment sums to double BEFORE the closed form: the
+            # variance product (n*sxx - sx²)(n*syy - sy²) is ~1e30 on
+            # this graph — far past long range (ANSI overflow), and the
+            # oracle must round at the same points, so both engines do
+            # the identical double arithmetic from identical exact sums
+            F.count("*").cast("double").alias("n"),
+            F.sum("dx").cast("double").alias("sx"),
+            F.sum("dy").cast("double").alias("sy"),
+            F.sum(F.col("dx") * F.col("dx")).cast("double").alias("sxx"),
+            F.sum(F.col("dy") * F.col("dy")).cast("double").alias("syy"),
+            F.sum(F.col("dx") * F.col("dy")).cast("double").alias("sxy"),
+        )
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return m.select(
+        F.col("n").cast("long").alias("n_edges"),
+        F.round(num / den, 6).alias("assortativity"),
+    )
+
+
+ORACLES["assortativity_trade"] = """
+    WITH edges AS (
+        SELECT DISTINCT o_custkey, l_suppkey
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ), dc AS (SELECT o_custkey, COUNT(*) AS dx FROM edges GROUP BY 1),
+    ds AS (SELECT l_suppkey, COUNT(*) AS dy FROM edges GROUP BY 1),
+    m AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(dx) AS DOUBLE) AS sx,
+               CAST(SUM(dy) AS DOUBLE) AS sy,
+               CAST(SUM(dx * dx) AS DOUBLE) AS sxx,
+               CAST(SUM(dy * dy) AS DOUBLE) AS syy,
+               CAST(SUM(dx * dy) AS DOUBLE) AS sxy
+        FROM edges JOIN dc USING (o_custkey) JOIN ds USING (l_suppkey)
+    )
+    SELECT CAST(n AS BIGINT) AS n_edges,
+           ROUND((n * sxy - sx * sy)
+                 / SQRT((n * sxx - sx * sx) * (n * syy - sy * sy)),
+                 6) AS assortativity
+    FROM m
+"""
+QUERIES["assortativity_trade"] = q_assortativity_trade
+
+
+def q_modularity_regions(spark: SparkSession, sf: str) -> DataFrame:
+    """Newman modularity of the REGION partition over the weighted
+    nation-trade graph (edge weight = lineitem count between customer
+    nation and supplier nation, symmetrized): how much more trade stays
+    inside regions than a degree-preserving random graph predicts. The
+    fact folds once to a <= 625-row directed-pair aggregate; the
+    symmetrization, degrees, and Q = sum_ij (A_ij - k_i k_j / 2m)
+    delta(c_i, c_j) / 2m are all closed-form over that bounded table."""
+    o = table(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    l = table(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    c = table(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    s = table(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    d = (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(
+            F.col("c_nationkey").alias("u"), F.col("s_nationkey").alias("v")
+        )
+        .agg(F.count("*").cast("double").alias("w"))
+    )
+    # symmetrize: A = D + D^T (diagonal doubles — the standard undirected
+    # reading of a directed count matrix)
+    a = (
+        d.unionByName(
+            d.select(F.col("v").alias("u"), F.col("u").alias("v"), "w")
+        )
+        .groupBy("u", "v")
+        .agg(F.sum("w").alias("a"))
+        .localCheckpoint(eager=False)
+    )
+    n = table(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("u"), F.col("n_regionkey").alias("cu")
+    )
+    deg = a.groupBy("u").agg(F.sum("a").alias("k"))
+    two_m = a.agg(F.sum("a").alias("m2"))
+    ku = deg.select(F.col("u"), F.col("k").alias("ku"))
+    kv = deg.select(F.col("u").alias("v"), F.col("k").alias("kv"))
+    cu = n
+    cv = n.select(F.col("u").alias("v"), F.col("cu").alias("cv"))
+    q = (
+        a.join(F.broadcast(ku), "u")
+        .join(F.broadcast(kv), "v")
+        .join(F.broadcast(cu), "u")
+        .join(F.broadcast(cv), "v")
+        .crossJoin(F.broadcast(two_m))
+        .filter(F.col("cu") == F.col("cv"))
+        .agg(
+            F.sum(
+                (F.col("a") - F.col("ku") * F.col("kv") / F.col("m2"))
+                / F.col("m2")
+            ).alias("q")
+        )
+    )
+    return q.select(F.round("q", 6).alias("modularity"))
+
+
+ORACLES["modularity_regions"] = """
+    WITH d AS (
+        SELECT c_nationkey AS u, s_nationkey AS v,
+               CAST(COUNT(*) AS DOUBLE) AS w
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        GROUP BY 1, 2
+    ), a AS (
+        SELECT u, v, SUM(w) AS a FROM (
+            SELECT u, v, w FROM d
+            UNION ALL SELECT v AS u, u AS v, w FROM d
+        ) GROUP BY u, v
+    ), deg AS (SELECT u, SUM(a) AS k FROM a GROUP BY u),
+    m AS (SELECT SUM(a) AS m2 FROM a)
+    SELECT ROUND(SUM((a.a - ku.k * kv.k / m2) / m2), 6) AS modularity
+    FROM a
+    JOIN deg ku ON ku.u = a.u
+    JOIN deg kv ON kv.u = a.v
+    JOIN nation nu ON nu.n_nationkey = a.u
+    JOIN nation nv ON nv.n_nationkey = a.v
+    CROSS JOIN m
+    WHERE nu.n_regionkey = nv.n_regionkey
+"""
+QUERIES["modularity_regions"] = q_modularity_regions

@@ -555,3 +555,314 @@ _ODDS_ORACLE = """
 
 QUERIES["odds_ratio"] = q_odds_ratio
 ORACLES["odds_ratio"] = _ODDS_ORACLE
+
+
+# ---------------------------------------------------------------- round 7
+
+
+def q_anova_priority(spark: SparkSession, sf: str) -> DataFrame:
+    """One-way ANOVA F of o_totalprice across the 5 order priorities —
+    the k-group generalization next to `ab_test_welch`. The fact folds
+    ONCE to a k-row (n, sum, sumsq) group-moment table; SSB/SSW and F are
+    a closed form over that bounded table, so the data-scale work is one
+    partial->final aggregate regardless of group count."""
+    o = table(spark, sf, "orders")
+    g = o.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.sum("o_totalprice").alias("s"),
+        F.sum(F.col("o_totalprice") * F.col("o_totalprice")).alias("q"),
+    )
+    tot = g.agg(
+        F.sum("n").alias("nn"),
+        F.sum("s").alias("ss"),
+        F.sum("q").alias("qq"),
+        F.count("*").alias("k"),
+        F.sum(F.col("s") * F.col("s") / F.col("n")).alias("sb"),
+    )
+    ssb = F.col("sb") - F.col("ss") * F.col("ss") / F.col("nn")
+    ssw = F.col("qq") - F.col("sb")
+    fstat = (ssb / (F.col("k") - 1)) / (ssw / (F.col("nn") - F.col("k")))
+    return tot.select(
+        F.col("k").cast("long").alias("k_groups"),
+        F.col("nn").cast("long").alias("n_rows"),
+        F.round(ssb, 2).alias("ss_between"),
+        F.round(fstat, 4).alias("f_stat"),
+    )
+
+
+ORACLES["anova_priority"] = """
+    WITH g AS (
+        SELECT o_orderpriority, COUNT(*) AS n, SUM(o_totalprice) AS s,
+               SUM(o_totalprice * o_totalprice) AS q
+        FROM orders GROUP BY o_orderpriority
+    ), tot AS (
+        SELECT SUM(n) AS nn, SUM(s) AS ss, SUM(q) AS qq, COUNT(*) AS k,
+               SUM(s * s / n) AS sb
+        FROM g
+    )
+    SELECT CAST(k AS BIGINT) AS k_groups, CAST(nn AS BIGINT) AS n_rows,
+           ROUND(sb - ss * ss / nn, 2) AS ss_between,
+           ROUND(((sb - ss * ss / nn) / (k - 1))
+                 / ((qq - sb) / (nn - k)), 4) AS f_stat
+    FROM tot
+"""
+QUERIES["anova_priority"] = q_anova_priority
+
+
+def q_levene_priority(spark: SparkSession, sf: str) -> DataFrame:
+    """Levene homogeneity-of-variance test (mean-centered form) for
+    o_totalprice across priorities: are the group VARIANCES equal — the
+    assumption check behind `anova_priority`. Two bounded passes: group
+    means (k-row broadcast back), then the ANOVA of |x - mean_g| from
+    one more group-moment fold."""
+    o = table(spark, sf, "orders").select("o_orderpriority", "o_totalprice")
+    means = o.groupBy("o_orderpriority").agg(
+        (F.sum("o_totalprice") / F.count("*")).alias("m")
+    )
+    z = o.join(F.broadcast(means), "o_orderpriority").select(
+        "o_orderpriority",
+        F.abs(F.col("o_totalprice") - F.col("m")).alias("z"),
+    )
+    g = z.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.sum("z").alias("s"),
+        F.sum(F.col("z") * F.col("z")).alias("q"),
+    )
+    tot = g.agg(
+        F.sum("n").alias("nn"), F.sum("s").alias("ss"),
+        F.sum("q").alias("qq"), F.count("*").alias("k"),
+        F.sum(F.col("s") * F.col("s") / F.col("n")).alias("sb"),
+    )
+    ssb = F.col("sb") - F.col("ss") * F.col("ss") / F.col("nn")
+    ssw = F.col("qq") - F.col("sb")
+    w = (ssb / (F.col("k") - 1)) / (ssw / (F.col("nn") - F.col("k")))
+    return tot.select(
+        F.col("k").cast("long").alias("k_groups"),
+        F.round(w, 4).alias("levene_w"),
+    )
+
+
+ORACLES["levene_priority"] = """
+    WITH means AS (
+        SELECT o_orderpriority, SUM(o_totalprice) / COUNT(*) AS m
+        FROM orders GROUP BY o_orderpriority
+    ), z AS (
+        SELECT o.o_orderpriority, ABS(o_totalprice - m) AS z
+        FROM orders o JOIN means USING (o_orderpriority)
+    ), g AS (
+        SELECT o_orderpriority, COUNT(*) AS n, SUM(z) AS s,
+               SUM(z * z) AS q
+        FROM z GROUP BY o_orderpriority
+    ), tot AS (
+        SELECT SUM(n) AS nn, SUM(s) AS ss, SUM(q) AS qq, COUNT(*) AS k,
+               SUM(s * s / n) AS sb
+        FROM g
+    )
+    SELECT CAST(k AS BIGINT) AS k_groups,
+           ROUND(((sb - ss * ss / nn) / (k - 1))
+                 / ((qq - sb) / (nn - k)), 4) AS levene_w
+    FROM tot
+"""
+QUERIES["levene_priority"] = q_levene_priority
+
+
+def q_spearman_qty_discount(spark: SparkSession, sf: str) -> DataFrame:
+    """Spearman rank correlation between l_quantity and l_discount —
+    the monotone-association readout Pearson misses. Average ranks come
+    from VALUE-FREQUENCY tables (domains: 50 quantities, 11 discounts),
+    so no global sort ever happens: cumulative counts are a triangular
+    self-join on the tiny frequency table, ranks broadcast back onto the
+    fact, and the correlation is one moment fold. Every aggregate is an
+    exact integer/quarter in double (< 2^53), so the closed form is
+    bit-identical cross-engine."""
+    l = table(spark, sf, "lineitem").select("l_quantity", "l_discount")
+
+    def rank_table(col: str):
+        freq = l.groupBy(col).agg(F.count("*").alias("c"))
+        a, b = freq.alias("a"), freq.alias("b")
+        below = (
+            a.join(b, F.col(f"b.{col}") < F.col(f"a.{col}"), "left")
+            .groupBy(F.col(f"a.{col}").alias(col), F.col("a.c").alias("c"))
+            .agg(F.coalesce(F.sum("b.c"), F.lit(0)).alias("below"))
+        )
+        return below.select(
+            col, (F.col("below") + (F.col("c") + 1) / 2.0).alias(f"r_{col}")
+        )
+
+    ranked = l.join(
+        F.broadcast(rank_table("l_quantity")), "l_quantity"
+    ).join(F.broadcast(rank_table("l_discount")), "l_discount")
+    m = ranked.agg(
+        F.count("*").alias("n"),
+        F.sum("r_l_quantity").alias("sx"),
+        F.sum("r_l_discount").alias("sy"),
+        F.sum(F.col("r_l_quantity") * F.col("r_l_quantity")).alias("sxx"),
+        F.sum(F.col("r_l_discount") * F.col("r_l_discount")).alias("syy"),
+        F.sum(F.col("r_l_quantity") * F.col("r_l_discount")).alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return m.select(
+        F.col("n").cast("long").alias("n"),
+        F.round(num / den, 6).alias("spearman_rho"),
+    )
+
+
+ORACLES["spearman_qty_discount"] = """
+    WITH fq AS (
+        SELECT l_quantity AS v, COUNT(*) AS c FROM lineitem GROUP BY 1
+    ), rq AS (
+        SELECT a.v, a.c,
+               COALESCE(SUM(b.c), 0) + (a.c + 1) / 2.0 AS r
+        FROM fq a LEFT JOIN fq b ON b.v < a.v
+        GROUP BY a.v, a.c
+    ), fd AS (
+        SELECT l_discount AS v, COUNT(*) AS c FROM lineitem GROUP BY 1
+    ), rd AS (
+        SELECT a.v, a.c,
+               COALESCE(SUM(b.c), 0) + (a.c + 1) / 2.0 AS r
+        FROM fd a LEFT JOIN fd b ON b.v < a.v
+        GROUP BY a.v, a.c
+    ), ranked AS (
+        SELECT rq.r AS rx, rd.r AS ry
+        FROM lineitem l
+        JOIN rq ON rq.v = l.l_quantity
+        JOIN rd ON rd.v = l.l_discount
+    ), m AS (
+        SELECT COUNT(*) AS n, SUM(rx) AS sx, SUM(ry) AS sy,
+               SUM(rx * rx) AS sxx, SUM(ry * ry) AS syy,
+               SUM(rx * ry) AS sxy
+        FROM ranked
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           ROUND((n * sxy - sx * sy)
+                 / SQRT((n * sxx - sx * sx) * (n * syy - sy * sy)),
+                 6) AS spearman_rho
+    FROM m
+"""
+QUERIES["spearman_qty_discount"] = q_spearman_qty_discount
+
+
+def q_roc_auc_size(spark: SparkSession, sf: str) -> DataFrame:
+    """ROC AUC of p_size as a score for the part being above-median
+    retail price — the rank-sum (Mann-Whitney) identity with the
+    standard half-credit tie correction, computed ENTIRELY from the
+    50-row score-frequency table: AUC = sum_s pos(s) * (neg_below(s) +
+    neg_at(s)/2) / (P*N). No global sort, no per-row ranks; integer
+    arithmetic in double, bit-identical cross-engine."""
+    p = table(spark, sf, "part").select(
+        "p_size", (F.col("p_retailprice") > 950.0).alias("y")
+    )
+    freq = p.groupBy("p_size").agg(
+        F.count(F.when(F.col("y"), 1)).alias("pos"),
+        F.count(F.when(~F.col("y"), 1)).alias("neg"),
+    )
+    a, b = freq.alias("a"), freq.alias("b")
+    cum = (
+        a.join(b, F.col("b.p_size") < F.col("a.p_size"), "left")
+        .groupBy(
+            F.col("a.p_size").alias("p_size"),
+            F.col("a.pos").alias("pos"),
+            F.col("a.neg").alias("neg"),
+        )
+        .agg(F.coalesce(F.sum("b.neg"), F.lit(0)).alias("neg_below"))
+    )
+    agg = cum.agg(
+        F.sum("pos").alias("np"),
+        F.sum("neg").alias("nn"),
+        F.sum(
+            F.col("pos") * (F.col("neg_below") + F.col("neg") / 2.0)
+        ).alias("u"),
+    )
+    return agg.select(
+        F.col("np").cast("long").alias("n_pos"),
+        F.col("nn").cast("long").alias("n_neg"),
+        F.round(F.col("u") / (F.col("np") * F.col("nn")), 6).alias("auc"),
+    )
+
+
+ORACLES["roc_auc_size"] = """
+    WITH f AS (
+        SELECT p_size,
+               COUNT(*) FILTER (p_retailprice > 950.0) AS pos,
+               COUNT(*) FILTER (p_retailprice <= 950.0) AS neg
+        FROM part GROUP BY p_size
+    ), cum AS (
+        SELECT a.p_size, a.pos, a.neg,
+               COALESCE(SUM(b.neg), 0) AS neg_below
+        FROM f a LEFT JOIN f b ON b.p_size < a.p_size
+        GROUP BY a.p_size, a.pos, a.neg
+    )
+    SELECT CAST(SUM(pos) AS BIGINT) AS n_pos,
+           CAST(SUM(neg) AS BIGINT) AS n_neg,
+           ROUND(SUM(pos * (neg_below + neg / 2.0))
+                 / (SUM(pos) * SUM(neg)), 6) AS auc
+    FROM cum
+"""
+QUERIES["roc_auc_size"] = q_roc_auc_size
+
+
+def q_cramers_v_nation_segment(spark: SparkSession, sf: str) -> DataFrame:
+    """Cramér's V effect size for the nation × market-segment
+    association — the magnitude readout `chi2_nation_segment`'s test
+    statistic lacks (chi2 grows with n; V is normalized to [0, 1]).
+    Contingency cells, margins, and the closed form all live on the
+    <= 125-row aggregate; margins join back broadcast."""
+    c = table(spark, sf, "customer").join(
+        F.broadcast(table(spark, sf, "nation")),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+    )
+    cells = c.groupBy("n_name", "c_mktsegment").agg(
+        F.count("*").alias("o")
+    ).localCheckpoint(eager=False)  # <=125 rows, consumed by 4 subtrees
+    rm = cells.groupBy("n_name").agg(F.sum("o").alias("rm"))
+    cm = cells.groupBy("c_mktsegment").agg(F.sum("o").alias("cm"))
+    dims = (
+        rm.agg(F.count("*").alias("nr"))
+        .crossJoin(cm.agg(F.count("*").alias("nc")))
+        .crossJoin(cells.agg(F.sum("o").cast("double").alias("n")))
+    )
+    e = F.col("rm") * F.col("cm") / F.col("n")
+    chi2 = (
+        cells.join(F.broadcast(rm), "n_name")
+        .join(F.broadcast(cm), "c_mktsegment")
+        .crossJoin(F.broadcast(dims))
+        .groupBy("nr", "nc", "n")
+        .agg(F.sum((F.col("o") - e) * (F.col("o") - e) / e).alias("chi2"))
+    )
+    mindim = F.least("nr", "nc") - 1
+    return chi2.select(
+        F.round("chi2", 4).alias("chi2"),
+        ((F.col("nr") - 1) * (F.col("nc") - 1)).cast("long").alias("dof"),
+        F.round(
+            F.sqrt(F.col("chi2") / (F.col("n") * mindim)), 6
+        ).alias("cramers_v"),
+    )
+
+
+ORACLES["cramers_v_nation_segment"] = """
+    WITH cells AS (
+        SELECT n_name, c_mktsegment, COUNT(*) AS o
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name, c_mktsegment
+    ), rm AS (SELECT n_name, SUM(o) AS rm FROM cells GROUP BY n_name),
+    cm AS (SELECT c_mktsegment, SUM(o) AS cm FROM cells GROUP BY c_mktsegment),
+    tot AS (SELECT SUM(o) AS n FROM cells),
+    chi AS (
+        SELECT SUM((o - rm * cm / n) * (o - rm * cm / n)
+                   / (rm * cm / n)) AS chi2,
+               (SELECT COUNT(*) FROM rm) AS nr,
+               (SELECT COUNT(*) FROM cm) AS nc,
+               ANY_VALUE(n) AS n
+        FROM cells JOIN rm USING (n_name) JOIN cm USING (c_mktsegment)
+        CROSS JOIN tot
+    )
+    SELECT ROUND(chi2, 4) AS chi2,
+           CAST((nr - 1) * (nc - 1) AS BIGINT) AS dof,
+           ROUND(SQRT(chi2 / (n * (LEAST(nr, nc) - 1))), 6) AS cramers_v
+    FROM chi
+"""
+QUERIES["cramers_v_nation_segment"] = q_cramers_v_nation_segment

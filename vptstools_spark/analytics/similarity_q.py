@@ -988,3 +988,85 @@ ORACLES["mahalanobis_outliers"] = """
 """
 
 QUERIES["mahalanobis_outliers"] = q_mahalanobis_outliers
+
+
+# ---------------------------------------------------------------- round 7
+
+
+def q_silhouette_labels(spark: SparkSession, sf: str) -> DataFrame:
+    """Centroid-silhouette per label over the embeddings table: for each
+    vector, a = distance to its own label centroid, b = min distance to
+    any other centroid, s = (b - a)/max(a, b); report the per-label mean
+    (the simplified silhouette used at scale — exact pairwise silhouette
+    is O(n²) and buys little for cluster QA). Centroids are a
+    (label x dim)-sized aggregate rebuilt into arrays; every join after
+    the one embedding fold is label-count-bounded and broadcast."""
+    e = table(spark, sf, "embeddings").select(
+        "vec_id", "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    dims = e.select(
+        "label", F.posexplode("v").alias("i", "x")
+    ).groupBy("label", "i").agg(F.avg("x").alias("m"))
+    cents = dims.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "m"))), lambda s: s.m
+        ).alias("cent")
+    )
+    sq = F.sqrt(
+        F.aggregate(
+            F.zip_with("v", "cent", lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        )
+    )
+    own = e.join(F.broadcast(cents), "label").select(
+        "vec_id", "label", sq.alias("a")
+    )
+    other = (
+        e.join(
+            F.broadcast(cents.withColumnsRenamed({"label": "label2"})),
+            F.col("label") != F.col("label2"),
+        )
+        .select("vec_id", "label", sq.alias("d"))
+        .groupBy("vec_id", "label")
+        .agg(F.min("d").alias("b"))
+    )
+    s = (F.col("b") - F.col("a")) / F.greatest("a", "b")
+    return (
+        own.join(other, ["vec_id", "label"])
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg(s), 4).alias("mean_silhouette"),
+        )
+        .orderBy("label")
+    )
+
+
+ORACLES["silhouette_labels"] = """
+    WITH pt AS (
+        -- parallel UNNESTs zip positionally in DuckDB (no WITH ORDINALITY)
+        SELECT vec_id, label, UNNEST(embedding) AS x,
+               UNNEST(GENERATE_SERIES(1, len(embedding))) AS i
+        FROM embeddings
+    ), cent AS (
+        SELECT label AS clabel, i, AVG(CAST(x AS DOUBLE)) AS m
+        FROM pt GROUP BY label, i
+    ), dists AS (
+        SELECT pt.vec_id, pt.label, cent.clabel,
+               SQRT(SUM((CAST(pt.x AS DOUBLE) - cent.m)
+                        * (CAST(pt.x AS DOUBLE) - cent.m))) AS d
+        FROM pt JOIN cent ON cent.i = pt.i
+        GROUP BY pt.vec_id, pt.label, cent.clabel
+    ), ab AS (
+        SELECT vec_id, label,
+               MIN(CASE WHEN clabel = label THEN d END) AS a,
+               MIN(CASE WHEN clabel <> label THEN d END) AS b
+        FROM dists GROUP BY vec_id, label
+    )
+    SELECT label, COUNT(*) AS n,
+           ROUND(AVG((b - a) / GREATEST(a, b)), 4) AS mean_silhouette
+    FROM ab GROUP BY label ORDER BY label
+"""
+QUERIES["silhouette_labels"] = q_silhouette_labels

@@ -438,3 +438,159 @@ ORACLES["mann_kendall"] = """
 """
 
 QUERIES["mann_kendall"] = q_mann_kendall
+
+
+# ---------------------------------------------------------------- round 7
+
+
+def q_acf_daily_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """Autocorrelation of daily order revenue at lags 1, 2, 7, 14 —
+    the seasonality probe (a weekly cycle shows as a lag-7 peak). The
+    fact folds ONCE to the ~2400-row day table; each lag is an equi-join
+    of that bounded table against its date-shifted self, and the Pearson
+    r per lag is one moment fold. No event-scale window, no global
+    sort."""
+    o = table(spark, sf, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum("o_totalprice").alias("rev")
+    ).localCheckpoint(eager=False)  # day-count-sized, consumed per lag
+    lags = spark.createDataFrame([(1,), (2,), (7,), (14,)], "lag int")
+    a = daily.crossJoin(F.broadcast(lags)).select(
+        "lag", F.date_add("day", F.col("lag")).alias("day"),
+        F.col("rev").alias("x"),
+    )
+    b = daily.select("day", F.col("rev").alias("y"))
+    pairs = a.join(b, "day")
+    m = pairs.groupBy("lag").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return m.select(
+        "lag", F.col("n").cast("long").alias("n_pairs"),
+        F.round(num / den, 6).alias("acf"),
+    ).orderBy("lag")
+
+
+ORACLES["acf_daily_revenue"] = """
+    WITH daily AS (
+        SELECT date_trunc('day', o_orderdate) AS day,
+               SUM(o_totalprice) AS rev
+        FROM orders GROUP BY 1
+    ), lags AS (SELECT UNNEST([1, 2, 7, 14]) AS lag),
+    pairs AS (
+        SELECT l.lag, a.rev AS x, b.rev AS y
+        FROM daily a CROSS JOIN lags l
+        JOIN daily b ON b.day = a.day + l.lag * INTERVAL 1 DAY
+    ), m AS (
+        SELECT lag, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+               SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+        FROM pairs GROUP BY lag
+    )
+    SELECT lag, CAST(n AS BIGINT) AS n_pairs,
+           ROUND((n * sxy - sx * sy)
+                 / SQRT((n * sxx - sx * sx) * (n * syy - sy * sy)),
+                 6) AS acf
+    FROM m ORDER BY lag
+"""
+QUERIES["acf_daily_revenue"] = q_acf_daily_revenue
+
+
+def q_seasonal_strength(spark: SparkSession, sf: str) -> DataFrame:
+    """Seasonal-strength decomposition of monthly revenue: the share of
+    month-level variance explained by the month-of-year means (ANOVA
+    identity SSB/SST on the ~80-row month table grouped into 12
+    calendar months). Bounded end to end after the one monthly fold."""
+    o = table(spark, sf, "orders")
+    monthly = o.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("m")
+    ).agg(F.sum("o_totalprice").alias("rev"))
+    g = monthly.select(F.month("m").alias("moy"), "rev").groupBy("moy").agg(
+        F.count("*").alias("n"), F.sum("rev").alias("s"),
+        F.sum(F.col("rev") * F.col("rev")).alias("q"),
+    )
+    tot = g.agg(
+        F.sum("n").alias("nn"), F.sum("s").alias("ss"),
+        F.sum("q").alias("qq"),
+        F.sum(F.col("s") * F.col("s") / F.col("n")).alias("sb"),
+    )
+    sst = F.col("qq") - F.col("ss") * F.col("ss") / F.col("nn")
+    ssb = F.col("sb") - F.col("ss") * F.col("ss") / F.col("nn")
+    return tot.select(
+        F.col("nn").cast("long").alias("n_months"),
+        F.round(ssb / sst, 6).alias("seasonal_strength"),
+    )
+
+
+ORACLES["seasonal_strength"] = """
+    WITH monthly AS (
+        SELECT date_trunc('month', o_orderdate) AS m,
+               SUM(o_totalprice) AS rev
+        FROM orders GROUP BY 1
+    ), g AS (
+        SELECT month(m) AS moy, COUNT(*) AS n, SUM(rev) AS s,
+               SUM(rev * rev) AS q
+        FROM monthly GROUP BY 1
+    ), tot AS (
+        SELECT SUM(n) AS nn, SUM(s) AS ss, SUM(q) AS qq,
+               SUM(s * s / n) AS sb
+        FROM g
+    )
+    SELECT CAST(nn AS BIGINT) AS n_months,
+           ROUND((sb - ss * ss / nn) / (qq - ss * ss / nn), 6)
+               AS seasonal_strength
+    FROM tot
+"""
+QUERIES["seasonal_strength"] = q_seasonal_strength
+
+
+def q_mad_outlier_days(spark: SparkSession, sf: str) -> DataFrame:
+    """Robust outlier days of daily revenue: |rev - median| >
+    3 * 1.4826 * MAD, the median/MAD twin of the z-score rule (immune
+    to the outliers it hunts). Medians are exact interpolated
+    percentiles over the ~2400-row day table (bounded, never
+    event-scale); emits the count plus the top 5 days by deviation."""
+    o = table(spark, sf, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum("o_totalprice").alias("rev")
+    ).localCheckpoint(eager=False)
+    med = daily.agg(F.expr("percentile(rev, 0.5)").alias("med"))
+    dev = daily.crossJoin(F.broadcast(med)).select(
+        "day", "rev", F.abs(F.col("rev") - F.col("med")).alias("d"), "med"
+    )
+    mad = dev.agg(F.expr("percentile(d, 0.5)").alias("mad"))
+    flagged = dev.crossJoin(F.broadcast(mad)).filter(
+        F.col("d") > 3 * 1.4826 * F.col("mad")
+    )
+    return flagged.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.round("rev", 2).alias("rev"),
+        F.round(F.col("d") / (1.4826 * F.col("mad")), 4).alias(
+            "robust_z"
+        ),
+    ).orderBy(F.col("robust_z").desc(), "day").limit(5)
+
+
+ORACLES["mad_outlier_days"] = """
+    WITH daily AS (
+        SELECT date_trunc('day', o_orderdate) AS day,
+               SUM(o_totalprice) AS rev
+        FROM orders GROUP BY 1
+    ), med AS (SELECT QUANTILE_CONT(rev, 0.5) AS med FROM daily),
+    dev AS (
+        SELECT day, rev, ABS(rev - med) AS d FROM daily CROSS JOIN med
+    ), mad AS (SELECT QUANTILE_CONT(d, 0.5) AS mad FROM dev)
+    SELECT strftime(day, '%Y-%m-%d') AS day, ROUND(rev, 2) AS rev,
+           ROUND(d / (1.4826 * mad), 4) AS robust_z
+    FROM dev CROSS JOIN mad
+    WHERE d > 3 * 1.4826 * mad
+    ORDER BY robust_z DESC, day LIMIT 5
+"""
+QUERIES["mad_outlier_days"] = q_mad_outlier_days
