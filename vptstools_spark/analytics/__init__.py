@@ -74,6 +74,12 @@ NEW_THIS_ROUND = [
     "modularity_regions",
     "hapax_ratio",
     "silhouette_labels",
+    # round 7, second batch
+    "lang_entropy_by_source",
+    "weekday_revenue_effect",
+    "priority_mix_shift",
+    "holt_forecast_revenue",
+    "knn_label_accuracy",
     # round 6, fifth batch
     "ab_test_welch",
     "kaplan_meier",

@@ -955,3 +955,36 @@ ORACLES["hapax_ratio"] = """
     FROM wc GROUP BY source ORDER BY source
 """
 QUERIES["hapax_ratio"] = q_hapax_ratio
+
+
+def q_lang_entropy_by_source(spark: SparkSession, sf: str) -> DataFrame:
+    """Shannon entropy (nats) of each source's language mix — the
+    diversity number a corpus-mixture report pairs with the share table
+    (H = 0: monolingual source; ln(k): uniform over k languages). One
+    fold to (source, lang) counts; entropy is a closed form over that
+    bounded table with per-source totals joined back broadcast."""
+    d = table(spark, sf, "documents")
+    cells = d.groupBy("source", "lang").agg(F.count("*").alias("c"))
+    tot = cells.groupBy("source").agg(F.sum("c").alias("n"))
+    p = F.col("c") / F.col("n")
+    return (
+        cells.join(F.broadcast(tot), "source")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_langs"),
+            F.round(-F.sum(p * F.log(p)), 6).alias("entropy_nats"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLES["lang_entropy_by_source"] = """
+    WITH cells AS (
+        SELECT source, lang, COUNT(*) AS c FROM documents GROUP BY 1, 2
+    ), tot AS (SELECT source, SUM(c) AS n FROM cells GROUP BY source)
+    SELECT source, COUNT(*) AS n_langs,
+           ROUND(-SUM((c * 1.0 / n) * LN(c * 1.0 / n)), 6) AS entropy_nats
+    FROM cells JOIN tot USING (source)
+    GROUP BY source ORDER BY source
+"""
+QUERIES["lang_entropy_by_source"] = q_lang_entropy_by_source

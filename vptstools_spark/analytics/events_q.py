@@ -3198,15 +3198,22 @@ QUERIES["gap_histogram"] = q_gap_histogram
 def q_pareto_users(spark: SparkSession, sf: str) -> DataFrame:
     """Value concentration: share of total event value contributed by
     each user-decile (deciles over per-user totals, ordered total desc
-    with user-id tiebreak so ntile is deterministic). The global sort is
-    DIMENSION-sized (one row per user), never event-sized."""
-    from pyspark.sql import Window
+    with user-id tiebreak so the assignment is deterministic). Even
+    though the input is dimension-sized (one row per user), the decile
+    comes from `plans/ranking.py`'s range-partitioned global row number
+    + the exact NTILE bucket rule — never a single-partition window
+    (registry convention; bit-identical to NTILE(10) OVER at any
+    scale)."""
+    from vptstools_spark.plans.ranking import distributed_row_number, ntile_expr
 
     e = table(spark, sf, "events")
     per_user = e.groupBy("user_id").agg(F.sum("value").alias("tot"))
-    w = Window.orderBy(F.col("tot").desc(), "user_id")
-    deciles = per_user.select(
-        "tot", F.ntile(10).over(w).alias("decile")
+    ranked = distributed_row_number(
+        per_user.withColumn("_neg", -F.col("tot")), ["_neg", "user_id"]
+    )
+    n = ranked.count()
+    deciles = ranked.select(
+        "tot", ntile_expr(F.col("_rn"), n, 10).alias("decile")
     )
     g = deciles.groupBy("decile").agg(
         F.count("*").alias("n_users"), F.sum("tot").alias("v")
@@ -3346,35 +3353,48 @@ def q_gains_table(spark: SparkSession, sf: str) -> DataFrame:
     """Cumulative-gains table over customers scored by total spend:
     decile (spend desc, custkey tiebreak) -> cumulative share of
     revenue and of customers — the 'top 20% of customers drive X% of
-    revenue' readout. Global sort is customer-dimension-sized; the
-    cumulative window runs over 10 rows."""
+    revenue' readout. Deciles via the range-partitioned global row
+    number + exact NTILE rule (`plans/ranking.py` — no single-partition
+    window even on the dimension-sized input); the cumulative window
+    runs over 10 rows."""
     from pyspark.sql import Window
+
+    from vptstools_spark.plans.ranking import distributed_row_number, ntile_expr
 
     o = table(spark, sf, "orders")
     per_c = o.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("spend"))
-    w = Window.orderBy(F.col("spend").desc(), "o_custkey")
+    ranked = distributed_row_number(
+        per_c.withColumn("_neg", -F.col("spend")), ["_neg", "o_custkey"]
+    )
+    n = ranked.count()
     g = (
-        per_c.select("spend", F.ntile(10).over(w).alias("decile"))
+        ranked.select("spend", ntile_expr(F.col("_rn"), n, 10).alias("decile"))
         .groupBy("decile")
         .agg(F.count("*").alias("n_cust"), F.sum("spend").alias("v"))
     )
     tot = g.agg(
         F.sum("v").alias("tv"), F.sum("n_cust").alias("tc")
     )
-    wcum = Window.orderBy("decile").rowsBetween(
-        Window.unboundedPreceding, 0
+    # cumulative sums via a triangular self-join on the 10-row decile
+    # table (no global window, even a provably-tiny one — the registry
+    # convention is zero single-partition Window nodes, and Catalyst
+    # cannot prove the groupBy output is <= 10 rows)
+    a, b = g.alias("a"), g.alias("b")
+    cum = (
+        a.join(F.broadcast(b), F.col("b.decile") <= F.col("a.decile"))
+        .groupBy(
+            F.col("a.decile").alias("decile"),
+            F.col("a.n_cust").alias("n_cust"),
+        )
+        .agg(F.sum("b.v").alias("cv"), F.sum("b.n_cust").alias("cc"))
     )
     return (
-        g.crossJoin(F.broadcast(tot))
+        cum.crossJoin(F.broadcast(tot))
         .select(
             "decile",
             "n_cust",
-            F.round(
-                F.sum("v").over(wcum) / F.col("tv"), 6
-            ).alias("cum_revenue_share"),
-            F.round(
-                F.sum("n_cust").over(wcum) / F.col("tc"), 6
-            ).alias("cum_customer_share"),
+            F.round(F.col("cv") / F.col("tv"), 6).alias("cum_revenue_share"),
+            F.round(F.col("cc") / F.col("tc"), 6).alias("cum_customer_share"),
         )
         .orderBy("decile")
     )

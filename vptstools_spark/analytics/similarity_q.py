@@ -1070,3 +1070,81 @@ ORACLES["silhouette_labels"] = """
     FROM ab GROUP BY label ORDER BY label
 """
 QUERIES["silhouette_labels"] = q_silhouette_labels
+
+
+def q_knn_label_accuracy(spark: SparkSession, sf: str) -> DataFrame:
+    """Leave-one-out 1-NN label accuracy on a fixed 100-vector probe set
+    — the embedding-quality smoke number (a collapsed or shuffled
+    embedding space scores at chance). Probe x corpus is a bounded
+    nested-loop (100 rows broadcast against the fan-out corpus);
+    distances are a JVM zip_with fold; the argmin is a struct-MIN with
+    (rounded distance, vec_id) tiebreak so near-tie neighbors resolve
+    identically cross-engine."""
+    e = table(spark, sf, "embeddings").select(
+        "vec_id", "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    probes = e.filter(F.col("vec_id") < 100).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("q_label"),
+        F.col("v").alias("q_v"),
+    )
+    d2 = F.aggregate(
+        F.zip_with("q_v", "v", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+    best = (
+        fan_out(e)
+        .join(F.broadcast(probes), F.col("q_id") != F.col("vec_id"))
+        .groupBy("q_id", "q_label")
+        .agg(
+            F.min(
+                F.struct(
+                    F.round(d2, 6).alias("d"),
+                    F.col("vec_id").alias("n_id"),
+                    F.col("label").alias("n_label"),
+                )
+            ).alias("nn")
+        )
+    )
+    return best.agg(
+        F.count("*").alias("n_probes"),
+        F.sum(
+            (F.col("q_label") == F.col("nn.n_label")).cast("int")
+        ).cast("long").alias("n_correct"),
+        F.round(
+            F.avg((F.col("q_label") == F.col("nn.n_label")).cast("double")),
+            6,
+        ).alias("accuracy"),
+    )
+
+
+ORACLES["knn_label_accuracy"] = """
+    WITH e AS (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ), probes AS (
+        SELECT vec_id AS q_id, label AS q_label, v AS q_v
+        FROM e WHERE vec_id < 100
+    ), pairs AS (
+        SELECT q_id, q_label, e.vec_id AS n_id, e.label AS n_label,
+               ROUND(list_sum(list_transform(
+                   list_zip(q_v, e.v),
+                   t -> (t[1] - t[2]) * (t[1] - t[2]))), 6) AS d
+        FROM probes JOIN e ON e.vec_id <> q_id
+    ), best AS (
+        SELECT q_id, q_label,
+               MIN(struct_pack(d := d, n_id := n_id, n_label := n_label))
+                   AS nn
+        FROM pairs GROUP BY q_id, q_label
+    )
+    SELECT COUNT(*) AS n_probes,
+           CAST(SUM(CASE WHEN q_label = nn.n_label THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct,
+           ROUND(AVG(CASE WHEN q_label = nn.n_label
+                          THEN 1.0 ELSE 0.0 END), 6) AS accuracy
+    FROM best
+"""
+QUERIES["knn_label_accuracy"] = q_knn_label_accuracy

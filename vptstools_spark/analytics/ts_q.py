@@ -594,3 +594,174 @@ ORACLES["mad_outlier_days"] = """
     ORDER BY robust_z DESC, day LIMIT 5
 """
 QUERIES["mad_outlier_days"] = q_mad_outlier_days
+
+
+def q_weekday_revenue_effect(spark: SparkSession, sf: str) -> DataFrame:
+    """Day-of-week revenue index: each weekday's average daily revenue
+    relative to the overall daily average (index 1.0 = no weekday
+    effect) — the first decomposition a demand forecaster checks. Folds
+    to the bounded day table, then a 7-row aggregate; weekday names via
+    full-date formatting so both engines agree on locale-free English
+    names."""
+    o = table(spark, sf, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum("o_totalprice").alias("rev")
+    )
+    byd = daily.groupBy(F.date_format("day", "EEEE").alias("weekday")).agg(
+        F.count("*").alias("n_days"),
+        (F.sum("rev") / F.count("*")).alias("avg_rev"),
+    )
+    overall = byd.agg(
+        (F.sum(F.col("avg_rev") * F.col("n_days")) / F.sum("n_days")).alias(
+            "g"
+        )
+    )
+    return (
+        byd.crossJoin(F.broadcast(overall))
+        .select(
+            "weekday",
+            "n_days",
+            F.round("avg_rev", 2).alias("avg_rev"),
+            F.round(F.col("avg_rev") / F.col("g"), 6).alias("index"),
+        )
+        .orderBy("weekday")
+    )
+
+
+ORACLES["weekday_revenue_effect"] = """
+    WITH daily AS (
+        SELECT date_trunc('day', o_orderdate) AS day,
+               SUM(o_totalprice) AS rev
+        FROM orders GROUP BY 1
+    ), byd AS (
+        SELECT dayname(day) AS weekday, COUNT(*) AS n_days,
+               SUM(rev) / COUNT(*) AS avg_rev
+        FROM daily GROUP BY 1
+    ), overall AS (
+        SELECT SUM(avg_rev * n_days) / SUM(n_days) AS g FROM byd
+    )
+    SELECT weekday, n_days, ROUND(avg_rev, 2) AS avg_rev,
+           ROUND(avg_rev / g, 6) AS index
+    FROM byd CROSS JOIN overall ORDER BY weekday
+"""
+QUERIES["weekday_revenue_effect"] = q_weekday_revenue_effect
+
+
+def q_priority_mix_shift(spark: SparkSession, sf: str) -> DataFrame:
+    """Composition drift: each order priority's share of orders per
+    year, with the delta vs that priority's FIRST-year share — the
+    mix-shift readout behind 'did our order mix change'. Year x priority
+    is a bounded aggregate; shares and first-year anchors are windows
+    over <= 40 rows."""
+    from pyspark.sql import Window
+
+    o = table(spark, sf, "orders")
+    g = o.groupBy(
+        F.year("o_orderdate").alias("yr"),
+        F.col("o_orderpriority").alias("priority"),
+    ).agg(F.count("*").alias("n"))
+    wy = Window.partitionBy("yr")
+    wp = Window.partitionBy("priority").orderBy("yr")
+    shares = g.select(
+        "yr", "priority",
+        (F.col("n") / F.sum("n").over(wy)).alias("share"),
+    )
+    return shares.select(
+        "yr", "priority",
+        F.round("share", 6).alias("share"),
+        F.round(
+            F.col("share") - F.first("share").over(wp), 6
+        ).alias("delta_vs_first_year"),
+    ).orderBy("yr", "priority")
+
+
+ORACLES["priority_mix_shift"] = """
+    WITH g AS (
+        SELECT year(o_orderdate) AS yr, o_orderpriority AS priority,
+               COUNT(*) AS n
+        FROM orders GROUP BY 1, 2
+    ), shares AS (
+        SELECT yr, priority,
+               n * 1.0 / SUM(n) OVER (PARTITION BY yr) AS share
+        FROM g
+    )
+    SELECT yr, priority, ROUND(share, 6) AS share,
+           ROUND(share - FIRST_VALUE(share) OVER (
+                   PARTITION BY priority ORDER BY yr), 6)
+               AS delta_vs_first_year
+    FROM shares ORDER BY yr, priority
+"""
+QUERIES["priority_mix_shift"] = q_priority_mix_shift
+
+
+def q_holt_forecast_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """Holt's linear-trend one-step-ahead forecast of monthly revenue
+    (alpha = beta = 0.5 — exact binary fractions, so the sequential
+    fold is bit-identical cross-engine): level/trend fold over the
+    ~80-row ordered month table inside ONE JVM aggregate expression —
+    iteration cost independent of fact size, the same explicit-fold
+    discipline as `ewma_revenue`. Emits the final level, trend, and the
+    next-month forecast."""
+    o = table(spark, sf, "orders")
+    monthly = o.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("m")
+    ).agg(F.sum("o_totalprice").alias("rev"))
+    arr = monthly.agg(
+        F.array_sort(F.collect_list(F.struct("m", "rev"))).alias("xs")
+    )
+    # fold state (level, trend, n): seeded from the first observation
+    # (level = x0, trend = 0); for each next x:
+    #   level' = a*x + (1-a)*(level + trend); trend' = b*(level' - level)
+    #   + (1-b)*trend
+    fold = F.expr(
+        """
+        aggregate(
+            slice(xs, 2, size(xs) - 1),
+            struct(xs[0].rev AS l, cast(0.0 AS double) AS b),
+            (acc, x) -> struct(
+                0.5D * x.rev + 0.5D * (acc.l + acc.b) AS l,
+                0.5D * ((0.5D * x.rev + 0.5D * (acc.l + acc.b)) - acc.l)
+                    + 0.5D * acc.b AS b
+            )
+        )
+        """
+    )
+    return arr.select(
+        F.size("xs").alias("n_months"),
+        F.round(fold.getField("l"), 2).alias("level"),
+        F.round(fold.getField("b"), 2).alias("trend"),
+        F.round(
+            fold.getField("l") + fold.getField("b"), 2
+        ).alias("forecast_next"),
+    )
+
+
+ORACLES["holt_forecast_revenue"] = """
+    WITH monthly AS (
+        SELECT date_trunc('month', o_orderdate) AS m,
+               SUM(o_totalprice) AS rev
+        FROM orders GROUP BY 1
+    ), arr AS (
+        SELECT list(rev ORDER BY m) AS xs FROM monthly
+    ), fold AS (
+        -- state rides as [level, trend]: the list lift (SNIPPETS-style)
+        -- because a struct_pack accumulator mis-binds acc fields inside
+        -- DuckDB's list_reduce lambda (verified: trend comes back wrong
+        -- while the same fold over a 2-list is exact)
+        SELECT len(xs) AS n_months,
+               list_reduce(
+                   list_transform(xs, x -> [CAST(x AS DOUBLE),
+                                            CAST(0.0 AS DOUBLE)]),
+                   (acc, e) -> [
+                       0.5 * e[1] + 0.5 * (acc[1] + acc[2]),
+                       0.5 * ((0.5 * e[1] + 0.5 * (acc[1] + acc[2]))
+                              - acc[1]) + 0.5 * acc[2]
+                   ]
+               ) AS st
+        FROM arr
+    )
+    SELECT n_months, ROUND(st[1], 2) AS level, ROUND(st[2], 2) AS trend,
+           ROUND(st[1] + st[2], 2) AS forecast_next
+    FROM fold
+"""
+QUERIES["holt_forecast_revenue"] = q_holt_forecast_revenue
