@@ -590,11 +590,15 @@ def sssp_bounded(
     e = edges.select(
         F.col(src).alias("u"), F.col(dst).alias("v"), F.col(weight).alias("w")
     )
-    if e.filter(F.col("w") < 0).limit(1).count() > 0:
-        raise ValueError("sssp_bounded requires non-negative weights")
     # parallel edges collapse to their cheapest — fewer rows per round
     e = e.groupBy("u", "v").agg(F.min("w").alias("w"))
     e = e.localCheckpoint(eager=True)
+    # guard AFTER the checkpoint: probing the raw lineage would execute
+    # the (possibly expensive) upstream edge derivation a whole extra
+    # time just for the sign check — on the cached collapsed edges it is
+    # one cheap scan
+    if e.filter(F.col("w") < 0).limit(1).count() > 0:
+        raise ValueError("sssp_bounded requires non-negative weights")
     dist = (
         sources.select("node")
         .distinct()
