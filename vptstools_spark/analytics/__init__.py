@@ -80,6 +80,10 @@ NEW_THIS_ROUND = [
     "priority_mix_shift",
     "holt_forecast_revenue",
     "knn_label_accuracy",
+    # round 7, third batch
+    "kendall_tau_b",
+    "cochran_armitage_trend",
+    "isotonic_calibration",
     # round 6, fifth batch
     "ab_test_welch",
     "kaplan_meier",

@@ -3421,3 +3421,78 @@ ORACLES["gains_table"] = """
     FROM g ORDER BY decile
 """
 QUERIES["gains_table"] = q_gains_table
+
+
+def q_isotonic_calibration(spark: SparkSession, sf: str) -> DataFrame:
+    """Isotonic regression of purchase rate on the value-decile score —
+    the PAV-calibrated (monotone non-decreasing) rate the raw
+    `calibration_curve` cannot promise. Uses the minimax identity
+    iso(i) = max_{j<=i} min_{k>=i} wmean(y[j..k]) instead of the
+    sequential pool-adjacent-violators stack: with 10 fixed bins all 55
+    intervals and both extrema are bounded triangular joins — fully
+    declarative, no fold, and every weighted mean is a ratio of exact
+    integer sums, so the min/max decisions are bit-identical
+    cross-engine."""
+    e = table(spark, sf, "events")
+    bins = e.select(
+        F.least(F.floor(F.col("value") / 10.0), F.lit(9))
+        .cast("int").alias("bin"),
+        (F.col("event_type") == "purchase").cast("long").alias("y"),
+    ).groupBy("bin").agg(
+        F.count("*").alias("n"), F.sum("y").alias("sy")
+    ).localCheckpoint(eager=False)
+    j = bins.select(F.col("bin").alias("j"))
+    k = bins.select(F.col("bin").alias("k"))
+    m = bins.select(F.col("bin").alias("m"), "n", "sy")
+    intervals = (
+        j.join(F.broadcast(k), F.col("j") <= F.col("k"))
+        .join(
+            F.broadcast(m),
+            (F.col("m") >= F.col("j")) & (F.col("m") <= F.col("k")),
+        )
+        .groupBy("j", "k")
+        .agg((F.sum("sy") / F.sum("n")).alias("wmean"))
+    )
+    i = bins.select("bin", "n", (F.col("sy") / F.col("n")).alias("raw_rate"))
+    iso = (
+        i.join(
+            F.broadcast(intervals),
+            (F.col("j") <= F.col("bin")) & (F.col("k") >= F.col("bin")),
+        )
+        .groupBy("bin", "n", "raw_rate", "j")
+        .agg(F.min("wmean").alias("mn"))
+        .groupBy("bin", "n", "raw_rate")
+        .agg(F.max("mn").alias("iso"))
+    )
+    return iso.select(
+        "bin",
+        "n",
+        F.round("raw_rate", 6).alias("raw_rate"),
+        F.round("iso", 6).alias("iso_rate"),
+    ).orderBy("bin")
+
+
+ORACLES["isotonic_calibration"] = """
+    WITH bins AS (
+        SELECT CAST(LEAST(FLOOR(value / 10.0), 9) AS INT) AS bin,
+               COUNT(*) AS n,
+               SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS sy
+        FROM events GROUP BY 1
+    ), intervals AS (
+        SELECT j.bin AS j, k.bin AS k,
+               SUM(m.sy) * 1.0 / SUM(m.n) AS wmean
+        FROM bins j
+        JOIN bins k ON j.bin <= k.bin
+        JOIN bins m ON m.bin BETWEEN j.bin AND k.bin
+        GROUP BY j.bin, k.bin
+    ), mins AS (
+        SELECT b.bin, b.n, b.sy * 1.0 / b.n AS raw_rate, i.j,
+               MIN(i.wmean) AS mn
+        FROM bins b JOIN intervals i ON i.j <= b.bin AND i.k >= b.bin
+        GROUP BY b.bin, b.n, b.sy, i.j
+    )
+    SELECT bin, n, ROUND(raw_rate, 6) AS raw_rate,
+           ROUND(MAX(mn), 6) AS iso_rate
+    FROM mins GROUP BY bin, n, raw_rate ORDER BY bin
+"""
+QUERIES["isotonic_calibration"] = q_isotonic_calibration

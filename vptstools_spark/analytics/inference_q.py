@@ -866,3 +866,136 @@ ORACLES["cramers_v_nation_segment"] = """
     FROM chi
 """
 QUERIES["cramers_v_nation_segment"] = q_cramers_v_nation_segment
+
+
+def q_kendall_tau_b(spark: SparkSession, sf: str) -> DataFrame:
+    """Kendall tau-b between l_quantity and l_discount — the
+    concordance twin of `spearman_qty_discount`, with the tie
+    correction both variables need (50 and 11 distinct values).
+    Everything computes from the 550-cell JOINT frequency table:
+    concordant/discordant pair counts are one bounded self-join of that
+    table (cells x cells, never rows x rows), marginal tie terms fold
+    from the margins, and the closed form casts to double before the
+    ~1e22 denominator product (long would overflow at sf0.1+)."""
+    l = table(spark, sf, "lineitem")
+    cells = l.groupBy(
+        F.col("l_quantity").alias("q"), F.col("l_discount").alias("d")
+    ).agg(F.count("*").alias("f")).localCheckpoint(eager=False)
+    a, b = cells.alias("a"), cells.alias("b")
+    conc = (
+        a.join(
+            F.broadcast(b),
+            (F.col("b.q") > F.col("a.q")) & (F.col("b.d") > F.col("a.d")),
+        )
+        .agg(F.sum(F.col("a.f") * F.col("b.f")).alias("c"))
+    )
+    disc = (
+        a.join(
+            F.broadcast(b),
+            (F.col("b.q") > F.col("a.q")) & (F.col("b.d") < F.col("a.d")),
+        )
+        .agg(F.sum(F.col("a.f") * F.col("b.f")).alias("d"))
+    )
+    n_tot = cells.agg(F.sum("f").alias("n"))
+    tq = (
+        cells.groupBy("q").agg(F.sum("f").alias("t"))
+        .agg(F.sum(F.col("t") * (F.col("t") - 1) / 2).alias("n1"))
+    )
+    td = (
+        cells.groupBy("d").agg(F.sum("f").alias("t"))
+        .agg(F.sum(F.col("t") * (F.col("t") - 1) / 2).alias("n2"))
+    )
+    j = (
+        conc.crossJoin(disc).crossJoin(n_tot).crossJoin(tq).crossJoin(td)
+    )
+    n0 = (F.col("n").cast("double") * (F.col("n") - 1)) / 2.0
+    tau = (F.col("c") - F.col("d")).cast("double") / F.sqrt(
+        (n0 - F.col("n1")) * (n0 - F.col("n2"))
+    )
+    return j.select(
+        F.col("c").cast("long").alias("concordant"),
+        F.col("d").cast("long").alias("discordant"),
+        F.round(tau, 6).alias("kendall_tau_b"),
+    )
+
+
+ORACLES["kendall_tau_b"] = """
+    WITH cells AS (
+        SELECT l_quantity AS q, l_discount AS d, COUNT(*) AS f
+        FROM lineitem GROUP BY 1, 2
+    ), conc AS (
+        SELECT SUM(a.f * b.f) AS c
+        FROM cells a JOIN cells b ON b.q > a.q AND b.d > a.d
+    ), disc AS (
+        SELECT SUM(a.f * b.f) AS d
+        FROM cells a JOIN cells b ON b.q > a.q AND b.d < a.d
+    ), n_tot AS (SELECT SUM(f) AS n FROM cells),
+    tq AS (SELECT SUM(t * (t - 1) / 2) AS n1
+           FROM (SELECT SUM(f) AS t FROM cells GROUP BY q)),
+    td AS (SELECT SUM(t * (t - 1) / 2) AS n2
+           FROM (SELECT SUM(f) AS t FROM cells GROUP BY d))
+    SELECT CAST(c AS BIGINT) AS concordant,
+           CAST(d AS BIGINT) AS discordant,
+           ROUND(CAST(c - d AS DOUBLE)
+                 / SQRT((CAST(n AS DOUBLE) * (n - 1) / 2.0 - n1)
+                        * (CAST(n AS DOUBLE) * (n - 1) / 2.0 - n2)),
+                 6) AS kendall_tau_b
+    FROM conc, disc, n_tot, tq, td
+"""
+QUERIES["kendall_tau_b"] = q_kendall_tau_b
+
+
+def q_cochran_armitage_trend(spark: SparkSession, sf: str) -> DataFrame:
+    """Cochran-Armitage trend test: does purchase propensity rise
+    MONOTONICALLY with the event-value decile (scores 0..9)? The
+    dose-response question a plain chi-square ignores. One fold to the
+    10-row (score, conversions, n) table; T, Var, z are closed forms
+    over it."""
+    e = table(spark, sf, "events")
+    g = e.select(
+        F.least(F.floor(F.col("value") / 10.0), F.lit(9))
+        .cast("double").alias("s"),
+        (F.col("event_type") == "purchase").cast("int").alias("y"),
+    ).groupBy("s").agg(
+        F.count("*").alias("n"), F.sum("y").alias("a")
+    )
+    tot = g.agg(
+        F.sum("n").alias("nn"),
+        F.sum("a").alias("aa"),
+        F.sum(F.col("s") * F.col("a")).alias("sa"),
+        F.sum(F.col("s") * F.col("n")).alias("sn"),
+        F.sum(F.col("s") * F.col("s") * F.col("n")).alias("ssn"),
+    )
+    pbar = F.col("aa") / F.col("nn")
+    t_stat = F.col("sa") - pbar * F.col("sn")
+    var = (
+        pbar
+        * (1.0 - pbar)
+        * (F.col("ssn") - F.col("sn") * F.col("sn") / F.col("nn"))
+    )
+    return tot.select(
+        F.col("nn").cast("long").alias("n"),
+        F.round(pbar, 6).alias("overall_rate"),
+        F.round(t_stat / F.sqrt(var), 4).alias("trend_z"),
+    )
+
+
+ORACLES["cochran_armitage_trend"] = """
+    WITH g AS (
+        SELECT CAST(LEAST(FLOOR(value / 10.0), 9) AS DOUBLE) AS s,
+               COUNT(*) AS n,
+               SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS a
+        FROM events GROUP BY 1
+    ), tot AS (
+        SELECT SUM(n) AS nn, SUM(a) AS aa, SUM(s * a) AS sa,
+               SUM(s * n) AS sn, SUM(s * s * n) AS ssn
+        FROM g
+    )
+    SELECT CAST(nn AS BIGINT) AS n,
+           ROUND(aa * 1.0 / nn, 6) AS overall_rate,
+           ROUND((sa - (aa * 1.0 / nn) * sn)
+                 / SQRT((aa * 1.0 / nn) * (1.0 - aa * 1.0 / nn)
+                        * (ssn - sn * sn * 1.0 / nn)), 4) AS trend_z
+    FROM tot
+"""
+QUERIES["cochran_armitage_trend"] = q_cochran_armitage_trend
