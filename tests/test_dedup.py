@@ -356,3 +356,23 @@ def test_near_dup_pairs_matches_shingle_table_path(spark):
         )
         assert got == want, measure
         assert got == _brute_pairs(texts, 3, thr, measure), measure
+
+
+def test_near_dup_pairs_null_text_and_empty_corpus(spark):
+    """NULL texts form their own (NULL-fingerprint) group with no
+    shingles — they must pair with nothing and never crash; an empty
+    corpus yields an empty result."""
+    from vptstools_spark.operators.dedup import near_dup_pairs
+
+    df = spark.createDataFrame(
+        [(1, None), (2, None), (3, "alpha beta gamma delta"),
+         (4, "alpha beta gamma delta")],
+        "doc_id long, text string",
+    )
+    got = sorted(
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in near_dup_pairs(df, k=3, threshold=0.5).collect()
+    )
+    assert got == [(3, 4, 1.0)]
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert near_dup_pairs(empty, k=3, threshold=0.5).collect() == []

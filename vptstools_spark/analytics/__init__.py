@@ -84,6 +84,8 @@ NEW_THIS_ROUND = [
     "kendall_tau_b",
     "cochran_armitage_trend",
     "isotonic_calibration",
+    "new_vs_returning_weekly",
+    "dup_rate_by_source",
     # round 6, fifth batch
     "ab_test_welch",
     "kaplan_meier",

@@ -596,3 +596,51 @@ ORACLES = {
         WHERE ROUND(d / (x.n * y.n), 4) >= 0.45
     """,
 }
+
+
+def q_dup_rate_by_source(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact-duplicate census PER SOURCE — the corpus-QA breakdown of
+    `dedup_exact`'s global number (which crawl/source ships the copies).
+    One fingerprint fold keyed by (source, fp), then a source-sized
+    rollup."""
+    from vptstools_spark.operators.text import fingerprint
+
+    d = table(spark, sf, "documents")
+    g = d.select(
+        "source", fingerprint(F.col("text")).alias("fp")
+    ).groupBy("source", "fp").agg(F.count("*").alias("c"))
+    return (
+        g.groupBy("source")
+        .agg(
+            F.sum("c").cast("long").alias("n_docs"),
+            F.count("*").alias("n_unique"),
+            F.sum(F.col("c") - 1).cast("long").alias("n_duplicates"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_unique",
+            "n_duplicates",
+            F.round(F.col("n_duplicates") / F.col("n_docs"), 6).alias(
+                "dup_rate"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLES["dup_rate_by_source"] = """
+    WITH g AS (
+        SELECT source,
+               md5(lower(trim(text))) AS fp,
+               COUNT(*) AS c
+        FROM documents GROUP BY 1, 2
+    )
+    SELECT source,
+           CAST(SUM(c) AS BIGINT) AS n_docs,
+           COUNT(*) AS n_unique,
+           CAST(SUM(c - 1) AS BIGINT) AS n_duplicates,
+           ROUND(SUM(c - 1) * 1.0 / SUM(c), 6) AS dup_rate
+    FROM g GROUP BY source ORDER BY source
+"""
+QUERIES["dup_rate_by_source"] = q_dup_rate_by_source

@@ -3496,3 +3496,56 @@ ORACLES["isotonic_calibration"] = """
     FROM mins GROUP BY bin, n, raw_rate ORDER BY bin
 """
 QUERIES["isotonic_calibration"] = q_isotonic_calibration
+
+
+def q_new_vs_returning_weekly(spark: SparkSession, sf: str) -> DataFrame:
+    """Weekly new-vs-returning split: per ISO week, events from users
+    whose FIRST event falls in that week vs earlier ones — the growth
+    dashboard's acquisition/retention decomposition. One per-user MIN
+    fold (dimension-sized) broadcasts back onto the weekly aggregate."""
+    e = table(spark, sf, "events").select(
+        "user_id", F.date_trunc("week", "ts").alias("wk")
+    )
+    first = e.groupBy("user_id").agg(F.min("wk").alias("first_wk"))
+    j = e.join(first, "user_id")
+    return (
+        j.groupBy("wk")
+        .agg(
+            F.sum((F.col("wk") == F.col("first_wk")).cast("long")).alias(
+                "new_events"
+            ),
+            F.sum((F.col("wk") != F.col("first_wk")).cast("long")).alias(
+                "returning_events"
+            ),
+        )
+        .select(
+            F.date_format("wk", "yyyy-MM-dd").alias("week"),
+            "new_events",
+            "returning_events",
+            F.round(
+                F.col("returning_events")
+                / (F.col("new_events") + F.col("returning_events")),
+                6,
+            ).alias("returning_share"),
+        )
+        .orderBy("week")
+    )
+
+
+ORACLES["new_vs_returning_weekly"] = """
+    WITH e AS (
+        SELECT user_id, date_trunc('week', ts) AS wk FROM events
+    ), first AS (
+        SELECT user_id, MIN(wk) AS first_wk FROM e GROUP BY user_id
+    )
+    SELECT strftime(wk, '%Y-%m-%d') AS week,
+           CAST(SUM(CASE WHEN wk = first_wk THEN 1 ELSE 0 END) AS BIGINT)
+               AS new_events,
+           CAST(SUM(CASE WHEN wk <> first_wk THEN 1 ELSE 0 END) AS BIGINT)
+               AS returning_events,
+           ROUND(SUM(CASE WHEN wk <> first_wk THEN 1 ELSE 0 END) * 1.0
+                 / COUNT(*), 6) AS returning_share
+    FROM e JOIN first USING (user_id)
+    GROUP BY wk ORDER BY week
+"""
+QUERIES["new_vs_returning_weekly"] = q_new_vs_returning_weekly
