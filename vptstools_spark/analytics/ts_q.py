@@ -600,14 +600,25 @@ def q_weekday_revenue_effect(spark: SparkSession, sf: str) -> DataFrame:
     """Day-of-week revenue index: each weekday's average daily revenue
     relative to the overall daily average (index 1.0 = no weekday
     effect) — the first decomposition a demand forecaster checks. Folds
-    to the bounded day table, then a 7-row aggregate; weekday names via
-    full-date formatting so both engines agree on locale-free English
-    names."""
+    to the bounded day table, then a 7-row aggregate; weekday names come
+    from an explicit ISO-day-number literal map (mirrored in the oracle)
+    — never date_format('EEEE'), whose rendering follows the JVM default
+    locale."""
     o = table(spark, sf, "orders")
     daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
         F.sum("o_totalprice").alias("rev")
     )
-    byd = daily.groupBy(F.date_format("day", "EEEE").alias("weekday")).agg(
+    names = [
+        "Monday", "Tuesday", "Wednesday", "Thursday", "Friday",
+        "Saturday", "Sunday",
+    ]
+    # weekday() is 1=Sunday..7=Saturday; pmod(dow+5, 7) gives the ISO
+    # index 0=Monday..6=Sunday; element_at is 1-based
+    wd = F.element_at(
+        F.array(*[F.lit(n) for n in names]),
+        (F.pmod(F.dayofweek("day") + 5, F.lit(7)) + 1).cast("int"),
+    )
+    byd = daily.groupBy(wd.alias("weekday")).agg(
         F.count("*").alias("n_days"),
         (F.sum("rev") / F.count("*")).alias("avg_rev"),
     )
@@ -634,7 +645,9 @@ ORACLES["weekday_revenue_effect"] = """
                SUM(o_totalprice) AS rev
         FROM orders GROUP BY 1
     ), byd AS (
-        SELECT dayname(day) AS weekday, COUNT(*) AS n_days,
+        SELECT ['Monday', 'Tuesday', 'Wednesday', 'Thursday', 'Friday',
+                'Saturday', 'Sunday'][isodow(day)] AS weekday,
+               COUNT(*) AS n_days,
                SUM(rev) / COUNT(*) AS avg_rev
         FROM daily GROUP BY 1
     ), overall AS (
