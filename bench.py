@@ -607,7 +607,15 @@ def main() -> None:
     # (cur/prev) / (jvm_kernel_cur/jvm_kernel_prev). A probe query whose
     # raw ratio tracks the kernel ratio moved with the HOST, not the code
     # — only normalized ratios > ~1.4 deserve a plan diff (VERDICT r6 #2).
+    # The kernels are pure-CPU while multi-second probes are partly
+    # shuffle/scheduler-bound, so when the kernel swings hard (turbo /
+    # cache state) normalization over-corrects — a query is REGRESSION-
+    # flagged only when BOTH its raw and its normalized ratio exceed the
+    # threshold (raw alone = maybe host, normalized alone = maybe the
+    # kernel moved, both = the query itself moved).
     sf1_ratios: dict[str, float] = {}
+    sf1_ratios_raw: dict[str, float] = {}
+    sf1_flagged: list[str] = []
     cal_ratio = None
     prev_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "bench_full.json"
@@ -625,9 +633,12 @@ def main() -> None:
                 p = prev_sf1.get(name)
                 if p and p > 0 and t > 0:
                     raw = t / p
+                    sf1_ratios_raw[name] = round(raw, 3)
                     sf1_ratios[name] = round(
                         raw / cal_ratio if cal_ratio else raw, 3
                     )
+                    if min(sf1_ratios_raw[name], sf1_ratios[name]) > 1.4:
+                        sf1_flagged.append(name)
         except Exception:
             pass  # a malformed prior artifact must not fail the bench
 
@@ -643,6 +654,8 @@ def main() -> None:
         "sf1_probe_total": round(sum(t for t in sf1.values() if t > 0), 3),
         "sf1_probe_failures": sorted(n for n, t in sf1.items() if t < 0),
         "sf1_probe_ratio_vs_prev_calnorm": sf1_ratios,
+        "sf1_probe_ratio_vs_prev_raw": sf1_ratios_raw,
+        "sf1_probe_regression_flags": sorted(sf1_flagged),
         "sf1_calibration_ratio_vs_prev": cal_ratio,
         "sf1_exempt_baselines": sf1_baselines,
         "sf1_lakehouse": sf1_lake,
