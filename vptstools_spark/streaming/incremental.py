@@ -1267,7 +1267,9 @@ def stat_monitor_sink(
     Exactly-once via the b_id partition (replayed batches skip); each
     batch reads ONE <=(batches)-row log, never historical data. Both
     `group_col` and `outcome_col` must be boolean columns (project /
-    cast upstream)."""
+    cast upstream). One statistic per `log_path`: the readout columns
+    differ by statistic, so pointing two monitors at one log would mix
+    parquet schemas — use sibling paths."""
     import math
 
     if statistic not in _STAT_2X2:
