@@ -472,6 +472,84 @@ def _sf1_lakehouse(spark) -> dict:
     return out
 
 
+ODIM_DIR = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "fixtures", "odim_ingest"
+)
+
+
+def _odim_ingest(spark) -> dict:
+    """ODIM-ingest tier (VERDICT r7 #1): the reference's actual headline
+    pipeline — many small HDF5 VP files → decode → daily VPTS CSV →
+    monthly gzip CSV — measured end-to-end on a synthesized fleet
+    (tools/gen_odim.py: byte-patched real ODIM files, 4 radars × 3 days
+    × 96 timestamps ≈ 1150 × ~25 KB). Records the task-PACKING evidence
+    for the S1 100 TB design claim (binaryFile + files.maxPartitionBytes
+    packs many small files per task, SURVEY §7.4.4): `n_files`,
+    `scan_tasks`, and `files_per_task` come straight from the scan plan,
+    and tests/test_pipeline.py asserts files_per_task > 1 mechanically."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from tools.gen_odim import main as gen_odim
+    from vptstools_spark.operators.pipeline import (
+        daily_vpts_job,
+        monthly_vpts_job,
+    )
+    from vptstools_spark.sources.odim import read_vp_files
+
+    out: dict = {}
+    tmp = tempfile.mkdtemp(prefix="bench_odim_")
+    try:
+        n_files = gen_odim(ODIM_DIR)
+        out["n_files"] = n_files
+        # reference layout nests {radar}/{yyyy}/{mm}/{dd}/ — glob to files
+        glob = os.path.join(ODIM_DIR, "*", "*", "*", "*")
+        profiles = read_vp_files(spark, glob)
+        # task packing: partitions of the binaryFile scan == Spark tasks;
+        # >1 file/task is the small-file packing the design claims
+        scan_tasks = profiles.rdd.getNumPartitions()
+        out["scan_tasks"] = scan_tasks
+        out["files_per_task"] = round(n_files / max(scan_tasks, 1), 1)
+
+        t0 = time.perf_counter()
+        n_rows = profiles.count()
+        decode_sec = time.perf_counter() - t0
+        out["profile_rows"] = n_rows
+        out["read_decode_sec"] = round(decode_sec, 3)
+        out["decode_rows_per_sec"] = round(n_rows / decode_sec)
+        out["decode_files_per_sec"] = round(n_files / decode_sec)
+
+        # daily job over ALL radar-days (full backfill shape)
+        days = (
+            read_vp_files(spark, glob)
+            .select(
+                F.col("radar").alias("radar_code"),
+                F.date_format("ts", "yyyyMMdd").alias("date"),
+            )
+            .distinct()
+        )
+        daily_dir = os.path.join(tmp, "daily")
+        t0 = time.perf_counter()
+        daily_vpts_job(
+            spark, read_vp_files(spark, glob), days, daily_dir
+        )
+        out["daily_job_sec"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        monthly_vpts_job(spark, daily_dir, os.path.join(tmp, "monthly"))
+        out["monthly_job_sec"] = round(time.perf_counter() - t0, 3)
+        out["e2e_files_per_sec"] = round(
+            n_files
+            / (decode_sec + out["daily_job_sec"] + out["monthly_job_sec"])
+        )
+    except Exception as e:  # visible failure, never silent
+        out["error"] = str(e)[:200]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 def _median_runs(fn, n: int) -> float:
     """Median of n executions (n >= 3, odd). The FIRST run at a given sf
     includes JVM JIT/codegen compilation; the median of an odd sample is
@@ -496,7 +574,7 @@ def main() -> None:
     tiers = set(
         os.environ.get(
             "SPARK_GRAFT_BENCH_TIERS",
-            "headline,zipf,sf1,sf1lake,sweep,sweep01,calibration",
+            "headline,zipf,sf1,sf1lake,sweep,sweep01,calibration,odim",
         ).split(",")
     )
     spark = get_spark("vptstools_spark_bench")
@@ -571,6 +649,12 @@ def main() -> None:
 
             gen_sf1(out_dir=SF1_DIR)
         sf1_lake = _sf1_lakehouse(spark)
+
+    # tier 1e: ODIM-ingest — the reference's actual headline pipeline
+    # (many small HDF5 files → daily/monthly VPTS CSV), VERDICT r7 #1
+    odim_ingest: dict = {}
+    if "odim" in tiers:
+        odim_ingest = _odim_ingest(spark)
 
     # tier 2: single-pass FULL sweep at sf0.01 — regression tracking for the
     # ~50 queries outside the headline set (round-over-round comparability,
@@ -659,6 +743,7 @@ def main() -> None:
         "sf1_calibration_ratio_vs_prev": cal_ratio,
         "sf1_exempt_baselines": sf1_baselines,
         "sf1_lakehouse": sf1_lake,
+        "odim_ingest": odim_ingest,
         "calibration": calibration,
         "full_sweep_sf": 0.01,
         "full_sweep_total": round(sum(t for t in sweep.values() if t > 0), 3),
@@ -675,7 +760,7 @@ def main() -> None:
     print(json.dumps(sweep_line))
     sweep01_line = {"metric": "sweep_sf01_nonheadline", "sf": 0.1, "queries": sweep01}
     print(json.dumps(sweep01_line))
-    if tiers >= {"headline", "zipf", "sf1", "sf1lake", "sweep", "sweep01", "calibration"}:
+    if tiers >= {"headline", "zipf", "sf1", "sf1lake", "sweep", "sweep01", "calibration", "odim"}:
         # archive only COMPLETE runs — a tier-filtered local iteration must
         # not clobber the round's committed record
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_full.json"), "w") as fh:

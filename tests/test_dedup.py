@@ -321,6 +321,32 @@ def test_bitmask_route_matches_bruteforce(spark):
     assert got == _brute_pairs(texts, 3, 0.3, "jaccard")
 
 
+def test_bitmask_route_broadcast_gated_by_doc_count(spark):
+    """A tiny SHARED-shingle domain does not bound the doc count: when
+    the masked-doc count exceeds the broadcast bound, the router must
+    fall back to the shuffled equi-join (no BroadcastNestedLoopJoin in
+    the plan) and still return identical pairs (VERDICT r7 #2)."""
+    from vptstools_spark.operators.dedup import jaccard_pairs, shingles
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    texts = [
+        (1, base),
+        (2, base + " tonight"),
+        (3, "the quick brown fox jumps over the lazy dog"),
+        (4, "completely different words forming another sentence entirely here"),
+        (5, "completely different words forming another sentence entirely"),
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    sh = shingles(df, k=3)
+    gated = jaccard_pairs(sh, threshold=0.3, bitmask_max_docs=2)
+    plan = gated._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    got = sorted(
+        (r.doc_a, r.doc_b, r.jaccard) for r in gated.collect()
+    )
+    assert got == _brute_pairs(texts, 3, 0.3, "jaccard")
+
+
 def test_near_dup_pairs_matches_shingle_table_path(spark):
     """near_dup_pairs (text collapse hoisted above shingling) must emit
     pair-for-pair what jaccard_pairs(shingles(docs)) emits, replicas and

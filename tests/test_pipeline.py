@@ -137,3 +137,43 @@ def test_string_preserving_reread(pipeline_output, spark):
 def test_descriptor_written(pipeline_output):
     root, _ = pipeline_output
     assert os.path.exists(os.path.join(root, "vpts.resource.json"))
+
+
+def test_odim_fleet_small_file_packing_and_e2e(spark, tmp_path):
+    """The S1 100 TB design claim, measured mechanically (VERDICT r7 #1):
+    binaryFile + files.maxPartitionBytes packs MANY small .h5 files per
+    task (tasks << files), and the synthesized fleet flows end-to-end
+    through read_vp_files → daily_vpts_job with the expected row and
+    partition counts."""
+    import glob as _glob
+
+    from pyspark.sql import functions as F
+
+    from tools.gen_odim import main as gen_odim
+    from vptstools_spark.operators.pipeline import daily_vpts_job
+    from vptstools_spark.sources.odim import read_vp_files
+
+    fleet = str(tmp_path / "fleet")
+    n_files = gen_odim(fleet, n_radars=2, n_days=1, per_day=24)
+    assert n_files == 48
+    pat = os.path.join(fleet, "*", "*", "*", "*")
+    profiles = read_vp_files(spark, pat)
+    tasks = profiles.rdd.getNumPartitions()
+    assert 0 < tasks < n_files, f"no packing: {tasks} tasks for {n_files} files"
+    assert profiles.count() == 48 * 25  # 25 altitude levels per VP file
+
+    # distinct patched identities survived the byte patch
+    radars = {r["radar"] for r in profiles.select("radar").distinct().collect()}
+    assert radars == {"syaaa", "sybbb"}
+
+    days = profiles.select(
+        F.col("radar").alias("radar_code"),
+        F.date_format("ts", "yyyyMMdd").alias("date"),
+    ).distinct()
+    out = str(tmp_path / "daily")
+    daily_vpts_job(spark, read_vp_files(spark, pat), days, out)
+    parts = _glob.glob(os.path.join(out, "p_radar=*", "p_date=*"))
+    assert len(parts) == 2  # 2 radars × 1 day
+    csvs = _glob.glob(os.path.join(out, "p_radar=syaaa", "p_date=*", "*.csv"))
+    n_lines = sum(open(c).read().count("\n") for c in csvs)
+    assert n_lines == 24 * 25 + len(csvs)  # rows + one header per file

@@ -265,6 +265,23 @@ def test_incremental_analyze_fresh_is_noop(spark, tmp_path):
     assert s2.version == s1.version and s2.n_rows == s1.n_rows
 
 
+def test_incremental_analyze_fresh_but_missing_column_rebuilds(
+    spark, tmp_path
+):
+    """An explicit `columns` request naming a column ABSENT from the
+    stored doc must trigger a full rebuild even when the stored version
+    is current — not silently return the narrower stored stats
+    (ADVICE r7)."""
+    from vptstools_spark.plans.stats import incremental_analyze
+
+    path = _tt(spark, tmp_path, "ttm")
+    s1 = incremental_analyze(spark, path, columns=["k", "day"])
+    assert set(s1.columns) == {"k", "day"}
+    s2 = incremental_analyze(spark, path, columns=["k", "day", "w"])
+    assert s2.version == s1.version
+    assert "w" in s2.columns and s2.columns["w"].n_nonnull == 200
+
+
 def test_auto_analyze_refreshes_and_flips_strategy(spark, tmp_path):
     """VERDICT r5 #7: commit → stale stats → the planner refreshes
     automatically → the join strategy flips with the new sizes."""

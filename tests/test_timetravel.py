@@ -1536,3 +1536,27 @@ def test_latest_hint_written_verified_and_stale_safe(spark, tmp_path):
     write_text_overwrite(spark, hint, "not json")
     assert _resolve_latest_fast(spark, path) is None
     assert read_version(spark, path).count() == 150
+
+def test_vdir_schema_cache_survives_table_recreation(spark, tmp_path):
+    """A table DROPPED and RECREATED at the same path reuses the `v0`
+    version-dir label; the memoized vdir schema must not leak from the
+    old table into the new one (ADVICE r7), and the cache stays bounded."""
+    import shutil
+
+    from vptstools_spark.plans import timetravel as tt
+    from vptstools_spark.plans.timetravel import commit_initial, read_version
+
+    path = str(tmp_path / "recreate")
+    df_a = spark.createDataFrame([(1, "x")], "a long, s string")
+    commit_initial(df_a, path)
+    assert read_version(spark, path).columns == ["a", "s"]
+
+    shutil.rmtree(path)
+    df_b = spark.createDataFrame([(2.5, True, 7)], "f double, b boolean, n long")
+    commit_initial(df_b, path)
+    got = read_version(spark, path)
+    assert got.columns == ["f", "b", "n"]
+    assert got.collect()[0].f == 2.5
+
+    # bounded: the LRU cap holds
+    assert len(tt._VDIR_SCHEMA_CACHE) <= tt._VDIR_SCHEMA_CACHE_MAX

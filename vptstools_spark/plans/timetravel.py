@@ -537,6 +537,9 @@ def commit_initial(
     missing = [c for c in pcols if c not in derived.columns]
     if missing:
         raise ValueError(f"partition columns {missing} not in the frame")
+    # table (re)creation is the one event that can reuse a memoized
+    # version-dir label (`v0`) with different contents — purge first
+    _invalidate_vdir_schemas(path)
     rels = _write_snapshot_files(derived, path, 0, pcols)
     ptypes = {
         f.name: f.dataType.simpleString()
@@ -823,8 +826,38 @@ def _resolve_version(spark: SparkSession, path: str, version: int | None) -> int
     return v
 
 
-#: immutable-version-dir parquet schema memo (see _read_snapshot)
-_VDIR_SCHEMA_CACHE: dict[str, object] = {}
+#: immutable-version-dir parquet schema memo (see _read_snapshot).
+#: Bounded LRU: a long-lived driver scanning many tables must not grow
+#: it without limit, and `commit_initial` purges a table's entries so a
+#: table DROPPED AND RECREATED at the same path (which reuses the `v0`
+#: dir label) can never serve the old table's schema (ADVICE r7).
+from collections import OrderedDict as _OrderedDict
+
+_VDIR_SCHEMA_CACHE: "_OrderedDict[str, object]" = _OrderedDict()
+_VDIR_SCHEMA_CACHE_MAX = 4096
+
+
+def _vdir_schema_get(base: str):
+    sch = _VDIR_SCHEMA_CACHE.get(base)
+    if sch is not None:
+        _VDIR_SCHEMA_CACHE.move_to_end(base)
+    return sch
+
+
+def _vdir_schema_put(base: str, schema) -> None:
+    _VDIR_SCHEMA_CACHE[base] = schema
+    _VDIR_SCHEMA_CACHE.move_to_end(base)
+    while len(_VDIR_SCHEMA_CACHE) > _VDIR_SCHEMA_CACHE_MAX:
+        _VDIR_SCHEMA_CACHE.popitem(last=False)
+
+
+def _invalidate_vdir_schemas(table_path: str) -> None:
+    """Drop every cached vdir schema under a table path — called when a
+    table is (re)created at that path, the one event that can reuse an
+    already-memoized version-dir label with different contents."""
+    root = os.path.join(table_path, _DATA_DIR)
+    for k in [k for k in _VDIR_SCHEMA_CACHE if k.startswith(root)]:
+        del _VDIR_SCHEMA_CACHE[k]
 
 
 def _read_snapshot(
@@ -878,12 +911,12 @@ def _read_snapshot(
         # rebuilt per maintenance call at small-delta scale
         base = os.path.join(data_root, vdir)
         reader = spark.read.option("basePath", base)
-        cached = _VDIR_SCHEMA_CACHE.get(base)
+        cached = _vdir_schema_get(base)
         if cached is not None:
             reader = reader.schema(cached)
         p = reader.parquet(*fs)
         if cached is None:
-            _VDIR_SCHEMA_CACHE[base] = p.schema
+            _vdir_schema_put(base, p.schema)
         if hist:
             # apply the renames committed AFTER this file group was
             # written (a version dir is written by exactly one commit, so
