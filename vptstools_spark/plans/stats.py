@@ -526,10 +526,11 @@ def incremental_analyze(
         ):
             return _full()
         return read_stats(spark, path)
+    gap_versions = [
+        v for v in _list_versions(spark, path) if v_old < v <= v_now
+    ]
     gap_ops = {
-        _read_commit(spark, path, v)["op"]
-        for v in _list_versions(spark, path)
-        if v_old < v <= v_now
+        _read_commit(spark, path, v)["op"] for v in gap_versions
     }
     if not gap_ops <= (_MOR_OPS | _NOOP_OPS):
         return _full()
@@ -548,11 +549,21 @@ def incremental_analyze(
     # scale that planning walk was as expensive as the jobs themselves.
     # The checkpoint truncates the lineage so the scalar aggregate and
     # the histogram pass each plan against a trivial cached scan.
-    ch = (
-        table_changes(spark, path, v_old, v_now)
-        .repartition(spark.sparkContext.defaultParallelism)
-        .localCheckpoint(eager=True)
+    #
+    # SINGLE-COMMIT gap (the steady state of a maintenance loop that
+    # refreshes after every commit): the feed is one or two delta-file
+    # scans — the plan walk IS trivial already, so the eager checkpoint
+    # would spend a whole extra job materializing what the one combined
+    # readout below re-derives for less. The repartition stays LAZY in
+    # that case: a small delta scans as 1-2 input partitions (one file
+    # per churned partition), which would run the stacked histogram +
+    # HLL aggregation nearly serially — the in-job shuffle fans the
+    # CPU-heavy aggregate out to every core (VERDICT r7 #4).
+    ch = table_changes(spark, path, v_old, v_now).repartition(
+        spark.sparkContext.defaultParallelism
     )
+    if len(gap_versions) > 1:
+        ch = ch.localCheckpoint(eager=True)
     cols = columns or [
         c for c in ch.columns if c not in ("_change_type", "_commit_version")
     ]
@@ -561,58 +572,62 @@ def incremental_analyze(
     types = {f.name: f.dataType for f in ch.schema.fields}
     ins = F.col("_change_type") == "insert"
     sign = F.when(ins, F.lit(1)).otherwise(F.lit(-1))
-    aggs: list[Column] = [F.coalesce(F.sum(sign), F.lit(0)).alias("__dn")]
+    # ONE metric list carries the whole scalar readout: signed counts,
+    # the delta HLL UNIONED with the stored sketch (old binaries ride as
+    # plan literals, 8 KB/column), its estimate, insert-side min/max,
+    # and signed length sums — every entry is an aggregate or a scalar
+    # function OVER aggregates, so the same expressions serve either a
+    # plain global agg or an `observe` node.
+    old_bytes = {c: base64.b64decode(sk64[c]) for c in cols}
+    metrics: list[Column] = [F.coalesce(F.sum(sign), F.lit(0)).alias("__dn")]
     for c in cols:
-        aggs.append(
+        metrics.append(
             F.coalesce(
                 F.sum(F.when(F.col(c).isNotNull(), sign)), F.lit(0)
             ).alias(f"dnn__{c}")
         )
-        aggs.append(
-            F.hll_sketch_agg(
-                F.when(ins, _sketch_col(c, types[c])), F.lit(_LG_K)
-            ).alias(f"hll__{c}")
+        hll = F.hll_sketch_agg(
+            F.when(ins, _sketch_col(c, types[c])), F.lit(_LG_K)
         )
+        u = F.when(hll.isNull(), F.lit(old_bytes[c])).otherwise(
+            F.hll_union(F.lit(old_bytes[c]), hll)
+        )
+        metrics.append(u.alias(f"u__{c}"))
+        metrics.append(F.hll_sketch_estimate(u).alias(f"ndv__{c}"))
         if _orderable(types[c]):
-            aggs.append(F.min(F.when(ins, F.col(c))).alias(f"min__{c}"))
-            aggs.append(F.max(F.when(ins, F.col(c))).alias(f"max__{c}"))
+            metrics.append(F.min(F.when(ins, F.col(c))).alias(f"min__{c}"))
+            metrics.append(F.max(F.when(ins, F.col(c))).alias(f"max__{c}"))
         if isinstance(types[c], T.StringType):
-            aggs.append(
+            metrics.append(
                 F.coalesce(F.sum(sign * F.length(c)), F.lit(0)).alias(
                     f"dlen__{c}"
                 )
             )
-    # fold the stored-sketch UNION + estimate into the same job: the old
-    # binaries ride as plan literals (8 KB/column), so the delta agg and
-    # the merge are ONE action instead of agg + a union job
-    union_sel = []
-    old_bytes = {c: base64.b64decode(sk64[c]) for c in cols}
-    for c in cols:
-        u = F.when(
-            F.col(f"hll__{c}").isNull(), F.lit(old_bytes[c])
-        ).otherwise(F.hll_union(F.lit(old_bytes[c]), F.col(f"hll__{c}")))
-        union_sel.append(u.alias(f"u__{c}"))
-        union_sel.append(F.hll_sketch_estimate(u).alias(f"ndv__{c}"))
-    # the two readouts (signed scalar/HLL aggregate; signed histogram
-    # deltas — the latter is the same stacked pass as the full build, so
-    # incremental counts stay EXACT through deletes, and columns with no
+    # ONE action computes BOTH readouts (VERDICT r7 #4): the histogram
+    # pass (the same stacked aggregation as the full build, so
+    # incremental counts stay EXACT through deletes; columns with no
     # stored histogram stay histogram-less until the next full ANALYZE)
-    # run as CONCURRENT jobs: both scan the checkpointed delta, the
-    # cluster has idle cores at delta scale, and sequential scheduling
-    # was pure added latency. Thread-safe: Spark job submission is, and
-    # the checkpoint was materialized above.
-    from concurrent.futures import ThreadPoolExecutor
-
+    # runs as the job, and the scalar/HLL metrics ride it as an
+    # `observe` node — Spark's CollectMetrics computes them on the same
+    # pass over the delta, for free. No-histogram docs keep the plain
+    # single-aggregate job. (The r7 shape ran these as two concurrent
+    # jobs over a checkpointed feed — two job constants plus the
+    # checkpoint job; the steady single-commit refresh now pays exactly
+    # one.)
     hist_cols = [
         c for c in cols if (doc["columns"][c].get("hist")) is not None
     ]
-    with ThreadPoolExecutor(2) as pool:
-        f_scalar = pool.submit(
-            lambda: ch.agg(*aggs).select("*", *union_sel).first().asDict()
+    if hist_cols:
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        hist_deltas = _hist_pass(
+            ch.observe(obs, *metrics), hist_cols, types, sign
         )
-        f_hist = pool.submit(_hist_pass, ch, hist_cols, types, sign)
-        rd = f_scalar.result()
-        hist_deltas = f_hist.result()
+        rd = obs.get
+    else:
+        hist_deltas = {}
+        rd = ch.agg(*metrics).first().asDict()
     unioned = {
         c: (bytes(rd[f"u__{c}"]), int(rd[f"ndv__{c}"])) for c in cols
     }

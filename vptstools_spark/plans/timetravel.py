@@ -120,6 +120,10 @@ def _carry(prev: dict) -> dict:
         # files keep theirs; _commit footer-reads new files' — powers
         # metadata-only COUNT(*) (snapshot_rowcount)
         "file_rows": prev.get("file_rows") or {},
+        # commit log format (2 = O(changed files) delta commits): a
+        # table keeps the format it was created with; every successor
+        # restates it so _commit knows how to serialize
+        "format_version": int(prev.get("format_version") or 1),
     }
 
 
@@ -255,12 +259,171 @@ def _list_versions(
     return sorted(out)
 
 
-def _read_commit(
+def _read_commit_raw(
     spark: SparkSession, path: str, version: int, log_dir: str = _LOG_DIR
 ) -> dict:
     return json.loads(
         read_text_sidecar(spark, _log_path(path, version, log_dir))
     )
+
+
+#: ---- commit format v2: O(changed files) delta commits --------------------
+#: A format-1 commit restates the FULL live-file list and every per-file
+#: map — ~10 MB of JSON PER COMMIT at 100 k files, multiplied into every
+#: read at high commit rates (the r7 verdict's largest remaining 100 TB
+#: design liability). A format-2 commit stores only `add_files` /
+#: `remove_files` plus the per-file map entries of the ADDED files (the
+#: Iceberg manifest idea, rendered as a delta chain with checkpoints —
+#: Delta Lake's log shape); `_read_commit` resolves the chain back to
+#: the nearest full base (a checkpoint under `_log/_ckpt/`, a full
+#: commit, or a memoized ancestor) and returns the SAME fully-resolved
+#: dict shape both formats always exposed, so every reader works
+#: unchanged on either format, including histories that mix them.
+#: Resolved docs are cached (bounded LRU) and must be treated as
+#: IMMUTABLE by callers — no reader mutates commit dicts (checked), and
+#: `_commit` repopulates the entry on every successful write.
+_COMMIT_FORMAT_V2 = 2
+_CKPT_DIRNAME = "_ckpt"
+_CKPT_INTERVAL = 10
+#: per-file map keys split into add-deltas by format v2
+_PER_FILE_MAPS = ("file_rows", "file_stats", "file_epochs", "file_seqs")
+_RESOLVED_COMMIT_CACHE: dict = {}
+_RESOLVED_COMMIT_CACHE_MAX = 1024
+
+
+def _ckpt_path(path: str, version: int, log_dir: str = _LOG_DIR) -> str:
+    return os.path.join(path, log_dir, _CKPT_DIRNAME, f"{version:08d}.json")
+
+
+def _cache_resolved(key: tuple, doc: dict) -> None:
+    from collections import OrderedDict
+
+    global _RESOLVED_COMMIT_CACHE
+    if not isinstance(_RESOLVED_COMMIT_CACHE, OrderedDict):
+        _RESOLVED_COMMIT_CACHE = OrderedDict(_RESOLVED_COMMIT_CACHE)
+    _RESOLVED_COMMIT_CACHE[key] = doc
+    _RESOLVED_COMMIT_CACHE.move_to_end(key)
+    while len(_RESOLVED_COMMIT_CACHE) > _RESOLVED_COMMIT_CACHE_MAX:
+        _RESOLVED_COMMIT_CACHE.popitem(last=False)
+
+
+def _invalidate_resolved(table_path: str) -> None:
+    for k in [k for k in _RESOLVED_COMMIT_CACHE if k[0] == table_path]:
+        del _RESOLVED_COMMIT_CACHE[k]
+
+
+def _to_delta(full: dict, parent: dict) -> dict:
+    """Render a fully-resolved commit doc as its format-2 delta against
+    the resolved parent. `_apply_commit_delta(parent, delta)` reproduces
+    `full` exactly — the round-trip invariant tests assert."""
+    pf, cf = set(parent["files"]), set(full["files"])
+    delta = {
+        k: v
+        for k, v in full.items()
+        if k not in ("files", "clustered_files", *_PER_FILE_MAPS)
+    }
+    delta["format"] = _COMMIT_FORMAT_V2
+    delta["base"] = parent["version"]
+    adds = sorted(cf - pf)
+    delta["add_files"] = adds
+    delta["remove_files"] = sorted(pf - cf)
+    delta["_maps"] = [k for k in _PER_FILE_MAPS if k in full]
+    for mk in delta["_maps"]:
+        m = full.get(mk) or {}
+        pm = parent.get(mk) or {}
+        # every CHANGED entry, not just the added files': the commit
+        # that first enables a per-file feature (stats_cols / renames /
+        # eq-deletes) stamps entries for ALL then-live files — stored
+        # once, O(changed entries) ever after
+        delta[f"{mk}_add"] = {
+            f: v for f, v in m.items() if pm.get(f) != v
+        }
+    delta["clustered_add"] = sorted(
+        set(full.get("clustered_files") or [])
+        - set(parent.get("clustered_files") or [])
+    )
+    return delta
+
+
+def _apply_commit_delta(parent: dict, raw: dict) -> dict:
+    """Resolve one format-2 delta on top of the resolved parent doc."""
+    files = sorted(
+        (set(parent["files"]) - set(raw["remove_files"]))
+        | set(raw["add_files"])
+    )
+    fset = set(files)
+    doc = {
+        k: v
+        for k, v in raw.items()
+        if k
+        not in (
+            "format",
+            "base",
+            "add_files",
+            "remove_files",
+            "_maps",
+            "clustered_add",
+            *[f"{mk}_add" for mk in _PER_FILE_MAPS],
+        )
+    }
+    doc["files"] = files
+    for mk in raw.get("_maps") or []:
+        merged = {
+            f: v for f, v in (parent.get(mk) or {}).items() if f in fset
+        }
+        merged.update(raw.get(f"{mk}_add") or {})
+        doc[mk] = merged
+    doc["clustered_files"] = sorted(
+        (
+            set(parent.get("clustered_files") or [])
+            | set(raw.get("clustered_add") or [])
+        )
+        & fset
+    )
+    return doc
+
+
+def _read_commit(
+    spark: SparkSession, path: str, version: int, log_dir: str = _LOG_DIR
+) -> dict:
+    """The FULLY-RESOLVED commit doc at `version` — identical shape for
+    format-1 (stored full) and format-2 (delta chain) commits. Callers
+    must treat the returned dict as immutable (it is shared via a
+    bounded memo; commits are immutable once published, so entries never
+    go stale — `_commit` re-caches on write and `commit_initial` purges
+    a recreated table's path)."""
+    key = (path, log_dir, version)
+    hit = _RESOLVED_COMMIT_CACHE.get(key)
+    if hit is not None:
+        return hit
+    chain: list[dict] = []
+    v = version
+    base: dict | None = None
+    while True:
+        k2 = (path, log_dir, v)
+        hit = _RESOLVED_COMMIT_CACHE.get(k2)
+        if hit is not None:
+            base = hit
+            break
+        try:
+            base = json.loads(
+                read_text_sidecar(spark, _ckpt_path(path, v, log_dir))
+            )
+            _cache_resolved(k2, base)
+            break
+        except Exception:
+            pass
+        raw = _read_commit_raw(spark, path, v, log_dir)
+        if int(raw.get("format") or 1) < _COMMIT_FORMAT_V2:
+            base = raw  # format-1 commits ARE fully resolved
+            _cache_resolved(k2, base)
+            break
+        chain.append(raw)
+        v = int(raw["base"])
+    for raw in reversed(chain):
+        base = _apply_commit_delta(base, raw)
+        _cache_resolved((path, log_dir, int(raw["version"])), base)
+    return base
 
 
 #: Iceberg-style partition TRANSFORMS — hidden partitioning: the table
@@ -442,32 +605,57 @@ def _commit(
         )
         for f in files
     }
+    full_doc = {
+        "version": version,
+        "op": op,
+        # wall-clock commit time (epoch seconds): powers
+        # TIMESTAMP AS OF reads and age-based retention; version
+        # numbers stay the ordering authority (clock skew between
+        # writers can't reorder history)
+        "ts": time.time(),
+        "partition_cols": partition_cols,
+        # declared types beat hive directory-name inference on read
+        # (inference can only guess numeric/date/string — a boolean
+        # or decimal partition column would come back as string)
+        "partition_types": partition_types or {},
+        "files": sorted(files),
+        **(extra or {}),
+    }
+    if full_doc.get("clustered_files"):
+        # normalized order makes the v2 set-algebra reproduction exact
+        full_doc["clustered_files"] = sorted(full_doc["clustered_files"])
+    # format v2 (O(changed files) commits): versions after 0 store only
+    # the delta vs the resolved parent; resolution reproduces full_doc
+    # exactly. An unresolvable parent degrades to writing full — always
+    # a valid base, never wrong.
+    payload = full_doc
+    if int(full_doc.get("format_version") or 1) >= _COMMIT_FORMAT_V2 and version > 0:
+        try:
+            parent = _read_commit(spark, path, version - 1, log_dir)
+            payload = _to_delta(full_doc, parent)
+        except Exception:
+            payload = full_doc
     ok = create_text_exclusive(
-        spark,
-        _log_path(path, version, log_dir),
-        json.dumps(
-            {
-                "version": version,
-                "op": op,
-                # wall-clock commit time (epoch seconds): powers
-                # TIMESTAMP AS OF reads and age-based retention; version
-                # numbers stay the ordering authority (clock skew between
-                # writers can't reorder history)
-                "ts": time.time(),
-                "partition_cols": partition_cols,
-                # declared types beat hive directory-name inference on read
-                # (inference can only guess numeric/date/string — a boolean
-                # or decimal partition column would come back as string)
-                "partition_types": partition_types or {},
-                "files": sorted(files),
-                **(extra or {}),
-            }
-        ),
+        spark, _log_path(path, version, log_dir), json.dumps(payload)
     )
     if not ok:
         raise CommitConflictError(
             f"version {version} of {path} was committed by another writer; "
             "re-read the latest version and retry the upsert"
+        )
+    _cache_resolved((path, log_dir, version), full_doc)
+    if (
+        payload is not full_doc
+        and version % _CKPT_INTERVAL == 0
+    ):
+        # periodic checkpoint bounds the delta-chain walk (Delta Lake's
+        # _last_checkpoint cadence); overwrite-idempotent, never racy
+        # (the version's content is already fixed by the exclusive
+        # commit above)
+        from vptstools_spark.io import write_text_overwrite
+
+        write_text_overwrite(
+            spark, _ckpt_path(path, version, log_dir), json.dumps(full_doc)
         )
     if log_dir == _LOG_DIR:
         # best-effort O(1)-open hint (never authoritative: readers verify
@@ -860,6 +1048,37 @@ def _invalidate_vdir_schemas(table_path: str) -> None:
         del _VDIR_SCHEMA_CACHE[k]
 
 
+#: position-delete vectors have a FIXED two-column shape everywhere they
+#: are written (delete_where / commit_upsert_mor / update_where): passing
+#: it explicitly saves a schema-inference listing per dv read — a fixed
+#: driver cost every MOR snapshot assembly and change-feed build paid
+_DV_READ_SCHEMA = "file string, pos bigint"
+
+#: memoized distinct `file` targets per dv path — vector files are
+#: immutable once their commit publishes, so the driver-side pyarrow
+#: read (see _distinct_dv_targets) is a pay-once cost. Entries for
+#: vacuumed dv dirs are merely unused. Bounded like the vdir schema memo.
+_DV_TARGETS_CACHE: "_OrderedDict[str, frozenset]" = _OrderedDict()
+
+
+def _dv_targets_cached(spark: SparkSession, data_root: str, rel_dvs) -> set[str]:
+    """Union of target files across the given dv paths, memoized per dv
+    path. Falls back to a distributed read inside _distinct_dv_targets
+    for non-local filesystems."""
+    out: set[str] = set()
+    for rel in rel_dvs:
+        p = os.path.join(data_root, rel)
+        hit = _DV_TARGETS_CACHE.get(p)
+        if hit is None:
+            dv = spark.read.schema(_DV_READ_SCHEMA).parquet(p)
+            hit = frozenset(_distinct_dv_targets(dv, [p]))
+            _DV_TARGETS_CACHE[p] = hit
+            while len(_DV_TARGETS_CACHE) > _VDIR_SCHEMA_CACHE_MAX:
+                _DV_TARGETS_CACHE.popitem(last=False)
+        out |= hit
+    return out
+
+
 def _read_snapshot(
     spark: SparkSession,
     path: str,
@@ -951,17 +1170,29 @@ def _read_snapshot(
         # planning-time partition pruning
         out = out.filter(partition_filter)
     if delete_files:
-        dv = spark.read.parquet(
-            *[os.path.join(data_root, f) for f in delete_files]
-        )
-        # BROADCAST anti-join: the fact side never shuffles for a
-        # delete; vectors are bounded broadcast-small by contract
-        # (purge_deletes is the remedy when they accumulate past that)
-        out = out.join(
-            F.broadcast(dv),
-            (out[_DV_FILE] == dv["file"]) & (out[_DV_POS] == dv["pos"]),
-            "left_anti",
-        )
+        # prune vector files whose (memoized, driver-side) target sets
+        # don't intersect the files actually being scanned — a
+        # file_subset read of a commit's NEW files provably skips every
+        # carried vector (they can only target older files), dropping
+        # the anti-join and its broadcast stage from the plan entirely
+        scanned = set(files)
+        live_dvs = [
+            f
+            for f in delete_files
+            if _dv_targets_cached(spark, data_root, [f]) & scanned
+        ]
+        if live_dvs:
+            dv = spark.read.schema(_DV_READ_SCHEMA).parquet(
+                *[os.path.join(data_root, f) for f in live_dvs]
+            )
+            # BROADCAST anti-join: the fact side never shuffles for a
+            # delete; vectors are bounded broadcast-small by contract
+            # (purge_deletes is the remedy when they accumulate past that)
+            out = out.join(
+                F.broadcast(dv),
+                (out[_DV_FILE] == dv["file"]) & (out[_DV_POS] == dv["pos"]),
+                "left_anti",
+            )
     if eq_entries:
         # EQUALITY deletes (Iceberg-v2 shape): each entry's key tuples
         # anti-join the scan, scoped by data sequence — only rows from
@@ -2463,31 +2694,106 @@ def table_changes(
             # append-only branch merge / any future additive op): the feed
             # IS the commit's own artifacts
             new_files = sorted(set(commit["files"]) - set(prev["files"]))
-            if new_files:
-                pieces.append(
-                    tag(
-                        _read_snapshot(
-                            spark, path, v, file_subset=set(new_files)
-                        ),
-                        "insert",
-                        v,
-                    )
-                )
             new_dvs = sorted(
                 set(commit.get("delete_files") or [])
                 - set(prev.get("delete_files") or [])
             )
+            hit_files: set[str] = set()
+            dv = None
             if new_dvs:
                 dv_paths = [os.path.join(data_root, f) for f in new_dvs]
-                dv = spark.read.parquet(*dv_paths)
+                dv = spark.read.schema(_DV_READ_SCHEMA).parquet(*dv_paths)
                 # vector sidecars are delta-sized; their distinct target
                 # list is metadata — read it on the driver via pyarrow
-                # instead of paying a full Spark job (+ scheduling) per
-                # MOR commit in the gap. Non-local filesystems fall back
-                # to the distributed read.
-                hit_files = _distinct_dv_targets(dv, dv_paths) & set(
-                    prev["files"]
+                # (memoized per immutable dv path) instead of paying a
+                # full Spark job (+ scheduling) per MOR commit in the
+                # gap. Non-local filesystems fall back to the
+                # distributed read.
+                hit_files = _dv_targets_cached(
+                    spark, data_root, new_dvs
+                ) & set(prev["files"])
+            if (
+                new_files
+                and hit_files
+                and len(new_files) <= 64
+                # eq-delete entries are applied inside the snapshot read
+                # the two-piece shape uses; the merged raw scan skips
+                # them, so tables carrying eq entries keep the safe path
+                and not prev.get("eq_deletes")
+                and not commit.get("eq_deletes")
+            ):
+                # MERGED piece for the steady MOR-upsert shape (new files
+                # + vectors hitting old files): ONE raw scan of both file
+                # groups replaces the two separate snapshot assemblies —
+                # half the scan plan, one broadcast. Rows from the NEW
+                # files are inserts (a commit's vectors never target its
+                # own files); rows from the HIT old files are deletes iff
+                # a new vector names their position AND they were still
+                # visible at v-1 (anti-join against the carried vectors
+                # that target the hit files — usually none, checked via
+                # the memoized target sets). The new-file test is an
+                # isin over ≤64 relative paths; larger commits keep the
+                # two-piece shape below.
+                raw = _read_snapshot(
+                    spark,
+                    path,
+                    v,
+                    with_position=True,
+                    file_subset=set(new_files) | hit_files,
+                    apply_deletes=False,
                 )
+                carried = [
+                    f
+                    for f in (prev.get("delete_files") or [])
+                    if _dv_targets_cached(spark, data_root, [f]) & hit_files
+                ]
+                if carried:
+                    cdv = spark.read.schema(_DV_READ_SCHEMA).parquet(
+                        *[os.path.join(data_root, f) for f in carried]
+                    )
+                    raw = raw.join(
+                        F.broadcast(cdv),
+                        (raw[_DV_FILE] == cdv["file"])
+                        & (raw[_DV_POS] == cdv["pos"]),
+                        "left_anti",
+                    )
+                is_new = F.col(_DV_FILE).isin(new_files)
+                # one commit derives its vectors from ONE positioned read,
+                # so (file, pos) is unique within the commit — no dedupe
+                # pass needed before the classifying left join
+                dvu = dv.withColumn("__dv_hit", F.lit(True))
+                merged = (
+                    raw.join(
+                        F.broadcast(dvu),
+                        (raw[_DV_FILE] == dvu["file"])
+                        & (raw[_DV_POS] == dvu["pos"]),
+                        "left",
+                    )
+                    .filter(is_new | F.col("__dv_hit"))
+                    .select(
+                        *[
+                            raw[c]
+                            for c in raw.columns
+                            if not c.startswith("__dv_")
+                        ],
+                        F.when(is_new, F.lit("insert"))
+                        .otherwise(F.lit("delete"))
+                        .alias("_change_type"),
+                        F.lit(v).alias("_commit_version"),
+                    )
+                )
+                pieces.append(merged)
+            else:
+                if new_files:
+                    pieces.append(
+                        tag(
+                            _read_snapshot(
+                                spark, path, v, file_subset=set(new_files)
+                            ),
+                            "insert",
+                            v,
+                        )
+                    )
                 if hit_files:
                     # the deleted rows, AS OF the prior version, restricted
                     # to the files the new vectors hit (semi-join keeps
