@@ -308,7 +308,14 @@ SF1_QUERIES = [
     "regr_residual_outliers",
     "nb_langid",
     "markov_next_event_eval",
+    # round 8 (VERDICT r7 #7): the r7 analytics wave's heaviest shuffle
+    # profiles — KM's conditional self-joins, the isotonic minimax
+    # interval table, and the day-table ACF self-joins
+    "kaplan_meier",
+    "isotonic_calibration",
+    "acf_daily_revenue",
 ]
+# (round-8 analytics wave joins HEADLINE below)
 #: quadratic-by-construction exact baselines, explicitly EXEMPT from the
 #: linear-scaling contract of the sf1 probe (VERDICT r4 #1/#3): still run
 #: and recorded — honesty means measuring them — but under their own key so

@@ -1,0 +1,199 @@
+"""Commit-log format 2 (O(changed files) delta commits) — the Iceberg
+manifest split (VERDICT r7 #5): commit JSON size must scale with the
+CHANGED files, not the table's file count; resolution must reproduce the
+format-1 full doc exactly; checkpoints must bound and survive history
+expiry; and format-1 tables must keep working bit-compatibly."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from vptstools_spark.plans import timetravel as tt
+from vptstools_spark.plans.timetravel import (
+    commit_append,
+    commit_initial,
+    commit_upsert,
+    commit_upsert_mor,
+    delete_where,
+    expire_versions,
+    history,
+    read_version,
+    table_changes,
+)
+
+
+def _base(spark, n=400, parts=8):
+    return spark.createDataFrame(
+        [(i, i % parts, float(i)) for i in range(n)],
+        "k long, part int, v double",
+    ).repartition("part")
+
+
+def _delta(spark, lo, hi, parts=8):
+    return spark.createDataFrame(
+        [(i, i % parts, float(i)) for i in range(lo, hi)],
+        "k long, part int, v double",
+    ).coalesce(1)
+
+
+def _raw(path, v):
+    return json.loads(open(os.path.join(path, "_log", f"{v:08d}.json")).read())
+
+
+def test_commit_size_o_changed_files(spark, tmp_path):
+    """The churn test from the verdict's done-bar: on a many-file table,
+    an append commit's raw JSON is delta-shaped and orders of magnitude
+    smaller than the restated-full v0 doc — and does NOT grow with the
+    number of carried files."""
+    path = str(tmp_path / "t2")
+    commit_initial(_base(spark, 4000, 64), path, ["part"])
+    sizes = []
+    for i in range(3):
+        commit_append(spark, path, _delta(spark, 5000 + i, 5001 + i, 64))
+        raw = _raw(path, i + 1)
+        assert raw["format"] == 2 and "files" not in raw
+        assert len(raw["add_files"]) == 1 and raw["remove_files"] == []
+        sizes.append(os.path.getsize(os.path.join(path, "_log", f"{i+1:08d}.json")))
+    v0_size = os.path.getsize(os.path.join(path, "_log", "00000000.json"))
+    assert max(sizes) < v0_size / 10  # delta ≪ full restatement
+    # and constant across commits while the table grows
+    assert max(sizes) - min(sizes) < 200
+    # resolved view is complete regardless
+    c = tt._read_commit(spark, path, 3)
+    assert len(c["files"]) == 64 + 3
+    assert set(c["file_rows"]) == set(c["files"])
+
+
+def test_v2_resolution_matches_fresh_disk_walk(spark, tmp_path):
+    """The write-side cache must agree with a cold resolution from the
+    raw delta chain (serialization round-trip invariant), across every
+    mutating op family."""
+    path = str(tmp_path / "t3")
+    commit_initial(_base(spark), path, ["part"], stats_cols=["k"])
+    commit_append(spark, path, _delta(spark, 1000, 1040))
+    delete_where(spark, path, "k >= 390 and k < 400")
+    commit_upsert_mor(
+        spark, path, _delta(spark, 0, 10).withColumn("v", F.lit(-1.0)), ["k"]
+    )
+    commit_upsert(
+        spark, path, _delta(spark, 20, 25).withColumn("v", F.lit(-2.0)), keys=["k"]
+    )
+    versions = tt._list_versions(spark, path)
+    cached = [tt._read_commit(spark, path, v) for v in versions]
+    tt._RESOLVED_COMMIT_CACHE.clear()
+    fresh = [tt._read_commit(spark, path, v) for v in versions]
+    assert cached == fresh
+    # the resolved head is internally consistent
+    head = fresh[-1]
+    assert set(head["file_rows"]) == set(head["files"])
+    assert sum(head["file_rows"].values()) >= read_version(spark, path).count()
+
+
+def test_v1_and_v2_tables_agree(spark, tmp_path):
+    """The same op sequence on a format-1 and a format-2 table yields
+    identical query results, history ops, and change feeds — format is a
+    storage choice, never a semantics choice."""
+
+    def build(path, fmt):
+        commit_initial(_base(spark), path, ["part"], format_version=fmt)
+        commit_append(spark, path, _delta(spark, 1000, 1050))
+        delete_where(spark, path, "k % 7 = 0")
+        commit_upsert_mor(
+            spark, path, _delta(spark, 3, 9).withColumn("v", F.lit(9.9)), ["k"]
+        )
+
+    p1, p2 = str(tmp_path / "f1"), str(tmp_path / "f2")
+    build(p1, 1)
+    build(p2, 2)
+    assert _raw(p1, 2).get("format") is None  # v1 stays pre-r8 shaped
+    assert "files" in _raw(p1, 2)
+    assert _raw(p2, 2)["format"] == 2
+
+    for v in tt._list_versions(spark, p1):
+        r1 = sorted(read_version(spark, p1, v).collect())
+        r2 = sorted(read_version(spark, p2, v).collect())
+        assert r1 == r2, f"version {v} differs"
+    assert [h["op"] for h in history(spark, p1)] == [
+        h["op"] for h in history(spark, p2)
+    ]
+    f1 = sorted(
+        table_changes(spark, p1, 0, 3)
+        .groupBy("_change_type", "_commit_version")
+        .count()
+        .collect()
+    )
+    f2 = sorted(
+        table_changes(spark, p2, 0, 3)
+        .groupBy("_change_type", "_commit_version")
+        .count()
+        .collect()
+    )
+    assert f1 == f2
+
+
+def test_checkpoint_cadence_and_chain_bound(spark, tmp_path):
+    """Every _CKPT_INTERVAL-th v2 commit writes a full checkpoint; a
+    resolution that starts above it never walks past it (proved by
+    deleting every log below the checkpoint and resolving cold)."""
+    path = str(tmp_path / "ck")
+    commit_initial(_base(spark, 100, 4), path, ["part"])
+    for i in range(12):
+        commit_append(spark, path, _delta(spark, 2000 + i, 2001 + i, 4))
+    ck = os.path.join(path, "_log", "_ckpt", f"{tt._CKPT_INTERVAL:08d}.json")
+    assert os.path.exists(ck)
+    want = tt._read_commit(spark, path, 12)
+    # simulate aggressive history loss below the checkpoint
+    for v in range(0, tt._CKPT_INTERVAL):
+        os.remove(os.path.join(path, "_log", f"{v:08d}.json"))
+    tt._RESOLVED_COMMIT_CACHE.clear()
+    assert tt._read_commit(spark, path, 12) == want
+    assert read_version(spark, path, 12).count() == 100 + 12
+
+
+def test_expire_pins_checkpoint_for_survivors(spark, tmp_path):
+    """expire_versions must leave every SURVIVING delta commit
+    resolvable by pinning a checkpoint above each expiry gap — off-
+    cadence versions included."""
+    path = str(tmp_path / "ex")
+    commit_initial(_base(spark, 100, 4), path, ["part"])
+    for i in range(5):
+        commit_append(spark, path, _delta(spark, 3000 + i, 3001 + i, 4))
+    expired = expire_versions(spark, path, keep_last=2)
+    assert expired == [0, 1, 2, 3]
+    tt._RESOLVED_COMMIT_CACHE.clear()
+    assert read_version(spark, path, 4).count() == 104
+    assert read_version(spark, path, 5).count() == 105
+    assert os.path.exists(
+        os.path.join(path, "_log", "_ckpt", "00000004.json")
+    )
+    with pytest.raises(ValueError, match="expired"):
+        read_version(spark, path, 1)
+
+
+def test_v2_streaming_source_reads_delta_log(spark, tmp_path):
+    """The Python DataSource change-feed reader resolves format-2 logs
+    with its pyarrow-only resolver (no JVM in the worker)."""
+    from vptstools_spark.sources.table_changes_source import (
+        TableChangesDataSource,
+    )
+
+    path = str(tmp_path / "st")
+    commit_initial(_base(spark, 60, 4), path, ["part"])
+    commit_append(spark, path, _delta(spark, 4000, 4020, 4))
+    spark.dataSource.register(TableChangesDataSource)
+    out = str(tmp_path / "out")
+    q = (
+        spark.readStream.format("table_changes")
+        .option("path", path)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.read.parquet(out)
+    assert got.filter(F.col("_change_type") == "insert").count() == 80

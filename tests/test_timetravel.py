@@ -189,12 +189,15 @@ def test_commit_race_one_winner(spark, tmp_path):
 
     # roll the log back in A's view by deleting nothing — instead race on
     # the NEXT version: pre-create 00000002.json as writer B
+    from vptstools_spark.plans.timetravel import _read_commit
+
     log2 = _os.path.join(path, "_log", "00000002.json")
     with open(log2, "w") as fh:
         fh.write(_json.dumps({
             "version": 2, "op": "upsert", "partition_cols": ["day"],
             "partition_types": {"day": "int"},
-            "files": _json.loads(open(_os.path.join(path, "_log", "00000001.json")).read())["files"],
+            # resolved read: raw v1 JSON may be a format-2 delta
+            "files": _read_commit(spark, path, 1)["files"],
         }))
     with pytest.raises(CommitConflictError, match="expected"):
         # A derived its delta against v1; the CAS catches the stale view

@@ -54,6 +54,23 @@ _MODULES = [
 #: work must sort before the cutoff to ship with recorded verification
 #: (round-3 advice: bpe_encode/ann_filtered landed outside the sample).
 NEW_THIS_ROUND = [
+    # round 8: nonparametric/post-hoc inference (G-test, Mann-Whitney U,
+    # Wilcoxon signed-rank, McNemar, pairwise contrasts), ML-prep scoring
+    # (WoE/IV, pinball quantile eval), churn/drift time series (retention
+    # exponential fit, Page-Hinkley), corpus QA (RAKE keywords, Heaps'
+    # law), graph cohesion (local clustering coefficient)
+    "g_test_nation_segment",
+    "mann_whitney_u",
+    "wilcoxon_signed_rank",
+    "mcnemar_paired",
+    "pairwise_mean_contrasts",
+    "woe_iv",
+    "pinball_loss",
+    "retention_curve_fit",
+    "page_hinkley_drift",
+    "rake_keywords",
+    "heaps_law_fit",
+    "local_clustering",
     # round 7: rank/nonparametric statistics, engagement analytics,
     # time-series diagnostics, graph structure, cluster QA
     "anova_priority",

@@ -3549,3 +3549,155 @@ ORACLES["new_vs_returning_weekly"] = """
     GROUP BY wk ORDER BY week
 """
 QUERIES["new_vs_returning_weekly"] = q_new_vs_returning_weekly
+
+
+def q_retention_curve_fit(spark: SparkSession, sf: str) -> DataFrame:
+    """Retention-curve exponential fit: the week-k retention rates
+    r_k = |users active k weeks after their first event| / |users|,
+    k = 1..8, fitted with r_k ≈ a·e^(−λk) via the closed-form log-linear
+    OLS (the standard churn-decay readout). Per-user first dates fold
+    once; offsets re-join on user_id (hash-partitioned both sides);
+    the fit runs over the ≤8-row rate table. Integer counts make every
+    rate — and so the logs — cross-engine exact."""
+    e = table(spark, sf, "events").select("user_id", F.to_date("ts").alias("d"))
+    first = e.groupBy("user_id").agg(F.min("d").alias("d0"))
+    n_users = first.count()
+    offs = (
+        e.join(first, "user_id")
+        .select(
+            "user_id",
+            F.floor(F.datediff(F.col("d"), F.col("d0")) / 7).alias("k"),
+        )
+        .filter((F.col("k") >= 1) & (F.col("k") <= 8))
+        .distinct()
+    )
+    rates = offs.groupBy("k").agg(
+        (F.count("*") / F.lit(float(n_users))).alias("r")
+    )
+    m = rates.filter(F.col("r") > 0).agg(
+        F.count("*").alias("np"),
+        F.sum("k").alias("sx"),
+        F.sum(F.log("r")).alias("sy"),
+        F.sum(F.col("k") * F.col("k")).alias("sxx"),
+        F.sum(F.col("k") * F.log("r")).alias("sxy"),
+    )
+    slope = (F.col("np") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("np") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    intercept = (F.col("sy") - slope * F.col("sx")) / F.col("np")
+    return m.select(
+        F.lit(int(n_users)).alias("n_users"),
+        F.col("np").cast("long").alias("n_points"),
+        # + 0.0 folds IEEE negative zero to +0.0 (cross-engine render)
+        (F.round(-slope, 6) + F.lit(0.0)).alias("decay_lambda"),
+        F.round(F.exp(intercept), 6).alias("fit_a"),
+    )
+
+
+ORACLES["retention_curve_fit"] = """
+    WITH e AS (
+        SELECT user_id, CAST(ts AS DATE) AS d FROM events
+    ), f AS (
+        SELECT user_id, MIN(d) AS d0 FROM e GROUP BY 1
+    ), nu AS (SELECT COUNT(*) AS n_users FROM f),
+    offs AS (
+        SELECT DISTINCT e.user_id,
+               CAST(FLOOR(DATEDIFF('day', f.d0, e.d) / 7.0) AS BIGINT) AS k
+        FROM e JOIN f USING (user_id)
+        WHERE DATEDIFF('day', f.d0, e.d) >= 7
+          AND DATEDIFF('day', f.d0, e.d) < 63
+    ), rates AS (
+        SELECT k, COUNT(*) * 1.0 / (SELECT n_users FROM nu) AS r
+        FROM offs GROUP BY k
+    ), m AS (
+        SELECT COUNT(*) AS np, SUM(k) AS sx, SUM(LN(r)) AS sy,
+               SUM(k * k) AS sxx, SUM(k * LN(r)) AS sxy
+        FROM rates WHERE r > 0
+    )
+    SELECT (SELECT CAST(n_users AS INT) FROM nu) AS n_users,
+           CAST(np AS BIGINT) AS n_points,
+           ROUND(-(np * sxy - sx * sy) / (np * sxx - sx * sx), 6) + 0.0
+               AS decay_lambda,
+           ROUND(EXP((sy - ((np * sxy - sx * sy)
+                            / (np * sxx - sx * sx)) * sx) / np), 6)
+               AS fit_a
+    FROM m
+"""
+QUERIES["retention_curve_fit"] = q_retention_curve_fit
+
+
+def q_page_hinkley_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """Page-Hinkley sequential drift statistic over the ordered daily
+    revenue series: PH = max_t (cum_t − min_{i≤t} cum_i) with
+    cum_t = Σ(x_i − x̄_i), x̄_i the running mean — the classic
+    change-detection fold. Daily revenue folds once (decimal-exact money
+    sums), then ONE in-plan array fold over the ~2.4k-day series carries
+    (n, mean, cum, min_cum, ph); both engines lift elements to the
+    state shape and fold textually identical arithmetic, so the doubles
+    are bit-identical (the `holt_forecast_revenue` discipline)."""
+    o = table(spark, sf, "orders")
+    daily = o.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(30,2)"))
+        .cast("double")
+        .alias("x")
+    )
+    arr = daily.agg(
+        F.array_sort(F.collect_list(F.struct("d", "x"))).alias("xs")
+    )
+    fold = F.expr(
+        """
+        aggregate(
+            slice(xs, 2, size(xs) - 1),
+            array(1.0D, xs[0].x, 0.0D, 0.0D, 0.0D),
+            (acc, e) -> array(
+                acc[0] + 1.0D,
+                acc[1] + (e.x - acc[1]) / (acc[0] + 1.0D),
+                acc[2] + (e.x - (acc[1] + (e.x - acc[1]) / (acc[0] + 1.0D))),
+                least(acc[3],
+                      acc[2] + (e.x - (acc[1] + (e.x - acc[1]) / (acc[0] + 1.0D)))),
+                greatest(acc[4],
+                         acc[2] + (e.x - (acc[1] + (e.x - acc[1]) / (acc[0] + 1.0D)))
+                         - least(acc[3],
+                                 acc[2] + (e.x - (acc[1] + (e.x - acc[1]) / (acc[0] + 1.0D)))))
+            )
+        )
+        """
+    )
+    return arr.select(
+        F.size("xs").alias("n_days"),
+        F.round(fold.getItem(4), 4).alias("ph_stat"),
+        F.round(fold.getItem(2), 4).alias("final_cum"),
+    )
+
+
+ORACLES["page_hinkley_drift"] = """
+    WITH daily AS (
+        SELECT o_orderdate AS d,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS x
+        FROM orders GROUP BY 1
+    ), arr AS (
+        SELECT list(x ORDER BY d) AS xs FROM arr_src
+    ), arr_src AS (SELECT d, x FROM daily),
+    fold AS (
+        SELECT len(xs) AS n_days,
+               list_reduce(
+                   list_transform(xs, x -> [1.0, CAST(x AS DOUBLE),
+                                            0.0, 0.0, 0.0]),
+                   (acc, e) -> [
+                       acc[1] + 1.0,
+                       acc[2] + (e[2] - acc[2]) / (acc[1] + 1.0),
+                       acc[3] + (e[2] - (acc[2] + (e[2] - acc[2]) / (acc[1] + 1.0))),
+                       LEAST(acc[4],
+                             acc[3] + (e[2] - (acc[2] + (e[2] - acc[2]) / (acc[1] + 1.0)))),
+                       GREATEST(acc[5],
+                                acc[3] + (e[2] - (acc[2] + (e[2] - acc[2]) / (acc[1] + 1.0)))
+                                - LEAST(acc[4],
+                                        acc[3] + (e[2] - (acc[2] + (e[2] - acc[2]) / (acc[1] + 1.0)))))
+                   ]
+               ) AS st
+        FROM arr
+    )
+    SELECT n_days, ROUND(st[5], 4) AS ph_stat, ROUND(st[3], 4) AS final_cum
+    FROM fold
+"""
+QUERIES["page_hinkley_drift"] = q_page_hinkley_drift

@@ -786,3 +786,85 @@ ORACLES["modularity_regions"] = """
     WHERE nu.n_regionkey = nv.n_regionkey
 """
 QUERIES["modularity_regions"] = q_modularity_regions
+
+
+def q_local_clustering(spark: SparkSession, sf: str) -> DataFrame:
+    """Local clustering coefficient c(v) = 2·T(v) / (deg(v)·(deg(v)−1))
+    over the part co-purchase graph (partkey < 400, the triangle_parts
+    graph) — the per-node cohesion readout. Triangles come from the
+    degree-ordered wedge enumeration (O(|E|^1.5), never the naive Σdeg²
+    wedge join); degrees fold the deduped undirected edge list once.
+    Coefficients are exact rationals of integers rendered at 6 dp;
+    top-15 by (coefficient, node) via two-phase TakeOrdered."""
+    from vptstools_spark.operators.graph import triangle_count
+
+    l = table(spark, sf, "lineitem").filter(F.col("l_partkey") < 400)
+    l1 = l.select("l_orderkey", F.col("l_partkey").alias("pa"))
+    l2 = l.select("l_orderkey", F.col("l_partkey").alias("pb"))
+    edges = (
+        l1.join(l2, "l_orderkey")
+        .filter(F.col("pa") < F.col("pb"))
+        .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+        .distinct()
+    )
+    deg = (
+        edges.select(F.col("src").alias("node"))
+        .unionAll(edges.select(F.col("dst").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    tri = triangle_count(edges)
+    return (
+        deg.filter(F.col("deg") >= 2)
+        .join(tri, "node", "left")
+        .select(
+            "node",
+            "deg",
+            F.coalesce("n_triangles", F.lit(0)).alias("n_triangles"),
+            F.round(
+                2.0 * F.coalesce("n_triangles", F.lit(0))
+                / (F.col("deg") * (F.col("deg") - 1.0)),
+                6,
+            ).alias("clustering_coeff"),
+        )
+        .orderBy(F.col("clustering_coeff").desc(), "node")
+        .limit(15)
+    )
+
+
+ORACLES["local_clustering"] = """
+    WITH e AS (
+        SELECT DISTINCT LEAST(a.l_partkey, b.l_partkey) AS s,
+               GREATEST(a.l_partkey, b.l_partkey) AS d
+        FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+        WHERE a.l_partkey < 400 AND b.l_partkey < 400
+          AND a.l_partkey < b.l_partkey
+    ), deg AS (
+        SELECT node, COUNT(*) AS deg FROM (
+            SELECT s AS node FROM e UNION ALL SELECT d FROM e
+        ) GROUP BY 1
+    ), tri AS (
+        SELECT node, COUNT(*) AS t FROM (
+            SELECT e1.s AS node FROM e e1
+            JOIN e e2 ON e2.s = e1.d
+            JOIN e e3 ON e3.s = e1.s AND e3.d = e2.d
+            UNION ALL
+            SELECT e1.d FROM e e1
+            JOIN e e2 ON e2.s = e1.d
+            JOIN e e3 ON e3.s = e1.s AND e3.d = e2.d
+            UNION ALL
+            SELECT e2.d FROM e e1
+            JOIN e e2 ON e2.s = e1.d
+            JOIN e e3 ON e3.s = e1.s AND e3.d = e2.d
+        ) GROUP BY 1
+    )
+    SELECT deg.node, deg.deg,
+           CAST(COALESCE(tri.t, 0) AS BIGINT) AS n_triangles,
+           ROUND(2.0 * COALESCE(tri.t, 0) / (deg.deg * (deg.deg - 1.0)), 6)
+               AS clustering_coeff
+    FROM deg LEFT JOIN tri USING (node)
+    WHERE deg.deg >= 2
+    ORDER BY clustering_coeff DESC, node
+    LIMIT 15
+"""
+QUERIES["local_clustering"] = q_local_clustering

@@ -999,3 +999,321 @@ ORACLES["cochran_armitage_trend"] = """
     FROM tot
 """
 QUERIES["cochran_armitage_trend"] = q_cochran_armitage_trend
+
+
+def q_g_test_nation_segment(spark: SparkSession, sf: str) -> DataFrame:
+    """G-test (log-likelihood ratio) of independence between customer
+    nation and market segment — the information-theoretic sibling of
+    `q_cramers_v_nation_segment`'s chi-square: G = 2 Σ O·ln(O/E). One
+    fact fold to the ≤25×5 contingency table; margins broadcast back
+    onto the bounded cells; empty cells contribute 0 by the O·ln(O/E)
+    limit. Integer counts keep the closed form cross-engine exact."""
+    c = table(spark, sf, "customer")
+    cells = c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count("*").alias("o")
+    )
+    rows = cells.groupBy("c_nationkey").agg(F.sum("o").alias("rn"))
+    colt = cells.groupBy("c_mktsegment").agg(F.sum("o").alias("cn"))
+    tot = cells.agg(F.sum("o").alias("n"))
+    e = F.col("rn") * F.col("cn") / F.col("n")
+    g = 2.0 * F.sum(F.col("o") * F.log(F.col("o") / e))
+    joined = (
+        cells.join(F.broadcast(rows), "c_nationkey")
+        .join(F.broadcast(colt), "c_mktsegment")
+        .crossJoin(F.broadcast(tot))
+    )
+    return joined.agg(
+        F.sum("o").cast("long").alias("n"),
+        F.count("*").cast("long").alias("n_cells"),
+        F.round(g, 4).alias("g_stat"),
+    )
+
+
+ORACLES["g_test_nation_segment"] = """
+    WITH cells AS (
+        SELECT c_nationkey, c_mktsegment, COUNT(*) AS o
+        FROM customer GROUP BY 1, 2
+    ), r AS (SELECT c_nationkey, SUM(o) AS rn FROM cells GROUP BY 1),
+    c2 AS (SELECT c_mktsegment, SUM(o) AS cn FROM cells GROUP BY 1),
+    t AS (SELECT SUM(o) AS n FROM cells)
+    SELECT CAST(SUM(o) AS BIGINT) AS n,
+           CAST(COUNT(*) AS BIGINT) AS n_cells,
+           ROUND(2.0 * SUM(o * LN(o / (rn * cn * 1.0 / n))), 4) AS g_stat
+    FROM cells JOIN r USING (c_nationkey)
+               JOIN c2 USING (c_mktsegment), t
+"""
+QUERIES["g_test_nation_segment"] = q_g_test_nation_segment
+
+
+def q_mann_whitney_u(spark: SparkSession, sf: str) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) comparing l_quantity between
+    returned ('R') and non-returned lineitems — the nonparametric
+    two-sample location test. Average ranks come from the 50-value
+    FREQUENCY table (triangular self-join — no global sort, the
+    `spearman_qty_discount` recipe); U and the tie-corrected normal
+    z are closed forms over exact integer/half-integer moments."""
+    l = table(spark, sf, "lineitem").select(
+        "l_quantity", (F.col("l_returnflag") == "R").alias("grp")
+    )
+    freq = l.groupBy("l_quantity").agg(
+        F.count("*").alias("c"),
+        F.count(F.when(F.col("grp"), 1)).alias("c1"),
+    )
+    a, b = freq.alias("a"), freq.alias("b")
+    ranks = (
+        a.join(b, F.col("b.l_quantity") < F.col("a.l_quantity"), "left")
+        .groupBy(
+            F.col("a.l_quantity").alias("q"),
+            F.col("a.c").alias("c"),
+            F.col("a.c1").alias("c1"),
+        )
+        .agg(F.coalesce(F.sum("b.c"), F.lit(0)).alias("below"))
+        .select(
+            "q", "c", "c1",
+            (F.col("below") + (F.col("c") + 1) / 2.0).alias("r"),
+        )
+    )
+    m = ranks.agg(
+        F.sum("c").alias("n"),
+        F.sum("c1").alias("n1"),
+        F.sum(F.col("c1") * F.col("r")).alias("r1"),
+        F.sum(
+            F.col("c").cast("double") * F.col("c") * F.col("c")
+            - F.col("c")
+        ).alias("tie3"),
+    )
+    n, n1, r1 = F.col("n"), F.col("n1"), F.col("r1")
+    n2 = n - n1
+    u1 = r1 - n1 * (n1 + 1) / 2.0
+    mu = n1 * n2 / 2.0
+    sig = F.sqrt(
+        (n1 * n2 / 12.0)
+        * ((n + 1) - F.col("tie3") / (n * (n - 1.0)))
+    )
+    return m.select(
+        n1.cast("long").alias("n_returned"),
+        n2.cast("long").alias("n_kept"),
+        F.round(u1, 1).alias("u_stat"),
+        F.round((u1 - mu) / sig, 4).alias("z"),
+    )
+
+
+ORACLES["mann_whitney_u"] = """
+    WITH fq AS (
+        SELECT l_quantity AS q, COUNT(*) AS c,
+               COUNT(*) FILTER (l_returnflag = 'R') AS c1
+        FROM lineitem GROUP BY 1
+    ), rk AS (
+        SELECT a.q, a.c, a.c1,
+               COALESCE(SUM(b.c), 0) + (a.c + 1) / 2.0 AS r
+        FROM fq a LEFT JOIN fq b ON b.q < a.q
+        GROUP BY a.q, a.c, a.c1
+    ), m AS (
+        SELECT SUM(c) AS n, SUM(c1) AS n1, SUM(c1 * r) AS r1,
+               SUM(c * 1.0 * c * c - c) AS tie3
+        FROM rk
+    )
+    SELECT CAST(n1 AS BIGINT) AS n_returned,
+           CAST(n - n1 AS BIGINT) AS n_kept,
+           ROUND(r1 - n1 * (n1 + 1) / 2.0, 1) AS u_stat,
+           ROUND((r1 - n1 * (n1 + 1) / 2.0 - n1 * (n - n1) / 2.0)
+                 / SQRT((n1 * (n - n1) / 12.0)
+                        * ((n + 1) - tie3 / (n * (n - 1.0)))), 4) AS z
+    FROM m
+"""
+QUERIES["mann_whitney_u"] = q_mann_whitney_u
+
+
+def q_wilcoxon_signed_rank(spark: SparkSession, sf: str) -> DataFrame:
+    """Wilcoxon signed-rank test over PAIRED per-part quantities:
+    d(part) = total returned qty − total kept qty, zeros dropped per the
+    classical procedure. |d| is integer, so tie-averaged ranks come from
+    its bounded frequency table (triangular self-join, no global sort);
+    W+ and the normal approximation with tie correction are closed
+    forms. Every intermediate is integer/half-integer in double."""
+    l = table(spark, sf, "lineitem")
+    d = (
+        l.groupBy("l_partkey")
+        .agg(
+            (
+                F.sum(F.when(F.col("l_returnflag") == "R", F.col("l_quantity")).otherwise(F.lit(0)))
+                - F.sum(F.when(F.col("l_returnflag") != "R", F.col("l_quantity")).otherwise(F.lit(0)))
+            ).alias("d")
+        )
+        .filter(F.col("d") != 0)
+        .select(F.abs("d").alias("ad"), (F.col("d") > 0).alias("pos"))
+    )
+    freq = d.groupBy("ad").agg(
+        F.count("*").alias("c"),
+        F.count(F.when(F.col("pos"), 1)).alias("cpos"),
+    )
+    a, b = freq.alias("a"), freq.alias("b")
+    ranks = (
+        a.join(b, F.col("b.ad") < F.col("a.ad"), "left")
+        .groupBy(
+            F.col("a.ad").alias("ad"),
+            F.col("a.c").alias("c"),
+            F.col("a.cpos").alias("cpos"),
+        )
+        .agg(F.coalesce(F.sum("b.c"), F.lit(0)).alias("below"))
+        .select(
+            "c", "cpos",
+            (F.col("below") + (F.col("c") + 1) / 2.0).alias("r"),
+        )
+    )
+    m = ranks.agg(
+        F.sum("c").alias("n"),
+        F.sum(F.col("cpos") * F.col("r")).alias("wplus"),
+        F.sum(
+            F.col("c").cast("double") * F.col("c") * F.col("c")
+            - F.col("c")
+        ).alias("tie3"),
+    )
+    n, w = F.col("n"), F.col("wplus")
+    mu = n * (n + 1) / 4.0
+    sig = F.sqrt(
+        n * (n + 1) * (2 * n + 1) / 24.0 - F.col("tie3") / 48.0
+    )
+    return m.select(
+        n.cast("long").alias("n_pairs"),
+        F.round(w, 1).alias("w_plus"),
+        F.round((w - mu) / sig, 4).alias("z"),
+    )
+
+
+ORACLES["wilcoxon_signed_rank"] = """
+    WITH d AS (
+        SELECT ABS(dd) AS ad, dd > 0 AS pos FROM (
+            SELECT SUM(CASE WHEN l_returnflag = 'R' THEN l_quantity ELSE 0 END)
+                   - SUM(CASE WHEN l_returnflag <> 'R' THEN l_quantity ELSE 0 END) AS dd
+            FROM lineitem GROUP BY l_partkey
+        ) WHERE dd <> 0
+    ), fq AS (
+        SELECT ad, COUNT(*) AS c, COUNT(*) FILTER (pos) AS cpos
+        FROM d GROUP BY 1
+    ), rk AS (
+        SELECT a.c, a.cpos,
+               COALESCE(SUM(b.c), 0) + (a.c + 1) / 2.0 AS r
+        FROM fq a LEFT JOIN fq b ON b.ad < a.ad
+        GROUP BY a.ad, a.c, a.cpos
+    ), m AS (
+        SELECT SUM(c) AS n, SUM(cpos * r) AS wplus,
+               SUM(c * 1.0 * c * c - c) AS tie3
+        FROM rk
+    )
+    SELECT CAST(n AS BIGINT) AS n_pairs,
+           ROUND(wplus, 1) AS w_plus,
+           ROUND((wplus - n * (n + 1) / 4.0)
+                 / SQRT(n * (n + 1) * (2 * n + 1) / 24.0 - tie3 / 48.0),
+                 4) AS z
+    FROM m
+"""
+QUERIES["wilcoxon_signed_rank"] = q_wilcoxon_signed_rank
+
+
+def q_mcnemar_paired(spark: SparkSession, sf: str) -> DataFrame:
+    """McNemar's test on PAIRED user behavior: did each user purchase in
+    H1 vs H2 of the event year? The statistic uses only the discordant
+    cells (b = H1-only, c = H2-only) with continuity correction:
+    (|b−c|−1)² / (b+c). One fact fold to per-user H1/H2 flags, one count
+    aggregate — integer-exact everywhere."""
+    e = table(spark, sf, "events").filter(F.col("event_type") == "purchase")
+    per_user = e.groupBy("user_id").agg(
+        F.max(F.month("ts") <= 6).alias("h1"),
+        F.max(F.month("ts") >= 7).alias("h2"),
+    )
+    m = per_user.agg(
+        F.count(F.when(F.col("h1") & ~F.col("h2"), 1)).alias("b"),
+        F.count(F.when(~F.col("h1") & F.col("h2"), 1)).alias("c"),
+        F.count(F.when(F.col("h1") & F.col("h2"), 1)).alias("both"),
+    )
+    b, c = F.col("b"), F.col("c")
+    stat = (F.abs(b - c) - 1) ** 2 / (b + c)
+    return m.select(
+        "b", "c", "both", F.round(stat, 4).alias("mcnemar_chi2")
+    )
+
+
+ORACLES["mcnemar_paired"] = """
+    WITH pu AS (
+        SELECT user_id,
+               MAX(CASE WHEN MONTH(ts) <= 6 THEN 1 ELSE 0 END) = 1 AS h1,
+               MAX(CASE WHEN MONTH(ts) >= 7 THEN 1 ELSE 0 END) = 1 AS h2
+        FROM events WHERE event_type = 'purchase' GROUP BY 1
+    )
+    SELECT CAST(COUNT(*) FILTER (h1 AND NOT h2) AS BIGINT) AS b,
+           CAST(COUNT(*) FILTER (NOT h1 AND h2) AS BIGINT) AS c,
+           CAST(COUNT(*) FILTER (h1 AND h2) AS BIGINT) AS both,
+           ROUND(POW(ABS(COUNT(*) FILTER (h1 AND NOT h2)
+                         - COUNT(*) FILTER (NOT h1 AND h2)) - 1, 2)
+                 / (COUNT(*) FILTER (h1 AND NOT h2)
+                    + COUNT(*) FILTER (NOT h1 AND h2)), 4) AS mcnemar_chi2
+    FROM pu
+"""
+QUERIES["mcnemar_paired"] = q_mcnemar_paired
+
+
+def q_pairwise_mean_contrasts(spark: SparkSession, sf: str) -> DataFrame:
+    """All pairwise mean contrasts between order priorities (the
+    post-hoc table after `q_anova_priority`): diff of group means with
+    the pooled-MSW standard error SE = sqrt(MSW·(1/n_i + 1/n_j)). Group
+    moments fold in ONE aggregate (decimal-exact money sums); the 5×5
+    triangular self-join runs over the 5-row table."""
+    o = table(spark, sf, "orders")
+    g = o.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(30,2)")).alias("s"),
+        F.sum(
+            F.col("o_totalprice").cast("decimal(30,2)")
+            * F.col("o_totalprice").cast("decimal(30,2)")
+        ).alias("ss"),
+    ).select(
+        "o_orderpriority", "n",
+        (F.col("s").cast("double") / F.col("n")).alias("mean"),
+        (
+            F.col("ss").cast("double")
+            - F.col("s").cast("double") * F.col("s").cast("double")
+            / F.col("n")
+        ).alias("ssw"),
+    )
+    tot = g.agg(
+        F.sum("ssw").alias("ssw_all"),
+        (F.sum("n") - F.count("*")).alias("df_w"),
+    )
+    a, b = g.alias("a"), g.alias("b")
+    pairs = a.join(
+        b, F.col("a.o_orderpriority") < F.col("b.o_orderpriority")
+    ).crossJoin(F.broadcast(tot))
+    msw = F.col("ssw_all") / F.col("df_w")
+    se = F.sqrt(msw * (1.0 / F.col("a.n") + 1.0 / F.col("b.n")))
+    diff = F.col("a.mean") - F.col("b.mean")
+    return pairs.select(
+        F.col("a.o_orderpriority").alias("prio_a"),
+        F.col("b.o_orderpriority").alias("prio_b"),
+        F.round(diff, 4).alias("mean_diff"),
+        F.round(se, 4).alias("se"),
+        F.round(diff / se, 4).alias("t_stat"),
+    ).orderBy("prio_a", "prio_b")
+
+
+ORACLES["pairwise_mean_contrasts"] = """
+    WITH g AS (
+        SELECT o_orderpriority, COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) / COUNT(*) AS mean,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))
+                        * CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE)
+               - CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE)
+                 * CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) / COUNT(*) AS ssw
+        FROM orders GROUP BY 1
+    ), t AS (
+        SELECT SUM(ssw) AS ssw_all, SUM(n) - COUNT(*) AS df_w FROM g
+    )
+    SELECT a.o_orderpriority AS prio_a, b.o_orderpriority AS prio_b,
+           ROUND(a.mean - b.mean, 4) AS mean_diff,
+           ROUND(SQRT((ssw_all / df_w) * (1.0 / a.n + 1.0 / b.n)), 4) AS se,
+           ROUND((a.mean - b.mean)
+                 / SQRT((ssw_all / df_w) * (1.0 / a.n + 1.0 / b.n)), 4) AS t_stat
+    FROM g a JOIN g b ON a.o_orderpriority < b.o_orderpriority, t
+    ORDER BY prio_a, prio_b
+"""
+QUERIES["pairwise_mean_contrasts"] = q_pairwise_mean_contrasts

@@ -1110,3 +1110,121 @@ ORACLES["jackknife_ratio"] = """
 """
 
 QUERIES["jackknife_ratio"] = q_jackknife_ratio
+
+
+def q_woe_iv(spark: SparkSession, sf: str) -> DataFrame:
+    """Weight-of-Evidence / Information-Value table — the credit-scoring
+    feature screen, here for quantity buckets vs the returned-item
+    target: WoE_i = ln((bad_i/bad)/(good_i/good)), IV = Σ(pb−pg)·WoE.
+    One fact fold to 5 integer buckets; totals broadcast back onto the
+    bounded table; integer counts make the logs cross-engine exact."""
+    l = table(spark, sf, "lineitem")
+    b = l.select(
+        (F.floor((F.col("l_quantity") - 1) / 10)).cast("int").alias("bucket"),
+        (F.col("l_returnflag") == "R").alias("bad"),
+    )
+    cells = b.groupBy("bucket").agg(
+        F.count(F.when(F.col("bad"), 1)).alias("nb"),
+        F.count(F.when(~F.col("bad"), 1)).alias("ng"),
+    )
+    tot = cells.agg(
+        F.sum("nb").alias("tb"), F.sum("ng").alias("tg")
+    )
+    j = cells.crossJoin(F.broadcast(tot))
+    pb = F.col("nb") / F.col("tb")
+    pg = F.col("ng") / F.col("tg")
+    woe = F.log(pb / pg)
+    return j.select(
+        "bucket",
+        F.col("nb").cast("long").alias("n_bad"),
+        F.col("ng").cast("long").alias("n_good"),
+        F.round(woe, 6).alias("woe"),
+        F.round((pb - pg) * woe, 6).alias("iv_term"),
+    ).orderBy("bucket")
+
+
+ORACLES["woe_iv"] = """
+    WITH cells AS (
+        SELECT CAST(FLOOR((l_quantity - 1) / 10) AS INT) AS bucket,
+               COUNT(*) FILTER (l_returnflag = 'R') AS nb,
+               COUNT(*) FILTER (l_returnflag <> 'R') AS ng
+        FROM lineitem GROUP BY 1
+    ), t AS (SELECT SUM(nb) AS tb, SUM(ng) AS tg FROM cells)
+    SELECT bucket,
+           CAST(nb AS BIGINT) AS n_bad,
+           CAST(ng AS BIGINT) AS n_good,
+           ROUND(LN((nb * 1.0 / tb) / (ng * 1.0 / tg)), 6) AS woe,
+           ROUND((nb * 1.0 / tb - ng * 1.0 / tg)
+                 * LN((nb * 1.0 / tb) / (ng * 1.0 / tg)), 6) AS iv_term
+    FROM cells, t
+    ORDER BY bucket
+"""
+QUERIES["woe_iv"] = q_woe_iv
+
+
+def q_pinball_loss(spark: SparkSession, sf: str) -> DataFrame:
+    """Quantile-forecast evaluation: fit global p25/p50/p75 of order
+    totals on the TRAIN years (< 1998), score the 1998+ TEST split with
+    the pinball (quantile) loss L_τ(y,q) = max(τ(y−q), (τ−1)(y−q)) —
+    the metric that makes quantile regression honest. Exact interpolated
+    percentiles (percentile ↔ quantile_cont, rounded 2dp before use so
+    the literal is identical cross-engine); one test-scan aggregate per
+    τ folded into a single pass."""
+    o = table(spark, sf, "orders")
+    train = o.filter(F.year("o_orderdate") < 1998)
+    qs = train.agg(
+        *[
+            F.round(
+                F.percentile("o_totalprice", F.lit(t)), 2
+            ).alias(f"q{int(t*100)}")
+            for t in (0.25, 0.5, 0.75)
+        ]
+    )
+    test = o.filter(F.year("o_orderdate") >= 1998).crossJoin(
+        F.broadcast(qs)
+    )
+    y = F.col("o_totalprice")
+
+    def pin(tau: float, q):
+        d = y - q
+        return F.avg(
+            F.greatest(F.lit(tau) * d, (F.lit(tau) - 1.0) * d)
+        )
+
+    agg = test.agg(
+        F.count("*").alias("n_test"),
+        F.first("q25").alias("q25"),
+        F.first("q50").alias("q50"),
+        F.first("q75").alias("q75"),
+        pin(0.25, F.col("q25")).alias("l25"),
+        pin(0.50, F.col("q50")).alias("l50"),
+        pin(0.75, F.col("q75")).alias("l75"),
+    )
+    return agg.select(
+        F.col("n_test").cast("long").alias("n_test"),
+        "q25", "q50", "q75",
+        F.round("l25", 4).alias("pinball_p25"),
+        F.round("l50", 4).alias("pinball_p50"),
+        F.round("l75", 4).alias("pinball_p75"),
+    )
+
+
+ORACLES["pinball_loss"] = """
+    WITH q AS (
+        SELECT ROUND(QUANTILE_CONT(o_totalprice, 0.25), 2) AS q25,
+               ROUND(QUANTILE_CONT(o_totalprice, 0.50), 2) AS q50,
+               ROUND(QUANTILE_CONT(o_totalprice, 0.75), 2) AS q75
+        FROM orders WHERE YEAR(o_orderdate) < 1998
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_test,
+           ANY_VALUE(q25) AS q25, ANY_VALUE(q50) AS q50, ANY_VALUE(q75) AS q75,
+           ROUND(AVG(GREATEST(0.25 * (o_totalprice - q25),
+                              -0.75 * (o_totalprice - q25))), 4) AS pinball_p25,
+           ROUND(AVG(GREATEST(0.50 * (o_totalprice - q50),
+                              -0.50 * (o_totalprice - q50))), 4) AS pinball_p50,
+           ROUND(AVG(GREATEST(0.75 * (o_totalprice - q75),
+                              -0.25 * (o_totalprice - q75))), 4) AS pinball_p75
+    FROM orders, q
+    WHERE YEAR(o_orderdate) >= 1998
+"""
+QUERIES["pinball_loss"] = q_pinball_loss

@@ -1065,3 +1065,211 @@ ORACLES["lexical_diversity"] = """
 """
 
 QUERIES["lexical_diversity"] = q_lexical_diversity
+
+
+def q_rake_keywords(spark: SparkSession, sf: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al.): candidate phrases are
+    maximal runs of non-stopword tokens (stopwords = tokens appearing
+    in > 60% of documents — corpus-derived, deterministic), each word
+    scores degree/frequency (degree = Σ length of phrases containing
+    it), and a phrase scores the sum of its word scores. Scores are
+    kept as integer MICRO-scores (⌊deg·10⁶/freq⌋) so the per-phrase sum
+    is order-independent and cross-engine exact. Per-doc windows only
+    (partitioned by doc_id); the word/phrase tables are
+    vocabulary-bounded. Top 10 phrases by score."""
+    from pyspark.sql import Window
+
+    d = table(spark, sf, "documents")
+    n_docs = d.count()
+    toks = d.select(
+        "doc_id",
+        F.posexplode(
+            F.filter(F.split("text", " "), lambda w: w != F.lit(""))
+        ).alias("pos", "w"),
+    )
+    stop = (
+        toks.groupBy("w")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") > 0.6 * float(n_docs))
+        .select("w")
+    )
+    nonstop = toks.join(F.broadcast(stop), "w", "left_anti")
+    wn = Window.partitionBy("doc_id").orderBy("pos")
+    runs = nonstop.withColumn(
+        "grp", F.col("pos") - F.row_number().over(wn)
+    )
+    phrases = runs.groupBy("doc_id", "grp").agg(
+        F.concat_ws(" ", F.collect_list(F.struct("pos", "w").w)).alias("p0"),
+        F.array_sort(F.collect_list(F.struct("pos", "w"))).alias("ws"),
+    ).select(
+        F.concat_ws(
+            " ", F.transform("ws", lambda s: s.getField("w"))
+        ).alias("phrase"),
+        F.size("ws").alias("plen"),
+        F.transform("ws", lambda s: s.getField("w")).alias("words"),
+    )
+    word_stats = (
+        phrases.select(F.explode("words").alias("w"), "plen")
+        .groupBy("w")
+        .agg(
+            F.count("*").alias("freq"),
+            F.sum("plen").alias("deg"),
+        )
+        .select(
+            "w",
+            F.floor(F.col("deg") * 1000000 / F.col("freq")).alias("uscore"),
+        )
+    )
+    scored = (
+        phrases.select("phrase", F.posexplode("words").alias("i", "w"))
+        .join(F.broadcast(word_stats), "w")
+        .groupBy("phrase", "i")
+        .agg(F.first("uscore").alias("uscore"))
+        .groupBy("phrase")
+        .agg(F.sum("uscore").alias("u"), F.count("*").alias("plen"))
+    )
+    # distinct phrase strings score once; occurrence counts reported
+    occ = phrases.groupBy("phrase").agg(F.count("*").alias("n_occurrences"))
+    return (
+        scored.join(occ, "phrase")
+        .select(
+            "phrase",
+            "n_occurrences",
+            F.round(F.col("u") / 1e6, 4).alias("rake_score"),
+        )
+        .orderBy(F.col("rake_score").desc(), "phrase")
+        .limit(10)
+    )
+
+
+ORACLES["rake_keywords"] = """
+    WITH toks AS (
+        SELECT doc_id, u.w, u.pos FROM documents,
+        LATERAL (
+            SELECT UNNEST(l) AS w,
+                   UNNEST(GENERATE_SERIES(0, LEN(l) - 1)) AS pos
+            FROM (SELECT LIST_FILTER(STRING_SPLIT(text, ' '),
+                                     x -> x <> '') AS l)
+        ) u
+    ), stop AS (
+        SELECT w FROM (
+            SELECT w, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY w
+        ) WHERE df > 0.6 * (SELECT COUNT(*) FROM documents)
+    ), nonstop AS (
+        SELECT * FROM toks WHERE w NOT IN (SELECT w FROM stop)
+    ), runs AS (
+        SELECT doc_id, w, pos,
+               pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos)
+                   AS grp
+        FROM nonstop
+    ), phrases AS (
+        SELECT STRING_AGG(w, ' ' ORDER BY pos) AS phrase,
+               COUNT(*) AS plen
+        FROM runs GROUP BY doc_id, grp
+    ), pw AS (
+        SELECT phrase, plen, u.w, u.i FROM phrases,
+        LATERAL (
+            SELECT UNNEST(STRING_SPLIT(phrase, ' ')) AS w,
+                   UNNEST(GENERATE_SERIES(1, LEN(STRING_SPLIT(phrase, ' ')))) AS i
+        ) u
+    ), ws AS (
+        SELECT w, CAST(FLOOR(SUM(plen) * 1000000.0 / COUNT(*)) AS BIGINT)
+                      AS uscore
+        FROM pw
+        GROUP BY w
+    ), scored AS (
+        SELECT p.phrase, SUM(ws.uscore) AS u
+        FROM (SELECT DISTINCT phrase, w, i FROM pw) p
+        JOIN ws USING (w)
+        GROUP BY p.phrase
+    ), occ AS (
+        SELECT phrase, COUNT(*) AS n_occurrences FROM phrases GROUP BY 1
+    )
+    SELECT s.phrase, CAST(occ.n_occurrences AS BIGINT) AS n_occurrences,
+           ROUND(s.u / 1000000.0, 4) AS rake_score
+    FROM scored s JOIN occ USING (phrase)
+    ORDER BY rake_score DESC, phrase
+    LIMIT 10
+"""
+QUERIES["rake_keywords"] = q_rake_keywords
+
+
+def q_heaps_law_fit(spark: SparkSession, sf: str) -> DataFrame:
+    """Heaps'-law fit of vocabulary growth V(n) ≈ K·n^β over corpus
+    prefixes (corpus QA for tokenizer/LM planning). V(n) needs no
+    cumulative-distinct pass: a token's FIRST document (min doc_id)
+    makes V(n) = |tokens with first_doc < n| — one vocabulary-bounded
+    aggregate joined to 8 prefix checkpoints. β and ln K come from the
+    closed-form log-log OLS over the ≤8-point table; all counts integer,
+    so the logs are cross-engine exact."""
+    d = table(spark, sf, "documents")
+    firsts = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.filter(F.split("text", " "), lambda w: w != F.lit(""))
+            ).alias("w"),
+        )
+        .groupBy("w")
+        .agg(F.min("doc_id").alias("fd"))
+    )
+    top = d.agg((F.max("doc_id") + 1).alias("nd"))
+    cps = top.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.lit(8)),
+                lambda i: F.floor(F.col("nd") * i / 8),
+            )
+        ).alias("n")
+    )
+    v = (
+        cps.join(firsts, firsts.fd < cps.n)
+        .groupBy("n")
+        .agg(F.count("*").alias("v"))
+    )
+    m = v.agg(
+        F.count("*").alias("np"),
+        F.sum(F.log("n")).alias("sx"),
+        F.sum(F.log("v")).alias("sy"),
+        F.sum(F.log("n") * F.log("n")).alias("sxx"),
+        F.sum(F.log("n") * F.log("v")).alias("sxy"),
+    )
+    beta = (F.col("np") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("np") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    lnk = (F.col("sy") - beta * F.col("sx")) / F.col("np")
+    return m.select(
+        F.col("np").cast("long").alias("n_checkpoints"),
+        F.round(beta, 6).alias("heaps_beta"),
+        F.round(F.exp(lnk), 4).alias("heaps_k"),
+    )
+
+
+ORACLES["heaps_law_fit"] = """
+    WITH firsts AS (
+        SELECT w, MIN(doc_id) AS fd FROM (
+            SELECT doc_id, UNNEST(LIST_FILTER(STRING_SPLIT(text, ' '),
+                                              x -> x <> '')) AS w
+            FROM documents
+        ) GROUP BY w
+    ), top AS (SELECT MAX(doc_id) + 1 AS nd FROM documents),
+    cps AS (
+        SELECT CAST(FLOOR(nd * i / 8.0) AS BIGINT) AS n
+        FROM top, UNNEST(GENERATE_SERIES(1, 8)) t(i)
+    ), v AS (
+        SELECT n, COUNT(*) AS v
+        FROM cps JOIN firsts ON firsts.fd < cps.n
+        GROUP BY n
+    ), m AS (
+        SELECT COUNT(*) AS np, SUM(LN(n)) AS sx, SUM(LN(v)) AS sy,
+               SUM(LN(n) * LN(n)) AS sxx, SUM(LN(n) * LN(v)) AS sxy
+        FROM v
+    )
+    SELECT CAST(np AS BIGINT) AS n_checkpoints,
+           ROUND((np * sxy - sx * sy) / (np * sxx - sx * sx), 6)
+               AS heaps_beta,
+           ROUND(EXP((sy - ((np * sxy - sx * sy) / (np * sxx - sx * sx))
+                      * sx) / np), 4) AS heaps_k
+    FROM m
+"""
+QUERIES["heaps_law_fit"] = q_heaps_law_fit

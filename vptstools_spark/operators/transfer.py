@@ -84,6 +84,72 @@ def run_transfer(
     return uploaded, failed
 
 
+def s3_adapters(
+    bucket: str, s3_client=None, prefix: str = ""
+) -> tuple[Callable[[str], bool], Callable[[str, bytes], None]]:
+    """(key_exists, upload) over a real boto3 S3 client — the wire form
+    of K6 (reference: src/vptstools/bin/transfer_baltrad.py:30-47,
+    s3_key_exists + upload). Import-gated: boto3 is only imported when
+    no client is injected, so this module stays loadable (and the logic
+    above stays testable) in containers without it."""
+    if s3_client is None:
+        import boto3  # noqa: PLC0415 — optional wire dependency
+
+        s3_client = boto3.client("s3")
+
+    def key_exists(key: str) -> bool:
+        try:
+            s3_client.head_object(Bucket=bucket, Key=prefix + key)
+            return True
+        except Exception as exc:  # noqa: BLE001 — classify by error code
+            code = str(
+                getattr(exc, "response", {}).get("Error", {}).get("Code", "")
+            )
+            if code in ("404", "NoSuchKey", "NotFound"):
+                return False
+            raise
+
+    def upload(key: str, content: bytes) -> None:
+        s3_client.put_object(Bucket=bucket, Key=prefix + key, Body=content)
+
+    return key_exists, upload
+
+
+def sftp_adapters(
+    sftp_client, remote_dir: str = "."
+) -> tuple[Callable[[], list[str]], Callable[[str], bytes]]:
+    """(listing, download) over a paramiko SFTPClient — the wire form of
+    S8 (reference: transfer_baltrad.py:94-139). Duck-typed: anything
+    exposing `listdir(dir)` and `open(path, mode)` binds, so the fakes
+    used in the unit tests and a real paramiko client share this path."""
+
+    def listing() -> list[str]:
+        return list(sftp_client.listdir(remote_dir))
+
+    def download(name: str) -> bytes:
+        with sftp_client.open(f"{remote_dir}/{name}", "rb") as fh:
+            return fh.read()
+
+    return listing, download
+
+
+def sns_publisher(topic_arn: str, sns_client=None) -> Callable[[str, str], None]:
+    """ErrorNotifier publisher over a real boto3 SNS client — the wire
+    form of K7 (reference: bin/click_exception.py:61-97). SNS caps
+    subjects at 100 chars; the reference truncates the same way."""
+    if sns_client is None:
+        import boto3  # noqa: PLC0415 — optional wire dependency
+
+        sns_client = boto3.client("sns")
+
+    def publish(subject: str, message: str) -> None:
+        sns_client.publish(
+            TopicArn=topic_arn, Subject=subject[:100], Message=message
+        )
+
+    return publish
+
+
 class ErrorNotifier:
     """Error sink K7 (reference: src/vptstools/bin/click_exception.py:7-97):
     collect job failures and forward them to a pluggable publisher (SNS in

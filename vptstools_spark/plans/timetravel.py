@@ -675,8 +675,18 @@ def commit_initial(
     extra: dict | None = None,
     partition_transforms: dict | None = None,
     stats_cols: list[str] | None = None,
+    format_version: int = 2,
 ) -> int:
     """Version 0: full snapshot write + commit. Returns the version.
+
+    `format_version` picks the commit-log format the table keeps for
+    life: 2 (default) stores each commit as an O(changed files) DELTA
+    against its parent with periodic full checkpoints — at 100 k files
+    this turns ~10 MB of restated JSON per commit into KBs; 1 restates
+    the full file list + per-file maps every commit (the pre-r8 format,
+    still written and read bit-compatibly). Readers never see the
+    difference: `_read_commit` resolves either format to the same full
+    doc.
 
     `partition_transforms` enables HIDDEN partitioning (Iceberg shape):
     `{"p_day": ("days", "ts")}` partitions by a column DERIVED from
@@ -725,9 +735,13 @@ def commit_initial(
     missing = [c for c in pcols if c not in derived.columns]
     if missing:
         raise ValueError(f"partition columns {missing} not in the frame")
+    if format_version not in (1, _COMMIT_FORMAT_V2):
+        raise ValueError(f"unknown commit format_version {format_version}")
     # table (re)creation is the one event that can reuse a memoized
-    # version-dir label (`v0`) with different contents — purge first
+    # version-dir label (`v0`) or commit version with different
+    # contents — purge both memos first
     _invalidate_vdir_schemas(path)
+    _invalidate_resolved(path)
     rels = _write_snapshot_files(derived, path, 0, pcols)
     ptypes = {
         f.name: f.dataType.simpleString()
@@ -749,6 +763,7 @@ def commit_initial(
                 k: list(v) for k, v in transforms.items()
             },
             "stats_cols": s_cols,
+            "format_version": format_version,
             **(extra or {}),
         },
     )
@@ -2998,6 +3013,25 @@ def expire_versions(
                 "to expire history (a stale hint over an expiry gap "
                 "would misresolve the head)"
             )
+    # format-2 safety: a surviving DELTA commit whose parent is about to
+    # be expired would lose its resolution chain — pin a full checkpoint
+    # for every survivor that sits directly above an expiry gap BEFORE
+    # any log file disappears (resolution prefers ckpt files, so the
+    # chain walk stops there forever after)
+    if expired:
+        from vptstools_spark.io import write_text_overwrite
+
+        expired_set = set(expired)
+        for s in versions:
+            if s in expired_set or (s - 1) not in expired_set:
+                continue
+            raw = _read_commit_raw(spark, path, s)
+            if int(raw.get("format") or 1) >= _COMMIT_FORMAT_V2:
+                write_text_overwrite(
+                    spark,
+                    _ckpt_path(path, s),
+                    json.dumps(_read_commit(spark, path, s)),
+                )
     jvm = spark.sparkContext._jvm
     hconf = spark.sparkContext._jsc.hadoopConfiguration()
     for v in expired:

@@ -98,10 +98,55 @@ def _list_versions(table_path: str) -> list[int]:
     return sorted(out)
 
 
+#: resolved-commit memo — the offset planner re-reads the same commits
+#: every trigger; entries are immutable once published. Keyed per
+#: (table, version), bounded FIFO.
+_RESOLVED_MEMO: dict = {}
+_RESOLVED_MEMO_MAX = 512
+
+
 def _read_commit(table_path: str, version: int) -> dict:
-    return _read_json(
-        posixpath.join(table_path, _LOG_DIR, f"{version:08d}.json")
-    )
+    """Fully-RESOLVED commit doc, both log formats (format 2 stores
+    O(changed files) deltas — resolution mirrors
+    plans/timetravel.py:_read_commit but stays pyarrow-only: this module
+    runs inside Python DataSource workers with no SparkSession/JVM)."""
+    key = (table_path, version)
+    hit = _RESOLVED_MEMO.get(key)
+    if hit is not None:
+        return hit
+    from vptstools_spark.plans.timetravel import _apply_commit_delta
+
+    chain: list[dict] = []
+    v = version
+    base: dict | None = None
+    while True:
+        hit = _RESOLVED_MEMO.get((table_path, v))
+        if hit is not None:
+            base = hit
+            break
+        try:
+            base = _read_json(
+                posixpath.join(
+                    table_path, _LOG_DIR, "_ckpt", f"{v:08d}.json"
+                )
+            )
+            break
+        except Exception:
+            pass
+        raw = _read_json(
+            posixpath.join(table_path, _LOG_DIR, f"{v:08d}.json")
+        )
+        if int(raw.get("format") or 1) < 2:
+            base = raw
+            break
+        chain.append(raw)
+        v = int(raw["base"])
+    for raw in reversed(chain):
+        base = _apply_commit_delta(base, raw)
+    while len(_RESOLVED_MEMO) > _RESOLVED_MEMO_MAX:
+        _RESOLVED_MEMO.pop(next(iter(_RESOLVED_MEMO)))
+    _RESOLVED_MEMO[key] = base
+    return base
 
 
 def _partition_values(rel_file: str, pcols: list[str]) -> dict[str, str | None]:
