@@ -197,3 +197,17 @@ def test_v2_streaming_source_reads_delta_log(spark, tmp_path):
     q.awaitTermination()
     got = spark.read.parquet(out)
     assert got.filter(F.col("_change_type") == "insert").count() == 80
+
+
+def test_clone_inherits_format_version(spark, tmp_path):
+    """A clone of a format-2 table writes format-2 commits itself (and a
+    format-1 clone stays format-1)."""
+    from vptstools_spark.plans.clone import shallow_clone
+
+    src = str(tmp_path / "src")
+    commit_initial(_base(spark, 100, 4), src, ["part"])
+    dst = str(tmp_path / "dst")
+    shallow_clone(spark, src, dst)
+    commit_append(spark, dst, _delta(spark, 9000, 9001, 4))
+    assert _raw(dst, 1)["format"] == 2
+    assert read_version(spark, dst).count() == 101

@@ -201,6 +201,8 @@ def shallow_clone(
         "file_rows": _rekey(commit.get("file_rows")),
         "cloned_from": {"path": src_path, "version": v},
         "clone_files": treatment,
+        # the clone keeps the source's commit-log format for life
+        "format_version": int(commit.get("format_version") or 1),
     }
     _commit(
         spark,
