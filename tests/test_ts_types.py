@@ -45,6 +45,9 @@ TS_QUERIES = [
     "event_burstiness",
     "funnel_time_percentiles",
     "repeat_purchase_interval",
+    # round 8
+    "mcnemar_paired",
+    "retention_curve_fit",
 ]
 
 
