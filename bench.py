@@ -550,6 +550,33 @@ def _odim_ingest(spark) -> dict:
             n_files
             / (decode_sec + out["daily_job_sec"] + out["monthly_job_sec"])
         )
+
+        # streaming face of S1: the same fleet through the Spark-4
+        # Python DataSource (readStream.format('odim'), availableNow) —
+        # measures the incremental-ingest path the cron pipeline uses,
+        # checkpointed file-watermark offsets included
+        from vptstools_spark.sources.odim_datasource import OdimDataSource
+
+        try:
+            spark.dataSource.register(OdimDataSource)
+        except Exception:
+            pass  # already registered in this session
+        s_out = os.path.join(tmp, "s_out")
+        t0 = time.perf_counter()
+        qs = (
+            spark.readStream.format("odim")
+            .load(ODIM_DIR)
+            .writeStream.format("parquet")
+            .option("path", s_out)
+            .option("checkpointLocation", os.path.join(tmp, "s_ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        qs.awaitTermination()
+        s_sec = time.perf_counter() - t0
+        out["stream_ingest_sec"] = round(s_sec, 3)
+        out["stream_files_per_sec"] = round(n_files / s_sec)
+        out["stream_rows"] = spark.read.parquet(s_out).count()
     except Exception as e:  # visible failure, never silent
         out["error"] = str(e)[:200]
     finally:

@@ -211,3 +211,21 @@ def test_clone_inherits_format_version(spark, tmp_path):
     commit_append(spark, dst, _delta(spark, 9000, 9001, 4))
     assert _raw(dst, 1)["format"] == 2
     assert read_version(spark, dst).count() == 101
+
+
+def test_expire_reclaims_expired_checkpoints(spark, tmp_path):
+    """Expired versions' checkpoint files are reclaimed (no surviving
+    resolution chain can consult them), while survivors' pins stay."""
+    path = str(tmp_path / "ckgc")
+    commit_initial(_base(spark, 100, 4), path, ["part"])
+    for i in range(12):
+        commit_append(spark, path, _delta(spark, 7000 + i, 7001 + i, 4))
+    ck10 = os.path.join(path, "_log", "_ckpt", "00000010.json")
+    assert os.path.exists(ck10)
+    expire_versions(spark, path, keep_last=1)  # keep only v12
+    assert not os.path.exists(ck10)  # v10 expired -> ckpt reclaimed
+    assert os.path.exists(
+        os.path.join(path, "_log", "_ckpt", "00000012.json")
+    )  # survivor pin stays
+    tt._RESOLVED_COMMIT_CACHE.clear()
+    assert read_version(spark, path).count() == 112

@@ -3037,6 +3037,11 @@ def expire_versions(
     for v in expired:
         p = jvm.org.apache.hadoop.fs.Path(_log_path(path, v))
         p.getFileSystem(hconf).delete(p, False)
+        # an expired version's checkpoint can never be consulted again
+        # (no surviving chain walks THROUGH an expired version — each
+        # survivor above a gap carries its own pin) — reclaim it
+        cp = jvm.org.apache.hadoop.fs.Path(_ckpt_path(path, v))
+        cp.getFileSystem(hconf).delete(cp, False)
     return expired
 
 
