@@ -900,3 +900,78 @@ def test_stat_monitor_null_rows_excluded_and_hint_heals(spark, tmp_path):
         spark.read.parquet(log).orderBy(F.col("b_id").desc()).limit(1)
     ).collect()[0]
     assert (latest2.c_a, latest2.c_b, latest2.c_c, latest2.c_d) == (3, 2, 4, 5)
+
+
+def test_monitor_hint_survives_empty_batch_gap(spark, tmp_path):
+    """ADVICE r8: b_ids in a monitor log are NOT contiguous (empty
+    micro-batches write no partition), so `_read_latest_cum`'s one-step
+    forward probe cannot heal a hint that went stale across a gap.
+    Freshness is therefore a WRITE-side invariant: the replay guard's
+    `_refresh_hint_from_log` re-establishes hint >= newest partition.
+    This test manufactures the exact failure scenario — hint at b_id=0,
+    batch 1 empty (no partition), batch 2's partition landed but its
+    hint write crashed — and checks both the pre-fix wrongness and the
+    guard's heal."""
+    import json
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from vptstools_spark.io import read_text_sidecar, write_text_overwrite
+    from vptstools_spark.streaming.incremental import (
+        _read_latest_cum,
+        _refresh_hint_from_log,
+        stat_monitor_sink,
+    )
+
+    landing = str(tmp_path / "landing")
+    log, ckpt = str(tmp_path / "log"), str(tmp_path / "ck")
+    schema = "g boolean, o boolean"
+    spark.createDataFrame(
+        [(True, True)] * 2 + [(False, True)] * 3, schema
+    ).write.mode("append").parquet(landing)
+    stat_monitor_sink(
+        spark.readStream.schema(schema).parquet(landing),
+        "g", "o", log, ckpt, statistic="conversion_z",
+    ).awaitTermination()
+    hint0 = json.loads(read_text_sidecar(spark, f"{log}/_latest"))
+    b0 = hint0["b_id"]
+
+    # manufacture the crash: a partition two b_ids ahead (batch b0+1 was
+    # empty -> no partition) whose hint write never happened
+    import glob
+    import os
+
+    src = f"{log}/b_id={b0}"
+    dst = f"{log}/b_id={b0 + 2}"
+    shutil.copytree(src, dst)
+    # bump the copied partition's cumulative so staleness is observable
+    import pandas as pd
+
+    part = glob.glob(f"{dst}/*.parquet")[0]
+    pdf = pd.read_parquet(part)
+    pdf["c_a"] = pdf["c_a"] + 7
+    pdf.to_parquet(part, index=False)
+    for crc in glob.glob(f"{dst}/.*.crc"):
+        os.remove(crc)  # stale Hadoop checksums from the copytree
+
+    fields = ["c_a", "c_b", "c_c", "c_d"]
+    # the probe alone is fooled by the gap: it stops at the missing
+    # b0+1 partition and adopts the stale hint (this is the documented
+    # limitation the write-side invariant exists for)
+    stale = _read_latest_cum(spark, log, fields)
+    assert stale[0] == hint0["c_a"]  # stale: missing the +7
+
+    # the replay guard's refresh heals it from the known partition
+    _refresh_hint_from_log(spark, log, b0 + 2, fields)
+    hint2 = json.loads(read_text_sidecar(spark, f"{log}/_latest"))
+    assert hint2["b_id"] == b0 + 2 and hint2["c_a"] == hint0["c_a"] + 7
+    assert _read_latest_cum(spark, log, fields)[0] == hint0["c_a"] + 7
+
+    # refresh never REWINDS: asking it to refresh from an older
+    # partition leaves the newer hint in place
+    _refresh_hint_from_log(spark, log, b0, fields)
+    assert (
+        json.loads(read_text_sidecar(spark, f"{log}/_latest"))["b_id"]
+        == b0 + 2
+    )

@@ -101,17 +101,45 @@ def create_text_exclusive(spark: SparkSession, path: str, text: str) -> bool:
     return True
 
 
+def _default_fs_is_local(spark: SparkSession) -> bool:
+    """True when Hadoop's fs.defaultFS resolves scheme-less paths to the
+    local filesystem. Cached on the SparkContext: the answer can't change
+    within a context's lifetime, and the whole point of asking is to skip
+    py4j round trips on the sidecar fast path."""
+    sc = spark.sparkContext
+    cached = getattr(sc, "_vpts_default_fs_local", None)
+    if cached is None:
+        try:
+            scheme = sc._jsc.hadoopConfiguration().get("fs.defaultFS", "file:///")
+        except Exception:
+            scheme = ""
+        cached = scheme.startswith("file:")
+        sc._vpts_default_fs_local = cached
+    return cached
+
+
 def read_text_sidecar(spark: SparkSession, path: str) -> str:
     # local fast path: a plain open() skips 3-4 py4j round trips per
     # read (~20-50 ms each on this driver) — commit-log resolution,
     # stats docs, and hint files read dozens of sidecars per metadata
     # op, so this constant compounds. Scheme'd paths (s3a://, hdfs://)
     # keep the Hadoop FS route; `file://` strips to a plain path.
-    # FileNotFoundError propagates from both routes (callers catch).
-    local = path[7:] if path.startswith("file://") else path
-    if "://" not in local:
-        with open(local, "rb") as fh:
+    # Scheme-LESS paths take the fast path only when fs.defaultFS is the
+    # local FS — the write helpers resolve such paths through Hadoop, so
+    # on an HDFS-defaultFS cluster a plain open() would look in the wrong
+    # filesystem and miss every sidecar the writers created. A local miss
+    # on a scheme-less path also falls through to the Hadoop route as a
+    # belt-and-suspenders (FileNotFoundError only propagates for explicit
+    # file:// paths, where the filesystem is unambiguous; callers catch).
+    if path.startswith("file://"):
+        with open(path[7:], "rb") as fh:
             return fh.read().decode("utf-8")
+    if "://" not in path and _default_fs_is_local(spark):
+        try:
+            with open(path, "rb") as fh:
+                return fh.read().decode("utf-8")
+        except FileNotFoundError:
+            pass  # fall through: Hadoop route gives the authoritative miss
     jvm = spark.sparkContext._jvm
     jpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = jpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())

@@ -3017,21 +3017,31 @@ def expire_versions(
     # be expired would lose its resolution chain — pin a full checkpoint
     # for every survivor that sits directly above an expiry gap BEFORE
     # any log file disappears (resolution prefers ckpt files, so the
-    # chain walk stops there forever after)
+    # chain walk stops there forever after). Pin writes must be DURABLE:
+    # the parent logs are deleted next, so a silently-dropped pin would
+    # leave the survivor's chain walking into deleted files forever —
+    # use the raising writer and abort the whole expiry on any failure
+    # (nothing has been deleted yet; the expiry is safely retryable).
     if expired:
-        from vptstools_spark.io import write_text_overwrite
-
         expired_set = set(expired)
         for s in versions:
             if s in expired_set or (s - 1) not in expired_set:
                 continue
             raw = _read_commit_raw(spark, path, s)
             if int(raw.get("format") or 1) >= _COMMIT_FORMAT_V2:
-                write_text_overwrite(
-                    spark,
-                    _ckpt_path(path, s),
-                    json.dumps(_read_commit(spark, path, s)),
-                )
+                try:
+                    write_text_sidecar(
+                        spark,
+                        _ckpt_path(path, s),
+                        json.dumps(_read_commit(spark, path, s)),
+                    )
+                except Exception as exc:
+                    raise RuntimeError(
+                        f"could not pin survivor checkpoint v{s} of "
+                        f"{path}; aborting expiry before any log "
+                        "deletion (an unpinned survivor above an expiry "
+                        "gap would become permanently unresolvable)"
+                    ) from exc
     jvm = spark.sparkContext._jvm
     hconf = spark.sparkContext._jsc.hadoopConfiguration()
     for v in expired:

@@ -1156,7 +1156,13 @@ def _read_latest_cum(
     `_latest` sidecar names the newest b_id and carries the cumulative
     sums; probe FORWARD over `b_id=` partition dirs to heal a stale hint
     (a crash between the parquet append and the hint write), reading at
-    most the one newer partition directly. Falls back to the full
+    most the one newer partition directly. NOTE the probe alone cannot
+    heal a stale hint across a b_id GAP (empty micro-batches write no
+    partition, so b_ids are not contiguous); freshness is instead a
+    write-side invariant — `_write_latest_hint` is a required write and
+    the sinks' replay guards call `_refresh_hint_from_log` — making the
+    one-step probe a legacy heal for logs written before that contract.
+    Falls back to the full
     partition listing only when no usable hint exists (pre-hint logs) —
     the same hint-plus-probe recipe as `plans/timetravel.py`'s
     `_resolve_latest_fast` (VERDICT r7 #6: the per-batch cumulative read
@@ -1210,14 +1216,61 @@ def _read_latest_cum(
 def _write_latest_hint(
     spark: SparkSession, log_path: str, batch_id: int, **fields
 ) -> None:
+    """REQUIRED write (raises on failure). The monitor sinks' freshness
+    invariant is `hint b_id >= newest partition b_id at every batch
+    commit`: empty micro-batches write no partition, so b_ids in the log
+    are NOT contiguous and `_read_latest_cum`'s one-step forward probe
+    cannot heal an arbitrarily-stale hint across a gap. A best-effort
+    hint write here would let exactly that happen (hint at 5, batch 6
+    empty, batch 7's partition lands but its hint write silently fails →
+    batch 8 probes 5→6, finds nothing, adopts the stale cumulative
+    forever). Raising instead fails the batch; the streaming engine
+    replays it, and the replay guard re-establishes the invariant via
+    `_refresh_hint_from_log`."""
     import json as _json
 
-    from vptstools_spark.io import write_text_overwrite
+    from vptstools_spark.io import write_text_sidecar
 
-    write_text_overwrite(
+    write_text_sidecar(
         spark,
         f"{log_path}/_latest",
         _json.dumps({"b_id": int(batch_id), **fields}),
+    )
+
+
+def _refresh_hint_from_log(
+    spark: SparkSession, log_path: str, batch_id: int, fields: list[str]
+) -> None:
+    """Replay-guard companion to `_write_latest_hint`: a replayed batch
+    whose partition already exists (crash landed between the parquet
+    append and the hint write) must refresh the hint BEFORE skipping,
+    or the crash leaves the hint permanently stale across an empty-batch
+    gap (ADVICE r8: b_ids are not contiguous, the forward probe stops at
+    the first hole). One point read of the known partition — O(1). Never
+    rewinds: a hint already at or past `batch_id` is left alone."""
+    import json as _json
+
+    from vptstools_spark.io import read_text_sidecar, write_text_sidecar
+
+    try:
+        hint = _json.loads(read_text_sidecar(spark, f"{log_path}/_latest"))
+        if int(hint.get("b_id", -1)) >= batch_id and all(
+            f in hint for f in fields
+        ):
+            return
+    except Exception:
+        pass
+    row = (
+        spark.read.parquet(f"{log_path}/b_id={batch_id}").limit(1).collect()
+    )
+    if not row:
+        return
+    write_text_sidecar(
+        spark,
+        f"{log_path}/_latest",
+        _json.dumps(
+            {"b_id": int(batch_id), **{f: row[0][f] for f in fields}}
+        ),
     )
 
 
@@ -1252,6 +1305,12 @@ def ab_monitor_sink(
             return
         spark = batch_df.sparkSession
         if _hadoop_path_exists(spark, f"{log_path}/b_id={batch_id}"):
+            # replayed batch: partition committed but the hint write may
+            # not have been — re-establish hint >= newest partition
+            _refresh_hint_from_log(
+                spark, log_path, batch_id,
+                ["c_n1", "c_s1", "c_q1", "c_n2", "c_s2", "c_q2"],
+            )
             return
         a = F.col(arm_col)
         v = F.col(value_col).cast("double")
@@ -1380,6 +1439,11 @@ def stat_monitor_sink(
                     "(the readout schemas differ)"
                 )
         if _hadoop_path_exists(spark, f"{log_path}/b_id={batch_id}"):
+            # replayed batch: partition committed but the hint write may
+            # not have been — re-establish hint >= newest partition
+            _refresh_hint_from_log(
+                spark, log_path, batch_id, ["c_a", "c_b", "c_c", "c_d"]
+            )
             return
         g, o = F.col(group_col), F.col(outcome_col)
         batch_df = batch_df.filter(g.isNotNull() & o.isNotNull())
