@@ -606,6 +606,16 @@ def sssp_bounded(
         .localCheckpoint(eager=True)
     )
     frontier = dist
+    # ONE blocking job per round (VERDICT r8 #3; was three: eager
+    # frontier checkpoint + isEmpty probe + eager dist checkpoint). Both
+    # checkpoints are LAZY; the round's count() is the only action — it
+    # materializes this round's frontier checkpoint AND (on first use)
+    # the previous round's dist checkpoint, and the count doubles as the
+    # early-exit test. By induction each round carries exactly one
+    # unmaterialized dist checkpoint whose plan is depth-1 over already-
+    # materialized checkpoints, so lineage stays constant-depth — the
+    # property the old eager checkpoints bought with two extra blocking
+    # jobs per round.
     for _ in range(depth):
         cand = (
             e.join(frontier.withColumnRenamed("node", "u"), "u")
@@ -617,15 +627,15 @@ def sssp_bounded(
             cand.join(dist, "node", "left")
             .filter(F.col("dist").isNull() | (F.col("cand") < F.col("dist")))
             .select("node", F.col("cand").alias("dist"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        if improved.isEmpty():
+        if improved.count() == 0:
             break
         dist = (
             dist.unionByName(improved)
             .groupBy("node")
             .agg(F.min("dist").alias("dist"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         frontier = improved
     return dist
