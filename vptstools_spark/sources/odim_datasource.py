@@ -39,8 +39,35 @@ from pyspark.sql.datasource import (
 
 from vptstools_spark.schemas import profile_long_schema
 
-#: default files per input partition — ~25 KB VP files ⇒ ~50 MB per task
-DEFAULT_FILES_PER_TASK = 2000
+#: memory ceiling on files per input partition — ~25 KB VP files ⇒
+#: ~50 MB per task at the cap
+MAX_FILES_PER_TASK = 2000
+
+#: floor: below this many files per task, the per-task DataSource
+#: overhead (Python worker handshake + reader unpickle, measured
+#: ~11 ms/task) outweighs the decode parallelism gained
+MIN_FILES_PER_TASK = 8
+
+
+def auto_files_per_task(n_files: int) -> int:
+    """Partition-count heuristic for the ODIM DataSource planner.
+
+    The planner runs in a Python worker WITHOUT a SparkSession, so it
+    cannot ask for defaultParallelism; it reads the same SPARK_GRAFT_CPUS
+    env the session builder uses (falling back to os.cpu_count()) and
+    targets one task per core, clamped to [MIN, MAX]_FILES_PER_TASK.
+
+    This replaces a fixed files_per_task=2000 default that packed every
+    fleet of <=2000 files into ONE task — the r8 bench's 1.8x
+    streaming-vs-batch ingest "gap" was entirely this serial decode
+    (VERDICT r8 #4); the micro-batch machinery itself costs ~1.7 s per
+    availableNow run. On a real cluster the driver-host core count is
+    only a proxy for executor parallelism — set .option("files_per_task")
+    explicitly there."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "")
+    cores = int(cpus) if cpus.isdigit() else (os.cpu_count() or 8)
+    per_core = -(-n_files // max(cores, 1))  # ceil
+    return max(MIN_FILES_PER_TASK, min(per_core, MAX_FILES_PER_TASK))
 
 
 def _arrow_batches(paths: list[str], on_error: str, batch_files: int):
@@ -166,9 +193,8 @@ class OdimReader(DataSourceReader):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("odim source requires a path, e.g. .load('/dir/*.h5')")
-        self.files_per_task = int(
-            options.get("files_per_task", DEFAULT_FILES_PER_TASK)
-        )
+        fpt = options.get("files_per_task")
+        self.files_per_task = int(fpt) if fpt is not None else None
         self.on_error = options.get("on_error", "warn")
         self._radar_eq: str | None = None
 
@@ -186,7 +212,7 @@ class OdimReader(DataSourceReader):
                 for p in files
                 if p.rsplit("/", 1)[-1].split("_", 1)[0] == self._radar_eq
             ]
-        n = self.files_per_task
+        n = self.files_per_task or auto_files_per_task(len(files))
         return [
             OdimFilesPartition(files[i : i + n]) for i in range(0, len(files), n)
         ] or [OdimFilesPartition([])]
@@ -244,9 +270,8 @@ class OdimStreamReader(DataSourceStreamReader):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("odim stream requires a path, e.g. .load('/dir')")
-        self.files_per_task = int(
-            options.get("files_per_task", DEFAULT_FILES_PER_TASK)
-        )
+        fpt = options.get("files_per_task")
+        self.files_per_task = int(fpt) if fpt is not None else None
         self.on_error = options.get("on_error", "warn")
 
     def _list_after(self, watermark: str, until: str | None = None) -> list[str]:
@@ -275,7 +300,7 @@ class OdimStreamReader(DataSourceStreamReader):
 
     def partitions(self, start: dict, end: dict) -> list[OdimFilesPartition]:
         files = self._list_after(start["last"], end["last"])
-        n = self.files_per_task
+        n = self.files_per_task or auto_files_per_task(len(files))
         return [
             OdimFilesPartition(files[i : i + n]) for i in range(0, len(files), n)
         ]
