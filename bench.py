@@ -584,6 +584,119 @@ def _odim_ingest(spark) -> dict:
     return out
 
 
+def _cold_builds(spark, sf_dir: str) -> dict:
+    """Cold one-time-build tier (VERDICT r8 #5, no-silent-caps): the
+    memoized fixtures (_BPE_CACHE, _TIX_CACHE, _ILSH_CACHE, _TT_CACHE)
+    deliberately keep the per-query medians measuring steady-state READS
+    — but that hid the build costs from every timed tier. This tier
+    times each build once per round, from scratch, into throwaway dirs
+    (the query caches are untouched, so timed-tier semantics do not
+    change)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    out: dict = {}
+    tmp = tempfile.mkdtemp(prefix="bench_cold_")
+    try:
+        # BPE merge training (the _BPE_CACHE build)
+        from vptstools_spark.analytics.corpus_q import _BPE_ITERS, _doc_vocab
+        from vptstools_spark.operators.bpe import bpe_train
+
+        t0 = time.perf_counter()
+        bpe_train(_doc_vocab(spark, sf_dir), iters=_BPE_ITERS)
+        out["bpe_train_sec"] = round(time.perf_counter() - t0, 3)
+
+        # full-text index: initial build, then the incremental refresh
+        # after the standard churn (the _TIX_CACHE build, split into its
+        # two one-time phases)
+        from vptstools_spark.operators import text_index as tix
+        from vptstools_spark.plans.timetravel import (
+            commit_append,
+            commit_initial,
+            delete_where,
+            update_where,
+        )
+
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "text"
+        )
+        corpus = os.path.join(tmp, "tix_corpus")
+        idx = os.path.join(tmp, "tix_idx")
+        commit_initial(d, corpus, [])
+        t0 = time.perf_counter()
+        tix.build_text_index(spark, corpus, idx)
+        out["text_index_build_sec"] = round(time.perf_counter() - t0, 3)
+        delete_where(spark, corpus, "doc_id % 10 = 3")
+        update_where(
+            spark, corpus, "doc_id % 10 = 4",
+            {"text": "concat(text, ' spark spark spark')"},
+        )
+        commit_append(
+            spark, corpus,
+            d.filter(F.col("doc_id") % 10 == 7).select(
+                (F.col("doc_id") + 100000).alias("doc_id"),
+                F.concat(F.lit("spark window hash "), F.col("text")).alias("text"),
+            ),
+        )
+        t0 = time.perf_counter()
+        tix.refresh_text_index(spark, corpus, idx)
+        out["text_index_refresh_sec"] = round(time.perf_counter() - t0, 3)
+
+        # incremental-LSH registry build, both shards (the _ILSH_CACHE build)
+        from vptstools_spark.operators.dedup import incremental_lsh_dedup
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        reg = os.path.join(tmp, "ilsh_reg")
+        t0 = time.perf_counter()
+        a0, _ = incremental_lsh_dedup(
+            spark, reg, docs.filter(F.col("doc_id") < 300)
+        )
+        a0.count()
+        a1, _ = incremental_lsh_dedup(
+            spark, reg, docs.filter(F.col("doc_id") >= 300)
+        )
+        a1.count()
+        out["lsh_registry_build_sec"] = round(time.perf_counter() - t0, 3)
+
+        # heaviest versioned-table build at this sf (the _TT_CACHE
+        # orders build: initial commit + keyed upsert with tombstones)
+        from vptstools_spark.plans.timetravel import commit_upsert
+
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+            "o_orderkey", "o_totalprice", "o_orderstatus",
+            (F.col("o_orderkey") % 8).cast("int").alias("part"),
+        )
+        path = os.path.join(tmp, "tt_orders")
+        t0 = time.perf_counter()
+        commit_initial(o, path, ["part"])
+        delta = (
+            o.filter(
+                (F.col("o_orderkey") % 89 == 0) | (F.col("o_orderkey") % 97 == 0)
+            )
+            .withColumn(
+                "o_totalprice",
+                F.when(
+                    F.col("o_orderkey") % 89 == 0,
+                    F.col("o_totalprice") + F.lit(1.0),
+                ).otherwise(F.col("o_totalprice")),
+            )
+            .withColumn("is_delete", F.col("o_orderkey") % 97 == 0)
+        )
+        commit_upsert(
+            spark, path, delta, keys=["o_orderkey"], delete_col="is_delete"
+        )
+        out["versioned_orders_build_sec"] = round(
+            time.perf_counter() - t0, 3
+        )
+    except Exception as e:  # visible failure, never silent
+        out["error"] = str(e)[:200]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 def _median_runs(fn, n: int) -> float:
     """Median of n executions (n >= 3, odd). The FIRST run at a given sf
     includes JVM JIT/codegen compilation; the median of an odd sample is
@@ -608,7 +721,7 @@ def main() -> None:
     tiers = set(
         os.environ.get(
             "SPARK_GRAFT_BENCH_TIERS",
-            "headline,zipf,sf1,sf1lake,sweep,sweep01,calibration,odim,correctness",
+            "headline,zipf,sf1,sf1lake,sweep,sweep01,calibration,odim,cold,correctness",
         ).split(",")
     )
     spark = get_spark("vptstools_spark_bench")
@@ -689,6 +802,12 @@ def main() -> None:
     odim_ingest: dict = {}
     if "odim" in tiers:
         odim_ingest = _odim_ingest(spark)
+
+    # tier 1f: cold one-time builds (VERDICT r8 #5 — measure what the
+    # memo caches hide; throwaway dirs, caches untouched)
+    cold_builds: dict = {}
+    if "cold" in tiers and os.path.isdir(sf_dir):
+        cold_builds = _cold_builds(spark, sf_dir)
 
     # tier 2: single-pass FULL sweep at sf0.01 — regression tracking for the
     # ~50 queries outside the headline set (round-over-round comparability,
@@ -811,6 +930,7 @@ def main() -> None:
         "sf1_exempt_baselines": sf1_baselines,
         "sf1_lakehouse": sf1_lake,
         "odim_ingest": odim_ingest,
+        "cold_builds": cold_builds,
         "calibration": calibration,
         "correctness_full": correctness_full,
         "full_sweep_sf": 0.01,
@@ -828,7 +948,7 @@ def main() -> None:
     print(json.dumps(sweep_line))
     sweep01_line = {"metric": "sweep_sf01_nonheadline", "sf": 0.1, "queries": sweep01}
     print(json.dumps(sweep01_line))
-    if tiers >= {"headline", "zipf", "sf1", "sf1lake", "sweep", "sweep01", "calibration", "odim"}:
+    if tiers >= {"headline", "zipf", "sf1", "sf1lake", "sweep", "sweep01", "calibration", "odim", "cold", "correctness"}:
         # archive only COMPLETE runs — a tier-filtered local iteration must
         # not clobber the round's committed record
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_full.json"), "w") as fh:
