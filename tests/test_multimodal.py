@@ -208,3 +208,86 @@ def test_bmp_patches_partial_edges_dropped(spark):
     rows = bmp_patches(df, patch=2).collect()
     assert max(r["patch_col"] for r in rows) == 3
     assert len(rows) == 12
+
+
+# --- import-gated codec decoders (VERDICT r8 #6): real decode where the
+# library exists, clean skip + clear error where it doesn't -------------
+
+def _has(mod):
+    try:
+        __import__(mod)
+        return True
+    except ImportError:
+        return False
+
+
+import pytest  # noqa: E402
+
+
+@pytest.mark.skipif(not _has("PIL"), reason="Pillow not installed")
+def test_image_features_decodes_bmp_and_matches_libfree_parser(spark):
+    """PIL decodes this module's deterministic synth BMPs; the pixel mean
+    must match the lib-free bmp_features parser on the same bytes — a
+    value oracle between two independent decoders."""
+    from vptstools_spark.operators.multimodal import (
+        bmp_features,
+        image_features,
+        synth_bmp,
+    )
+
+    rows = [(i, synth_bmp(i)) for i in range(4)]
+    df = spark.createDataFrame(rows, "id long, blob binary")
+    got = {r["id"]: r for r in image_features(df).collect()}
+    want = {r["id"]: r for r in bmp_features(df).collect()}
+    assert set(got) == set(want) == {0, 1, 2, 3}
+    for i in want:
+        assert (got[i]["width"], got[i]["height"]) == (
+            want[i]["width"], want[i]["height"],
+        )
+        assert abs(got[i]["mean_px"] - want[i]["mean_px"]) < 1e-9
+
+
+@pytest.mark.skipif(not _has("soundfile"), reason="soundfile not installed")
+def test_audio_features_decodes_wav_and_matches_libfree_parser(spark):
+    from vptstools_spark.operators.multimodal import (
+        audio_features,
+        synth_wav,
+        wav_features,
+    )
+
+    rows = [(i, synth_wav(i)) for i in range(3)]
+    df = spark.createDataFrame(rows, "id long, blob binary")
+    got = {r["id"]: r for r in audio_features(df).collect()}
+    want = {r["id"]: r for r in wav_features(df).collect()}
+    assert set(got) == set(want) == {0, 1, 2}
+    for i in want:
+        assert got[i]["sample_rate"] == want[i]["sample_rate"]
+        assert got[i]["n_frames"] == want[i]["n_frames"]
+
+
+@pytest.mark.skipif(_has("PIL"), reason="Pillow IS installed here")
+def test_image_features_raises_clear_import_error_without_pil(spark):
+    """Where PIL is absent the gate must fail at ACTION time with a
+    message naming the missing library — never a silent empty result."""
+    from vptstools_spark.operators.multimodal import image_features, synth_bmp
+
+    df = spark.createDataFrame([(1, synth_bmp(1))], "id long, blob binary")
+    out = image_features(df)
+    assert [f.name for f in out.schema.fields] == [
+        "id", "width", "height", "mode", "format", "mean_px",
+    ]  # plan builds fine without the library
+    with pytest.raises(Exception, match="Pillow|PIL"):
+        out.collect()
+
+
+@pytest.mark.skipif(_has("soundfile"), reason="soundfile IS installed here")
+def test_audio_features_raises_clear_import_error_without_soundfile(spark):
+    from vptstools_spark.operators.multimodal import audio_features, synth_wav
+
+    df = spark.createDataFrame([(1, synth_wav(1))], "id long, blob binary")
+    out = audio_features(df)
+    assert [f.name for f in out.schema.fields] == [
+        "id", "sample_rate", "n_frames", "channels", "rms", "peak",
+    ]
+    with pytest.raises(Exception, match="soundfile"):
+        out.collect()

