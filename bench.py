@@ -314,6 +314,11 @@ SF1_QUERIES = [
     "kaplan_meier",
     "isotonic_calibration",
     "acf_daily_revenue",
+    # round 9 (VERDICT r8 #8): the r8 analytics wave's two nontrivial
+    # shuffle profiles — the group×group contrast join and triangle
+    # enumeration's wedge join
+    "pairwise_mean_contrasts",
+    "local_clustering",
 ]
 # (round-8 analytics wave joins HEADLINE below)
 #: quadratic-by-construction exact baselines, explicitly EXEMPT from the
