@@ -229,3 +229,158 @@ def test_expire_reclaims_expired_checkpoints(spark, tmp_path):
     )  # survivor pin stays
     tt._RESOLVED_COMMIT_CACHE.clear()
     assert read_version(spark, path).count() == 112
+
+
+def test_adversarial_interleaving_both_formats(spark, tmp_path):
+    """Seeded adversarial interleaving (VERDICT r8 #7): the format-2
+    default changed every reader's metadata path, so the same randomized
+    sequence of commits / DML / expiry / vacuum / clone / branch-cycle /
+    OCC-append / restore is applied to a format-1 AND a format-2 table,
+    and the two must never diverge. After EVERY step the head snapshot
+    and the surviving-version lists are compared; every 10th step (and at
+    the end) every surviving version is read on both formats and value-
+    compared — per-step full history re-reads would be O(steps×versions)
+    Spark jobs re-verifying immutable bytes, and the ops that DO touch
+    history (expire/vacuum/restore) always fall inside a 10-step window
+    of a full sweep."""
+    import random
+
+    from vptstools_spark.plans.branches import (
+        branch_append,
+        create_branch,
+        drop_branch,
+        merge_branch,
+    )
+    from vptstools_spark.plans.clone import shallow_clone
+    from vptstools_spark.plans.occ import append_atomic
+    from vptstools_spark.plans.timetravel import (
+        restore_version,
+        update_where,
+        vacuum_table,
+    )
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    rng = random.Random(20260816)
+    STEPS = 200
+    pool = ThreadPoolExecutor(max_workers=2)
+
+    def both(fn):
+        # the two formats' tables are independent — run each op on both
+        # concurrently (Spark's driver is thread-safe; this halves the
+        # wall time of a 200-step walk without changing any semantics)
+        return [f.result() for f in [pool.submit(fn, p) for p in paths.values()]]
+
+    # all frames are built JVM-side (spark.range + expressions): a
+    # createDataFrame local relation is sliced across defaultParallelism
+    # pickled partitions, and on hosts with slow local sockets each
+    # Python-partition handshake costs ~100 ms — a 4-row delta would pay
+    # seconds per op for no coverage
+    def jdf(lo, hi, parts=4, v_expr="cast(id as double)"):
+        return (
+            spark.range(lo, hi, 1, 1)
+            .selectExpr(
+                "id as k",
+                f"cast(id % {parts} as int) part",
+                f"{v_expr} as v",
+            )
+        )
+
+    paths = {1: str(tmp_path / "af1"), 2: str(tmp_path / "af2")}
+    for fmt, p in paths.items():
+        commit_initial(jdf(0, 60), p, ["part"], format_version=fmt)
+
+    def snap_sig(path, v=None):
+        row = (
+            read_version(spark, path, v)
+            .agg(
+                F.count("*").alias("n"),
+                F.coalesce(F.sum(F.col("k") * 7 + F.col("v")), F.lit(0.0)).alias("s"),
+            )
+            .collect()[0]
+        )
+        return (row["n"], round(float(row["s"]), 4))
+
+    def full_compare(tag):
+        v1s = tt._list_versions(spark, paths[1])
+        v2s = tt._list_versions(spark, paths[2])
+        assert v1s == v2s, f"{tag}: version lists diverged {v1s} != {v2s}"
+        for v in v1s:
+            assert snap_sig(paths[1], v) == snap_sig(paths[2], v), (
+                f"{tag}: version {v} differs between formats"
+            )
+
+    next_k = 1000
+    clone_n = 0
+    for step in range(STEPS):
+        op = rng.choices(
+            ["append", "upsert", "mor", "delete", "update", "expire",
+             "vacuum", "clone", "branch", "occ", "restore"],
+            weights=[22, 12, 12, 10, 10, 8, 5, 4, 6, 8, 3],
+        )[0]
+        r = rng.randrange(3, 17)
+        if op == "append":
+            d = jdf(next_k, next_k + rng.randrange(2, 6))
+            next_k += 10
+            both(lambda p: commit_append(spark, p, d))
+        elif op == "upsert":
+            d = jdf(r, r + 3, v_expr=f"cast(id as double) + cast({step} as double)")
+            both(lambda p: commit_upsert(spark, p, d, keys=["k"]))
+        elif op == "mor":
+            d = jdf(r * 2, r * 2 + 2, v_expr=f"cast({step} as double)")
+            both(lambda p: commit_upsert_mor(spark, p, d, ["k"]))
+        elif op == "delete":
+            pred = f"k % 23 = {r}"
+            both(lambda p: delete_where(spark, p, pred))
+        elif op == "update":
+            pred = f"k % 19 = {r}"
+            both(lambda p: update_where(spark, p, pred, {"v": "v + 0.5"}))
+        elif op == "expire":
+            if len(tt._list_versions(spark, paths[1])) > 6:
+                ex1 = expire_versions(spark, paths[1], keep_last=5)
+                ex2 = expire_versions(spark, paths[2], keep_last=5)
+                assert ex1 == ex2, f"step {step}: expiry diverged"
+        elif op == "vacuum":
+            both(lambda p: vacuum_table(spark, p, min_age_seconds=0.0))
+        elif op == "clone":
+            clone_n += 1
+            sig = {}
+            for fmt, p in paths.items():
+                dst = str(tmp_path / f"cl{fmt}_{clone_n}")
+                shallow_clone(spark, p, dst)
+                sig[fmt] = snap_sig(dst)
+                assert sig[fmt] == snap_sig(p), (
+                    f"step {step}: clone differs from source head (f{fmt})"
+                )
+            assert sig[1] == sig[2]
+        elif op == "branch":
+            name = f"b{step}"
+            d = jdf(next_k, next_k + 3)
+            next_k += 10
+
+            def cycle(p):
+                create_branch(spark, p, name)
+                branch_append(spark, p, name, d)
+                merge_branch(spark, p, name)
+                drop_branch(spark, p, name)
+
+            both(cycle)
+        elif op == "occ":
+            d = jdf(next_k, next_k + 2)
+            next_k += 10
+            both(lambda p: append_atomic(spark, p, d))
+        elif op == "restore":
+            vs = tt._list_versions(spark, paths[1])
+            if len(vs) > 1:
+                target = rng.choice(vs[:-1])
+                if target in tt._list_versions(spark, paths[2]):
+                    both(lambda p: restore_version(spark, p, target))
+        # every step: heads + version lists agree
+        s1, s2 = both(snap_sig)
+        assert s1 == s2, f"step {step} ({op})"
+        assert tt._list_versions(spark, paths[1]) == tt._list_versions(
+            spark, paths[2]
+        ), f"step {step} ({op}): version lists diverged"
+        if step % 10 == 9:
+            full_compare(f"step {step}")
+    full_compare("final")

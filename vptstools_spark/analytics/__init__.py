@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from vptstools_spark.analytics import (
     corpus_q,
     dedup_q,
+    eval_q,
     events_q,
     graph_q,
     inference_q,
@@ -46,6 +47,7 @@ _MODULES = [
     inference_q,
     mlprep_q,
     spatial_q,
+    eval_q,
 ]
 
 
@@ -54,6 +56,22 @@ _MODULES = [
 #: work must sort before the cutoff to ship with recorded verification
 #: (round-3 advice: bpe_encode/ann_filtered landed outside the sample).
 NEW_THIS_ROUND = [
+    # round 9: model-evaluation and advanced-inference wave — survival
+    # hazard, forecast calibration decomposition, agreement, ranking
+    # quality, frequent triples, extreme values, stylometry, blocked
+    # ranks, randomization inference, robust location, CUPED, hotspots
+    "nelson_aalen",
+    "brier_decomposition",
+    "cohens_kappa",
+    "ndcg_retrieval",
+    "itemset3_support",
+    "gumbel_block_maxima",
+    "burrows_delta",
+    "friedman_regions",
+    "permutation_test_revenue",
+    "huber_location",
+    "cuped_adjusted",
+    "hotspot_grid_zscore",
     # round 8: nonparametric/post-hoc inference (G-test, Mann-Whitney U,
     # Wilcoxon signed-rank, McNemar, pairwise contrasts), ML-prep scoring
     # (WoE/IV, pinball quantile eval), churn/drift time series (retention
