@@ -48,6 +48,9 @@ TS_QUERIES = [
     # round 8
     "mcnemar_paired",
     "retention_curve_fit",
+    # round 9
+    "nelson_aalen",
+    "cuped_adjusted",
 ]
 
 
