@@ -51,6 +51,7 @@ TS_QUERIES = [
     # round 9
     "nelson_aalen",
     "cuped_adjusted",
+    "seq_rule_mining",
 ]
 
 

@@ -72,6 +72,19 @@ NEW_THIS_ROUND = [
     "huber_location",
     "cuped_adjusted",
     "hotspot_grid_zscore",
+    # round 9, second batch: changepoints, Bradley-Terry, Krippendorff's
+    # alpha, Horvitz-Thompson, Haar energies, overdispersion, sequential
+    # rules, conformal coverage, linear Shapley, moment-form MMD
+    "changepoint_binary_seg",
+    "bradley_terry_regions",
+    "krippendorff_alpha",
+    "horvitz_thompson",
+    "haar_energy_monthly",
+    "overdispersion_daily",
+    "seq_rule_mining",
+    "conformal_coverage",
+    "shapley_linear",
+    "mmd_poly",
     # round 8: nonparametric/post-hoc inference (G-test, Mann-Whitney U,
     # Wilcoxon signed-rank, McNemar, pairwise contrasts), ML-prep scoring
     # (WoE/IV, pinball quantile eval), churn/drift time series (retention

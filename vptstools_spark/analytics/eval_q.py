@@ -1097,3 +1097,926 @@ ORACLES = {
                      - POWER(CAST(s1 AS DOUBLE) / nc, 2)) >= 1.5
     """,
 }
+
+
+# ===========================================================================
+# Round-9 second batch: changepoints, paired-comparison models, reliability,
+# survey estimation, wavelets, dispersion, sequence rules, conformal
+# coverage, linear Shapley, moment-form MMD.
+# ===========================================================================
+
+
+def _daily_rev_cents(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact FLOOR'd-cents daily revenue — shared base for the series
+    queries (day count is sf-INDEPENDENT: the date span is fixed, so
+    day-level self-joins stay ~2500² at any scale)."""
+    return (
+        table(spark, sf, "lineitem")
+        .select(
+            F.date_trunc("DAY", "l_shipdate").alias("day"),
+            F.floor(
+                F.col("l_extendedprice") * (1.0 - F.col("l_discount")) * 100.0
+            ).alias("rev_c"),
+        )
+        .groupBy("day")
+        .agg(F.sum("rev_c").alias("x"))
+    )
+
+
+def q_changepoint_binary_seg(spark: SparkSession, sf: str) -> DataFrame:
+    """Single-changepoint binary segmentation over daily revenue: pick
+    the split minimizing SSE_left + SSE_right (equivalently maximizing
+    between-group variance reduction). Prefix moments per candidate via
+    a conditional self-join on the day table (sf-independent ~2500
+    rows); winner by min_by with an earliest-day tie-break. All moments
+    are exact integers (cents and cents²-in-DECIMAL); SSE math is the
+    only double step."""
+    d = _daily_rev_cents(spark, sf)
+    tot = d.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("s"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("q"),
+    )
+    a, b = d.alias("a"), d.alias("b")
+    pre = (
+        a.join(b, F.col("b.day") <= F.col("a.day"))
+        .groupBy(F.col("a.day").alias("day"))
+        .agg(
+            F.count("*").alias("nl"),
+            F.sum("b.x").alias("sl"),
+            F.sum(F.col("b.x").cast("decimal(38,0)") * F.col("b.x")).alias("ql"),
+        )
+    )
+    j = pre.crossJoin(F.broadcast(tot)).filter(
+        (F.col("nl") >= 5) & (F.col("n") - F.col("nl") >= 5)
+    )
+    sl, ql, nl = (
+        F.col("sl").cast("double"),
+        F.col("ql").cast("double"),
+        F.col("nl").cast("double"),
+    )
+    sr = (F.col("s") - F.col("sl")).cast("double")
+    qr = (F.col("q") - F.col("ql")).cast("double")
+    nr = (F.col("n") - F.col("nl")).cast("double")
+    sse_split = (ql - sl * sl / nl) + (qr - sr * sr / nr)
+    sse_all = F.col("q").cast("double") - F.col("s").cast("double") * F.col(
+        "s"
+    ).cast("double") / F.col("n")
+    scored = j.select(
+        "day",
+        sse_split.alias("sse"),
+        (sse_all - sse_split).alias("gain"),
+    )
+    best = scored.groupBy().agg(
+        F.min_by(
+            F.struct(F.col("day"), F.col("sse"), F.col("gain")),
+            F.struct(F.col("sse"), F.col("day")),
+        ).alias("b")
+    )
+    return best.select(
+        F.col("b.day").alias("split_day"),
+        F.round(F.col("b.sse") / 1.0e8, 4).alias("sse_dollars2"),
+        F.round(F.col("b.gain") / 1.0e8, 4).alias("gain_dollars2"),
+    )
+
+
+def _monthly_region_rev(spark: SparkSession, sf: str) -> DataFrame:
+    o = table(spark, sf, "orders")
+    cust = table(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    nat = table(spark, sf, "nation").select("n_nationkey", "n_regionkey")
+    return (
+        o.join(F.broadcast(cust), o["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nat), cust["c_nationkey"] == nat["n_nationkey"])
+        .groupBy(
+            F.date_trunc("MONTH", "o_orderdate").alias("month"),
+            F.col("n_regionkey").alias("region"),
+        )
+        .agg(F.floor(F.sum(F.col("o_totalprice") * 100.0)).alias("rev_c"))
+    )
+
+
+def q_bradley_terry_regions(spark: SparkSession, sf: str) -> DataFrame:
+    """Bradley–Terry strengths for the 5 regions from monthly pairwise
+    revenue comparisons (region i beats j in a month iff its exact
+    monthly revenue is higher; exact ties produce no game). Three
+    unrolled MM iterations s_i ← W_i / Σ_j n_ij/(s_i+s_j) over the
+    5×5 win matrix — every iteration is a 5-row join, the unrolled-CTE
+    shape the oracle reproduces; the win counts are exact integers."""
+    rev = _monthly_region_rev(spark, sf)
+    a, b = rev.alias("a"), rev.alias("b")
+    games = (
+        a.join(
+            b,
+            (F.col("a.month") == F.col("b.month"))
+            & (F.col("a.region") != F.col("b.region")),
+        )
+        .filter(F.col("a.rev_c") > F.col("b.rev_c"))
+        .select(F.col("a.region").alias("wi"), F.col("b.region").alias("wj"))
+    )
+    # the win matrix is <=20 rows; checkpoint it so the three unrolled
+    # MM iterations join cached rows instead of re-deriving the
+    # orders->customer->nation monthly aggregation once per reference
+    wins = games.groupBy("wi", "wj").agg(F.count("*").alias("w")).localCheckpoint()
+    w1 = wins.select(F.col("wi").alias("i"), F.col("wj").alias("j"), "w")
+    w2 = wins.select(
+        F.col("wj").alias("i"), F.col("wi").alias("j"), F.col("w").alias("w_op")
+    )
+    pairs = (
+        w1.join(w2, ["i", "j"], "full")
+        .select(
+            "i", "j",
+            F.coalesce("w", F.lit(0)).alias("w_ij"),
+            (F.coalesce("w", F.lit(0)) + F.coalesce("w_op", F.lit(0))).alias("n_ij"),
+        )
+    )
+    tot_w = pairs.groupBy("i").agg(F.sum("w_ij").alias("W"))
+    s = tot_w.select("i", F.lit(1.0).alias("s"))
+    for _ in range(3):
+        sj = s.select(F.col("i").alias("j"), F.col("s").alias("s_j"))
+        denom = (
+            pairs.join(s, "i")
+            .join(sj, "j")
+            .groupBy("i")
+            .agg(F.sum(F.col("n_ij") / (F.col("s") + F.col("s_j"))).alias("den"))
+        )
+        s = (
+            tot_w.join(denom, "i")
+            .select("i", (F.col("W") / F.col("den")).alias("s"))
+        )
+    norm = s.agg(F.sum("s").alias("z"))
+    return (
+        s.crossJoin(F.broadcast(norm))
+        .select(
+            F.col("i").alias("region"),
+            F.round(F.col("s") / F.col("z"), 6).alias("bt_strength"),
+        )
+    )
+
+
+def q_krippendorff_alpha(spark: SparkSession, sf: str) -> DataFrame:
+    """Krippendorff's alpha (nominal, binary, complete ratings) for
+    THREE deterministic raters of order 'bigness' (price rule, priority
+    rule, line-count rule): α = 1 − D_o/D_e with observed disagreement
+    Σ_u c_u(m−c_u) / (n·C(m,2)) and expected disagreement N1·N0/C(M,2)
+    from the pooled value counts — integer-exact throughout."""
+    li_counts = (
+        table(spark, sf, "lineitem")
+        .groupBy(F.col("l_orderkey").alias("o_orderkey"))
+        .agg(F.count("*").alias("n_lines"))
+    )
+    o = (
+        table(spark, sf, "orders")
+        .join(li_counts, "o_orderkey", "left")
+        .select(
+            (F.col("o_totalprice") > 150000.0).cast("long").alias("r1"),
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+            .cast("long").alias("r2"),
+            (F.coalesce("n_lines", F.lit(0)) >= 4).cast("long").alias("r3"),
+        )
+        .select((F.col("r1") + F.col("r2") + F.col("r3")).alias("c"))
+    )
+    agg = o.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("c") * (3 - F.col("c"))).alias("dis"),
+        F.sum("c").alias("n1"),
+    )
+    m_tot = F.col("n") * 3
+    do = F.col("dis").cast("double") / (F.col("n") * 3.0)  # n * C(3,2)
+    de = (
+        (F.col("n1") * (m_tot - F.col("n1"))).cast("double")
+        / (m_tot * (m_tot - 1) / 2.0)
+    )
+    return agg.select(
+        "n",
+        F.round(do, 6).alias("d_observed"),
+        F.round(de, 6).alias("d_expected"),
+        F.round(1.0 - do / de, 6).alias("alpha"),
+    )
+
+
+def q_horvitz_thompson(spark: SparkSession, sf: str) -> DataFrame:
+    """Horvitz–Thompson total estimator under deterministic unequal-
+    probability sampling: URGENT orders sampled at π=1/2, the rest at
+    π=1/10 (multiplicative-hash membership), estimate Σ y_i/π_i in
+    exact cents vs the true total — the unbiased-weighting contract in
+    one integer-exact pass."""
+    o = table(spark, sf, "orders").select(
+        F.floor(F.col("o_totalprice") * 100.0).alias("y_c"),
+        (F.col("o_orderpriority") == "1-URGENT").alias("urgent"),
+        ((F.col("o_orderkey") * F.lit(2654435761)) % 1000).alias("h"),
+    )
+    est = F.sum(
+        F.when(F.col("urgent") & (F.col("h") < 500), F.col("y_c") * 2)
+        .when(~F.col("urgent") & (F.col("h") < 100), F.col("y_c") * 10)
+        .otherwise(F.lit(0))
+    )
+    agg = o.agg(
+        est.alias("ht_c"),
+        F.sum("y_c").alias("true_c"),
+        F.sum(
+            F.when(
+                (F.col("urgent") & (F.col("h") < 500))
+                | (~F.col("urgent") & (F.col("h") < 100)),
+                1,
+            ).otherwise(0)
+        ).alias("n_sampled"),
+        F.count("*").alias("n_total"),
+    )
+    return agg.select(
+        "n_sampled", "n_total",
+        F.round(F.col("ht_c").cast("double") / 100.0, 2).alias("ht_estimate"),
+        F.round(F.col("true_c").cast("double") / 100.0, 2).alias("true_total"),
+        F.round(
+            (F.col("ht_c") - F.col("true_c")).cast("double")
+            / F.col("true_c").cast("double"),
+            6,
+        ).alias("rel_error"),
+    )
+
+
+def q_haar_energy_monthly(spark: SparkSession, sf: str) -> DataFrame:
+    """Unnormalized Haar wavelet detail energies (levels 1–3) of the
+    monthly revenue series: at each level, adjacent block sums L,R pair
+    up (orphan tails drop) and the detail energy is Σ(L−R)². The month
+    index is exact integer arithmetic (year·12+month), block sums are
+    exact cents, so every energy is integer-exact; one groupBy per
+    level, 84→42→21 rows."""
+    m = (
+        table(spark, sf, "lineitem")
+        .select(
+            (
+                F.year("l_shipdate") * 12 + (F.month("l_shipdate") - 1)
+            ).alias("mi"),
+            F.floor(
+                F.col("l_extendedprice") * (1.0 - F.col("l_discount")) * 100.0
+            ).alias("rev_c"),
+        )
+        .groupBy("mi")
+        .agg(F.sum("rev_c").alias("x"))
+    )
+    base = m.crossJoin(
+        F.broadcast(m.agg(F.min("mi").alias("mi0")))
+    ).select((F.col("mi") - F.col("mi0")).alias("idx"), "x")
+    rows = []
+    cur = base
+    for level in (1, 2, 3):
+        paired = cur.groupBy((F.col("idx") / 2).cast("long").alias("idx")).agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.when(F.col("idx") % 2 == 0, F.col("x"))).alias("l"),
+            F.sum(F.when(F.col("idx") % 2 == 1, F.col("x"))).alias("r"),
+        )
+        complete = paired.filter(F.col("cnt") == 2)
+        e = complete.agg(
+            F.lit(level).alias("level"),
+            F.count("*").alias("n_pairs"),
+            F.round(
+                F.sum(
+                    (F.col("l") - F.col("r")).cast("decimal(38,0)")
+                    * (F.col("l") - F.col("r"))
+                ).cast("double")
+                / 1.0e8,
+                2,
+            ).alias("detail_energy_dollars2"),
+        )
+        rows.append(e)
+        cur = complete.select("idx", (F.col("l") + F.col("r")).alias("x"))
+    out = rows[0]
+    for e in rows[1:]:
+        out = out.unionByName(e)
+    return out
+
+
+def q_overdispersion_daily(spark: SparkSession, sf: str) -> DataFrame:
+    """Poisson overdispersion check on daily order counts: dispersion
+    index var/mean from exact integer moments, plus the normal-approx
+    z = (D−1)·√((n−1)/2). A single date-bounded aggregate — the
+    day-count table is sf-independent."""
+    d = (
+        table(spark, sf, "orders")
+        .groupBy(F.date_trunc("DAY", "o_orderdate").alias("day"))
+        .agg(F.count("*").alias("c"))
+    )
+    agg = d.agg(
+        F.count("*").alias("n"),
+        F.sum("c").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).alias("s2"),
+    )
+    mean = F.col("s1").cast("double") / F.col("n")
+    var = F.col("s2").cast("double") / F.col("n") - mean * mean
+    disp = var / mean
+    return agg.select(
+        "n",
+        F.round(mean, 6).alias("mean_daily"),
+        F.round(disp, 6).alias("dispersion"),
+        F.round(
+            (disp - 1.0) * F.sqrt((F.col("n") - 1.0) / 2.0), 6
+        ).alias("z_stat"),
+    )
+
+
+_SEQ_RULE_WINDOW_S = 1800
+#: relative support floor — 0.2% of the event count (absolute floor 5):
+#: an absolute threshold either empties the small-sf answer or stops
+#: pruning at 10x the events
+_SEQ_RULE_MIN_FRAC = 0.002
+
+
+def q_seq_rule_mining(spark: SparkSession, sf: str) -> DataFrame:
+    """Sequential association rules A→B over the event stream: support
+    counts ordered event pairs of the same user within a 30-minute
+    window (a per-user range join — pair volume bounded by per-user
+    event density × window, never |E|²), confidence = support /
+    antecedent occurrences, lift against the consequent's base rate.
+    Integer-exact; rules below the support floor prune out."""
+    e = table(spark, sf, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    a, b = e.alias("a"), e.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("b.ts") > F.col("a.ts"))
+            # microsecond-exact window test: events carry sub-second
+            # parts, and DuckDB's DATE_DIFF('second') counts BOUNDARY
+            # crossings while Spark's timestampdiff truncates — at
+            # microsecond granularity (the data's resolution) both are
+            # the exact difference
+            & (
+                F.expr("timestampdiff(MICROSECOND, a.ts, b.ts)")
+                <= _SEQ_RULE_WINDOW_S * 1000000
+            ),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("antecedent"),
+            F.col("b.event_type").alias("consequent"),
+        )
+        .agg(F.count("*").alias("support"))
+    )
+    totals = e.groupBy(F.col("event_type").alias("antecedent")).agg(
+        F.count("*").alias("n_a")
+    )
+    g = e.agg(F.count("*").alias("n_all"))
+    pairs = pairs.crossJoin(F.broadcast(g.select(
+        F.greatest(F.lit(5.0), F.col("n_all") * _SEQ_RULE_MIN_FRAC).alias("minsup")
+    ))).filter(F.col("support") >= F.col("minsup")).drop("minsup")
+    cons = e.groupBy(F.col("event_type").alias("consequent")).agg(
+        F.count("*").alias("n_b")
+    )
+    return (
+        pairs.join(F.broadcast(totals), "antecedent")
+        .join(F.broadcast(cons), "consequent")
+        .crossJoin(F.broadcast(g))
+        .select(
+            "antecedent", "consequent", "support",
+            F.round(F.col("support").cast("double") / F.col("n_a"), 6)
+            .alias("confidence"),
+            F.round(
+                F.col("support").cast("double")
+                / F.col("n_a")
+                / (F.col("n_b").cast("double") / F.col("n_all")),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+def q_conformal_coverage(spark: SparkSession, sf: str) -> DataFrame:
+    """Split-conformal prediction interval + its empirical test
+    coverage: calibration/test split by hash parity, predictor = the
+    calibration per-priority mean (exact ratio), nonconformity =
+    |y−ŷ| bucketed to whole dollars at $100 granularity, conformal
+    quantile = the smallest bucket whose cumulative count reaches
+    ⌈0.9(n+1)⌉ (a conditional self-join over ≤ a few thousand distinct
+    buckets — never an order statistic over raw rows), coverage = the
+    fraction of test orders inside the CONSERVATIVE bucket upper edge.
+    Integer-exact end to end."""
+    o = table(spark, sf, "orders").select(
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice") * 100.0).alias("y_c"),
+        (((F.col("o_orderkey") * F.lit(2654435761)) % 1000) < 500).alias(
+            "is_cal"
+        ),
+    )
+    pred = (
+        o.filter("is_cal")
+        .groupBy("o_orderpriority")
+        .agg(F.sum("y_c").alias("sy"), F.count("*").alias("ny"))
+        .select(
+            "o_orderpriority",
+            (F.col("sy").cast("double") / F.col("ny")).alias("yhat_c"),
+        )
+    )
+    scored = o.join(F.broadcast(pred), "o_orderpriority").select(
+        "is_cal",
+        F.floor(F.abs(F.col("y_c") - F.col("yhat_c")) / 10000.0).alias("bkt"),
+    )
+    cal = scored.filter("is_cal").groupBy("bkt").agg(F.count("*").alias("c"))
+    ncal = cal.agg(F.sum("c").alias("n_cal"))
+    x, y = cal.alias("x"), cal.alias("y")
+    cum = (
+        x.join(y, F.col("y.bkt") <= F.col("x.bkt"))
+        .groupBy(F.col("x.bkt").alias("bkt"))
+        .agg(F.sum("y.c").alias("cum"))
+        .crossJoin(F.broadcast(ncal))
+        .filter(F.col("cum") >= F.ceil((F.col("n_cal") + 1) * 0.9))
+    )
+    qb = cum.agg(F.min("bkt").alias("q_bucket"))
+    test = scored.filter(~F.col("is_cal"))
+    return (
+        test.crossJoin(F.broadcast(qb))
+        .agg(
+            F.first("q_bucket").alias("q_bucket"),
+            F.round(F.first("q_bucket") * 100.0 + 100.0, 2).alias(
+                "interval_halfwidth_dollars"
+            ),
+            F.count("*").alias("n_test"),
+            F.round(
+                F.sum((F.col("bkt") <= F.col("q_bucket")).cast("int"))
+                / F.count("*").cast("double"),
+                6,
+            ).alias("coverage"),
+        )
+    )
+
+
+def q_shapley_linear(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact Shapley attributions for a closed-form 2-feature OLS of
+    extended price on (quantity, discount): for a linear model the
+    Shapley value of feature j on a row is β_j(x_j − μ_j). β comes
+    from the normal equations over EXACT decimal moments; per-row
+    |φ_j| is quantized to DECIMAL before the global mean so the
+    report is aggregation-order-independent."""
+    li = table(spark, sf, "lineitem").select(
+        F.col("l_quantity").cast("decimal(18,2)").alias("x1"),
+        F.col("l_discount").cast("decimal(18,2)").alias("x2"),
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("y"),
+    )
+    mo = li.agg(
+        F.count("*").alias("n"),
+        F.sum("x1").alias("s1"), F.sum("x2").alias("s2"), F.sum("y").alias("sy"),
+        F.sum(F.col("x1").cast("decimal(38,4)") * F.col("x1")).alias("s11"),
+        F.sum(F.col("x1").cast("decimal(38,4)") * F.col("x2")).alias("s12"),
+        F.sum(F.col("x2").cast("decimal(38,4)") * F.col("x2")).alias("s22"),
+        F.sum(F.col("x1").cast("decimal(38,4)") * F.col("y")).alias("s1y"),
+        F.sum(F.col("x2").cast("decimal(38,4)") * F.col("y")).alias("s2y"),
+    )
+    n = F.col("n").cast("double")
+    c11 = F.col("s11").cast("double") - F.col("s1").cast("double") * F.col("s1").cast("double") / n
+    c12 = F.col("s12").cast("double") - F.col("s1").cast("double") * F.col("s2").cast("double") / n
+    c22 = F.col("s22").cast("double") - F.col("s2").cast("double") * F.col("s2").cast("double") / n
+    c1y = F.col("s1y").cast("double") - F.col("s1").cast("double") * F.col("sy").cast("double") / n
+    c2y = F.col("s2y").cast("double") - F.col("s2").cast("double") * F.col("sy").cast("double") / n
+    det = c11 * c22 - c12 * c12
+    betas = mo.select(
+        ((c1y * c22 - c2y * c12) / det).alias("b1"),
+        ((c2y * c11 - c1y * c12) / det).alias("b2"),
+        (F.col("s1").cast("double") / n).alias("mu1"),
+        (F.col("s2").cast("double") / n).alias("mu2"),
+    )
+    j = li.crossJoin(F.broadcast(betas))
+    phi1 = F.abs(F.col("b1") * (F.col("x1").cast("double") - F.col("mu1")))
+    phi2 = F.abs(F.col("b2") * (F.col("x2").cast("double") - F.col("mu2")))
+    return j.agg(
+        F.round(F.first("b1"), 6).alias("beta_quantity"),
+        F.round(F.first("b2"), 6).alias("beta_discount"),
+        F.round(
+            F.sum(phi1.cast("decimal(28,10)")).cast("double") / F.count("*"),
+            4,
+        ).alias("mean_abs_shap_quantity"),
+        F.round(
+            F.sum(phi2.cast("decimal(28,10)")).cast("double") / F.count("*"),
+            4,
+        ).alias("mean_abs_shap_discount"),
+    )
+
+
+def q_mmd_poly(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-sample MMD² with the degree-2 polynomial kernel
+    k(x,y) = (1 + xy/c)² between URGENT and non-urgent order values.
+    The polynomial kernel decomposes into MOMENTS — E[k] over a pair of
+    independent samples is a function of (μ, m₂) of each side — so the
+    V-statistic MMD² costs ONE aggregate pass, not O(n²) pair work:
+    the kernel trick at 100 TB. Moments ride exact cents."""
+    c = 1.0e10  # ~ (price scale)², keeps kernel values O(1)
+    o = table(spark, sf, "orders").select(
+        F.floor(F.col("o_totalprice") * 100.0).alias("y_c"),
+        (F.col("o_orderpriority") == "1-URGENT").alias("g"),
+    )
+    agg = o.agg(
+        F.sum(F.when(F.col("g"), F.col("y_c"))).alias("sx"),
+        F.sum(F.when(F.col("g"), F.col("y_c").cast("decimal(38,0)") * F.col("y_c"))).alias("qx"),
+        F.sum(F.when(F.col("g"), 1)).alias("nx"),
+        F.sum(F.when(~F.col("g"), F.col("y_c"))).alias("sy"),
+        F.sum(F.when(~F.col("g"), F.col("y_c").cast("decimal(38,0)") * F.col("y_c"))).alias("qy"),
+        F.sum(F.when(~F.col("g"), 1)).alias("ny"),
+    )
+    mux = F.col("sx").cast("double") / F.col("nx") / 100.0
+    m2x = F.col("qx").cast("double") / F.col("nx") / 10000.0
+    muy = F.col("sy").cast("double") / F.col("ny") / 100.0
+    m2y = F.col("qy").cast("double") / F.col("ny") / 10000.0
+    kxx = 1.0 + 2.0 * mux * mux / c + m2x * m2x / (c * c)
+    kyy = 1.0 + 2.0 * muy * muy / c + m2y * m2y / (c * c)
+    kxy = 1.0 + 2.0 * mux * muy / c + m2x * m2y / (c * c)
+    return agg.select(
+        F.col("nx").alias("n_urgent"),
+        F.col("ny").alias("n_rest"),
+        F.round(F.lit(1.0e6) * (kxx + kyy - 2.0 * kxy), 6).alias("mmd2_x1e6"),
+    )
+
+
+ORACLES.update({
+    "changepoint_binary_seg": """
+        WITH d AS (
+            SELECT DATE_TRUNC('day', l_shipdate) AS day,
+                   SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount)
+                                  * 100.0) AS BIGINT)) AS x
+            FROM lineitem GROUP BY 1
+        ),
+        tot AS (
+            SELECT COUNT(*) AS n, SUM(x) AS s,
+                   SUM(CAST(x AS DECIMAL(38,0)) * x) AS q
+            FROM d
+        ),
+        pre AS (
+            SELECT a.day, COUNT(*) AS nl, SUM(b.x) AS sl,
+                   SUM(CAST(b.x AS DECIMAL(38,0)) * b.x) AS ql
+            FROM d a JOIN d b ON b.day <= a.day
+            GROUP BY a.day
+        ),
+        scored AS (
+            SELECT day,
+                   (CAST(ql AS DOUBLE)
+                    - CAST(sl AS DOUBLE) * CAST(sl AS DOUBLE) / nl)
+                   + (CAST(q - ql AS DOUBLE)
+                      - CAST(s - sl AS DOUBLE) * CAST(s - sl AS DOUBLE)
+                        / (n - nl)) AS sse,
+                   (CAST(q AS DOUBLE)
+                    - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) AS sse_all
+            FROM pre CROSS JOIN tot
+            WHERE nl >= 5 AND n - nl >= 5
+        )
+        SELECT day AS split_day,
+               ROUND(sse / 1.0e8, 4) AS sse_dollars2,
+               ROUND((sse_all - sse) / 1.0e8, 4) AS gain_dollars2
+        FROM scored ORDER BY sse, split_day LIMIT 1
+    """,
+    "bradley_terry_regions": """
+        WITH rev AS (
+            SELECT DATE_TRUNC('month', o.o_orderdate) AS month,
+                   n.n_regionkey AS region,
+                   CAST(FLOOR(SUM(o.o_totalprice * 100.0)) AS BIGINT) AS rev_c
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY 1, 2
+        ),
+        games AS (
+            SELECT a.region AS wi, b.region AS wj
+            FROM rev a JOIN rev b
+              ON a.month = b.month AND a.region <> b.region
+            WHERE a.rev_c > b.rev_c
+        ),
+        wins AS (SELECT wi, wj, COUNT(*) AS w FROM games GROUP BY 1, 2),
+        pairs AS (
+            SELECT COALESCE(w1.wi, w2.wj) AS i, COALESCE(w1.wj, w2.wi) AS j,
+                   COALESCE(w1.w, 0) AS w_ij,
+                   COALESCE(w1.w, 0) + COALESCE(w2.w, 0) AS n_ij
+            FROM wins w1
+            FULL JOIN wins w2 ON w1.wi = w2.wj AND w1.wj = w2.wi
+        ),
+        tot_w AS (SELECT i, SUM(w_ij) AS W FROM pairs GROUP BY i),
+        s0 AS (SELECT i, 1.0 AS s FROM tot_w),
+        s1 AS (
+            SELECT t.i, t.W / d.den AS s
+            FROM tot_w t JOIN (
+                SELECT p.i, SUM(p.n_ij / (si.s + sj.s)) AS den
+                FROM pairs p
+                JOIN s0 si ON p.i = si.i
+                JOIN s0 sj ON p.j = sj.i
+                GROUP BY p.i
+            ) d ON t.i = d.i
+        ),
+        s2 AS (
+            SELECT t.i, t.W / d.den AS s
+            FROM tot_w t JOIN (
+                SELECT p.i, SUM(p.n_ij / (si.s + sj.s)) AS den
+                FROM pairs p
+                JOIN s1 si ON p.i = si.i
+                JOIN s1 sj ON p.j = sj.i
+                GROUP BY p.i
+            ) d ON t.i = d.i
+        ),
+        s3 AS (
+            SELECT t.i, t.W / d.den AS s
+            FROM tot_w t JOIN (
+                SELECT p.i, SUM(p.n_ij / (si.s + sj.s)) AS den
+                FROM pairs p
+                JOIN s2 si ON p.i = si.i
+                JOIN s2 sj ON p.j = sj.i
+                GROUP BY p.i
+            ) d ON t.i = d.i
+        ),
+        z AS (SELECT SUM(s) AS z FROM s3)
+        SELECT i AS region, ROUND(s / z, 6) AS bt_strength
+        FROM s3 CROSS JOIN z
+    """,
+    "krippendorff_alpha": """
+        WITH lc AS (
+            SELECT l_orderkey AS o_orderkey, COUNT(*) AS n_lines
+            FROM lineitem GROUP BY 1
+        ),
+        r AS (
+            SELECT (CASE WHEN o.o_totalprice > 150000.0 THEN 1 ELSE 0 END
+                    + CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                           THEN 1 ELSE 0 END
+                    + CASE WHEN COALESCE(lc.n_lines, 0) >= 4
+                           THEN 1 ELSE 0 END) AS c
+            FROM orders o LEFT JOIN lc USING (o_orderkey)
+        ),
+        agg AS (
+            SELECT COUNT(*) AS n,
+                   CAST(SUM(c * (3 - c)) AS BIGINT) AS dis,
+                   CAST(SUM(c) AS BIGINT) AS n1
+            FROM r
+        )
+        SELECT n,
+               ROUND(CAST(dis AS DOUBLE) / (n * 3.0), 6) AS d_observed,
+               ROUND(CAST(n1 * (n * 3 - n1) AS DOUBLE)
+                     / (CAST(n AS BIGINT) * 3 * (CAST(n AS BIGINT) * 3 - 1)
+                        / 2.0), 6) AS d_expected,
+               ROUND(1.0 - (CAST(dis AS DOUBLE) / (n * 3.0))
+                     / (CAST(n1 * (n * 3 - n1) AS DOUBLE)
+                        / (CAST(n AS BIGINT) * 3
+                           * (CAST(n AS BIGINT) * 3 - 1) / 2.0)), 6) AS alpha
+        FROM agg
+    """,
+    "horvitz_thompson": """
+        WITH o AS (
+            SELECT CAST(FLOOR(o_totalprice * 100.0) AS BIGINT) AS y_c,
+                   o_orderpriority = '1-URGENT' AS urgent,
+                   (o_orderkey * 2654435761) % 1000 AS h
+            FROM orders
+        ),
+        agg AS (
+            SELECT
+                CAST(SUM(CASE WHEN urgent AND h < 500 THEN y_c * 2
+                              WHEN NOT urgent AND h < 100 THEN y_c * 10
+                              ELSE 0 END) AS BIGINT) AS ht_c,
+                CAST(SUM(y_c) AS BIGINT) AS true_c,
+                CAST(SUM(CASE WHEN (urgent AND h < 500)
+                              OR (NOT urgent AND h < 100)
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+                COUNT(*) AS n_total
+            FROM o
+        )
+        SELECT n_sampled, n_total,
+               ROUND(CAST(ht_c AS DOUBLE) / 100.0, 2) AS ht_estimate,
+               ROUND(CAST(true_c AS DOUBLE) / 100.0, 2) AS true_total,
+               ROUND(CAST(ht_c - true_c AS DOUBLE)
+                     / CAST(true_c AS DOUBLE), 6) AS rel_error
+        FROM agg
+    """,
+    "haar_energy_monthly": """
+        WITH m AS (
+            SELECT EXTRACT(year FROM l_shipdate) * 12
+                   + (EXTRACT(month FROM l_shipdate) - 1) AS mi,
+                   SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount)
+                                  * 100.0) AS BIGINT)) AS x
+            FROM lineitem GROUP BY 1
+        ),
+        base AS (
+            SELECT CAST(mi - (SELECT MIN(mi) FROM m) AS BIGINT) AS idx, x
+            FROM m
+        ),
+        p1 AS (
+            SELECT idx // 2 AS idx, COUNT(*) AS cnt,
+                   SUM(CASE WHEN idx % 2 = 0 THEN x END) AS l,
+                   SUM(CASE WHEN idx % 2 = 1 THEN x END) AS r
+            FROM base GROUP BY idx // 2
+        ),
+        c1 AS (SELECT * FROM p1 WHERE cnt = 2),
+        e1 AS (
+            SELECT 1 AS level, COUNT(*) AS n_pairs,
+                   ROUND(CAST(SUM(CAST(l - r AS DECIMAL(38,0)) * (l - r))
+                              AS DOUBLE) / 1.0e8, 2) AS detail_energy_dollars2
+            FROM c1
+        ),
+        b2 AS (SELECT idx, l + r AS x FROM c1),
+        p2 AS (
+            SELECT idx // 2 AS idx, COUNT(*) AS cnt,
+                   SUM(CASE WHEN idx % 2 = 0 THEN x END) AS l,
+                   SUM(CASE WHEN idx % 2 = 1 THEN x END) AS r
+            FROM b2 GROUP BY idx // 2
+        ),
+        c2 AS (SELECT * FROM p2 WHERE cnt = 2),
+        e2 AS (
+            SELECT 2 AS level, COUNT(*) AS n_pairs,
+                   ROUND(CAST(SUM(CAST(l - r AS DECIMAL(38,0)) * (l - r))
+                              AS DOUBLE) / 1.0e8, 2) AS detail_energy_dollars2
+            FROM c2
+        ),
+        b3 AS (SELECT idx, l + r AS x FROM c2),
+        p3 AS (
+            SELECT idx // 2 AS idx, COUNT(*) AS cnt,
+                   SUM(CASE WHEN idx % 2 = 0 THEN x END) AS l,
+                   SUM(CASE WHEN idx % 2 = 1 THEN x END) AS r
+            FROM b3 GROUP BY idx // 2
+        ),
+        c3 AS (SELECT * FROM p3 WHERE cnt = 2),
+        e3 AS (
+            SELECT 3 AS level, COUNT(*) AS n_pairs,
+                   ROUND(CAST(SUM(CAST(l - r AS DECIMAL(38,0)) * (l - r))
+                              AS DOUBLE) / 1.0e8, 2) AS detail_energy_dollars2
+            FROM c3
+        )
+        SELECT * FROM e1 UNION ALL SELECT * FROM e2 UNION ALL SELECT * FROM e3
+    """,
+    "overdispersion_daily": """
+        WITH d AS (
+            SELECT DATE_TRUNC('day', o_orderdate) AS day, COUNT(*) AS c
+            FROM orders GROUP BY 1
+        ),
+        agg AS (
+            SELECT COUNT(*) AS n, CAST(SUM(c) AS BIGINT) AS s1,
+                   CAST(SUM(c * c) AS BIGINT) AS s2
+            FROM d
+        )
+        SELECT n,
+               ROUND(CAST(s1 AS DOUBLE) / n, 6) AS mean_daily,
+               ROUND((CAST(s2 AS DOUBLE) / n
+                      - POWER(CAST(s1 AS DOUBLE) / n, 2))
+                     / (CAST(s1 AS DOUBLE) / n), 6) AS dispersion,
+               ROUND(((CAST(s2 AS DOUBLE) / n
+                       - POWER(CAST(s1 AS DOUBLE) / n, 2))
+                      / (CAST(s1 AS DOUBLE) / n) - 1.0)
+                     * SQRT((n - 1.0) / 2.0), 6) AS z_stat
+        FROM agg
+    """,
+    "seq_rule_mining": """
+        WITH pairs AS (
+            SELECT a.event_type AS antecedent, b.event_type AS consequent,
+                   COUNT(*) AS support
+            FROM events a JOIN events b
+              ON a.user_id = b.user_id AND b.ts > a.ts
+             AND DATE_DIFF('microsecond', a.ts, b.ts) <= 1800000000
+            GROUP BY 1, 2
+            HAVING COUNT(*) >= GREATEST(
+                5.0, (SELECT COUNT(*) FROM events) * 0.002)
+        ),
+        totals AS (
+            SELECT event_type AS antecedent, COUNT(*) AS n_a
+            FROM events GROUP BY 1
+        ),
+        cons AS (
+            SELECT event_type AS consequent, COUNT(*) AS n_b
+            FROM events GROUP BY 1
+        ),
+        g AS (SELECT COUNT(*) AS n_all FROM events)
+        SELECT p.antecedent, p.consequent, p.support,
+               ROUND(CAST(p.support AS DOUBLE) / t.n_a, 6) AS confidence,
+               ROUND(CAST(p.support AS DOUBLE) / t.n_a
+                     / (CAST(c.n_b AS DOUBLE) / g.n_all), 6) AS lift
+        FROM pairs p
+        JOIN totals t USING (antecedent)
+        JOIN cons c USING (consequent)
+        CROSS JOIN g
+    """,
+    "conformal_coverage": """
+        WITH o AS (
+            SELECT o_orderpriority,
+                   CAST(FLOOR(o_totalprice * 100.0) AS BIGINT) AS y_c,
+                   ((o_orderkey * 2654435761) % 1000) < 500 AS is_cal
+            FROM orders
+        ),
+        pred AS (
+            SELECT o_orderpriority,
+                   CAST(SUM(y_c) AS DOUBLE) / COUNT(*) AS yhat_c
+            FROM o WHERE is_cal GROUP BY 1
+        ),
+        scored AS (
+            SELECT o.is_cal,
+                   CAST(FLOOR(ABS(o.y_c - p.yhat_c) / 10000.0) AS BIGINT)
+                       AS bkt
+            FROM o JOIN pred p USING (o_orderpriority)
+        ),
+        cal AS (
+            SELECT bkt, COUNT(*) AS c FROM scored WHERE is_cal GROUP BY bkt
+        ),
+        ncal AS (SELECT SUM(c) AS n_cal FROM cal),
+        cum AS (
+            SELECT x.bkt, SUM(y.c) AS cum
+            FROM cal x JOIN cal y ON y.bkt <= x.bkt
+            GROUP BY x.bkt
+        ),
+        qb AS (
+            SELECT MIN(bkt) AS q_bucket
+            FROM cum CROSS JOIN ncal
+            WHERE cum >= CEIL((n_cal + 1) * 0.9)
+        )
+        SELECT FIRST(q_bucket) AS q_bucket,
+               ROUND(FIRST(q_bucket) * 100.0 + 100.0, 2)
+                   AS interval_halfwidth_dollars,
+               COUNT(*) AS n_test,
+               ROUND(SUM(CASE WHEN bkt <= q_bucket THEN 1 ELSE 0 END)
+                     / CAST(COUNT(*) AS DOUBLE), 6) AS coverage
+        FROM scored CROSS JOIN qb WHERE NOT is_cal
+    """,
+    "shapley_linear": """
+        WITH li AS (
+            SELECT CAST(l_quantity AS DECIMAL(18,2)) AS x1,
+                   CAST(l_discount AS DECIMAL(18,2)) AS x2,
+                   CAST(l_extendedprice AS DECIMAL(18,2)) AS y
+            FROM lineitem
+        ),
+        mo AS (
+            SELECT COUNT(*) AS n,
+                   SUM(x1) AS s1, SUM(x2) AS s2, SUM(y) AS sy,
+                   SUM(CAST(x1 AS DECIMAL(38,4)) * x1) AS s11,
+                   SUM(CAST(x1 AS DECIMAL(38,4)) * x2) AS s12,
+                   SUM(CAST(x2 AS DECIMAL(38,4)) * x2) AS s22,
+                   SUM(CAST(x1 AS DECIMAL(38,4)) * y) AS s1y,
+                   SUM(CAST(x2 AS DECIMAL(38,4)) * y) AS s2y
+            FROM li
+        ),
+        b AS (
+            SELECT
+                ((CAST(s1y AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(sy AS DOUBLE) / n)
+                 * (CAST(s22 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / n)
+                 - (CAST(s2y AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(sy AS DOUBLE) / n)
+                 * (CAST(s12 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s2 AS DOUBLE) / n))
+                / ((CAST(s11 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n)
+                   * (CAST(s22 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / n)
+                   - POWER(CAST(s12 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s2 AS DOUBLE) / n, 2))
+                    AS b1,
+                ((CAST(s2y AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(sy AS DOUBLE) / n)
+                 * (CAST(s11 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n)
+                 - (CAST(s1y AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(sy AS DOUBLE) / n)
+                 * (CAST(s12 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s2 AS DOUBLE) / n))
+                / ((CAST(s11 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n)
+                   * (CAST(s22 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / n)
+                   - POWER(CAST(s12 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s2 AS DOUBLE) / n, 2))
+                    AS b2,
+                CAST(s1 AS DOUBLE) / n AS mu1,
+                CAST(s2 AS DOUBLE) / n AS mu2
+            FROM mo
+        )
+        SELECT ROUND(FIRST(b1), 6) AS beta_quantity,
+               ROUND(FIRST(b2), 6) AS beta_discount,
+               ROUND(CAST(SUM(CAST(ABS(b1 * (CAST(x1 AS DOUBLE) - mu1))
+                                   AS DECIMAL(28,10))) AS DOUBLE)
+                     / COUNT(*), 4) AS mean_abs_shap_quantity,
+               ROUND(CAST(SUM(CAST(ABS(b2 * (CAST(x2 AS DOUBLE) - mu2))
+                                   AS DECIMAL(28,10))) AS DOUBLE)
+                     / COUNT(*), 4) AS mean_abs_shap_discount
+        FROM li CROSS JOIN b
+    """,
+    "mmd_poly": """
+        WITH o AS (
+            SELECT CAST(FLOOR(o_totalprice * 100.0) AS BIGINT) AS y_c,
+                   o_orderpriority = '1-URGENT' AS g
+            FROM orders
+        ),
+        agg AS (
+            SELECT
+                CAST(SUM(CASE WHEN g THEN y_c END) AS BIGINT) AS sx,
+                SUM(CASE WHEN g THEN CAST(y_c AS DECIMAL(38,0)) * y_c END) AS qx,
+                CAST(SUM(CASE WHEN g THEN 1 END) AS BIGINT) AS nx,
+                CAST(SUM(CASE WHEN NOT g THEN y_c END) AS BIGINT) AS sy,
+                SUM(CASE WHEN NOT g THEN CAST(y_c AS DECIMAL(38,0)) * y_c END) AS qy,
+                CAST(SUM(CASE WHEN NOT g THEN 1 END) AS BIGINT) AS ny
+            FROM o
+        ),
+        k AS (
+            SELECT nx, ny,
+                   CAST(sx AS DOUBLE) / nx / 100.0 AS mux,
+                   CAST(qx AS DOUBLE) / nx / 10000.0 AS m2x,
+                   CAST(sy AS DOUBLE) / ny / 100.0 AS muy,
+                   CAST(qy AS DOUBLE) / ny / 10000.0 AS m2y
+            FROM agg
+        )
+        SELECT nx AS n_urgent, ny AS n_rest,
+               ROUND(1.0e6 * (
+                   (1.0 + 2.0 * mux * mux / 1.0e10
+                        + m2x * m2x / (1.0e10 * 1.0e10))
+                 + (1.0 + 2.0 * muy * muy / 1.0e10
+                        + m2y * m2y / (1.0e10 * 1.0e10))
+                 - 2.0 * (1.0 + 2.0 * mux * muy / 1.0e10
+                              + m2x * m2y / (1.0e10 * 1.0e10))
+               ), 6) AS mmd2_x1e6
+        FROM k
+    """,
+})
+
+QUERIES.update({
+    "changepoint_binary_seg": q_changepoint_binary_seg,
+    "bradley_terry_regions": q_bradley_terry_regions,
+    "krippendorff_alpha": q_krippendorff_alpha,
+    "horvitz_thompson": q_horvitz_thompson,
+    "haar_energy_monthly": q_haar_energy_monthly,
+    "overdispersion_daily": q_overdispersion_daily,
+    "seq_rule_mining": q_seq_rule_mining,
+    "conformal_coverage": q_conformal_coverage,
+    "shapley_linear": q_shapley_linear,
+    "mmd_poly": q_mmd_poly,
+})
