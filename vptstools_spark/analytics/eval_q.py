@@ -1239,9 +1239,13 @@ def q_bradley_terry_regions(spark: SparkSession, sf: str) -> DataFrame:
             .groupBy("i")
             .agg(F.sum(F.col("n_ij") / (F.col("s") + F.col("s_j"))).alias("den"))
         )
+        # checkpoint the 5-row strength vector: s appears TWICE per
+        # iteration (s_i and s_j sides), so an un-truncated plan doubles
+        # every round (~86 joins by iteration 3 in the plan audit)
         s = (
             tot_w.join(denom, "i")
             .select("i", (F.col("W") / F.col("den")).alias("s"))
+            .localCheckpoint()
         )
     norm = s.agg(F.sum("s").alias("z"))
     return (
