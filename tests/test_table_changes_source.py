@@ -454,3 +454,28 @@ def test_max_files_per_trigger_bounds_batches(spark, tmp_path):
     final = spark.read.parquet(out)
     per_version = final.groupBy("_commit_version").count().collect()
     assert sorted(r["_commit_version"] for r in per_version) == list(range(6))
+
+
+def test_resolved_memo_survives_table_recreation(spark, tmp_path):
+    """ADVICE r8 #5: the worker-side resolved-commit memo must not serve a
+    dropped-and-recreated table's OLD commit docs. The memo key carries the
+    table's creation epoch (mtime of 00000000.json), so recreation at the
+    same path misses the stale entries without any driver-side hook."""
+    import shutil
+    import time
+
+    from vptstools_spark.sources import table_changes_source as tcs
+
+    path = str(tmp_path / "t")
+    commit_initial(_df(spark, [(1, 0, 1.0)]).coalesce(1), path)
+    doc_old = tcs._read_commit(path, 0)
+    # hit the memo once more to prove it serves from cache
+    assert tcs._read_commit(path, 0) is doc_old
+
+    # drop + recreate at the same path (new files, new schema content)
+    shutil.rmtree(path)
+    time.sleep(0.05)  # ensure a distinct mtime even on coarse filesystems
+    commit_initial(_df(spark, [(2, 1, 2.0), (3, 1, 3.0)]).coalesce(1), path)
+    doc_new = tcs._read_commit(path, 0)
+    assert doc_new is not doc_old
+    assert doc_new["files"] != doc_old["files"]

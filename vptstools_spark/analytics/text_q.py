@@ -1227,12 +1227,22 @@ def q_heaps_law_fit(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("n")
         .agg(F.count("*").alias("v"))
     )
+    # each TERM is quantized to DECIMAL(28,20) before SUM (and the sums
+    # cast back to double for the closed form): the 8-term double sums
+    # were partition-order dependent, which intermittently flipped the
+    # 6-dp/4-dp output rounds vs the oracle (observed once in the r9
+    # full-registry sweep). Decimal addition is exact and
+    # order-independent; the 1e-20 quantization is far below double
+    # resolution at these magnitudes, so both engines now compute
+    # identical doubles deterministically (the repo's standard
+    # order-independence convention, cf. q_huber_location).
+    dec = "decimal(28,20)"
     m = v.agg(
         F.count("*").alias("np"),
-        F.sum(F.log("n")).alias("sx"),
-        F.sum(F.log("v")).alias("sy"),
-        F.sum(F.log("n") * F.log("n")).alias("sxx"),
-        F.sum(F.log("n") * F.log("v")).alias("sxy"),
+        F.sum(F.log("n").cast(dec)).cast("double").alias("sx"),
+        F.sum(F.log("v").cast(dec)).cast("double").alias("sy"),
+        F.sum((F.log("n") * F.log("n")).cast(dec)).cast("double").alias("sxx"),
+        F.sum((F.log("n") * F.log("v")).cast(dec)).cast("double").alias("sxy"),
     )
     beta = (F.col("np") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
         F.col("np") * F.col("sxx") - F.col("sx") * F.col("sx")
@@ -1240,7 +1250,10 @@ def q_heaps_law_fit(spark: SparkSession, sf: str) -> DataFrame:
     lnk = (F.col("sy") - beta * F.col("sx")) / F.col("np")
     return m.select(
         F.col("np").cast("long").alias("n_checkpoints"),
-        F.round(beta, 6).alias("heaps_beta"),
+        # + 0.0 normalizes IEEE negative zero (a degenerate flat-vocab
+        # corpus makes beta an exact 0 whose sign differs by engine);
+        # exact no-op for every nonzero value
+        (F.round(beta, 6) + F.lit(0.0)).alias("heaps_beta"),
         F.round(F.exp(lnk), 4).alias("heaps_k"),
     )
 
@@ -1261,12 +1274,17 @@ ORACLES["heaps_law_fit"] = """
         FROM cps JOIN firsts ON firsts.fd < cps.n
         GROUP BY n
     ), m AS (
-        SELECT COUNT(*) AS np, SUM(LN(n)) AS sx, SUM(LN(v)) AS sy,
-               SUM(LN(n) * LN(n)) AS sxx, SUM(LN(n) * LN(v)) AS sxy
+        SELECT COUNT(*) AS np,
+               CAST(SUM(CAST(LN(n) AS DECIMAL(28,20))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(LN(v) AS DECIMAL(28,20))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(LN(n) * LN(n) AS DECIMAL(28,20))) AS DOUBLE)
+                   AS sxx,
+               CAST(SUM(CAST(LN(n) * LN(v) AS DECIMAL(28,20))) AS DOUBLE)
+                   AS sxy
         FROM v
     )
     SELECT CAST(np AS BIGINT) AS n_checkpoints,
-           ROUND((np * sxy - sx * sy) / (np * sxx - sx * sx), 6)
+           ROUND((np * sxy - sx * sy) / (np * sxx - sx * sx), 6) + 0.0
                AS heaps_beta,
            ROUND(EXP((sy - ((np * sxy - sx * sy) / (np * sxx - sx * sx))
                       * sx) / np), 4) AS heaps_k

@@ -100,9 +100,26 @@ def _list_versions(table_path: str) -> list[int]:
 
 #: resolved-commit memo — the offset planner re-reads the same commits
 #: every trigger; entries are immutable once published. Keyed per
-#: (table, version), bounded FIFO.
+#: (table, creation-epoch, version), bounded FIFO. The epoch (mtime of the
+#: table's version-0 commit file) makes the key recreation-proof: a table
+#: dropped and recreated at the same path rewrites 00000000.json, so a
+#: long-lived DataSource worker can never serve the OLD table's commit
+#: docs (wrong files/schema) for the new one — driver-side invalidation
+#: (`timetravel._invalidate_resolved`) cannot reach worker processes.
 _RESOLVED_MEMO: dict = {}
 _RESOLVED_MEMO_MAX = 512
+
+
+def _table_epoch(table_path: str):
+    """Creation identity of the table at `table_path`: mtime of its first
+    commit file. One stat per `_read_commit` call — trivial next to the
+    chain of JSON reads the memo exists to avoid."""
+    fs, p = _fs_for(posixpath.join(table_path, _LOG_DIR, "00000000.json"))
+    try:
+        info = fs.get_file_info(p)
+        return getattr(info, "mtime_ns", None) or str(info.mtime)
+    except Exception:
+        return None
 
 
 def _read_commit(table_path: str, version: int) -> dict:
@@ -110,7 +127,8 @@ def _read_commit(table_path: str, version: int) -> dict:
     O(changed files) deltas — resolution mirrors
     plans/timetravel.py:_read_commit but stays pyarrow-only: this module
     runs inside Python DataSource workers with no SparkSession/JVM)."""
-    key = (table_path, version)
+    epoch = _table_epoch(table_path)
+    key = (table_path, epoch, version)
     hit = _RESOLVED_MEMO.get(key)
     if hit is not None:
         return hit
@@ -120,7 +138,7 @@ def _read_commit(table_path: str, version: int) -> dict:
     v = version
     base: dict | None = None
     while True:
-        hit = _RESOLVED_MEMO.get((table_path, v))
+        hit = _RESOLVED_MEMO.get((table_path, epoch, v))
         if hit is not None:
             base = hit
             break
