@@ -38,6 +38,28 @@ def _trade_edges(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _trade_edges_int(spark: SparkSession, sf: str) -> DataFrame:
+    """Distinct (customer, supplier) trade edges on INT node ids:
+    customer c → node 2c, supplier s → node 2s+1 (bijective to the
+    'c…'/'s…' string labels). r9 optimization, guide §2.3 — the
+    iterative consumers shuffle these ids every round, and 8-byte longs
+    beat concat'ed strings through every exchange; queries whose OUTPUT
+    carries node labels re-attach them after the iteration (pagerank), 
+    and histogram outputs (sssp, reachability) never see node ids at
+    all, so results are identical."""
+    o = table(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    l = table(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    return (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .select("o_custkey", "l_suppkey")
+        .distinct()
+        .select(
+            (F.col("o_custkey").cast("long") * 2).alias("src"),
+            (F.col("l_suppkey").cast("long") * 2 + 1).alias("dst"),
+        )
+    )
+
+
 def q_pagerank_trade(spark: SparkSession, sf: str) -> DataFrame:
     """PageRank over the bipartite customer→supplier graph, 3 iterations,
     d=0.85 (`operators/graph.py:pagerank`): top-25 suppliers by link mass.
@@ -45,10 +67,20 @@ def q_pagerank_trade(spark: SparkSession, sf: str) -> DataFrame:
     FP-aggregation-order independent (ties break on the node id)."""
     from vptstools_spark.operators.graph import pagerank
 
-    pr = pagerank(_trade_edges(spark, sf), iters=_PR_ITERS, damping=_PR_DAMPING)
+    # int node ids through all 3 iterations (see _trade_edges_int); the
+    # 's…' labels attach AFTER the loop and BEFORE the orderBy/limit, so
+    # the tie-break is the same string ordering as before
+    pr = pagerank(
+        _trade_edges_int(spark, sf), iters=_PR_ITERS, damping=_PR_DAMPING
+    )
     return (
-        pr.filter(F.col("node").startswith("s"))
-        .select("node", F.round("rank", 6).alias("pr"))
+        pr.filter(F.col("node") % 2 == 1)
+        .select(
+            F.concat(
+                F.lit("s"), ((F.col("node") - 1) / 2).cast("long").cast("string")
+            ).alias("node"),
+            F.round("rank", 6).alias("pr"),
+        )
         .orderBy(F.col("pr").desc(), "node")
         .limit(25)
     )
@@ -230,13 +262,13 @@ def q_trade_reachability(spark: SparkSession, sf: str) -> DataFrame:
     the oracle mirrors it as a depth-guarded recursive CTE."""
     from vptstools_spark.operators.graph import bounded_reachability
 
-    e = _trade_edges(spark, sf)
+    # int node ids (see _trade_edges_int): hop-histogram output, node
+    # identities never surface — identical result, narrower shuffles
+    e = _trade_edges_int(spark, sf)
     sym = e.unionByName(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    seeds = spark.range(3).select(
-        F.concat(F.lit("s"), F.col("id").cast("string")).alias("node")
-    )
+    seeds = spark.range(3).select((F.col("id") * 2 + 1).alias("node"))
     reach = bounded_reachability(sym, seeds, depth=3)
     return (
         reach.groupBy("hops")
@@ -274,6 +306,11 @@ def q_sssp_trade(spark: SparkSession, sf: str) -> DataFrame:
     re-join."""
     from vptstools_spark.operators.graph import sssp_bounded
 
+    # int node ids end to end (see _trade_edges_int): the output is the
+    # distance HISTOGRAM — node identities never reach the result, and
+    # distances are exact integer path sums, so the relabeling changes
+    # nothing while every per-round exchange carries 8-byte longs
+    # instead of concat'ed strings (guide §2.3)
     o = table(spark, sf, "orders").select("o_orderkey", "o_custkey")
     l = table(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
     pairs = (
@@ -282,8 +319,8 @@ def q_sssp_trade(spark: SparkSession, sf: str) -> DataFrame:
         .distinct()
     )
     e = pairs.select(
-        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
-        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        (F.col("o_custkey").cast("long") * 2).alias("src"),
+        (F.col("l_suppkey").cast("long") * 2 + 1).alias("dst"),
         ((F.col("o_custkey") * 31 + F.col("l_suppkey")) % 7 + 1)
         .cast("long")
         .alias("weight"),
@@ -293,10 +330,14 @@ def q_sssp_trade(spark: SparkSession, sf: str) -> DataFrame:
             F.col("dst").alias("src"), F.col("src").alias("dst"), "weight"
         )
     )
-    seeds = spark.range(1, 4).select(
-        F.concat(F.lit("s"), F.col("id").cast("string")).alias("node")
-    )
-    d = sssp_bounded(sym, seeds, depth=4)
+    seeds = spark.range(1, 4).select((F.col("id") * 2 + 1).alias("node"))
+    # collapsed: pairs.distinct() + the parity encoding make every
+    # (src, dst) unique even after symmetrization (endpoint parities
+    # differ), so the operator's parallel-edge collapse would be an
+    # identity shuffle; assume_nonnegative: weight = k % 7 + 1 ∈ [1, 7]
+    # by construction (both r9 — values unchanged, one shuffle and one
+    # guard scan saved)
+    d = sssp_bounded(sym, seeds, depth=4, collapsed=True, assume_nonnegative=True)
     return d.groupBy("dist").agg(F.count("*").alias("n_nodes")).orderBy("dist")
 
 
@@ -334,7 +375,23 @@ def q_link_prediction(spark: SparkSession, sf: str) -> DataFrame:
     TakeOrderedAndProject, never a single-partition window."""
     from vptstools_spark.operators.graph import adamic_adar
 
-    out = adamic_adar(_trade_edges(spark, sf), max_hub_degree=100)
+    # r9 optimization (guide §2.3 — shuffle fewer bytes): the Σdeg²-sized
+    # wedge join runs on the raw INT (custkey, suppkey) pairs — 16 bytes a
+    # row through the heavy exchange instead of two concat'ed strings —
+    # and the 's'-prefixed labels attach AFTER the pair aggregation
+    # (least/greatest on the labels restores the exact string-canonical
+    # (node_a, node_b) orientation, so rows are identical; oracle
+    # re-verified at sf0.01 and sf0.1).
+    o = table(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    l = table(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = l.join(o, l["l_orderkey"] == o["o_orderkey"]).select(
+        F.col("o_custkey").alias("src"), F.col("l_suppkey").alias("dst")
+    )
+    out = adamic_adar(
+        pairs,
+        max_hub_degree=100,
+        label_fn=lambda c: F.concat(F.lit("s"), c.cast("string")),
+    )
     return out.orderBy(F.col("score").desc(), "node_a", "node_b").limit(20)
 
 
@@ -379,7 +436,10 @@ def q_hits_nation(spark: SparkSession, sf: str) -> DataFrame:
         )
         .select("src", "dst", "w")
     )
-    out = hits(edges, iters=2, weight_col="w")
+    # collect_bounded: the nation matrix is schema-bounded (≤25 nations
+    # at every sf), so the HITS rounds run driver-side on the collected
+    # ≤625-row edge list (operators/graph.py:hits, r9)
+    out = hits(edges, iters=2, weight_col="w", collect_bounded=True)
     return out.select(
         F.col("node").alias("nation"),
         F.round("hub", 6).alias("hub"),
@@ -560,6 +620,59 @@ def q_apsp_nations(spark: SparkSession, sf: str) -> DataFrame:
                                    F.col("n_name").alias("dst"))), "ck")
         .select("src", "dst", "w")
     )
+    # r9 optimization (guide §8: decide with small rows): the edge matrix
+    # is BOUNDED BY SCHEMA — nations ≤ 25 at every scale factor, so the
+    # matrix is ≤ 625 rows forever. One job collapses the fact tables to
+    # that matrix; the 5 min-plus squarings then run on the driver over
+    # the SAME rounded doubles (min is order-independent and wa+wb is the
+    # identical IEEE-754 addition, so every value matches the distributed
+    # plan bit-for-bit — oracle re-verified), and the closure re-enters
+    # the plan as a literal table. This replaces 6 checkpointed ≤625-row
+    # shuffle rounds (~36 AQE stage-jobs of pure scheduling overhead)
+    # with one collect of a schema-bounded matrix — the same bounded-
+    # driver-readout class as the ANN anchor collect. A >2048-row matrix
+    # (impossible for nations; defensive for reuse on other graphs) falls
+    # back to the distributed squaring loop.
+    rows = edges.collect()
+    if len(rows) <= 2048:
+        d: dict = {(r["src"], r["dst"]): float(r["w"]) for r in rows}
+        # diagonal = exactly 0.0 (the distributed form unions a 0-weight
+        # diag row per node; with non-negative weights the first MIN
+        # collapses any self-edge to 0, so overwriting here is identical)
+        for x in {k[0] for k in d} | {k[1] for k in d}:
+            d[(x, x)] = 0.0
+        for _ in range(5):  # 2^5 = 32 hops >= any 25-node diameter
+            nd: dict = {}
+            by_src: dict = {}
+            for (a_, m_), w_ in d.items():
+                by_src.setdefault(m_, []).append((a_, w_))
+            # min-plus square: nd[a, c] = min over m of d[a, m] + d[m, c]
+            for (m_, c_), wb in d.items():
+                for a_, wa in by_src.get(m_, ()):
+                    k_ = (a_, c_)
+                    v_ = wa + wb
+                    if k_ not in nd or v_ < nd[k_]:
+                        nd[k_] = v_
+            d = nd
+        # one SQL VALUES literal, ONE py4j call: building 600 struct
+        # literals through F.lit/F.struct costs ~4 py4j round trips per
+        # row (~seconds of pure driver latency); the SQL text parses
+        # JVM-side in one hop. repr(float) is shortest-round-trip, and
+        # the string->double cast restores the exact bits; round(…, 4)
+        # stays in-plan so the HALF_UP mode is Spark's, as before.
+        def esc(x: str) -> str:
+            return x.replace("'", "''")
+
+        vals = ", ".join(
+            f"('{esc(a_)}', '{esc(b_)}', CAST('{w_!r}' AS DOUBLE))"
+            for (a_, b_), w_ in sorted(d.items())
+            if a_ != b_
+        )
+        return spark.sql(
+            "SELECT src, dst, ROUND(w, 4) AS dist_days "
+            f"FROM VALUES {vals} AS t(src, dst, w)"
+        )
+    # distributed fallback: checkpointed squaring loop (pre-r9 shape)
     nodes = (
         edges.select(F.col("src").alias("x"))
         .unionByName(edges.select(F.col("dst").alias("x")))

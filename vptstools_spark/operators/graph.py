@@ -77,7 +77,12 @@ def connected_components(
                     "label"
                 ),
             )
-            .localCheckpoint(eager=True)  # one job per round; truncates lineage
+            # LAZY checkpoint + count: the count's job materializes the
+            # round's checkpoint AND answers the fixpoint test — one
+            # blocking action per round instead of two (same fold as
+            # sssp_bounded, VERDICT r8 #3; lineage still truncates, the
+            # next round reads the cached RDD)
+            .localCheckpoint(eager=False)
         )
         changed = merged.filter(F.col("label") != F.col("old_label")).count()
         labels = merged.select("node", "label")
@@ -240,13 +245,17 @@ def pagerank(
     # materialize the (possibly expensive) edge derivation ONCE: the loop
     # re-reads edges every iteration, and without this the full upstream
     # lineage (joins/distinct) re-executes per iteration — the classic
-    # iterative-algorithm caching rule
-    edges = edges.localCheckpoint(eager=True)
+    # iterative-algorithm caching rule. LAZY checkpoints (r9): the
+    # mandatory `n` count materializes edges+nodes in ONE job (edges'
+    # RDD caches mid-job and every later reference reuses it), and `e`
+    # materializes inside the final action — 3 eager driver barriers
+    # folded into the actions the algorithm already needs.
+    edges = edges.localCheckpoint(eager=False)
     nodes = (
         edges.select(F.col(src_col).alias("node"))
         .unionByName(edges.select(F.col(dst_col).alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     n = nodes.count()
     out_deg = edges.groupBy(src_col).agg(F.count("*").alias("outdeg"))
@@ -255,7 +264,7 @@ def pagerank(
         .select(
             F.col(src_col).alias("e_src"), F.col(dst_col).alias("e_dst"), "outdeg"
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     for i in range(iters):
@@ -286,6 +295,7 @@ def hits(
     src_col: str = "src",
     dst_col: str = "dst",
     weight_col: str | None = None,
+    collect_bounded: bool = False,
 ) -> DataFrame:
     """Fixed-iteration HITS (Kleinberg 1999) over a (weighted) edge list:
     returns (node, hub, auth) after `iters` synchronous rounds of
@@ -303,19 +313,76 @@ def hits(
     if iters < 1:
         raise ValueError(f"hits() needs iters >= 1, got {iters}")
     w = F.col(weight_col) if weight_col else F.lit(1.0)
+    if collect_bounded:
+        # r9 optimization (guide §8 — decide with small rows): the CALLER
+        # asserts the collapsed edge list is schema-bounded (e.g. the
+        # ≤25×25 nation matrix), so one job collects it and the fixed
+        # HITS rounds run on the driver — replacing per-round checkpoint
+        # jobs + AQE stage waves over a ≤625-row table with microseconds
+        # of arithmetic. Per-node sums accumulate in sorted (src, dst)
+        # edge order — deterministic; the engine↔oracle agreement after
+        # the caller's 6-dp round is the same FP tolerance class the
+        # shuffle-ordered distributed sums already relied on (oracle
+        # re-verified at sf0.01 and sf0.1). The result re-enters the
+        # plan as ONE SQL VALUES literal (a py4j call per row would cost
+        # more than the query).
+        rows = edges.select(
+            F.col(src_col).alias("s"),
+            F.col(dst_col).alias("d"),
+            w.cast("double").alias("w"),
+        ).collect()
+        es = sorted((r["s"], r["d"], float(r["w"])) for r in rows)
+        hubs_d = {u: 1.0 for u, _, _ in es}
+        auths_d: dict = {}
+        for _ in range(iters):
+            a_raw: dict = {}
+            for u, v, ew in es:
+                h = hubs_d.get(u)
+                if h is not None:
+                    a_raw[v] = a_raw.get(v, 0.0) + ew * h
+            a_tot = 0.0
+            for v in sorted(a_raw):
+                a_tot += a_raw[v]
+            auths_d = {v: a_raw[v] / a_tot for v in a_raw}
+            h_raw: dict = {}
+            for u, v, ew in es:
+                a = auths_d.get(v)
+                if a is not None:
+                    h_raw[u] = h_raw.get(u, 0.0) + ew * a
+            h_tot = 0.0
+            for u in sorted(h_raw):
+                h_tot += h_raw[u]
+            hubs_d = {u: h_raw[u] / h_tot for u in h_raw}
+        nodes_d = sorted({u for u, _, _ in es} | {v for _, v, _ in es})
+        spark = edges.sparkSession
+
+        def esc(x) -> str:
+            return str(x).replace("'", "''")
+
+        vals = ", ".join(
+            f"('{esc(nd)}', CAST('{hubs_d.get(nd, 0.0)!r}' AS DOUBLE),"
+            f" CAST('{auths_d.get(nd, 0.0)!r}' AS DOUBLE))"
+            for nd in nodes_d
+        )
+        return spark.sql(
+            f"SELECT node, hub, auth FROM VALUES {vals} AS t(node, hub, auth)"
+        )
+    # lazy like the loop below: no action happens until the caller's —
+    # e/nodes cache on first use inside that job and every later
+    # reference (two per half-step for e) reads the cached RDD
     e = (
         edges.select(
             F.col(src_col).alias("e_src"),
             F.col(dst_col).alias("e_dst"),
             w.cast("double").alias("e_w"),
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     nodes = (
         e.select(F.col("e_src").alias("node"))
         .unionByName(e.select(F.col("e_dst").alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     hubs = e.select(F.col("e_src").alias("node")).distinct().withColumn(
         "h", F.lit(1.0)
@@ -328,9 +395,19 @@ def hits(
             .agg(F.sum(F.col("e_w") * F.col("h")).alias("a"))
         )
         a_tot = a_raw.agg(F.sum("a").alias("a_tot"))
+        # LAZY checkpoint BEFORE the next half-step consumes the frame
+        # (r9 optimization): the old eager checkpoints sat AFTER h_raw
+        # was already built on the un-checkpointed auths plan, so every
+        # iteration executed the auth join+agg twice (once inside the
+        # hub checkpoint's job, once for auths' own eager job) and paid
+        # two extra blocking jobs. Checkpointing lazily right here keeps
+        # the lineage truncation (plan is LogicalRDD immediately) while
+        # the downstream half-step computes-and-caches it exactly once,
+        # with zero extra blocking actions. Same float ops in the same
+        # order — results identical.
         auths = a_raw.crossJoin(F.broadcast(a_tot)).select(
             "node", (F.col("a") / F.col("a_tot")).alias("a")
-        )
+        ).localCheckpoint(eager=False)
         h_raw = (
             e.join(auths, e.e_dst == auths.node)
             .groupBy(F.col("e_src").alias("node"))
@@ -339,13 +416,7 @@ def hits(
         h_tot = h_raw.agg(F.sum("h").alias("h_tot"))
         hubs = h_raw.crossJoin(F.broadcast(h_tot)).select(
             "node", (F.col("h") / F.col("h_tot")).alias("h")
-        )
-        # truncate per-iteration lineage: hubs/auths are node-sized, but
-        # each is referenced by the NEXT half-step and the final join, so
-        # without a barrier the plan tree (and recompute count) grows
-        # multiplicatively with iterations (same discipline as pagerank)
-        auths = auths.localCheckpoint(eager=True)
-        hubs = hubs.localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
     return (
         nodes.join(hubs, "node", "left")
         .join(auths, "node", "left")
@@ -382,7 +453,10 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
         edges.filter(F.col(src) != F.col(dst))
         .select(a.alias("a"), b.alias("b"))
         .distinct()
-        .localCheckpoint(eager=True)
+        # lazy (r9): caches on first use inside the caller's single
+        # action; both consumers (degree table, orientation join) read
+        # the cached RDD — no standalone blocking job
+        .localCheckpoint(eager=False)
     )
     deg = (
         und.select(F.col("a").alias("n"))
@@ -405,7 +479,7 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
         F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("v"),
         F.when(fwd, F.col("db")).otherwise(F.col("da")).alias("dv"),
         F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("vid"),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     e1 = directed.select(
         F.col("u"), F.col("v").alias("x"), F.col("dv").alias("dx"), F.col("vid").alias("xi")
     )
@@ -450,7 +524,7 @@ def label_propagation(
             )
         )
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     labels = e.select(F.col("u").alias("node")).distinct().withColumn(
         "label", F.col("node")
@@ -465,7 +539,10 @@ def label_propagation(
             counts.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)
             .select("node", "label")
-            .localCheckpoint(eager=True)
+            # lazy (r9): fixed-iteration loop with no convergence probe —
+            # nothing here needs its own blocking job; the caller's action
+            # materializes each round's cache in sequence
+            .localCheckpoint(eager=False)
         )
     return labels
 
@@ -490,11 +567,15 @@ def bounded_reachability(
     truncated per hop.
     """
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).distinct()
-    e = e.localCheckpoint(eager=True)
+    e = e.localCheckpoint(eager=False)
     visited = sources.select(F.col("node")).distinct().withColumn(
         "hops", F.lit(0)
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     frontier = visited
+    # ONE blocking job per hop (r9, same fold as sssp_bounded): the lazy
+    # checkpoint's count() materializes the hop's frontier AND answers
+    # the emptiness probe; visited's checkpoint is lazy and materializes
+    # on first use next hop (or in the caller's action).
     for d in range(1, depth + 1):
         nxt = (
             e.join(frontier.select(F.col("node").alias("u")), "u")
@@ -503,10 +584,10 @@ def bounded_reachability(
             .join(visited.select("node"), "node", "left_anti")
             .withColumn("hops", F.lit(d))
         )
-        nxt = nxt.localCheckpoint(eager=True)
-        if nxt.isEmpty():
+        nxt = nxt.localCheckpoint(eager=False)
+        if nxt.count() == 0:
             break
-        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        visited = visited.unionByName(nxt).localCheckpoint(eager=False)
         frontier = nxt
     return visited
 
@@ -544,9 +625,13 @@ def kcore(
         )
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     cur = sym
+    # lazy per-round checkpoints (r9): fixed round count, no fixpoint
+    # probe — the caller's one action materializes each round's cache in
+    # sequence (keep is referenced twice per round and reads the cached
+    # parent, so lineage still cannot grow)
     for _ in range(iters):
         keep = (
             cur.groupBy("u")
@@ -557,7 +642,7 @@ def kcore(
         cur = (
             cur.join(keep, "u", "left_semi")
             .join(keep.withColumnRenamed("u", "v"), "v", "left_semi")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     return cur.groupBy(F.col("u").alias("node")).agg(F.count("*").alias("deg"))
 
@@ -569,6 +654,8 @@ def sssp_bounded(
     src: str = "src",
     dst: str = "dst",
     weight: str = "weight",
+    collapsed: bool = False,
+    assume_nonnegative: bool = False,
 ) -> DataFrame:
     """Multi-source WEIGHTED shortest paths with a hop bound: (node,
     dist) where dist is the minimum total edge weight over paths of at
@@ -590,14 +677,22 @@ def sssp_bounded(
     e = edges.select(
         F.col(src).alias("u"), F.col(dst).alias("v"), F.col(weight).alias("w")
     )
-    # parallel edges collapse to their cheapest — fewer rows per round
-    e = e.groupBy("u", "v").agg(F.min("w").alias("w"))
+    # parallel edges collapse to their cheapest — fewer rows per round.
+    # `collapsed=True` (r9): the caller asserts (u, v) pairs are already
+    # unique (e.g. built by a distinct() on the key pair), making this
+    # groupBy a full-shuffle identity — skip it. min() over unique keys
+    # returns the row unchanged, so the assertion can only ever save
+    # work, never change a value.
+    if not collapsed:
+        e = e.groupBy("u", "v").agg(F.min("w").alias("w"))
     e = e.localCheckpoint(eager=True)
     # guard AFTER the checkpoint: probing the raw lineage would execute
     # the (possibly expensive) upstream edge derivation a whole extra
     # time just for the sign check — on the cached collapsed edges it is
-    # one cheap scan
-    if e.filter(F.col("w") < 0).limit(1).count() > 0:
+    # one cheap scan. `assume_nonnegative=True` (r9): the caller proves
+    # non-negativity by construction (e.g. weight = k % 7 + 1) and skips
+    # the scan.
+    if not assume_nonnegative and e.filter(F.col("w") < 0).limit(1).count() > 0:
         raise ValueError("sssp_bounded requires non-negative weights")
     dist = (
         sources.select("node")
@@ -646,6 +741,7 @@ def adamic_adar(
     src: str = "src",
     dst: str = "dst",
     max_hub_degree: int = 100,
+    label_fn=None,
 ) -> DataFrame:
     """Adamic–Adar link-prediction scores for every candidate `dst`-side
     pair sharing at least one `src`-side neighbor in a bipartite edge set:
@@ -674,7 +770,7 @@ def adamic_adar(
     )
     a = ew.select("u", F.col("w").alias("node_a"), "inv_log_deg")
     b = ew.select("u", F.col("w").alias("node_b"))
-    return (
+    agg = (
         a.join(b, "u")
         .filter(F.col("node_a") < F.col("node_b"))
         .groupBy("node_a", "node_b")
@@ -682,4 +778,20 @@ def adamic_adar(
             F.count("*").alias("n_common"),
             F.round(F.sum("inv_log_deg"), 6).alias("score"),
         )
+    )
+    if label_fn is None:
+        return agg
+    # post-aggregation relabel (guide §2.3 — shuffle fewer bytes): the
+    # wedge join + pair aggregate above ran on the caller's NARROW keys
+    # (ints), and only the Σdeg² -collapsed pair table pays the string
+    # materialization. label_fn need not be order-preserving: the pair
+    # set is orientation-deduped on the int key, and n_common/score are
+    # orientation-symmetric, so least/greatest on the LABELS reproduces
+    # the exact rows a label-keyed run would emit.
+    la, lb = label_fn(F.col("node_a")), label_fn(F.col("node_b"))
+    return agg.select(
+        F.least(la, lb).alias("node_a"),
+        F.greatest(la, lb).alias("node_b"),
+        "n_common",
+        "score",
     )

@@ -16,6 +16,7 @@ correlation are functions of the merged triple (cov_ij = G_ij/n - m_i m_j).
 from __future__ import annotations
 
 from collections.abc import Iterator
+import math
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -131,9 +132,53 @@ def pca_top_component(
     independent of row count. Fixed iterations + an L2 norm (sqrt is
     IEEE-exact, unlike pow) keep the result value-oracle-checkable by
     CTE unrolling. Deterministic: no randomized init."""
-    # the union below references the moment aggregate TWICE; checkpoint
-    # so the corpus pass runs once (the direct covariance_matrix callers
-    # are single-reference and skip this barrier)
+    # r9 optimization (guide §8: decide with small rows): the data-scale
+    # work is the ONE covariance pass; the d×d matrix it reduces to is
+    # PARAMETER-bounded (d(d+1)/2 rows — 36 at dims=8, ≤2080 at dims=64).
+    # The old loop paid 5+ checkpointed shuffle rounds over that tiny
+    # matrix; instead, collect the bounded matrix once and run the fixed
+    # 3-round power iteration on the driver with the same float ops
+    # (matvec partial sums accumulate in ascending-j order; cross-engine
+    # FP tolerance is identical to what the DuckDB oracle already
+    # absorbs, and the 6-dp output round is applied by the caller as
+    # before — oracle re-verified). The result re-enters the plan as a
+    # literal table. Matrices beyond 2080 rows (dims > 64 — nothing in
+    # the engine produces one) keep the distributed loop.
+    spark = df.sparkSession
+    rows = covariance_matrix(df, vec_col, dims).collect()
+    if len(rows) <= 2080:
+        cmat: dict = {}
+        for r in rows:
+            cmat[(int(r["i"]), int(r["j"]))] = float(r["cov"])
+            if r["i"] < r["j"]:
+                cmat[(int(r["j"]), int(r["i"]))] = float(r["cov"])
+        ids = sorted({i for i, _ in cmat})
+        v = {i: (1.0 if i == 1 else 0.0) for i in ids}
+        for _ in range(iters):
+            w = {}
+            for i in ids:
+                acc = 0.0
+                for j in ids:
+                    c = cmat.get((i, j))
+                    if c is not None:
+                        acc += c * v[j]
+                w[i] = acc
+            nrm = 0.0
+            for i in ids:
+                nrm += w[i] * w[i]
+            nrm = math.sqrt(nrm)  # IEEE-exact, matches F.sqrt bit-for-bit
+            v = {i: w[i] / nrm for i in ids}
+        lit = [
+            F.struct(F.lit(i).alias("i"), F.lit(v[i]).alias("loading"))
+            for i in ids
+        ]
+        return (
+            spark.range(1)
+            .select(F.explode(F.array(*lit)).alias("r"))
+            .select("r.i", "r.loading")
+        )
+    # distributed fallback (pre-r9 shape) for parameter regimes where the
+    # matrix itself is big
     upper = covariance_matrix(df, vec_col, dims).localCheckpoint(eager=True)
     full = upper.unionByName(
         upper.filter(F.col("i") < F.col("j")).select(
@@ -153,9 +198,6 @@ def pca_top_component(
         v = (
             w.crossJoin(F.broadcast(norm))
             .select("i", (F.col("w") / F.col("nrm")).alias("v"))
-            # d-row table referenced by the matvec AND the norm of the
-            # next round: checkpoint per iteration or the plan tree (and
-            # recompute count) doubles every round (HITS discipline)
             .localCheckpoint(eager=True)
         )
     return v.select("i", F.col("v").alias("loading"))
