@@ -43,10 +43,12 @@ def test_cluster_sizes(spark):
 
 def test_max_iter_bounds_work(spark):
     # max_iter=1 on a path must still return every node exactly once, but the
-    # unconverged exit is signalled — silent partial labels are wrong clusters
+    # unconverged exit is signalled — silent partial labels are wrong clusters.
+    # driver_max_edges=0 forces the distributed loop (the driver route has no
+    # iteration bound: union-find always converges)
     df = spark.createDataFrame([(i, i + 1) for i in range(4)], "src long, dst long")
     with pytest.warns(RuntimeWarning, match="did not converge"):
-        out = connected_components(df, max_iter=1)
+        out = connected_components(df, max_iter=1, driver_max_edges=0)
         assert out.count() == 5
         assert out.select(F.countDistinct("node")).first()[0] == 5
 
@@ -54,7 +56,36 @@ def test_max_iter_bounds_work(spark):
 def test_max_iter_strict_raises(spark):
     df = spark.createDataFrame([(i, i + 1) for i in range(4)], "src long, dst long")
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(df, max_iter=1, strict=True)
+        connected_components(df, max_iter=1, strict=True, driver_max_edges=0)
+
+
+def test_driver_route_matches_distributed(spark):
+    """The r9 size-gated driver union-find and the distributed min-label
+    loop must agree exactly — components, labels, and emitted node set —
+    on a mixed-shape pseudo-random graph (chain + clique + sparse pairs
+    + self-loops + duplicate/reversed edges)."""
+    import random
+
+    rng = random.Random(17)
+    edges = [(i, i + 1) for i in range(0, 30)]
+    edges += [(a, b) for a in range(100, 107) for b in range(a + 1, 107)]
+    pool = list(range(200, 240))
+    edges += [(rng.choice(pool), rng.choice(pool)) for _ in range(60)]
+    edges += [(n, n) for n in (0, 300)]          # self-loops (300 isolated-ish)
+    edges += [(b, a) for (a, b) in edges[:10]]   # reversed duplicates
+    df = spark.createDataFrame(edges, "src long, dst long")
+
+    driver = {
+        (r.node, r.component) for r in connected_components(df).collect()
+    }
+    dist = {
+        (r.node, r.component)
+        for r in connected_components(
+            df, max_iter=100, driver_max_edges=0
+        ).collect()
+    }
+    assert driver == dist
+    assert (300, 300) in driver  # self-loop node emitted with own label
 
 
 def test_converged_run_emits_no_warning(spark):

@@ -19,12 +19,23 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+#: driver-route bound for `connected_components`: symmetrized edge lists
+#: at or under 2× this many rows (2 longs each, ≈ a few MB) are solved
+#: with driver-side union-find instead of O(diameter) distributed rounds.
+#: Same adaptive-routing family as the dedup bitmask route: the gate is
+#: ONE exact count over the already-materialized edge table, both routes
+#: are exact, and above the bound the shuffle-shaped loop keeps the job
+#: completable at any scale.
+_CC_DRIVER_MAX_EDGES = 100_000
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 25,
     strict: bool = False,
+    driver_max_edges: int = _CC_DRIVER_MAX_EDGES,
 ) -> DataFrame:
     """Resolve connected components of an undirected graph.
 
@@ -41,6 +52,17 @@ def connected_components(
     Returns (node: long, component: long) where ``component`` is the minimum
     node id reachable from ``node``. Isolated nodes (no edges) are not
     emitted — callers union them back if singleton clusters matter.
+
+    Route (r9, guide §1/§5): the min-label loop pays one blocking job plus
+    several exchanges PER ROUND, which at bench scale dominates — the
+    dedup candidate graphs measured here are a few hundred edges paying
+    ~1 s of round latency. When the symmetrized edge list is small (gate:
+    its exact row count, read from the same job that materializes the
+    checkpoint), the components are solved with union-find on the driver
+    (union-by-min + path compression — identical min-reachable-id answer)
+    and re-enter the plan as one Arrow-built local relation. The
+    distributed O(diameter) loop remains the route above the bound, so
+    cluster-scale graphs never touch the driver.
     """
     import warnings
     if max_iter < 1:
@@ -49,12 +71,48 @@ def connected_components(
         F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
     )
     # symmetrize once; reused by every round — checkpoint to cut re-read of
-    # the (possibly expensive) candidate-pair lineage
+    # the (possibly expensive) candidate-pair lineage. The count both
+    # materializes the (lazy) checkpoint and sizes the route: one job.
     sym = (
         e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
+    n_sym = sym.count()
+    if n_sym <= 2 * driver_max_edges:
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for row in sym.collect():
+            u, v = row[0], row[1]
+            parent.setdefault(u, u)
+            parent.setdefault(v, v)
+            ru, rv = find(u), find(v)
+            if ru != rv:  # union-by-min: the root IS the component label
+                if ru < rv:
+                    parent[rv] = ru
+                else:
+                    parent[ru] = rv
+        spark = edges.sparkSession
+        if not parent:
+            return spark.createDataFrame([], "node long, component long")
+        import pandas as pd
+
+        nodes = sorted(parent)
+        return spark.createDataFrame(
+            pd.DataFrame(
+                {"node": nodes, "component": [find(n) for n in nodes]},
+                dtype="int64",
+            ),
+            schema="node long, component long",
+        )
     labels = (
         sym.select(F.col("u").alias("node"))
         .distinct()
