@@ -466,13 +466,25 @@ def nb_train_score(
     tr_words = train.select(
         "lang", F.explode(F.split("text", " ")).alias("w")
     )
-    cls = tr_words.groupBy("lang").agg(F.count("*").alias("tot"))
+    # r9 (guide §2.2 — scan once, derive from the partial aggregate): the
+    # (class, word) count table is the ONLY consumer of the exploded
+    # train tokens; class token totals and the vocabulary size are exact
+    # algebraic rollups of it (Σc per lang == token count per lang;
+    # distinct w == train vocabulary), so the corpus-sized explode runs
+    # once instead of three times. wc is vocabulary×classes-sized —
+    # lazily checkpointed so its four consumers (cls, vocab_n, the grid
+    # join, and the distinct-w spine) share one materialization.
+    wc = (
+        tr_words.groupBy("lang", "w")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    cls = wc.groupBy("lang").agg(F.sum("c").alias("tot"))
     prior = train.groupBy("lang").agg(F.count("*").alias("n_docs"))
     n_train = train.agg(F.count("*").alias("n_all"))
-    vocab_n = tr_words.select("w").distinct().agg(
+    vocab_n = wc.select("w").distinct().agg(
         F.count("*").cast("double").alias("vn")
     )
-    wc = tr_words.groupBy("lang", "w").agg(F.count("*").alias("c"))
     # per-class smoothed log-likelihood for every (train-vocab word, class)
     grid = (
         wc.select("w").distinct()
@@ -642,13 +654,26 @@ def _als_fit(spark: SparkSession, sf: str):
     li = table(spark, sf, "lineitem")
     p = table(spark, sf, "part").select("p_partkey", "p_brand")
     o = table(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    # r9 (guide §2.3 — shuffle/aggregate on narrow keys): the fact-sized
+    # partial aggregate and its exchange run on (cust, INT brand number)
+    # instead of (cust, 'Brand#NN' string); the exact brand strings
+    # re-attach from the 25-row dimension AFTER the aggregation, map-side
+    # (broadcast), before the checkpoint — downstream plans see the
+    # identical (cust, brand, r) frame. bnum↔brand is 1:1 by the harness
+    # grammar ('Brand#<n>'); the brand_dim join restores the original
+    # bytes (never re-synthesized by concat).
+    bnum = F.regexp_extract(F.col("p_brand"), "#(\\d+)", 1).cast("int")
+    brand_dim = p.select(bnum.alias("bnum"), F.col("p_brand").alias("brand")).distinct()
     ratings = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(o, li.l_orderkey == o.o_orderkey)
-        .groupBy(
-            F.col("o_custkey").alias("cust"), F.col("p_brand").alias("brand")
+        li.join(
+            F.broadcast(p.select("p_partkey", bnum.alias("bnum"))),
+            li.l_partkey == F.col("p_partkey"),
         )
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(F.col("o_custkey").alias("cust"), F.col("bnum"))
         .agg(F.log(1.0 + F.count("*")).alias("r"))
+        .join(F.broadcast(brand_dim), "bnum")
+        .select("cust", "brand", "r")
         # referenced by the init, the user solve, and the item solve:
         # checkpoint so the fact joins run once, not three times
         .localCheckpoint(eager=True)

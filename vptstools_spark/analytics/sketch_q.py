@@ -169,9 +169,15 @@ def q_sketch_bloom_join(spark: SparkSession, sf: str) -> DataFrame:
     dim = s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")).select(
         "s_suppkey"
     )
-    mask = sketch.bloom_build(dim, F.col("s_suppkey"))
+    # r9: xxh64 family — the probe runs per fact row inside the scan
+    # stage; two salted md5s measured ~0.9 s of the 1.2 s sf0.1 scan,
+    # xxhash64 on the native long is codegen-cheap. Results are
+    # hash-agnostic (the exact semi join removes false positives).
+    mask = sketch.bloom_build(dim, F.col("s_suppkey"), family="xxh64")
     l = table(spark, sf, "lineitem")
-    pruned = l.filter(sketch.bloom_might_contain(F.col("l_suppkey"), mask))
+    pruned = l.filter(
+        sketch.bloom_might_contain(F.col("l_suppkey"), mask, family="xxh64")
+    )
     rev = (
         F.col("l_extendedprice").cast("decimal(12,2)")
         * (F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(3,2)"))

@@ -57,15 +57,34 @@ def curate_corpus(
     keeps the smallest id per duplicate component (the component label IS
     the min reachable id).
     """
+    from pyspark.sql import Observation
+
     text, did = F.col(text_col), F.col(id_col)
 
-    d_lang = docs.filter(predict_language(text).isin(list(cfg.keep_langs)))
-
+    # The first three funnel counts are per-row predicates over the RAW
+    # corpus (quality only counts inside language survivors — filters are
+    # cumulative). r9 (guide §1.3/§2.2 — don't re-scan for metrics): they
+    # ride the d_exact build as an Observation BELOW the filters, so the
+    # eager checkpoint's one corpus pass yields them as accumulator
+    # side-output — the separate conditional-aggregate scan (which
+    # re-evaluated the regex-heavy language/quality predicates over every
+    # raw row) is gone.
+    lang_ok = predict_language(text).isin(list(cfg.keep_langs))
     feats = quality_features(text, F.length(text))
-    d_qual = d_lang.filter(
-        (feats["stopword_ratio"] >= cfg.min_stopword_ratio)
-        & (feats["avg_word_len"] <= cfg.max_avg_word_len)
+    qual_pred = (feats["stopword_ratio"] >= cfg.min_stopword_ratio) & (
+        feats["avg_word_len"] <= cfg.max_avg_word_len
     )
+    qual_ok = lang_ok & qual_pred
+    obs = Observation()
+    observed = docs.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_input"),
+        F.sum(F.when(lang_ok, 1).otherwise(0)).alias("n_lang"),
+        F.sum(F.when(qual_ok, 1).otherwise(0)).alias("n_qual"),
+    )
+
+    d_lang = observed.filter(lang_ok)
+    d_qual = d_lang.filter(qual_pred)
 
     w = Window.partitionBy(F.md5(text)).orderBy(did.asc())
     d_exact = (
@@ -84,29 +103,21 @@ def curate_corpus(
     )
     clean = d_exact.join(losers, id_col, "left_anti")
 
-    # The first three stage counts are per-row predicates over the RAW
-    # corpus (the quality predicate only counts inside the language
-    # survivors — filters are cumulative), so they collapse into ONE
-    # conditional-aggregate scan instead of three. Only the dedup stages
-    # need their machinery: exact from the (checkpointed) survivor frame,
-    # near from the anti-join. 5 counts, 3 jobs, 1 corpus scan.
-    lang_ok = predict_language(text).isin(list(cfg.keep_langs))
-    qual_ok = lang_ok & (
-        (feats["stopword_ratio"] >= cfg.min_stopword_ratio)
-        & (feats["avg_word_len"] <= cfg.max_avg_word_len)
-    )
-    zero = F.lit(0).cast("long")
-    funnel_one_pass = docs.agg(
-        F.count("*").alias("n_input"),
-        # coalesce: sum over an empty corpus is null, and the funnel must
-        # report zeros, not nulls
-        F.coalesce(F.sum(F.when(lang_ok, 1).otherwise(0)), zero).alias("n_lang"),
-        F.coalesce(F.sum(F.when(qual_ok, 1).otherwise(0)), zero).alias("n_qual"),
-    )
-    head = funnel_one_pass.select(
+    # The raw-corpus funnel counts were collected by the Observation
+    # during the d_exact checkpoint above (obs.get blocks until that
+    # action's metrics arrive — it already ran). An empty corpus yields
+    # null sums: report zeros, not nulls. The 1-row head frame is built
+    # JVM-side (range), never via createDataFrame's pickled partitions.
+    m = obs.get
+    n_input = int(m["n_input"] or 0)
+    n_lang = int(m["n_lang"] or 0)
+    n_qual = int(m["n_qual"] or 0)
+    head = docs.sparkSession.range(0, 1, 1, 1).select(
         F.expr(
-            "stack(3, 0, 'input', n_input, 1, 'lang_filter', n_lang, "
-            "2, 'quality_filter', n_qual) AS (stage_ord, stage, n_docs)"
+            f"stack(3, 0, 'input', CAST({n_input} AS BIGINT), "
+            f"1, 'lang_filter', CAST({n_lang} AS BIGINT), "
+            f"2, 'quality_filter', CAST({n_qual} AS BIGINT)) "
+            "AS (stage_ord, stage, n_docs)"
         )
     )
     report = head

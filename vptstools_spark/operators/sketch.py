@@ -180,8 +180,33 @@ def cm_estimate(
 # ---------------------------------------------------------------------------
 
 
-def bloom_positions(key: Column, n_hashes: int, m_bits: int) -> list[Column]:
-    """k bit positions per key, each from an independently-salted md5."""
+def bloom_positions(
+    key: Column, n_hashes: int, m_bits: int, family: str = "md5"
+) -> list[Column]:
+    """k bit positions per key, each from an independently-salted hash.
+
+    Two families (r9, guide §4/§2.3 — cheapest hash that serves the
+    consumer):
+    - ``"md5"`` (default): salted md5 over the stringified key. Kept for
+      the file-bloom index (`plans/skipping.py`), whose point probes are
+      evaluated DRIVER-side by a Python twin (`_bloom_positions_driver`)
+      — md5 is bit-reproducible in hashlib; Spark's xxhash64 is not
+      worth reimplementing.
+    - ``"xxh64"``: salted xxhash64 on the NATIVE key type — no string
+      cast, no digest slice, whole-stage-codegen'd. The fact-scan
+      prefilter path (`sketch_q.q_sketch_bloom_join`) uses this: the
+      probe runs once per fact row, where two salted md5s measured
+      ~0.9 s of the 1.2 s scan at sf0.1. Build and probe must pass the
+      SAME family — a mask is meaningless under the other hash.
+    Either family yields a correct Bloom filter (false positives are
+    removed by the exact join that follows; false negatives are
+    impossible within a family), so results are hash-agnostic.
+    """
+    if family == "xxh64":
+        return [
+            F.pmod(F.xxhash64(F.lit(i), key), F.lit(m_bits))
+            for i in range(n_hashes)
+        ]
     return [
         _hex_to_long(
             F.substring(
@@ -194,13 +219,17 @@ def bloom_positions(key: Column, n_hashes: int, m_bits: int) -> list[Column]:
 
 
 def bloom_build(
-    dim: DataFrame, key: Column, n_hashes: int = 2, m_bits: int = 1024
+    dim: DataFrame,
+    key: Column,
+    n_hashes: int = 2,
+    m_bits: int = 1024,
+    family: str = "md5",
 ) -> list[int]:
     """Build the filter as `m_bits/64` longs. The only driver data is the
     bitmask itself (m_bits/8 bytes — model-sized by construction, never
     proportional to the dimension's row count: the distinct-positions agg
     collapses to ≤ m_bits rows before collect)."""
-    pos_col = F.explode(F.array(*bloom_positions(key, n_hashes, m_bits)))
+    pos_col = F.explode(F.array(*bloom_positions(key, n_hashes, m_bits, family)))
     positions = [
         r[0] for r in dim.select(pos_col.alias("p")).distinct().collect()
     ]
@@ -212,7 +241,7 @@ def bloom_build(
 
 
 def bloom_might_contain(
-    key: Column, mask: list[int], n_hashes: int = 2
+    key: Column, mask: list[int], n_hashes: int = 2, family: str = "md5"
 ) -> Column:
     """Membership test against a literal mask: k bit probes, all JVM-side
     (array literal + element_at + shiftright) — no Python, no join, so it
@@ -222,7 +251,7 @@ def bloom_might_contain(
     # otherwise become array<int> and getbit would reject positions ≥ 32
     mask_lit = F.array(*[F.lit(w).cast("long") for w in mask])
     cond = F.lit(True)
-    for pos in bloom_positions(key, n_hashes, m_bits):
+    for pos in bloom_positions(key, n_hashes, m_bits, family):
         word = F.element_at(mask_lit, (pos / 64).cast("int") + 1)
         cond = cond & (F.getbit(word, pos % 64) == 1)
     return cond
