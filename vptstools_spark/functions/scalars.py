@@ -93,3 +93,23 @@ def round6(value: Column) -> Column:
     """Round to 6 decimals — lat/lon/wavelength rule
     (reference: src/vptstools/vpts_csv.py:288-291)."""
     return F.round(value, 6)
+
+
+def lit_double_array(values) -> Column:
+    """array<double> literal in ONE py4j round-trip.
+
+    ``F.array(*[F.lit(float(x)) for x in xs])`` costs one JVM call per
+    element — ~47 ms of driver time for a 64-dim vector, paid at every
+    DataFrame *construction* (r9, guide §1: the vector-query family's
+    per-run cost was dominated by this, and it amplifies under session
+    load because each round-trip queues behind JVM work). One
+    ``F.expr("array(…D)")`` string costs ~0.5 ms and parses to the same
+    doubles bit-for-bit: Python ``repr`` round-trips IEEE doubles
+    exactly, and Spark's ``D`` literal suffix parses via the same
+    grammar. Non-finite values (nan/inf) have no SQL literal — fall back
+    to the per-element path for those rare callers.
+    """
+    vals = [float(x) for x in values]
+    if all(v == v and v not in (float("inf"), float("-inf")) for v in vals):
+        return F.expr("array(" + ",".join(repr(v) + "D" for v in vals) + ")")
+    return F.array(*[F.lit(v) for v in vals])

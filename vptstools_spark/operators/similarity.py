@@ -14,6 +14,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from vptstools_spark.functions.scalars import lit_double_array
+
 
 def as_double(vec: Column) -> Column:
     return F.transform(vec, lambda x: x.cast("double"))
@@ -204,7 +206,7 @@ def anchor_buckets(
     v = as_double(F.col(vec_col))
     bits = []
     for anchor in anchors:
-        lit_vec = F.array(*[F.lit(float(x)) for x in anchor])
+        lit_vec = lit_double_array(anchor)
         bits.append(F.when(dot(v, lit_vec) > 0, F.lit("1")).otherwise(F.lit("0")))
     return vectors.select(F.col(id_col).alias("id"), F.concat(*bits).alias("bucket"))
 
@@ -231,7 +233,7 @@ def ivf_cells(
     v = with_norm(vectors, vec_col)
     scored = []
     for j, anchor in enumerate(anchors):
-        lit_vec = F.array(*[F.lit(float(x)) for x in anchor])
+        lit_vec = lit_double_array(anchor)
         a_norm = math.sqrt(sum(float(x) * float(x) for x in anchor))
         cos_j = dot(F.col("_vec"), lit_vec) / (F.col("_norm") * F.lit(a_norm))
         scored.append(F.struct(cos_j.alias("c"), F.lit(j).alias("j")))
@@ -367,9 +369,9 @@ def scalar_quantize(
     encoding is a narrow JVM map (transform with index) — no shuffle, no
     Python."""
     levels = (1 << bits) - 1
-    mn_arr = F.array(*[F.lit(float(m)) for m in mins])
-    span_arr = F.array(
-        *[F.lit(float(mx - mn) if mx > mn else 1.0) for mn, mx in zip(mins, maxs)]
+    mn_arr = lit_double_array(mins)
+    span_arr = lit_double_array(
+        [(mx - mn) if mx > mn else 1.0 for mn, mx in zip(mins, maxs)]
     )
     codes = F.transform(
         as_double(F.col(vec_col)),
@@ -441,7 +443,7 @@ def knn_ivf_rerank(
 def _sqdist(vec: Column, centroid: list[float]) -> Column:
     """Squared L2 distance between an array column and a literal centroid —
     one JVM zip_with/aggregate chain, codegen-free of Python."""
-    lit_vec = F.array(*[F.lit(float(x)) for x in centroid])
+    lit_vec = lit_double_array(centroid)
     return F.aggregate(
         F.zip_with(as_double(vec), lit_vec, lambda a, b: (a - b) * (a - b)),
         F.lit(0.0),
@@ -664,7 +666,7 @@ def knn_ivfpq(
     # home cell (argmax cosine over anchors) and PQ codes in ONE projection
     cell_scored = []
     for j, anchor in enumerate(anchors):
-        lit_vec = F.array(*[F.lit(float(x)) for x in anchor])
+        lit_vec = lit_double_array(anchor)
         a_norm = math.sqrt(sum(float(x) * float(x) for x in anchor))
         cos_j = dot(F.col("_vec"), lit_vec) / (F.col("_norm") * F.lit(a_norm))
         cell_scored.append(F.struct(cos_j.alias("c"), F.lit(j).alias("j")))
