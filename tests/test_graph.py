@@ -381,3 +381,56 @@ def test_connected_components_zero_iters_rejected(spark):
     e = spark.createDataFrame([(1, 2)], "src long, dst long")
     with pytest.raises(ValueError, match="max_iter"):
         connected_components(e, max_iter=0)
+
+
+def test_copartition_route_matches_default(spark):
+    """The r9 `copartition` cluster knob (co-partitioned static loop
+    relations, guide §2.4) must change plans only, never answers: every
+    loop operator returns identical rows with it on and off, on a
+    mixed-shape pseudo-random weighted graph."""
+    import random
+
+    from vptstools_spark.operators.graph import (
+        bounded_reachability,
+        hits,
+        kcore,
+        label_propagation,
+        pagerank,
+        sssp_bounded,
+        triangle_count,
+    )
+
+    rng = random.Random(23)
+    edges = [(i, i + 1, (i % 5) + 1) for i in range(0, 25)]
+    edges += [
+        (a, b, ((a + b) % 3) + 1)
+        for a in range(100, 108)
+        for b in range(a + 1, 108)
+    ]
+    pool = list(range(200, 230))
+    edges += [
+        (rng.choice(pool), rng.choice(pool), rng.randrange(1, 7))
+        for _ in range(50)
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long, weight long")
+    srcs = spark.createDataFrame([(0,), (100,), (205,)], "node long")
+
+    def rows(out, ndigits=9):
+        return sorted(
+            tuple(
+                round(v, ndigits) if isinstance(v, float) else v for v in r
+            )
+            for r in out.collect()
+        )
+
+    cases = [
+        lambda cp: pagerank(df, iters=3, copartition=cp),
+        lambda cp: hits(df, iters=2, weight_col="weight", copartition=cp),
+        lambda cp: label_propagation(df, iters=2, copartition=cp),
+        lambda cp: bounded_reachability(df, srcs, depth=4, copartition=cp),
+        lambda cp: kcore(df, k=2, iters=3, copartition=cp),
+        lambda cp: sssp_bounded(df, srcs, depth=5, copartition=cp),
+        lambda cp: triangle_count(df, copartition=cp),
+    ]
+    for build in cases:
+        assert rows(build(False)) == rows(build(True))

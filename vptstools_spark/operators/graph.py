@@ -19,6 +19,59 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _copartition_ckpt(df: DataFrame, *cols: str, eager: bool = False) -> DataFrame:
+    """Checkpoint `df` hash-partitioned on `cols` at the session's
+    canonical shuffle partition count, with the partitioning RECORDED on
+    the checkpoint (guide §2.4: establish the partitioning once).
+
+    Every iterative operator in this module joins a STATIC relation
+    (edges) against a per-round frame on the same key every round. A
+    bare ``localCheckpoint`` loses the layout: under AQE the physical
+    plan is an ``AdaptiveSparkPlanExec`` whose ``outputPartitioning`` is
+    ``UnknownPartitioning`` (measured on 4.1: the checkpoint's
+    ``Scan ExistingRDD`` prints ``UnknownPartitioning(0)`` even after an
+    explicit repartition), so EnsureRequirements re-exchanges the edge
+    table EVERY round. Planning just this checkpoint subtree with AQE
+    off makes the LogicalRDD record ``hashpartitioning(cols, n)`` and
+    the per-round joins reuse it — the static side is never shuffled
+    again. The subtrees checkpointed here are scans/unions/distincts
+    where losing AQE's runtime re-planning costs nothing; the per-round
+    join/aggregate plans keep AQE.
+
+    The explicit count pins the layout: a bare ``repartition(col)``
+    would be AQE-coalescible to a run-dependent count.
+    ``spark.sql.shuffle.partitions`` is the session's scale knob (local
+    default = core count; cluster deploys size it for the data), so the
+    value is scale-adaptive, not a local constant."""
+    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return _ckpt_partitioned(
+        df.repartition(n, *[F.col(c) for c in cols]), eager=eager
+    )
+
+
+def _ckpt_partitioned(df: DataFrame, eager: bool = False) -> DataFrame:
+    """``localCheckpoint`` that RECORDS the subtree's output partitioning
+    on the resulting LogicalRDD by planning the checkpointed subtree with
+    AQE off (see `_copartition_ckpt` — under AQE the snapshot is always
+    ``UnknownPartitioning``). Split out of `_copartition_ckpt` so the
+    repartition-free form stays available; recording per-ROUND loop
+    frames' partitioning this way was measured (sssp/reachability,
+    sf0.1 and sf1) and REJECTED: it halves the job count but forces the
+    round subtrees to plan without AQE, whose coalescing of tiny
+    frontier exchanges is worth more at bench scale than the removed
+    exchanges, and whose skew/broadcast promotion matters at cluster
+    scale (evidence in OPTIMIZATION_r09.md)."""
+    spark = df.sparkSession
+    old = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        # physical planning happens inside this call — the non-AQE plan
+        # exposes the partitioning the LogicalRDD snapshots
+        return df.localCheckpoint(eager=eager)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old)
+
+
 #: driver-route bound for `connected_components`: symmetrized edge lists
 #: at or under 2× this many rows (2 longs each, ≈ a few MB) are solved
 #: with driver-side union-find instead of O(diameter) distributed rounds.
@@ -113,6 +166,15 @@ def connected_components(
             ),
             schema="node long, component long",
         )
+    # distributed route: the gate above proved the graph LARGE, so the
+    # §2.4 trade flips — co-partition the edge table on the loop's join
+    # key once (one extra exchange of sym, reusing the cached rows) and
+    # every round's sym⋈labels join is exchange-free on the edge side.
+    # At bench scale the same move measured 1.2-1.7x SLOWER (pinning the
+    # checkpoint partitioning blocks AQE from coalescing the tiny per-
+    # round exchanges — evidence in OPTIMIZATION_r09.md), which is why
+    # it lives behind the size gate instead of applying universally.
+    sym = _copartition_ckpt(sym, "v")
     labels = (
         sym.select(F.col("u").alias("node"))
         .distinct()
@@ -284,6 +346,7 @@ def pagerank(
     src_col: str = "src",
     dst_col: str = "dst",
     checkpoint_every: int | None = None,
+    copartition: bool = False,
 ) -> DataFrame:
     """Fixed-iteration PageRank over an edge list: returns (node, rank)
     after `iters` synchronous updates of
@@ -308,21 +371,34 @@ def pagerank(
     # RDD caches mid-job and every later reference reuses it), and `e`
     # materializes inside the final action — 3 eager driver barriers
     # folded into the actions the algorithm already needs.
+    # `copartition` (guide §2.4, cluster knob): hash-partition the static
+    # loop relations on their per-iteration join keys ONCE so every
+    # iteration's edge-side join is exchange-free — an iteration then
+    # pays exactly the mass-aggregation shuffle PageRank fundamentally
+    # requires. OFF by default: at bench scale the pinned layout blocks
+    # AQE from coalescing the tiny per-round exchanges and measured
+    # 1.46x slower (interleaved A/B, OPTIMIZATION_r09.md); on a cluster
+    # where the edge table dwarfs a round's rank traffic, turn it on.
+    _ck = (
+        (lambda d, k: _copartition_ckpt(d, k))
+        if copartition
+        else (lambda d, k: d.localCheckpoint(eager=False))
+    )
     edges = edges.localCheckpoint(eager=False)
-    nodes = (
+    nodes = _ck(
         edges.select(F.col(src_col).alias("node"))
         .unionByName(edges.select(F.col(dst_col).alias("node")))
-        .distinct()
-        .localCheckpoint(eager=False)
+        .distinct(),
+        "node",
     )
     n = nodes.count()
     out_deg = edges.groupBy(src_col).agg(F.count("*").alias("outdeg"))
-    e = (
+    e = _ck(
         edges.join(out_deg, src_col)
         .select(
             F.col(src_col).alias("e_src"), F.col(dst_col).alias("e_dst"), "outdeg"
-        )
-        .localCheckpoint(eager=False)
+        ),
+        "e_src",
     )
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     for i in range(iters):
@@ -354,6 +430,7 @@ def hits(
     dst_col: str = "dst",
     weight_col: str | None = None,
     collect_bounded: bool = False,
+    copartition: bool = False,
 ) -> DataFrame:
     """Fixed-iteration HITS (Kleinberg 1999) over a (weighted) edge list:
     returns (node, hub, auth) after `iters` synchronous rounds of
@@ -427,15 +504,28 @@ def hits(
         )
     # lazy like the loop below: no action happens until the caller's —
     # e/nodes cache on first use inside that job and every later
-    # reference (two per half-step for e) reads the cached RDD
+    # reference (two per half-step for e) reads the cached RDD.
+    # `copartition` (guide §2.4, cluster knob — rationale in pagerank):
+    # TWO co-partitioned copies of the static edge list (space-for-
+    # shuffle): each HITS round joins edges on e_src (auth half-step)
+    # AND on e_dst (hub half-step) — one cached copy per key makes both
+    # per-round joins exchange-free on the edge side; the dst copy
+    # derives FROM the cached src copy, so the upstream edge lineage
+    # still executes once. Off by default (bench-scale A/B evidence in
+    # OPTIMIZATION_r09.md).
     e = (
         edges.select(
             F.col(src_col).alias("e_src"),
             F.col(dst_col).alias("e_dst"),
             w.cast("double").alias("e_w"),
         )
-        .localCheckpoint(eager=False)
     )
+    if copartition:
+        e = _copartition_ckpt(e, "e_src")
+        e_by_dst = _copartition_ckpt(e, "e_dst")
+    else:
+        e = e.localCheckpoint(eager=False)
+        e_by_dst = e
     nodes = (
         e.select(F.col("e_src").alias("node"))
         .unionByName(e.select(F.col("e_dst").alias("node")))
@@ -467,7 +557,7 @@ def hits(
             "node", (F.col("a") / F.col("a_tot")).alias("a")
         ).localCheckpoint(eager=False)
         h_raw = (
-            e.join(auths, e.e_dst == auths.node)
+            e_by_dst.join(auths, e_by_dst.e_dst == auths.node)
             .groupBy(F.col("e_src").alias("node"))
             .agg(F.sum(F.col("e_w") * F.col("a")).alias("h"))
         )
@@ -486,7 +576,12 @@ def hits(
     )
 
 
-def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+def triangle_count(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    copartition: bool = False,
+) -> DataFrame:
     """Per-node triangle counts via degree-ordered wedge closing
     ("compact-forward" / Schank-Wagner).
 
@@ -537,7 +632,15 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
         F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("v"),
         F.when(fwd, F.col("db")).otherwise(F.col("da")).alias("dv"),
         F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("vid"),
-    ).localCheckpoint(eager=False)
+        # `copartition` (guide §2.4, cluster knob — rationale in
+        # pagerank): with hash(u) recorded, the e1⋈e2 wedge self-join
+        # needs no exchange on either side — only the closing-edge join
+        # shuffles
+    ).transform(
+        lambda d: _copartition_ckpt(d, "u")
+        if copartition
+        else d.localCheckpoint(eager=False)
+    )
     e1 = directed.select(
         F.col("u"), F.col("v").alias("x"), F.col("dv").alias("dx"), F.col("vid").alias("xi")
     )
@@ -559,7 +662,11 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
 
 
 def label_propagation(
-    edges: DataFrame, iters: int = 2, src: str = "src", dst: str = "dst"
+    edges: DataFrame,
+    iters: int = 2,
+    src: str = "src",
+    dst: str = "dst",
+    copartition: bool = False,
 ) -> DataFrame:
     """Synchronous label propagation (Raghavan et al. 2007), made
     deterministic: every node starts labeled with its own id; each round it
@@ -582,7 +689,14 @@ def label_propagation(
             )
         )
         .distinct()
-        .localCheckpoint(eager=False)
+        # `copartition` (guide §2.4, cluster knob — rationale in
+        # pagerank): cache the edge list hash(u)-partitioned so each
+        # round's e⋈labels join is exchange-free on the edge side
+        .transform(
+            lambda d: _copartition_ckpt(d, "u")
+            if copartition
+            else d.localCheckpoint(eager=False)
+        )
     )
     labels = e.select(F.col("u").alias("node")).distinct().withColumn(
         "label", F.col("node")
@@ -611,6 +725,7 @@ def bounded_reachability(
     depth: int,
     src: str = "src",
     dst: str = "dst",
+    copartition: bool = False,
 ) -> DataFrame:
     """Multi-source BFS with a hop bound: (node, hops) for every node
     reachable from `sources` (a 1-column DataFrame named `node`) within
@@ -625,7 +740,14 @@ def bounded_reachability(
     truncated per hop.
     """
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).distinct()
-    e = e.localCheckpoint(eager=False)
+    # `copartition` (guide §2.4, cluster knob — rationale in pagerank):
+    # cache the edge list hash(u)-partitioned so the per-hop frontier
+    # join never re-shuffles the edge table
+    e = (
+        _copartition_ckpt(e, "u")
+        if copartition
+        else e.localCheckpoint(eager=False)
+    )
     visited = sources.select(F.col("node")).distinct().withColumn(
         "hops", F.lit(0)
     ).localCheckpoint(eager=False)
@@ -656,6 +778,7 @@ def kcore(
     iters: int,
     src: str = "src",
     dst: str = "dst",
+    copartition: bool = False,
 ) -> DataFrame:
     """k-core peeling over an undirected graph, a FIXED `iters` rounds:
     each round recomputes degrees and drops every node with degree < k
@@ -683,7 +806,16 @@ def kcore(
         )
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint(eager=False)
+        # `copartition` (guide §2.4, cluster knob — rationale in
+        # pagerank): with hash(u) recorded, the per-round degree
+        # aggregate folds into one HashAggregate with NO exchange and
+        # the broadcast semi-joins preserve the layout into the next
+        # round's checkpoint — a peel round then moves no edge bytes
+        .transform(
+            lambda d: _copartition_ckpt(d, "u")
+            if copartition
+            else d.localCheckpoint(eager=False)
+        )
     )
     cur = sym
     # lazy per-round checkpoints (r9): fixed round count, no fixpoint
@@ -714,6 +846,7 @@ def sssp_bounded(
     weight: str = "weight",
     collapsed: bool = False,
     assume_nonnegative: bool = False,
+    copartition: bool = False,
 ) -> DataFrame:
     """Multi-source WEIGHTED shortest paths with a hop bound: (node,
     dist) where dist is the minimum total edge weight over paths of at
@@ -743,7 +876,14 @@ def sssp_bounded(
     # work, never change a value.
     if not collapsed:
         e = e.groupBy("u", "v").agg(F.min("w").alias("w"))
-    e = e.localCheckpoint(eager=True)
+    # `copartition` (guide §2.4, cluster knob — rationale in pagerank):
+    # one up-front shuffle buys an exchange-free edge side for all
+    # `depth` Bellman-Ford rounds
+    e = (
+        _copartition_ckpt(e, "u", eager=True)
+        if copartition
+        else e.localCheckpoint(eager=True)
+    )
     # guard AFTER the checkpoint: probing the raw lineage would execute
     # the (possibly expensive) upstream edge derivation a whole extra
     # time just for the sign check — on the cached collapsed edges it is
