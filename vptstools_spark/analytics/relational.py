@@ -221,8 +221,18 @@ def q_top_unshipped(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_region_revenue(spark: SparkSession, sf: str) -> DataFrame:
-    """TPC-H Q5-style: 6-way join with two broadcastable dims; Catalyst
-    broadcast-joins region/nation/supplier automatically under AQE."""
+    """TPC-H Q5-style: 6-way join with two broadcastable dims.
+
+    r9 join order (guide §3.2 — reduce the big side BEFORE it shuffles):
+    region⋈nation prune the supplier dim to the ASIA fifth FIRST, and
+    lineitem meets that pruned (broadcastable: suppliers are the
+    smallest fact-side dim at every scale) supplier set before anything
+    order-keyed — so at cluster scale the orderkey exchange carries only
+    the ~1/5 of lineitem rows with an ASIA supplier instead of all of
+    them. At bench scale AQE renders both orders as pure broadcast
+    pipelines (plans/r09/region_revenue_{before,after}.txt — no
+    lineitem exchange either way); results are join-order invariant and
+    oracle-verified at sf0.01 and sf0.1."""
     c = table(spark, sf, "customer")
     o = table(spark, sf, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
@@ -232,12 +242,19 @@ def q_region_revenue(spark: SparkSession, sf: str) -> DataFrame:
     s = table(spark, sf, "supplier")
     n = table(spark, sf, "nation")
     r = table(spark, sf, "region").filter(F.col("r_name") == "ASIA")
-    return (
-        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
-        .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(s, (F.col("l_suppkey") == F.col("s_suppkey")) & (F.col("c_nationkey") == F.col("s_nationkey")))
-        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+    s_asia = (
+        s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_nationkey", "n_name")
+    )
+    return (
+        l.join(F.broadcast(s_asia), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            c,
+            (F.col("o_custkey") == F.col("c_custkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
         .groupBy("n_name")
         .agg(
             F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(

@@ -318,39 +318,55 @@ def q_supplier_cnt(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_lone_late_supplier(spark: SparkSession, sf: str) -> DataFrame:
-    """Double-correlated EXISTS + NOT EXISTS self-join (TPC-H Q21 shape):
-    suppliers whose line was late (>60 days after order date) on a finished
-    multi-supplier order where *no other* supplier was late. EXISTS → semi
-    join on (orderkey, suppkey≠), NOT EXISTS → anti join on the same shape
-    restricted to late lines; both decorrelate to one shuffle on orderkey."""
+    """Double-correlated EXISTS + NOT EXISTS (TPC-H Q21 shape): suppliers
+    whose line was late (>60 days after order date) on a finished
+    multi-supplier order where *no other* supplier was late.
+
+    r9 rewrite (guide §2.3/§2.4 — one pass, one shuffle): the EXISTS /
+    NOT EXISTS pair is, per order, just two distinct-supplier counts —
+    a late line of supplier s qualifies iff its order has ≥ 2 distinct
+    suppliers overall and exactly 1 distinct LATE supplier (necessarily
+    s, since s's own line is late; the set-minus-self tests are implied).
+    Both counts ride ONE window over the l⋈o join's existing orderkey
+    partitioning — the per-order supplier sets are bounded by suppliers-
+    per-order, never by data volume. The old form shuffled lineitem
+    three times (full-pairs distinct, late-pairs distinct, semi/anti
+    exchange) and AQE promoted the FULL distinct (orderkey, suppkey)
+    pair set to a broadcast — fine at sf0.1, a guaranteed >8 GB
+    broadcast failure at 100 TB. Oracle-verified identical at sf0.01
+    and sf0.1."""
     o = table(spark, sf, "orders").filter(F.col("o_orderstatus") == "F")
     l = table(spark, sf, "lineitem")
     s = table(spark, sf, "supplier")
-    li = l.join(
+    li = l.select("l_orderkey", "l_suppkey", "l_shipdate").join(
         o.select("o_orderkey", "o_orderdate"),
         F.col("l_orderkey") == F.col("o_orderkey"),
     )
-    late = li.filter(
-        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
-    ).select("l_orderkey", "l_suppkey")
-    pairs = l.select(
-        F.col("l_orderkey").alias("p_orderkey"), F.col("l_suppkey").alias("p_suppkey")
-    ).distinct()
-    late_pairs = late.distinct().select(
-        F.col("l_orderkey").alias("lp_orderkey"), F.col("l_suppkey").alias("lp_suppkey")
+    is_late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
+        "INTERVAL 60 DAYS"
     )
+    w = Window.partitionBy("l_orderkey")
     lone = (
-        late.join(
-            pairs,
-            (F.col("p_orderkey") == F.col("l_orderkey"))
-            & (F.col("p_suppkey") != F.col("l_suppkey")),
-            "left_semi",
+        li.select(
+            "l_orderkey",
+            "l_suppkey",
+            is_late.alias("__late"),
         )
-        .join(
-            late_pairs,
-            (F.col("lp_orderkey") == F.col("l_orderkey"))
-            & (F.col("lp_suppkey") != F.col("l_suppkey")),
-            "left_anti",
+        .withColumn(
+            "__n_supp", F.size(F.collect_set("l_suppkey").over(w))
+        )
+        .withColumn(
+            "__n_late_supp",
+            F.size(
+                F.collect_set(
+                    F.when(F.col("__late"), F.col("l_suppkey"))
+                ).over(w)
+            ),
+        )
+        .filter(
+            F.col("__late")
+            & (F.col("__n_supp") >= 2)
+            & (F.col("__n_late_supp") == 1)
         )
     )
     return (
