@@ -1213,10 +1213,56 @@ def q_bradley_terry_regions(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("a.rev_c") > F.col("b.rev_c"))
         .select(F.col("a.region").alias("wi"), F.col("b.region").alias("wj"))
     )
-    # the win matrix is <=20 rows; checkpoint it so the three unrolled
-    # MM iterations join cached rows instead of re-deriving the
-    # orders->customer->nation monthly aggregation once per reference
-    wins = games.groupBy("wi", "wj").agg(F.count("*").alias("w")).localCheckpoint()
+    # r9 (guide §8 — decide with small rows; same route family as
+    # apsp_nations / pca_loadings / hits collect_bounded): the win
+    # matrix is BOUNDED BY SCHEMA — 5 regions at every scale factor, so
+    # ≤ 20 rows forever. One job collapses the fact tables to it; the
+    # three unrolled MM iterations are then pure arithmetic over ≤ 5
+    # strengths, run driver-side in sorted-key order (deterministic; the
+    # engine↔oracle agreement after the final 6-dp round is the same FP
+    # tolerance class the shuffle-ordered distributed sums relied on —
+    # oracle re-verified at sf0.01 and sf0.1), re-entering the plan as
+    # ONE SQL VALUES literal. Replaces 3 checkpointed 5-row shuffle
+    # rounds (~45 jobs of pure scheduling overhead measured) with one
+    # collect of a schema-bounded matrix. A >2048-row matrix (impossible
+    # for regions; defensive for reuse) falls back to the distributed
+    # MM loop.
+    wins = games.groupBy("wi", "wj").agg(F.count("*").alias("w"))
+    rows = wins.collect()
+    if len(rows) <= 2048:
+        w_ij = {(r["wi"], r["wj"]): int(r["w"]) for r in rows}
+        keys = sorted({k[0] for k in w_ij} | {k[1] for k in w_ij})
+        n_ij = {
+            (i, j): w_ij.get((i, j), 0) + w_ij.get((j, i), 0)
+            for i in keys
+            for j in keys
+            if i != j and (w_ij.get((i, j), 0) + w_ij.get((j, i), 0)) > 0
+        }
+        tot = {i: sum(w for (a, _), w in w_ij.items() if a == i) for i in keys}
+        s_d = {i: 1.0 for i in keys}
+        for _ in range(3):
+            den = {}
+            for i in keys:
+                acc = 0.0
+                for j in keys:
+                    if (i, j) in n_ij:
+                        acc += n_ij[(i, j)] / (s_d[i] + s_d[j])
+                den[i] = acc
+            s_d = {i: tot[i] / den[i] for i in keys if den[i] > 0.0}
+        z = 0.0
+        for i in sorted(s_d):
+            z += s_d[i]
+        def esc(x) -> str:
+            return str(x).replace("'", "''")
+        vals = ", ".join(
+            f"('{esc(i)}', CAST('{(s_d[i] / z)!r}' AS DOUBLE))"
+            for i in sorted(s_d)
+        )
+        return spark.sql(
+            "SELECT region, ROUND(bt_strength, 6) AS bt_strength "
+            f"FROM VALUES {vals} AS t(region, bt_strength)"
+        )
+    wins = wins.localCheckpoint()
     w1 = wins.select(F.col("wi").alias("i"), F.col("wj").alias("j"), "w")
     w2 = wins.select(
         F.col("wj").alias("i"), F.col("wi").alias("j"), F.col("w").alias("w_op")
