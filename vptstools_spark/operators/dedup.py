@@ -106,11 +106,17 @@ _BITMASK_MAX_BROADCAST_DOCS = 500_000
 
 #: Persist registry for the exact-pairs path (VERDICT r8 #1). Two
 #: design points, both measured at sf1:
-#: - MEMORY_ONLY, never MEMORY_AND_DISK: under storage pressure Spark
-#:   drops partitions and recomputes the (scan-shaped, CPU-cheap)
-#:   lineage instead of spilling gigabytes through a contended disk —
-#:   the disk-spill-under-host-load behavior is what the driver's r8
-#:   sf1 probe flagged (4.82 s there vs 2.51 s on an idle host).
+#: - MEMORY_AND_DISK (r9 re-measurement, reversing the interim
+#:   MEMORY_ONLY choice): with the full bench session's heap behind it,
+#:   MEMORY_ONLY blocks evict under execution-memory pressure and the
+#:   whole shingle→hash→stats lineage RECOMPUTES per run — measured
+#:   9.7-8.9 s medians for sf1 dedup_ngram_jaccard in two full bench
+#:   runs vs 2.7 s isolated (a 3.7× cliff), while r8's MEMORY_AND_DISK
+#:   recorded 1.63 s in the same position (evicted blocks reload from
+#:   disk in ~100s of ms). The r8 driver's 4.82 s containment flag that
+#:   motivated MEMORY_ONLY tracked host load (calibration-normalized
+#:   1.47×), not spill cost — disk reload caps the worst case where
+#:   recompute multiplies it.
 #: - Persisted intermediates are NOT auto-released between invocations:
 #:   Spark's CacheManager keys cache entries by analyzed plan, so a
 #:   repeated identical query (the bench's median-of-3, or jaccard vs
@@ -139,7 +145,7 @@ def release_cached_intermediates() -> None:
 def _scope_persist(df: DataFrame) -> DataFrame:
     from pyspark import StorageLevel
 
-    df = df.persist(StorageLevel.MEMORY_ONLY)
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
     _PAIRS_SCOPE.append(df)
     return df
 
