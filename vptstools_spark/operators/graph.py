@@ -78,8 +78,13 @@ def _ckpt_partitioned(df: DataFrame, eager: bool = False) -> DataFrame:
 #: Same adaptive-routing family as the dedup bitmask route: the gate is
 #: ONE exact count over the already-materialized edge table, both routes
 #: are exact, and above the bound the shuffle-shaped loop keeps the job
-#: completable at any scale.
-_CC_DRIVER_MAX_EDGES = 100_000
+#: completable at any scale. Bound calibration (r9): 1M sym rows is a
+#: 16 MB Arrow transfer + ~1.5 s of path-compressed union-find on the
+#: driver — measured on the sf1 dedup graph (585,200 sym rows: 1.8 s
+#: toPandas + 0.6 s union-find) vs ~5 distributed min-label rounds at
+#: one blocking job + several exchanges each. Far below any driver
+#: memory hazard; truly large graphs still take the loop.
+_CC_DRIVER_MAX_EDGES = 500_000
 
 
 def connected_components(
@@ -143,8 +148,14 @@ def connected_components(
                 parent[x], x = r, parent[x]
             return r
 
-        for row in sym.collect():
-            u, v = row[0], row[1]
+        # Arrow path (guide §6 "Arrow for driver transfers"): at the
+        # bound, row-based collect() pays py4j per-row deserialization
+        # for up to 1M rows; toPandas moves the same rows as a few Arrow
+        # batches (measured 1.8 s vs multi-second collect at 585k rows).
+        sym_pdf = sym.toPandas()
+        for u, v in zip(
+            sym_pdf.iloc[:, 0].tolist(), sym_pdf.iloc[:, 1].tolist()
+        ):
             parent.setdefault(u, u)
             parent.setdefault(v, v)
             ru, rv = find(u), find(v)
