@@ -220,7 +220,6 @@ def jaccard_pairs(
     members = stats.select("id", "fp")
     reps = stats.groupBy("fp").agg(F.min("id").alias("id"))
     hashed = all_hashed.join(reps.select("id"), "id", "left_semi")
-    sizes = stats.select("id", "n")
     # prune shingles that occur in exactly one document: they cannot form a
     # pair, and in natural corpora they are the vast majority of the join
     # input — this is the standard candidate-pruning step before the
@@ -322,26 +321,43 @@ def jaccard_pairs(
         score = F.col("c").cast("double") / F.least(F.col("na"), F.col("nb"))
     else:
         raise ValueError(f"unknown measure {measure!r}")
+    # the size joins double as the rep→fingerprint lookup (r9, guide §1/
+    # §2.4): `stats` already holds (id, n, fp), so attaching fpa/fpb here
+    # removes the two members-table joins the re-expansion used to pay —
+    # two fewer broadcast materializations per run, same rows out
     jac = (
-        common.join(F.broadcast(sizes.withColumnsRenamed({"id": "doc_a", "n": "na"})), on="doc_a")
-        .join(F.broadcast(sizes.withColumnsRenamed({"id": "doc_b", "n": "nb"})), on="doc_b")
+        common.join(
+            F.broadcast(
+                stats.select(
+                    F.col("id").alias("doc_a"),
+                    F.col("n").alias("na"),
+                    F.col("fp").alias("fpa"),
+                )
+            ),
+            on="doc_a",
+        )
+        .join(
+            F.broadcast(
+                stats.select(
+                    F.col("id").alias("doc_b"),
+                    F.col("n").alias("nb"),
+                    F.col("fp").alias("fpb"),
+                )
+            ),
+            on="doc_b",
+        )
         .withColumn(measure, score)
     )
     rep_pairs = jac.filter(F.col(measure) >= threshold).select(
-        "doc_a", "doc_b", F.col(measure)
+        "fpa", "fpb", F.col(measure)
     )
     # re-expand representatives to members: cross-group pairs inherit the
     # rep pair's jaccard (identical sets are interchangeable in both the
     # intersection and the union); intra-group pairs are exactly 1.0
-    ra = members.select(F.col("id").alias("doc_a"), F.col("fp").alias("fpa"))
-    rb = members.select(F.col("id").alias("doc_b"), F.col("fp").alias("fpb"))
     ma = members.select(F.col("fp").alias("fpa"), F.col("id").alias("ia"))
     mb = members.select(F.col("fp").alias("fpb"), F.col("id").alias("ib"))
     cross = (
-        rep_pairs.join(ra, "doc_a")
-        .join(rb, "doc_b")
-        .select("fpa", "fpb", measure)
-        .join(ma, "fpa")
+        rep_pairs.join(ma, "fpa")
         .join(mb, "fpb")
         .select(
             F.least("ia", "ib").alias("doc_a"),
@@ -532,11 +548,11 @@ def lsh_candidates(sigs: DataFrame, num_hashes: int = 8, rows_per_band: int = 2)
     """
     from pyspark import StorageLevel
 
-    exploded = (
-        band_table(sigs, num_hashes, rows_per_band)
+    exploded = _scope_persist(
         # both sides of the candidate self-join read this (tiny: docs×bands
-        # rows) — persist so the shingle→minhash lineage runs once
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        # rows) — persist so the shingle→minhash lineage runs once; scoped
+        # so bench tier boundaries can hard-release it
+        band_table(sigs, num_hashes, rows_per_band)
     )
     a = exploded.alias("a")
     b = exploded.alias("b")
@@ -635,10 +651,8 @@ def jaccard_verify(sh: DataFrame, pairs: DataFrame, threshold: float = 0.8) -> D
     RESTRICTED to candidate pairs. Cost scales with candidate count, not
     corpus size².
     """
-    from pyspark import StorageLevel
-
-    hashed = sh.select("id", F.xxhash64("shingle").alias("sh")).persist(
-        StorageLevel.MEMORY_AND_DISK
+    hashed = _scope_persist(
+        sh.select("id", F.xxhash64("shingle").alias("sh"))
     )
     return jaccard_verify_hashed(hashed, pairs, threshold)
 
@@ -650,18 +664,18 @@ def jaccard_verify_hashed(
     the form the incremental LSH registry stores (64-bit hashes, never
     raw text). Semantics identical: exact Jaccard restricted to the
     candidate pairs."""
-    from pyspark import StorageLevel
-
-    p = pairs.select("doc_a", "doc_b")
+    # scope-persist the candidate pair table (r9, guide §5): it feeds the
+    # broadcast id set AND the verify join — unpersisted, a caller passing
+    # a raw band-join lineage (lsh_verified_dedup) re-ran that join per
+    # consumer. Persisted callers (incremental registry) hit the same
+    # CacheManager entry; the registry lets bench tiers hard-release.
+    p = _scope_persist(pairs.select("doc_a", "doc_b"))
     ids = (
         p.select(F.col("doc_a").alias("id"))
         .unionByName(p.select(F.col("doc_b").alias("id")))
         .distinct()
     )
-    hashed = (
-        hashed.join(F.broadcast(ids), "id", "left_semi")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    hashed = _scope_persist(hashed.join(F.broadcast(ids), "id", "left_semi"))
     sizes = hashed.groupBy("id").agg(F.count("*").alias("n"))
     # restricted common-shingle count: expand each pair by doc_a's shingles,
     # then an explicit equi-join on (doc_b, shingle-hash) keeps only the
@@ -816,19 +830,24 @@ def incremental_lsh_dedup(
 
     n_submitted = batch.count()
     have_registry = bool(_list_versions(spark, bands_path))
+    bands_old = None
     if have_registry:
+        # resolve the bands table ONCE (r9, guide §1: it used to be read
+        # twice — once for the replay guard, once for the cross probe —
+        # paying the commit-log resolution and parquet listing each time)
+        bands_old = read_version(spark, bands_path)
         # id-level replay guard: a re-delivered shard (at-least-once
         # ingest) carries ids the registry already admitted — drop them
         # before any shingling (their near-dup state is already stored;
         # without this a replayed doc self-pairs, the doc_a != doc_b
         # filter discards it, and the registry double-admits)
-        seen_ids = (
-            read_version(spark, bands_path)
-            .select(F.col("id").alias(id_col))
-            .distinct()
-        )
+        seen_ids = bands_old.select(F.col("id").alias(id_col)).distinct()
         batch = batch.join(seen_ids, id_col, "left_anti").localCheckpoint()
-    n_after_replay = batch.count()
+        n_after_replay = batch.count()
+    else:
+        # no registry — nothing to replay against: the anti-join is an
+        # identity, so the second count job over the batch scan is too
+        n_after_replay = n_submitted
 
     sh_new = shingles(batch, text_col=text_col, id_col=id_col, k=k).persist(
         StorageLevel.MEMORY_AND_DISK
@@ -853,7 +872,6 @@ def incremental_lsh_dedup(
         .distinct()
     )
     if have_registry:
-        bands_old = read_version(spark, bands_path)
         # cross probe: admitted history joins the NEW batch's band rows —
         # shuffle carries band rows, never shingles or text
         n, o = bands_new.alias("n"), bands_old.alias("o")
@@ -870,9 +888,23 @@ def incremental_lsh_dedup(
             .filter(F.col("doc_a") != F.col("doc_b"))
             .distinct()
         )
-        pairs = pairs_in.unionByName(pairs_cross).distinct()
-        old_ids = pairs_cross.select(F.col("doc_a").alias("id")).unionByName(
-            pairs_cross.select(F.col("doc_b").alias("id"))
+        # persist + count BEFORE anything fans out (r9, guide §5): the
+        # candidate table feeds the old-id derivation, the verify stage's
+        # broadcast id set, and the verify join itself — unpersisted, each
+        # consumer re-ran the band self-join + cross probe + distinct
+        pairs = (
+            pairs_in.unionByName(pairs_cross)
+            .distinct()
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        n_pairs = pairs.count()
+        # registry-side ids of the cross pairs, read from the PERSISTED
+        # pair table instead of re-deriving pairs_cross: an in-batch id
+        # can only reach `pairs` through its band rows (no shingles → no
+        # bands → no pairs), so every in-batch pair id is in hashed_new
+        # and the anti-join leaves exactly the admitted-history ids
+        old_ids = pairs.select(F.col("doc_a").alias("id")).unionByName(
+            pairs.select(F.col("doc_b").alias("id"))
         ).distinct().join(
             hashed_new.select("id").distinct(), "id", "left_anti"
         )
@@ -881,9 +913,9 @@ def incremental_lsh_dedup(
         )
         hashed_all = hashed_new.unionByName(hashed_old)
     else:
-        pairs = pairs_in
+        pairs = pairs_in.persist(StorageLevel.MEMORY_AND_DISK)
+        n_pairs = pairs.count()
         hashed_all = hashed_new
-    n_pairs = pairs.count()
     verified = jaccard_verify_hashed(hashed_all, pairs, threshold)
     # min-id dominance: the larger side of any verified pair is rejected
     # when it belongs to THIS batch (registry docs are already admitted)
@@ -910,7 +942,7 @@ def incremental_lsh_dedup(
     else:
         commit_initial(bands_admit, bands_path, [])
         commit_initial(hashed_admit, sh_path, [])
-    for c in (sh_new, hashed_new, bands_new, rejected):
+    for c in (sh_new, hashed_new, bands_new, rejected, pairs):
         c.unpersist()
     return admitted, {
         "n_batch": n_submitted,
