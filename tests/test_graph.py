@@ -427,10 +427,57 @@ def test_copartition_route_matches_default(spark):
         lambda cp: pagerank(df, iters=3, copartition=cp),
         lambda cp: hits(df, iters=2, weight_col="weight", copartition=cp),
         lambda cp: label_propagation(df, iters=2, copartition=cp),
-        lambda cp: bounded_reachability(df, srcs, depth=4, copartition=cp),
+        # driver_max_nodes=0 pins the distributed loop: this test is about
+        # the copartition plan knob, which the driver-bookkeeping route
+        # would bypass entirely on a toy graph
+        lambda cp: bounded_reachability(
+            df, srcs, depth=4, copartition=cp, driver_max_nodes=0
+        ),
         lambda cp: kcore(df, k=2, iters=3, copartition=cp),
-        lambda cp: sssp_bounded(df, srcs, depth=5, copartition=cp),
+        lambda cp: sssp_bounded(
+            df, srcs, depth=5, copartition=cp, driver_max_nodes=0
+        ),
         lambda cp: triangle_count(df, copartition=cp),
     ]
     for build in cases:
         assert rows(build(False)) == rows(build(True))
+
+
+def test_frontier_driver_route_matches_distributed(spark):
+    """The r9 driver-bookkeeping route of sssp_bounded /
+    bounded_reachability (frontier state in a driver dict, relaxation
+    distributed) must return identical rows to the all-DataFrame loop on
+    a mixed-shape pseudo-random weighted graph — including early-exit,
+    multi-source min semantics, and unreached nodes."""
+    import random
+
+    from vptstools_spark.operators.graph import (
+        bounded_reachability,
+        sssp_bounded,
+    )
+
+    rng = random.Random(41)
+    edges = [(i, i + 1, (i % 5) + 1) for i in range(0, 25)]
+    edges += [
+        (a, b, ((a + b) % 3) + 1)
+        for a in range(100, 108)
+        for b in range(a + 1, 108)
+    ]
+    pool = list(range(200, 230))
+    edges += [
+        (rng.choice(pool), rng.choice(pool), rng.randrange(1, 7))
+        for _ in range(60)
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long, weight long")
+    srcs = spark.createDataFrame([(0,), (100,), (205,)], "node long")
+
+    def rows(out):
+        return sorted((r[0], r[1]) for r in out.collect())
+
+    for depth in (1, 3, 50):
+        assert rows(
+            sssp_bounded(df, srcs, depth=depth, driver_max_nodes=0)
+        ) == rows(sssp_bounded(df, srcs, depth=depth))
+        assert rows(
+            bounded_reachability(df, srcs, depth=depth, driver_max_nodes=0)
+        ) == rows(bounded_reachability(df, srcs, depth=depth))

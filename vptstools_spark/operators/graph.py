@@ -86,6 +86,35 @@ def _ckpt_partitioned(df: DataFrame, eager: bool = False) -> DataFrame:
 #: memory hazard; truly large graphs still take the loop.
 _CC_DRIVER_MAX_EDGES = 500_000
 
+#: driver-bookkeeping bound for the frontier loops (`sssp_bounded`,
+#: `bounded_reachability`): when the graph's destination-node domain is
+#: at or under this many nodes, the per-round frontier/distance STATE is
+#: kept in a driver dict and only the edge relaxation stays distributed
+#: (guide §8: decide with small rows, move big rows once). Each round is
+#: then ONE job — edge scan ⋈ broadcast frontier → aggregate → Arrow
+#: collect of ≤ |V| rows (≤ 32 MB at the bound) — instead of the 4-6
+#: AQE stage jobs the all-DataFrame round pays for its checkpoint joins.
+#: The distributed loop remains the route above the bound, so huge
+#: graphs never put per-node state on the driver.
+_FRONTIER_DRIVER_MAX_NODES = 2_000_000
+
+
+def _frontier_driver_gate(e: DataFrame, dst_col: str, bound: int) -> bool:
+    """True when the frontier loops may bookkeep on the driver: integral
+    node ids (the dict/Arrow path is only built for them) and a
+    destination-node domain within `bound` (ONE exact distinct-count over
+    the already-checkpointed edge table — O(|E|) once, amortized against
+    the per-round jobs it removes)."""
+    if not bound:
+        return False
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    ok = (ByteType, ShortType, IntegerType, LongType)
+    fields = {f.name: f.dataType for f in e.schema.fields}
+    if not isinstance(fields["u"], ok) or not isinstance(fields["v"], ok):
+        return False
+    return e.select("v").distinct().count() <= bound
+
 
 def connected_components(
     edges: DataFrame,
@@ -737,6 +766,7 @@ def bounded_reachability(
     src: str = "src",
     dst: str = "dst",
     copartition: bool = False,
+    driver_max_nodes: int = _FRONTIER_DRIVER_MAX_NODES,
 ) -> DataFrame:
     """Multi-source BFS with a hop bound: (node, hops) for every node
     reachable from `sources` (a 1-column DataFrame named `node`) within
@@ -759,6 +789,57 @@ def bounded_reachability(
         if copartition
         else e.localCheckpoint(eager=False)
     )
+    # DRIVER-BOOKKEEPING route (r9 — rationale in sssp_bounded): visited
+    # and frontier are ≤ |V| while edges are unbounded, so with a
+    # driver-bounded node domain the BFS state lives in a dict and each
+    # hop is ONE job (edge scan ⋈ broadcast frontier → distinct → Arrow
+    # collect). First-seen hop == minimum hop, exactly the distributed
+    # anti-join's semantics.
+    if _frontier_driver_gate(e, "v", driver_max_nodes):
+        import pandas as pd
+
+        spark = edges.sparkSession
+        src_pdf = (
+            sources.select("node")
+            .distinct()
+            .limit(driver_max_nodes + 1)
+            .toPandas()
+        )
+        if len(src_pdf) <= driver_max_nodes:
+            hops_map: dict = {int(n): 0 for n in src_pdf["node"].tolist()}
+            if not hops_map:
+                return spark.createDataFrame([], "node long, hops int")
+            frontier_ids = list(hops_map)
+            for d in range(1, depth + 1):
+                fdf = spark.createDataFrame(
+                    pd.DataFrame({"u": pd.array(frontier_ids, dtype="int64")})
+                )
+                nxt_pdf = (
+                    e.join(F.broadcast(fdf), "u")
+                    .select("v")
+                    .distinct()
+                    .toPandas()
+                )
+                nxt = [
+                    v for v in nxt_pdf["v"].tolist() if v not in hops_map
+                ]
+                if not nxt:
+                    break
+                for v in nxt:
+                    hops_map[v] = d
+                frontier_ids = nxt
+            ns = sorted(hops_map)
+            return spark.createDataFrame(
+                pd.DataFrame(
+                    {
+                        "node": pd.array(ns, dtype="int64"),
+                        "hops": pd.array(
+                            [hops_map[n] for n in ns], dtype="int32"
+                        ),
+                    }
+                ),
+                schema="node long, hops int",
+            )
     visited = sources.select(F.col("node")).distinct().withColumn(
         "hops", F.lit(0)
     ).localCheckpoint(eager=False)
@@ -858,6 +939,7 @@ def sssp_bounded(
     collapsed: bool = False,
     assume_nonnegative: bool = False,
     copartition: bool = False,
+    driver_max_nodes: int = _FRONTIER_DRIVER_MAX_NODES,
 ) -> DataFrame:
     """Multi-source WEIGHTED shortest paths with a hop bound: (node,
     dist) where dist is the minimum total edge weight over paths of at
@@ -903,6 +985,77 @@ def sssp_bounded(
     # the scan.
     if not assume_nonnegative and e.filter(F.col("w") < 0).limit(1).count() > 0:
         raise ValueError("sssp_bounded requires non-negative weights")
+    # DRIVER-BOOKKEEPING route (r9, guide §8 "decide with small rows"):
+    # the per-round state (dist, frontier) is ≤ |V| rows while the edge
+    # table can be arbitrarily large — so when |V| is driver-bounded,
+    # keep the state in a dict, re-enter each round's frontier as an
+    # Arrow local relation force-broadcast into the edge join (the edge
+    # side is never exchanged), and Arrow-collect the ≤ |V| candidate
+    # minima. One job per round; the relaxation arithmetic stays JVM-side
+    # and IEEE-identical, and the driver merge is exactly the
+    # left-join/filter/union-min of the distributed round below.
+    if _frontier_driver_gate(e, "v", driver_max_nodes):
+        import pandas as pd
+
+        spark = edges.sparkSession
+        src_pdf = (
+            sources.select("node")
+            .distinct()
+            .limit(driver_max_nodes + 1)
+            .toPandas()
+        )
+        if len(src_pdf) <= driver_max_nodes:
+            dist_map: dict = {int(n): 0 for n in src_pdf["node"].tolist()}
+            if not dist_map:
+                return spark.createDataFrame([], "node long, dist long")
+            frontier_map = dist_map
+            for _ in range(depth):
+                fdf = spark.createDataFrame(
+                    pd.DataFrame(
+                        {
+                            "u": pd.array(
+                                list(frontier_map.keys()), dtype="int64"
+                            ),
+                            "dist": list(frontier_map.values()),
+                        }
+                    )
+                )
+                cand_pdf = (
+                    e.join(F.broadcast(fdf), "u")
+                    .select(
+                        F.col("v").alias("node"),
+                        (F.col("dist") + F.col("w")).alias("cand"),
+                    )
+                    .groupBy("node")
+                    .agg(F.min("cand").alias("cand"))
+                    .toPandas()
+                )
+                improved_map: dict = {}
+                for n_, c_ in zip(
+                    cand_pdf["node"].tolist(), cand_pdf["cand"].tolist()
+                ):
+                    old = dist_map.get(n_)
+                    if old is None or c_ < old:
+                        improved_map[n_] = c_
+                if not improved_map:
+                    break
+                dist_map.update(improved_map)
+                frontier_map = improved_map
+            out_t = (
+                "double"
+                if any(isinstance(x, float) for x in dist_map.values())
+                else "long"
+            )
+            ns = sorted(dist_map)
+            return spark.createDataFrame(
+                pd.DataFrame(
+                    {
+                        "node": pd.array(ns, dtype="int64"),
+                        "dist": [dist_map[n_] for n_ in ns],
+                    }
+                ),
+                schema=f"node long, dist {out_t}",
+            )
     dist = (
         sources.select("node")
         .distinct()
