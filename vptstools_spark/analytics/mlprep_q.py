@@ -783,48 +783,74 @@ def q_info_gain_features(spark: SparkSession, sf: str) -> DataFrame:
         "year": F.year("o_orderdate").cast("string"),
         "price_band": (F.floor(F.col("o_totalprice") / 100000)).cast("string"),
     }
-    n_all = o.count()
-
-    def entropy_from(counts: DataFrame, keys: list[str]) -> DataFrame:
-        tot = counts.groupBy(*keys).agg(F.sum("c").alias("t"))
-        return (
-            counts.join(tot, keys)
-            .groupBy(*keys)
-            .agg(
-                (-F.sum(
-                    (F.col("c") / F.col("t"))
-                    * F.log(F.col("c") / F.col("t"))
-                )).alias("h"),
-                F.first("t").alias("t"),
+    # r9 (guide §2.2 — one corpus pass, derive the rest): the fact was
+    # scanned once per feature plus once for n(all) plus once for the
+    # label marginal — five scans for one ranking. One exploded
+    # (feature, x, y) count aggregate now feeds everything: the label
+    # marginal is any single feature's slice summed over x (every order
+    # carries every feature), n(all) rides in-plan as a 1-row frame, and
+    # the per-feature conditional entropies group the same table. Same
+    # counts, same closed forms, same 3 output rows.
+    ex = o.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(name).alias("feature"),
+                        expr.cast("string").alias("x"),
+                    )
+                    for name, expr in feats.items()
+                ]
             )
-        )
-
-    label_counts = o.groupBy("o_orderstatus").agg(F.count("*").alias("c"))
-    h_y = label_counts.agg(
-        (-F.sum(
-            (F.col("c") / F.lit(float(n_all)))
-            * F.log(F.col("c") / F.lit(float(n_all)))
-        )).alias("h_y")
+        ).alias("f"),
+        F.col("o_orderstatus").alias("y"),
+    ).select("f.feature", "f.x", "y")
+    # lazy checkpoint: fc is feature-domain-sized (dozens of rows) but has
+    # four consumers (label marginal, n_all, tot, cond) — cache it so the
+    # exploded fact scan runs once, not once per consumer
+    fc = (
+        ex.groupBy("feature", "x", "y")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=False)
     )
-    outs = []
-    for name, expr in feats.items():
-        fc = o.select(expr.alias("x"), F.col("o_orderstatus").alias("y")) \
-              .groupBy("x", "y").agg(F.count("*").alias("c"))
-        cond = entropy_from(fc, ["x"])
-        h_cond = cond.agg(
-            F.sum(F.col("t") / F.lit(float(n_all)) * F.col("h")).alias("h_c")
+    label_counts = (
+        fc.filter(F.col("feature") == "year")
+        .groupBy("y")
+        .agg(F.sum("c").alias("c"))
+    )
+    n_all_df = label_counts.agg(
+        F.sum("c").cast("double").alias("n_all")
+    )
+    h_y = (
+        label_counts.crossJoin(F.broadcast(n_all_df))
+        .agg(
+            (-F.sum(
+                (F.col("c") / F.col("n_all"))
+                * F.log(F.col("c") / F.col("n_all"))
+            )).alias("h_y")
         )
-        outs.append(
-            h_cond.crossJoin(F.broadcast(h_y)).select(
-                F.lit(name).alias("feature"),
-                F.round(F.col("h_y") - F.col("h_c"), 6).alias("info_gain"),
-                F.round("h_c", 6).alias("h_conditional"),
-            )
+    )
+    tot = fc.groupBy("feature", "x").agg(F.sum("c").alias("t"))
+    cond = (
+        fc.join(tot, ["feature", "x"])
+        .groupBy("feature", "x")
+        .agg(
+            (-F.sum(
+                (F.col("c") / F.col("t")) * F.log(F.col("c") / F.col("t"))
+            )).alias("h"),
+            F.first("t").alias("t"),
         )
-    res = outs[0]
-    for x in outs[1:]:
-        res = res.unionByName(x)
-    return res
+    )
+    h_cond = (
+        cond.crossJoin(F.broadcast(n_all_df))
+        .groupBy("feature")
+        .agg(F.sum(F.col("t") / F.col("n_all") * F.col("h")).alias("h_c"))
+    )
+    return h_cond.crossJoin(F.broadcast(h_y)).select(
+        "feature",
+        F.round(F.col("h_y") - F.col("h_c"), 6).alias("info_gain"),
+        F.round("h_c", 6).alias("h_conditional"),
+    )
 
 
 _IG_ORACLE = """
