@@ -918,6 +918,11 @@ def q_negative_samples(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("o_custkey") < 30)
         .select(F.col("o_custkey").alias("cust"), F.col("p_brand").alias("brand"))
         .distinct()
+        # lazy checkpoint (r9, guide §5): pos is bounded (≤30 customers ×
+        # brand vocabulary) but has THREE consumers (the customer spine,
+        # the anti-join, the final union) — uncached, each re-ran the
+        # lineitem-scale join
+        .localCheckpoint(eager=False)
     )
     custs = pos.select("cust").distinct()
     brands = p.select(F.col("p_brand").alias("brand")).distinct()

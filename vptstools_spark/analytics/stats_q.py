@@ -967,26 +967,38 @@ def q_chi2_nation_segment(spark: SparkSession, sf: str) -> DataFrame:
     joins; E = row_tot · col_tot / N, χ² = Σ (O−E)²/E computed in a
     fixed op order (engine-identical IEEE), dof = (r−1)(c−1)."""
     c = table(spark, sf, "customer")
-    obs = c.groupBy("c_nationkey", "c_mktsegment").agg(
-        F.count("*").alias("o")
+    # r9 (guide §1/§5): everything below is derivable from the contingency
+    # table — the margins, N (Σ counts), and the domain sizes r and k (the
+    # margins' row counts, identical to the table's distinct domains) — so
+    # the three driver-blocking counts and their extra customer scans fold
+    # into the one cached aggregate.
+    obs = (
+        c.groupBy("c_nationkey", "c_mktsegment")
+        .agg(F.count("*").alias("o"))
+        .localCheckpoint(eager=False)
     )
     row_m = obs.groupBy("c_nationkey").agg(F.sum("o").alias("rt"))
     col_m = obs.groupBy("c_mktsegment").agg(F.sum("o").alias("ct"))
-    n = c.count()
+    scal = (
+        row_m.agg(
+            F.count("*").alias("r"),
+            F.sum("rt").cast("double").alias("n"),
+        )
+        .crossJoin(F.broadcast(col_m.agg(F.count("*").alias("k"))))
+    )
     terms = (
         obs.join(F.broadcast(row_m), "c_nationkey")
         .join(F.broadcast(col_m), "c_mktsegment")
-        .withColumn("e", F.col("rt") * F.col("ct") / F.lit(float(n)))
+        .crossJoin(F.broadcast(scal))
+        .withColumn("e", F.col("rt") * F.col("ct") / F.col("n"))
         .withColumn(
             "t", (F.col("o") - F.col("e")) * (F.col("o") - F.col("e")) / F.col("e")
         )
     )
-    r = c.select("c_nationkey").distinct().count()
-    k = c.select("c_mktsegment").distinct().count()
     return terms.agg(
         F.round(F.sum("t"), 4).alias("chi2"),
-        F.lit((r - 1) * (k - 1)).cast("long").alias("dof"),
-        F.lit(n).cast("long").alias("n"),
+        ((F.max("r") - 1) * (F.max("k") - 1)).cast("long").alias("dof"),
+        F.max("n").cast("long").alias("n"),
     )
 
 
