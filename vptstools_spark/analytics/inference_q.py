@@ -138,10 +138,17 @@ def q_kaplan_meier(spark: SparkSession, sf: str) -> DataFrame:
     conditional self-joins over the distinct-tenure aggregate - a table
     bounded by the corpus time span in hours, not by user count."""
     e = table(spark, sf, "events")
-    horizon = e.agg(F.max("ts").alias("t_max"))
-    users = (
+    # r9 (guide §2.2 — one corpus pass): the horizon max(ts) equals the
+    # max of the per-user last-event times, so it derives from the same
+    # (cached) per-user aggregate instead of a second events scan
+    users_raw = (
         e.groupBy("user_id")
         .agg(F.min("ts").alias("t0"), F.max("ts").alias("t1"))
+        .localCheckpoint(eager=False)
+    )
+    horizon = users_raw.agg(F.max("t1").alias("t_max"))
+    users = (
+        users_raw
         .crossJoin(F.broadcast(horizon))
         .select(
             # timestampdiff is defined for both LTZ and NTZ ts columns
@@ -152,10 +159,13 @@ def q_kaplan_meier(spark: SparkSession, sf: str) -> DataFrame:
             ).cast("int").alias("churned"),
         )
     )
+    # lazy checkpoints (r9, guide §5): life and risk are span-bounded
+    # tables that each feed BOTH sides of a self-join — uncached, every
+    # branch re-ran the whole events→users→life lineage
     life = users.groupBy("tenure").agg(
         F.sum("churned").alias("d"),
         F.count("*").alias("c"),
-    )
+    ).localCheckpoint(eager=False)
     # cumulative sums as conditional self-joins, NOT global windows: the
     # life table is tiny but Catalyst cannot prove it, and the registry
     # convention bans empty-partition windows over unproven input
@@ -165,6 +175,7 @@ def q_kaplan_meier(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy(F.col("a.tenure").alias("tenure"), F.col("a.d").alias("d"))
         .agg(F.sum("b.c").alias("n_risk"))
         .filter(F.col("d") > 0)
+        .localCheckpoint(eager=False)
     )
     x, y = risk.alias("x"), risk.alias("y")
     return (
