@@ -2884,6 +2884,10 @@ def q_segment_migration(spark: SparkSession, sf: str) -> DataFrame:
             F.col("o_custkey").alias("cust"),
         )
         .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"))
+        # lazy checkpoint (r9, guide §5): the per-(year, customer) revenue
+        # is customer-bounded but feeds the boundary aggregate AND the
+        # segment map — uncached, each re-ran the orders scan
+        .localCheckpoint(eager=False)
     )
     # tercile BOUNDARIES per year (2 numbers, broadcast back) instead of
     # an ntile ranking: a per-year ranking window is a two-task global
@@ -2897,7 +2901,8 @@ def q_segment_migration(spark: SparkSession, sf: str) -> DataFrame:
         F.when(F.col("rev").cast("double") > F.col("b_hi"), "high")
         .when(F.col("rev").cast("double") > F.col("b_lo"), "mid")
         .otherwise("low"),
-    )
+        # both year slices of the migration join read this
+    ).localCheckpoint(eager=False)
     a = seg.filter(F.col("yr") == 1995).select(
         "cust", F.col("segment").alias("seg_1995")
     )
