@@ -479,34 +479,50 @@ def nb_train_score(
         .agg(F.count("*").alias("c"))
         .localCheckpoint(eager=False)
     )
-    cls = wc.groupBy("lang").agg(F.sum("c").alias("tot"))
-    prior = train.groupBy("lang").agg(F.count("*").alias("n_docs"))
-    n_train = train.agg(F.count("*").alias("n_all"))
-    vocab_n = wc.select("w").distinct().agg(
-        F.count("*").cast("double").alias("vn")
+    # r9 (guide §1 — the model scalars are parameter-bounded): class token
+    # totals, the vocabulary size, the class priors, and n(train) are
+    # ≤ classes rows each, but as in-plan frames every one materialized
+    # its own broadcast-exchange job (and the prior/n(train) subtrees each
+    # re-scanned the train split). Three bounded collects — two over the
+    # CACHED wc, one over train — re-enter them as local relations /
+    # literals; every arithmetic expression keeps its exact shape (long
+    # column + double literal, long/long division), so the scores are
+    # bit-identical.
+    import pandas as pd
+
+    spark = train.sparkSession
+    cls_rows = sorted(
+        (r["lang"], r["tot"])
+        for r in wc.groupBy("lang").agg(F.sum("c").alias("tot")).collect()
+    )
+    vn = float(wc.select("w").distinct().count())
+    cls = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "lang": [l for l, _ in cls_rows],
+                "tot": pd.array([t for _, t in cls_rows], dtype="int64"),
+            }
+        ),
+        schema="lang string, tot long",
     )
     # per-class smoothed log-likelihood for every (train-vocab word, class)
     grid = (
         wc.select("w").distinct()
         .crossJoin(cls)
         .join(wc, ["lang", "w"], "left")
-        .crossJoin(F.broadcast(vocab_n))
         .select(
             "w",
             F.col("lang").alias("cand"),
             F.log(
                 (F.coalesce(F.col("c"), F.lit(0)) + 1.0)
-                / (F.col("tot") + F.col("vn"))
+                / (F.col("tot") + F.lit(vn))
             ).alias("ll"),
         )
     )
     # unseen-word fallback per class: log(1 / (tot + V))
-    fallback = (
-        cls.crossJoin(F.broadcast(vocab_n))
-        .select(
-            F.col("lang").alias("cand"),
-            F.log(1.0 / (F.col("tot") + F.col("vn"))).alias("ll0"),
-        )
+    fallback = cls.select(
+        F.col("lang").alias("cand"),
+        F.log(1.0 / (F.col("tot") + F.lit(vn))).alias("ll0"),
     )
     te_words = test.select(
         "doc_id", "lang", F.explode(F.split("text", " ")).alias("w")
@@ -518,12 +534,24 @@ def nb_train_score(
         .groupBy("doc_id", "lang", "cand")
         .agg(F.sum(F.coalesce(F.col("ll"), F.col("ll0"))).alias("s"))
     )
-    logprior = (
-        prior.crossJoin(F.broadcast(n_train))
-        .select(
-            F.col("lang").alias("cand"),
-            F.log(F.col("n_docs") / F.col("n_all")).alias("lp"),
-        )
+    prior_rows = sorted(
+        (r["lang"], r["n_docs"])
+        for r in train.groupBy("lang")
+        .agg(F.count("*").alias("n_docs"))
+        .collect()
+    )
+    n_all = sum(n for _, n in prior_rows)
+    logprior = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "cand": [l for l, _ in prior_rows],
+                "n_docs": pd.array([n for _, n in prior_rows], dtype="int64"),
+            }
+        ),
+        schema="cand string, n_docs long",
+    ).select(
+        "cand",
+        F.log(F.col("n_docs") / F.lit(n_all).cast("long")).alias("lp"),
     )
     return (
         scored.join(F.broadcast(logprior), "cand")
