@@ -162,29 +162,21 @@ def _scope_drop(df: DataFrame) -> None:
         pass
 
 
-def jaccard_pairs(
+def _jaccard_rep_pairs(
     sh: DataFrame,
     threshold: float = 0.8,
     measure: str = "jaccard",
     bitmask_max_docs: int = _BITMASK_MAX_BROADCAST_DOCS,
-) -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs from a (id, shingle) table.
-
-    Plan: self equi-join on shingle (shuffle hash join), count common shingles
-    per pair, join per-doc sizes (broadcastable), jaccard = c/(na+nb-c).
-
-    REPLICA COLLAPSE (exactness-preserving, mirrors
-    `simjoin.similarity_join`): documents with IDENTICAL shingle sets
-    (md5 fingerprint of the sorted hash list) are represented by their
-    min-id member through the quadratic self-join, and member pairs are
-    re-expanded afterward (cross-group pairs inherit the representatives'
-    jaccard; intra-group pairs are exactly 1.0). The self-join input
-    shrinks by the replica factor SQUARED — on a replica-heavy corpus
-    (the measured failure shape of this exact baseline: the sf1 probe's
-    10×-replicated fixture took 24× the sf0.1 time) the quadratic core
-    runs over unique sets only, while the result stays identical
-    pair-for-pair.
-    """
+) -> tuple:
+    """The routed exact pair core of `jaccard_pairs`, WITHOUT the
+    member re-expansion: returns `(rep_pairs, members)` where
+    `rep_pairs` is (fpa, fpb, <measure>) for representative pairs at or
+    above `threshold` (score unrounded — the caller rounds once at its
+    final projection) and `members` is the (id, fp) set-fingerprint map
+    for every shingled doc. Callers that stack their own collapse on top
+    (`near_dup_pairs`) compose `members` with their group map and expand
+    ONCE, instead of paying this layer's four re-expansion joins and
+    then re-collapsing the result (r10, guide §2.4)."""
     # join on a 64-bit hash of the shingle, not the string: ~4× smaller
     # shuffle payload and cheaper key comparisons (collision ≈ 0 at 2^64).
     # Persist: this frame feeds FOUR consumers (sizes, doc-frequency filter,
@@ -351,6 +343,35 @@ def jaccard_pairs(
     rep_pairs = jac.filter(F.col(measure) >= threshold).select(
         "fpa", "fpb", F.col(measure)
     )
+    return rep_pairs, members
+
+
+def jaccard_pairs(
+    sh: DataFrame,
+    threshold: float = 0.8,
+    measure: str = "jaccard",
+    bitmask_max_docs: int = _BITMASK_MAX_BROADCAST_DOCS,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs from a (id, shingle) table.
+
+    Plan: self equi-join on shingle (shuffle hash join), count common shingles
+    per pair, join per-doc sizes (broadcastable), jaccard = c/(na+nb-c).
+
+    REPLICA COLLAPSE (exactness-preserving, mirrors
+    `simjoin.similarity_join`): documents with IDENTICAL shingle sets
+    (md5 fingerprint of the sorted hash list) are represented by their
+    min-id member through the quadratic self-join, and member pairs are
+    re-expanded afterward (cross-group pairs inherit the representatives'
+    jaccard; intra-group pairs are exactly 1.0). The self-join input
+    shrinks by the replica factor SQUARED — on a replica-heavy corpus
+    (the measured failure shape of this exact baseline: the sf1 probe's
+    10×-replicated fixture took 24× the sf0.1 time) the quadratic core
+    runs over unique sets only, while the result stays identical
+    pair-for-pair.
+    """
+    rep_pairs, members = _jaccard_rep_pairs(
+        sh, threshold, measure, bitmask_max_docs
+    )
     # re-expand representatives to members: cross-group pairs inherit the
     # rep pair's jaccard (identical sets are interchangeable in both the
     # intersection and the union); intra-group pairs are exactly 1.0
@@ -432,7 +453,7 @@ def near_dup_pairs(
             F.min("id").alias("id"), F.any_value("__text").alias("__text")
         )
     )
-    rep_pairs = jaccard_pairs(
+    rep_pairs, fp_members = _jaccard_rep_pairs(
         shingles(
             grouped.select("id", F.col("__text").alias(text_col)),
             text_col=text_col,
@@ -442,45 +463,73 @@ def near_dup_pairs(
         threshold,
         measure=measure,
     )
-    # a text has >= 1 k-shingle iff its space-split has >= k elements (the
-    # kernel's len(toks) >= k test, JVM-side on the group-count-sized
-    # frame) — cheaper than re-deriving the shingle table
-    elig_tfp = grouped.filter(
-        F.size(F.split(F.col("__text"), " ")) >= k
-    ).select("tfp")
-    members = _scope_persist(
+    # FUSED RE-EXPANSION (r10, guide §2.4): the old chain expanded
+    # set-fp reps → text reps inside `jaccard_pairs` (4 joins + union)
+    # and then text reps → docs here (4 more joins + union). But
+    # identical text ⇒ identical shingle set ⇒ same set fingerprint, so
+    # the text-group layer composes with the set-fp layer into ONE
+    # doc → set-fp map, and a single expansion emits the identical pair
+    # set: cross-fp pairs inherit the rep pair's score, same-fp pairs
+    # (byte-identical texts AND distinct texts with equal shingle sets
+    # alike) are exactly 1.0. The inner joins through `grouped` (text
+    # rep) and `fp_members` (only shingled reps appear in the stats
+    # table) drop under-k-token docs exactly as the old eligibility
+    # filter did.
+    # The expansion works on the GROUP level, not the member level: one
+    # aggregation folds the doc → fp map to a per-fp sorted id list
+    # (group sizes are replica counts; any group's C(n,2) intra pairs are
+    # already output-sized, so the list is never the bottleneck), cross
+    # pairs attach two fp-keyed LISTS instead of two member-sized join
+    # sides, and intra pairs explode straight from the lists with no
+    # self-join at all.
+    lists = _scope_persist(
         docs.select(
             F.col(id_col).alias("id"), F.md5(F.col(text_col)).alias("tfp")
         )
-        # semi-join sized by the unique-text count — AQE picks broadcast
-        # when it fits, shuffle otherwise (billions of groups at 100 TB)
-        .join(elig_tfp, "tfp", "left_semi")
+        .join(grouped.select("tfp", F.col("id").alias("rid")), "tfp")
+        .join(fp_members.withColumnsRenamed({"id": "rid"}), "rid")
+        .groupBy("fp")
+        .agg(F.sort_array(F.collect_list("id")).alias("ids"))
     )
-    rep2fp = grouped.select(F.col("id").alias("rid"), "tfp")
-    ma = members.select(F.col("tfp").alias("tfa"), F.col("id").alias("ia"))
-    mb = members.select(F.col("tfp").alias("tfb"), F.col("id").alias("ib"))
     cross = (
         rep_pairs.join(
-            rep2fp.withColumnsRenamed({"rid": "doc_a", "tfp": "tfa"}), "doc_a"
+            lists.select(F.col("fp").alias("fpa"), F.col("ids").alias("ids_a")),
+            "fpa",
         )
-        .join(rep2fp.withColumnsRenamed({"rid": "doc_b", "tfp": "tfb"}), "doc_b")
-        .select("tfa", "tfb", measure)
-        .join(ma, "tfa")
-        .join(mb, "tfb")
+        .join(
+            lists.select(F.col("fp").alias("fpb"), F.col("ids").alias("ids_b")),
+            "fpb",
+        )
         .select(
-            F.least("ia", "ib").alias("doc_a"),
-            F.greatest("ia", "ib").alias("doc_b"),
-            F.col(measure),
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids_a, x ->"
+                    " transform(ids_b, y -> struct(x AS a, y AS b))))"
+                )
+            ).alias("p"),
+            measure,
+        )
+        .select(
+            F.least("p.a", "p.b").alias("doc_a"),
+            F.greatest("p.a", "p.b").alias("doc_b"),
+            F.round(measure, 4).alias(measure),
         )
     )
     if threshold > 1.0:
         return cross
     intra = (
-        ma.join(mb.withColumnRenamed("tfb", "tfa"), "tfa")
-        .filter(F.col("ia") < F.col("ib"))
+        lists.where(F.size("ids") >= 2)
         .select(
-            F.col("ia").alias("doc_a"),
-            F.col("ib").alias("doc_b"),
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) -> transform("
+                    "slice(ids, i + 2, size(ids)), y -> struct(x AS a, y AS b))))"
+                )
+            ).alias("p")
+        )
+        .select(
+            F.col("p.a").alias("doc_a"),
+            F.col("p.b").alias("doc_b"),
             F.round(F.lit(1.0), 4).alias(measure),
         )
     )
