@@ -46,9 +46,23 @@ def synth_inventory(spark: SparkSession, sf: str) -> DataFrame:
         F.lit("Z_0xb.h5"),
     )
     noise_key = F.concat(F.lit("baltrad/logs/"), F.date_format("ts", "yyyy/MM/dd"), F.lit("/log.csv"))
+    # r10 (guide §2.6 round-5 AQE/serialization family): downstream
+    # parse_inventory filters on the key's extension, and Catalyst pushed
+    # that predicate — with the whole CASE+date_format key synthesis
+    # substituted into it — BELOW fan_out's round-robin exchange, i.e.
+    # into the single-row-group scan task: the expensive filter ran
+    # SERIAL (8-core/32-core ratio 0.94) and the synthesis evaluated
+    # twice (once in the pushed filter, once in the projection). An
+    # explode_outer(array(…)) Generate is a predicate-pushdown barrier:
+    # the key is synthesized ONCE, after the exchange, in parallel, and
+    # the suffix filter stays above it. explode_OUTER so
+    # InferFiltersFromGenerate cannot re-derive a size()>0 probe of the
+    # synthesis below the exchange; array(expr) is 1 element per row, so
+    # rows are unchanged.
+    key = F.when(F.col("event_type") == "error", noise_key).otherwise(h5_key)
     return e.select(
         F.lit("testrepo").alias("repo"),
-        F.when(F.col("event_type") == "error", noise_key).otherwise(h5_key).alias("file"),
+        F.explode_outer(F.array(key)).alias("file"),
         F.lit(0).cast("long").alias("size"),
         F.col("ts").alias("modified"),
     )
