@@ -88,8 +88,10 @@ def dsir_bucket_logratios(
     counts = tok.groupBy("bucket").agg(
         F.count("*").alias("raw_b"), F.sum("is_tgt").alias("tgt_b")
     )
-    totals = tok.agg(
-        F.count("*").alias("raw_tot"), F.sum("is_tgt").alias("tgt_tot")
+    # totals are exact rollups of the per-bucket counts (r10, guide §1):
+    # no second tokenize+hash pass over the corpus
+    totals = counts.agg(
+        F.sum("raw_b").alias("raw_tot"), F.sum("tgt_b").alias("tgt_tot")
     )
     bd = F.lit(float(buckets))
     lr = F.log(
@@ -124,12 +126,54 @@ def dsir_weights(
     treats absent as ineligible. Callers needing all-docs output should
     left-join from `docs` and coalesce the weight to 0.
     """
-    lrs = dsir_bucket_logratios(docs, target_pred, text_col, buckets)
-    tok = docs.select(
-        F.col(id_col), F.explode(token_buckets(F.col(text_col), buckets)).alias("bucket")
+    # r10 single-pass restructure (guide §1/§2.2): the old shape tokenized
+    # and md5-hashed the corpus THREE times (bucket counts, corpus totals,
+    # per-doc weights). One explode now folds to per-(doc, bucket) token
+    # counts — at most docs × buckets rows, lazily checkpointed so the
+    # stats side and the weight side share the materialization within the
+    # one action — and everything else is exact arithmetic on that table:
+    # raw_b/tgt_b roll up over docs (is_tgt is constant per doc), totals
+    # roll up over buckets, and the per-doc weight Σ_tokens lr(bucket)
+    # regroups to Σ_buckets n·lr — DECIMAL products and sums, so the
+    # regrouped sum is bit-identical to the token-order sum.
+    dbk = (
+        docs.select(
+            F.col(id_col),
+            target_pred.cast("int").alias("is_tgt"),
+            F.explode(token_buckets(F.col(text_col), buckets)).alias("bucket"),
+        )
+        .groupBy(id_col, "is_tgt", "bucket")
+        .agg(F.count("*").alias("n"))
+        .localCheckpoint(eager=False)
     )
+    counts = dbk.groupBy("bucket").agg(
+        F.sum("n").alias("raw_b"), F.sum(F.col("is_tgt") * F.col("n")).alias("tgt_b")
+    )
+    totals = counts.agg(
+        F.sum("raw_b").alias("raw_tot"), F.sum("tgt_b").alias("tgt_tot")
+    )
+    bd = F.lit(float(buckets))
+    lr = F.log(
+        ((F.col("tgt_b") + 1).cast("double") * (F.col("raw_tot").cast("double") + bd))
+        / (
+            (F.col("raw_b") + 1).cast("double")
+            * (F.col("tgt_tot").cast("double") + bd)
+        )
+    )
+    lrs = counts.crossJoin(F.broadcast(totals)).select(
+        "bucket", F.round(lr, 8).cast("decimal(20,8)").alias("lr")
+    )
+    # n is cast to DECIMAL(12,0) before the product: decimal(20,8) × a
+    # bare bigint (decimal(20,0)) would need precision 41 and Spark's
+    # precision-loss rule would round the product's scale down to 6 —
+    # with 12 integral digits (per-doc per-bucket token counts are
+    # bounded by document length) the product is decimal(33,8), exact.
     return (
-        tok.join(F.broadcast(lrs), "bucket")
+        dbk.join(F.broadcast(lrs), "bucket")
         .groupBy(id_col)
-        .agg(F.sum("lr").alias("weight"))
+        .agg(
+            F.sum(
+                F.col("lr") * F.col("n").cast("decimal(12,0)")
+            ).alias("weight")
+        )
     )
