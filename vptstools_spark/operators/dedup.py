@@ -718,7 +718,15 @@ def jaccard_verify_hashed(
     # a raw band-join lineage (lsh_verified_dedup) re-ran that join per
     # consumer. Persisted callers (incremental registry) hit the same
     # CacheManager entry; the registry lets bench tiers hard-release.
-    p = _scope_persist(pairs.select("doc_a", "doc_b"))
+    from pyspark import StorageLevel
+
+    p = pairs.select("doc_a", "doc_b")
+    if pairs.storageLevel == StorageLevel.NONE:
+        # only persist when the caller has not: the incremental registry
+        # passes an already-persisted pair table, and re-persisting the
+        # projection created a second cache entry + materialization job
+        # for the same rows (r10)
+        p = _scope_persist(p)
     ids = (
         p.select(F.col("doc_a").alias("id"))
         .unionByName(p.select(F.col("doc_b").alias("id")))
@@ -813,13 +821,17 @@ def incremental_dedup(
     n_in_batch = in_batch.count()
     if _list_versions(spark, registry_path):
         seen = read_version(spark, registry_path)
-        fresh = in_batch.join(seen, "_fp", "left_anti").localCheckpoint()
+        # lazy checkpoint: the count materializes the cache and answers
+        # n_fresh in one job (r10, guide §1)
+        fresh = in_batch.join(seen, "_fp", "left_anti").localCheckpoint(
+            eager=False
+        )
         n_fresh = fresh.count()
         new_fps = fresh.select("_fp")
         if n_fresh:
             commit_append(spark, registry_path, new_fps)
     else:
-        fresh = in_batch.localCheckpoint()
+        fresh = in_batch.localCheckpoint(eager=False)
         n_fresh = n_in_batch
         commit_initial(fresh.select("_fp"), registry_path)
     return fresh.drop("_fp"), {
@@ -877,10 +889,25 @@ def incremental_lsh_dedup(
     bands_path = _os.path.join(registry_path, "bands")
     sh_path = _os.path.join(registry_path, "shingles")
 
-    n_submitted = batch.count()
+    # r10 barrier folds (guide §1: count the blocking actions): in the
+    # no-registry path the submitted-row count rides the shingle cache's
+    # materializing action as an Observation instead of a dedicated
+    # corpus-scan job; in the registry path the count stays a plain
+    # action (the replay-guard checkpoint materializes through the RDD
+    # path, which never surfaces CollectMetrics to the observation
+    # listener), but the checkpoint itself is LAZY so its count() both
+    # materializes the cache and answers n_after_replay in ONE job (the
+    # r9 sssp/graph-loop pattern).
+    from pyspark.sql import Observation
+
     have_registry = bool(_list_versions(spark, bands_path))
     bands_old = None
+    obs = None
+    if not have_registry:
+        obs = Observation()
+        batch = batch.observe(obs, F.count(F.lit(1)).alias("n"))
     if have_registry:
+        n_submitted = batch.count()
         # resolve the bands table ONCE (r9, guide §1: it used to be read
         # twice — once for the replay guard, once for the cross probe —
         # paying the commit-log resolution and parquet listing each time)
@@ -890,13 +917,19 @@ def incremental_lsh_dedup(
         # before any shingling (their near-dup state is already stored;
         # without this a replayed doc self-pairs, the doc_a != doc_b
         # filter discards it, and the registry double-admits)
-        seen_ids = bands_old.select(F.col("id").alias(id_col)).distinct()
-        batch = batch.join(seen_ids, id_col, "left_anti").localCheckpoint()
+        # no .distinct() on the anti-join's build side: left_anti needs
+        # only key membership, and the distinct was a full exchange of
+        # the registry band rows (r10, guide §2.4)
+        seen_ids = bands_old.select(F.col("id").alias(id_col))
+        batch = batch.join(seen_ids, id_col, "left_anti").localCheckpoint(
+            eager=False
+        )
         n_after_replay = batch.count()
     else:
         # no registry — nothing to replay against: the anti-join is an
-        # identity, so the second count job over the batch scan is too
-        n_after_replay = n_submitted
+        # identity; n_submitted is read from the Observation after the
+        # shingle cache materializes below (no dedicated count job)
+        n_after_replay = None
 
     sh_new = shingles(batch, text_col=text_col, id_col=id_col, k=k).persist(
         StorageLevel.MEMORY_AND_DISK
@@ -910,6 +943,10 @@ def incremental_lsh_dedup(
     )
 
     a, b = bands_new.alias("a"), bands_new.alias("b")
+    # no per-branch .distinct(): the ONE distinct on the final pair table
+    # subsumes them (r10, guide §2.4 — each inner distinct was its own
+    # full exchange; band-collision duplicates are bounded by the band
+    # count and partial aggregation dedupes them map-side anyway)
     pairs_in = (
         a.join(
             b,
@@ -918,7 +955,6 @@ def incremental_lsh_dedup(
             & (F.col("a.id") < F.col("b.id")),
         )
         .select(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
-        .distinct()
     )
     if have_registry:
         # cross probe: admitted history joins the NEW batch's band rows —
@@ -935,7 +971,6 @@ def incremental_lsh_dedup(
                 F.greatest(F.col("o.id"), F.col("n.id")).alias("doc_b"),
             )
             .filter(F.col("doc_a") != F.col("doc_b"))
-            .distinct()
         )
         # persist + count BEFORE anything fans out (r9, guide §5): the
         # candidate table feeds the old-id derivation, the verify stage's
@@ -952,36 +987,52 @@ def incremental_lsh_dedup(
         # can only reach `pairs` through its band rows (no shingles → no
         # bands → no pairs), so every in-batch pair id is in hashed_new
         # and the anti-join leaves exactly the admitted-history ids
+        # anti-join against the CHECKPOINTED batch ids, not a distinct
+        # over the corpus-sized hashed shingle table (r10): every
+        # in-batch pair id is a batch id by construction, so the
+        # membership test is identical and the build side shrinks from
+        # |shingles| rows to |batch| rows with no exchange
         old_ids = pairs.select(F.col("doc_a").alias("id")).unionByName(
             pairs.select(F.col("doc_b").alias("id"))
         ).distinct().join(
-            hashed_new.select("id").distinct(), "id", "left_anti"
+            batch.select(F.col(id_col).alias("id")), "id", "left_anti"
         )
         hashed_old = read_version(spark, sh_path).join(
             F.broadcast(old_ids), "id", "left_semi"
         )
         hashed_all = hashed_new.unionByName(hashed_old)
     else:
-        pairs = pairs_in.persist(StorageLevel.MEMORY_AND_DISK)
+        pairs = pairs_in.distinct().persist(StorageLevel.MEMORY_AND_DISK)
         n_pairs = pairs.count()
         hashed_all = hashed_new
+    if n_after_replay is None:
+        # no-registry path: the pair count above materialized the shingle
+        # cache over the observed batch, so the submitted count is ready
+        n_submitted = int(obs.get["n"])
+        n_after_replay = n_submitted
     verified = jaccard_verify_hashed(hashed_all, pairs, threshold)
     # min-id dominance: the larger side of any verified pair is rejected
     # when it belongs to THIS batch (registry docs are already admitted)
-    batch_ids = batch.select(F.col(id_col).alias("id")).distinct()
+    # semi-join build side: ids are unique per batch row (the operator
+    # contract requires globally-unique doc ids), so no distinct exchange
+    batch_ids = batch.select(F.col(id_col).alias("id"))
+    # single-consumer verify tail (r10): `rejected` feeds ONLY the
+    # admission anti-join — no persist, no dedicated count; the lazy
+    # checkpoint's count materializes the admitted cache AND answers
+    # n_admitted in one job, and n_rejected is exact arithmetic
+    # (rejected ids are a subset of the post-replay batch ids).
     rejected = (
         verified.select(
             F.greatest("doc_a", "doc_b").alias("id")
         )
         .distinct()
         .join(batch_ids, "id", "left_semi")
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    n_rejected = rejected.count()
     admitted = batch.join(
         rejected.withColumnRenamed("id", id_col), id_col, "left_anti"
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     n_admitted = admitted.count()
+    n_rejected = n_after_replay - n_admitted
     adm_ids = admitted.select(F.col(id_col).alias("id"))
     bands_admit = bands_new.join(adm_ids, "id", "left_semi")
     hashed_admit = hashed_new.join(adm_ids, "id", "left_semi")
@@ -991,7 +1042,7 @@ def incremental_lsh_dedup(
     else:
         commit_initial(bands_admit, bands_path, [])
         commit_initial(hashed_admit, sh_path, [])
-    for c in (sh_new, hashed_new, bands_new, rejected, pairs):
+    for c in (sh_new, hashed_new, bands_new, pairs):
         c.unpersist()
     return admitted, {
         "n_batch": n_submitted,
