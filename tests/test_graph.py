@@ -481,3 +481,20 @@ def test_frontier_driver_route_matches_distributed(spark):
         assert rows(
             bounded_reachability(df, srcs, depth=depth, driver_max_nodes=0)
         ) == rows(bounded_reachability(df, srcs, depth=depth))
+
+
+def test_driver_route_gate_arithmetic():
+    """Pin the driver-route gate constants to their documented heap
+    budgets (VERDICT r9 #9): the bounds are derived from the driver
+    heap, so a refactor must not silently widen them past the budget
+    the docstrings promise. CC: 2 x bound x 16 B Arrow transfer must
+    stay <= 32 MB; frontier: bound x 16 B per-round collect <= 32 MB.
+    Widening either requires re-deriving the budget in graph.py AND
+    updating this pin."""
+    from vptstools_spark.operators.graph import (
+        _CC_DRIVER_MAX_EDGES,
+        _FRONTIER_DRIVER_MAX_NODES,
+    )
+
+    assert 2 * _CC_DRIVER_MAX_EDGES * 16 <= 32 * 1024 * 1024
+    assert _FRONTIER_DRIVER_MAX_NODES * 16 <= 32 * 1024 * 1024

