@@ -1130,11 +1130,9 @@ def adamic_adar(
 
     Output: (node_a, node_b, n_common, score) with node_a < node_b.
 
-    Scale shape: one neighbor-list aggregation, then the pair enumeration
-    explodes each bounded list into its C(deg, 2) wedges — wedge volume
-    Σ_u deg(u)², the same budget as triangle counting, but generated
-    without a self-join (the fact subtree is scanned once, not four
-    times). Neighbors with degree above
+    Scale shape: one degree aggregation, then the pair enumeration is a
+    self-equi-join on the shared neighbor — wedge volume Σ_u deg(u)², the
+    same budget as triangle counting. Neighbors with degree above
     `max_hub_degree` are dropped BEFORE the join (the standard hub guard:
     a u connected to everything creates deg² ≈ |V|² pairs while
     contributing only 1/ln(deg) ≈ 0 evidence per pair — at 100 TB the cap
@@ -1142,38 +1140,32 @@ def adamic_adar(
     on the FULL graph first, so the discount 1/ln(deg) is unbiased by the
     cap; deg-1 neighbors carry no pair anyway (ln(1) = 0 would divide by
     zero — they are excluded with the hubs).
+
+    r10 NOTE (guide §1.5 — measured and kept AS-IS): two restructures
+    were benched against this shape and both lost. (1) Neighbor-list
+    explode (collect_set → sorted list → nested transform/slice pair
+    generation): 1 fact scan / 2 exchanges instead of 4 / 11, but
+    Spark's higher-order array functions are interpreted (no whole-stage
+    codegen) and the full bench measured 7.6 s vs 2.6 s — the wedge
+    generation must stay in codegen. (2) The same join with `ew` lazily
+    checkpointed (upstream once instead of twice): 3.3–3.5 s vs 2.8 s
+    min-of-3 interleaved — the checkpoint write/read of the edge-weight
+    table costs more than the duplicated aggregation subtree it saves,
+    because the duplicate branches are cheap codegen pipelines over
+    broadcast joins. Evidence in OPTIMIZATION_r10.md.
     """
-    # r10 rewrite (guide §2.2/§2.4/§3): the old shape was
-    # distinct → degree-count → ew = e ⋈ deg → ew ⋈ ew self-join on u —
-    # and because ew appears TWICE, Spark executed the whole upstream
-    # (fact scans + distinct + degree aggregation) twice: 4 fact scans,
-    # 11 Exchanges in the sf0.1 plan. Pre-aggregating the neighbor LIST
-    # per u does the same work with ONE scan and TWO exchanges:
-    # collect_set dedupes (u, w) in its partial (map-side) update, so
-    # deg == size(set) exactly reproduces count-after-distinct; the
-    # C(deg, 2) wedges are generated from the sorted list by a JVM
-    # higher-order expression (no join, no re-expansion of the upstream),
-    # and sort_array + (i < j) pairing reproduces the node_a < node_b
-    # orientation. Wedge volume is unchanged (Σ C(deg, 2), hub-capped);
-    # per-u list size is bounded by the graph's neighbor fanout, which
-    # the hub cap already declares bounded. Null neighbors (impossible
-    # for the declared callers, which inner-join on non-null keys) are
-    # ignored rather than counted toward deg.
-    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("w"))
-    nbrs = e.groupBy("u").agg(F.sort_array(F.collect_set("w")).alias("ws"))
-    deg = F.size("ws")
-    ok = nbrs.where((deg >= 2) & (deg <= max_hub_degree)).select(
-        "ws", (F.lit(1.0) / F.log(deg.cast("double"))).alias("inv_log_deg")
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("w")).distinct()
+    deg = e.groupBy("u").agg(F.count("*").alias("deg"))
+    ok = deg.filter((F.col("deg") >= 2) & (F.col("deg") <= max_hub_degree))
+    ew = e.join(ok, "u").withColumn(
+        "inv_log_deg", F.lit(1.0) / F.log(F.col("deg").cast("double"))
     )
-    pairs = F.expr(
-        "flatten(transform(ws, (x, i) ->"
-        " transform(slice(ws, i + 2, size(ws)), y -> struct(x AS a, y AS b))))"
-    )
+    a = ew.select("u", F.col("w").alias("node_a"), "inv_log_deg")
+    b = ew.select("u", F.col("w").alias("node_b"))
     agg = (
-        ok.select(F.explode(pairs).alias("p"), "inv_log_deg")
-        .groupBy(
-            F.col("p.a").alias("node_a"), F.col("p.b").alias("node_b")
-        )
+        a.join(b, "u")
+        .filter(F.col("node_a") < F.col("node_b"))
+        .groupBy("node_a", "node_b")
         .agg(
             F.count("*").alias("n_common"),
             F.round(F.sum("inv_log_deg"), 6).alias("score"),
